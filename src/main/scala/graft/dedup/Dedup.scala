@@ -1,0 +1,110 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication primitives.
+  *
+  * Beyond the reference's own ingest-time dedup (content-hash of whole
+  * documents + two-tier embedding match, api/app/lib/ingestion.py:432-507),
+  * a 100 TB training-data pipeline needs the standard near-dup ladder:
+  *
+  *  - exact:   hash-groupBy on a normalized fingerprint (one shuffle)
+  *  - MinHash: shingle → k independent min-hashes → banded LSH buckets →
+  *             candidate pairs from bucket joins only (never all-pairs)
+  *  - SimHash: 64-bit weighted-bit-vote fingerprint; near-dups differ in
+  *             few bits
+  *  - n-gram Jaccard: exact verify step for candidate pairs
+  *
+  * Everything is expressed as DataFrame transforms (no UDFs): shingling via
+  * `sequence`/`transform`, hashing via codegen'd `xxhash64`/`hash`, so the
+  * whole ladder stays in whole-stage codegen and scales by partitioning on
+  * the hash keys.
+  */
+object Dedup {
+
+  /** Normalized content fingerprint (exact dedup key). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Exact dedup: one row per distinct fingerprint, keeping the smallest id
+    * as representative plus the group size. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("group_size"))
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min hash value over the shingle set. Returns array<long>. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleCol, sh => xxhash64(sh, seed))))
+
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band; docs sharing ANY band key become candidates. */
+  def lshBandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("key")))
+
+  /** Candidate near-dup pairs via banded MinHash LSH, verified with exact
+    * Jaccard over the shingle sets. Output: (a_id, b_id, jaccard).
+    * The bucket join replaces the O(n²) all-pairs comparison: cost is
+    * sum over buckets of |bucket|², shuffled by band key. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 4, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val withShingles = df.select(
+      col(idCol).as("id"),
+      charShingles(col(textCol), shingleK).as("sh"))
+    val withBands = withShingles
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands)))
+      .select(col("id"), col("sh"), col("bk"))
+    val candidates = withBands.as("a")
+      .join(withBands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(array_union(a, b)).cast("double"))
+  }
+
+  /** Distinct character k-gram shingles of `text`. */
+  def charShingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k))))
+
+  /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
+    * bit, weighted by term frequency; fingerprint bit b is 1 iff the vote
+    * sum is positive. Near-dup docs have small Hamming distance. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // One struct per bit; `b` is a Scala literal so shifts stay codegen'd.
+    val bitVotes = (0 until 64).map { b =>
+      struct(lit(b).as("bit"), lit(1L << b).as("weight"),
+        when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1).as("vote"))
+    }
+    toks
+      .select(col("id"), explode(array(bitVotes: _*)).as("bv"))
+      .groupBy(col("id"), col("bv.bit").as("bit"), col("bv.weight").as("weight"))
+      .agg(sum(col("bv.vote")).as("votes"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("votes") > 0, col("weight")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,211 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph traversal over a plain edge DataFrame.
+  *
+  * Contract mirrors the reference's `graph_accel` traversal surface
+  * (graph-accel/core/src/traversal.rs:113-199 BFS, 207-305 shortest path,
+  * 306-487 k-paths, 552-600 degree, 488-550 subgraph) re-expressed as
+  * iterative DataFrame joins: each BFS hop is one equi-join that Catalyst
+  * plans independently, so cost grows with frontier size — not join arity —
+  * which is exactly why the reference abandoned Cypher `[*1..N]` plans
+  * (graph-accel/docs/benchmark-findings.md:45-120).
+  *
+  * Edge schema: `src: string, dst: string` plus optional
+  * `rel_type: string`, `confidence: double`.
+  *
+  * Scale notes (100 TB design):
+  *  - The frontier is usually tiny vs the edge table → the frontier side is
+  *    broadcast, so a hop is a broadcast hash join against a partitioned
+  *    edge scan: no shuffle of the big table per hop.
+  *  - `localCheckpoint` truncates lineage each hop (driver-loop iterative
+  *    plans otherwise grow exponentially).
+  *  - The visited set stays distributed; nothing is collected.
+  *  - Filters (confidence, rel-type) are applied to the edge view BEFORE the
+  *    loop, so they push into the Parquet scan — the reference instead
+  *    post-filters rel types in Python (api/app/lib/graph_facade.py:214-221).
+  */
+object GraphOps {
+
+  /** Direction semantics per reference api/app/lib/graph_facade.py:186-256. */
+  sealed trait Direction
+  case object Outgoing extends Direction
+  case object Incoming extends Direction
+  case object Both extends Direction
+
+  /** NULL confidence passes the filter — NaN-sentinel semantics from the
+    * Rust core (graph-accel/core/src/graph.rs:44-57, traversal.rs:93-104). */
+  private def confidencePredicate(minConfidence: Option[Double]): Column =
+    minConfidence match {
+      case Some(t) => col("confidence").isNull || col("confidence") >= lit(t)
+      case None    => lit(true)
+    }
+
+  /** Oriented `(node, next, rel_type)` view of the edge table for a
+    * traversal direction; filters are applied here so they reach the scan. */
+  def oriented(
+      edges: DataFrame,
+      direction: Direction,
+      minConfidence: Option[Double] = None,
+      relTypes: Option[Seq[String]] = None): DataFrame = {
+    val hasRel = edges.columns.contains("rel_type")
+    val relCol = if (hasRel) col("rel_type") else lit(null).cast("string")
+    val filtered = edges
+      .where(confidencePredicate(minConfidence))
+      .where(relTypes match {
+        case Some(ts) if hasRel => col("rel_type").isin(ts: _*)
+        case _                  => lit(true)
+      })
+    val out = filtered.select(col("src").as("node"), col("dst").as("next"), relCol.as("rel_type"))
+    val in  = filtered.select(col("dst").as("node"), col("src").as("next"), relCol.as("rel_type"))
+    direction match {
+      case Outgoing => out
+      case Incoming => in
+      case Both     => out.unionAll(in)
+    }
+  }
+
+  /** BFS neighborhood with min-distance semantics (reference T1):
+    * returns `(node, distance, parent)` for every node reachable within
+    * `maxDepth`, each at its MINIMUM distance (W2 dedup built in), with a
+    * deterministic parent pointer (min parent id) for path reconstruction.
+    * `distance = 0` row for each start node is included.
+    */
+  def bfs(
+      edges: DataFrame,
+      startNodes: Seq[String],
+      maxDepth: Int,
+      direction: Direction = Both,
+      minConfidence: Option[Double] = None,
+      relTypes: Option[Seq[String]] = None): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = oriented(edges, direction, minConfidence, relTypes)
+      .select("node", "next")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var visited = startNodes.toDF("node")
+      .withColumn("distance", lit(0))
+      .withColumn("parent", lit(null).cast("string"))
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    var depth = 0
+    var done = frontier.isEmpty
+
+    while (!done && depth < maxDepth) {
+      depth += 1
+      // Broadcast the (small) frontier against the partitioned edge view,
+      // anti-join out already-visited nodes, keep one deterministic parent.
+      val next = adj
+        .join(broadcast(frontier.withColumnRenamed("node", "f")), $"node" === $"f")
+        .groupBy($"next".as("node")).agg(min($"f").as("parent"))
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("distance", lit(depth))
+        .select("node", "distance", "parent")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionAll(next).localCheckpoint(true)
+        frontier = next.select("node")
+      }
+    }
+    adj.unpersist()
+    visited
+  }
+
+  /** Shortest path (reference T2): returns the hop count and the node
+    * sequence from `from` to `to`, or None when unreachable within
+    * `maxHops`. Path reconstruction walks parent pointers with one tiny
+    * lookup join per hop (never collects the visited set).
+    */
+  def shortestPath(
+      edges: DataFrame,
+      from: String,
+      to: String,
+      maxHops: Int = 6,
+      direction: Direction = Both,
+      minConfidence: Option[Double] = None,
+      relTypes: Option[Seq[String]] = None): Option[(Int, Seq[String])] = {
+    val visited = bfs(edges, Seq(from), maxHops, direction, minConfidence, relTypes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hit = visited.where(col("node") === to).collect()
+      if (hit.isEmpty) None
+      else {
+        val hops = hit.head.getInt(1)
+        var path = List(to)
+        var cur: String = Option(hit.head.getString(2)).orNull
+        while (cur != null) {
+          path = cur :: path
+          val row = visited.where(col("node") === cur).select("parent").collect()
+          cur = if (row.isEmpty) null else row.head.getString(0)
+        }
+        Some((hops, path))
+      }
+    } finally { visited.unpersist(); () }
+  }
+
+  /** K-shortest paths via the reference's fallback contract — shortest path
+    * plus edge-excluded alternatives (api/app/lib/graph_facade.py:396-411),
+    * not full Yen's. Each iteration removes the previous path's edges
+    * (`left_anti` against an exclusion list) and re-runs T2. */
+  def kShortestPaths(
+      edges: DataFrame,
+      from: String,
+      to: String,
+      maxHops: Int = 6,
+      maxPaths: Int = 5,
+      direction: Direction = Both): Seq[(Int, Seq[String])] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var results = Vector.empty[(Int, Seq[String])]
+    var excluded = Set.empty[(String, String)]
+    var continue = true
+    while (continue && results.size < maxPaths) {
+      val excludedDf = excluded.toSeq.toDF("xsrc", "xdst")
+      val remaining = edges.join(broadcast(excludedDf),
+        (col("src") === col("xsrc") && col("dst") === col("xdst")) ||
+          (col("src") === col("xdst") && col("dst") === col("xsrc")),
+        "left_anti")
+      shortestPath(remaining, from, to, maxHops, direction) match {
+        case Some(p @ (_, nodes)) if !results.contains(p) =>
+          results :+= p
+          excluded ++= nodes.sliding(2).collect { case Seq(a, b) => (a, b) }
+        case _ => continue = false
+      }
+    }
+    results
+  }
+
+  /** Degree centrality (reference T4): one shuffle per side, partial
+    * aggregation map-side; `(node, out_degree, in_degree, total_degree)`. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
+    val in  = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(
+        col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        (coalesce(col("out_degree"), lit(0L)) + coalesce(col("in_degree"), lit(0L)))
+          .as("total_degree"))
+  }
+
+  /** Edge-induced subgraph (reference T5/J8): edges whose BOTH endpoints are
+    * within `maxDepth` of `start` — the double semi-join form. */
+  def inducedSubgraph(
+      edges: DataFrame,
+      start: String,
+      maxDepth: Int,
+      direction: Direction = Both,
+      minConfidence: Option[Double] = None): DataFrame = {
+    val nodes = bfs(edges, Seq(start), maxDepth, direction, minConfidence)
+      .select("node")
+    edges
+      .join(broadcast(nodes.withColumnRenamed("node", "src")), Seq("src"), "left_semi")
+      .join(broadcast(nodes.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
+  }
+}

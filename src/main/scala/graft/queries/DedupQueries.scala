@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Deduplication ladder over `documents` (SURVEY §2 pipeline extensions):
+  * exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. The hash-based variants (MinHash/SimHash) use
+  * engine-specific hash functions, so they get rows-only driver checks; the
+  * set-arithmetic variants are fully oracle-checked.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: the corpus unioned with a shifted copy of itself — every
+    // fingerprint group must collapse to size 2 with the original id as
+    // representative (M1 MERGE-dedup semantics, ingestion.py:194-487).
+    "q34_exact_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copy = d.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.exactDedup(d.unionAll(copy), "doc_id", "text")
+        .select(col("fingerprint"), col("rep_id"), col("group_size"))
+        .orderBy(col("rep_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (verify kernel of the LSH path).
+    "q35_jaccard_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .where(col("doc_id") < 120)
+        .select(col("doc_id"), Dedup.charShingles(col("text"), 4).as("sh"))
+      val a = d.toDF("a_id", "a_sh")
+      val b = d.toDF("b_id", "b_sh")
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("jaccard", round(Dedup.jaccard(col("a_sh"), col("b_sh")), 6))
+        .where(col("jaccard") >= 0.35)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // MinHash + banded LSH candidate generation, Jaccard-verified.
+    // Rows-only check (signature hashes are engine-specific); the
+    // MinhashSpec asserts recall against the exact q35 kernel.
+    "q36_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDups(
+          Tables.documents(s, dir).where(col("doc_id") < 120),
+          "doc_id", "text", shingleK = 4, numHashes = 32, bands = 16,
+          minJaccard = 0.35)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash fingerprints + Hamming-near pairs. Rows-only check.
+    "q37_simhash" -> ((s, dir) => {
+      val fp = Dedup.simhash64(
+        Tables.documents(s, dir).where(col("doc_id") < 200), "doc_id", "text")
+      val a = fp.toDF("a_id", "a_fp")
+      val b = fp.toDF("b_id", "b_fp")
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming", Dedup.hamming64(col("a_fp"), col("b_fp")))
+        .where(col("hamming") <= 12)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Embedding-cosine near-dup: per probe vector, its top-3 nearest
+    // neighbors (ANN brute-force baseline; the reference V3 match kernel).
+    "q38_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val probes = e.where(col("vec_id") < 10).toDF("a_id", "a_emb")
+      val cands = e.toDF("b_id", "b_emb")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id"))
+        .orderBy(col("sim").desc, col("b_id").asc)
+      probes.join(cands, col("a_id") =!= col("b_id"))
+        .withColumn("sim",
+          round(graft.functions.VectorOps.cosine(col("a_emb"), col("b_emb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("rn"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS fingerprint,
+        |  min(doc_id) AS rep_id, count(*) AS group_size
+        |FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents) t
+        |GROUP BY fingerprint ORDER BY rep_id""".stripMargin,
+
+    "q35_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)),
+        |      i -> substring(text, i, 4))) AS sh
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh, b.sh))
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.sh, b.sh))
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q38_embed_neardup" ->
+      """SELECT a_id, rn, b_id, sim FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id ASC) AS rn
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id != b.vec_id) t
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+import graft.sources.Tables
+
+/** Graph traversal coverage (SURVEY.md §2.9) on a synthetic edge view
+  * derived deterministically from the testdata: the bipartite
+  * supplier↔part graph of `lineitem` (line 1 only), with node ids prefixed
+  * `s`/`p` to keep the key spaces disjoint.
+  *
+  * Oracles use DuckDB recursive CTEs with UNION (distinct) so per-level
+  * dedup keeps the path explosion bounded — the same min-distance
+  * visited-set semantics as the reference BFS
+  * (graph-accel/core/src/traversal.rs:113-199).
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Directed edge view: supplier s<k> → part p<k>. */
+  def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_linenumber") === 1)
+      .select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      .distinct()
+
+  private val edgeCte =
+    """edges AS (
+      |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+      |  FROM lineitem WHERE l_linenumber = 1),
+      |und AS (SELECT src AS node, next FROM (
+      |  SELECT src, dst AS next FROM edges
+      |  UNION ALL SELECT dst AS src, src AS next FROM edges) t)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // T4: degree centrality top-50 (graph_facade.py:768-812).
+    "q21_degree" -> ((s, dir) => {
+      GraphOps.degrees(edges(s, dir))
+        .orderBy(col("total_degree").desc, col("node").asc)
+        .limit(50)
+    }),
+
+    // T1: BFS neighborhood, min-distance semantics, undirected, depth<=3
+    // (graph_facade.py:186-310).
+    "q22_bfs" -> ((s, dir) => {
+      GraphOps.bfs(edges(s, dir), Seq("s1"), maxDepth = 3, GraphOps.Both)
+        .select(col("node"), col("distance"))
+        .orderBy(col("distance"), col("node"))
+    }),
+
+    // T2: shortest path hop count s1 → s7 (graph_facade.py:316-347).
+    "q23_shortest_path" -> ((s, dir) => {
+      import s.implicits._
+      GraphOps.shortestPath(edges(s, dir), "s1", "s7", maxHops = 4) match {
+        case Some((hops, _)) => Seq(("s1", "s7", hops)).toDF("from_node", "to_node", "hops")
+        case None => Seq.empty[(String, String, Int)].toDF("from_node", "to_node", "hops")
+      }
+    }),
+
+    // T5/J8: induced subgraph totals within depth 2 of s1
+    // (graph_facade.py:818-869).
+    "q24_subgraph" -> ((s, dir) => {
+      GraphOps.inducedSubgraph(edges(s, dir), "s1", maxDepth = 2)
+        .agg(
+          count(lit(1)).as("n_edges"),
+          countDistinct(col("src")).as("n_src"),
+          countDistinct(col("dst")).as("n_dst"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_degree" ->
+      s"""WITH $edgeCte,
+         |deg AS (
+         |  SELECT node,
+         |    CAST(sum(o) AS BIGINT) AS out_degree,
+         |    CAST(sum(i) AS BIGINT) AS in_degree
+         |  FROM (
+         |    SELECT src AS node, 1 AS o, 0 AS i FROM edges
+         |    UNION ALL SELECT dst AS node, 0 AS o, 1 AS i FROM edges) t
+         |  GROUP BY node)
+         |SELECT node, out_degree, in_degree,
+         |  out_degree + in_degree AS total_degree
+         |FROM deg
+         |ORDER BY total_degree DESC, node ASC LIMIT 50""".stripMargin,
+
+    "q22_bfs" ->
+      s"""WITH RECURSIVE $edgeCte,
+         |bfs(node, dist) AS (
+         |  SELECT 's1' AS node, 0 AS dist
+         |  UNION
+         |  SELECT u.next, b.dist + 1 FROM bfs b JOIN und u ON u.node = b.node
+         |  WHERE b.dist < 3)
+         |SELECT node, CAST(min(dist) AS INT) AS distance
+         |FROM bfs GROUP BY node
+         |ORDER BY distance, node""".stripMargin,
+
+    "q23_shortest_path" ->
+      s"""WITH RECURSIVE $edgeCte,
+         |bfs(node, dist) AS (
+         |  SELECT 's1' AS node, 0 AS dist
+         |  UNION
+         |  SELECT u.next, b.dist + 1 FROM bfs b JOIN und u ON u.node = b.node
+         |  WHERE b.dist < 4)
+         |SELECT 's1' AS from_node, 's7' AS to_node, CAST(min(dist) AS INT) AS hops
+         |FROM bfs WHERE node = 's7'
+         |GROUP BY from_node, to_node""".stripMargin,
+
+    "q24_subgraph" ->
+      s"""WITH RECURSIVE $edgeCte,
+         |bfs(node, dist) AS (
+         |  SELECT 's1' AS node, 0 AS dist
+         |  UNION
+         |  SELECT u.next, b.dist + 1 FROM bfs b JOIN und u ON u.node = b.node
+         |  WHERE b.dist < 2),
+         |nodes AS (SELECT DISTINCT node FROM bfs)
+         |SELECT count(*) AS n_edges,
+         |  count(DISTINCT src) AS n_src,
+         |  count(DISTINCT dst) AS n_dst
+         |FROM edges
+         |WHERE src IN (SELECT node FROM nodes)
+         |  AND dst IN (SELECT node FROM nodes)""".stripMargin,
+  )
+}

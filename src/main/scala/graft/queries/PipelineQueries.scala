@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Training-data-pipeline operators: sessionization (stateful-stream shape),
+  * document chunking (reference S2/S3 as `flatMap`/`sequence` fan-out), and
+  * multimodal binary-column plumbing with a stubbed decode.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Sessionization: 30-min-gap sessions per user — the batch-equivalent
+    // of flatMapGroupsWithState sessionization (§2.12); gap math in epoch
+    // micros so Spark and DuckDB agree on sub-second timestamps.
+    "q39_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = e
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+      val sessions = flagged
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("session_events"))
+      sessions.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("session_events")).as("n_events"),
+          max(col("session_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Fixed-window word chunker with overlap, fully declarative:
+    // sequence() fan-out + slice(), the scale path of the S2 chunker
+    // (1 doc → N chunk rows with no UDF).
+    "q40_chunker" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TextQueries.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")))
+        .where(col("n_words") > 0)
+      d.select(col("doc_id"), col("toks"), col("n_words"),
+          explode(sequence(lit(0), floor((col("n_words") - 1) / 30).cast("int"))).as("chunk_idx"))
+        .where(col("chunk_idx") * 30 < col("n_words"))
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          size(slice(col("toks"), (col("chunk_idx") * 30 + 1).cast("int"), lit(40)))
+            .as("word_count"),
+          element_at(col("toks"), (col("chunk_idx") * 30 + 1).cast("int")).as("first_word"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Smart boundary-priority chunker (reference S2 semantics) as a typed
+    // Dataset.flatMap — rows-only driver check; ChunkerSpec asserts offsets,
+    // overlap and boundary ranking on fixtures.
+    "q41_smart_chunker" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      docs.flatMap { case (id, text) =>
+        graft.ingest.Chunker.chunk(text, minWords = 20, maxWords = 40, overlapWords = 5)
+          .map(c => (id, c.chunkNumber, c.startChar, c.endChar, c.wordCount, c.boundaryType))
+      }.toDF("doc_id", "chunk_number", "start_char", "end_char", "word_count", "boundary_type")
+        .orderBy(col("doc_id"), col("chunk_number"))
+    }),
+
+    // Multimodal plumbing: text → binary "asset" column + typed metadata,
+    // with the decode step a deterministic stub (no image libs in this
+    // container) — the schema/partitioning/batch shape is the real part
+    // (reference S9 binary assets, api/app/lib/garage_client.py).
+    "q42_multimodal" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("asset", to_binary(col("text"), lit("utf-8")))
+      d.select(
+          col("doc_id"),
+          length(col("asset")).cast("long").as("n_bytes"),
+          // stubbed "decoded" metadata: deterministic fake dimensions
+          (lit(320) + (length(col("asset")) * 7) % 1280).cast("long").as("fake_width"),
+          (lit(240) + (length(col("asset")) * 13) % 720).cast("long").as("fake_height"),
+          substring(hex(col("asset")), 1, 8).as("magic"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q39_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts::TIMESTAMP) AS us,
+        |    lag(epoch_us(ts::TIMESTAMP), 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS session_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  sum(session_events) AS n_events,
+        |  max(session_events) AS max_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q40_chunker" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  len(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40]) AS word_count,
+        |  toks[chunk_idx * 30 + 1] AS first_word
+        |FROM (
+        |  SELECT doc_id, toks, n_words,
+        |    unnest(generate_series(0, (n_words - 1) // 30)) AS chunk_idx
+        |  FROM d) t
+        |WHERE chunk_idx * 30 < n_words
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q42_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(320 + (octet_length(encode(text)) * 7) % 1280 AS BIGINT) AS fake_width,
+        |  CAST(240 + (octet_length(encode(text)) * 13) % 720 AS BIGINT) AS fake_height,
+        |  substring(hex(encode(text)), 1, 8) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,479 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2-2.8) exercised on the
+  * driver's TPC-H-ish testdata, each paired with an ANSI-SQL DuckDB oracle.
+  *
+  * Numeric-parity convention: any order-dependent floating aggregate is
+  * summed through DECIMAL(18,4) and cast back to double, so Spark's partial
+  * aggregation (arbitrary partition order) and DuckDB's single-threaded sum
+  * produce bit-identical values. Every query ends in a total-order sort.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** sum through decimal → exact, order-independent; back to double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // A1/A4: grouped aggregation ladder (count/sum/avg/countDistinct) —
+    // reference confidence signals (confidence_analyzer.py:384-516) shape.
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.where(col("l_shipdate") <= lit("1997-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F1/F2: projection + predicate zoo (eq, IN, range, LIKE-regex, null-safe)
+    "q02_filter_project" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      c.where(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE")
+          && col("c_acctbal").between(100.0, 9000.0)
+          && col("c_name").rlike("Customer#0+1"))
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") * lit(1.1), 4).as("adj_balance"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J1-shape: chained 4-way equi-join with small-dim broadcast
+    // (evidence join concepts⋈instances⋈sources, queries.py:1085-1103).
+    "q03_join_chain" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+
+    // J3: batch hydration — small IN-list broadcast-joined to a dim table
+    // (graph_facade.py:930-967).
+    "q04_hydration" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Seq(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L).toDF("id")
+      val p = Tables.part(s, dir)
+      broadcast(ids).join(p, col("id") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J4: join + grouped collect (concepts-per-source batch,
+    // graph_facade.py:890-924); arrays sorted for determinism.
+    "q05_group_collect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_custkey") <= 50)
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // P1-P3 + J8: set algebra via semi/anti joins — customers with orders
+    // minus customers with any 'F' order (program_operators.py:65-108).
+    "q06_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withOrders = c.join(o.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      val withF = o.where(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+      withOrders.join(withF, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // W3: best-row-per-group via row_number (best chunk per source,
+    // queries.py:350-462).
+    "q07_best_per_group" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("best_orderkey"),
+          col("o_totalprice").as("best_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // W4: lag + moving average over an ordered partition (usage trend,
+    // vocabulary_scoring.py:349-395).
+    "q08_lag_trend" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      e.where(col("user_id") <= 20)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", round(col("value") - coalesce(col("prev_value"), lit(0.0)), 4))
+        .select(col("user_id"), col("event_id"), round(col("value"), 4).as("value"),
+          round(coalesce(col("prev_value"), lit(0.0)), 4).as("prev_value"), col("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // K1: deterministic top-k (TakeOrderedAndProject — the V1 sort/slice,
+    // age_client/query.py:114-116).
+    "q09_topk" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // K2: offset pagination via row_number window (queries.py:591-599).
+    "q10_pagination" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      c.withColumn("rn", row_number().over(w))
+        .where(col("rn").between(11, 30))
+        .select(col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("rn"))
+    }),
+
+    // K4: below-threshold band hint — count/min/max + suggested_threshold =
+    // round(min - 0.02, 2) (queries.py:720-746).
+    "q11_band_hint" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val scored = c.withColumn("score", col("c_acctbal") / lit(10000.0))
+      scored.where(col("score").between(0.3, 0.7))
+        .agg(
+          count(lit(1)).as("n_below"),
+          round(min(col("score")), 6).as("min_score"),
+          round(max(col("score")), 6).as("max_score"),
+          round(round(min(col("score")), 6) - lit(0.02), 2).as("suggested_threshold"))
+    }),
+
+    // A4: Michaelis-Menten saturation scoring + when-ladder levels
+    // (confidence_analyzer.py:54-62,561-627).
+    "q12_mm_confidence" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sig = li.groupBy(col("l_orderkey")).agg(
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      sig
+        .withColumn("composite",
+          col("n_items") / lit(10.0) + col("n_parts") / lit(5.0) + col("n_supps") / lit(10.0))
+        .withColumn("score", round(col("composite") / (col("composite") + lit(2.0)), 6))
+        .withColumn("level",
+          when(col("n_items") >= 5 && col("n_parts") >= 3, "confident")
+            .when(col("n_items") >= 2, "tentative")
+            .otherwise("insufficient"))
+        .select(col("l_orderkey"), col("n_items"), col("n_parts"), col("n_supps"),
+          col("score"), col("level"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // A5: confidence-weighted mean — sum(w*x)/sum(w) (grounding aggregate,
+    // grounding.py:349-373).
+    "q13_weighted_mean" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_suppkey"))
+        .agg(
+          (dsum(col("l_discount") * col("l_extendedprice")) /
+            dsum(col("l_discount"))).as("weighted_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Pearson correlation per group (polarity grounding correlation,
+    // polarity_axis.py:392-452).
+    "q14_corr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A13: avg/stddev + epistemic when-ladder classification
+    // (epistemic_status_service.py:1-50).
+    "q15_epistemic" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(col("event_type"))
+        .agg(
+          (dsum(col("value")) / count(lit(1))).as("avg_value"),
+          round(stddev(col("value")), 4).as("sd_value"),
+          count(lit(1)).as("n"))
+        .withColumn("status",
+          when(col("n") < 3, "INSUFFICIENT_DATA")
+            .when(col("avg_value") > 60.0, "WELL_GROUNDED")
+            .when(col("avg_value") < 40.0, "CONTRADICTED")
+            .otherwise("MIXED"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P1 union / P2 except / P3 intersect on key sets, tagged and unioned
+    // into one result (program set algebra, program_operators.py:65-137).
+    "q16_set_algebra" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.where(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+      val b = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val union = a.union(b).distinct().withColumn("op", lit("union"))
+      val inter = a.intersect(b).withColumn("op", lit("intersect"))
+      val diff  = a.except(b).withColumn("op", lit("except"))
+      union.unionAll(inter).unionAll(diff)
+        .select(col("op"), col("c_custkey"))
+        .orderBy(col("op"), col("c_custkey"))
+    }),
+
+    // W1: recency window — latest k rows per partition then distinct
+    // (age_client/query.py:143-153).
+    "q17_recency_distinct" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      e.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("recent_types"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Multi-way star join + conditional aggregation (TPC-H Q5-ish) —
+    // exercises join reordering + broadcast of the dim chain.
+    "q18_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          dsum(when(col("o_orderstatus") === "F", col("l_extendedprice")).otherwise(lit(0.0)))
+            .as("f_revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Epoch-log clock (M8/T8): per-kind event counts + min/max event id —
+    // committed epoch = max(event_id) (ingestion.py:31-152).
+    "q19_epoch_clock" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(col("event_type").as("kind"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("committed_epoch"))
+        .orderBy(col("kind"))
+    }),
+
+    // Time-bucketed aggregation (streaming-shaped, batch-equivalent of the
+    // windowed stream agg in §2.12): hourly tumbling windows per type.
+    "q20_time_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT c_custkey, c_name, c_mktsegment AS segment,
+        |  round(c_acctbal * 1.1, 4) AS adj_balance
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')
+        |  AND c_acctbal BETWEEN 100.0 AND 9000.0
+        |  AND regexp_matches(c_name, 'Customer#0+1')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q03_join_chain" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_hydration" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice
+        |FROM part
+        |WHERE p_partkey IN (1,3,5,7,11,13,17,19,23,29)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q05_group_collect" ->
+      """SELECT o_custkey,
+        |  list_sort(list(o_orderkey)) AS orderkeys,
+        |  count(*) AS n_orders
+        |FROM orders WHERE o_custkey <= 50
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q06_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_best_per_group" ->
+      """SELECT o_custkey, best_orderkey, best_price FROM (
+        |  SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q08_lag_trend" ->
+      """SELECT user_id, event_id, round(value, 4) AS value,
+        |  round(coalesce(prev_value, 0.0), 4) AS prev_value,
+        |  round(value - coalesce(prev_value, 0.0), 4) AS delta
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |  FROM events WHERE user_id <= 20) t
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q09_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 20""".stripMargin,
+
+    "q10_pagination" ->
+      """SELECT rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_custkey, c_acctbal,
+        |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) t
+        |WHERE rn BETWEEN 11 AND 30 ORDER BY rn""".stripMargin,
+
+    "q11_band_hint" ->
+      """SELECT count(*) AS n_below,
+        |  round(min(score), 6) AS min_score,
+        |  round(max(score), 6) AS max_score,
+        |  round(round(min(score), 6) - 0.02, 2) AS suggested_threshold
+        |FROM (SELECT c_acctbal / 10000.0 AS score FROM customer) t
+        |WHERE score BETWEEN 0.3 AND 0.7""".stripMargin,
+
+    "q12_mm_confidence" ->
+      """SELECT l_orderkey, n_items, n_parts, n_supps,
+        |  round(composite / (composite + 2.0), 6) AS score,
+        |  CASE WHEN n_items >= 5 AND n_parts >= 3 THEN 'confident'
+        |       WHEN n_items >= 2 THEN 'tentative'
+        |       ELSE 'insufficient' END AS level
+        |FROM (
+        |  SELECT l_orderkey, count(*) AS n_items,
+        |    count(DISTINCT l_partkey) AS n_parts,
+        |    count(DISTINCT l_suppkey) AS n_supps,
+        |    count(*) / 10.0 + count(DISTINCT l_partkey) / 5.0
+        |      + count(DISTINCT l_suppkey) / 10.0 AS composite
+        |  FROM lineitem GROUP BY l_orderkey) t
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q13_weighted_mean" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS weighted_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q14_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q15_epistemic" ->
+      """SELECT event_type, avg_value, sd_value, n,
+        |  CASE WHEN n < 3 THEN 'INSUFFICIENT_DATA'
+        |       WHEN avg_value > 60.0 THEN 'WELL_GROUNDED'
+        |       WHEN avg_value < 40.0 THEN 'CONTRADICTED'
+        |       ELSE 'MIXED' END AS status
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
+        |    round(stddev_samp(value), 4) AS sd_value,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type) t
+        |ORDER BY event_type""".stripMargin,
+
+    "q16_set_algebra" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b) i
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b) e
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q17_recency_distinct" ->
+      """SELECT user_id,
+        |  list_sort(list(DISTINCT event_type)) AS recent_types
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 5
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q18_star_join" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN l_extendedprice ELSE 0.0 END
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS f_revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q19_epoch_clock" ->
+      """SELECT event_type AS kind, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS committed_epoch
+        |FROM events GROUP BY event_type ORDER BY kind""".stripMargin,
+
+    "q20_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
+}

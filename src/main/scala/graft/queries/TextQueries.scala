@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting (whitespace + BPE-ish regex), quality scoring
+  * (length/punct/stopword ratios), deterministic language-ID scoring,
+  * document fingerprinting, and TF-IDF term scoring (reference A14,
+  * embedding_projection_service.py:836-908).
+  *
+  * All tokenization uses `regexp_extract_all` with patterns whose semantics
+  * are identical in Java regex (Spark) and RE2 (DuckDB), so every operator
+  * here is oracle-checkable.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val wordPat = "[a-z]+"
+  private val bpePat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** lowercase word tokens of `text`. */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit(wordPat), lit(0))
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace words + BPE-ish sub-token pieces.
+    "q29_token_counts" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_words"),
+          size(regexp_extract_all(col("text"), lit(bpePat), lit(0))).as("n_bpe_pieces"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: token stats + punctuation & stopword ratios folded
+    // into a [0,1] score via the reference's Michaelis-Menten saturation
+    // (confidence_analyzer.py:592-597 pattern).
+    "q30_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stop: _*))))
+        .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))))
+      d.select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("n_stop") / col("n_tokens"), 6).as("stopword_ratio"),
+          round(col("n_punct") / length(col("text")), 6).as("punct_ratio"),
+          round(
+            (col("n_tokens") / lit(50.0)) / (col("n_tokens") / lit(50.0) + lit(2.0)), 6)
+            .as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic language-ID scoring: vote by marker-token hits per
+    // language, argmax with lexicographic tiebreak. (The heuristic itself —
+    // not label accuracy — is the operator under test.)
+    "q31_lang_id" -> ((s, dir) => {
+      val markers: Map[String, Seq[String]] = Map(
+        "en" -> Seq("the", "hash", "order", "row"),
+        "fr" -> Seq("scan", "data", "query", "petite"),
+        "de" -> Seq("customer", "join", "gross", "und"),
+        "es" -> Seq("slow", "agg", "merge", "valor"),
+        "zh" -> Seq("small", "value", "column", "shi"))
+      val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+      val votes = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        struct(
+          lit(lang).as("marker_lang"),
+          size(filter(col("toks"), t => t.isin(ws: _*))).as("hits"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("vote.hits").desc, col("vote.marker_lang").asc)
+      d.select(col("doc_id"), col("lang"), explode(array(votes: _*)).as("vote"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("vote.marker_lang").as("predicted_lang"),
+          col("vote.hits").cast("long").as("marker_hits"), col("lang").as("labeled_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: md5 of normalized text (hash_utils.py shape).
+    "q32_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(lower(trim(col("text")))).as("fingerprint"),
+          substring(md5(lower(trim(col("text")))), 1, 8).as("shard_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // A14: TF-IDF top-5 terms per language group (cluster naming,
+    // embedding_projection_service.py:836-908).
+    "q33_tfidf" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nLangs = 5.0
+      val tf = d.select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(countDistinct(col("lang")).as("df"))
+      val scored = tf.join(df, "word")
+        .withColumn("score", round(col("tf") * log(lit(nLangs) / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("word").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("word"), col("score"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+  )
+
+  private val stopList = stop.map(s => s"'$s'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q29_token_counts" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '$wordPat')) AS n_words,
+         |  len(regexp_extract_all(text, '$bpePat')) AS n_bpe_pieces,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_quality" ->
+      s"""SELECT doc_id, n_tokens,
+         |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+         |  round(n_punct / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+         |  round((n_tokens / 50.0) / (n_tokens / 50.0 + 2.0), 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id, text,
+         |    len(regexp_extract_all(lower(text), '$wordPat')) AS n_tokens,
+         |    len(list_filter(regexp_extract_all(lower(text), '$wordPat'),
+         |        t -> t IN ($stopList))) AS n_stop,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+
+    "q31_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, lang, v.marker_lang,
+        |    len(list_filter(tk, t -> list_contains(v.words, t))) AS hits
+        |  FROM toks, (VALUES
+        |    ('en', ['the','hash','order','row']),
+        |    ('fr', ['scan','data','query','petite']),
+        |    ('de', ['customer','join','gross','und']),
+        |    ('es', ['slow','agg','merge','valor']),
+        |    ('zh', ['small','value','column','shi'])) v(marker_lang, words)),
+        |ranked AS (
+        |  SELECT doc_id, lang, marker_lang, hits,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY hits DESC, marker_lang ASC) AS rn
+        |  FROM votes)
+        |SELECT doc_id, marker_lang AS predicted_lang,
+        |  CAST(hits AS BIGINT) AS marker_hits, lang AS labeled_lang
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q32_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+        |  substring(md5(lower(trim(text))), 1, 8) AS shard_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_tfidf" ->
+      """WITH tf AS (
+        |  SELECT lang, word, count(*) AS tf FROM (
+        |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |    FROM documents) t
+        |  GROUP BY lang, word),
+        |df AS (SELECT word, count(DISTINCT lang) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT tf.lang, tf.word, round(tf.tf * ln(5.0 / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.word = df.word),
+        |ranked AS (
+        |  SELECT lang, word, score,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY score DESC, word ASC) AS rn
+        |  FROM scored)
+        |SELECT lang, rn, word, score FROM ranked WHERE rn <= 5
+        |ORDER BY lang, rn""".stripMargin,
+  )
+}

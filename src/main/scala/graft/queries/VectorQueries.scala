@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Vector / semantic-search coverage (SURVEY.md §2.10) over the
+  * `embeddings` table (64-dim float vectors, 10 labels).
+  *
+  * The V1 kernel — scored full scan → threshold → top-k — uses the native
+  * codegen [[graft.functions.CosineSimilarity]] expression; the query
+  * vector is a driver-side constant broadcast into the plan as a literal
+  * array, mirroring the reference where the query embedding is a parameter
+  * (api/app/lib/age_client/query.py:35-119).
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic query vector: the embedding of vec_id = 0, fetched once
+    * driver-side (a parameter lookup, not a data loop). */
+  def queryVector(s: SparkSession, dir: String): Column = {
+    val v = Tables.embeddings(s, dir)
+      .where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    VectorOps.vecLit(v)
+  }
+
+  private val duckQueryVec =
+    "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+  val queries: Map[String, Q] = Map(
+    // V1: cosine top-k over a full scan — threshold, sort desc, slice
+    // (age_client/query.py:62-116). Ordering on the ROUNDED similarity so
+    // fp noise below 1e-6 cannot flip oracle row order.
+    "q25_cosine_topk" -> ((s, dir) => {
+      val q = queryVector(s, dir)
+      Tables.embeddings(s, dir)
+        .withColumn("sim", round(VectorOps.cosine(col("embedding"), q), 6))
+        .where(col("sim") >= 0.0 && col("vec_id") > 0)
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(15)
+        .select(col("vec_id"), col("label"), col("sim"))
+    }),
+
+    // kNN self-join: near-neighbor pairs above a threshold (the V3
+    // match-or-create scan shape, ingestion.py:432-507).
+    "q26_knn_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val a = e.where(col("vec_id") < 300).toDF("a_id", "a_emb")
+      val b = e.where(col("vec_id") < 300).toDF("b_id", "b_emb")
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", round(VectorOps.cosine(col("a_emb"), col("b_emb")), 6))
+        .where(col("sim") >= 0.25)
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // A10: per-label centroid (elementwise mean), long form (label, pos,
+    // value) — ontology centroid (ontology_scorer.py:301-407).
+    "q27_centroid" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("col")), 6).as("centroid_val"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
+    // A6: Gini-Simpson-style diversity = 1 − mean pairwise cosine within
+    // each label group (diversity_analyzer.py:48-185).
+    "q28_diversity" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(
+        col("label"), col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val a = e.toDF("label", "a_id", "a_emb")
+      val b = e.toDF("b_label", "b_id", "b_emb")
+      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+        .withColumn("cos", VectorOps.cosine(col("a_emb"), col("b_emb")))
+        .groupBy(col("label"))
+        .agg(
+          round(lit(1.0) - avg(col("cos")), 6).as("diversity"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("label"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_cosine_topk" ->
+      s"""SELECT vec_id, label,
+         |  round(list_cosine_similarity(embedding::DOUBLE[], $duckQueryVec), 6) AS sim
+         |FROM embeddings
+         |WHERE round(list_cosine_similarity(embedding::DOUBLE[], $duckQueryVec), 6) >= 0.0
+         |  AND vec_id > 0
+         |ORDER BY sim DESC, vec_id ASC LIMIT 15""".stripMargin,
+
+    "q26_knn_pairs" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.25
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q27_centroid" ->
+      """SELECT label, dim, round(avg(val), 6) AS centroid_val
+        |FROM (
+        |  SELECT label,
+        |    unnest(embedding::DOUBLE[]) AS val,
+        |    unnest(generate_series(1, len(embedding))) AS dim
+        |  FROM embeddings) t
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q28_diversity" ->
+      """SELECT a.label,
+        |  round(1.0 - avg(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6)
+        |    AS diversity,
+        |  count(*) AS n_pairs
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
+  )
+}
