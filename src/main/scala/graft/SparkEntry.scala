@@ -25,6 +25,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
+      (ScoringQueries.queries, ScoringQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

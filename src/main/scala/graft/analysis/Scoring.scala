@@ -1,0 +1,174 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Knowledge-graph scoring operators (SURVEY §2.4): grounding strength,
+  * confidence signals/score, diversity, cross-ontology affinity, ontology
+  * mass/coherence, epistemic classification, polarity-axis projection.
+  *
+  * Each reference operator ran N+1 batch queries chunked at 25 IDs to keep
+  * the AGE planner happy (api/app/constants.py:167); here each is ONE
+  * set-oriented pass — a groupBy/join pipeline Catalyst plans globally.
+  */
+object Scoring {
+
+  /** Michaelis-Menten saturation x/(x+k) — the reference's universal
+    * squashing function (confidence_analyzer.py:592-597 k=2.0;
+    * ontology_scorer.py:69-77 k=2.0; diversity_analyzer.py:156-161 k=0.3). */
+  def mmSaturation(x: Column, k: Double): Column = x / (x + lit(k))
+
+  /** A3: per-concept confidence signals in one pass over the edge and
+    * evidence tables (vs 3 batch queries + Python group-by in the
+    * reference, confidence_analyzer.py:384-490).
+    *
+    * edges: (src, dst, rel_type); evidence: (concept_id, source_id). */
+  def confidenceSignals(edges: DataFrame, evidence: DataFrame): DataFrame = {
+    val rels = edges.select(col("src").as("concept_id"), col("rel_type"))
+      .unionAll(edges.select(col("dst").as("concept_id"), col("rel_type")))
+      .groupBy("concept_id")
+      .agg(count(lit(1)).as("relationship_count"),
+        countDistinct(col("rel_type")).as("relationship_type_count"))
+    val ev = evidence.groupBy("concept_id")
+      .agg(count(lit(1)).as("evidence_count"),
+        countDistinct(col("source_id")).as("source_count"))
+    rels.join(ev, Seq("concept_id"), "full_outer")
+      .na.fill(0L, Seq("relationship_count", "relationship_type_count",
+        "evidence_count", "source_count"))
+      .withColumn("type_diversity",
+        least(lit(1.0), col("relationship_type_count") /
+          greatest(col("relationship_count"), lit(1)).cast("double")))
+  }
+
+  /** A4: composite + M-M score + level ladder
+    * (confidence_analyzer.py:54-62,561-627). */
+  def confidenceScore(signals: DataFrame): DataFrame =
+    signals
+      .withColumn("composite",
+        col("relationship_count") / lit(10.0) + col("source_count") / lit(5.0) +
+          col("evidence_count") / lit(10.0) + col("type_diversity"))
+      .withColumn("confidence_score", mmSaturation(col("composite"), 2.0))
+      .withColumn("confidence_level",
+        when(col("relationship_count") >= 5 && col("source_count") >= 3 &&
+          col("evidence_count") >= 3, "confident")
+          .when(col("relationship_count") >= 2 && col("source_count") >= 1 &&
+            col("evidence_count") >= 1, "tentative")
+          .otherwise("insufficient"))
+
+  /** Polarity axis: mean of the opposing-pair difference vectors,
+    * L2-normalized — a driver-side constant computed from the (tiny) vocab
+    * table (grounding.py:125-204). vocab: (relationship_type, embedding). */
+  def polarityAxis(vocab: DataFrame, pairs: Seq[(String, String)]): Array[Double] = {
+    val emb = vocab.select(col("relationship_type"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val diffs = pairs.flatMap { case (pos, neg) =>
+      for (p <- emb.get(pos); n <- emb.get(neg))
+        yield p.zip(n).map { case (a, b) => a - b }
+    }
+    require(diffs.nonEmpty, "no opposing pairs found in vocabulary")
+    val dim = diffs.head.length
+    val mean = (0 until dim).map(i => diffs.map(_(i)).sum / diffs.size).toArray
+    val norm = math.sqrt(mean.map(x => x * x).sum)
+    mean.map(_ / (if (norm == 0.0) 1.0 else norm))
+  }
+
+  /** A5: grounding strength — confidence-weighted mean of each incoming
+    * edge's vocab-embedding projection onto the polarity axis
+    * (grounding.py:206-388). NULL confidence weights as 1.0 (the
+    * NaN-passes sentinel, F5).
+    *
+    * inEdges: (dst=concept_id, rel_type, confidence); vocab joined
+    * broadcast (tiny dim table — J9). */
+  def groundingStrength(inEdges: DataFrame, vocab: DataFrame,
+      axis: Array[Double]): DataFrame = {
+    val axisCol = VectorOps.vecLit(axis.toSeq)
+    val vocabProj = vocab
+      .select(col("relationship_type").as("rel_type"),
+        VectorOps.dot(col("embedding"), axisCol).as("proj"))
+    inEdges
+      .join(broadcast(vocabProj), Seq("rel_type"), "left")
+      .withColumn("w", coalesce(col("confidence"), lit(1.0)))
+      .groupBy(col("dst").as("concept_id"))
+      .agg((sum(col("w") * coalesce(col("proj"), lit(0.0))) / sum(col("w")))
+        .as("grounding_strength"))
+  }
+
+  /** A7: cross-ontology affinity — shared concepts / total concepts in
+    * target, per ontology pair, top-N (ontology_scoring.py:213-265).
+    * membership: (ontology, concept_id). */
+  def ontologyAffinity(membership: DataFrame, topN: Int): DataFrame = {
+    val a = membership.toDF("ont_a", "concept_id")
+    val b = membership.toDF("ont_b", "concept_id")
+    val shared = a.join(b, "concept_id")
+      .where(col("ont_a") =!= col("ont_b"))
+      .groupBy("ont_a", "ont_b")
+      .agg(countDistinct(col("concept_id")).as("shared_concepts"))
+    val totals = membership.toDF("ont_b", "concept_id")
+      .groupBy("ont_b").agg(countDistinct(col("concept_id")).as("target_total"))
+    shared.join(broadcast(totals), "ont_b")
+      .withColumn("affinity", col("shared_concepts") / col("target_total").cast("double"))
+      .orderBy(col("affinity").desc, col("ont_a").asc, col("ont_b").asc)
+      .limit(topN)
+      .select(col("ont_a"), col("ont_b"), col("shared_concepts"),
+        col("target_total"), round(col("affinity"), 6).as("affinity"))
+  }
+
+  /** A9: ontology mass = M-M saturation of member/source/edge counts
+    * (ontology_scorer.py:44-77). stats: (ontology, n_concepts, n_sources,
+    * n_internal_rels). */
+  def ontologyMass(stats: DataFrame): DataFrame =
+    stats.withColumn("mass", round(mmSaturation(
+      col("n_concepts") / lit(50.0) + col("n_sources") / lit(20.0) +
+        col("n_internal_rels") / lit(50.0), 2.0), 6))
+
+  /** A9 coherence: mean pairwise cosine of member embeddings
+    * (ontology_scorer.py:79-123). members: (ontology, id, embedding). */
+  def ontologyCoherence(members: DataFrame): DataFrame = {
+    val a = members.toDF("ontology", "a_id", "a_emb")
+    val b = members.toDF("ontology", "b_id", "b_emb")
+    a.join(b, Seq("ontology"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity(col("a_emb"), col("b_emb")))
+      .groupBy("ontology")
+      .agg(round(avg(col("cos")), 6).as("coherence"), count(lit(1)).as("n_pairs"))
+  }
+
+  /** V7: project candidate vectors onto the axis between two pole vectors:
+    * normalized position in [-1,1], orthogonal distance, ±0.3 direction
+    * bands (polarity_axis.py:63-130,190-452). */
+  def polarityProjection(candidates: DataFrame, vecCol: String,
+      poleA: Array[Double], poleB: Array[Double]): DataFrame = {
+    val dim = poleA.length
+    val axisRaw = poleA.zip(poleB).map { case (a, b) => a - b }
+    val norm = math.sqrt(axisRaw.map(x => x * x).sum)
+    val axis = axisRaw.map(_ / (if (norm == 0.0) 1.0 else norm))
+    val mid = poleA.zip(poleB).map { case (a, b) => (a + b) / 2.0 }
+    val axisC = VectorOps.vecLit(axis.toSeq)
+    val midC = VectorOps.vecLit(mid.toSeq)
+    val centered = VectorOps.sub(col(vecCol), midC)
+    val halfLen = norm / 2.0
+    candidates
+      .withColumn("position",
+        VectorOps.dot(centered, axisC) / lit(if (halfLen == 0.0) 1.0 else halfLen))
+      .withColumn("direction",
+        when(col("position") > 0.3, "toward_a")
+          .when(col("position") < -0.3, "toward_b")
+          .otherwise("neutral"))
+      .withColumn("orthogonal_distance",
+        sqrt(greatest(
+          VectorOps.dot(centered, centered) -
+            pow(VectorOps.dot(centered, axisC), 2), lit(0.0))))
+  }
+
+  /** A13: epistemic status classification of relationship types from
+    * sampled grounding stats (epistemic_status_service.py:1-50). */
+  def epistemicStatus(perType: DataFrame, avgCol: String, nCol: String): DataFrame =
+    perType.withColumn("epistemic_status",
+      when(col(nCol) < 3, "INSUFFICIENT_DATA")
+        .when(col(avgCol) > 0.8, "WELL_GROUNDED")
+        .when(col(avgCol) < -0.5, "CONTRADICTED")
+        .when(col(avgCol) >= 0.0, "PARTIALLY_GROUNDED")
+        .otherwise("WEAKLY_CONTRADICTED"))
+}

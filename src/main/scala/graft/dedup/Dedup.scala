@@ -107,4 +107,7 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Scala-side hamming distance (driver/test use). */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }

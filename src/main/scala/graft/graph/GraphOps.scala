@@ -207,5 +207,6 @@ object GraphOps {
     edges
       .join(broadcast(nodes.withColumnRenamed("node", "src")), Seq("src"), "left_semi")
       .join(broadcast(nodes.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
+      .select(edges.columns.map(col).toIndexedSeq: _*) // joins reorder key cols
   }
 }

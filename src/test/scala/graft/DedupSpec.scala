@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Dedup ladder invariants: exact groups, jaccard bounds, MinHash-LSH
+  * recall vs the exact kernel, SimHash locality. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  ") // case/trim dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val groups = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("rep_id", "group_size").as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 3) // 1, 2, 5
+    assert(groups(3L) == 1)
+    assert(groups(4L) == 1)
+  }
+
+  test("jaccard is 1 for identical sets, 0 for disjoint, symmetric bounds") {
+    val d = docs.select($"doc_id", Dedup.charShingles($"text", 4).as("sh"))
+    val a = d.toDF("a_id", "a_sh")
+    val b = d.toDF("b_id", "b_sh")
+    val j = a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", Dedup.jaccard($"a_sh", $"b_sh").as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.6 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) < 0.1)
+  }
+
+  test("minhash LSH finds the exact near-dup pairs (high-jaccard recall)") {
+    val found = Dedup.minhashNearDups(docs.where($"doc_id" <= 4), "doc_id", "text",
+        shingleK = 4, numHashes = 32, bands = 16, minJaccard = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L))) // identical: always hashes together
+    assert(found.contains((1L, 3L)) || found.contains((2L, 3L))) // near dup
+    assert(!found.exists(p => p._1 == 4L || p._2 == 4L)) // verified filter
+  }
+
+  test("simhash: identical docs share fingerprints; near dups are close") {
+    val fp = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) == fp(5L)) // tokenization lowercases
+    assert(Dedup.hamming(fp(1L), fp(3L)) <= 16)
+    assert(Dedup.hamming(fp(1L), fp(4L)) > 16)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.graph.GraphOps
+import graft.graph.GraphOps._
+
+/** BFS/path/degree invariants on the reference Rust core's test topologies
+  * (graph-accel/core/src/traversal.rs:630-705): chain, star, cycle,
+  * self-loop, parallel edges, disconnected component — plus the
+  * confidence-filter NULL-passes sentinel and min-distance semantics. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def edges(es: (String, String)*): DataFrame =
+    es.toDF("src", "dst")
+
+  def edgesC(es: (String, String, String, java.lang.Double)*): DataFrame =
+    es.toDF("src", "dst", "rel_type", "confidence")
+
+  def distances(df: DataFrame): Map[String, Int] =
+    df.select("node", "distance").as[(String, Int)].collect().toMap
+
+  test("chain: distances increase linearly, capped by maxDepth") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val d = distances(GraphOps.bfs(e, Seq("a"), 3, Outgoing))
+    assert(d == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("star: all leaves at distance 1; incoming direction reverses") {
+    val e = edges("hub" -> "l1", "hub" -> "l2", "hub" -> "l3")
+    val out = distances(GraphOps.bfs(e, Seq("hub"), 2, Outgoing))
+    assert(out == Map("hub" -> 0, "l1" -> 1, "l2" -> 1, "l3" -> 1))
+    val in = distances(GraphOps.bfs(e, Seq("hub"), 2, Incoming))
+    assert(in == Map("hub" -> 0))
+    val leafIn = distances(GraphOps.bfs(e, Seq("l1"), 2, Incoming))
+    assert(leafIn == Map("l1" -> 0, "hub" -> 1))
+  }
+
+  test("cycle terminates with min distances (no infinite loop)") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "a")
+    val d = distances(GraphOps.bfs(e, Seq("a"), 10, Outgoing))
+    assert(d == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("self-loop and parallel edges don't inflate distances or degrees") {
+    val e = edges("a" -> "a", "a" -> "b", "a" -> "b")
+    val d = distances(GraphOps.bfs(e, Seq("a"), 3, Outgoing))
+    assert(d == Map("a" -> 0, "b" -> 1))
+    val deg = GraphOps.degrees(e).where($"node" === "a")
+      .select("out_degree").as[Long].head()
+    assert(deg == 3) // parallel edges each count (reference counts rows)
+  }
+
+  test("disconnected component unreachable; missing start yields only start") {
+    val e = edges("a" -> "b", "x" -> "y")
+    val d = distances(GraphOps.bfs(e, Seq("a"), 5, Both))
+    assert(d == Map("a" -> 0, "b" -> 1))
+    assert(GraphOps.shortestPath(e, "a", "y", 5).isEmpty)
+    val ghost = distances(GraphOps.bfs(e, Seq("zzz"), 3, Both))
+    assert(ghost == Map("zzz" -> 0))
+  }
+
+  test("NULL confidence passes the filter; low confidence pruned (F5)") {
+    val e = edgesC(
+      ("a", "b", "SUPPORTS", null),
+      ("a", "c", "SUPPORTS", 0.4),
+      ("a", "d", "SUPPORTS", 0.9))
+    val d = distances(GraphOps.bfs(e, Seq("a"), 1, Outgoing, minConfidence = Some(0.5)))
+    assert(d == Map("a" -> 0, "b" -> 1, "d" -> 1))
+  }
+
+  test("rel-type filter pre-join (F4/F6)") {
+    val e = edgesC(
+      ("a", "b", "SUPPORTS", 1.0),
+      ("a", "c", "CONTRADICTS", 1.0))
+    val d = distances(GraphOps.bfs(e, Seq("a"), 1, Outgoing,
+      relTypes = Some(Seq("SUPPORTS"))))
+    assert(d == Map("a" -> 0, "b" -> 1))
+  }
+
+  test("min-distance dedup across multiple paths (W2)") {
+    // a->b->c and a->c: c must be at distance 1, not 2
+    val e = edges("a" -> "b", "b" -> "c", "a" -> "c")
+    val d = distances(GraphOps.bfs(e, Seq("a"), 3, Outgoing))
+    assert(d("c") == 1)
+  }
+
+  test("shortest path reconstructs the node sequence") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "x", "x" -> "d")
+    val Some((hops, path)) = GraphOps.shortestPath(e, "a", "d", 5, Outgoing)
+    assert(hops == 2)
+    assert(path == Seq("a", "x", "d"))
+  }
+
+  test("k shortest paths excludes prior edges (T3 fallback contract)") {
+    val e = edges("a" -> "b", "b" -> "d", "a" -> "c", "c" -> "d")
+    val paths = GraphOps.kShortestPaths(e, "a", "d", maxHops = 4, maxPaths = 3, Outgoing)
+    assert(paths.size == 2)
+    assert(paths.forall(_._1 == 2))
+    assert(paths.map(_._2).distinct.size == 2)
+  }
+
+  test("induced subgraph keeps only edges with both endpoints reachable (J8)") {
+    val e = edges("a" -> "b", "b" -> "c", "c" -> "far", "far" -> "beyond")
+    val sub = GraphOps.inducedSubgraph(e, "a", 2, Outgoing)
+      .as[(String, String)].collect().toSet
+    assert(sub == Set("a" -> "b", "b" -> "c"))
+  }
+
+  test("degree centrality matches the reference out/in/total contract (T4)") {
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "a")
+    val m = GraphOps.degrees(e)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("a") == ((2L, 1L, 3L)))
+    assert(m("b") == ((1L, 1L, 2L)))
+    assert(m("c") == ((0L, 1L, 1L)))
+  }
+}

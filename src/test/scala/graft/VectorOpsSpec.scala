@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CosineSimilarity, VectorOps}
+
+/** Vector kernel correctness on hand-computed 8-dim fixtures (FIXTURES.md
+  * micro-fixture convention), HOF vs codegen-Expression agreement, and
+  * null/zero-norm edge cases. */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val vecs = Seq(
+    (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+    (3L, Seq(1.0, 1.0, 0.0, 0.0)),
+    (4L, Seq(2.0, 0.0, 0.0, 0.0)),
+    (5L, Seq(0.0, 0.0, 0.0, 0.0))
+  ).toDF("id", "v")
+
+  test("cosine: orthogonal=0, parallel=1, 45deg=sqrt(2)/2; zero-norm=NULL") {
+    val q = VectorOps.vecLit(Seq(1.0, 0.0, 0.0, 0.0))
+    val m = vecs.select($"id", VectorOps.cosine($"v", q).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L).contains(1.0))
+    assert(m(2L).contains(0.0))
+    assert(math.abs(m(3L).get.asInstanceOf[Double] - math.sqrt(2) / 2) < 1e-12)
+    assert(m(4L).contains(1.0))
+    assert(m(5L).isEmpty) // zero norm → NULL
+  }
+
+  test("codegen Expression agrees with HOF implementation everywhere") {
+    val q = VectorOps.vecLit(Seq(0.3, -0.7, 0.2, 0.9))
+    val diff = vecs.where($"id" =!= 5L)
+      .select(abs(VectorOps.cosine($"v", q) - VectorOps.cosineHof($"v", q)).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(diff < 1e-12)
+  }
+
+  test("mismatched lengths yield NULL, not an error") {
+    val q = VectorOps.vecLit(Seq(1.0, 2.0))
+    val r = vecs.select(VectorOps.cosine($"v", q).as("c")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("dot / norm / normalize / sub agree with hand math") {
+    val df = Seq((Seq(3.0, 4.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val row = df.select(
+      VectorOps.dot($"a", $"b").as("dot"),
+      VectorOps.l2Norm($"a").as("na"),
+      VectorOps.normalize($"a").as("an"),
+      VectorOps.sub($"a", $"b").as("amb")).head()
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getDouble(1) == 5.0)
+    assert(row.getSeq[Double](2) == Seq(0.6, 0.8))
+    assert(row.getSeq[Double](3) == Seq(2.0, 2.0))
+  }
+
+  test("float32 inputs are promoted to double before accumulation") {
+    val f = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val q = VectorOps.vecLit(Seq(1.0, 2.0, 3.0))
+    val c = f.select(VectorOps.cosine($"v", q)).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
