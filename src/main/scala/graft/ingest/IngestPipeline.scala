@@ -1,0 +1,160 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Batch ingest pipeline (reference §3.3-bonus lifecycle,
+  * api/app/lib/ingestion.py:380-560): chunk → extract → two-tier
+  * match-or-create → instance dedup → edge append → epoch record.
+  *
+  * Everything is set-oriented: the reference's per-concept
+  * search-then-decide loop (ingestion.py:432-507) becomes one scored join +
+  * window over ALL candidates at once, so ingesting 10⁹ chunks is the same
+  * plan as 10². Batch-first; `foreachBatch` wraps the same function for
+  * Structured Streaming ingestion (§2.12).
+  */
+object IngestPipeline {
+
+  final case class IngestResult(
+      concepts: DataFrame,   // updated concept table
+      instances: DataFrame,  // updated instance table
+      edges: DataFrame,      // updated edge table
+      epochLog: DataFrame,   // appended epoch log
+      matchedCount: Long,    // candidates resolved to existing concepts
+      createdCount: Long)    // newly created concepts
+
+  /** V3 two-tier matching: a candidate matches an existing concept when
+    * top-similarity ≥ 0.85, or ≥ 0.75 with normalized-label equality or
+    * containment; otherwise it becomes a new concept
+    * (ingestion.py:432-507, concept_matcher.py:50-80). Returns the
+    * candidate table with a `resolved_id` column. */
+  def twoTierMatch(candidates: DataFrame, existing: DataFrame): DataFrame = {
+    if (existing.isEmpty) {
+      return candidates.withColumn("resolved_id", col("concept_id"))
+        .withColumn("matched", lit(false))
+    }
+    val ex = existing.select(
+      col("concept_id").as("ex_id"),
+      lower(trim(col("label"))).as("ex_label"),
+      col("embedding").cast("array<double>").as("ex_emb"))
+    val scored = candidates
+      .withColumn("cand_emb", col("embedding").cast("array<double>"))
+      .withColumn("cand_label", lower(trim(col("label"))))
+      .join(ex, VectorOps.cosine(col("cand_emb"), col("ex_emb")) >= 0.75, "left")
+      .withColumn("sim", VectorOps.cosine(col("cand_emb"), col("ex_emb")))
+    val w = Window.partitionBy(col("concept_id"))
+      .orderBy(col("sim").desc_nulls_last, col("ex_id").asc_nulls_last)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .withColumn("label_match",
+        col("ex_label").isNotNull && (col("cand_label") === col("ex_label") ||
+          col("cand_label").contains(col("ex_label")) ||
+          col("ex_label").contains(col("cand_label"))))
+      .withColumn("matched",
+        col("sim").isNotNull && (col("sim") >= 0.85 ||
+          (col("sim") >= 0.75 && col("label_match"))))
+      .withColumn("resolved_id",
+        when(col("matched"), col("ex_id")).otherwise(col("concept_id")))
+      .drop("ex_id", "ex_label", "ex_emb", "cand_emb", "cand_label", "sim", "rn",
+        "label_match")
+  }
+
+  /** Full batch: returns updated tables + counts. Epoch semantics: one
+    * record per ingest batch with the batch row counts (M8). */
+  def ingestBatch(
+      spark: SparkSession,
+      docs: DataFrame, // (doc_id: string, text: string)
+      existingConcepts: DataFrame,
+      existingInstances: DataFrame,
+      existingEdges: DataFrame,
+      epochLog: DataFrame,
+      batchEpoch: Long): IngestResult = {
+    import spark.implicits._
+
+    // S2 chunk + S4 extract, fanned out in executors
+    val extractions = docs.select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (docId, text) =>
+        Chunker.chunk(text, minWords = 20, maxWords = 60, overlapWords = 5)
+          .map(c => (docId, c.text))
+      }
+      .flatMap { case (docId, chunkText) =>
+        val e = MockExtractor.extract(docId, chunkText)
+        e.concepts.map(c => ("concept", c.conceptId, c.label, c.embedding.toSeq, "", 0.0)) ++
+          e.instances.map(i => ("instance", i.conceptId, "", Seq.empty[Float], i.quote, 0.0)) ++
+          e.relationships.map(r =>
+            ("rel", r.from, r.to, Seq.empty[Float], r.relType, r.confidence))
+      }
+      .toDF("kind", "a", "b", "emb", "s", "conf")
+      .persist()
+
+    val candidates = extractions.where($"kind" === "concept")
+      .select($"a".as("concept_id"), $"b".as("label"), $"emb".cast("array<float>").as("embedding"))
+      .dropDuplicates("concept_id")
+
+    // Intra-batch consolidation: the reference's sequential loop matches
+    // each candidate against concepts created EARLIER IN THE SAME BATCH
+    // (ingestion.py:432-507 runs per chunk). Set-oriented equivalent:
+    // unmatched candidates sharing a normalized label collapse to the
+    // smallest candidate id. (At 100 TB a near-dup consolidation would add
+    // an LSH bucket + connected components; exact-label is the mock
+    // extractor's invariant since embeddings derive from labels.)
+    val matched0 = twoTierMatch(candidates, existingConcepts)
+      .select($"concept_id", $"resolved_id", $"matched", $"label", $"embedding")
+    val batchCanon = Window.partitionBy(lower(trim($"label")))
+    val resolved = matched0
+      .withColumn("canonical_id",
+        when($"matched", $"resolved_id")
+          .otherwise(min(when(!$"matched", $"resolved_id")).over(batchCanon)))
+      .drop("resolved_id")
+      .withColumnRenamed("canonical_id", "resolved_id")
+      .persist()
+
+    val idMap = resolved.select($"concept_id".as("orig_id"), $"resolved_id")
+
+    // M1: create only unmatched concepts (MERGE semantics), one per
+    // consolidated id
+    val newConcepts = resolved.where(!$"matched" && $"concept_id" === $"resolved_id")
+      .select($"resolved_id".as("concept_id"), $"label", $"embedding")
+      .withColumn("created_at_epoch", lit(batchEpoch))
+    val concepts = existingConcepts.unionByName(newConcepts, allowMissingColumns = true)
+
+    // M3: instance dedup by (quote, concept)
+    val candInstances = extractions.where($"kind" === "instance")
+      .select($"a".as("orig_id"), $"s".as("quote"))
+      .join(idMap, "orig_id")
+      .select($"resolved_id".as("concept_id"), $"quote")
+      .dropDuplicates("concept_id", "quote")
+    val newInstances = candInstances
+      .join(existingInstances.select("concept_id", "quote"),
+        Seq("concept_id", "quote"), "left_anti")
+      .withColumn("created_at_event_id", lit(batchEpoch))
+    val instances = existingInstances.unionByName(newInstances, allowMissingColumns = true)
+
+    // M2: relationship append through the resolved-id map (both endpoints)
+    val fromMap = idMap.toDF("orig_from", "src")
+    val toMap = idMap.toDF("orig_to", "dst")
+    val newEdges = extractions.where($"kind" === "rel")
+      .select($"a".as("orig_from"), $"b".as("orig_to"),
+        $"s".as("rel_type"), $"conf".as("confidence"))
+      .join(fromMap, "orig_from").join(toMap, "orig_to")
+      .select($"src", $"dst", $"rel_type", $"confidence")
+      .dropDuplicates("src", "dst", "rel_type")
+    val edges = existingEdges.unionByName(
+      newEdges.withColumn("created_at", lit(batchEpoch)), allowMissingColumns = true)
+
+    // M8: epoch record
+    val matchedCount = resolved.where($"matched").count()
+    val createdCount = resolved.where(!$"matched" && $"concept_id" === $"resolved_id").count()
+    val record = Seq((batchEpoch, "ingestion", "graft",
+        matchedCount, createdCount)).toDF(
+      "event_id", "kind", "actor", "matched_concepts", "created_concepts")
+    val newLog = epochLog.unionByName(record, allowMissingColumns = true)
+
+    extractions.unpersist()
+    IngestResult(concepts, instances, edges, newLog, matchedCount, createdCount)
+  }
+}

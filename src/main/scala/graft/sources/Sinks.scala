@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Export / backup sinks (reference S7/S8).
+  *
+  * GEXF (api/app/lib/gexf_exporter.py:1-45): graph → Gephi XML with node
+  * size = log(instance_count), edge thickness = confidence. XML assembly is
+  * inherently single-writer, so nodes/edges are streamed through
+  * `toLocalIterator` — partitions are pulled one at a time, never the whole
+  * graph at once.
+  *
+  * Backup/restore (api/app/lib/backup_streaming.py, restore_modes.py):
+  * parquet snapshot per table + manifest; restore with ID remap = a join
+  * against the collision-mapping table (tests/unit/test_id_remap.py).
+  */
+object Sinks {
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Write a GEXF file. nodes: (id, label, instance_count); edges:
+    * (src, dst, rel_type, confidence). */
+  def writeGexf(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
+    val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.FileWriter(path)))
+    try {
+      w.println("""<?xml version="1.0" encoding="UTF-8"?>""")
+      w.println("""<gexf xmlns="http://gexf.net/1.3" version="1.3">""")
+      w.println("""  <graph mode="static" defaultedgetype="directed">""")
+      w.println("    <nodes>")
+      val nit = nodes.select(col("id").cast("string"), col("label").cast("string"),
+        coalesce(col("instance_count"), lit(1L)).cast("long")).toLocalIterator()
+      while (nit.hasNext) {
+        val r = nit.next()
+        val size = math.log(r.getLong(2).toDouble + 1.0)
+        w.println(s"""      <node id="${esc(r.getString(0))}" label="${esc(r.getString(1))}">""")
+        w.println(f"""        <viz:size xmlns:viz="http://gexf.net/1.3/viz" value="$size%.4f"/>""")
+        w.println("      </node>")
+      }
+      w.println("    </nodes>")
+      w.println("    <edges>")
+      val eit = edges.select(col("src").cast("string"), col("dst").cast("string"),
+        coalesce(col("rel_type"), lit("RELATED")).cast("string"),
+        coalesce(col("confidence"), lit(1.0)).cast("double")).toLocalIterator()
+      var i = 0
+      while (eit.hasNext) {
+        val r = eit.next()
+        w.println(s"""      <edge id="$i" source="${esc(r.getString(0))}" """ +
+          s"""target="${esc(r.getString(1))}" label="${esc(r.getString(2))}" """ +
+          f"""weight="${r.getDouble(3)}%.4f"/>""")
+        i += 1
+      }
+      w.println("    </edges>")
+      w.println("  </graph>")
+      w.println("</gexf>")
+    } finally w.close()
+  }
+
+  /** Snapshot backup: one parquet dir per table + a manifest row per table
+    * (name, row count, epoch). */
+  def backup(spark: SparkSession, tables: Map[String, DataFrame], outDir: String,
+      epoch: Long): DataFrame = {
+    import spark.implicits._
+    val manifest = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+      (name, df.count(), epoch)
+    }.toDF("table", "row_count", "epoch")
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/_manifest")
+    manifest
+  }
+
+  /** Restore a backed-up table, remapping ids that collide with the target:
+    * colliding ids get a suffix; every FK column listed in `fkCols` follows
+    * the same map (the reference's ID-remap restore mode,
+    * tests/unit/test_id_remap.py). Returns (restoredTable, remapTable). */
+  def restoreWithRemap(
+      backup: DataFrame, target: DataFrame, idCol: String,
+      suffix: String): (DataFrame, DataFrame) = {
+    val collisions = backup.select(col(idCol))
+      .join(target.select(col(idCol)), Seq(idCol), "left_semi")
+    val remap = collisions
+      .select(col(idCol).as("old_id"),
+        concat(col(idCol), lit(suffix)).as("new_id"))
+    val restored = backup
+      .join(remap, backup(idCol) === remap("old_id"), "left")
+      .withColumn(idCol, coalesce(col("new_id"), col(idCol)))
+      .drop("old_id", "new_id")
+    (restored, remap)
+  }
+
+  /** Apply a remap table to a foreign-key column (edges after node remap). */
+  def remapColumn(df: DataFrame, fkCol: String, remap: DataFrame): DataFrame =
+    df.join(broadcast(remap), df(fkCol) === remap("old_id"), "left")
+      .withColumn(fkCol, coalesce(col("new_id"), col(fkCol)))
+      .drop("old_id", "new_id")
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental/streaming semantics (SURVEY §2.12). The reference has no
+  * stream processor — it approximates incrementality with an epoch log +
+  * generation counters + job queue (graph_epochs, ADR-207;
+  * api/app/lib/age_client/ingestion.py:31-152). Structured Streaming is the
+  * Spark-native replacement: the epoch log is a streaming sink, windowed
+  * aggregates maintain live stats under a watermark, and
+  * flatMapGroupsWithState carries per-key session state.
+  */
+object StreamOps {
+
+  /** Event schema matching testdata `events` after ts normalization. */
+  val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+
+  /** Watermarked tumbling-window aggregate per event type — the streaming
+    * twin of q20_time_window. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Epoch-log append: every micro-batch becomes one epoch record
+    * (kind, actor, max event id, row count) — the committed-epoch clock is
+    * `max(event_id)` (M8, schema/00_baseline.sql:2198-2240). */
+  def epochRecords(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type").as("kind"))
+      .agg(max(col("event_id")).as("committed_epoch"), count(lit(1)).as("n_events"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_s: Long, closed: Boolean)
+
+  /** Stateful sessionization with a 30-minute idle gap via
+    * flatMapGroupsWithState (the KeyValueGroupedDataset custom-state path). */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val gapMs = 30L * 60 * 1000
+          var cur = state.getOption
+          val closed = Vector.newBuilder[SessionOut]
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.n, (s.last - s.start) / 1000, closed = true)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Batch-drives a streaming query over a parquet dir through the memory
+    * sink; returns the sink table. Lets specs exercise the real streaming
+    * planner synchronously (spark_guide.md pattern). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.{IngestPipeline, MockExtractor}
+
+/** Ingest lifecycle: deterministic extraction, two-tier match-or-create,
+  * instance dedup, epoch recording, idempotent re-ingest. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  def emptyConcepts = Seq.empty[(String, String, Seq[Float])]
+    .toDF("concept_id", "label", "embedding")
+  def emptyInstances = Seq.empty[(String, String)].toDF("concept_id", "quote")
+  def emptyEdges = Seq.empty[(String, String, String, Double)]
+    .toDF("src", "dst", "rel_type", "confidence")
+  def emptyLog = Seq.empty[(Long, String, String)].toDF("event_id", "kind", "actor")
+
+  val docs = Seq(
+    ("d1", "alpha observations support theory building across experiments today"),
+    ("d2", "theory building requires alpha observations and careful experiments"))
+    .toDF("doc_id", "text")
+
+  test("mock extraction is deterministic and self-consistent") {
+    val e1 = MockExtractor.extract("d1", "alpha observations support theory")
+    val e2 = MockExtractor.extract("d1", "alpha observations support theory")
+    // Array fields use reference equality — compare structurally
+    assert(e1.concepts.map(c => (c.conceptId, c.label, c.embedding.toSeq)) ==
+      e2.concepts.map(c => (c.conceptId, c.label, c.embedding.toSeq)))
+    assert(e1.instances == e2.instances && e1.relationships == e2.relationships)
+    assert(e1.concepts.map(_.label) == Seq("alpha", "observations", "support", "theory"))
+    assert(e1.relationships.forall(r => r.confidence >= 0.0 && r.confidence <= 1.0))
+    val n = MockExtractor.pseudoEmbedding("alpha")
+    assert(math.abs(n.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+  }
+
+  test("first ingest creates; re-ingest of the same docs matches (V3 + M3)") {
+    val r1 = IngestPipeline.ingestBatch(spark, docs, emptyConcepts, emptyInstances,
+      emptyEdges, emptyLog, batchEpoch = 1L)
+    assert(r1.createdCount > 0 && r1.matchedCount == 0)
+    val conceptCount = r1.concepts.count()
+    val instanceCount = r1.instances.count()
+
+    // identical embeddings → every candidate matches at sim 1.0 ≥ 0.85
+    val r2 = IngestPipeline.ingestBatch(spark, docs, r1.concepts, r1.instances,
+      r1.edges, r1.epochLog, batchEpoch = 2L)
+    assert(r2.createdCount == 0)
+    assert(r2.matchedCount > 0)
+    assert(r2.concepts.count() == conceptCount) // MERGE: no new concepts
+    assert(r2.instances.count() == instanceCount) // (quote, concept) dedup
+    assert(r2.epochLog.count() == 2) // one epoch record per batch
+  }
+
+  test("same label across docs resolves to one concept (cross-doc match)") {
+    val r1 = IngestPipeline.ingestBatch(spark,
+      Seq(("d1", "shared concept appears here today")).toDF("doc_id", "text"),
+      emptyConcepts, emptyInstances, emptyEdges, emptyLog, 1L)
+    val r2 = IngestPipeline.ingestBatch(spark,
+      Seq(("d2", "shared concept appears again tomorrow")).toDF("doc_id", "text"),
+      r1.concepts, r1.instances, r1.edges, r1.epochLog, 2L)
+    // labels common to both docs (shared/concept/appears + today|again|tomorrow)
+    // must match d1's concepts, not duplicate: identical labels → sim 1.0
+    assert(r2.matchedCount >= 3)
+    val labels = r2.concepts.select("label").as[String].collect()
+    assert(labels.distinct.length == labels.length) // no duplicate labels
+  }
+
+  test("edges land under resolved ids with confidence in [0,1] (M2)") {
+    val r = IngestPipeline.ingestBatch(spark, docs, emptyConcepts, emptyInstances,
+      emptyEdges, emptyLog, 1L)
+    val ids = r.concepts.select("concept_id").as[String].collect().toSet
+    val edges = r.edges.select("src", "dst", "confidence")
+      .as[(String, String, Double)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (s, d, c) =>
+      assert(ids.contains(s) && ids.contains(d))
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+}

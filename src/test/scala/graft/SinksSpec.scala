@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.sources.Sinks
+
+/** Export + backup/restore sinks and the SQL extension registration. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GEXF export writes well-formed XML with sizes and weights") {
+    val nodes = Seq(("c1", "Way", 10L), ("c2", "Graph <&> Co", 1L))
+      .toDF("id", "label", "instance_count")
+    val edges = Seq(("c1", "c2", "SUPPORTS", 0.9)).toDF("src", "dst", "rel_type", "confidence")
+    val path = Files.createTempDirectory("gexf").resolve("g.gexf").toString
+    Sinks.writeGexf(nodes, edges, path)
+    val xml = scala.xml.XML.loadFile(path) // parses → well-formed
+    assert((xml \\ "node").size == 2)
+    assert((xml \\ "edge").size == 1)
+    assert(((xml \\ "edge").head \ "@weight").text == "0.9000")
+    assert((xml \\ "node").map(n => (n \ "@label").text).contains("Graph <&> Co"))
+  }
+
+  test("backup writes snapshot + manifest; restore remaps colliding ids (S8)") {
+    val dir = Files.createTempDirectory("bak").toString
+    val concepts = Seq(("c1", "alpha"), ("c2", "beta")).toDF("concept_id", "label")
+    val edges = Seq(("c1", "c2", "R")).toDF("src", "dst", "rel_type")
+    val manifest = Sinks.backup(spark, Map("concepts" -> concepts, "edges" -> edges),
+      dir, epoch = 7L)
+    assert(manifest.count() == 2)
+
+    val restoredRaw = spark.read.parquet(s"$dir/concepts")
+    // target already holds c1 → collision; c2 is free
+    val target = Seq(("c1", "existing")).toDF("concept_id", "label")
+    val (restored, remap) = Sinks.restoreWithRemap(restoredRaw, target,
+      "concept_id", suffix = "_r1")
+    val ids = restored.select("concept_id").as[String].collect().toSet
+    assert(ids == Set("c1_r1", "c2"))
+    // FK remap follows
+    val backEdges = spark.read.parquet(s"$dir/edges")
+    val remapped = Sinks.remapColumn(
+      Sinks.remapColumn(backEdges, "src", remap), "dst", remap)
+    assert(remapped.select("src", "dst").as[(String, String)].collect().toSeq ==
+      Seq(("c1_r1", "c2")))
+  }
+
+  test("cosine_similarity is SQL-callable after registration (2.13)") {
+    // Extension-injection wiring (builder shape) + live registration on the
+    // shared session; cluster deploys use
+    // spark.sql.extensions=graft.GraftExtensions with the same builder.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val orth = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(0.0d, 2.0d)) AS c")
+      .head().getDouble(0)
+    assert(orth == 0.0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{SessionEvent, SessionOut}
+
+/** Structured Streaming semantics driven synchronously through the memory
+  * sink (no async flakiness): windowed aggregate under watermark, epoch
+  * records, stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed counts aggregate a file-driven stream like the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batch = Seq(
+      (1L, ts(5), 10L, "click", 1.0, "{}"),
+      (2L, ts(20), 10L, "click", 2.0, "{}"),
+      (3L, ts(65), 11L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val out = StreamOps.runToMemory(spark, StreamOps.windowedCounts(stream), "wc",
+      OutputMode.Append)
+    // Append mode only emits closed windows; with a 2h watermark nothing
+    // closes in one batch — switch: drive with Complete over aggregation.
+    val out2 = StreamOps.runToMemory(spark,
+      StreamOps.windowedCounts(stream, watermark = "0 seconds"), "wc2",
+      OutputMode.Complete)
+    val rows = out2.select($"event_type", $"n").as[(String, Long)].collect().toMap
+    assert(rows("click") == 2 && rows("view") == 1)
+  }
+
+  test("epoch records expose the committed-epoch clock per kind (M8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    Seq(
+      (7L, ts(10), 1L, "ingestion", 0.0, "{}"),
+      (9L, ts(15), 1L, "ingestion", 0.0, "{}"),
+      (8L, ts(30), 2L, "edit", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val out = StreamOps.runToMemory(spark, StreamOps.epochRecords(stream), "ep",
+      OutputMode.Complete)
+    val m = out.select($"kind", $"committed_epoch").as[(String, Long)].collect().toMap
+    assert(m("ingestion") == 9L)
+    assert(m("edit") == 8L)
+  }
+
+  test("stateful sessionization closes sessions across the 30-min gap") {
+    val events = Seq(
+      SessionEvent(1L, ts(0), "click"),
+      SessionEvent(1L, ts(10), "view"),
+      SessionEvent(1L, ts(50), "click"), // 40-min gap → new session
+      SessionEvent(2L, ts(0), "view")).toDS()
+    // batch Dataset drives the same lambda via groupByKey semantics
+    val sessions = StreamOps.sessionize(events).collect()
+    // only CLOSED sessions are emitted; user 1's first session closed
+    assert(sessions.toSeq == Seq(SessionOut(1L, 2, 600, closed = true)))
+  }
+}
