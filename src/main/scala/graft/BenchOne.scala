@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val dir = "/root/testdata/sf0.1"
+    args.foreach { q =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      println(f"[benchone] $q first  ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val t1 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      println(f"[benchone] $q second ${(System.nanoTime()-t1)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

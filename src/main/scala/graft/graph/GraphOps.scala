@@ -64,7 +64,14 @@ object GraphOps {
     direction match {
       case Outgoing => out
       case Incoming => in
-      case Both     => out.unionAll(in)
+      case Both     =>
+        // explode both orientations from ONE scan (a union would read the
+        // upstream plan twice — at 100 TB that doubles the dominant cost)
+        filtered.select(explode(array(
+            struct(col("src").as("node"), col("dst").as("next"), relCol.as("rel_type")),
+            struct(col("dst").as("node"), col("src").as("next"), relCol.as("rel_type"))))
+          .as("e"))
+          .select(col("e.node"), col("e.next"), col("e.rel_type"))
     }
   }
 
@@ -99,6 +106,9 @@ object GraphOps {
       depth += 1
       // Broadcast the (small) frontier against the partitioned edge view,
       // anti-join out already-visited nodes, keep one deterministic parent.
+      // One materializing job per hop: `next` is checkpointed (truncating
+      // lineage); `visited` stays a shallow union of ≤ maxDepth
+      // materialized hops, which needs no checkpoint of its own.
       val next = adj
         .join(broadcast(frontier.withColumnRenamed("node", "f")), $"node" === $"f")
         .groupBy($"next".as("node")).agg(min($"f").as("parent"))
@@ -108,7 +118,7 @@ object GraphOps {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionAll(next).localCheckpoint(true)
+        visited = visited.unionAll(next)
         frontier = next.select("node")
       }
     }
