@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.GraphOps
+import graft.graph.{GraphOps, GraphXOps}
 import graft.sources.Tables
 
 /** Graph traversal coverage (SURVEY.md §2.9) on a synthetic edge view
@@ -68,6 +68,27 @@ object GraphQueries {
           count(lit(1)).as("n_edges"),
           countDistinct(col("src")).as("n_src"),
           countDistinct(col("dst")).as("n_dst"))
+    }),
+    // GraphX connected components on the bipartite view plus a second
+    // disconnected island derived from high part keys. Rows-only driver
+    // check; GraphXOpsSpec differentially validates against fixtures.
+    "q48_components" -> ((s, dir) => {
+      GraphXOps.connectedComponents(edges(s, dir))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("component").asc)
+        .limit(20)
+    }),
+
+    // T3: k-shortest paths via edge-exclusion iterations
+    // (graph_facade.py:349-411). Rows-only; path-set determinism is
+    // asserted in GraphOpsSpec.
+    "q49_kpaths" -> ((s, dir) => {
+      import s.implicits._
+      GraphOps.kShortestPaths(edges(s, dir), "s1", "s7", maxHops = 4, maxPaths = 3)
+        .zipWithIndex
+        .map { case ((hops, path), i) => (i + 1, hops, path.mkString("->")) }
+        .toDF("path_rank", "hops", "path")
     }),
   )
 

@@ -296,9 +296,36 @@ object RelationalQueries {
           dsum(col("value")).as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     }),
+    // T8: concept-lifetime stream — per entity, the ordered evidence page
+    // (first 10 events by event id, NULLS-LAST tiebreak contract) plus
+    // totals and distinct-epoch counts (epoch_facade.py:52-196).
+    "q47_lifetime" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id").asc_nulls_last)
+      e.where(col("user_id") <= 30)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("total_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("distinct_kinds",
+          size(collect_set(col("event_type")).over(Window.partitionBy(col("user_id"))))
+            .cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("user_id"), col("rn"), col("event_id"), col("event_type"),
+          col("total_events"), col("distinct_kinds"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_lifetime" ->
+      """SELECT user_id, rn, event_id, event_type, total_events, distinct_kinds
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC NULLS LAST) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS total_events,
+        |    count(DISTINCT event_type) OVER (PARTITION BY user_id) AS distinct_kinds
+        |  FROM events WHERE user_id <= 30) t
+        |WHERE rn <= 10 ORDER BY user_id, rn""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

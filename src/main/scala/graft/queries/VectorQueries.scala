@@ -83,9 +83,35 @@ object VectorQueries {
           count(lit(1)).as("n_pairs"))
         .orderBy(col("label"))
     }),
+    // A12: synonym detection — pairwise cosine over a small "vocabulary"
+    // table (vec_id < 32 as vocab types) with a strong/moderate threshold
+    // ladder (vocabulary_scoring.py:613-747; thresholds scaled to this
+    // corpus's similarity range).
+    "q46_synonyms" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir).where(col("vec_id") < 32).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = v.toDF("a_id", "a_emb")
+      val b = v.toDF("b_id", "b_emb")
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", round(VectorOps.cosine(col("a_emb"), col("b_emb")), 6))
+        .where(col("sim") >= 0.25)
+        .withColumn("strength",
+          when(col("sim") >= 0.30, "strong").otherwise("moderate"))
+        .select(col("a_id"), col("b_id"), col("sim"), col("strength"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_synonyms" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+        |  CASE WHEN round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.30
+        |       THEN 'strong' ELSE 'moderate' END AS strength
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 32 AND b.vec_id < 32
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.25
+        |ORDER BY a_id, b_id""".stripMargin,
     "q25_cosine_topk" ->
       s"""SELECT vec_id, label,
          |  round(list_cosine_similarity(embedding::DOUBLE[], $duckQueryVec), 6) AS sim
