@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Scoring
+import graft.functions.VectorOps
+import graft.graph.GraphOps
+import graft.similarity.Ann
+
+/** The domain facade: the reference's query surface
+  * (POST /query/search, /query/related, /query/connect, /query/paths,
+  * /concepts/details — api/app/routes/queries.py) as one Scala API over
+  * the KG-shaped tables of FIXTURES.md §A. A user of the reference's API
+  * maps each endpoint to one method here; every method returns a DataFrame
+  * and composes with the rest of the engine.
+  *
+  * Tables: concepts(concept_id, label, embedding, …),
+  * edges(src, dst, rel_type, confidence, …) — semantic Concept↔Concept,
+  * evidence(concept_id, source_id) — the APPEARS projection,
+  * instances(instance_id, concept_id, quote),
+  * vocab(relationship_type, embedding, …).
+  */
+final case class KnowledgeGraph(
+    spark: SparkSession,
+    concepts: DataFrame,
+    edges: DataFrame,
+    evidence: DataFrame,
+    instances: DataFrame,
+    vocab: DataFrame) {
+
+  /** The reference's 5 opposing vocab pairs driving the polarity axis
+    * (grounding.py:151-157). */
+  val polarityPairs: Seq[(String, String)] = Seq(
+    "SUPPORTS" -> "CONTRADICTS", "VALIDATES" -> "REFUTES",
+    "CONFIRMS" -> "DISPROVES", "REINFORCES" -> "OPPOSES",
+    "ENABLES" -> "PREVENTS")
+
+  /** §3.1 V1: semantic concept search — scored scan, threshold, top-k
+    * (queries.py:529-620). */
+  def search(queryVec: Seq[Double], limit: Int = 10,
+      minSimilarity: Double = 0.0): DataFrame =
+    Ann.bruteForceTopK(concepts.where(col("embedding").isNotNull),
+      "concept_id", "embedding", queryVec, limit, minSimilarity)
+
+  /** §3.2 T1: BFS neighborhood with rel-type/confidence filters and
+    * hydrated labels (J3) (queries.py:1306-1416). */
+  def related(conceptId: String, maxDepth: Int = 2,
+      direction: GraphOps.Direction = GraphOps.Both,
+      minConfidence: Option[Double] = None,
+      relTypes: Option[Seq[String]] = None): DataFrame =
+    GraphOps.bfs(semanticEdges, Seq(conceptId), maxDepth, direction,
+        minConfidence, relTypes)
+      .where(col("distance") > 0)
+      .join(concepts.select(col("concept_id").as("node"), col("label")), Seq("node"))
+      .select(col("node").as("concept_id"), col("label"), col("distance"))
+
+  /** Only Concept↔Concept semantic edges load into traversals — the
+    * accelerator's pruned-load rule (graph_facade.py:1033-1069). */
+  def semanticEdges: DataFrame =
+    edges.join(broadcast(vocab.select(col("relationship_type").as("rel_type"))),
+      Seq("rel_type"), "left_semi")
+
+  /** T2/T7: shortest path with hydrated node sequence. */
+  def findPath(from: String, to: String, maxHops: Int = 6): Option[(Int, Seq[String])] =
+    GraphOps.shortestPath(semanticEdges, from, to, maxHops)
+
+  /** T3: k-shortest paths (edge-exclusion contract). */
+  def findPaths(from: String, to: String, maxHops: Int = 6,
+      maxPaths: Int = 5): Seq[(Int, Seq[String])] =
+    GraphOps.kShortestPaths(semanticEdges, from, to, maxHops, maxPaths)
+
+  /** V5 connect-by-search: phrase embeddings → best concept match each →
+    * paths between them (queries.py:1498-1658). */
+  def connectBySearch(fromVec: Seq[Double], toVec: Seq[Double],
+      maxHops: Int = 6, maxPaths: Int = 5): Seq[(Int, Seq[String])] = {
+    def best(v: Seq[Double]): Option[String] =
+      search(v, 1).collect().headOption.map(_.getAs[String]("concept_id"))
+    (best(fromVec), best(toVec)) match {
+      case (Some(a), Some(b)) => findPaths(a, b, maxHops, maxPaths)
+      case _ => Seq.empty
+    }
+  }
+
+  /** V4 smell test: cosine of evidence vs both endpoints → cognitive leap
+    * LOW ≥0.85 / MEDIUM ≥0.70 / HIGH (age_client/query.py:184-275). */
+  def smellTest(evidenceVec: Seq[Double], c1: String, c2: String): DataFrame = {
+    val q = VectorOps.vecLit(evidenceVec)
+    concepts.where(col("concept_id").isin(c1, c2))
+      .agg(avg(VectorOps.cosine(col("embedding"), q)).as("avg_similarity"))
+      .withColumn("cognitive_leap",
+        when(col("avg_similarity") >= 0.85, "LOW")
+          .when(col("avg_similarity") >= 0.70, "MEDIUM")
+          .otherwise("HIGH"))
+  }
+
+  /** A3+A4: per-concept confidence signals + score. */
+  def confidence(): DataFrame =
+    Scoring.confidenceScore(Scoring.confidenceSignals(semanticEdges, evidence))
+
+  /** A5: grounding strength for every concept with incoming semantic
+    * edges, against the vocabulary polarity axis. */
+  def grounding(): DataFrame = {
+    val axis = Scoring.polarityAxis(vocab, polarityPairs)
+    Scoring.groundingStrength(semanticEdges, vocab, axis)
+  }
+
+  /** T4: degree centrality over semantic edges. */
+  def degrees(topN: Int = 20): DataFrame =
+    GraphOps.degrees(semanticEdges)
+      .orderBy(col("total_degree").desc, col("node").asc).limit(topN)
+
+  /** A15: snapshot totals (the freshness-clock input,
+    * 00_baseline.sql:1065-1096). */
+  def stats(): DataFrame = {
+    import spark.implicits._
+    Seq((concepts.count(), semanticEdges.count(), instances.count(),
+      vocab.count())).toDF("n_concepts", "n_edges", "n_instances", "n_vocab_types")
+  }
+
+  /** M5 merge_edge_types: rewrite edges from a deprecated type to its
+    * canonical type (vocabulary.py:701-841). Returns the updated edge
+    * table (snapshot-rewrite, not in-place). */
+  def mergeEdgeTypes(deprecated: String, canonical: String): DataFrame =
+    edges.withColumn("rel_type",
+      when(col("rel_type") === deprecated, canonical).otherwise(col("rel_type")))
+
+  /** M7 derived ontology edges: classify every ontology pair from the
+    * affinity matrix — OVERLAPS (symmetric ≥ 0.1 both directions),
+    * SPECIALIZES/GENERALIZES (asymmetry > 30%) — full refresh semantics
+    * (ontology_scorer.py:409-543). membership: (ontology, concept_id). */
+  def deriveOntologyEdges(membership: DataFrame): DataFrame = {
+    val aff = Scoring.ontologyAffinity(membership, topN = Int.MaxValue)
+      .select(col("ont_a"), col("ont_b"), col("affinity").as("a_to_b"))
+    val rev = aff.select(col("ont_a").as("ont_b"), col("ont_b").as("ont_a"),
+      col("a_to_b").as("b_to_a"))
+    aff.join(rev, Seq("ont_a", "ont_b"), "full_outer")
+      .na.fill(0.0, Seq("a_to_b", "b_to_a"))
+      .where(col("ont_a") < col("ont_b"))
+      .withColumn("rel_type",
+        when(col("a_to_b") >= 0.1 && col("b_to_a") >= 0.1 &&
+          abs(col("a_to_b") - col("b_to_a")) <= greatest(col("a_to_b"), col("b_to_a")) * 0.3,
+          "OVERLAPS")
+          .when(col("a_to_b") > col("b_to_a"), "SPECIALIZES")
+          .otherwise("GENERALIZES"))
+      .select(col("ont_a"), col("ont_b"), col("a_to_b"), col("b_to_a"), col("rel_type"))
+  }
+}
+
+object KnowledgeGraph {
+  /** Load a KG from a directory of parquet tables (FIXTURES.md §A names). */
+  def load(spark: SparkSession, dir: String): KnowledgeGraph = {
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val edges = t("edges")
+    KnowledgeGraph(spark, t("concepts"), edges,
+      evidence = edges.where(col("rel_type") === "APPEARS")
+        .select(col("src").as("concept_id"), col("dst").as("source_id")),
+      instances = t("instances"), vocab = t("vocab"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.graph.GraphOps
+
+/** The domain facade on the FIXTURES.md §A micro-fixture: hand-checkable
+  * 8-dim embeddings, the 5 opposing vocab pairs, NULL-confidence edges,
+  * infra vs semantic edge separation. */
+class KnowledgeGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  def v(x: Double, y: Double): Seq[Float] =
+    Seq(x.toFloat, y.toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+
+  lazy val kg: KnowledgeGraph = {
+    val concepts = Seq(
+      ("c1", "alpha", v(1, 0)),
+      ("c2", "beta", v(0, 1)),
+      ("c3", "gamma", v(-1, 0)),
+      ("c4", "alpha prime", v(0.9, 0.1))
+    ).toDF("concept_id", "label", "embedding")
+    val vocab = Seq(
+      ("SUPPORTS", v(1, 0)), ("CONTRADICTS", v(-1, 0)),
+      ("VALIDATES", v(0.8, 0.6)), ("REFUTES", v(-0.8, -0.6)),
+      ("CONFIRMS", v(0, 1)), ("DISPROVES", v(0, -1)),
+      ("REINFORCES", v(0.6, 0.8)), ("OPPOSES", v(-0.6, -0.8)),
+      ("ENABLES", v(1, 0)), ("PREVENTS", v(-1, 0))
+    ).toDF("relationship_type", "embedding")
+    val edges = Seq(
+      ("c1", "c2", "SUPPORTS", Some(1.0)),
+      ("c2", "c3", "SUPPORTS", None), // NULL confidence must traverse
+      ("c1", "c3", "CONTRADICTS", Some(0.9)),
+      ("c4", "c1", "CONTRADICTS", Some(1.0)),
+      ("c1", "s1", "APPEARS", None) // infra edge: NOT semantic
+    ).toDF("src", "dst", "rel_type", "confidence")
+    val instances = Seq(("i1", "c1", "quote one")).toDF("instance_id", "concept_id", "quote")
+    KnowledgeGraph(spark, concepts, edges,
+      evidence = Seq(("c1", "s1"), ("c2", "s1")).toDF("concept_id", "source_id"),
+      instances = instances, vocab = vocab)
+  }
+
+  test("search returns the exact-match concept first (V1)") {
+    val top = kg.search(Seq(1, 0, 0, 0, 0, 0, 0, 0), limit = 2)
+      .select("concept_id").as[String].collect()
+    assert(top.head == "c1")
+    assert(top(1) == "c4") // next most similar
+  }
+
+  test("related traverses semantic edges only, NULL confidence passes") {
+    val r = kg.related("c1", maxDepth = 2)
+      .select("concept_id", "distance").as[(String, Int)].collect().toMap
+    assert(r == Map("c2" -> 1, "c3" -> 1, "c4" -> 1)) // s1 excluded (infra)
+  }
+
+  test("shortest path avoids infra edges and hydrates the node sequence") {
+    // restrict to SUPPORTS so c1→c3 must go through c2
+    val p = GraphOps.shortestPath(
+      kg.semanticEdges.where($"rel_type" === "SUPPORTS"), "c1", "c3", 4,
+      GraphOps.Outgoing)
+    assert(p.contains((2, Seq("c1", "c2", "c3"))))
+  }
+
+  test("connectBySearch composes V1 + T3 (V5)") {
+    val paths = kg.connectBySearch(
+      Seq(1, 0, 0, 0, 0, 0, 0, 0), Seq(-1, 0, 0, 0, 0, 0, 0, 0), maxHops = 3)
+    assert(paths.nonEmpty)
+    assert(paths.head._2.head == "c1" && paths.head._2.last == "c3")
+  }
+
+  test("smell test classifies the cognitive leap (V4)") {
+    val row = kg.smellTest(Seq(1, 0, 0, 0, 0, 0, 0, 0), "c1", "c2").head()
+    assert(math.abs(row.getDouble(0) - 0.5) < 1e-9) // (1.0 + 0.0)/2
+    assert(row.getString(1) == "HIGH")
+  }
+
+  test("grounding is positive for supported, negative for contradicted (A5)") {
+    val g = kg.grounding().as[(String, Double)].collect().toMap
+    assert(g("c2") > 0.5)  // incoming SUPPORTS
+    assert(g("c1") < -0.5) // incoming CONTRADICTS from c4
+    // c3: SUPPORTS (null conf → weight 1) + CONTRADICTS 0.9 → slightly +
+    assert(math.abs(g("c3")) < 0.5)
+  }
+
+  test("confidence signals count rels and evidence in one pass (A3/A4)") {
+    val c = kg.confidence()
+      .select("concept_id", "relationship_count", "evidence_count", "confidence_level")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(c("c1")._1 == 3) // c1↔c2, c1↔c3, c4↔c1 (APPEARS excluded)
+    assert(c("c1")._2 == 1)
+    assert(c("c1")._3 == "tentative")      // 3 rels, 1 source, 1 evidence
+    assert(c("c3")._3 == "insufficient")   // 2 rels but no evidence
+  }
+
+  test("stats snapshot counts all tables (A15)") {
+    val row = kg.stats().head()
+    assert(row.getLong(0) == 4 && row.getLong(1) == 4 && row.getLong(2) == 1)
+  }
+
+  test("merge_edge_types rewrites deprecated types (M5)") {
+    val merged = kg.mergeEdgeTypes("CONTRADICTS", "OPPOSES")
+    assert(merged.where($"rel_type" === "CONTRADICTS").isEmpty)
+    assert(merged.where($"rel_type" === "OPPOSES").count() == 2)
+  }
+
+  test("derived ontology edges classify OVERLAPS vs SPECIALIZES (M7)") {
+    val membership = Seq(
+      ("O1", "x"), ("O1", "y"), ("O2", "x"), ("O2", "y"), ("O3", "x"))
+      .toDF("ontology", "concept_id")
+    val derived = kg.deriveOntologyEdges(membership)
+      .select("ont_a", "ont_b", "rel_type").as[(String, String, String)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(derived(("O1", "O2")) == "OVERLAPS")
+    assert(derived(("O1", "O3")) == "SPECIALIZES") // O1 covers all of O3
+  }
+}
