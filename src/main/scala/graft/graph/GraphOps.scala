@@ -126,6 +126,58 @@ object GraphOps {
     visited
   }
 
+  /** Auto-dispatching BFS — the reference's accelerator-with-fallback
+    * architecture (graph_facade.py:186-310): below `accelThreshold` edges
+    * the (filtered) graph loads into the driver-side [[InMemoryGraph]]
+    * (sub-ms traversal, no per-hop job scheduling); above it, the
+    * distributed iterative-join BFS runs. Identical results by contract —
+    * GraphAccelSpec compares the two engines differentially (SURVEY §5). */
+  def bfsAuto(
+      edges: DataFrame,
+      startNodes: Seq[String],
+      maxDepth: Int,
+      direction: Direction = Both,
+      minConfidence: Option[Double] = None,
+      relTypes: Option[Seq[String]] = None,
+      accelThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val filtered = filteredView(edges, minConfidence, relTypes)
+    if (filtered.limit(accelThreshold.toInt + 1).count() <= accelThreshold) {
+      InMemoryGraph.load(filtered).bfs(startNodes, maxDepth, direction)
+        .toDF("node", "distance", "parent")
+    } else bfs(edges, startNodes, maxDepth, direction, minConfidence, relTypes)
+  }
+
+  /** Auto-dispatching shortest path (see [[bfsAuto]]). */
+  def shortestPathAuto(
+      edges: DataFrame,
+      from: String,
+      to: String,
+      maxHops: Int = 6,
+      direction: Direction = Both,
+      minConfidence: Option[Double] = None,
+      accelThreshold: Long = 2000000L): Option[(Int, Seq[String])] = {
+    val filtered = filteredView(edges, minConfidence, None)
+    if (filtered.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
+      InMemoryGraph.load(filtered).shortestPath(from, to, maxHops, direction)
+    else shortestPath(edges, from, to, maxHops, direction, minConfidence)
+  }
+
+  /** Confidence/rel-type-filtered (src, dst) view, pre-orientation. */
+  private def filteredView(edges: DataFrame, minConfidence: Option[Double],
+      relTypes: Option[Seq[String]]): DataFrame = {
+    val hasRel = edges.columns.contains("rel_type")
+    val hasConf = edges.columns.contains("confidence")
+    edges
+      .where(if (hasConf) confidencePredicate(minConfidence) else lit(true))
+      .where(relTypes match {
+        case Some(ts) if hasRel => col("rel_type").isin(ts: _*)
+        case _                  => lit(true)
+      })
+      .select("src", "dst")
+  }
+
   /** Shortest path (reference T2): returns the hop count and the node
     * sequence from `from` to `to`, or None when unreachable within
     * `maxHops`. Path reconstruction walks parent pointers with one tiny
@@ -212,7 +264,7 @@ object GraphOps {
       maxDepth: Int,
       direction: Direction = Both,
       minConfidence: Option[Double] = None): DataFrame = {
-    val nodes = bfs(edges, Seq(start), maxDepth, direction, minConfidence)
+    val nodes = bfsAuto(edges, Seq(start), maxDepth, direction, minConfidence)
       .select("node")
     edges
       .join(broadcast(nodes.withColumnRenamed("node", "src")), Seq("src"), "left_semi")

@@ -1,0 +1,130 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.collection.mutable
+
+/** Driver-side in-memory traversal accelerator — the Spark re-expression of
+  * the reference's `graph_accel` Rust extension (graph-accel/core/src/
+  * graph.rs:77-140: interned adjacency lists loaded once per backend,
+  * sub-ms BFS; 22 ms load of 2 159 edges, benchmark-findings.md:122).
+  *
+  * Role at scale: interactive traversal on a graph that fits on the driver
+  * (the reference's whole graph was 312 KB) should not pay per-hop Spark
+  * job scheduling. [[GraphOps.bfsAuto]] dispatches here when the edge count
+  * is under a threshold and to the distributed iterative-join BFS above it
+  * — mirroring the reference's accel-with-Cypher-fallback split
+  * (api/app/lib/graph_facade.py:186-310), with the differential test
+  * between the two engines as the correctness contract (SURVEY §5).
+  *
+  * Node ids are interned to dense ints; adjacency is two int-array CSRs
+  * (out and in). NULL confidence passes filters (F5 sentinel).
+  */
+final class InMemoryGraph private (
+    val names: Array[String],
+    idOf: java.util.HashMap[String, Integer],
+    outAdj: Array[Array[Int]],
+    inAdj: Array[Array[Int]]) {
+
+  def size: Int = names.length
+
+  private def neighbors(direction: GraphOps.Direction)(v: Int): Iterator[Int] =
+    direction match {
+      case GraphOps.Outgoing => outAdj(v).iterator
+      case GraphOps.Incoming => inAdj(v).iterator
+      case GraphOps.Both     => outAdj(v).iterator ++ inAdj(v).iterator
+    }
+
+  /** BFS with min-distance semantics; returns (node, distance, parent). */
+  def bfs(start: Seq[String], maxDepth: Int,
+      direction: GraphOps.Direction = GraphOps.Both): Seq[(String, Int, String)] = {
+    val dist = new java.util.HashMap[Int, Int]()
+    val parent = new java.util.HashMap[Int, Int]()
+    var frontier = start.flatMap(s => Option(idOf.get(s)).map(_.intValue())).distinct
+    frontier.foreach(v => dist.put(v, 0))
+    // Missing start nodes still appear at distance 0 (reference contract)
+    val ghosts = start.filter(s => !idOf.containsKey(s)).map(s => (s, 0, null: String))
+    var depth = 0
+    while (frontier.nonEmpty && depth < maxDepth) {
+      depth += 1
+      val next = mutable.ArrayBuffer[Int]()
+      frontier.foreach { v =>
+        neighbors(direction)(v).foreach { w =>
+          if (!dist.containsKey(w)) {
+            dist.put(w, depth)
+            parent.put(w, v)
+            next += w
+          } else if (dist.get(w) == depth && parent.containsKey(w) &&
+            names(v) < names(parent.get(w))) {
+            parent.put(w, v) // deterministic min-parent, matching GraphOps
+          }
+        }
+      }
+      frontier = next.distinct.toSeq
+    }
+    val out = dist.entrySet().iterator()
+    val buf = mutable.ArrayBuffer[(String, Int, String)]()
+    while (out.hasNext) {
+      val e = out.next()
+      val p = if (parent.containsKey(e.getKey)) names(parent.get(e.getKey)) else null
+      buf += ((names(e.getKey), e.getValue, p))
+    }
+    (buf ++ ghosts).toSeq
+  }
+
+  /** Shortest path with hydrated node sequence. */
+  def shortestPath(from: String, to: String, maxHops: Int,
+      direction: GraphOps.Direction = GraphOps.Both): Option[(Int, Seq[String])] = {
+    val res = bfs(Seq(from), maxHops, direction)
+    val byName = res.map(t => t._1 -> t).toMap
+    byName.get(to).map { case (_, hops, _) =>
+      var path = List(to)
+      var cur = byName(to)._3
+      while (cur != null) { path = cur :: path; cur = byName(cur)._3 }
+      (hops, path)
+    }
+  }
+}
+
+object InMemoryGraph {
+
+  /** Bulk-load from an (already filtered) oriented edge DataFrame with
+    * `src`/`dst` string columns — one collect, the analog of the accel's
+    * SPI bulk load. */
+  def load(edges: DataFrame): InMemoryGraph = {
+    val rows = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .collect()
+    val idOf = new java.util.HashMap[String, Integer]()
+    val names = mutable.ArrayBuffer[String]()
+    def intern(s: String): Int = {
+      val existing = idOf.get(s)
+      if (existing != null) existing.intValue()
+      else { val id = names.length; idOf.put(s, id); names += s; id }
+    }
+    val srcs = new Array[Int](rows.length)
+    val dsts = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      srcs(i) = intern(rows(i).getString(0))
+      dsts(i) = intern(rows(i).getString(1))
+      i += 1
+    }
+    val n = names.length
+    val outCount = new Array[Int](n)
+    val inCount = new Array[Int](n)
+    srcs.foreach(outCount(_) += 1)
+    dsts.foreach(inCount(_) += 1)
+    val outAdj = Array.tabulate(n)(v => new Array[Int](outCount(v)))
+    val inAdj = Array.tabulate(n)(v => new Array[Int](inCount(v)))
+    val outPos = new Array[Int](n)
+    val inPos = new Array[Int](n)
+    i = 0
+    while (i < rows.length) {
+      val s = srcs(i); val d = dsts(i)
+      outAdj(s)(outPos(s)) = d; outPos(s) += 1
+      inAdj(d)(inPos(d)) = s; inPos(d) += 1
+      i += 1
+    }
+    new InMemoryGraph(names.toArray, idOf, outAdj, inAdj)
+  }
+}

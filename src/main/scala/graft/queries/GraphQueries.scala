@@ -46,7 +46,7 @@ object GraphQueries {
     // T1: BFS neighborhood, min-distance semantics, undirected, depth<=3
     // (graph_facade.py:186-310).
     "q22_bfs" -> ((s, dir) => {
-      GraphOps.bfs(edges(s, dir), Seq("s1"), maxDepth = 3, GraphOps.Both)
+      GraphOps.bfsAuto(edges(s, dir), Seq("s1"), maxDepth = 3, GraphOps.Both)
         .select(col("node"), col("distance"))
         .orderBy(col("distance"), col("node"))
     }),
@@ -54,7 +54,7 @@ object GraphQueries {
     // T2: shortest path hop count s1 → s7 (graph_facade.py:316-347).
     "q23_shortest_path" -> ((s, dir) => {
       import s.implicits._
-      GraphOps.shortestPath(edges(s, dir), "s1", "s7", maxHops = 4) match {
+      GraphOps.shortestPathAuto(edges(s, dir), "s1", "s7", maxHops = 4) match {
         case Some((hops, _)) => Seq(("s1", "s7", hops)).toDF("from_node", "to_node", "hops")
         case None => Seq.empty[(String, String, Int)].toDF("from_node", "to_node", "hops")
       }

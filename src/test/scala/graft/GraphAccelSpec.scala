@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.graph.{GraphOps, InMemoryGraph}
+import graft.graph.GraphOps._
+
+/** Differential testing of the in-memory accelerator vs the distributed
+  * BFS — the reference's own AGE-vs-graph_accel set-equality methodology
+  * (graph-accel/tests/benchmark-comparison.sh, SURVEY §5), plus seeded
+  * random graphs and the confidence-monotonicity invariant
+  * (benchmark-findings.md:205-211). */
+class GraphAccelSpec extends SparkSpec {
+  import spark.implicits._
+
+  def distances(df: DataFrame): Map[String, Int] =
+    df.select("node", "distance").as[(String, Int)].collect().toMap
+
+  def inMemDistances(edges: DataFrame, start: String, depth: Int,
+      dir: Direction): Map[String, Int] =
+    InMemoryGraph.load(edges).bfs(Seq(start), depth, dir)
+      .map(t => t._1 -> t._2).toMap
+
+  test("accelerator and distributed BFS agree on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    val dirs = Seq[Direction](Outgoing, Incoming, Both)
+    (1 to 12).foreach { trial =>
+      val n = 2 + rnd.nextInt(11)
+      val m = 1 + rnd.nextInt(30)
+      val es = Seq.fill(m)((s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val depth = 1 + rnd.nextInt(4)
+      val dir = dirs(rnd.nextInt(3))
+      val df = es.toDF("src", "dst")
+      val dist = distances(GraphOps.bfs(df, Seq("n0"), depth, dir))
+      val accel = inMemDistances(df, "n0", depth, dir)
+      assert(dist == accel,
+        s"trial $trial: n=$n m=$m depth=$depth dir=$dir edges=$es")
+    }
+  }
+
+  test("auto dispatch picks the accelerator under threshold, same result") {
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val auto = distances(GraphOps.bfsAuto(es, Seq("a"), 3, Outgoing))
+    val dist = distances(GraphOps.bfs(es, Seq("a"), 3, Outgoing))
+    assert(auto == dist)
+    assert(auto == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+  }
+
+  test("auto shortest path equals distributed shortest path") {
+    val es = Seq(("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val auto = GraphOps.shortestPathAuto(es, "a", "e", 5, Outgoing)
+    val dist = GraphOps.shortestPath(es, "a", "e", 5, Outgoing)
+    assert(auto == dist)
+    assert(auto.map(_._1).contains(3))
+  }
+
+  test("confidence filter is monotone: higher threshold never adds nodes") {
+    val es = Seq(
+      ("a", "b", Some(0.3)), ("b", "c", Some(0.6)), ("c", "d", Some(0.95)),
+      ("a", "e", None)).toDF("src", "dst", "confidence")
+    val sizes = Seq(None, Some(0.5), Some(0.9)).map { t =>
+      GraphOps.bfsAuto(es, Seq("a"), 4, Outgoing, minConfidence = t).count()
+    }
+    assert(sizes == sizes.sorted.reverse) // none >= 0.5 >= 0.9
+    // NULL-confidence edge survives every threshold (F5)
+    Seq(Some(0.5), Some(0.9)).foreach { t =>
+      val nodes = distances(GraphOps.bfsAuto(es, Seq("a"), 4, Outgoing, minConfidence = t))
+      assert(nodes.contains("e"))
+    }
+  }
+
+  test("missing start node yields the ghost row, both engines") {
+    val es = Seq(("a", "b")).toDF("src", "dst")
+    assert(distances(GraphOps.bfsAuto(es, Seq("zz"), 3)) == Map("zz" -> 0))
+    assert(distances(GraphOps.bfs(es, Seq("zz"), 3)) == Map("zz" -> 0))
+  }
+}
