@@ -210,6 +210,23 @@ object GraphOps {
     } finally { visited.unpersist(); () }
   }
 
+  /** Auto-dispatching k-shortest paths: under the threshold the graph
+    * loads into the accelerator ONCE and edge exclusion happens in memory;
+    * above it each iteration runs the distributed loop. */
+  def kShortestPathsAuto(
+      edges: DataFrame,
+      from: String,
+      to: String,
+      maxHops: Int = 6,
+      maxPaths: Int = 5,
+      direction: Direction = Both,
+      accelThreshold: Long = 2000000L): Seq[(Int, Seq[String])] = {
+    val filtered = filteredView(edges, None, None)
+    if (filtered.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
+      InMemoryGraph.load(filtered).kShortestPaths(from, to, maxHops, maxPaths, direction)
+    else kShortestPaths(edges, from, to, maxHops, maxPaths, direction)
+  }
+
   /** K-shortest paths via the reference's fallback contract — shortest path
     * plus edge-excluded alternatives (api/app/lib/graph_facade.py:396-411),
     * not full Yen's. Each iteration removes the previous path's edges
@@ -232,7 +249,7 @@ object GraphOps {
         (col("src") === col("xsrc") && col("dst") === col("xdst")) ||
           (col("src") === col("xdst") && col("dst") === col("xsrc")),
         "left_anti")
-      shortestPath(remaining, from, to, maxHops, direction) match {
+      shortestPathAuto(remaining, from, to, maxHops, direction) match {
         case Some(p @ (_, nodes)) if !results.contains(p) =>
           results :+= p
           excluded ++= nodes.sliding(2).collect { case Seq(a, b) => (a, b) }

@@ -35,21 +35,62 @@ final class InMemoryGraph private (
       case GraphOps.Both     => outAdj(v).iterator ++ inAdj(v).iterator
     }
 
-  /** BFS with min-distance semantics; returns (node, distance, parent). */
+  /** K-shortest paths by edge-exclusion (the reference's fallback contract,
+    * graph_facade.py:396-411), entirely in memory: the graph loads once and
+    * each iteration re-runs BFS against the growing exclusion set. */
+  def kShortestPaths(from: String, to: String, maxHops: Int, maxPaths: Int,
+      direction: GraphOps.Direction = GraphOps.Both): Seq[(Int, Seq[String])] = {
+    var results = Vector.empty[(Int, Seq[String])]
+    var excluded = Set.empty[(String, String)]
+    var continue = true
+    while (continue && results.size < maxPaths) {
+      shortestPathExcluding(from, to, maxHops, direction, excluded) match {
+        case Some(p @ (_, nodes)) if !results.contains(p) =>
+          results :+= p
+          excluded ++= nodes.sliding(2).collect { case Seq(a, b) => (a, b) }
+        case _ => continue = false
+      }
+    }
+    results
+  }
+
+  private def shortestPathExcluding(from: String, to: String, maxHops: Int,
+      direction: GraphOps.Direction,
+      excluded: Set[(String, String)]): Option[(Int, Seq[String])] = {
+    val res = bfs(Seq(from), maxHops, direction, excluded)
+    val byName = res.map(t => t._1 -> t).toMap
+    byName.get(to).map { case (_, hops, _) =>
+      var path = List(to)
+      var cur = byName(to)._3
+      while (cur != null) { path = cur :: path; cur = byName(cur)._3 }
+      (hops, path)
+    }
+  }
+
+  /** BFS with min-distance semantics; returns (node, distance, parent).
+    * `excludedEdges` drops the listed (undirected) node pairs. */
   def bfs(start: Seq[String], maxDepth: Int,
-      direction: GraphOps.Direction = GraphOps.Both): Seq[(String, Int, String)] = {
+      direction: GraphOps.Direction = GraphOps.Both,
+      excludedEdges: Set[(String, String)] = Set.empty): Seq[(String, Int, String)] = {
     val dist = new java.util.HashMap[Int, Int]()
     val parent = new java.util.HashMap[Int, Int]()
     var frontier = start.flatMap(s => Option(idOf.get(s)).map(_.intValue())).distinct
     frontier.foreach(v => dist.put(v, 0))
     // Missing start nodes still appear at distance 0 (reference contract)
     val ghosts = start.filter(s => !idOf.containsKey(s)).map(s => (s, 0, null: String))
+    val blocked: Set[(Int, Int)] = excludedEdges.flatMap { case (a, b) =>
+      (Option(idOf.get(a)), Option(idOf.get(b))) match {
+        case (Some(x), Some(y)) =>
+          Seq((x.intValue(), y.intValue()), (y.intValue(), x.intValue()))
+        case _ => Seq.empty
+      }
+    }
     var depth = 0
     while (frontier.nonEmpty && depth < maxDepth) {
       depth += 1
       val next = mutable.ArrayBuffer[Int]()
       frontier.foreach { v =>
-        neighbors(direction)(v).foreach { w =>
+        neighbors(direction)(v).filterNot(w => blocked.contains((v, w))).foreach { w =>
           if (!dist.containsKey(w)) {
             dist.put(w, depth)
             parent.put(w, v)

@@ -85,7 +85,7 @@ object GraphQueries {
     // asserted in GraphOpsSpec.
     "q49_kpaths" -> ((s, dir) => {
       import s.implicits._
-      GraphOps.kShortestPaths(edges(s, dir), "s1", "s7", maxHops = 4, maxPaths = 3)
+      GraphOps.kShortestPathsAuto(edges(s, dir), "s1", "s7", maxHops = 4, maxPaths = 3)
         .zipWithIndex
         .map { case ((hops, path), i) => (i + 1, hops, path.mkString("->")) }
         .toDF("path_rank", "hops", "path")

@@ -69,6 +69,18 @@ class GraphAccelSpec extends SparkSpec {
     }
   }
 
+  test("auto k-shortest paths equals the distributed edge-exclusion loop") {
+    val es = Seq(("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("a", "d"))
+      .toDF("src", "dst")
+    val auto = GraphOps.kShortestPathsAuto(es, "a", "d", maxHops = 4, maxPaths = 3,
+      GraphOps.Outgoing)
+    val dist = GraphOps.kShortestPaths(es, "a", "d", maxHops = 4, maxPaths = 3,
+      GraphOps.Outgoing)
+    assert(auto == dist)
+    assert(auto.head == ((1, Seq("a", "d")))) // direct edge first
+    assert(auto.size == 3)
+  }
+
   test("missing start node yields the ghost row, both engines") {
     val es = Seq(("a", "b")).toDF("src", "dst")
     assert(distances(GraphOps.bfsAuto(es, Seq("zz"), 3)) == Map("zz" -> 0))
