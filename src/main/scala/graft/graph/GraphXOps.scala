@@ -48,6 +48,19 @@ object GraphXOps {
     assignments.join(canonical, "comp").select(col("node"), col("component"))
   }
 
+  /** Auto-dispatching connected components: union-find in the driver-side
+    * accelerator under the edge threshold, GraphX Pregel above it (same
+    * split as GraphOps.bfsAuto; min-name canonical ids either way). */
+  def connectedComponentsAuto(edges: DataFrame,
+      accelThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val view = edges.select(col("src"), col("dst"))
+    if (view.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
+      InMemoryGraph.load(view).connectedComponents().toDF("node", "component")
+    else connectedComponents(edges)
+  }
+
   /** Pregel single-source shortest paths (hop metric) — the GraphX twin of
     * GraphOps.bfs for cross-validation; undirected. */
   def pregelHops(edges: DataFrame, start: String, maxDepth: Int): DataFrame = {

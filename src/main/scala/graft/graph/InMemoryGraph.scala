@@ -35,6 +35,41 @@ final class InMemoryGraph private (
       case GraphOps.Both     => outAdj(v).iterator ++ inAdj(v).iterator
     }
 
+  /** Connected components by union-find (path compression + union by
+    * size); component id = minimum member name, matching the GraphX
+    * backend's canonicalization. */
+  def connectedComponents(): Seq[(String, String)] = {
+    val parent = Array.tabulate(size)(identity)
+    val rank = new Array[Int](size)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    var v = 0
+    while (v < size) {
+      outAdj(v).foreach(w => union(v, w))
+      v += 1
+    }
+    val minName = mutable.HashMap.empty[Int, String]
+    (0 until size).foreach { x =>
+      val r = find(x)
+      val cur = minName.get(r)
+      if (cur.isEmpty || names(x) < cur.get) minName(r) = names(x)
+    }
+    (0 until size).map(x => (names(x), minName(find(x))))
+  }
+
   /** K-shortest paths by edge-exclusion (the reference's fallback contract,
     * graph_facade.py:396-411), entirely in memory: the graph loads once and
     * each iteration re-runs BFS against the growing exclusion set. */

@@ -73,7 +73,7 @@ object GraphQueries {
     // disconnected island derived from high part keys. Rows-only driver
     // check; GraphXOpsSpec differentially validates against fixtures.
     "q48_components" -> ((s, dir) => {
-      GraphXOps.connectedComponents(edges(s, dir))
+      GraphXOps.connectedComponentsAuto(edges(s, dir))
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("component").asc)

@@ -66,20 +66,30 @@ object TextQueries {
         "de" -> Seq("customer", "join", "gross", "und"),
         "es" -> Seq("slow", "agg", "merge", "valor"),
         "zh" -> Seq("small", "value", "column", "shi"))
-      val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
-      val votes = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-        struct(
-          lit(lang).as("marker_lang"),
-          size(filter(col("toks"), t => t.isin(ws: _*))).as("hits"))
-      }
+      import s.implicits._
+      // Single tokenization pass: explode tokens, broadcast-join the marker
+      // dictionary, count hits per (doc, marker lang). A struct-per-vote
+      // formulation would let projection collapse inline the regex 5×.
+      val markerDf = broadcast(markers.toSeq
+        .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
+        .toDF("marker_lang", "tok"))
+      val langDf = broadcast(markers.keys.toSeq.sorted.toDF("marker_lang"))
+      val d = Tables.documents(s, dir)
+      val hits = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .join(markerDf, "tok")
+        .groupBy(col("doc_id"), col("marker_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val scaffold = d.select(col("doc_id"), col("lang")).crossJoin(langDf)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
-        .orderBy(col("vote.hits").desc, col("vote.marker_lang").asc)
-      d.select(col("doc_id"), col("lang"), explode(array(votes: _*)).as("vote"))
+        .orderBy(col("hits").desc, col("marker_lang").asc)
+      scaffold
+        .join(hits, Seq("doc_id", "marker_lang"), "left")
+        .na.fill(0L, Seq("hits"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("doc_id"), col("vote.marker_lang").as("predicted_lang"),
-          col("vote.hits").cast("long").as("marker_hits"), col("lang").as("labeled_lang"))
+        .select(col("doc_id"), col("marker_lang").as("predicted_lang"),
+          col("hits").cast("long").as("marker_hits"), col("lang").as("labeled_lang"))
         .orderBy(col("doc_id"))
     }),
 

@@ -22,6 +22,17 @@ class GraphXOpsSpec extends SparkSpec {
     assert(cc("solo1") == "solo1")
   }
 
+  test("union-find accelerator agrees with GraphX components (differential)") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(40)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+      .toDF("src", "dst")
+    val viaGraphX = GraphXOps.connectedComponents(es)
+      .as[(String, String)].collect().toMap
+    val viaUnionFind = GraphXOps.connectedComponentsAuto(es)
+      .as[(String, String)].collect().toMap
+    assert(viaGraphX == viaUnionFind)
+  }
+
   test("Pregel hop distances agree with the DataFrame BFS (differential)") {
     val fromPregel = GraphXOps.pregelHops(edges, "a", maxDepth = 5)
       .as[(String, Int)].collect().toMap

@@ -44,6 +44,17 @@ class SinksSpec extends SparkSpec {
       Seq(("c1_r1", "c2")))
   }
 
+  test("binaryFile source reads opaque assets with metadata (S9)") {
+    val dir = Files.createTempDirectory("assets")
+    Files.write(dir.resolve("img1.bin"), Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3))
+    Files.write(dir.resolve("img2.bin"), Array[Byte](0x4a, 0x50))
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    val rows = df.select("path", "length").as[(String, Long)].collect()
+      .map { case (p, l) => p.split('/').last -> l }.toMap
+    assert(rows == Map("img1.bin" -> 6L, "img2.bin" -> 2L))
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+  }
+
   test("cosine_similarity is SQL-callable after registration (2.13)") {
     // Extension-injection wiring (builder shape) + live registration on the
     // shared session; cluster deploys use
