@@ -29,20 +29,74 @@ object SparkEntry {
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Composes the reference's §3.1+§3.2 flow shape: scored scan → top-k →
-    * join-enrich → grouped confidence aggregate. */
+    *
+    * The reference's flagship lifecycle (§3.1 + §3.2 composed,
+    * queries.py:529-860,1306-1416) end-to-end: build a knowledge graph from
+    * the testdata (concepts = embedding rows, semantic edges = top-2
+    * nearest neighbors typed by a 10-type vocabulary whose embeddings are
+    * the label centroids), then V1 top-k search → T1 depth-2 neighborhood
+    * of the top hit → A5 grounding + A4 confidence hydration of the
+    * result set. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
+    import graft.similarity.Ann
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val q = VectorQueries.queryVector(spark, dir)
-    emb
-      .withColumn("sim", graft.functions.VectorOps.cosine(col("embedding"), q))
-      .where(col("sim").isNotNull)
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(10)
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), round(avg(col("sim")), 6).as("avg_sim"))
-      .orderBy(col("label"))
+      .select(concat(lit("c"), col("vec_id")).as("concept_id"),
+        concat(lit("label"), col("label")).as("label"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("vec_id"), col("label").as("label_id"))
+
+    // vocabulary: 10 types, embeddings = the 10 label centroids
+    val vocabNames = Seq("SUPPORTS", "CONTRADICTS", "VALIDATES", "REFUTES",
+      "CONFIRMS", "DISPROVES", "REINFORCES", "OPPOSES", "ENABLES", "PREVENTS")
+    val centroids = emb
+      .select(col("label_id"), posexplode(col("embedding")))
+      .groupBy(col("label_id"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("label_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("label_id"), transform(col("pv"), e => e.getField("v")).as("embedding"))
+    val vocabDf = centroids
+      .withColumn("relationship_type",
+        element_at(array(vocabNames.map(lit): _*), col("label_id") + 1))
+      .select(col("relationship_type"), col("embedding"))
+
+    // semantic edges: top-2 NN per concept, typed by (a+b) % 10
+    val edges = Ann.topKJoin(
+        emb.select(col("concept_id"), col("embedding")), "concept_id", "embedding",
+        emb.select(col("concept_id").as("qid"), col("embedding").as("qv"),
+          col("vec_id").as("q_vec")), "qid", "qv", k = 3)
+      .where(col("corpus_id") =!= col("query_id")) // self-match holds rank 1
+      .where(col("rn") <= 3)                       // → 2 real neighbors remain
+      .select(col("query_id").as("src"), col("corpus_id").as("dst"),
+        element_at(array(vocabNames.map(lit): _*),
+          (abs(hash(col("query_id"), col("corpus_id"))) % 10 + 1).cast("int"))
+          .as("rel_type"),
+        round(col("sim"), 6).as("confidence"))
+
+    val kg = KnowledgeGraph(spark,
+      concepts = emb.select("concept_id", "label", "embedding"),
+      edges = edges,
+      evidence = edges.select(col("src").as("concept_id"),
+        concat(lit("s"), col("dst")).as("source_id")),
+      instances = edges.select(col("src").as("instance_id"),
+        col("src").as("concept_id"), col("rel_type").as("quote")),
+      vocab = vocabDf)
+
+    // V1: search with the first embedding as the query vector
+    val queryVec = emb.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Double](0)
+    val topHit = kg.search(queryVec, limit = 1).head().getAs[String]("concept_id")
+
+    // T1 + A5 + A4: neighborhood of the top hit, hydrated with scores
+    kg.related(topHit, maxDepth = 2)
+      .join(kg.grounding(), Seq("concept_id"), "left")
+      .join(kg.confidence().select(col("concept_id"), col("confidence_score"),
+        col("confidence_level")), Seq("concept_id"), "left")
+      .select(col("concept_id"), col("label"), col("distance"),
+        round(col("grounding_strength"), 6).as("grounding_strength"),
+        round(col("confidence_score"), 6).as("confidence_score"),
+        col("confidence_level"))
+      .orderBy(col("distance"), col("concept_id"))
   }
 
   /** One per implemented operator from SURVEY.md §2. */
