@@ -93,6 +93,31 @@ final case class KnowledgeGraph(
           .otherwise("HIGH"))
   }
 
+  /** F4: epistemic-status → rel-type resolution — translate include/
+    * exclude status lists into an allowed rel-type list applied to the
+    * traversal as a broadcast semi-join filter (queries.py:259-314).
+    * Requires vocab to carry `epistemic_status`. */
+  def relatedByEpistemicStatus(conceptId: String, maxDepth: Int,
+      includeStatuses: Seq[String] = Seq.empty,
+      excludeStatuses: Seq[String] = Seq.empty): DataFrame = {
+    val allowed = vocab
+      .where(if (includeStatuses.nonEmpty)
+        col("epistemic_status").isin(includeStatuses: _*) else lit(true))
+      .where(if (excludeStatuses.nonEmpty)
+        !col("epistemic_status").isin(excludeStatuses: _*) else lit(true))
+      .select("relationship_type")
+      .collect().map(_.getString(0)).toSeq
+    GraphOps.bfs(semanticEdges, Seq(conceptId), maxDepth, GraphOps.Both,
+        relTypes = Some(allowed))
+      .where(col("distance") > 0)
+      .join(concepts.select(col("concept_id").as("node"), col("label")), Seq("node"))
+      .select(col("node").as("concept_id"), col("label"), col("distance"))
+  }
+
+  /** A11: per-rel-type vocabulary value scores over the semantic edges. */
+  def vocabularyScores(): DataFrame =
+    Scoring.vocabularyValueScores(semanticEdges)
+
   /** A3+A4: per-concept confidence signals + score. */
   def confidence(): DataFrame =
     Scoring.confidenceScore(Scoring.confidenceSignals(semanticEdges, evidence))

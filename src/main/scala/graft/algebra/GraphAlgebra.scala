@@ -107,15 +107,18 @@ object GraphAlgebra {
       durationMs: Long)
 
   /** Sequential statement loop with per-step logging and abort semantics
-    * (program_executor.py:48-196). Returns final W + step log; on `!` abort
-    * the partial W is returned with `aborted = true`. */
-  def execute(spark: SparkSession, statements: Seq[Statement]):
-      (WorkingGraph, Seq[StepLog], Boolean) = {
+    * (program_executor.py:48-196), including the global timeout (the
+    * reference aborts at 60 s, program_executor.py:43). Returns final W +
+    * step log; on `!` abort or timeout the partial W is returned with
+    * `aborted = true`. */
+  def execute(spark: SparkSession, statements: Seq[Statement],
+      timeoutMs: Long = 60000L): (WorkingGraph, Seq[StepLog], Boolean) = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
     var w = empty(spark)
     val log = Vector.newBuilder[StepLog]
     var aborted = false
     val it = statements.zipWithIndex.iterator
-    while (!aborted && it.hasNext) {
+    while (!aborted && it.hasNext && System.nanoTime() < deadline) {
       val (st, i) = it.next()
       val t0 = System.nanoTime()
       try {
@@ -133,6 +136,7 @@ object GraphAlgebra {
       val (n, l) = w.counts
       log += StepLog(i, st.op.toString, n, l, (System.nanoTime() - t0) / 1000000)
     }
+    if (it.hasNext) aborted = true // timed out with statements remaining
     (w, log.result(), aborted)
   }
 }

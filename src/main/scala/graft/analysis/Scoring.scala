@@ -162,6 +162,28 @@ object Scoring {
             pow(VectorOps.dot(centered, axisC), 2), lit(0.0))))
   }
 
+  /** A11: vocabulary value scores — per relationship type: edge count,
+    * bridging count (distinct endpoint concepts), mean confidence, usage
+    * share, and the composite value score (vocabulary_scoring.py:146-611,
+    * condensed to its load-bearing signals). */
+  def vocabularyValueScores(edges: DataFrame): DataFrame = {
+    edges
+      .groupBy(col("rel_type"))
+      .agg(
+        count(lit(1)).as("edge_count"),
+        countDistinct(col("src")).as("distinct_sources"),
+        countDistinct(col("dst")).as("distinct_targets"),
+        avg(coalesce(col("confidence"), lit(1.0))).as("mean_confidence"))
+      .withColumn("bridge_count", col("distinct_sources") + col("distinct_targets"))
+      .withColumn("usage_share",
+        col("edge_count") / sum(col("edge_count")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("value_score", round(
+        mmSaturation(col("edge_count") / lit(10.0), 2.0) * lit(0.4) +
+          mmSaturation(col("bridge_count") / lit(20.0), 2.0) * lit(0.3) +
+          col("mean_confidence") * lit(0.3), 6))
+  }
+
   /** A13: epistemic status classification of relationship types from
     * sampled grounding stats (epistemic_status_service.py:1-50). */
   def epistemicStatus(perType: DataFrame, avgCol: String, nCol: String): DataFrame =

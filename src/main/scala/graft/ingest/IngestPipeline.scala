@@ -157,4 +157,33 @@ object IngestPipeline {
     extractions.unpersist()
     IngestResult(concepts, instances, edges, newLog, matchedCount, createdCount)
   }
+
+  /** Structured-Streaming ingest (§2.12): each micro-batch of documents
+    * runs the same [[ingestBatch]] via foreachBatch against mutable table
+    * state — the streaming twin of the reference's job-queue workers
+    * (api/app/services/job_queue.py). Returns the running query; caller
+    * stops it. State is exposed through `currentState()` for inspection. */
+  final class StreamingIngest(spark: SparkSession, initial: IngestResult) {
+    @volatile private var state: IngestResult = initial
+    def currentState(): IngestResult = state
+
+    def start(docsStream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+      docsStream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val s = state
+          // localCheckpoint each table so state doesn't chain plans across
+          // micro-batches (same lineage-truncation rule as the BFS loop)
+          val r = ingestBatch(spark, batch.toDF(), s.concepts, s.instances,
+            s.edges, s.epochLog, batchEpoch = batchId + 1)
+          state = IngestResult(
+            r.concepts.localCheckpoint(true),
+            r.instances.localCheckpoint(true),
+            r.edges.localCheckpoint(true),
+            r.epochLog.localCheckpoint(true),
+            r.matchedCount, r.createdCount)
+          ()
+        }
+        .start()
+  }
 }

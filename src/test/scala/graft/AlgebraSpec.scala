@@ -71,6 +71,17 @@ class AlgebraSpec extends SparkSpec {
     assert(nodeSet(result) == Set("a")) // partial W preserved
   }
 
+  test("global timeout aborts with partial W (60s contract, scaled down)") {
+    val stmts = Seq(
+      Statement(Plus, _ => g(Seq("a"), Seq.empty)),
+      Statement(Plus, _ => { Thread.sleep(150); g(Seq("b"), Seq.empty) }),
+      Statement(Plus, _ => g(Seq("c"), Seq.empty)))
+    val (result, log, aborted) = GraphAlgebra.execute(spark, stmts, timeoutMs = 100)
+    assert(aborted)
+    assert(log.size < 3)
+    assert(nodeSet(result).contains("a"))
+  }
+
   test("seed-then-expand: statement can read current working set ($W_IDS)") {
     val edges = Seq(("a", "E", "b"), ("b", "E", "c")).toDF("from_id", "rel_type", "to_id")
     val stmts = Seq(

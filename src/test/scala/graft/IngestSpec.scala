@@ -64,6 +64,23 @@ class IngestSpec extends SparkSpec {
     assert(labels.distinct.length == labels.length) // no duplicate labels
   }
 
+  test("streaming ingest processes file micro-batches via foreachBatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id STRING, text STRING")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val si = new IngestPipeline.StreamingIngest(spark,
+      IngestPipeline.IngestResult(emptyConcepts, emptyInstances, emptyEdges,
+        emptyLog, 0L, 0L))
+    val q = si.start(stream)
+    q.processAllAvailable()
+    q.stop()
+    val s = si.currentState()
+    assert(s.concepts.count() > 0)
+    assert(s.epochLog.count() == 1)
+  }
+
   test("edges land under resolved ids with confidence in [0,1] (M2)") {
     val r = IngestPipeline.ingestBatch(spark, docs, emptyConcepts, emptyInstances,
       emptyEdges, emptyLog, 1L)

@@ -92,6 +92,26 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(c("c3")._3 == "insufficient")   // 2 rels but no evidence
   }
 
+  test("epistemic-status filter resolves to a rel-type allowlist (F4)") {
+    val vocabWithStatus = kg.vocab.withColumn("epistemic_status",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("relationship_type") === "SUPPORTS",
+        "WELL_GROUNDED").otherwise("INSUFFICIENT_DATA"))
+    val kg2 = kg.copy(vocab = vocabWithStatus)
+    val only = kg2.relatedByEpistemicStatus("c1", 2,
+        includeStatuses = Seq("WELL_GROUNDED"))
+      .select("concept_id").as[String].collect().toSet
+    assert(only == Set("c2", "c3")) // SUPPORTS chain only; c4's CONTRADICTS cut
+  }
+
+  test("vocabulary value scores rank heavily-used types higher (A11)") {
+    val v = kg.vocabularyScores()
+      .select("rel_type", "edge_count", "value_score")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(v("SUPPORTS")._2 == 2 && v("CONTRADICTS")._2 == 2)
+    assert(v.values.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+  }
+
   test("stats snapshot counts all tables (A15)") {
     val row = kg.stats().head()
     assert(row.getLong(0) == 4 && row.getLong(1) == 4 && row.getLong(2) == 1)
