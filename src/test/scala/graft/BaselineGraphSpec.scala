@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.graph.{GraphOps, InMemoryGraph}
+import graft.graph.GraphOps._
+
+/** The reference's benchmark scenario graph (FIXTURES.md recommendation 3,
+  * BASELINE.md): ~236 concepts / 788 total nodes / ~2159 edges / ~120 rel
+  * types, seeded RNG, with a high-degree hub ("Way" analog, degree ~36).
+  * Asserts the behaviors the reference measured: monotone neighborhood
+  * growth, saturation at full reachability for depth ≥ diameter, directed
+  * out ∪ in = both at depth 1, confidence-filter monotonicity, and
+  * accelerator/distributed agreement on the exact scenario shape.
+  */
+class BaselineGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic scenario graph: 236 concepts + 339 instances + 68 sources
+  lazy val (edges, hub): (DataFrame, String) = {
+    val rnd = new scala.util.Random(1234)
+    val concepts = (0 until 236).map(i => f"c$i%03d")
+    val relTypes = (0 until 120).map(i => s"REL_$i")
+    val hubNode = "c000"
+    // hub gets ~36 semantic edges; everyone else 2-12
+    val hubEdges = (1 to 36).map { _ =>
+      val other = concepts(1 + rnd.nextInt(235))
+      if (rnd.nextBoolean()) (hubNode, other) else (other, hubNode)
+    }
+    val rest = concepts.drop(1).flatMap { c =>
+      (0 until 2 + rnd.nextInt(10)).map { _ =>
+        (c, concepts(rnd.nextInt(236)))
+      }
+    }
+    val all = (hubEdges ++ rest).map { case (s, d) =>
+      (s, d, relTypes(rnd.nextInt(120)),
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble()))
+    }
+    (all.toDF("src", "dst", "rel_type", "confidence"), hubNode)
+  }
+
+  test("graph matches the baseline scale envelope") {
+    val n = edges.count()
+    assert(n >= 1500 && n <= 2600) // ~2159 in the reference
+    assert(edges.select("rel_type").distinct().count() >= 100)
+    val hubDegree = GraphOps.degrees(edges)
+      .where($"node" === hub).select("total_degree").as[Long].head()
+    assert(hubDegree >= 36)
+  }
+
+  test("neighborhood grows monotonically then saturates (depths 1..8)") {
+    val sizes = (1 to 8).map { d =>
+      GraphOps.bfsAuto(edges, Seq(hub), d, Both).count()
+    }
+    assert(sizes == sizes.sorted) // monotone non-decreasing
+    // saturation: beyond the diameter no growth (reference depth 6-10
+    // plateau at 679 nodes, benchmark-findings.md:138-144)
+    assert(sizes(6) == sizes(7))
+    assert(sizes(7) >= 200) // densely connected: most concepts reachable
+  }
+
+  test("directed: out ∪ in = both at depth 1 (v0.4.0 contract)") {
+    def nodes(dir: Direction): Set[String] =
+      GraphOps.bfsAuto(edges, Seq(hub), 1, dir)
+        .select("node").as[String].collect().toSet
+    val out = nodes(Outgoing); val in = nodes(Incoming); val both = nodes(Both)
+    assert(out.union(in) == both)
+  }
+
+  test("confidence filter monotonicity on the scenario graph") {
+    val sizes = Seq(None, Some(0.5), Some(0.9)).map { t =>
+      GraphOps.bfsAuto(edges, Seq(hub), 2, Both, minConfidence = t).count()
+    }
+    assert(sizes == sizes.sorted.reverse)
+  }
+
+  test("accelerator and distributed BFS agree on the scenario graph") {
+    val accel = InMemoryGraph.load(edges.select("src", "dst"))
+      .bfs(Seq(hub), 3, Both).map(t => t._1 -> t._2).toMap
+    val dist = GraphOps.bfs(edges, Seq(hub), 3, Both)
+      .select("node", "distance").as[(String, Int)].collect().toMap
+    assert(accel == dist)
+  }
+
+  test("accelerator traversal latency is sub-10ms after load (graph_accel target)") {
+    val g = InMemoryGraph.load(edges.select("src", "dst"))
+    g.bfs(Seq(hub), 5, Both) // warm
+    val t0 = System.nanoTime()
+    (1 to 10).foreach(_ => g.bfs(Seq(hub), 5, Both))
+    val perCallMs = (System.nanoTime() - t0) / 1e6 / 10
+    assert(perCallMs < 10.0, f"per-call $perCallMs%.2f ms") // ref: 0.378 ms
+  }
+}
