@@ -123,6 +123,27 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(merged.where($"rel_type" === "OPPOSES").count() == 2)
   }
 
+  test("GraphProgram dispatch: search → expand → intersect pipeline (P8)") {
+    import graft.algebra.{GraphAlgebra, ProgramDispatch}
+    import graft.algebra.GraphAlgebra.{And, Plus}
+    // +search(c1) ; +expand 1 hop ; & details(c1, c2, c3)
+    val stmts = Seq(
+      ProgramDispatch.statement(kg, Plus,
+        ProgramDispatch.SearchConcepts(Seq(1, 0, 0, 0, 0, 0, 0, 0), limit = 1)),
+      ProgramDispatch.statement(kg, Plus, ProgramDispatch.ExpandWorkingSet(1)),
+      ProgramDispatch.statement(kg, And,
+        ProgramDispatch.ConceptDetails(Seq("c1", "c2", "c3"))))
+    val (w, log, aborted) = GraphAlgebra.execute(spark, stmts)
+    assert(!aborted && log.size == 3)
+    val nodes = w.nodes.select("node_id").as[String].collect().toSet
+    // search hits c1; expand reaches c2/c3/c4; intersect keeps c1..c3
+    assert(nodes == Set("c1", "c2", "c3"))
+    // links restricted to surviving nodes (dangling invariant)
+    val links = w.links.select("from_id", "to_id").as[(String, String)].collect()
+    assert(links.forall { case (f, t) => nodes.contains(f) && nodes.contains(t) })
+    assert(links.nonEmpty)
+  }
+
   test("derived ontology edges classify OVERLAPS vs SPECIALIZES (M7)") {
     val membership = Seq(
       ("O1", "x"), ("O1", "y"), ("O2", "x"), ("O2", "y"), ("O3", "x"))
