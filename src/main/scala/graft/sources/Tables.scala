@@ -16,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Catalog cache: resolving a parquet relation reads footers/schema; with
+  // 49 registered queries each re-opening its inputs, caching the resolved
+  // DataFrame per (session, path) removes that repeated setup cost. The
+  // testdata is immutable (read-only), so no invalidation is needed.
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relationCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
