@@ -95,6 +95,12 @@ object Scoring {
         .as("grounding_strength"))
   }
 
+  /** A6 authenticated diversity: grounding-gated diversity score —
+    * `g/(|g|+0.3) × diversity` (diversity_analyzer.py:199-229; the k=0.3
+    * M-M gate keeps weakly-grounded concepts from claiming high diversity). */
+  def authenticatedDiversity(grounding: Column, diversity: Column): Column =
+    grounding / (abs(grounding) + lit(0.3)) * diversity
+
   /** A7: cross-ontology affinity — shared concepts / total concepts in
     * target, per ontology pair, top-N (ontology_scoring.py:213-265).
     * membership: (ontology, concept_id). */
