@@ -36,6 +36,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
+  // null input → null output, so Catalyst may infer IsNotNull constraints
+  // from predicates over this expression and push them into the scan
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -27,6 +27,7 @@ case class DecodeFloatArray(child: Expression, bitsPerValue: Int)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = s"decode_float${bitsPerValue}_array"
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == BinaryType)

@@ -55,6 +55,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(row.getSeq[Double](3) == Seq(2.0, 2.0))
   }
 
+  test("cosine predicate infers IsNotNull and pushes it into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("cosnull").toString
+    Seq((1L, Some(Seq(1.0, 0.0))), (2L, None))
+      .toDF("id", "v").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val q = VectorOps.vecLit(Seq(1.0, 0.0))
+    val filtered = df.where(VectorOps.cosine($"v", q) >= 0.5)
+    // nullIntolerant lets Catalyst add IsNotNull(v) → parquet PushedFilters
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("IsNotNull(v)"), scan.take(500))
+    assert(filtered.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("float32 inputs are promoted to double before accumulation") {
     val f = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
     val q = VectorOps.vecLit(Seq(1.0, 2.0, 3.0))
