@@ -103,14 +103,18 @@ final class InMemoryGraph private (
   }
 
   /** BFS with min-distance semantics; returns (node, distance, parent).
-    * `excludedEdges` drops the listed (undirected) node pairs. */
+    * `excludedEdges` drops the listed (undirected) node pairs.
+    *
+    * Dense int-array state (dist/parent indexed by interned id, no hashing
+    * in the hop loop) — the same flat-adjacency discipline that gives the
+    * reference's Rust core its sub-ms traversals (graph.rs:77-140). */
   def bfs(start: Seq[String], maxDepth: Int,
       direction: GraphOps.Direction = GraphOps.Both,
       excludedEdges: Set[(String, String)] = Set.empty): Seq[(String, Int, String)] = {
-    val dist = new java.util.HashMap[Int, Int]()
-    val parent = new java.util.HashMap[Int, Int]()
+    val dist = new Array[Int](size); java.util.Arrays.fill(dist, -1)
+    val parent = new Array[Int](size); java.util.Arrays.fill(parent, -1)
     var frontier = start.flatMap(s => Option(idOf.get(s)).map(_.intValue())).distinct
-    frontier.foreach(v => dist.put(v, 0))
+    frontier.foreach(v => dist(v) = 0)
     // Missing start nodes still appear at distance 0 (reference contract)
     val ghosts = start.filter(s => !idOf.containsKey(s)).map(s => (s, 0, null: String))
     val blocked: Set[(Int, Int)] = excludedEdges.flatMap { case (a, b) =>
@@ -120,30 +124,35 @@ final class InMemoryGraph private (
         case _ => Seq.empty
       }
     }
+    val checkBlocked = blocked.nonEmpty
     var depth = 0
     while (frontier.nonEmpty && depth < maxDepth) {
       depth += 1
       val next = mutable.ArrayBuffer[Int]()
       frontier.foreach { v =>
-        neighbors(direction)(v).filterNot(w => blocked.contains((v, w))).foreach { w =>
-          if (!dist.containsKey(w)) {
-            dist.put(w, depth)
-            parent.put(w, v)
-            next += w
-          } else if (dist.get(w) == depth && parent.containsKey(w) &&
-            names(v) < names(parent.get(w))) {
-            parent.put(w, v) // deterministic min-parent, matching GraphOps
+        neighbors(direction)(v).foreach { w =>
+          if (!checkBlocked || !blocked.contains((v, w))) {
+            if (dist(w) < 0) {
+              dist(w) = depth
+              parent(w) = v
+              next += w
+            } else if (dist(w) == depth && parent(w) >= 0 &&
+              names(v) < names(parent(w))) {
+              parent(w) = v // deterministic min-parent, matching GraphOps
+            }
           }
         }
       }
       frontier = next.distinct.toSeq
     }
-    val out = dist.entrySet().iterator()
     val buf = mutable.ArrayBuffer[(String, Int, String)]()
-    while (out.hasNext) {
-      val e = out.next()
-      val p = if (parent.containsKey(e.getKey)) names(parent.get(e.getKey)) else null
-      buf += ((names(e.getKey), e.getValue, p))
+    var i = 0
+    while (i < size) {
+      if (dist(i) >= 0) {
+        val p = if (parent(i) >= 0) names(parent(i)) else null
+        buf += ((names(i), dist(i), p))
+      }
+      i += 1
     }
     (buf ++ ghosts).toSeq
   }

@@ -87,6 +87,7 @@ class BaselineGraphSpec extends SparkSpec {
     val t0 = System.nanoTime()
     (1 to 10).foreach(_ => g.bfs(Seq(hub), 5, Both))
     val perCallMs = (System.nanoTime() - t0) / 1e6 / 10
-    assert(perCallMs < 10.0, f"per-call $perCallMs%.2f ms") // ref: 0.378 ms
+    assert(perCallMs < 5.0, f"per-call $perCallMs%.2f ms") // ref: 0.378 ms
+    info(f"accel depth-5 BFS per-call: $perCallMs%.3f ms (reference: 0.378 ms)")
   }
 }
