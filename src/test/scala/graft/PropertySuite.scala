@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.functions.{Curves, DecodeFloatArray}
+import graft.ingest.Chunker
+import graft.algebra.ProgramValidator
+
+/** ScalaCheck properties over the pure kernels — random-input invariants
+  * the example-based specs can't sweep (SURVEY §5: the reference lacks
+  * property tests; scalacheck-style laws are this engine's addition). */
+object PropertySuite extends Properties("graft") {
+
+  private val asciiText: Gen[String] = for {
+    n <- Gen.choose(0, 400)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('.'),
+      1 -> Gen.const(','), 1 -> Gen.const('\n')))
+  } yield cs.mkString
+
+  property("chunker offsets always slice the source text exactly") =
+    Prop.forAll(asciiText) { text =>
+      Chunker.chunk(text, minWords = 5, maxWords = 12, overlapWords = 2)
+        .forall(c => text.substring(c.startChar, c.endChar) == c.text)
+    }
+
+  property("chunker covers every word: last chunk ends at last word") =
+    Prop.forAll(asciiText) { text =>
+      val words = "\\S+".r.findAllMatchIn(text).toVector
+      val chunks = Chunker.chunk(text, minWords = 5, maxWords = 12, overlapWords = 2)
+      words.isEmpty == chunks.isEmpty &&
+        (chunks.isEmpty || chunks.last.endChar == words.last.end)
+    }
+
+  property("chunker word counts within [1, maxWords]") =
+    Prop.forAll(asciiText) { text =>
+      Chunker.chunk(text, minWords = 5, maxWords = 12, overlapWords = 2)
+        .forall(c => c.wordCount >= 1 && c.wordCount <= 12)
+    }
+
+  property("sentence chunker offsets slice exactly and numbers are dense") =
+    Prop.forAll(asciiText) { text =>
+      val cs = Chunker.sentenceChunks(text, maxChars = 40)
+      cs.forall(c => text.substring(c.startChar, c.endChar) == c.text) &&
+        cs.map(_.chunkNumber) == cs.indices
+    }
+
+  property("M-M saturation maps [0,inf) into [0,1) monotonically") =
+    Prop.forAll(Gen.choose(0.0, 1e6), Gen.choose(0.0, 1e6)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (fLo, fHi) = (Curves.mm(lo, 2.0), Curves.mm(hi, 2.0))
+      fLo >= 0.0 && fHi < 1.0 && fLo <= fHi
+    }
+
+  property("bezier stays in [0,1] and hits both endpoints") =
+    Prop.forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0),
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) {
+      (x, x1, y1, x2, y2) =>
+        val y = Curves.bezierYForX(x, x1, y1, x2, y2)
+        y >= -1e-6 && y <= 1.0 + 1e-6 &&
+          math.abs(Curves.bezierYForX(0, x1, y1, x2, y2)) < 1e-6 &&
+          math.abs(Curves.bezierYForX(1, x1, y1, x2, y2) - 1) < 1e-4
+    }
+
+  property("halfToFloat is total and finite for normal half range") =
+    Prop.forAll(Gen.choose(0, 0xffff)) { h =>
+      val f = DecodeFloatArray.halfToFloat(h)
+      val exp = (h >>> 10) & 0x1f
+      if (exp == 0x1f) f.isNaN || f.isInfinite
+      else !f.isNaN && !f.isInfinite && math.abs(f) <= 65504.0f
+    }
+
+  property("halfToFloat sign symmetry") =
+    Prop.forAll(Gen.choose(0, 0x7fff)) { h =>
+      val pos = DecodeFloatArray.halfToFloat(h)
+      val neg = DecodeFloatArray.halfToFloat(h | 0x8000)
+      (pos.isNaN && neg.isNaN) || neg == -pos
+    }
+
+  property("validator is total (never throws) on arbitrary statement text") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      ProgramValidator.validateStatement(s)
+      true
+    }
+
+  property("validator accepts canonical rel types it generates") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.mkString)) { t =>
+      ProgramValidator.isValidRelType(t)
+    }
+}
