@@ -26,10 +26,18 @@ object Bench {
       case n        => graft.sources.Tables.load(spark, sfDir, n).limit(1).count()
     }
 
+    // A failed query reports -1 (never a plausible timing) and the failure
+    // goes to stderr — a crashing query must not masquerade as a fast one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -17,7 +17,10 @@ object GraphAlgebra {
 
   /** Working graph: nodes(node_id, …), links(from_id, rel_type, to_id, …). */
   final case class WorkingGraph(nodes: DataFrame, links: DataFrame) {
-    def isEmpty: Boolean = nodes.isEmpty
+    /** Non-empty iff it has nodes OR links (program_operators.py
+      * `_is_nonempty`): a links-only R — edges connecting nodes already in
+      * W — must still trigger `?`/`!` merge semantics. */
+    def isEmpty: Boolean = nodes.isEmpty && links.isEmpty
     def counts: (Long, Long) = (nodes.count(), links.count())
   }
 
@@ -39,14 +42,23 @@ object GraphAlgebra {
   }
 
   /** P1 `+` union: dedup nodes by id, links by (from, type, to); W wins on
-    * collision (program_operators.py:65-87) — enforced by union order +
-    * dropDuplicates keeping the first occurrence. */
-  def union(w: WorkingGraph, r: WorkingGraph): WorkingGraph =
+    * collision (program_operators.py:65-87). W-wins is explicit: W is kept
+    * unchanged and only R rows whose key is absent from W are appended
+    * (anti-join) — `dropDuplicates` after a union would keep an *arbitrary*
+    * row per key across partitions, silently letting R's attribute payload
+    * win. */
+  def union(w: WorkingGraph, r: WorkingGraph): WorkingGraph = {
+    val newNodes = r.nodes
+      .join(w.nodes.select("node_id"), Seq("node_id"), "left_anti")
+      .dropDuplicates("node_id")
+    val newLinks = r.links
+      .join(w.links.select("from_id", "rel_type", "to_id"),
+        Seq("from_id", "rel_type", "to_id"), "left_anti")
+      .dropDuplicates("from_id", "rel_type", "to_id")
     dropDangling(WorkingGraph(
-      w.nodes.unionByName(r.nodes, allowMissingColumns = true)
-        .dropDuplicates("node_id"),
-      w.links.unionByName(r.links, allowMissingColumns = true)
-        .dropDuplicates("from_id", "rel_type", "to_id")))
+      w.nodes.unionByName(newNodes, allowMissingColumns = true),
+      w.links.unionByName(newLinks, allowMissingColumns = true)))
+  }
 
   /** P2 `-` difference: remove R's node ids from W, cascade-drop dangling
     * links (program_operators.py:89-97). */

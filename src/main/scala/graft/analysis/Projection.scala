@@ -102,14 +102,25 @@ object Projection {
         .join(labels.withColumnRenamed("id", "b_id").withColumnRenamed("label", "b_label"),
           Seq("b_id"))
         .groupBy("id").agg(min(col("b_label")).as("nbr_label"))
-      val next = labels.join(propagated, Seq("id"), "left")
+      val stepped = labels.join(propagated, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // Pointer jumping (label := label(label)): chains halve each round, so
+      // convergence is O(log n) rounds instead of O(diameter) — a cluster
+      // whose core graph is a long path converges well inside maxIters.
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")).as("y"),
+          Seq("label"), "left")
+        .select(col("x.id").as("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).limit(1).count() > 0
       labels = next
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"DBSCAN label propagation did not converge in $maxIters rounds")
 
     // 6. border points adopt the min cluster label of a neighboring core
     val borderLabels = neighbors

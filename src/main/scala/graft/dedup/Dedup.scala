@@ -32,19 +32,37 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("group_size"))
 
+  /** Portable 60-bit hash: first 15 hex chars of md5 decoded to BIGINT.
+    * The identical value is computable in DuckDB as
+    * `('0x' || substr(md5(x),1,15))::BIGINT`, which makes the minhash /
+    * simhash pipelines oracle-checkable cross-engine. `xxhash64` remains
+    * the scale path (one codegen'd hash vs md5 + string decode). */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min hash value over the shingle set. Returns array<long>. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  def minhashSignature(shingleCol: Column, numHashes: Int,
+      portable: Boolean = false): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, sh => xxhash64(sh, seed))))
+      seed => array_min(transform(shingleCol, sh =>
+        if (portable)
+          portableHash60(concat(seed.cast("string"), lit(":"), sh))
+        else xxhash64(sh, seed))))
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band; docs sharing ANY band key become candidates. */
-  def lshBandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
-          .as("key")))
+    * and hash each band; docs sharing ANY band key become candidates.
+    * `portable` keeps the raw comma-joined band string as the key (exactly
+    * reproducible in SQL) instead of re-hashing it. */
+  def lshBandKeys(sigCol: Column, bands: Int, rowsPerBand: Int,
+      portable: Boolean = false): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b => {
+      val bandStr = concat_ws(",",
+        transform(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))
+      if (portable) struct(b.as("band"), bandStr.as("key"))
+      else struct(b.as("band"), xxhash64(bandStr).as("key"))
+    })
 
   /** Candidate near-dup pairs via banded MinHash LSH, verified with exact
     * Jaccard over the shingle sets. Output: (a_id, b_id, jaccard).
@@ -53,13 +71,13 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 4, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, portable: Boolean = false): DataFrame = {
     val withShingles = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("sh"))
     val withBands = withShingles
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands)))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, portable))
+      .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands, portable)))
       .select(col("id"), col("sh"), col("bk"))
     val candidates = withBands.as("a")
       .join(withBands.as("b"),
@@ -88,12 +106,15 @@ object Dedup {
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
     * bit, weighted by term frequency; fingerprint bit b is 1 iff the vote
     * sum is positive. Near-dup docs have small Hamming distance. */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
     val toks = df.select(col(idCol).as("id"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        if (portable) portableHash60(col("tok")) else xxhash64(col("tok")))
     // One struct per bit; `b` is a Scala literal so shifts stay codegen'd.
-    val bitVotes = (0 until 64).map { b =>
+    val bitVotes = (0 until nBits).map { b =>
       struct(lit(b).as("bit"), lit(1L << b).as("weight"),
         when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1).as("vote"))
     }

@@ -41,24 +41,27 @@ object DedupQueries {
     }),
 
     // MinHash + banded LSH candidate generation, Jaccard-verified.
-    // Rows-only check (signature hashes are engine-specific); the
-    // MinhashSpec asserts recall against the exact q35 kernel.
+    // Oracle-checked via the portable md5-derived hash family (same BIGINT
+    // values in DuckDB); xxhash64 stays the scale path, and MinhashSpec
+    // asserts both variants' recall against the exact q35 kernel.
     "q36_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashNearDups(
           Tables.documents(s, dir).where(col("doc_id") < 120),
           "doc_id", "text", shingleK = 4, numHashes = 32, bands = 16,
-          minJaccard = 0.35)
+          minJaccard = 0.35, portable = true)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // SimHash fingerprints + Hamming-near pairs. Rows-only check.
+    // SimHash fingerprints + Hamming-near pairs, oracle-checked via the
+    // portable 60-bit hash family.
     "q37_simhash" -> ((s, dir) => {
       val fp = Dedup.simhash64(
-        Tables.documents(s, dir).where(col("doc_id") < 200), "doc_id", "text")
+        Tables.documents(s, dir).where(col("doc_id") < 200), "doc_id", "text",
+        portable = true)
       val a = fp.toDF("a_id", "a_fp")
       val b = fp.toDF("b_id", "b_fp")
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("hamming", Dedup.hamming64(col("a_fp"), col("b_fp")))
+        .withColumn("hamming", Dedup.hamming64(col("a_fp"), col("b_fp")).cast("long"))
         .where(col("hamming") <= 12)
         .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy(col("a_id"), col("b_id"))
@@ -105,6 +108,56 @@ object DedupQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.sh, b.sh))
         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q36_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)),
+        |      i -> substring(text, i, 4))) AS sh
+        |  FROM documents WHERE doc_id < 120),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(generate_series(0, 31), j ->
+        |      list_min(list_transform(sh, s ->
+        |        ('0x' || substr(md5(concat(j, ':', s)), 1, 15))::BIGINT))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, sh, b,
+        |    array_to_string(sig[b * 2 + 1 : b * 2 + 2], ',') AS bk
+        |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.sh AS a_sh, b.sh AS b_sh
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(len(list_intersect(a_sh, b_sh))
+        |    / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE), 6) AS jaccard
+        |FROM cand
+        |WHERE round(len(list_intersect(a_sh, b_sh))
+        |    / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE), 6) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q37_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 12
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q38_embed_neardup" ->

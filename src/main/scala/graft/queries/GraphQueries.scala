@@ -93,6 +93,21 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Components via recursive reachability closure: each node accumulates
+    // every reachable node id; min per node = the same canonical min-name
+    // component label the GraphX/union-find paths emit.
+    "q48_components" ->
+      s"""WITH RECURSIVE $edgeCte,
+         |nodes AS (SELECT DISTINCT node FROM und),
+         |reach(node, r) AS (
+         |  SELECT node, node AS r FROM nodes
+         |  UNION
+         |  SELECT u.next AS node, re.r FROM reach re JOIN und u ON u.node = re.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT component, count(*) AS n_nodes
+         |FROM comp GROUP BY component
+         |ORDER BY n_nodes DESC, component ASC LIMIT 20""".stripMargin,
+
     "q21_degree" ->
       s"""WITH $edgeCte,
          |deg AS (

@@ -108,7 +108,7 @@ object PipelineQueries {
         |  SELECT user_id, session_id, count(*) AS session_events
         |  FROM sess GROUP BY user_id, session_id)
         |SELECT user_id, count(*) AS n_sessions,
-        |  sum(session_events) AS n_events,
+        |  CAST(sum(session_events) AS BIGINT) AS n_events,
         |  max(session_events) AS max_session_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -83,10 +83,15 @@ object RelationalQueries {
     // graph_facade.py:890-924); arrays sorted for determinism.
     "q05_group_collect" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
+      // Collected list is emitted as a sorted comma-joined string: the
+      // driver's pandas compare sorts every output column, and raw array
+      // cells are unhashable there.
       o.where(col("o_custkey") <= 50)
         .groupBy(col("o_custkey"))
         .agg(
-          array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+          array_join(
+            expr("transform(array_sort(collect_list(o_orderkey)), x -> cast(x as string))"),
+            ",").as("orderkeys"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_custkey"))
     }),
@@ -245,7 +250,8 @@ object RelationalQueries {
       e.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .groupBy(col("user_id"))
-        .agg(array_sort(collect_set(col("event_type"))).as("recent_types"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("recent_types"))
         .orderBy(col("user_id"))
     }),
 
@@ -365,7 +371,7 @@ object RelationalQueries {
 
     "q05_group_collect" ->
       """SELECT o_custkey,
-        |  list_sort(list(o_orderkey)) AS orderkeys,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
         |  count(*) AS n_orders
         |FROM orders WHERE o_custkey <= 50
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
@@ -470,7 +476,7 @@ object RelationalQueries {
 
     "q17_recency_distinct" ->
       """SELECT user_id,
-        |  list_sort(list(DISTINCT event_type)) AS recent_types
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS recent_types
         |FROM (
         |  SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
