@@ -28,6 +28,30 @@ class AlgebraSpec extends SparkSpec {
     assert(linkSet(u) == Set(("a", "R", "b"), ("b", "R", "c"), ("c", "R", "d")))
   }
 
+  test("P1 union W-wins: colliding node keeps W's attribute payload") {
+    val wAttr = WorkingGraph(
+      Seq(("a", "from_w"), ("b", "from_w")).toDF("node_id", "payload"),
+      Seq.empty[(String, String, String)].toDF("from_id", "rel_type", "to_id"))
+    val rAttr = WorkingGraph(
+      Seq(("b", "from_r"), ("c", "from_r")).toDF("node_id", "payload"),
+      Seq.empty[(String, String, String)].toDF("from_id", "rel_type", "to_id"))
+    val u = union(wAttr, rAttr)
+    val payloads = u.nodes.select("node_id", "payload")
+      .as[(String, String)].collect().toMap
+    assert(payloads == Map("a" -> "from_w", "b" -> "from_w", "c" -> "from_r"))
+  }
+
+  test("links-only R is non-empty: ?/! merge its links into W") {
+    // R has no new nodes, only an edge between nodes already in W
+    // (reference _is_nonempty: len(r.nodes) > 0 OR len(r.links) > 0).
+    val r = g(Seq.empty, Seq(("a", "X", "c")))
+    assert(!r.isEmpty)
+    val viaOptional = optional(w, r)
+    assert(linkSet(viaOptional).contains(("a", "X", "c")))
+    val viaAssert = assertNonEmpty(w, r)
+    assert(linkSet(viaAssert).contains(("a", "X", "c")))
+  }
+
   test("P2 difference removes nodes and cascades dangling links") {
     val r = g(Seq("b"), Seq.empty)
     val d = difference(w, r)

@@ -54,4 +54,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hamming(fp(1L), fp(3L)) <= 16)
     assert(Dedup.hamming(fp(1L), fp(4L)) > 16)
   }
+
+  test("portable hash family: same recall/locality as the xxhash64 path") {
+    val found = Dedup.minhashNearDups(docs.where($"doc_id" <= 4), "doc_id", "text",
+        shingleK = 4, numHashes = 32, bands = 16, minJaccard = 0.5, portable = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)))
+    assert(found.contains((1L, 3L)) || found.contains((2L, 3L)))
+    assert(!found.exists(p => p._1 == 4L || p._2 == 4L))
+
+    val fp = Dedup.simhash64(docs, "doc_id", "text", portable = true)
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(1L) == fp(5L))
+    assert(fp.values.forall(v => v >= 0L && v < (1L << 60))) // 60-bit range
+    assert(Dedup.hamming(fp(1L), fp(3L)) < Dedup.hamming(fp(1L), fp(4L)))
+  }
+
+  test("portableHash60 matches the DuckDB hex-decode formula") {
+    // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
+    val h = spark.range(1)
+      .select(Dedup.portableHash60(lit("hello")).as("h"))
+      .as[Long].head()
+    assert(h == 419982666956583591L)
+  }
 }
