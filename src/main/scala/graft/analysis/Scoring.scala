@@ -105,14 +105,22 @@ object Scoring {
     * target, per ontology pair, top-N (ontology_scoring.py:213-265).
     * membership: (ontology, concept_id). */
   def ontologyAffinity(membership: DataFrame, topN: Int): DataFrame = {
-    val a = membership.toDF("ont_a", "concept_id")
-    val b = membership.toDF("ont_b", "concept_id")
+    // The (ontology, concept) membership is referenced three times (both
+    // sides of the self-join + per-target totals); materialize the deduped
+    // view once so the upstream join/scan isn't recomputed per reference.
+    // Post-distinct it's dims × entities — small even at 100 TB inputs.
+    val m = membership.dropDuplicates().localCheckpoint(true)
+    val a = m.toDF("ont_a", "concept_id")
+    val b = m.toDF("ont_b", "concept_id")
+    // m is distinct on (ontology, concept_id), so the join pairs are
+    // already unique per (ont_a, ont_b, concept_id): plain count() replaces
+    // countDistinct's expensive distinct-aggregate expand.
     val shared = a.join(b, "concept_id")
       .where(col("ont_a") =!= col("ont_b"))
       .groupBy("ont_a", "ont_b")
-      .agg(countDistinct(col("concept_id")).as("shared_concepts"))
-    val totals = membership.toDF("ont_b", "concept_id")
-      .groupBy("ont_b").agg(countDistinct(col("concept_id")).as("target_total"))
+      .agg(count(lit(1)).as("shared_concepts"))
+    val totals = m.toDF("ont_b", "concept_id")
+      .groupBy("ont_b").agg(count(lit(1)).as("target_total"))
     shared.join(broadcast(totals), "ont_b")
       .withColumn("affinity", col("shared_concepts") / col("target_total").cast("double"))
       .orderBy(col("affinity").desc, col("ont_a").asc, col("ont_b").asc)

@@ -42,13 +42,36 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * min hash value over the shingle set. Returns array<long>. */
-  def minhashSignature(shingleCol: Column, numHashes: Int,
-      portable: Boolean = false): Column =
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleCol, sh =>
-        if (portable)
-          portableHash60(concat(seed.cast("string"), lit(":"), sh))
-        else xxhash64(sh, seed))))
+      seed => array_min(transform(shingleCol, sh => xxhash64(sh, seed))))
+
+  /** Prime modulus + affine multipliers for the portable minhash family
+    * h_j(x) = (a_j·h(x) + b_j) mod p over the base [[portableHash60]].
+    * All arithmetic stays below 2^62, so BIGINT math is identical (and
+    * overflow-free) in Spark and DuckDB. */
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
+  def minhashA(j: Int): Long = 1L + ((j + 1) * 2654435761L) % (MinhashPrime - 1)
+  def minhashB(j: Int): Long = ((j + 1) * 2246822519L) % MinhashPrime
+
+  /** Portable minhash signatures, one row per id: explode shingles, hash
+    * each ONCE (md5-based base hash), then take the per-seed min as
+    * `numHashes` partial-aggregated `min()` columns — the base hash is never
+    * re-evaluated per seed, and the whole thing is one map-side-combined
+    * aggregation (the shape that survives 100 TB). */
+  def portableMinhashSignatures(withShingles: DataFrame, numHashes: Int): DataFrame = {
+    val p = MinhashPrime
+    val mins = (0 until numHashes).map { j =>
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % lit(p)).as(s"__m$j")
+    }
+    withShingles
+      .select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", portableHash60(col("shingle")) % lit(p))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
+  }
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
     * and hash each band; docs sharing ANY band key become candidates.
@@ -75,8 +98,11 @@ object Dedup {
     val withShingles = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("sh"))
-    val withBands = withShingles
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, portable))
+    val withSig =
+      if (portable)
+        withShingles.join(portableMinhashSignatures(withShingles, numHashes), "id")
+      else withShingles.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withBands = withSig
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands, portable)))
       .select(col("id"), col("sh"), col("bk"))
     val candidates = withBands.as("a")
@@ -91,10 +117,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact Jaccard similarity of two array columns (as sets). */
+  /** Exact Jaccard similarity of two array columns (inputs must already be
+    * deduplicated, as [[charShingles]] guarantees): |A∩B| / (|A|+|B|−|A∩B|)
+    * — derives the union size arithmetically instead of materializing
+    * `array_union`, so only one intersection pass runs per pair (the
+    * repeated subtree is eliminated by codegen CSE). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(array_union(a, b)).cast("double"))
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
   /** Distinct character k-gram shingles of `text`. */
@@ -109,14 +139,19 @@ object Dedup {
   def simhash64(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
     val nBits = if (portable) 60 else 64
+    // Aggregate to (id, token, tf) first: the hash runs once per DISTINCT
+    // token per doc and the 64-way bit fan-out explodes tf-weighted distinct
+    // tokens, not raw occurrences (identical vote sums, far fewer rows).
     val toks = df.select(col(idCol).as("id"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("h",
         if (portable) portableHash60(col("tok")) else xxhash64(col("tok")))
     // One struct per bit; `b` is a Scala literal so shifts stay codegen'd.
     val bitVotes = (0 until nBits).map { b =>
       struct(lit(b).as("bit"), lit(1L << b).as("weight"),
-        when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1).as("vote"))
+        when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("tf"))
+          .otherwise(-col("tf")).as("vote"))
     }
     toks
       .select(col("id"), explode(array(bitVotes: _*)).as("bv"))

@@ -143,8 +143,11 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val filtered = filteredView(edges, minConfidence, relTypes)
-    if (filtered.limit(accelThreshold.toInt + 1).count() <= accelThreshold) {
-      InMemoryGraph.load(filtered).bfs(startNodes, maxDepth, direction)
+    // One distributed pass: the size probe IS the load (limit N+1 collect).
+    val rows = filtered.select(col("src").cast("string"), col("dst").cast("string"))
+      .limit(accelThreshold.toInt + 1).collect()
+    if (rows.length <= accelThreshold) {
+      InMemoryGraph.fromRows(rows).bfs(startNodes, maxDepth, direction)
         .toDF("node", "distance", "parent")
     } else bfs(edges, startNodes, maxDepth, direction, minConfidence, relTypes)
   }
@@ -159,8 +162,10 @@ object GraphOps {
       minConfidence: Option[Double] = None,
       accelThreshold: Long = 2000000L): Option[(Int, Seq[String])] = {
     val filtered = filteredView(edges, minConfidence, None)
-    if (filtered.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
-      InMemoryGraph.load(filtered).shortestPath(from, to, maxHops, direction)
+    val rows = filtered.select(col("src").cast("string"), col("dst").cast("string"))
+      .limit(accelThreshold.toInt + 1).collect()
+    if (rows.length <= accelThreshold)
+      InMemoryGraph.fromRows(rows).shortestPath(from, to, maxHops, direction)
     else shortestPath(edges, from, to, maxHops, direction, minConfidence)
   }
 
@@ -222,8 +227,10 @@ object GraphOps {
       direction: Direction = Both,
       accelThreshold: Long = 2000000L): Seq[(Int, Seq[String])] = {
     val filtered = filteredView(edges, None, None)
-    if (filtered.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
-      InMemoryGraph.load(filtered).kShortestPaths(from, to, maxHops, maxPaths, direction)
+    val rows = filtered.select(col("src").cast("string"), col("dst").cast("string"))
+      .limit(accelThreshold.toInt + 1).collect()
+    if (rows.length <= accelThreshold)
+      InMemoryGraph.fromRows(rows).kShortestPaths(from, to, maxHops, maxPaths, direction)
     else kShortestPaths(edges, from, to, maxHops, maxPaths, direction)
   }
 
@@ -261,17 +268,17 @@ object GraphOps {
 
   /** Degree centrality (reference T4): one shuffle per side, partial
     * aggregation map-side; `(node, out_degree, in_degree, total_degree)`. */
-  def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
-    val in  = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
-    out.join(in, Seq("node"), "full_outer")
-      .select(
-        col("node"),
-        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
-        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
-        (coalesce(col("out_degree"), lit(0L)) + coalesce(col("in_degree"), lit(0L)))
-          .as("total_degree"))
-  }
+  def degrees(edges: DataFrame): DataFrame =
+    // Both endpoints explode from ONE scan (a groupBy(src) ∪ groupBy(dst)
+    // union would evaluate the upstream plan twice), then a single
+    // partial-aggregated shuffle on node — no join needed.
+    edges
+      .select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))).as("e"))
+      .groupBy(col("e.node").as("node"))
+      .agg(sum(col("e.o")).as("out_degree"), sum(col("e.i")).as("in_degree"))
+      .withColumn("total_degree", col("out_degree") + col("in_degree"))
 
   /** Edge-induced subgraph (reference T5/J8): edges whose BOTH endpoints are
     * within `maxDepth` of `start` — the double semi-join form. */

@@ -55,9 +55,10 @@ object GraphXOps {
       accelThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val view = edges.select(col("src"), col("dst"))
-    if (view.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
-      InMemoryGraph.load(view).connectedComponents().toDF("node", "component")
+    val view = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    val rows = view.limit(accelThreshold.toInt + 1).collect()
+    if (rows.length <= accelThreshold)
+      InMemoryGraph.fromRows(rows).connectedComponents().toDF("node", "component")
     else connectedComponents(edges)
   }
 

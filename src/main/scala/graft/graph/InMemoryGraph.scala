@@ -176,9 +176,14 @@ object InMemoryGraph {
   /** Bulk-load from an (already filtered) oriented edge DataFrame with
     * `src`/`dst` string columns — one collect, the analog of the accel's
     * SPI bulk load. */
-  def load(edges: DataFrame): InMemoryGraph = {
-    val rows = edges.select(col("src").cast("string"), col("dst").cast("string"))
-      .collect()
+  def load(edges: DataFrame): InMemoryGraph =
+    fromRows(edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .collect())
+
+  /** Build from already-collected (src, dst) rows — lets auto-dispatchers
+    * size-probe and load with ONE distributed computation instead of a
+    * count() pass followed by a second full collect(). */
+  def fromRows(rows: Array[org.apache.spark.sql.Row]): InMemoryGraph = {
     val idOf = new java.util.HashMap[String, Integer]()
     val names = mutable.ArrayBuffer[String]()
     def intern(s: String): Int = {

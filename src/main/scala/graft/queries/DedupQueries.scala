@@ -116,12 +116,18 @@ object DedupQueries {
         |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)),
         |      i -> substring(text, i, 4))) AS sh
         |  FROM documents WHERE doc_id < 120),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s ->
+        |      ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id, sh,
         |    list_transform(generate_series(0, 31), j ->
-        |      list_min(list_transform(sh, s ->
-        |        ('0x' || substr(md5(concat(j, ':', s)), 1, 15))::BIGINT))) AS sig
-        |  FROM sh),
+        |      list_min(list_transform(hs, h ->
+        |        ((1 + ((j + 1) * 2654435761) % 2147483646) * h
+        |         + ((j + 1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM hs),
         |bands AS (
         |  SELECT doc_id, sh, b,
         |    array_to_string(sig[b * 2 + 1 : b * 2 + 2], ',') AS bk

@@ -66,30 +66,29 @@ object TextQueries {
         "de" -> Seq("customer", "join", "gross", "und"),
         "es" -> Seq("slow", "agg", "merge", "valor"),
         "zh" -> Seq("small", "value", "column", "shi"))
-      import s.implicits._
-      // Single tokenization pass: explode tokens, broadcast-join the marker
-      // dictionary, count hits per (doc, marker lang). A struct-per-vote
-      // formulation would let projection collapse inline the regex 5×.
-      val markerDf = broadcast(markers.toSeq
-        .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }
-        .toDF("marker_lang", "tok"))
-      val langDf = broadcast(markers.keys.toSeq.sorted.toDF("marker_lang"))
+      // Single tokenization pass (explode evaluates the regex once per doc),
+      // then ONE partial-aggregated groupBy computing all five languages'
+      // hit counts as conditional sums — no dictionary join, no scaffold
+      // cross join, no per-doc window. The argmax with lexicographic
+      // tiebreak is array_min over (−hits, lang) structs.
+      val markerSorted = markers.toSeq.sortBy(_._1)
+      val aggs = markerSorted.map { case (ml, ws) =>
+        sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"h_$ml")
+      }
       val d = Tables.documents(s, dir)
-      val hits = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .join(markerDf, "tok")
-        .groupBy(col("doc_id"), col("marker_lang"))
-        .agg(count(lit(1)).as("hits"))
-      val scaffold = d.select(col("doc_id"), col("lang")).crossJoin(langDf)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("hits").desc, col("marker_lang").asc)
-      scaffold
-        .join(hits, Seq("doc_id", "marker_lang"), "left")
-        .na.fill(0L, Seq("hits"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("doc_id"), col("marker_lang").as("predicted_lang"),
-          col("hits").cast("long").as("marker_hits"), col("lang").as("labeled_lang"))
+      val hits = d
+        .select(col("doc_id"), col("lang"),
+          explode_outer(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(aggs.head, aggs.tail: _*)
+      val best = array_min(array(markerSorted.map { case (ml, _) =>
+        struct((-col(s"h_$ml")).as("neg"), lit(ml).as("ml"))
+      }: _*))
+      hits
+        .withColumn("best", best)
+        .select(col("doc_id"), col("best.ml").as("predicted_lang"),
+          (-col("best.neg")).cast("long").as("marker_hits"),
+          col("lang").as("labeled_lang"))
         .orderBy(col("doc_id"))
     }),
 
