@@ -26,6 +26,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
       (ScoringQueries.queries, ScoringQueries.oracles),
+      (SamplingQueries.queries, SamplingQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Training-data-pipeline operators beyond the reference's own surface:
+  * deterministic stratified sampling, exact quantile calibration, n-gram
+  * statistics, and int8 embedding quantization. All four are the standard
+  * corpus-curation ladder a 100 TB pipeline runs between dedup and
+  * training-shard writes; each is oracle-checked against DuckDB via
+  * engine-portable math (md5-derived hashes, linear-interpolated
+  * quantiles, away-from-zero rounding).
+  */
+object SamplingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic per-stratum sample: rank docs inside each language by
+    // a portable content-independent hash and keep the first 30 — a
+    // reproducible "random" sample with exact per-stratum counts (the
+    // distributed analog of reservoir sampling; one window shuffle keyed
+    // by the stratum).
+    "q50_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Dedup.portableHash60(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 30)
+        .select(col("lang"), col("doc_id"), col("rk").cast("long").as("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    // Quality-threshold calibration: exact p50/p90 of document character
+    // length per language (linear interpolation — the same formula DuckDB's
+    // quantile_cont uses). Partial aggregation keeps the shuffle at one row
+    // per (lang, percentile).
+    "q51_quantile_calibration" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), length(col("text")).cast("double").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, array(0.5D, 0.9D))").as("q"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          round(element_at(col("q"), 1), 4).as("p50_chars"),
+          round(element_at(col("q"), 2), 4).as("p90_chars"),
+          col("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // Corpus bigram statistics: adjacent-token pairs via one zip_with over
+    // two array slices (no per-token self-join), global top-20 with a
+    // total-order tiebreak.
+    "q52_bigrams" -> ((s, dir) => {
+      val tk = TextQueries.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(tk.as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
+    // Int8 embedding quantization (the storage/ANN compression path at
+    // 100 TB): per-vector absmax scale, values rounded to [-127, 127];
+    // emits the scale plus checksums of the quantized vector rather than
+    // the array itself (driver compare needs scalar cells).
+    "q53_quantize_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      // Half-away-from-zero via explicit floor/ceil on IEEE doubles — both
+      // engines' built-in round() differ on shortest-representation edge
+      // cases, but d + 0.5 and floor/ceil are bit-identical everywhere.
+      val q = transform(col("v"), x => {
+        val d = x / col("scale")
+        when(d >= 0, floor(d + lit(0.5))).otherwise(ceil(d - lit(0.5))).cast("long")
+      })
+      // The display rounding happens AFTER q is consumed: aliasing
+      // round(scale, 6) AS "scale" in the same projection would shadow the
+      // full-precision column inside q's lambda and shift quantization.
+      e.select(
+          col("vec_id"),
+          col("scale"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("qsum"),
+          array_max(q).as("qmax"),
+          array_min(q).as("qmin"))
+        .withColumn("scale", round(col("scale"), 6))
+        .orderBy(col("vec_id"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_stratified_sample" ->
+      """SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |               doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 30
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    "q51_quantile_calibration" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, [0.5, 0.9])[1], 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, [0.5, 0.9])[2], 4) AS p90_chars,
+        |  count(*) AS n_docs
+        |FROM (SELECT lang, CAST(length(text) AS DOUBLE) AS n_chars FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q52_bigrams" ->
+      """WITH tk AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |  FROM tk WHERE len(tk) >= 2)
+        |SELECT bigram, count(*) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q53_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(
+        |      CASE WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
+        |           ELSE ceil(x / scale - 0.5) END AS BIGINT)) AS q
+        |  FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  list_max(q) AS qmax,
+        |  list_min(q) AS qmin
+        |FROM q ORDER BY vec_id""".stripMargin,
+  )
+}

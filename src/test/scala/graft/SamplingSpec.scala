@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.SamplingQueries
+
+/** Corpus-curation operators: stratified-sample determinism and exact
+  * per-stratum counts, quantile interpolation, bigram totals, int8
+  * quantization range invariants. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample is deterministic with exact per-stratum counts") {
+    val q = SamplingQueries.queries("q50_stratified_sample")
+    val a = q(spark, sf0001).collect()
+    val b = q(spark, sf0001).collect()
+    assert(a.sameElements(b)) // hash order, not RNG: reruns are identical
+    val perLang = a.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ <= 30))
+    // ranks are 1..n dense per stratum
+    a.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(1L to rows.length))
+    }
+  }
+
+  test("quantile calibration: p50 <= p90, counts cover all docs") {
+    val out = SamplingQueries.queries("q51_quantile_calibration")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2)) // p50 <= p90
+      assert(r.getLong(3) > 0)
+    }
+    val total = out.map(_.getLong(3)).sum
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(total == nDocs)
+  }
+
+  test("bigram counts: top-20, descending with lexicographic tiebreak") {
+    val out = SamplingQueries.queries("q52_bigrams")(spark, sf0001).collect()
+    assert(out.length <= 20)
+    val pairs = out.map(r => (r.getLong(1), r.getString(0)))
+    pairs.sliding(2).foreach {
+      case Array((n1, b1), (n2, b2)) =>
+        assert(n1 > n2 || (n1 == n2 && b1 < b2))
+      case _ =>
+    }
+  }
+
+  test("int8 quantization: values within [-127, 127], absmax hits a bound") {
+    val out = SamplingQueries.queries("q53_quantize_int8")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qmax, qmin) = (r.getLong(2 + 1), r.getLong(2 + 2))
+      assert(qmax <= 127L && qmin >= -127L)
+      // the absmax element quantizes to exactly ±127
+      assert(qmax == 127L || qmin == -127L)
+      assert(r.getDouble(1) > 0.0) // scale
+    }
+  }
+}
