@@ -98,20 +98,24 @@ object Dedup {
     val withShingles = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("sh"))
-    val withSig =
-      if (portable)
-        withShingles.join(portableMinhashSignatures(withShingles, numHashes), "id")
-      else withShingles.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val withBands = withSig
+    val sigs =
+      if (portable) portableMinhashSignatures(withShingles, numHashes)
+      else withShingles.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // The band fan-out and bucket self-join carry ONLY (id, band key):
+    // exploding with the shingle arrays attached would replicate every
+    // array `bands` times through the shuffle. The (typically rare)
+    // candidate pairs re-join the shingle table for exact verification.
+    val bandRows = sigs
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands, portable)))
-      .select(col("id"), col("sh"), col("bk"))
-    val candidates = withBands.as("a")
-      .join(withBands.as("b"),
+      .select(col("id"), col("bk"))
+    val pairs = bandRows.as("a")
+      .join(bandRows.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    candidates
+    pairs
+      .join(withShingles.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(withShingles.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
