@@ -46,6 +46,17 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: top-k never global-sorts, quantization never shuffles," +
+      " sampling shuffles only on the stratum key") {
+    val bg = SamplingQueries.queries("q52_bigrams")(spark, sf0001)
+    assert(bg.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val qz = SamplingQueries.queries("q53_quantize_int8")(spark, sf0001)
+    // per-row column math: no hash shuffle anywhere (only the output sort)
+    assert(!qz.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    val ss = SamplingQueries.queries("q50_stratified_sample")(spark, sf0001)
+    assert(ss.queryExecution.executedPlan.toString.contains("hashpartitioning(lang"))
+  }
+
   test("int8 quantization: values within [-127, 127], absmax hits a bound") {
     val out = SamplingQueries.queries("q53_quantize_int8")(spark, sf0001).collect()
     assert(out.nonEmpty)
