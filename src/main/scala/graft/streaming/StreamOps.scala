@@ -38,6 +38,18 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type").as("kind"))
       .agg(max(col("event_id")).as("committed_epoch"), count(lit(1)).as("n_events"))
 
+  /** Late/duplicate-data handling (§2.12): drop re-deliveries of the same
+    * content key, with state bounded by the event-time watermark — the
+    * streaming twin of the reference's content-hash dedup on ingest
+    * (api/app/services/content_hasher.py; instance dedup M3,
+    * ingestion.py:390-423). State holds one entry per key seen within the
+    * watermark horizon; older duplicates age out of state AND can no
+    * longer arrive (they'd be later than the watermark allows). */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_s: Long, closed: Boolean)

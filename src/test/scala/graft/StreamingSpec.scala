@@ -51,6 +51,24 @@ class StreamingSpec extends SparkSpec {
     assert(m("edit") == 8L)
   }
 
+  test("dedup within watermark drops re-delivered content keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val batch = Seq(
+      (1L, ts(5), 10L, "click", 1.0, "{}"),
+      (2L, ts(6), 10L, "click", 1.0, "{}"),  // same (user, type): duplicate
+      (3L, ts(7), 10L, "view", 2.0, "{}"),
+      (4L, ts(8), 11L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.dedupWithinWatermark(stream, Seq("user_id", "event_type")),
+      "dd", OutputMode.Append)
+    val keys = out.select($"user_id", $"event_type").as[(Long, String)]
+      .collect().sorted
+    assert(keys.toSeq == Seq((10L, "click"), (10L, "view"), (11L, "click")))
+  }
+
   test("stateful sessionization closes sessions across the 30-min gap") {
     val events = Seq(
       SessionEvent(1L, ts(0), "click"),
