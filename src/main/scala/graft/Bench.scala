@@ -26,13 +26,18 @@ object Bench {
       case n        => graft.sources.Tables.load(spark, sfDir, n).limit(1).count()
     }
 
-    // A failed query reports -1 (never a plausible timing) and the failure
-    // goes to stderr — a crashing query must not masquerade as a fast one.
+    // Two timed runs per query, report the min (steady-state cost; the
+    // machine shows ±30% noisy-neighbor variance on single runs). A failed
+    // query reports -1 (never a plausible timing) and the failure goes to
+    // stderr — a crashing query must not masquerade as a fast one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
