@@ -142,6 +142,55 @@ final case class KnowledgeGraph(
       vocab.count())).toDF("n_concepts", "n_edges", "n_instances", "n_vocab_types")
   }
 
+  /** T5/J8: edge-induced subgraph within `maxDepth` of a concept — the
+    * /query/subgraph surface (graph_facade.py:818-869). */
+  def subgraph(conceptId: String, maxDepth: Int = 2): DataFrame =
+    GraphOps.inducedSubgraph(semanticEdges, conceptId, maxDepth)
+
+  /** A6: Gini-Simpson-style diversity of a concept's neighborhood —
+    * 1 − mean pairwise cosine over ≤`limit` related concepts within
+    * `maxHops` undirected hops (diversity_analyzer.py:48-185). Returns
+    * one row: (concept_id, n_related, n_pairs, diversity). */
+  def diversity(conceptId: String, maxHops: Int = 2, limit: Int = 100): DataFrame = {
+    val neighborIds = GraphOps.bfs(semanticEdges, Seq(conceptId), maxHops)
+      .where(col("distance") > 0)
+      .orderBy(col("node")).limit(limit)   // deterministic ≤100 cap (LIMIT 100)
+      .select(col("node").as("concept_id"))
+    val nb = neighborIds.join(
+      concepts.select(col("concept_id"),
+        col("embedding").cast("array<double>").as("embedding")), "concept_id")
+    val a = nb.toDF("a_id", "a_emb")
+    val b = nb.toDF("b_id", "b_emb")
+    a.join(b, col("a_id") < col("b_id"))
+      .select(VectorOps.cosine(col("a_emb"), col("b_emb")).as("cos"))
+      .agg((lit(1.0) - avg(col("cos"))).as("diversity"), count(lit(1)).as("n_pairs"))
+      .select(lit(conceptId).as("concept_id"), col("diversity"), col("n_pairs"))
+  }
+
+  /** V7 polarity-axis analysis: two pole concepts define the axis; every
+    * embedded concept is projected to a normalized position in [-1,1] with
+    * ±0.3 direction bands (polarity_axis.py:63-130). */
+  def polarityAnalysis(poleA: String, poleB: String): DataFrame = {
+    def emb(id: String): Seq[Double] =
+      concepts.where(col("concept_id") === id)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    Scoring.polarityProjection(
+      concepts.where(col("embedding").isNotNull)
+        .select(col("concept_id"), col("embedding").cast("array<double>").as("embedding")),
+      "embedding", emb(poleA).toArray, emb(poleB).toArray)
+  }
+
+  /** V8: 3-D projection + clustering of the concept embedding space (PCA
+    * baseline + grid DBSCAN — embedding_projection_service.py:641-807). */
+  def projectConcepts(eps: Double, minPts: Int = 4): DataFrame = {
+    val p = graft.analysis.Projection.pca(
+      concepts.where(col("embedding").isNotNull)
+        .select(col("concept_id").as("id"), col("embedding").as("v")),
+      "id", "v", k = 3)
+    val dims = Seq("p0", "p1", "p2")
+    p.join(graft.analysis.Projection.dbscan(p, "id", dims, eps, minPts), "id")
+  }
+
   /** M5 merge_edge_types: rewrite edges from a deprecated type to its
     * canonical type (vocabulary.py:701-841). Returns the updated edge
     * table (snapshot-rewrite, not in-place). */

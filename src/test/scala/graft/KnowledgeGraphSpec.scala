@@ -154,4 +154,34 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(derived(("O1", "O2")) == "OVERLAPS")
     assert(derived(("O1", "O3")) == "SPECIALIZES") // O1 covers all of O3
   }
+
+  test("subgraph keeps only edges with both endpoints reachable (T5)") {
+    val sg = kg.subgraph("c1", maxDepth = 1)
+      .select("src", "dst").as[(String, String)].collect().toSet
+    // c1..c4 are all within 1 undirected hop of c1; s1 (infra) is not
+    assert(sg == Set(("c1", "c2"), ("c2", "c3"), ("c1", "c3"), ("c4", "c1")))
+  }
+
+  test("diversity: opposed neighborhood scores higher than aligned (A6)") {
+    // c1's neighbors are c2 (0,1), c3 (-1,0), c4 (0.9,0.1): spread-out set
+    val d = kg.diversity("c1", maxHops = 1).head()
+    assert(d.getString(0) == "c1")
+    assert(d.getLong(2) == 3) // 3 pairs among 3 neighbors
+    assert(d.getDouble(1) > 0.5) // mean pairwise cosine is low → diverse
+  }
+
+  test("polarity analysis projects onto the pole axis with bands (V7)") {
+    val p = kg.polarityAnalysis("c1", "c3") // poles (1,0) vs (-1,0)
+      .select("concept_id", "position", "direction")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(p("c1")._1 > 0.9 && p("c1")._2 == "toward_a")
+    assert(p("c3")._1 < -0.9 && p("c3")._2 == "toward_b")
+    assert(p("c2")._2 == "neutral") // orthogonal to the axis
+  }
+
+  test("projectConcepts: PCA coords + cluster labels for every concept (V8)") {
+    val out = kg.projectConcepts(eps = 1.0, minPts = 1)
+    assert(out.columns.toSet == Set("id", "p0", "p1", "p2", "cluster"))
+    assert(out.count() == 4)
+  }
 }
