@@ -198,6 +198,19 @@ final case class KnowledgeGraph(
     edges.withColumn("rel_type",
       when(col("rel_type") === deprecated, canonical).otherwise(col("rel_type")))
 
+  /** M6 reassign: move every member of `from` to `to` (the SCOPED_BY edge
+    * rewrite, ontology_scoring.py:447-731) — snapshot-rewrite of the
+    * membership table, deduped in case `to` already held members. */
+  def reassignOntology(membership: DataFrame, from: String, to: String): DataFrame =
+    membership.withColumn("ontology",
+        when(col("ontology") === from, to).otherwise(col("ontology")))
+      .dropDuplicates("ontology", "concept_id")
+
+  /** M6 dissolve: delete an ontology and its scoping edges (membership
+    * rows); concepts themselves are ontology-independent and survive. */
+  def dissolveOntology(membership: DataFrame, ontology: String): DataFrame =
+    membership.where(col("ontology") =!= ontology)
+
   /** M7 derived ontology edges: classify every ontology pair from the
     * affinity matrix — OVERLAPS (symmetric ≥ 0.1 both directions),
     * SPECIALIZES/GENERALIZES (asymmetry > 30%) — full refresh semantics

@@ -70,6 +70,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hamming(fp(1L), fp(3L)) < Dedup.hamming(fp(1L), fp(4L)))
   }
 
+  test("portable minhash signature agreement estimates jaccard") {
+    // Seeded synthetic docs with controlled shingle overlap: signature
+    // agreement (fraction of equal minhashes) is an unbiased estimator of
+    // jaccard, so high/low-overlap pairs must separate cleanly even at 32
+    // hashes (σ ≈ 0.09).
+    val rnd = new scala.util.Random(42)
+    def randWords(n: Int) = Seq.fill(n)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val base = randWords(120)
+    val nearDup = base + " " + randWords(6)      // high overlap
+    val unrelated = randWords(120)               // low overlap
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "text")
+    val withSh = docs.select($"id", Dedup.charShingles($"text", 4).as("sh"))
+    val sig = Dedup.portableMinhashSignatures(withSh, numHashes = 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    def agreement(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(agreement(sig(1L), sig(2L)) > 0.6)
+    assert(agreement(sig(1L), sig(3L)) < 0.3)
+  }
+
   test("portableHash60 matches the DuckDB hex-decode formula") {
     // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
     val h = spark.range(1)

@@ -155,6 +155,19 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(derived(("O1", "O3")) == "SPECIALIZES") // O1 covers all of O3
   }
 
+  test("reassign moves members and dedups; dissolve drops the scope (M6)") {
+    val membership = Seq(
+      ("O1", "c1"), ("O1", "c2"), ("O2", "c2"), ("O2", "c3")
+    ).toDF("ontology", "concept_id")
+    val moved = kg.reassignOntology(membership, "O1", "O2")
+      .as[(String, String)].collect().toSet
+    // c2 was in both O1 and O2: one row survives the rewrite
+    assert(moved == Set(("O2", "c1"), ("O2", "c2"), ("O2", "c3")))
+    val dissolved = kg.dissolveOntology(membership, "O1")
+      .as[(String, String)].collect().toSet
+    assert(dissolved == Set(("O2", "c2"), ("O2", "c3")))
+  }
+
   test("subgraph keeps only edges with both endpoints reachable (T5)") {
     val sg = kg.subgraph("c1", maxDepth = 1)
       .select("src", "dst").as[(String, String)].collect().toSet
