@@ -15,16 +15,19 @@ import graft.functions.CosineSimilarity
   * then `SELECT cosine_similarity(a.embedding, b.embedding) FROM ...`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[CosineSimilarity].getName, "cosine_similarity"),
-      GraftExtensions.cosineBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSimilarity].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.graftbridge.Bridge
+
   val cosineBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "cosine_similarity takes exactly 2 arguments")
     val arrD = org.apache.spark.sql.types.ArrayType(
@@ -34,8 +37,41 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Cast(children(1), arrD))
   }
 
+  /** The dedup kernels as SQL functions — the same formulas as the Column
+    * API in `Dedup`, built as raw Catalyst trees (a `Column`-built
+    * expression is an unevaluable ColumnNode wrapper inside a function
+    * builder; composing catalyst classes keeps everything codegen'd). */
+  private val jaccardBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "jaccard_similarity takes exactly 2 arguments")
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DoubleType
+    def d(e: Expression) = Cast(e, DoubleType)
+    val Seq(a, b) = children
+    val inter = d(Size(ArrayIntersect(a, b)))
+    Divide(inter, Subtract(Add(d(Size(a)), d(Size(b))), inter))
+  }
+  private val hammingBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "hamming64 takes exactly 2 arguments")
+    import org.apache.spark.sql.catalyst.expressions._
+    BitwiseCount(BitwiseXor(children.head, children(1)))
+  }
+  private val portableHashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "portable_hash60 takes exactly 1 argument")
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    Cast(Conv(Substring(Md5(Cast(children.head, BinaryType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> cosineBuilder,
+    "jaccard_similarity" -> jaccardBuilder,
+    "hamming64" -> hammingBuilder,
+    "portable_hash60" -> portableHashBuilder)
+
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "cosine_similarity", cosineBuilder)
+    builders.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }

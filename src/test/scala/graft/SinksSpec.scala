@@ -70,4 +70,16 @@ class SinksSpec extends SparkSpec {
       .head().getDouble(0)
     assert(orth == 0.0)
   }
+
+  test("dedup kernels are SQL-callable after registration (2.13)") {
+    GraftExtensions.register(spark)
+    val j = spark.sql(
+      "SELECT jaccard_similarity(array('a','b','c'), array('b','c','d')) AS j")
+      .head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+    val h = spark.sql("SELECT hamming64(7L, 1L) AS h").head().getInt(0)
+    assert(h == 2) // bits 1 and 2 differ
+    val ph = spark.sql("SELECT portable_hash60('hello') AS h").head().getLong(0)
+    assert(ph == 419982666956583591L) // same value as DuckDB's hex decode
+  }
 }
