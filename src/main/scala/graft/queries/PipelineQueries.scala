@@ -88,9 +88,47 @@ object PipelineQueries {
           substring(hex(col("asset")), 1, 8).as("magic"))
         .orderBy(col("doc_id"))
     }),
+    // Multimodal frame sampling: one binary "video" asset → N frame rows
+    // (sequence fan-out; the Spark-side shape of decode-and-sample, with
+    // the codec stubbed deterministically — real decoders plug into the
+    // same flatMap/mapInPandas batch shape).
+    "q54_frame_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("asset", to_binary(col("text"), lit("utf-8")))
+        .withColumn("n_bytes", length(col("asset")).cast("long"))
+        // stub "container metadata": frame count from asset size, ≤ 8
+        .withColumn("n_frames", least(expr("n_bytes div 100 + 1"), lit(8L)))
+      d.select(col("doc_id"), col("n_bytes"),
+          explode(sequence(lit(0L), col("n_frames") - 1L)).as("frame_idx"))
+        .withColumn("ts_ms", expr("frame_idx * 1000 div 24")) // 24 fps clock
+        .withColumn("frame_key",
+          graft.dedup.Dedup.portableHash60(
+            concat_ws(":", col("doc_id"), col("frame_idx"))) % 1000000L)
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+          col("n_bytes"), col("frame_key"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q54_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(unnest(generate_series(0, least(n_bytes // 100 + 1, 8) - 1)) AS BIGINT)
+        |      AS frame_idx
+        |  FROM d)
+        |SELECT doc_id, frame_idx,
+        |  CAST(frame_idx * 1000 // 24 AS BIGINT) AS ts_ms,
+        |  n_bytes,
+        |  ('0x' || substr(md5(doc_id || ':' || frame_idx), 1, 15))::BIGINT
+        |    % 1000000 AS frame_key
+        |FROM frames
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q39_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id,
