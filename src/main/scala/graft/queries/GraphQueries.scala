@@ -81,18 +81,83 @@ object GraphQueries {
     }),
 
     // T3: k-shortest paths via edge-exclusion iterations
-    // (graph_facade.py:349-411). Rows-only; path-set determinism is
-    // asserted in GraphOpsSpec.
+    // (graph_facade.py:349-411). Oracle-checked: the deterministic
+    // min-parent tie-break + undirected edge exclusion are replayed in SQL
+    // (unrolled per iteration, see kPathsOracleSql).
     "q49_kpaths" -> ((s, dir) => {
       import s.implicits._
       GraphOps.kShortestPathsAuto(edges(s, dir), "s1", "s7", maxHops = 4, maxPaths = 3)
         .zipWithIndex
-        .map { case ((hops, path), i) => (i + 1, hops, path.mkString("->")) }
+        .map { case ((hops, path), i) => ((i + 1).toLong, hops.toLong, path.mkString("->")) }
         .toDF("path_rank", "hops", "path")
+        .orderBy(col("path_rank"))
     }),
   )
 
+  /** SQL replay of the k-shortest-paths edge-exclusion contract
+    * (InMemoryGraph.kShortestPaths / GraphOps.kShortestPaths): per
+    * iteration, a bounded-depth BFS (recursive CTE, min distance per
+    * node), path reconstruction with the engines' deterministic
+    * min-parent tie-break — parent(v) = lexicographically smallest
+    * neighbor at distance(v)−1 — and undirected exclusion of every
+    * previous path's edges. Unrolled over iterations and path levels
+    * (maxHops bounds the chain), shared CTEs MATERIALIZED so DuckDB
+    * doesn't re-inline the parquet scan per reference. */
+  private def kPathsOracleSql(from: String, to: String, maxHops: Int,
+      maxPaths: Int): String = {
+    def iteration(i: Int): String = {
+      val undi = if (i == 1) "und" else s"und$i"
+      val parts = Seq.newBuilder[String]
+      if (i > 1) {
+        val blk = for {
+          j <- 1 until i
+          k <- 0 until maxHops
+          (a, b) <- Seq((s"m$k", s"m${k + 1}"), (s"m${k + 1}", s"m$k"))
+        } yield s"SELECT $a AS a, $b AS b FROM path$j " +
+          s"WHERE m$k IS NOT NULL AND m${k + 1} IS NOT NULL"
+        parts += s"blocked$i AS MATERIALIZED (${blk.mkString("\nUNION\n")})"
+        parts += s"""und$i AS MATERIALIZED (
+          |  SELECT node, next FROM und u WHERE NOT EXISTS (
+          |    SELECT 1 FROM blocked$i bl WHERE bl.a = u.node AND bl.b = u.next))""".stripMargin
+      }
+      parts += s"""bfs$i(node, dist) AS (
+        |  SELECT '$from' AS node, 0 AS dist
+        |  UNION
+        |  SELECT u.next, b.dist + 1 FROM bfs$i b JOIN $undi u ON u.node = b.node
+        |  WHERE b.dist < $maxHops)""".stripMargin
+      parts += s"dist$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM bfs$i GROUP BY node)"
+      def parent(nextCol: String, lvl: Int): String =
+        s"(SELECT min(u.node) FROM $undi u JOIN dist$i d ON d.node = u.node " +
+          s"WHERE u.next = $nextCol AND d.dist = ${lvl - 1})"
+      parts += s"p${i}_a AS (SELECT (SELECT dist FROM dist$i WHERE node = '$to') AS h)"
+      var prev = s"p${i}_a"
+      var cols = Seq("h")
+      (maxHops to 0 by -1).foreach { k =>
+        val e =
+          if (k == maxHops) s"CASE WHEN h = $k THEN '$to' END AS m$k"
+          else s"CASE WHEN h = $k THEN '$to' WHEN h > $k THEN ${parent(s"m${k + 1}", k + 1)} END AS m$k"
+        parts += s"p${i}_$k AS (SELECT ${cols.mkString(", ")}, $e FROM $prev)"
+        cols = cols :+ s"m$k"
+        prev = s"p${i}_$k"
+      }
+      parts += s"path$i AS MATERIALIZED (SELECT * FROM $prev)"
+      parts.result().mkString(",\n")
+    }
+    val selects = (1 to maxPaths).map { i =>
+      val ms = (0 to maxHops).map(k => s"m$k").mkString(", ")
+      s"SELECT CAST($i AS BIGINT) AS path_rank, CAST(h AS BIGINT) AS hops, " +
+        s"concat_ws('->', $ms) AS path FROM path$i WHERE h IS NOT NULL"
+    }
+    s"""WITH RECURSIVE ${edgeCte.replace("edges AS (", "edges AS MATERIALIZED (")
+        .replace("und AS (", "und AS MATERIALIZED (")},
+       |${(1 to maxPaths).map(iteration).mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY path_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q49_kpaths" -> kPathsOracleSql("s1", "s7", maxHops = 4, maxPaths = 3),
+
     // Components via recursive reachability closure: each node accumulates
     // every reachable node id; min per node = the same canonical min-name
     // component label the GraphX/union-find paths emit.
