@@ -131,6 +131,31 @@ object Dedup {
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
+  /** Exact all-pairs Jaccard above a threshold via an inverted shingle
+    * index: explode shingles, self-join by shingle (pairs that share
+    * nothing never form), count shared shingles per pair, derive the union
+    * size from per-doc set sizes. No per-pair array intersection, no
+    * broadcast of whole shingle arrays — the shuffle is keyed by shingle
+    * and the pair aggregation map-side combines, which is the shape that
+    * survives a large corpus (the threshold guarantees every surviving
+    * pair shares ≥1 shingle, so the index join is lossless). */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      charShingles(col(textCol), shingleK).as("sh"))
+    val sizes = d.select(col("id"), size(col("sh")).as("n"))
+    val inv = d.select(col("id"), explode(col("sh")).as("s"))
+    inv.toDF("a_id", "s")
+      .join(inv.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "a_n"), "a_id")
+      .join(sizes.toDF("b_id", "b_n"), "b_id")
+      .withColumn("jaccard",
+        round(col("inter") / (col("a_n") + col("b_n") - col("inter")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Distinct character k-gram shingles of `text`. */
   def charShingles(text: Column, k: Int): Column =
     array_distinct(transform(

@@ -28,15 +28,9 @@ object DedupQueries {
 
     // Exact n-gram Jaccard near-dup pairs (verify kernel of the LSH path).
     "q35_jaccard_pairs" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .where(col("doc_id") < 120)
-        .select(col("doc_id"), Dedup.charShingles(col("text"), 4).as("sh"))
-      val a = d.toDF("a_id", "a_sh")
-      val b = d.toDF("b_id", "b_sh")
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("jaccard", round(Dedup.jaccard(col("a_sh"), col("b_sh")), 6))
-        .where(col("jaccard") >= 0.35)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
+      Dedup.exactJaccardPairs(
+          Tables.documents(s, dir).where(col("doc_id") < 120),
+          "doc_id", "text", shingleK = 4, minJaccard = 0.35)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
