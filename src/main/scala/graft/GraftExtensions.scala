@@ -17,10 +17,14 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.builders.foreach { case (name, builder) =>
+      // cosine has a dedicated Expression class; the composed kernels
+      // report this registrar so DESCRIBE FUNCTION doesn't mislabel them
+      val className =
+        if (name == "cosine_similarity") classOf[CosineSimilarity].getName
+        else classOf[GraftExtensions].getName
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[CosineSimilarity].getName, name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, name),
         builder))
     }
 }

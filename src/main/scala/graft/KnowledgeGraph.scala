@@ -163,17 +163,24 @@ final case class KnowledgeGraph(
     val b = nb.toDF("b_id", "b_emb")
     a.join(b, col("a_id") < col("b_id"))
       .select(VectorOps.cosine(col("a_emb"), col("b_emb")).as("cos"))
-      .agg((lit(1.0) - avg(col("cos"))).as("diversity"), count(lit(1)).as("n_pairs"))
-      .select(lit(conceptId).as("concept_id"), col("diversity"), col("n_pairs"))
+      .agg((lit(1.0) - avg(col("cos"))).as("raw_div"), count(lit(1)).as("n_pairs"))
+      .crossJoin(nb.agg(count(lit(1)).as("n_related")))
+      .select(lit(conceptId).as("concept_id"), col("n_related"), col("n_pairs"),
+        // < 2 embedded neighbors → no pairs → diversity 0 (not NULL)
+        coalesce(col("raw_div"), lit(0.0)).as("diversity"))
   }
 
   /** V7 polarity-axis analysis: two pole concepts define the axis; every
     * embedded concept is projected to a normalized position in [-1,1] with
     * ±0.3 direction bands (polarity_axis.py:63-130). */
   def polarityAnalysis(poleA: String, poleB: String): DataFrame = {
-    def emb(id: String): Seq[Double] =
-      concepts.where(col("concept_id") === id)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def emb(id: String): Seq[Double] = {
+      val rows = concepts.where(col("concept_id") === id)
+        .select(col("embedding").cast("array<double>")).limit(1).collect()
+      require(rows.nonEmpty, s"polarity pole not found: $id")
+      require(!rows.head.isNullAt(0), s"polarity pole has no embedding: $id")
+      rows.head.getSeq[Double](0)
+    }
     Scoring.polarityProjection(
       concepts.where(col("embedding").isNotNull)
         .select(col("concept_id"), col("embedding").cast("array<double>").as("embedding")),

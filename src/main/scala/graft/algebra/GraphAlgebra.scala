@@ -46,7 +46,10 @@ object GraphAlgebra {
     * unchanged and only R rows whose key is absent from W are appended
     * (anti-join) — `dropDuplicates` after a union would keep an *arbitrary*
     * row per key across partitions, silently letting R's attribute payload
-    * win. */
+    * win. Duplicate keys WITHIN R are still resolved arbitrarily (the
+    * reference's R is keyed by construction — parsed AGE rows,
+    * program_dispatch.py:80-175 — so R-internal dups have no defined
+    * winner there either). */
   def union(w: WorkingGraph, r: WorkingGraph): WorkingGraph = {
     val newNodes = r.nodes
       .join(w.nodes.select("node_id"), Seq("node_id"), "left_anti")

@@ -94,33 +94,45 @@ object Projection {
       .select(col("id"), col("b_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cores.withColumn("label", col("id"))
-    var changed = true
-    var it = 0
-    while (changed && it < maxIters) {
-      it += 1
+    // One propagation round: neighbor-min then pointer jumping
+    // (label := label(label)) — chains halve each round, so convergence is
+    // O(log n) rounds instead of O(diameter). Returns (next, changed).
+    def round(cur: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Boolean) = {
       val propagated = coreEdges
-        .join(labels.withColumnRenamed("id", "b_id").withColumnRenamed("label", "b_label"),
+        .join(cur.withColumnRenamed("id", "b_id").withColumnRenamed("label", "b_label"),
           Seq("b_id"))
         .groupBy("id").agg(min(col("b_label")).as("nbr_label"))
-      val stepped = labels.join(propagated, Seq("id"), "left")
+      val stepped = cur.join(propagated, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // Pointer jumping (label := label(label)): chains halve each round, so
-      // convergence is O(log n) rounds instead of O(diameter) — a cluster
-      // whose core graph is a long path converges well inside maxIters.
       val next = stepped.as("x")
         .join(stepped.select(col("id").as("label"), col("label").as("ll")).as("y"),
           Seq("label"), "left")
         .select(col("x.id").as("id"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+      val changed = next.join(cur.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
+      (next, changed)
     }
-    if (changed)
-      throw new IllegalStateException(
-        s"DBSCAN label propagation did not converge in $maxIters rounds")
+    var changed = true
+    var it = 0
+    while (changed && it < maxIters) {
+      it += 1
+      val (next, c) = round(labels)
+      labels = next
+      changed = c
+    }
+    if (changed) {
+      // The cap was reached with the final round still changing — that
+      // round may itself have completed convergence, so verify with one
+      // non-adopted round before declaring failure.
+      val (_, stillChanging) = round(labels)
+      if (stillChanging)
+        throw new IllegalStateException(
+          s"DBSCAN label propagation did not converge in $maxIters rounds")
+    }
 
     // 6. border points adopt the min cluster label of a neighboring core
     val borderLabels = neighbors

@@ -27,10 +27,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** Commit `df` as the next version of `table`; returns the new version.
     * The version directory is fully written before the pointer moves
-    * (write-then-rename), so readers never observe a partial version. */
+    * (write-then-rename), so readers never observe a partial version.
+    * `overwrite` on the version dir makes a retry after a mid-write crash
+    * succeed: an orphan partial directory (pointer never moved) is simply
+    * replaced — committed versions are never targeted because the pointer
+    * only advances. */
   def commit(table: String, df: DataFrame): Long = synchronized {
     val next = latestVersion(table).getOrElse(0L) + 1L
-    df.write.mode("errorifexists").parquet(versionDir(table, next).toString)
+    df.write.mode("overwrite").parquet(versionDir(table, next).toString)
     val tmp = pointer(table).resolveSibling("_latest.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
@@ -38,12 +42,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     next
   }
 
-  /** Append rows as a new version (union with the current snapshot). */
-  def append(table: String, rows: DataFrame): Long =
+  /** Append rows as a new version (union with the current snapshot).
+    * Synchronized so the base resolution and the commit are one atomic
+    * step — two concurrent appends must not both base off the same
+    * version and silently drop one batch. */
+  def append(table: String, rows: DataFrame): Long = synchronized {
     commit(table, latestVersion(table) match {
       case Some(v) => readAt(table, v).unionByName(rows, allowMissingColumns = true)
       case None    => rows
     })
+  }
 
   def latestVersion(table: String): Option[Long] = {
     val p = pointer(table)
@@ -60,22 +68,36 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def readAt(table: String, version: Long): DataFrame =
     spark.read.parquet(versionDir(table, version).toString)
 
-  /** All committed versions, ascending. */
-  def history(table: String): Seq[Long] = {
-    val d = tableDir(table)
-    if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
-      .toSeq.sorted
+  /** All COMMITTED versions, ascending: directory entries at or below the
+    * pointer (an orphan directory from a failed commit is above the
+    * pointer and is not history). */
+  def history(table: String): Seq[Long] = latestVersion(table) match {
+    case None => Seq.empty
+    case Some(latest) =>
+      val d = tableDir(table)
+      if (!Files.exists(d)) Seq.empty
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+          .filter(_ <= latest)
+          .toSeq.sorted
+        finally s.close()
+      }
   }
 
-  /** Drop versions older than `keepLast` (the latest is always kept). */
+  /** Drop committed versions older than the newest `keepLast`; the
+    * pointer's version is always kept (keep set is derived from committed
+    * history, never from stray directories). */
   def vacuum(table: String, keepLast: Int = 1): Unit = synchronized {
-    val keep = history(table).takeRight(math.max(keepLast, 1)).toSet
-    history(table).filterNot(keep).foreach { v =>
-      val d = versionDir(table, v)
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val committed = history(table)
+    val keep = committed.takeRight(math.max(keepLast, 1)).toSet ++
+      latestVersion(table)
+    committed.filterNot(keep).foreach { v =>
+      val w = Files.walk(versionDir(table, v))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
   }
 }

@@ -143,13 +143,11 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val filtered = filteredView(edges, minConfidence, relTypes)
-    // One distributed pass: the size probe IS the load (limit N+1 collect).
-    val rows = filtered.select(col("src").cast("string"), col("dst").cast("string"))
-      .limit(accelThreshold.toInt + 1).collect()
-    if (rows.length <= accelThreshold) {
-      InMemoryGraph.fromRows(rows).bfs(startNodes, maxDepth, direction)
+    probeAndLoad(filtered, accelThreshold) match {
+      case Some(g) => g.bfs(startNodes, maxDepth, direction)
         .toDF("node", "distance", "parent")
-    } else bfs(edges, startNodes, maxDepth, direction, minConfidence, relTypes)
+      case None => bfs(edges, startNodes, maxDepth, direction, minConfidence, relTypes)
+    }
   }
 
   /** Auto-dispatching shortest path (see [[bfsAuto]]). */
@@ -162,11 +160,29 @@ object GraphOps {
       minConfidence: Option[Double] = None,
       accelThreshold: Long = 2000000L): Option[(Int, Seq[String])] = {
     val filtered = filteredView(edges, minConfidence, None)
-    val rows = filtered.select(col("src").cast("string"), col("dst").cast("string"))
-      .limit(accelThreshold.toInt + 1).collect()
-    if (rows.length <= accelThreshold)
-      InMemoryGraph.fromRows(rows).shortestPath(from, to, maxHops, direction)
-    else shortestPath(edges, from, to, maxHops, direction, minConfidence)
+    probeAndLoad(filtered, accelThreshold) match {
+      case Some(g) => g.shortestPath(from, to, maxHops, direction)
+      case None    => shortestPath(edges, from, to, maxHops, direction, minConfidence)
+    }
+  }
+
+  /** Size-probe + accelerator load in one cached scan: the (src, dst) view
+    * is persisted, the probe is a cheap `limit(N+1).count()` (no driver
+    * transfer), and only an under-threshold graph is collected — the cache
+    * makes that collect reuse the probed partitions instead of recomputing
+    * the upstream plan. An over-threshold graph never ships rows to the
+    * driver (the probe short-circuits after N+1 and the distributed engine
+    * takes over). */
+  private[graph] def probeAndLoad(filtered: DataFrame,
+      accelThreshold: Long): Option[InMemoryGraph] = {
+    val view = filtered
+      .select(col("src").cast("string"), col("dst").cast("string"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (view.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
+        Some(InMemoryGraph.load(view))
+      else None
+    } finally { view.unpersist(); () }
   }
 
   /** Confidence/rel-type-filtered (src, dst) view, pre-orientation. */
@@ -227,11 +243,10 @@ object GraphOps {
       direction: Direction = Both,
       accelThreshold: Long = 2000000L): Seq[(Int, Seq[String])] = {
     val filtered = filteredView(edges, None, None)
-    val rows = filtered.select(col("src").cast("string"), col("dst").cast("string"))
-      .limit(accelThreshold.toInt + 1).collect()
-    if (rows.length <= accelThreshold)
-      InMemoryGraph.fromRows(rows).kShortestPaths(from, to, maxHops, maxPaths, direction)
-    else kShortestPaths(edges, from, to, maxHops, maxPaths, direction)
+    probeAndLoad(filtered, accelThreshold) match {
+      case Some(g) => g.kShortestPaths(from, to, maxHops, maxPaths, direction)
+      case None    => kShortestPaths(edges, from, to, maxHops, maxPaths, direction)
+    }
   }
 
   /** K-shortest paths via the reference's fallback contract — shortest path

@@ -55,11 +55,10 @@ object GraphXOps {
       accelThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val view = edges.select(col("src").cast("string"), col("dst").cast("string"))
-    val rows = view.limit(accelThreshold.toInt + 1).collect()
-    if (rows.length <= accelThreshold)
-      InMemoryGraph.fromRows(rows).connectedComponents().toDF("node", "component")
-    else connectedComponents(edges)
+    GraphOps.probeAndLoad(edges.select(col("src"), col("dst")), accelThreshold) match {
+      case Some(g) => g.connectedComponents().toDF("node", "component")
+      case None    => connectedComponents(edges)
+    }
   }
 
   /** Pregel single-source shortest paths (hop metric) — the GraphX twin of

@@ -179,8 +179,12 @@ class KnowledgeGraphSpec extends SparkSpec {
     // c1's neighbors are c2 (0,1), c3 (-1,0), c4 (0.9,0.1): spread-out set
     val d = kg.diversity("c1", maxHops = 1).head()
     assert(d.getString(0) == "c1")
+    assert(d.getLong(1) == 3) // n_related
     assert(d.getLong(2) == 3) // 3 pairs among 3 neighbors
-    assert(d.getDouble(1) > 0.5) // mean pairwise cosine is low → diverse
+    assert(d.getDouble(3) > 0.5) // mean pairwise cosine is low → diverse
+    // a leaf-ish neighborhood (single neighbor) yields 0.0, never NULL
+    val leaf = kg.diversity("c4", maxHops = 0).head()
+    assert(leaf.getDouble(3) == 0.0 && leaf.getLong(2) == 0)
   }
 
   test("polarity analysis projects onto the pole axis with bands (V7)") {
