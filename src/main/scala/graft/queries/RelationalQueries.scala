@@ -154,6 +154,18 @@ object RelationalQueries {
         .orderBy(col("rn"))
     }),
 
+    // K2 scale path: keyset pagination — the drop-in replacement for the
+    // reference's offset form once a global row_number window stops
+    // scaling: filter past the last-seen key, pushed into the scan, then
+    // TakeOrderedAndProject. No single-partition window anywhere.
+    "q55_keyset_page" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .where(col("c_custkey") > 500) // last key of the previous page
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+        .limit(20)
+    }),
+
     // K4: below-threshold band hint — count/min/max + suggested_threshold =
     // round(min - 0.02, 2) (queries.py:720-746).
     "q11_band_hint" -> ((s, dir) => {
@@ -413,6 +425,11 @@ object RelationalQueries {
         |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
         |  FROM customer) t
         |WHERE rn BETWEEN 11 AND 30 ORDER BY rn""".stripMargin,
+
+    "q55_keyset_page" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey > 500
+        |ORDER BY c_custkey LIMIT 20""".stripMargin,
 
     "q11_band_hint" ->
       """SELECT count(*) AS n_below,
