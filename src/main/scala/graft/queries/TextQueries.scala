@@ -92,6 +92,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Rolling-hash document fingerprint: polynomial fold over character
+    // codes ((acc·131 + c) mod 2³¹−1) as one codegen'd aggregate HOF —
+    // the incremental-hash shape (Rabin-Karp) content-defined chunking
+    // builds on; plus the same hash over the first-64-char window. All
+    // arithmetic < 2³⁹, identical BIGINT math in DuckDB's list_reduce.
+    "q56_rolling_hash" -> ((s, dir) => {
+      val p = 2147483647L
+      def roll(chars: org.apache.spark.sql.Column) =
+        aggregate(chars, lit(0L), (acc, c) => (acc * 131L + c) % lit(p))
+      // Guard n=0: Spark's sequence(1, 0) is a DESCENDING [1, 0], not [].
+      def hashOf(n: org.apache.spark.sql.Column) =
+        when(n > 0, roll(transform(sequence(lit(1), n), i =>
+          ascii(col("text").substr(i, lit(1))).cast("long")))).otherwise(0L)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          hashOf(length(col("text"))).as("content_hash"),
+          hashOf(least(length(col("text")), lit(64))).as("prefix_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: md5 of normalized text (hash_utils.py shape).
     "q32_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -167,6 +187,19 @@ object TextQueries {
         |SELECT doc_id, marker_lang AS predicted_lang,
         |  CAST(hits AS BIGINT) AS marker_hits, lang AS labeled_lang
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q56_rolling_hash" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  coalesce(list_reduce(
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ord(substring(text, i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647), 0) AS content_hash,
+        |  coalesce(list_reduce(
+        |    list_transform(range(1, least(length(text), 64) + 1),
+        |      i -> CAST(ord(substring(text, i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647), 0) AS prefix_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q32_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
