@@ -108,9 +108,34 @@ object PipelineQueries {
           col("n_bytes"), col("frame_key"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
+    // Multimodal feature extraction (REAL, not stubbed): 16-bucket
+    // character-class histogram per asset — the feature-vector shape a
+    // decoder plugs into, as one explode + partial-aggregated groupBy
+    // (long format: one row per non-empty bucket).
+    "q57_feature_histogram" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(col("doc_id") < 200 && length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)) div 16)"))
+            .as("bucket"))
+        .groupBy(col("doc_id"), col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_feature_histogram" ->
+      """SELECT doc_id,
+        |  CAST(ord(substring(text, i, 1)) // 16 AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents WHERE doc_id < 200 AND length(text) > 0) t
+        |GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+
     "q54_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id,
