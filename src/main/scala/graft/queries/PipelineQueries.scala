@@ -67,7 +67,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)]
       docs.flatMap { case (id, text) =>
         graft.ingest.Chunker.chunk(text, minWords = 20, maxWords = 40, overlapWords = 5)
-          .map(c => (id, c.chunkNumber, c.startChar, c.endChar, c.wordCount, c.boundaryType))
+          .map(c => (id, c.chunkNumber.toLong, c.startChar.toLong, c.endChar.toLong,
+            c.wordCount.toLong, c.boundaryType))
       }.toDF("doc_id", "chunk_number", "start_char", "end_char", "word_count", "boundary_type")
         .orderBy(col("doc_id"), col("chunk_number"))
     }),
@@ -125,7 +126,84 @@ object PipelineQueries {
     }),
   )
 
+  /** SQL replay of the smart chunker (ingest.Chunker.chunk): words are
+    * segmented by a char scan (start = non-space after space), each word's
+    * cut-boundary quality is classified exactly like `boundaryAt`
+    * (paragraph = gap contains a blank line, then sentence/pause
+    * terminators, else hard; the final word's synthetic gap is a paragraph
+    * break), and the greedy split loop is a recursive CTE whose per-step
+    * argmax prefers the highest rank then the LATEST position — the same
+    * tie-break as the Scala `r >= bestRank` scan. */
+  private def smartChunkerOracleSql(minW: Int, maxW: Int, ovl: Int): String = {
+    val ws = "(' ', chr(9), chr(10), chr(11), chr(12), chr(13))"
+    def best(startExpr: String): String =
+      s"""(SELECT b.w FROM bounds b WHERE b.doc_id = c.doc_id
+         |       AND b.w BETWEEN least($startExpr + $minW, n.n_words) - 1
+         |                   AND least($startExpr + $maxW, n.n_words) - 1
+         |     ORDER BY b.rnk DESC, b.w DESC LIMIT 1)""".stripMargin
+    s"""WITH RECURSIVE
+       |chars AS MATERIALIZED (
+       |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+       |  FROM documents WHERE length(text) > 0),
+       |flags AS (
+       |  SELECT doc_id, i,
+       |    substring(text, i, 1) IN $ws AS sp,
+       |    coalesce(lag(substring(text, i, 1)) OVER (PARTITION BY doc_id ORDER BY i), ' ') AS prevc
+       |  FROM chars),
+       |widx AS (
+       |  SELECT doc_id, i, sp,
+       |    sum(CASE WHEN NOT sp AND prevc IN $ws THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) - 1 AS w
+       |  FROM flags),
+       |words AS MATERIALIZED (
+       |  SELECT doc_id, w, min(i) - 1 AS s0, max(i) AS e1
+       |  FROM widx WHERE NOT sp GROUP BY doc_id, w),
+       |nw AS MATERIALIZED (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+       |bounds AS MATERIALIZED (
+       |  SELECT w.doc_id, w.w, w.s0, w.e1,
+       |    CASE
+       |      WHEN strpos(coalesce(g.gap, chr(10) || chr(10)), chr(10) || chr(10)) > 0 THEN 3
+       |      WHEN w.lastc IN ('.', '!', '?') THEN 2
+       |      WHEN w.lastc IN (',', ';', ':') THEN 1
+       |      ELSE 0 END AS rnk,
+       |    CASE
+       |      WHEN strpos(coalesce(g.gap, chr(10) || chr(10)), chr(10) || chr(10)) > 0 THEN 'paragraph'
+       |      WHEN w.lastc IN ('.', '!', '?') THEN 'sentence'
+       |      WHEN w.lastc IN (',', ';', ':') THEN 'pause'
+       |      ELSE 'hard' END AS btype
+       |  FROM (
+       |    SELECT ws.*, substring(d.text, ws.e1, 1) AS lastc
+       |    FROM words ws JOIN documents d USING (doc_id)) w
+       |  LEFT JOIN (
+       |    SELECT a.doc_id, a.w,
+       |      substring(d.text, a.e1 + 1, b.s0 + 1 - (a.e1 + 1)) AS gap
+       |    FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+       |    JOIN documents d ON d.doc_id = a.doc_id) g
+       |  ON g.doc_id = w.doc_id AND g.w = w.w),
+       |chunks(doc_id, chunk_no, start_w, best_w) AS (
+       |  SELECT c.doc_id, 0, 0, ${best("0")}
+       |  FROM nw n JOIN nw c USING (doc_id)
+       |  UNION ALL
+       |  SELECT c.doc_id, c.chunk_no + 1,
+       |    greatest(c.best_w + 1 - $ovl, c.start_w + 1),
+       |    ${best(s"greatest(c.best_w + 1 - $ovl, c.start_w + 1)")}
+       |  FROM chunks c JOIN nw n USING (doc_id)
+       |  WHERE c.best_w + 1 < n.n_words)
+       |SELECT c.doc_id,
+       |  CAST(c.chunk_no AS BIGINT) AS chunk_number,
+       |  CAST(ws.s0 AS BIGINT) AS start_char,
+       |  CAST(be.e1 AS BIGINT) AS end_char,
+       |  CAST(c.best_w - c.start_w + 1 AS BIGINT) AS word_count,
+       |  be.btype AS boundary_type
+       |FROM chunks c
+       |JOIN words ws ON ws.doc_id = c.doc_id AND ws.w = c.start_w
+       |JOIN bounds be ON be.doc_id = c.doc_id AND be.w = c.best_w
+       |ORDER BY c.doc_id, chunk_number""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q41_smart_chunker" -> smartChunkerOracleSql(minW = 20, maxW = 40, ovl = 5),
+
     "q57_feature_histogram" ->
       """SELECT doc_id,
         |  CAST(ord(substring(text, i, 1)) // 16 AS BIGINT) AS bucket,
