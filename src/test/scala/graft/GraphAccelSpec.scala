@@ -81,6 +81,24 @@ class GraphAccelSpec extends SparkSpec {
     assert(auto.size == 3)
   }
 
+  test("k-paths agree across engines on seeded random graphs") {
+    // The q49 oracle replays this exact contract in SQL, so engine
+    // agreement across random shapes (ties, dead ends, unreachable pairs)
+    // is what makes that replay trustworthy.
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 12 + trial * 3
+      val edges = (1 to n * 2).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+      val accel = graft.graph.InMemoryGraph.load(edges)
+        .kShortestPaths("n0", s"n${n - 1}", maxHops = 4, maxPaths = 3, GraphOps.Both)
+      val dist = GraphOps.kShortestPaths(edges, "n0", s"n${n - 1}",
+        maxHops = 4, maxPaths = 3, GraphOps.Both)
+      assert(accel == dist, s"trial $trial: $accel vs $dist")
+    }
+  }
+
   test("missing start node yields the ghost row, both engines") {
     val es = Seq(("a", "b")).toDF("src", "dst")
     assert(distances(GraphOps.bfsAuto(es, Seq("zz"), 3)) == Map("zz" -> 0))
