@@ -53,7 +53,10 @@ object Multimodal {
       .select(col(idCol).cast("long").as("id"), col(assetCol).as("asset"))
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { rows =>
-          val batch = rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          // NULL assets decode as empty payloads — one bad fetch must not
+          // abort the job (per-row isolation, like a failed Arrow batch).
+          val batch = rows.map(r => (r.getLong(0),
+            Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])))
           val feats = decoder.decodeBatch(batch)
           require(feats.length == batch.length,
             s"decoder returned ${feats.length} rows for a ${batch.length}-row batch")

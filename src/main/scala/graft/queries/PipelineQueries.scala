@@ -133,7 +133,11 @@ object PipelineQueries {
     * terminators, else hard; the final word's synthetic gap is a paragraph
     * break), and the greedy split loop is a recursive CTE whose per-step
     * argmax prefers the highest rank then the LATEST position — the same
-    * tie-break as the Scala `r >= bestRank` scan. */
+    * tie-break as the Scala `r >= bestRank` scan.
+    *
+    * Known latent divergence: offsets here are codepoint-indexed while the
+    * Scala chunker's are UTF-16 code units, so they'd differ on astral
+    * (non-BMP) characters — the corpus is ASCII (verified at every SF). */
   private def smartChunkerOracleSql(minW: Int, maxW: Int, ovl: Int): String = {
     val ws = "(' ', chr(9), chr(10), chr(11), chr(12), chr(13))"
     def best(startExpr: String): String =
@@ -143,12 +147,13 @@ object PipelineQueries {
          |     ORDER BY b.rnk DESC, b.w DESC LIMIT 1)""".stripMargin
     s"""WITH RECURSIVE
        |chars AS MATERIALIZED (
-       |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-       |  FROM documents WHERE length(text) > 0),
+       |  SELECT doc_id, i, substring(text, i, 1) AS c
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+       |        FROM documents WHERE length(text) > 0) t),
        |flags AS (
        |  SELECT doc_id, i,
-       |    substring(text, i, 1) IN $ws AS sp,
-       |    coalesce(lag(substring(text, i, 1)) OVER (PARTITION BY doc_id ORDER BY i), ' ') AS prevc
+       |    c IN $ws AS sp,
+       |    coalesce(lag(c) OVER (PARTITION BY doc_id ORDER BY i), ' ') AS prevc
        |  FROM chars),
        |widx AS (
        |  SELECT doc_id, i, sp,

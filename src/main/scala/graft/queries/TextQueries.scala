@@ -189,16 +189,18 @@ object TextQueries {
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q56_rolling_hash" ->
+      // CASE (not coalesce) guards empty text: DuckDB's list_reduce([])
+      // throws a hard error rather than returning NULL.
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
-        |  coalesce(list_reduce(
+        |  CASE WHEN length(text) > 0 THEN list_reduce(
         |    list_transform(range(1, length(text) + 1),
         |      i -> CAST(ord(substring(text, i, 1)) AS BIGINT)),
-        |    (acc, c) -> (acc * 131 + c) % 2147483647), 0) AS content_hash,
-        |  coalesce(list_reduce(
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) ELSE 0 END AS content_hash,
+        |  CASE WHEN length(text) > 0 THEN list_reduce(
         |    list_transform(range(1, least(length(text), 64) + 1),
         |      i -> CAST(ord(substring(text, i, 1)) AS BIGINT)),
-        |    (acc, c) -> (acc * 131 + c) % 2147483647), 0) AS prefix_hash
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) ELSE 0 END AS prefix_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q32_fingerprint" ->

@@ -14,11 +14,13 @@ import graft.ingest.IngestPipeline
 class LifecycleSpec extends SparkSpec {
   import spark.implicits._
 
+  // Must match the production epoch-log schema ingestBatch appends to —
+  // allowMissingColumns would silently mask a bogus fixture shape here.
   private def emptyTables: (DataFrame, DataFrame, DataFrame, DataFrame) = (
     Seq.empty[(String, String, Seq[Float])].toDF("concept_id", "label", "embedding"),
     Seq.empty[(String, String, String)].toDF("instance_id", "concept_id", "quote"),
     Seq.empty[(String, String, String, Double)].toDF("src", "dst", "rel_type", "confidence"),
-    Seq.empty[(Long, String, Long)].toDF("epoch", "kind", "n_rows"))
+    Seq.empty[(Long, String, String)].toDF("event_id", "kind", "actor"))
 
   test("ingest → snapshot commit → freshness-gated reads across two batches") {
     val store = new SnapshotStore(spark,
