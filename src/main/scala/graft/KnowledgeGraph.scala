@@ -156,9 +156,14 @@ final case class KnowledgeGraph(
       .where(col("distance") > 0)
       .orderBy(col("node")).limit(limit)   // deterministic ≤100 cap (LIMIT 100)
       .select(col("node").as("concept_id"))
+    // Only embedded neighbors join: n_related/n_pairs must count exactly
+    // the vectors that feed the mean (the reference pairs only embedded
+    // concepts, diversity_analyzer.py:48-185) — otherwise a NULL-embedding
+    // neighbor inflates the counts while avg(cos) skips its NULL cosines.
     val nb = neighborIds.join(
-      concepts.select(col("concept_id"),
-        col("embedding").cast("array<double>").as("embedding")), "concept_id")
+      concepts.where(col("embedding").isNotNull)
+        .select(col("concept_id"),
+          col("embedding").cast("array<double>").as("embedding")), "concept_id")
     val a = nb.toDF("a_id", "a_emb")
     val b = nb.toDF("b_id", "b_emb")
     a.join(b, col("a_id") < col("b_id"))

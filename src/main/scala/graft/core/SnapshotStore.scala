@@ -26,26 +26,69 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   private def pointer(table: String): Path = tableDir(table).resolve("_latest")
 
   /** Commit `df` as the next version of `table`; returns the new version.
-    * The version directory is fully written before the pointer moves
-    * (write-then-rename), so readers never observe a partial version.
-    * `overwrite` on the version dir makes a retry after a mid-write crash
-    * succeed: an orphan partial directory (pointer never moved) is simply
-    * replaced — committed versions are never targeted because the pointer
-    * only advances. */
+    *
+    * Version numbers are ALLOCATED by atomic `Files.createDirectory` on the
+    * version dir: the committer that creates `v=n` owns it exclusively, and a
+    * concurrent committer (other instance or other JVM on the same root) that
+    * loses the race gets `FileAlreadyExistsException` and retries with n+1 —
+    * a sibling's version directory can never be clobbered. The directory is
+    * fully written before the pointer moves (write-then-rename), so readers
+    * never observe a partial version. A mid-write crash leaves an orphan dir
+    * ABOVE the pointer; it is skipped by later allocations, excluded from
+    * `history`, and reclaimable via `vacuum(dropOrphans = true)`.
+    *
+    * The pointer only moves FORWARD (never to a lower version), so two racing
+    * committers converge on the higher version; the lower one remains on disk
+    * as a committed-but-superseded version. Cross-JVM `append` linearization
+    * is still the caller's job (see `append`). */
   def commit(table: String, df: DataFrame): Long = synchronized {
-    val next = latestVersion(table).getOrElse(0L) + 1L
+    Files.createDirectories(tableDir(table))
+    var next = math.max(latestVersion(table).getOrElse(0L), maxVersionDir(table)) + 1L
+    var claimed = false
+    while (!claimed) {
+      try { Files.createDirectory(versionDir(table, next)); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => next += 1L }
+    }
     df.write.mode("overwrite").parquet(versionDir(table, next).toString)
-    val tmp = pointer(table).resolveSibling("_latest.tmp")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    advancePointer(table, next)
     next
   }
 
+  /** Move the pointer to `next` unless an already-committed version is newer
+    * (forward-only; keeps racing cross-JVM committers monotone). */
+  private def advancePointer(table: String, next: Long): Unit = {
+    if (latestVersion(table).forall(_ < next)) {
+      val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
+      Files.writeString(tmp, next.toString)
+      Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Highest existing version DIRECTORY (committed or orphan) — allocation
+    * must start above both the pointer and any orphan. */
+  private def maxVersionDir(table: String): Long = {
+    val d = tableDir(table)
+    if (!Files.exists(d)) 0L
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .foldLeft(0L)(math.max)
+      finally s.close()
+    }
+  }
+
   /** Append rows as a new version (union with the current snapshot).
-    * Synchronized so the base resolution and the commit are one atomic
-    * step — two concurrent appends must not both base off the same
-    * version and silently drop one batch. */
+    * Synchronized so that within ONE store instance the base resolution and
+    * the commit are a single atomic step. Across instances/JVMs, version
+    * allocation (see `commit`) guarantees neither append's data is ever
+    * overwritten, but two appends basing off the same snapshot still produce
+    * two sibling versions each missing the other's batch — read-modify-write
+    * appends on a shared root require a single writer per table (the same
+    * contract Delta/Iceberg enforce with a commit log; the reference gets it
+    * from Postgres transactions, schema/00_baseline.sql:2198-2240). */
   def append(table: String, rows: DataFrame): Long = synchronized {
     commit(table, latestVersion(table) match {
       case Some(v) => readAt(table, v).unionByName(rows, allowMissingColumns = true)
@@ -89,15 +132,23 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** Drop committed versions older than the newest `keepLast`; the
     * pointer's version is always kept (keep set is derived from committed
-    * history, never from stray directories). */
-  def vacuum(table: String, keepLast: Int = 1): Unit = synchronized {
-    val committed = history(table)
-    val keep = committed.takeRight(math.max(keepLast, 1)).toSet ++
-      latestVersion(table)
-    committed.filterNot(keep).foreach { v =>
-      val w = Files.walk(versionDir(table, v))
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
+    * history, never from stray directories). With `dropOrphans`, also remove
+    * never-committed directories above the pointer left by crashed commits —
+    * only safe when no commit is in flight on this table. */
+  def vacuum(table: String, keepLast: Int = 1, dropOrphans: Boolean = false): Unit =
+    synchronized {
+      val committed = history(table)
+      val keep = committed.takeRight(math.max(keepLast, 1)).toSet ++
+        latestVersion(table)
+      val latest = latestVersion(table).getOrElse(0L)
+      val orphans =
+        if (!dropOrphans) Seq.empty
+        else (committed.lastOption.getOrElse(0L) until maxVersionDir(table))
+          .map(_ + 1L).filter(v => v > latest && Files.exists(versionDir(table, v)))
+      (committed.filterNot(keep) ++ orphans).foreach { v =>
+        val w = Files.walk(versionDir(table, v))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
     }
-  }
 }

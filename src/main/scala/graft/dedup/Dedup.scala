@@ -116,9 +116,12 @@ object Dedup {
     pairs
       .join(withShingles.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(withShingles.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      // Round BEFORE thresholding (same 6-digit grid both engines compare
+      // on) — filtering the unrounded value lets a pair that rounds up
+      // across the threshold appear in the oracle but not here.
+      .withColumn("jaccard", round(jaccard(col("a_sh"), col("b_sh")), 6))
       .where(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** Exact Jaccard similarity of two array columns (inputs must already be

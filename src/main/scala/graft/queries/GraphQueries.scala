@@ -105,6 +105,12 @@ object GraphQueries {
     * doesn't re-inline the parquet scan per reference. */
   private def kPathsOracleSql(from: String, to: String, maxHops: Int,
       maxPaths: Int): String = {
+    // from == to: the 0-hop path has no edges to exclude, so every unrolled
+    // iteration would re-find it and emit it maxPaths times; both engines
+    // dedup and stop after the first. Short-circuit to the single rank-1 row.
+    if (from == to)
+      return s"SELECT CAST(1 AS BIGINT) AS path_rank, CAST(0 AS BIGINT) AS hops, " +
+        s"'$from' AS path"
     def iteration(i: Int): String = {
       val undi = if (i == 1) "und" else s"und$i"
       val parts = Seq.newBuilder[String]

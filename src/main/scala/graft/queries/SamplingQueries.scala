@@ -82,9 +82,14 @@ object SamplingQueries {
       // Half-away-from-zero via explicit floor/ceil on IEEE doubles — both
       // engines' built-in round() differ on shortest-representation edge
       // cases, but d + 0.5 and floor/ceil are bit-identical everywhere.
+      // A zero (or empty) vector has scale 0/NULL → x/scale is NaN/NULL,
+      // and NaN→BIGINT casts diverge between Spark ANSI and DuckDB; the
+      // quantization of an all-zero vector is all zeros, so short-circuit.
       val q = transform(col("v"), x => {
         val d = x / col("scale")
-        when(d >= 0, floor(d + lit(0.5))).otherwise(ceil(d - lit(0.5))).cast("long")
+        when(col("scale").isNull || col("scale") === 0, lit(0L))
+          .when(d >= 0, floor(d + lit(0.5)).cast("long"))
+          .otherwise(ceil(d - lit(0.5)).cast("long"))
       })
       // The display rounding happens AFTER q is consumed: aliasing
       // round(scale, 6) AS "scale" in the same projection would shadow the
@@ -138,7 +143,8 @@ object SamplingQueries {
         |q AS (
         |  SELECT vec_id, scale,
         |    list_transform(v, x -> CAST(
-        |      CASE WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
+        |      CASE WHEN scale IS NULL OR scale = 0 THEN 0
+        |           WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
         |           ELSE ceil(x / scale - 0.5) END AS BIGINT)) AS q
         |  FROM v)
         |SELECT vec_id, round(scale, 6) AS scale,
