@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
 
 /** Distributed graph traversal over a plain edge DataFrame.
   *
@@ -166,37 +167,99 @@ object GraphOps {
     }
   }
 
+  /** Loaded-graph cache keyed by the CANONICALIZED logical plan of the
+    * edge view — the analog of graph_accel's once-per-backend load with a
+    * generation check (`graph_accel_status`/`load`/`invalidate`,
+    * api/app/lib/graph_facade.py:50-58,1087-1153): consecutive traversals
+    * over the same edge view reuse the adjacency arrays instead of
+    * re-collecting the graph. Canonicalized plans compare structurally
+    * (normalized expr ids; LocalRelation keys include the data itself), so
+    * a hit requires the identical source plan — and the immutable-version
+    * storage discipline (SnapshotStore) means changed data always has a
+    * changed path, hence a changed plan. In-place external rewrites are the
+    * one case that needs an explicit [[invalidateAccel]], exactly like the
+    * reference's `graph_accel_invalidate` after mutations. */
+  private object AccelCache {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    private val MaxLoaded = 8
+    private val MaxOver = 32
+    private val loaded = mutable.LinkedHashMap.empty[LogicalPlan, (Long, InMemoryGraph)]
+    private val over = mutable.LinkedHashMap.empty[LogicalPlan, Long]
+
+    /** Some(result) on a conclusive cache hit (loaded graph, or known to
+      * exceed `threshold`); None → caller must probe. */
+    def get(key: LogicalPlan, threshold: Long): Option[Option[InMemoryGraph]] =
+      synchronized {
+        loaded.remove(key) match {
+          case Some(hit @ (n, g)) =>
+            loaded.put(key, hit) // re-insert = LRU refresh
+            if (n <= threshold) Some(Some(g)) else Some(None)
+          case None =>
+            over.get(key) match {
+              case Some(probed) if probed >= threshold => Some(None)
+              case _                                   => None
+            }
+        }
+      }
+    def putLoaded(key: LogicalPlan, n: Long, g: InMemoryGraph): Unit =
+      synchronized {
+        loaded.put(key, (n, g))
+        while (loaded.size > MaxLoaded) loaded.remove(loaded.head._1)
+      }
+    def putOver(key: LogicalPlan, probedThreshold: Long): Unit = synchronized {
+      over.put(key, math.max(over.getOrElse(key, Long.MinValue), probedThreshold))
+      while (over.size > MaxOver) over.remove(over.head._1)
+    }
+    def clear(): Unit = synchronized { loaded.clear(); over.clear() }
+  }
+
+  /** Evict every cached accelerator graph (graph_accel_invalidate analog).
+    * Needed only when edge INPUT FILES are rewritten in place; versioned
+    * snapshot writes change paths and therefore miss the cache naturally. */
+  def invalidateAccel(): Unit = AccelCache.clear()
+
   /** Size-probe + accelerator load in one cached scan: the (src, dst) view
     * is persisted, the probe is a cheap `limit(N+1).count()` (no driver
     * transfer), and only an under-threshold graph is collected — the cache
     * makes that collect reuse the probed partitions instead of recomputing
     * the upstream plan. An over-threshold graph never ships rows to the
     * driver (the probe short-circuits after N+1 and the distributed engine
-    * takes over). */
+    * takes over). Results are memoized in [[AccelCache]] either way. */
   private[graph] def probeAndLoad(filtered: DataFrame,
       accelThreshold: Long): Option[InMemoryGraph] = {
     val view = filtered
       .select(col("src").cast("string"), col("dst").cast("string"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (view.limit(accelThreshold.toInt + 1).count() <= accelThreshold)
-        Some(InMemoryGraph.load(view))
-      else None
-    } finally { view.unpersist(); () }
+    val key = view.queryExecution.analyzed.canonicalized
+    AccelCache.get(key, accelThreshold).getOrElse {
+      val cached = view.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = cached.limit(accelThreshold.toInt + 1).count()
+        if (n <= accelThreshold) {
+          val g = InMemoryGraph.load(cached)
+          AccelCache.putLoaded(key, n, g)
+          Some(g)
+        } else { AccelCache.putOver(key, accelThreshold); None }
+      } finally { cached.unpersist(); () }
+    }
   }
 
-  /** Confidence/rel-type-filtered (src, dst) view, pre-orientation. */
+  /** Confidence/rel-type-filtered (src, dst) view, pre-orientation. A
+    * no-op filter adds NO plan node, so differently-sourced calls over the
+    * same unfiltered edges canonicalize identically and share one
+    * [[AccelCache]] entry. */
   private def filteredView(edges: DataFrame, minConfidence: Option[Double],
       relTypes: Option[Seq[String]]): DataFrame = {
     val hasRel = edges.columns.contains("rel_type")
     val hasConf = edges.columns.contains("confidence")
-    edges
-      .where(if (hasConf) confidencePredicate(minConfidence) else lit(true))
-      .where(relTypes match {
-        case Some(ts) if hasRel => col("rel_type").isin(ts: _*)
-        case _                  => lit(true)
-      })
-      .select("src", "dst")
+    val confFiltered =
+      if (hasConf && minConfidence.isDefined)
+        edges.where(confidencePredicate(minConfidence))
+      else edges
+    val relFiltered = relTypes match {
+      case Some(ts) if hasRel => confFiltered.where(col("rel_type").isin(ts: _*))
+      case _                  => confFiltered
+    }
+    relFiltered.select("src", "dst")
   }
 
   /** Shortest path (reference T2): returns the hop count and the node
