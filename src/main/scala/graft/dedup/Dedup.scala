@@ -54,23 +54,24 @@ object Dedup {
   def minhashA(j: Int): Long = 1L + ((j + 1) * 2654435761L) % (MinhashPrime - 1)
   def minhashB(j: Int): Long = ((j + 1) * 2246822519L) % MinhashPrime
 
-  /** Portable minhash signatures, one row per id: explode shingles, hash
-    * each ONCE (md5-based base hash), then take the per-seed min as
-    * `numHashes` partial-aggregated `min()` columns — the base hash is never
-    * re-evaluated per seed, and the whole thing is one map-side-combined
-    * aggregation (the shape that survives 100 TB). */
+  /** Portable minhash signatures, one row per id, computed entirely
+    * per-row: the base hash array is materialized ONCE per document (md5 is
+    * the expensive part), then each of the `numHashes` seeds is an
+    * `array_min` over a cheap affine transform of that array. No explode,
+    * no aggregation, NO SHUFFLE — each document's signature is computed
+    * where the document lives, which is the shape that survives 100 TB
+    * (signature cost is O(shingles × seeds) arithmetic but only
+    * O(shingles) hashing, all inside one codegen stage). */
   def portableMinhashSignatures(withShingles: DataFrame, numHashes: Int): DataFrame = {
     val p = MinhashPrime
-    val mins = (0 until numHashes).map { j =>
-      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % lit(p)).as(s"__m$j")
-    }
     withShingles
-      .select(col("id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", portableHash60(col("shingle")) % lit(p))
-      .groupBy("id")
-      .agg(mins.head, mins.tail: _*)
       .select(col("id"),
-        array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
+        transform(col("sh"), sh => portableHash60(sh) % lit(p)).as("hs"))
+      .select(col("id"),
+        array((0 until numHashes).map { j =>
+          array_min(transform(col("hs"),
+            h => (lit(minhashA(j)) * h + lit(minhashB(j))) % lit(p)))
+        }: _*).as("sig"))
   }
 
   /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
@@ -95,9 +96,15 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 4, numHashes: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5, portable: Boolean = false): DataFrame = {
+    // Materialized ONCE (same discipline as the affinity membership table):
+    // the shingle table feeds the signature aggregation AND both sides of
+    // the verification join — without the checkpoint the shingling (regex +
+    // distinct over every document) re-executes three times. localCheckpoint
+    // keeps it on executor-local storage, never the driver.
     val withShingles = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("sh"))
+      .localCheckpoint()
     val sigs =
       if (portable) portableMinhashSignatures(withShingles, numHashes)
       else withShingles.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
@@ -105,9 +112,13 @@ object Dedup {
     // exploding with the shingle arrays attached would replicate every
     // array `bands` times through the shuffle. The (typically rare)
     // candidate pairs re-join the shingle table for exact verification.
+    // Also materialized once: both sides of the bucket self-join otherwise
+    // re-run the whole signature aggregation. (id, band-key) rows are tiny —
+    // `bands` rows per doc regardless of document size.
     val bandRows = sigs
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands, portable)))
       .select(col("id"), col("bk"))
+      .localCheckpoint()
     val pairs = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
