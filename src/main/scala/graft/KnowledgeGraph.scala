@@ -194,13 +194,22 @@ final case class KnowledgeGraph(
 
   /** V8: 3-D projection + clustering of the concept embedding space (PCA
     * baseline + grid DBSCAN — embedding_projection_service.py:641-807). */
-  def projectConcepts(eps: Double, minPts: Int = 4): DataFrame = {
-    val p = graft.analysis.Projection.pca(
-      concepts.where(col("embedding").isNotNull)
-        .select(col("concept_id").as("id"), col("embedding").as("v")),
-      "id", "v", k = 3)
+  def projectConcepts(eps: Double, minPts: Int = 4,
+      algorithm: String = "pca"): DataFrame = {
+    val embedded = concepts.where(col("embedding").isNotNull)
+      .select(col("concept_id").as("id"), col("embedding").as("v"))
+    // "tsne" = the reference's default projection algorithm (driver-side
+    // over a bounded sample, like the reference); "pca" = the distributed
+    // scale path (embedding_projection_service.py:734-751 vs SURVEY §7.3).
+    val p = algorithm match {
+      case "tsne" => graft.analysis.Projection.tsne(embedded, "id", "v", dims = 3)
+      case _      => graft.analysis.Projection.pca(embedded, "id", "v", k = 3)
+    }
     val dims = Seq("p0", "p1", "p2")
-    p.join(graft.analysis.Projection.dbscan(p, "id", dims, eps, minPts), "id")
+    val epsUsed =
+      if (eps > 0) eps
+      else graft.analysis.Projection.suggestEps(p, dims, minPts) // reference auto-tune
+    p.join(graft.analysis.Projection.dbscan(p, "id", dims, epsUsed, minPts), "id")
   }
 
   /** M5 merge_edge_types: rewrite edges from a deprecated type to its

@@ -15,6 +15,11 @@ import org.apache.spark.storage.StorageLevel
   * collecting rows), then DBSCAN on the projected 3-D points via a
   * grid-cell join — neighbor pairs only form between points whose cells
   * touch, so the pair join is bounded by local density, never O(n²).
+  *
+  * [[tsne]] keeps the reference's DEFAULT algorithm available with the
+  * reference's own execution shape (a driver-side step over a bounded
+  * collected sample — the reference never projects more than 10⁴ points);
+  * PCA remains the distributed scale path.
   */
 object Projection {
 
@@ -32,6 +37,77 @@ object Projection {
     val out = model.transform(assembled)
     val cols = (0 until k).map(i => element_at(vector_to_array(col("pca")), i + 1).as(s"p$i"))
     out.select(col("id") +: cols: _*)
+  }
+
+  /** The reference's small-dataset perplexity clamp
+    * (embedding_projection_service.py:702-709, unit-tested by its
+    * test_projection_perplexity_clamp.py): `min(p, (n-1)//3)`, raised to at
+    * least 2 when it falls under 5, capped at n−1. */
+  def effectivePerplexity(perplexity: Int, nSamples: Int): Int = {
+    var eff = math.min(perplexity, (nSamples - 1) / 3)
+    if (eff < 5) eff = math.max(2, eff)
+    math.min(eff, nSamples - 1)
+  }
+
+  /** Exact t-SNE (van der Maaten & Hinton 2008) to `dims` components — the
+    * reference's default projection algorithm
+    * (embedding_projection_service.py:737-744: perplexity clamp, PCA init
+    * for n > 50 else seeded random, auto learning rate). Driver-side over a
+    * deterministic ≤`maxSamples` sample, exactly like the reference (it
+    * collects every embedding it projects); the O(n²) affinity matrix is
+    * the reason this is bounded, and [[pca]] is the unbounded distributed
+    * path. Output: (id, p0..p{dims-1}). */
+  def tsne(df: DataFrame, idCol: String, vecCol: String, dims: Int = 3,
+      perplexity: Int = 30, iterations: Int = 500, seed: Long = 42L,
+      maxSamples: Int = 2000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("string").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .orderBy(col("id")).limit(maxSamples)
+      .collect()
+    val n = rows.length
+    require(n >= 3, s"t-SNE needs at least 3 samples, got $n (reference floor)")
+    val ids = rows.map(_.getString(0))
+    val x = rows.map(_.getSeq[Double](1).toArray)
+    val y = TsneKernel.run(x, dims,
+      effectivePerplexity(perplexity, n), iterations, seed)
+    val out = ids.indices.map(i => (ids(i), y(i).toSeq)).toSeq
+      .toDF("id", "p")
+    val cols = (0 until dims).map(i => element_at(col("p"), i + 1).as(s"p$i"))
+    out.select(col("id") +: cols: _*)
+  }
+
+  /** The reference's DBSCAN eps auto-tune
+    * (embedding_projection_service.py:753-807): 40th percentile of the
+    * k-NN distances (k = minPts), floored at 1% of the coordinate range
+    * and 1e-6. Driver-side over the projected points, like the reference. */
+  def suggestEps(points: DataFrame, dims: Seq[String], minPts: Int = 5): Double = {
+    val rows = points.select(dims.map(c => col(c).cast("double")): _*).collect()
+    val p = rows.map(r => Array.tabulate(dims.length)(r.getDouble))
+    val n = p.length
+    if (n < minPts) return 1e-6
+    val kth = Array.tabulate(n) { i =>
+      val d = Array.tabulate(n) { j =>
+        var s = 0.0
+        var k = 0
+        while (k < dims.length) { val t = p(i)(k) - p(j)(k); s += t * t; k += 1 }
+        math.sqrt(s)
+      }
+      java.util.Arrays.sort(d)
+      d(math.min(minPts - 1, n - 1)) // self at d(0), kth neighbor inclusive of self like sklearn kneighbors
+    }
+    java.util.Arrays.sort(kth)
+    // numpy linear-interpolation percentile
+    val pos = 0.40 * (n - 1)
+    val lo = pos.toInt
+    val frac = pos - lo
+    val eps = if (lo + 1 < n) kth(lo) * (1 - frac) + kth(lo + 1) * frac else kth(lo)
+    val range = (0 until dims.length).map { k =>
+      val vals = p.map(_(k)); vals.max - vals.min
+    }.max
+    math.max(math.max(eps, range * 0.01), 1e-6)
   }
 
   /** DBSCAN on low-dimensional points via the grid-cell method:
@@ -146,5 +222,261 @@ object Projection {
         coalesce(col("label"), col("border_label"), lit("-1")).as("cluster"))
     Seq(p, neighbors, cores, coreEdges).foreach(_.unpersist())
     result
+  }
+}
+
+/** Exact t-SNE gradient machinery (van der Maaten & Hinton, JMLR 2008) with
+  * sklearn's published defaults: early exaggeration 12 for the first 250
+  * iterations, momentum 0.5 → 0.8 at iteration 250, adaptive per-parameter
+  * gains, auto learning rate max(n/12/4, 50). Dense arrays, O(n²) per
+  * iteration — callers bound n (Projection.tsne caps the sample). */
+private[analysis] object TsneKernel {
+
+  def run(x: Array[Array[Double]], dims: Int, perplexity: Int,
+      iterations: Int, seed: Long): Array[Array[Double]] = {
+    val n = x.length
+    val d2 = squaredDistances(x)
+    val p = jointProbabilities(d2, perplexity)
+    val y = if (n > 50) pcaInit(x, dims, seed) else randomInit(n, dims, seed)
+    val lr = math.max(n / 12.0 / 4.0, 50.0)
+    descend(p, y, iterations, lr)
+    y
+  }
+
+  private def squaredDistances(x: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = x.length
+    val d2 = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var s = 0.0
+        var k = 0
+        val xi = x(i); val xj = x(j)
+        while (k < xi.length) { val t = xi(k) - xj(k); s += t * t; k += 1 }
+        d2(i)(j) = s; d2(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+    d2
+  }
+
+  /** Per-point bandwidth by bisection on entropy (target = ln perplexity),
+    * then symmetrized joint probabilities with sklearn's 1e-12 floor. */
+  private def jointProbabilities(d2: Array[Array[Double]],
+      perplexity: Int): Array[Array[Double]] = {
+    val n = d2.length
+    val targetH = math.log(perplexity.toDouble)
+    val cond = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var beta = 1.0
+      var betaMin = Double.NegativeInfinity
+      var betaMax = Double.PositiveInfinity
+      var it = 0
+      var done = false
+      while (it < 50 && !done) {
+        var sumP = 0.0
+        var sumDP = 0.0
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val pj = math.exp(-d2(i)(j) * beta)
+            cond(i)(j) = pj
+            sumP += pj
+            sumDP += d2(i)(j) * pj
+          }
+          j += 1
+        }
+        val h = if (sumP > 0) math.log(sumP) + beta * sumDP / sumP else 0.0
+        val diff = h - targetH
+        if (math.abs(diff) < 1e-5 || sumP == 0.0) done = true
+        else if (diff > 0) {
+          betaMin = beta
+          beta = if (betaMax.isPosInfinity) beta * 2 else (beta + betaMax) / 2
+        } else {
+          betaMax = beta
+          beta = if (betaMin.isNegInfinity) beta / 2 else (beta + betaMin) / 2
+        }
+        it += 1
+      }
+      val norm = { var s = 0.0; var j = 0; while (j < n) { s += cond(i)(j); j += 1 }; s }
+      if (norm > 0) { var j = 0; while (j < n) { cond(i)(j) /= norm; j += 1 } }
+      i += 1
+    }
+    val p = Array.ofDim[Double](n, n)
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        p(i)(j) = math.max((cond(i)(j) + cond(j)(i)) / (2.0 * n), 1e-12)
+        j += 1
+      }
+      i += 1
+    }
+    p
+  }
+
+  /** PCA init (n > 50, sklearn behavior): top-`dims` principal scores via
+    * power iteration with Gram-Schmidt deflation, scaled so the first
+    * coordinate has std 1e-4. Deterministic for a fixed seed. */
+  private def pcaInit(x: Array[Array[Double]], dims: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = x.length
+    val d = x(0).length
+    val mean = new Array[Double](d)
+    x.foreach { r => var k = 0; while (k < d) { mean(k) += r(k); k += 1 } }
+    var k = 0
+    while (k < d) { mean(k) /= n; k += 1 }
+    val c = x.map { r => Array.tabulate(d)(k => r(k) - mean(k)) }
+    val rnd = new java.util.Random(seed)
+    val comps = Array.ofDim[Double](dims, d)
+    val y = Array.ofDim[Double](n, dims)
+    var m = 0
+    while (m < dims) {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      var it = 0
+      while (it < 60) {
+        // orthogonalize against found components, then v := Cᵀ(Cv) normalized
+        var p = 0
+        while (p < m) {
+          var dot = 0.0
+          k = 0
+          while (k < d) { dot += v(k) * comps(p)(k); k += 1 }
+          k = 0
+          while (k < d) { v(k) -= dot * comps(p)(k); k += 1 }
+          p += 1
+        }
+        val t = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = 0.0
+          k = 0
+          while (k < d) { s += c(i)(k) * v(k); k += 1 }
+          t(i) = s
+          i += 1
+        }
+        java.util.Arrays.fill(v, 0.0)
+        i = 0
+        while (i < n) {
+          k = 0
+          while (k < d) { v(k) += c(i)(k) * t(i); k += 1 }
+          i += 1
+        }
+        var norm = 0.0
+        k = 0
+        while (k < d) { norm += v(k) * v(k); k += 1 }
+        norm = math.sqrt(norm)
+        if (norm > 0) { k = 0; while (k < d) { v(k) /= norm; k += 1 } }
+        it += 1
+      }
+      comps(m) = v
+      var i = 0
+      while (i < n) {
+        var s = 0.0
+        k = 0
+        while (k < d) { s += c(i)(k) * v(k); k += 1 }
+        y(i)(m) = s
+        i += 1
+      }
+      m += 1
+    }
+    // scale: std of first coordinate → 1e-4 (sklearn init='pca')
+    var s0 = 0.0
+    var mean0 = 0.0
+    y.foreach(r => mean0 += r(0)); mean0 /= n
+    y.foreach(r => s0 += (r(0) - mean0) * (r(0) - mean0))
+    val std0 = math.sqrt(s0 / n)
+    val scale = if (std0 > 0) 1e-4 / std0 else 1.0
+    y.foreach { r => var q = 0; while (q < dims) { r(q) *= scale; q += 1 } }
+    y
+  }
+
+  private def randomInit(n: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(n)(Array.fill(dims)(rnd.nextGaussian() * 1e-4))
+  }
+
+  /** In-place gradient descent on the KL divergence with the Student-t
+    * low-dimensional kernel. */
+  private def descend(p: Array[Array[Double]], y: Array[Array[Double]],
+      iterations: Int, lr: Double): Unit = {
+    val n = y.length
+    val dims = y(0).length
+    val explorationIters = math.min(250, iterations)
+    val update = Array.ofDim[Double](n, dims)
+    val gains = Array.fill(n, dims)(1.0)
+    val num = Array.ofDim[Double](n, n)
+    var iter = 0
+    while (iter < iterations) {
+      val exaggeration = if (iter < explorationIters) 12.0 else 1.0
+      val momentum = if (iter < explorationIters) 0.5 else 0.8
+      // Student-t numerators and normalizer
+      var z = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          var s = 0.0
+          var k = 0
+          while (k < dims) { val t = y(i)(k) - y(j)(k); s += t * t; k += 1 }
+          val q = 1.0 / (1.0 + s)
+          num(i)(j) = q; num(j)(i) = q
+          z += 2.0 * q
+          j += 1
+        }
+        i += 1
+      }
+      // Phase 1: every gradient against the SAME frozen y (num and z were
+      // computed from it) — updating positions mid-pass would mix stale
+      // kernel values with moved points and diverge.
+      i = 0
+      while (i < n) {
+        val gi = new Array[Double](dims)
+        var j = 0
+        while (j < n) {
+          if (j != i) {
+            val mult = (p(i)(j) * exaggeration - num(i)(j) / z) * num(i)(j)
+            var k = 0
+            while (k < dims) { gi(k) += 4.0 * mult * (y(i)(k) - y(j)(k)); k += 1 }
+          }
+          j += 1
+        }
+        var k = 0
+        while (k < dims) {
+          val g = gi(k)
+          gains(i)(k) =
+            math.max(0.01,
+              if (math.signum(g) != math.signum(update(i)(k))) gains(i)(k) + 0.2
+              else gains(i)(k) * 0.8)
+          update(i)(k) = momentum * update(i)(k) - lr * gains(i)(k) * g
+          k += 1
+        }
+        i += 1
+      }
+      // Phase 2: apply all updates, then recenter (van der Maaten's
+      // reference implementation recenters every iteration).
+      val mean = new Array[Double](dims)
+      i = 0
+      while (i < n) {
+        var k = 0
+        while (k < dims) {
+          y(i)(k) += update(i)(k)
+          mean(k) += y(i)(k)
+          k += 1
+        }
+        i += 1
+      }
+      var k = 0
+      while (k < dims) { mean(k) /= n; k += 1 }
+      i = 0
+      while (i < n) {
+        k = 0
+        while (k < dims) { y(i)(k) -= mean(k); k += 1 }
+        i += 1
+      }
+      iter += 1
+    }
   }
 }
