@@ -49,7 +49,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       try { Files.createDirectory(versionDir(table, next)); claimed = true }
       catch { case _: java.nio.file.FileAlreadyExistsException => next += 1L }
     }
-    df.write.mode("overwrite").parquet(versionDir(table, next).toString)
+    // `append` into the just-claimed EMPTY directory — overwrite would
+    // first DELETE it, and in that window a concurrent committer's
+    // createDirectory on the same version would succeed, putting two
+    // writers in one directory. The claim must exist continuously from
+    // allocation to pointer move. (Allocation never reuses an existing
+    // directory, so append semantics can never mix two commits.)
+    df.write.mode("append").parquet(versionDir(table, next).toString)
     advancePointer(table, next)
     next
   }

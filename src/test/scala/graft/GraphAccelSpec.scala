@@ -45,6 +45,24 @@ class GraphAccelSpec extends SparkSpec {
     assert(auto == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
   }
 
+  test("accel cache distinguishes same-schema graphs and survives invalidate") {
+    // The load cache keys on the canonicalized plan; two local datasets
+    // with IDENTICAL schema but different rows must never share an entry.
+    val g1 = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val g2 = Seq(("a", "z")).toDF("src", "dst")
+    assert(distances(GraphOps.bfsAuto(g1, Seq("a"), 3, Outgoing)) ==
+      Map("a" -> 0, "b" -> 1, "c" -> 2))
+    assert(distances(GraphOps.bfsAuto(g2, Seq("a"), 3, Outgoing)) ==
+      Map("a" -> 0, "z" -> 1))
+    // repeat g1 (cache hit path) — identical result
+    assert(distances(GraphOps.bfsAuto(g1, Seq("a"), 3, Outgoing)) ==
+      Map("a" -> 0, "b" -> 1, "c" -> 2))
+    GraphOps.invalidateAccel()
+    // cold reload after invalidation — still identical
+    assert(distances(GraphOps.bfsAuto(g1, Seq("a"), 3, Outgoing)) ==
+      Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
   test("auto shortest path equals distributed shortest path") {
     val es = Seq(("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("d", "e"))
       .toDF("src", "dst")

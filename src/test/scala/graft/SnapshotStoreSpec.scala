@@ -47,6 +47,51 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.readAt("t", 3).as[Int].collect().toSet == Set(3))
   }
 
+  test("concurrent committers on one root never clobber each other") {
+    // Two INDEPENDENT store instances (the cross-writer case the instance
+    // lock can't cover): version allocation via atomic createDirectory must
+    // give every commit its own directory, and the pointer must end at the
+    // maximum committed version.
+    val root = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val stores = Seq(new SnapshotStore(spark, root), new SnapshotStore(spark, root))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = stores.zipWithIndex.map { case (st, w) =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] =
+            (1 to 4).map(i => st.commit("t", Seq(w * 100 + i).toDF("x")))
+        })
+      }
+      val versions = futures.flatMap(_.get())
+      // every commit got a distinct version — nothing was overwritten
+      assert(versions.distinct.size == 8)
+      assert(st0Readable(stores.head, versions))
+      assert(stores.head.latestVersion("t").contains(versions.max))
+    } finally pool.shutdown()
+  }
+
+  private def st0Readable(st: SnapshotStore, versions: Seq[Long]): Boolean =
+    versions.forall(v => st.readAt("t", v).count() == 1)
+
+  test("vacuum dropOrphans removes a crashed commit's directory") {
+    val root = java.nio.file.Files.createTempDirectory("graft-orphan").toString
+    val st = new SnapshotStore(spark, root)
+    st.commit("t", Seq(1).toDF("x"))
+    st.commit("t", Seq(2).toDF("x"))
+    // simulate a crash: an allocated version directory above the pointer
+    val orphan = java.nio.file.Paths.get(root, "t", "v=7")
+    java.nio.file.Files.createDirectories(orphan)
+    assert(st.history("t") == Seq(1L, 2L)) // orphan is not history
+    st.vacuum("t", keepLast = 2, dropOrphans = true)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(st.history("t") == Seq(1L, 2L)) // committed versions intact
+    // and the next commit allocates ABOVE where the orphan was... or not —
+    // either way it must be a fresh directory that commits cleanly
+    val v = st.commit("t", Seq(3).toDF("x"))
+    assert(st.read("t").as[Int].collect().toSet == Set(3))
+    assert(v > 2L)
+  }
+
   test("epoch clock integration: committed version drives Freshness") {
     val st = freshStore()
     st.commit("events", Seq(1L).toDF("event_id"))
