@@ -170,6 +170,29 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Exact all-pairs containment above a threshold, same inverted-index
+    * shape as [[exactJaccardPairs]]: C(A,B) = |A∩B| / min(|A|,|B|). The
+    * asymmetric-size dedup kernel — a document wholly embedded in a larger
+    * one scores containment ≈ 1 while its Jaccard can be arbitrarily low,
+    * so this catches the near-superset duplicates (quoted articles,
+    * concatenated shards) that symmetric similarity misses. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 4, minContainment: Double = 0.8): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      charShingles(col(textCol), shingleK).as("sh"))
+    val sizes = d.select(col("id"), size(col("sh")).as("n"))
+    val inv = d.select(col("id"), explode(col("sh")).as("s"))
+    inv.toDF("a_id", "s")
+      .join(inv.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "a_n"), "a_id")
+      .join(sizes.toDF("b_id", "b_n"), "b_id")
+      .withColumn("containment",
+        round(col("inter") / least(col("a_n"), col("b_n")), 6))
+      .where(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
   /** Distinct character k-gram shingles of `text`. */
   def charShingles(text: Column, k: Int): Column =
     array_distinct(transform(

@@ -79,6 +79,17 @@ object DedupQueries {
         .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
         .orderBy(col("a_id"), col("rn"))
     }),
+
+    // Asymmetric containment dedup: C(A,B) = |A∩B| / min(|A|,|B|) — the
+    // near-superset detector (a doc quoted inside a larger one scores ≈1
+    // here while its symmetric Jaccard can be arbitrarily low). Same
+    // inverted-index shape as q35.
+    "q58_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(
+          Tables.documents(s, dir).where(col("doc_id") < 120),
+          "doc_id", "text", shingleK = 4, minContainment = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +180,19 @@ object DedupQueries {
         |               b.vec_id ASC) AS rn
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id != b.vec_id) t
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q58_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)),
+        |      i -> substring(text, i, 4))) AS sh
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.sh, b.sh))
+        |    / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.sh, b.sh))
+        |    / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -140,6 +140,29 @@ object TextQueries {
         .select(col("lang"), col("rn"), col("word"), col("score"))
         .orderBy(col("lang"), col("rn"))
     }),
+
+    // Vocabulary coverage cutoff (BPE-prep): tokens by corpus frequency,
+    // cumulative share of all occurrences, kept until 90% coverage — the
+    // step that sizes a subword vocabulary before training a tokenizer.
+    // cum_share is a single IEEE division of exact BIGINTs, so the raw
+    // double is bit-identical cross-engine (no rounding needed).
+    "q59_vocab_coverage" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)
+      counts
+        .withColumn("tok_rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .crossJoin(counts.agg(sum(col("n")).as("total")))
+        .where((col("cum") - col("n")).cast("double") < lit(0.90) * col("total").cast("double"))
+        .select(col("tok_rank"), col("token"), col("n"),
+          (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+        .orderBy(col("tok_rank"))
+    }),
   )
 
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
@@ -225,5 +248,23 @@ object TextQueries {
         |  FROM scored)
         |SELECT lang, rn, word, score FROM ranked WHERE rn <= 5
         |ORDER BY lang, rn""".stripMargin,
+
+    "q59_vocab_coverage" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '$wordPat')) AS token
+         |  FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         |r AS (
+         |  SELECT token, CAST(n AS BIGINT) AS n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS tok_rank,
+         |    CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM c)
+         |SELECT tok_rank, token, n,
+         |  CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE) AS cum_share
+         |FROM r
+         |WHERE CAST(cum - n AS DOUBLE) < 0.90 * CAST((SELECT total FROM t) AS DOUBLE)
+         |ORDER BY tok_rank""".stripMargin,
   )
 }

@@ -90,6 +90,23 @@ class DedupSpec extends SparkSpec {
     assert(agreement(sig(1L), sig(3L)) < 0.3)
   }
 
+  test("containment flags a near-superset pair that Jaccard misses") {
+    val rnd = new scala.util.Random(11)
+    def randWords(n: Int) =
+      Seq.fill(n)(Seq.fill(5)(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val small = randWords(15)
+    val big = small + " " + randWords(150) // small is wholly contained
+    val docs = Seq((1L, small), (2L, big)).toDF("id", "text")
+    val cont = Dedup.containmentPairs(docs, "id", "text",
+        shingleK = 4, minContainment = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.length == 1 && cont.head._3 > 0.9) // near-superset caught
+    val jac = Dedup.exactJaccardPairs(docs, "id", "text",
+        shingleK = 4, minJaccard = 0.5)
+      .collect()
+    assert(jac.isEmpty) // symmetric similarity misses it entirely
+  }
+
   test("portableHash60 matches the DuckDB hex-decode formula") {
     // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
     val h = spark.range(1)
