@@ -230,6 +230,39 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** All pairs with Hamming(fp) ≤ `maxHamming` via pigeonhole banding —
+    * the EQUI-JOIN form of the fingerprint pair search: split the
+    * fingerprint into `maxHamming + 1` disjoint bit blocks; two
+    * fingerprints within distance t must agree exactly on ≥1 block, so
+    * candidates come from a shuffle join keyed by (block, value) and are
+    * then verified exactly. No cross join at any scale. Pruning power is
+    * the per-block value space (2^width), so this is the shape to use when
+    * maxHamming is small relative to nBits — the all-pairs theta join is
+    * only acceptable over an explicitly bounded probe set (see q37). */
+  def hammingNearPairs(fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int, nBits: Int = 64): DataFrame = {
+    val blocks = maxHamming + 1
+    require(blocks <= nBits, s"need at least one bit per block ($blocks > $nBits)")
+    val bandCols = (0 until blocks).map { b =>
+      val lo = b * nBits / blocks
+      val width = (b + 1) * nBits / blocks - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("b"),
+        shiftright(col("fp"), lo).bitwiseAND(lit(mask)).as("v"))
+    }
+    val bands = fp.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .withColumn("band", explode(array(bandCols: _*)))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.fp").as("a_fp"), col("b.fp").as("b_fp"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamming64(col("a_fp"), col("b_fp")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Scala-side hamming distance (driver/test use). */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }

@@ -107,6 +107,28 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty) // symmetric similarity misses it entirely
   }
 
+  test("banded hamming join finds exactly the all-pairs result") {
+    val rnd = new scala.util.Random(23)
+    // random 64-bit fingerprints plus planted near-dups (flip ≤ maxH bits)
+    val base = Seq.fill(40)(rnd.nextLong())
+    def flip(x: Long, k: Int): Long =
+      (1 to k).foldLeft(x)((v, _) => v ^ (1L << rnd.nextInt(64)))
+    val fps = base.zipWithIndex.map { case (f, i) => (i.toLong, f) } ++
+      base.take(8).zipWithIndex.map { case (f, i) => (100L + i, flip(f, 1 + rnd.nextInt(4))) }
+    val df = fps.toDF("id", "fp")
+    for (maxH <- Seq(0, 3, 12)) {
+      val banded = Dedup.hammingNearPairs(df, "id", "fp", maxH)
+        .as[(Long, Long, Long)].collect().toSet
+      val allPairs = df.toDF("a_id", "a_fp")
+        .join(df.toDF("b_id", "b_fp"), $"a_id" < $"b_id")
+        .withColumn("hamming", Dedup.hamming64($"a_fp", $"b_fp").cast("long"))
+        .where($"hamming" <= maxH)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(t => (t._1, t._3, t._5)).toSet
+      assert(banded == allPairs, s"maxH=$maxH")
+    }
+  }
+
   test("portableHash60 matches the DuckDB hex-decode formula") {
     // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
     val h = spark.range(1)

@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape regression net over EVERY registered query: the scale
+  * properties SCALE.md claims are asserted against the actual physical
+  * plans at fixture scale, so a future edit that silently introduces an
+  * unbounded cross join or turns a top-k into a global sort fails here,
+  * not at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Queries whose nested-loop join is DELIBERATE and bounded by
+    * construction (documented small side), not an accident:
+    *  - q26/q38: inequality self-pairing of the embeddings table where one
+    *    side is a ≤10-row probe set (broadcast, pairs = 10 × n)
+    *  - q28: pairing within label groups via theta join (groups are dims)
+    *  - q46: vocab-table synonym pairing (vocab is tiny by definition)
+    *  - q44: polarity poles cross-join (2 rows) onto candidates
+    */
+  private val boundedNlj: Set[String] = Set(
+    "q26_knn_pairs", "q28_diversity", "q38_embed_neardup", "q46_synonyms",
+    "q44_polarity",
+    // q37: inequality pairing over an explicitly bounded probe set
+    // (doc_id < 200); the unbounded form is Dedup.hammingNearPairs
+    // (pigeonhole-banded equi-join, proven equivalent in DedupSpec)
+    "q37_simhash",
+    // q59: cross join against a ONE-ROW global aggregate (the corpus
+    // token total) — a broadcast of a scalar, not a pair explosion
+    "q59_vocab_coverage")
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("no registered query plans an unbounded cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(name)
+      val nlj = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (nlj && !boundedNlj(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian join in: ${offenders.mkString(", ")}")
+  }
+
+  test("top-k queries compile to TakeOrderedAndProject, never a global sort") {
+    Seq("q09_topk", "q25_cosine_topk", "q52_bigrams").foreach { name =>
+      assert(planOf(name).contains("TakeOrderedAndProject"), name)
+    }
+  }
+}
