@@ -201,14 +201,20 @@ final case class KnowledgeGraph(
     // "tsne" = the reference's default projection algorithm (driver-side
     // over a bounded sample, like the reference); "pca" = the distributed
     // scale path (embedding_projection_service.py:734-751 vs SURVEY §7.3).
-    val p = algorithm match {
+    // Lazy checkpoint: the projected coordinates feed the eps estimate, the
+    // result join, and DBSCAN — three consumers, one materialization.
+    val p = (algorithm match {
       case "tsne" => graft.analysis.Projection.tsne(embedded, "id", "v", dims = 3)
       case _      => graft.analysis.Projection.pca(embedded, "id", "v", k = 3)
-    }
+    }).localCheckpoint(false)
     val dims = Seq("p0", "p1", "p2")
+    // Reference auto-tune (40th-pct k-NN distance) is an O(n²) driver-side
+    // heuristic, so on the distributed PCA path it sees a bounded
+    // deterministic sample — never the full corpus.
     val epsUsed =
       if (eps > 0) eps
-      else graft.analysis.Projection.suggestEps(p, dims, minPts) // reference auto-tune
+      else graft.analysis.Projection.suggestEps(
+        p.orderBy(col("id")).limit(2000), dims, minPts)
     p.join(graft.analysis.Projection.dbscan(p, "id", dims, epsUsed, minPts), "id")
   }
 

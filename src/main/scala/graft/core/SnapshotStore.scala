@@ -39,9 +39,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     *
     * The pointer only moves FORWARD (never to a lower version), so two racing
     * committers converge on the higher version; the lower one remains on disk
-    * as a committed-but-superseded version. Cross-JVM `append` linearization
-    * is still the caller's job (see `append`). */
-  def commit(table: String, df: DataFrame): Long = synchronized {
+    * as a committed-but-superseded version. A version directory counts as
+    * COMMITTED only once its `_SUCCESS` marker exists (written by the
+    * FileOutputCommitter after every part file) — a racing committer that is
+    * overtaken, or a crash mid-write, leaves a marker-less directory that
+    * `history`/`read` never expose, whatever its position relative to the
+    * pointer. Cross-JVM `append` linearization is still the caller's job
+    * (see `append`). */
+  def commit(table: String, df: DataFrame): Long = SnapshotStore.rootLock(root) {
     Files.createDirectories(tableDir(table))
     var next = math.max(latestVersion(table).getOrElse(0L), maxVersionDir(table)) + 1L
     var claimed = false
@@ -60,42 +65,46 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     next
   }
 
-  /** Move the pointer to `next` unless an already-committed version is newer
-    * (forward-only; keeps racing cross-JVM committers monotone). */
+  /** Move the pointer to `next` unless an already-committed version is newer.
+    * Forward-only is enforced under a cross-process FILE LOCK on the table
+    * root (plus the JVM-wide monitor inside [[SnapshotStore.rootLock]]) — a
+    * bare check-then-rename would let two committers interleave reads and
+    * regress the pointer. Local-filesystem design, like the store itself; an
+    * object-store deployment swaps this layer for a commit log, exactly as
+    * Delta/Iceberg do. */
   private def advancePointer(table: String, next: Long): Unit = {
-    if (latestVersion(table).forall(_ < next)) {
-      val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
-      Files.writeString(tmp, next.toString)
-      Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    val lockPath = tableDir(table).resolve("_pointer.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (latestVersion(table).forall(_ < next)) {
+          val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
+          Files.writeString(tmp, next.toString)
+          Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** Highest existing version DIRECTORY (committed or orphan) — allocation
     * must start above both the pointer and any orphan. */
-  private def maxVersionDir(table: String): Long = {
-    val d = tableDir(table)
-    if (!Files.exists(d)) 0L
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
-        .foldLeft(0L)(math.max)
-      finally s.close()
-    }
-  }
+  private def maxVersionDir(table: String): Long =
+    versionDirs(table).foldLeft(0L)(math.max)
 
   /** Append rows as a new version (union with the current snapshot).
-    * Synchronized so that within ONE store instance the base resolution and
-    * the commit are a single atomic step. Across instances/JVMs, version
+    * Root-locked so that within ONE JVM the base resolution and the commit
+    * are a single atomic step. Across instances/JVMs, version
     * allocation (see `commit`) guarantees neither append's data is ever
     * overwritten, but two appends basing off the same snapshot still produce
     * two sibling versions each missing the other's batch — read-modify-write
     * appends on a shared root require a single writer per table (the same
     * contract Delta/Iceberg enforce with a commit log; the reference gets it
     * from Postgres transactions, schema/00_baseline.sql:2198-2240). */
-  def append(table: String, rows: DataFrame): Long = synchronized {
+  def append(table: String, rows: DataFrame): Long = SnapshotStore.rootLock(root) {
     commit(table, latestVersion(table) match {
       case Some(v) => readAt(table, v).unionByName(rows, allowMissingColumns = true)
       case None    => rows
@@ -113,48 +122,78 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     readAt(table, latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no committed version of $table")))
 
-  /** Time travel: read a specific version. */
-  def readAt(table: String, version: Long): DataFrame =
+  /** Time travel: read a specific version. Refuses a version whose write
+    * never completed (no `_SUCCESS` marker) — an in-flight or crashed
+    * sibling commit must not be readable as data. */
+  def readAt(table: String, version: Long): DataFrame = {
+    require(isCommitted(table, version),
+      s"version $version of $table is not a committed version")
     spark.read.parquet(versionDir(table, version).toString)
+  }
 
-  /** All COMMITTED versions, ascending: directory entries at or below the
-    * pointer (an orphan directory from a failed commit is above the
-    * pointer and is not history). */
+  /** True iff the version directory's write COMPLETED: the
+    * FileOutputCommitter writes `_SUCCESS` only after every part file is in
+    * place, so a slow or crashed commit — even one overtaken by a sibling
+    * whose pointer advanced past it — is never mistaken for data. */
+  private def isCommitted(table: String, v: Long): Boolean =
+    Files.exists(versionDir(table, v).resolve("_SUCCESS"))
+
+  /** Every existing version directory number, ascending (committed or not). */
+  private def versionDirs(table: String): Seq[Long] = {
+    val d = tableDir(table)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** All COMMITTED versions, ascending: completed writes (`_SUCCESS`
+    * present) at or below the pointer. A marker-less directory — in-flight,
+    * crashed, or overtaken mid-write by a faster sibling — is not history
+    * wherever it sits relative to the pointer. */
   def history(table: String): Seq[Long] = latestVersion(table) match {
     case None => Seq.empty
     case Some(latest) =>
-      val d = tableDir(table)
-      if (!Files.exists(d)) Seq.empty
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
-          .filter(_ <= latest)
-          .toSeq.sorted
-        finally s.close()
-      }
+      versionDirs(table).filter(v => v <= latest && isCommitted(table, v))
   }
 
   /** Drop committed versions older than the newest `keepLast`; the
     * pointer's version is always kept (keep set is derived from committed
     * history, never from stray directories). With `dropOrphans`, also remove
-    * never-committed directories above the pointer left by crashed commits —
-    * only safe when no commit is in flight on this table. */
+    * directories whose write never completed (no `_SUCCESS`) — crashed or
+    * overtaken commits at ANY position — which is only safe when no commit
+    * is in flight on this table. */
   def vacuum(table: String, keepLast: Int = 1, dropOrphans: Boolean = false): Unit =
-    synchronized {
+    SnapshotStore.rootLock(root) {
       val committed = history(table)
       val keep = committed.takeRight(math.max(keepLast, 1)).toSet ++
         latestVersion(table)
-      val latest = latestVersion(table).getOrElse(0L)
       val orphans =
         if (!dropOrphans) Seq.empty
-        else (committed.lastOption.getOrElse(0L) until maxVersionDir(table))
-          .map(_ + 1L).filter(v => v > latest && Files.exists(versionDir(table, v)))
+        else versionDirs(table).filterNot(committed.toSet)
       (committed.filterNot(keep) ++ orphans).foreach { v =>
         val w = Files.walk(versionDir(table, v))
         try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
         finally w.close()
       }
     }
+}
+
+object SnapshotStore {
+  /** One monitor per root path: serializes commit/append/vacuum across ALL
+    * store instances in this JVM (the per-instance `synchronized` the file
+    * lock replaced could not see a sibling instance on the same root), and
+    * prevents OverlappingFileLockException on the pointer lock, whose file
+    * lock covers the cross-JVM half of the contract. */
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def rootLock[T](root: String)(body: => T): T = {
+    val m = monitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    m.synchronized(body)
+  }
 }

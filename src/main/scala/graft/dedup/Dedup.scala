@@ -99,12 +99,14 @@ object Dedup {
     // Materialized ONCE (same discipline as the affinity membership table):
     // the shingle table feeds the signature aggregation AND both sides of
     // the verification join — without the checkpoint the shingling (regex +
-    // distinct over every document) re-executes three times. localCheckpoint
-    // keeps it on executor-local storage, never the driver.
+    // distinct over every document) re-executes three times. LAZY
+    // localCheckpoint: materializes on the first action against the
+    // returned DataFrame, so merely building the plan (explain, plan-shape
+    // tests) runs no jobs; data stays on executor-local storage.
     val withShingles = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sigs =
       if (portable) portableMinhashSignatures(withShingles, numHashes)
       else withShingles.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
@@ -118,7 +120,7 @@ object Dedup {
     val bandRows = sigs
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands, portable)))
       .select(col("id"), col("bk"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val pairs = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
@@ -154,9 +156,23 @@ object Dedup {
     * survives a large corpus (the threshold guarantees every surviving
     * pair shares ≥1 shingle, so the index join is lossless). */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+      shingleK: Int = 4, minJaccard: Double = 0.5): DataFrame =
+    indexedPairs(df, idCol, textCol, shingleK,
+      round(col("inter") / (col("a_n") + col("b_n") - col("inter")), 6),
+      "jaccard", minJaccard)
+
+  /** Shared inverted-index pair kernel: per candidate pair (sharing ≥1
+    * shingle), the shared-shingle count `inter` and both set sizes
+    * `a_n`/`b_n`, scored by `score` (referencing those columns), thresholded
+    * and emitted as (a_id, b_id, scoreName). The shingle table is
+    * materialized once (lazily) because the size branch and the
+    * inverted-index branch both consume it. */
+  private def indexedPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, score: Column, scoreName: String,
+      minScore: Double): DataFrame = {
     val d = df.select(col(idCol).as("id"),
-      charShingles(col(textCol), shingleK).as("sh"))
+        charShingles(col(textCol), shingleK).as("sh"))
+      .localCheckpoint(false)
     val sizes = d.select(col("id"), size(col("sh")).as("n"))
     val inv = d.select(col("id"), explode(col("sh")).as("s"))
     inv.toDF("a_id", "s")
@@ -164,10 +180,9 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("a_id", "a_n"), "a_id")
       .join(sizes.toDF("b_id", "b_n"), "b_id")
-      .withColumn("jaccard",
-        round(col("inter") / (col("a_n") + col("b_n") - col("inter")), 6))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .withColumn(scoreName, score)
+      .where(col(scoreName) >= minScore)
+      .select(col("a_id"), col("b_id"), col(scoreName))
   }
 
   /** Exact all-pairs containment above a threshold, same inverted-index
@@ -177,21 +192,10 @@ object Dedup {
     * so this catches the near-superset duplicates (quoted articles,
     * concatenated shards) that symmetric similarity misses. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 4, minContainment: Double = 0.8): DataFrame = {
-    val d = df.select(col(idCol).as("id"),
-      charShingles(col(textCol), shingleK).as("sh"))
-    val sizes = d.select(col("id"), size(col("sh")).as("n"))
-    val inv = d.select(col("id"), explode(col("sh")).as("s"))
-    inv.toDF("a_id", "s")
-      .join(inv.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("a_id", "a_n"), "a_id")
-      .join(sizes.toDF("b_id", "b_n"), "b_id")
-      .withColumn("containment",
-        round(col("inter") / least(col("a_n"), col("b_n")), 6))
-      .where(col("containment") >= minContainment)
-      .select(col("a_id"), col("b_id"), col("containment"))
-  }
+      shingleK: Int = 4, minContainment: Double = 0.8): DataFrame =
+    indexedPairs(df, idCol, textCol, shingleK,
+      round(col("inter") / least(col("a_n"), col("b_n")), 6),
+      "containment", minContainment)
 
   /** Distinct character k-gram shingles of `text`. */
   def charShingles(text: Column, k: Int): Column =
