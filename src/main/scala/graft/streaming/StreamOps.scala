@@ -50,6 +50,22 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: decorate a stream with a broadcast-joined
+    * dimension table — the streaming twin of the vocab/epistemic decoration
+    * joins (J9/F4; the reference re-reads its vocabulary table per batch,
+    * api/app/lib/age_client/grounding.py:335-346). The static side is
+    * planned as a broadcast hash join in every micro-batch, so the stream
+    * never shuffles; an optional rel-type-style allowlist filters AFTER the
+    * join the same way F4 resolves statuses to types. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String,
+      allowed: Option[Seq[String]] = None, allowCol: String = ""): DataFrame = {
+    val joined = stream.join(broadcast(dim), Seq(key), "left")
+    allowed match {
+      case Some(vs) => joined.where(col(allowCol).isin(vs: _*))
+      case None     => joined
+    }
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_s: Long, closed: Boolean)

@@ -46,4 +46,16 @@ class PlanShapeSpec extends SparkSpec {
       assert(planOf(name).contains("TakeOrderedAndProject"), name)
     }
   }
+
+  test("filters push into the parquet scan and unused columns are pruned") {
+    // q01 filters l_shipdate and touches 7 of lineitem's 11 columns: the
+    // date predicate must reach PushedFilters and ReadSchema must not
+    // contain the untouched comment/instruct columns.
+    val q01 = planOf("q01_pricing_summary")
+    assert(q01.contains("PushedFilters: [IsNotNull(l_shipdate)"), "q01 pushdown")
+    assert(!q01.contains("l_comment"), "q01 column pruning")
+    // q02's equality/range predicates likewise reach the scan.
+    val q02 = planOf("q02_filter_project")
+    assert(q02.contains("PushedFilters:") && q02.contains("IsNotNull"), "q02 pushdown")
+  }
 }

@@ -35,6 +35,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows("click") == 2 && rows("view") == 1)
   }
 
+  test("stream-static enrichment broadcast-joins the dim per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    Seq(
+      (1L, ts(5), 10L, "click", 1.0, "{}"),
+      (2L, ts(6), 11L, "view", 2.0, "{}"),
+      (3L, ts(7), 12L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.enrichWithDim(stream, dim, "event_type",
+        allowed = Some(Seq("engagement")), allowCol = "category"),
+      "enrich", OutputMode.Append)
+    val rows = out.select($"event_id", $"category").as[(Long, String)]
+      .collect().toMap
+    assert(rows == Map(1L -> "engagement", 2L -> "engagement")) // purchase filtered
+  }
+
   test("epoch records expose the committed-epoch clock per kind (M8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     Seq(
