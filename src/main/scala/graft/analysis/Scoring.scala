@@ -107,9 +107,10 @@ object Scoring {
   def ontologyAffinity(membership: DataFrame, topN: Int): DataFrame = {
     // The (ontology, concept) membership is referenced three times (both
     // sides of the self-join + per-target totals); materialize the deduped
-    // view once so the upstream join/scan isn't recomputed per reference.
-    // Post-distinct it's dims × entities — small even at 100 TB inputs.
-    val m = membership.dropDuplicates().localCheckpoint(true)
+    // view once — LAZILY, so building the plan runs no jobs — and the
+    // upstream join/scan isn't recomputed per reference. Post-distinct it's
+    // dims × entities — small even at 100 TB inputs.
+    val m = membership.dropDuplicates().localCheckpoint(false)
     val a = m.toDF("ont_a", "concept_id")
     val b = m.toDF("ont_b", "concept_id")
     // m is distinct on (ontology, concept_id), so the join pairs are

@@ -46,7 +46,10 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * `history`/`read` never expose, whatever its position relative to the
     * pointer. Cross-JVM `append` linearization is still the caller's job
     * (see `append`). */
-  def commit(table: String, df: DataFrame): Long = SnapshotStore.rootLock(root) {
+  def commit(table: String, df: DataFrame): Long = {
+    // Deliberately NOT serialized across committers: allocation is atomic
+    // by itself (createDirectory), the write targets an exclusively-owned
+    // directory, and only the pointer move below needs mutual exclusion.
     Files.createDirectories(tableDir(table))
     var next = math.max(latestVersion(table).getOrElse(0L), maxVersionDir(table)) + 1L
     var claimed = false
@@ -61,34 +64,43 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // allocation to pointer move. (Allocation never reuses an existing
     // directory, so append semantics can never mix two commits.)
     df.write.mode("append").parquet(versionDir(table, next).toString)
+    // The committed-version contract below (history/readAt/vacuum) keys on
+    // the marker; a config that suppresses it (marksuccessfuljobs=false)
+    // must fail THIS commit loudly, not silently produce an unreadable
+    // version that vacuum would later reclaim as an orphan.
+    require(isCommitted(table, next),
+      s"commit wrote v=$next of $table without a _SUCCESS marker — " +
+        "the snapshot store requires mapreduce.fileoutputcommitter." +
+        "marksuccessfuljobs=true (the default)")
     advancePointer(table, next)
     next
   }
 
   /** Move the pointer to `next` unless an already-committed version is newer.
-    * Forward-only is enforced under a cross-process FILE LOCK on the table
-    * root (plus the JVM-wide monitor inside [[SnapshotStore.rootLock]]) — a
-    * bare check-then-rename would let two committers interleave reads and
-    * regress the pointer. Local-filesystem design, like the store itself; an
-    * object-store deployment swaps this layer for a commit log, exactly as
-    * Delta/Iceberg do. */
-  private def advancePointer(table: String, next: Long): Unit = {
-    val lockPath = tableDir(table).resolve("_pointer.lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock()
+    * Forward-only is enforced under a cross-process FILE LOCK (plus a
+    * per-root JVM monitor — overlapping FileLocks in one JVM throw rather
+    * than block) — a bare check-then-rename would let two committers
+    * interleave reads and regress the pointer. Local-filesystem design,
+    * like the store itself; an object-store deployment swaps this layer for
+    * a commit log, exactly as Delta/Iceberg do. */
+  private def advancePointer(table: String, next: Long): Unit =
+    SnapshotStore.rootLock(root) {
+      val lockPath = tableDir(table).resolve("_pointer.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        if (latestVersion(table).forall(_ < next)) {
-          val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
-          Files.writeString(tmp, next.toString)
-          Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        }
-      } finally lock.release()
-    } finally ch.close()
-  }
+        val lock = ch.lock()
+        try {
+          if (latestVersion(table).forall(_ < next)) {
+            val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
+            Files.writeString(tmp, next.toString)
+            Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
 
   /** Highest existing version DIRECTORY (committed or orphan) — allocation
     * must start above both the pointer and any orphan. */
@@ -173,9 +185,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       val committed = history(table)
       val keep = committed.takeRight(math.max(keepLast, 1)).toSet ++
         latestVersion(table)
+      // The pointer's version is NEVER an orphan candidate, marker or not —
+      // if the marker convention is ever violated, vacuum must degrade to
+      // "deletes nothing live", not to destroying the referenced version.
       val orphans =
         if (!dropOrphans) Seq.empty
-        else versionDirs(table).filterNot(committed.toSet)
+        else versionDirs(table)
+          .filterNot(committed.toSet)
+          .filterNot(latestVersion(table).toSet)
       (committed.filterNot(keep) ++ orphans).foreach { v =>
         val w = Files.walk(versionDir(table, v))
         try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -185,15 +202,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 }
 
 object SnapshotStore {
-  /** One monitor per root path: serializes commit/append/vacuum across ALL
-    * store instances in this JVM (the per-instance `synchronized` the file
-    * lock replaced could not see a sibling instance on the same root), and
-    * prevents OverlappingFileLockException on the pointer lock, whose file
-    * lock covers the cross-JVM half of the contract. */
+  /** One monitor per PHYSICAL root (symlinks resolved): serializes pointer
+    * moves, appends, and vacuums across all store instances in this JVM —
+    * sibling instances on the same root via different path spellings must
+    * share a monitor, or two threads would reach the pointer FileLock
+    * concurrently and the second would throw OverlappingFileLockException
+    * (in-JVM overlapping FileLocks fail rather than block). The file lock
+    * itself covers the cross-JVM half of the contract. */
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def rootLock[T](root: String)(body: => T): T = {
-    val m = monitors.computeIfAbsent(
-      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    val p = Paths.get(root)
+    val key =
+      (try if (Files.exists(p)) p.toRealPath() else p.toAbsolutePath.normalize
+       catch { case _: java.io.IOException => p.toAbsolutePath.normalize }).toString
+    val m = monitors.computeIfAbsent(key, _ => new Object)
     m.synchronized(body)
   }
 }

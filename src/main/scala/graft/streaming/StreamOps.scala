@@ -55,14 +55,19 @@ object StreamOps {
     * joins (J9/F4; the reference re-reads its vocabulary table per batch,
     * api/app/lib/age_client/grounding.py:335-346). The static side is
     * planned as a broadcast hash join in every micro-batch, so the stream
-    * never shuffles; an optional rel-type-style allowlist filters AFTER the
-    * join the same way F4 resolves statuses to types. */
+    * never shuffles. Without an allowlist, the join is LEFT: every stream
+    * row survives, unmatched keys carry null dim columns. With
+    * `allowed = Some((col, values))`, rows whose decorated `col` is not in
+    * `values` are dropped — INCLUDING rows with no dim match at all (their
+    * col is null, and an unknown key is by definition not on the
+    * allowlist), exactly how F4's status→type resolution excludes edge
+    * types the vocabulary doesn't know. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String,
-      allowed: Option[Seq[String]] = None, allowCol: String = ""): DataFrame = {
+      allowed: Option[(String, Seq[String])] = None): DataFrame = {
     val joined = stream.join(broadcast(dim), Seq(key), "left")
     allowed match {
-      case Some(vs) => joined.where(col(allowCol).isin(vs: _*))
-      case None     => joined
+      case Some((c, vs)) => joined.where(col(c).isin(vs: _*))
+      case None          => joined
     }
   }
 

@@ -50,12 +50,22 @@ class PlanShapeSpec extends SparkSpec {
   test("filters push into the parquet scan and unused columns are pruned") {
     // q01 filters l_shipdate and touches 7 of lineitem's 11 columns: the
     // date predicate must reach PushedFilters and ReadSchema must not
-    // contain the untouched comment/instruct columns.
-    val q01 = planOf("q01_pricing_summary")
-    assert(q01.contains("PushedFilters: [IsNotNull(l_shipdate)"), "q01 pushdown")
-    assert(!q01.contains("l_comment"), "q01 column pruning")
-    // q02's equality/range predicates likewise reach the scan.
-    val q02 = planOf("q02_filter_project")
-    assert(q02.contains("PushedFilters:") && q02.contains("IsNotNull"), "q02 pushdown")
+    // contain the untouched comment column. Metadata strings truncate at
+    // spark.sql.maxMetadataStringLength (default 100 — short enough to
+    // make a contains-check vacuous), so widen it for the render and keep
+    // a POSITIVE control (a column that must appear) alongside the
+    // negative assertion.
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      val q01 = planOf("q01_pricing_summary")
+      assert(q01.contains("PushedFilters: [IsNotNull(l_shipdate)"), "q01 pushdown")
+      assert(q01.contains("l_extendedprice"), "q01 read-schema renders fully")
+      assert(!q01.contains("l_comment"), "q01 column pruning")
+      // q02's equality/range predicates likewise reach the scan.
+      val q02 = planOf("q02_filter_project")
+      assert(q02.contains("PushedFilters:") && q02.contains("IsNotNull"), "q02 pushdown")
+    } finally spark.conf.set(key, prev)
   }
 }

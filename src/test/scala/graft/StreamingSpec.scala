@@ -40,19 +40,34 @@ class StreamingSpec extends SparkSpec {
     Seq(
       (1L, ts(5), 10L, "click", 1.0, "{}"),
       (2L, ts(6), 11L, "view", 2.0, "{}"),
-      (3L, ts(7), 12L, "purchase", 3.0, "{}"))
+      (3L, ts(7), 12L, "purchase", 3.0, "{}"),
+      (4L, ts(8), 13L, "scroll", 4.0, "{}")) // no dim entry
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(dir)
     val dim = Seq(("click", "engagement"), ("view", "engagement"),
       ("purchase", "revenue")).toDF("event_type", "category")
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    // No allowlist: LEFT semantics — the unmatched key survives with null
+    val all = StreamOps.runToMemory(spark,
+      StreamOps.enrichWithDim(stream, dim, "event_type"), "enrich_all",
+      OutputMode.Append)
+    assert(all.count() == 4)
+    assert(all.where($"event_id" === 4L && $"category".isNull).count() == 1)
+    // Allowlist: non-allowed AND unmatched keys are both dropped (F4)
     val out = StreamOps.runToMemory(spark,
       StreamOps.enrichWithDim(stream, dim, "event_type",
-        allowed = Some(Seq("engagement")), allowCol = "category"),
+        allowed = Some(("category", Seq("engagement")))),
       "enrich", OutputMode.Append)
     val rows = out.select($"event_id", $"category").as[(Long, String)]
       .collect().toMap
-    assert(rows == Map(1L -> "engagement", 2L -> "engagement")) // purchase filtered
+    assert(rows == Map(1L -> "engagement", 2L -> "engagement"))
+    // The static side is a broadcast hash join (stream side never
+    // shuffles): assert on the equivalent batch plan — stream-static joins
+    // go through the same planning path per micro-batch.
+    val batchPlan = spark.read.schema(StreamOps.eventSchema).parquet(dir)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"), "left")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan.take(500))
   }
 
   test("epoch records expose the committed-epoch clock per kind (M8)") {
