@@ -129,6 +129,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard pairwise on a random corpus") {
+    // min(|A|,|B|) <= |A∪B| for every pair, so containment >= jaccard —
+    // and at threshold 0 both kernels must emit exactly the pairs that
+    // share at least one shingle (the inverted index is lossless).
+    val rnd = new scala.util.Random(31)
+    val docs = (1 to 25).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(25))(
+        Seq.fill(4)(('a' + rnd.nextInt(6)).toChar).mkString).mkString(" "))
+    }.toDF("id", "text")
+    val jac = Dedup.exactJaccardPairs(docs, "id", "text", 4, minJaccard = 0.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val con = Dedup.containmentPairs(docs, "id", "text", 4, minContainment = 0.0)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(jac.keySet == con.keySet) // same candidate pairs, both kernels
+    assert(jac.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      assert(con(pair) >= j - 1e-9, s"pair $pair: containment ${con(pair)} < jaccard $j")
+    }
+  }
+
   test("portableHash60 matches the DuckDB hex-decode formula") {
     // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
     val h = spark.range(1)
