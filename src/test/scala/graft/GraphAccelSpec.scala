@@ -63,6 +63,29 @@ class GraphAccelSpec extends SparkSpec {
       Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
 
+  test("an accel cache hit schedules zero Spark jobs") {
+    val g = Seq(("x", "y"), ("y", "z"), ("z", "w")).toDF("src", "dst")
+    // prime the cache (probe + load jobs run here)
+    GraphOps.bfsAuto(g, Seq("x"), 3, Outgoing).count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the traversal itself is driver-side on the cached adjacency — only
+      // materializing the RESULT DataFrame may schedule work, so call the
+      // path that returns plain values
+      val r = GraphOps.shortestPathAuto(g, "x", "w", 4, Outgoing)
+      assert(r.contains((3, Seq("x", "y", "z", "w"))))
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs.get() == 0, s"expected zero jobs on cache hit, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("auto shortest path equals distributed shortest path") {
     val es = Seq(("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("d", "e"))
       .toDF("src", "dst")
