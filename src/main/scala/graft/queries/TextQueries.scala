@@ -163,6 +163,32 @@ object TextQueries {
           (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
         .orderBy(col("tok_rank"))
     }),
+
+    // Repetition quality filter (the Gopher/C4-style duplicate-n-gram
+    // signal): per document, the fraction of bigram occurrences that belong
+    // to a repeated bigram, plus the dominant bigram's count — high
+    // dup_frac marks boilerplate/looping text for exclusion. Two
+    // partial-aggregated groupBys, keyed first by (doc, bigram) then doc;
+    // dup_frac is one exact-int IEEE division (bit-identical cross-engine).
+    "q60_repetition" -> ((s, dir) => {
+      val tk = tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tk.as("tk"))
+        .where(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_bigrams"),
+          max(col("n")).as("top_bigram_n"),
+          (sum(when(col("n") > 1, col("n")).otherwise(0L)).cast("double") /
+            sum(col("n")).cast("double")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
@@ -266,5 +292,22 @@ object TextQueries {
          |FROM r
          |WHERE CAST(cum - n AS DOUBLE) < 0.90 * CAST((SELECT total FROM t) AS DOUBLE)
          |ORDER BY tok_rank""".stripMargin,
+
+    "q60_repetition" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$wordPat') AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+         |  FROM tk WHERE len(tk) >= 2),
+         |c AS (
+         |  SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram)
+         |SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
+         |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE) AS dup_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }
