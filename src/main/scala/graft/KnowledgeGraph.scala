@@ -193,9 +193,14 @@ final case class KnowledgeGraph(
   }
 
   /** V8: 3-D projection + clustering of the concept embedding space (PCA
-    * baseline + grid DBSCAN — embedding_projection_service.py:641-807). */
+    * baseline + grid DBSCAN — embedding_projection_service.py:641-807).
+    * The t-SNE path is bounded: at most `maxSamples` embedded concepts
+    * (ascending concept_id) are projected — the overflow is logged by
+    * [[graft.analysis.Projection.tsne]] and concepts past the bound are
+    * absent from the result; raise `maxSamples` or use algorithm="pca"
+    * (unbounded, distributed) for larger ontologies. */
   def projectConcepts(eps: Double, minPts: Int = 4,
-      algorithm: String = "pca"): DataFrame = {
+      algorithm: String = "pca", maxSamples: Int = 2000): DataFrame = {
     val embedded = concepts.where(col("embedding").isNotNull)
       .select(col("concept_id").as("id"), col("embedding").as("v"))
     // "tsne" = the reference's default projection algorithm (driver-side
@@ -204,7 +209,8 @@ final case class KnowledgeGraph(
     // Lazy checkpoint: the projected coordinates feed the eps estimate, the
     // result join, and DBSCAN — three consumers, one materialization.
     val p = (algorithm match {
-      case "tsne" => graft.analysis.Projection.tsne(embedded, "id", "v", dims = 3)
+      case "tsne" => graft.analysis.Projection.tsne(embedded, "id", "v", dims = 3,
+        maxSamples = maxSamples)
       case _      => graft.analysis.Projection.pca(embedded, "id", "v", k = 3)
     }).localCheckpoint(false)
     val dims = Seq("p0", "p1", "p2")

@@ -51,32 +51,67 @@ object Projection {
 
   /** Exact t-SNE (van der Maaten & Hinton 2008) to `dims` components — the
     * reference's default projection algorithm
-    * (embedding_projection_service.py:737-744: perplexity clamp, PCA init
-    * for n > 50 else seeded random, auto learning rate). Driver-side over a
-    * deterministic ≤`maxSamples` sample, exactly like the reference (it
-    * collects every embedding it projects); the O(n²) affinity matrix is
-    * the reason this is bounded, and [[pca]] is the unbounded distributed
-    * path. Output: (id, p0..p{dims-1}). */
+    * (embedding_projection_service.py:641-747: perplexity clamp, PCA init
+    * for n > 50 else seeded random, auto learning rate, max_iter=1000).
+    * Like the reference's preprocessing, the collected sample is centered
+    * (mean subtracted) and each row L2-normalized before distances: on the
+    * unit sphere squared Euclidean distance is monotone in cosine, which
+    * reproduces the reference's metric='cosine' + normalize_l2 combination
+    * and removes the anisotropy artifact centering exists to fix. Driver-
+    * side over a deterministic ≤`maxSamples` sample, exactly like the
+    * reference (it collects every embedding it projects); the O(n²)
+    * affinity matrix is the reason this is bounded, and [[pca]] is the
+    * unbounded distributed path. When the input exceeds `maxSamples` the
+    * overflow is logged and only the first `maxSamples` ids (ascending) are
+    * projected. Output: (id, p0..p{dims-1}). */
   def tsne(df: DataFrame, idCol: String, vecCol: String, dims: Int = 3,
-      perplexity: Int = 30, iterations: Int = 500, seed: Long = 42L,
+      perplexity: Int = 30, iterations: Int = 1000, seed: Long = 42L,
       maxSamples: Int = 2000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(idCol).cast("string").as("id"),
+    // limit(maxSamples+1): one extra row detects truncation without a
+    // separate count job over the full input.
+    val fetched = df.select(col(idCol).cast("string").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
-      .orderBy(col("id")).limit(maxSamples)
+      .orderBy(col("id")).limit(maxSamples + 1)
       .collect()
+    if (fetched.length > maxSamples)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"t-SNE input exceeds maxSamples=$maxSamples; projecting only the " +
+          "first " + maxSamples + " ids — use the distributed PCA path for " +
+          "full-corpus projection")
+    val rows = fetched.take(maxSamples)
     val n = rows.length
     require(n >= 3, s"t-SNE needs at least 3 samples, got $n (reference floor)")
     val ids = rows.map(_.getString(0))
     val x = rows.map(_.getSeq[Double](1).toArray)
+    centerAndNormalize(x)
     val y = TsneKernel.run(x, dims,
       effectivePerplexity(perplexity, n), iterations, seed)
     val out = ids.indices.map(i => (ids(i), y(i).toSeq)).toSeq
       .toDF("id", "p")
     val cols = (0 until dims).map(i => element_at(col("p"), i + 1).as(s"p$i"))
     out.select(col("id") +: cols: _*)
+  }
+
+  /** In-place: subtract the sample mean from every row, then L2-normalize
+    * each row (zero rows are left at zero). Reference preprocessing for the
+    * cosine-metric t-SNE path (embedding_projection_service.py:641-747). */
+  private[analysis] def centerAndNormalize(x: Array[Array[Double]]): Unit = {
+    if (x.isEmpty) return
+    val d = x(0).length
+    val mean = new Array[Double](d)
+    x.foreach { r => var k = 0; while (k < d) { mean(k) += r(k); k += 1 } }
+    var k = 0
+    while (k < d) { mean(k) /= x.length; k += 1 }
+    x.foreach { r =>
+      var norm = 0.0
+      k = 0
+      while (k < d) { r(k) -= mean(k); norm += r(k) * r(k); k += 1 }
+      norm = math.sqrt(norm)
+      if (norm > 0) { k = 0; while (k < d) { r(k) /= norm; k += 1 } }
+    }
   }
 
   /** The reference's DBSCAN eps auto-tune

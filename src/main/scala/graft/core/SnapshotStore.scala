@@ -178,9 +178,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * pointer's version is always kept (keep set is derived from committed
     * history, never from stray directories). With `dropOrphans`, also remove
     * directories whose write never completed (no `_SUCCESS`) — crashed or
-    * overtaken commits at ANY position — which is only safe when no commit
-    * is in flight on this table. */
-  def vacuum(table: String, keepLast: Int = 1, dropOrphans: Boolean = false): Unit =
+    * overtaken commits at ANY position. Because commit allocation + write
+    * deliberately run OUTSIDE the root lock (and cross-JVM writers are
+    * invisible to it anyway), a marker-less directory may be a LIVE commit
+    * mid-write, not a crash: an orphan candidate is reclaimed only when
+    * nothing under it has been modified for `orphanGraceMs` (default
+    * 10 min), so a directory a racing commit just claimed — or is still
+    * streaming part files into — is skipped and picked up by a later
+    * vacuum once it is demonstrably stale. */
+  def vacuum(table: String, keepLast: Int = 1, dropOrphans: Boolean = false,
+      orphanGraceMs: Long = SnapshotStore.DefaultOrphanGraceMs): Unit =
     SnapshotStore.rootLock(root) {
       val committed = history(table)
       val keep = committed.takeRight(math.max(keepLast, 1)).toSet ++
@@ -188,20 +195,40 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       // The pointer's version is NEVER an orphan candidate, marker or not —
       // if the marker convention is ever violated, vacuum must degrade to
       // "deletes nothing live", not to destroying the referenced version.
+      val cutoff = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
       val orphans =
         if (!dropOrphans) Seq.empty
         else versionDirs(table)
           .filterNot(committed.toSet)
           .filterNot(latestVersion(table).toSet)
+          .filter(v => newestMtime(versionDir(table, v)) < cutoff)
       (committed.filterNot(keep) ++ orphans).foreach { v =>
         val w = Files.walk(versionDir(table, v))
         try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
         finally w.close()
       }
     }
+
+  /** Newest modification time (ms) of a directory or anything under it —
+    * a live commit writing part files keeps this fresh. Missing paths (a
+    * racing delete) report "just modified" so they are never reclaimed on
+    * the same pass. */
+  private def newestMtime(dir: Path): Long =
+    try {
+      val w = Files.walk(dir)
+      try w.iterator().asScala
+        .map(p => try Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue })
+        .foldLeft(0L)(math.max)
+      finally w.close()
+    } catch { case _: java.io.IOException => Long.MaxValue }
 }
 
 object SnapshotStore {
+  /** Orphan directories younger than this are presumed in-flight commits
+    * and survive `vacuum(dropOrphans = true)`. */
+  val DefaultOrphanGraceMs: Long = 10 * 60 * 1000L
+
   /** One monitor per PHYSICAL root (symlinks resolved): serializes pointer
     * moves, appends, and vacuums across all store instances in this JVM —
     * sibling instances on the same root via different path spellings must

@@ -146,21 +146,51 @@ object TextQueries {
     // step that sizes a subword vocabulary before training a tokenizer.
     // cum_share is a single IEEE division of exact BIGINTs, so the raw
     // double is bit-identical cross-engine (no rounding needed).
+    //
+    // The global rank/running-sum is computed WITHOUT a single-partition
+    // window: counts are range-partitioned on the sort key (partition i's
+    // keys all precede partition i+1's), each partition windows locally in
+    // parallel, and per-partition (row count, sum) prefix offsets — one tiny
+    // driver collect of numPartitions rows — lift local ranks/sums to global
+    // ones. The vocabulary never funnels through one task, so the shape
+    // survives a 100 TB corpus whose distinct-token set is itself large.
     "q59_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Materialized once (lazily): feeds both the ranked pass and the
+      // grand total, which would otherwise recompute the aggregation.
       val counts = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
+        .repartitionByRange(col("n").desc, col("token").asc)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(false)
+      val partStats = counts.groupBy(col("pid"))
+        .agg(count(lit(1)).as("rows"), sum(col("n")).as("s"))
+        .collect().map(r => (r.getAs[Int]("pid"),
+          r.getAs[Long]("rows"), r.getAs[Long]("s")))
+        .sortBy(_._1)
+      val total = partStats.map(_._3).sum
+      import s.implicits._
+      val offsets = {
+        var rank0 = 0L; var cum0 = 0L
+        partStats.toSeq.map { case (pid, rows, sm) =>
+          val o = (pid, rank0, cum0); rank0 += rows; cum0 += sm; o
+        }
+      }.toDF("pid", "rank_off", "cum_off")
+      val w = Window.partitionBy(col("pid"))
         .orderBy(col("n").desc, col("token").asc)
       counts
-        .withColumn("tok_rank", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("n")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-        .crossJoin(counts.agg(sum(col("n")).as("total")))
-        .where((col("cum") - col("n")).cast("double") < lit(0.90) * col("total").cast("double"))
-        .select(col("tok_rank"), col("token"), col("n"),
-          (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+        .withColumn("local_rank", row_number().over(w).cast("long"))
+        .withColumn("local_cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offsets), "pid")
+        .select((col("local_rank") + col("rank_off")).as("tok_rank"),
+          col("token"), col("n"),
+          ((col("local_cum") + col("cum_off")).cast("double") /
+            lit(total).cast("double")).as("cum_share"),
+          (col("local_cum") + col("cum_off") - col("n")).as("cum_before"))
+        .where(col("cum_before").cast("double") < lit(0.90) * lit(total).cast("double"))
+        .drop("cum_before")
         .orderBy(col("tok_rank"))
     }),
 

@@ -22,10 +22,7 @@ class PlanShapeSpec extends SparkSpec {
     // q37: inequality pairing over an explicitly bounded probe set
     // (doc_id < 200); the unbounded form is Dedup.hammingNearPairs
     // (pigeonhole-banded equi-join, proven equivalent in DedupSpec)
-    "q37_simhash",
-    // q59: cross join against a ONE-ROW global aggregate (the corpus
-    // token total) — a broadcast of a scalar, not a pair explosion
-    "q59_vocab_coverage")
+    "q37_simhash")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

@@ -82,6 +82,14 @@ class SnapshotStoreSpec extends SparkSpec {
     val orphan = java.nio.file.Paths.get(root, "t", "v=7")
     java.nio.file.Files.createDirectories(orphan)
     assert(st.history("t") == Seq(1L, 2L)) // orphan is not history
+    // a FRESH orphan is indistinguishable from a live commit mid-write:
+    // the grace window must protect it from this vacuum...
+    st.vacuum("t", keepLast = 2, dropOrphans = true)
+    assert(java.nio.file.Files.exists(orphan))
+    // ...and reclaim it once it is demonstrably stale (backdated mtime)
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L))
     st.vacuum("t", keepLast = 2, dropOrphans = true)
     assert(!java.nio.file.Files.exists(orphan))
     assert(st.history("t") == Seq(1L, 2L)) // committed versions intact
