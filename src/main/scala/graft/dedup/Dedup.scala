@@ -269,4 +269,71 @@ object Dedup {
 
   /** Scala-side hamming distance (driver/test use). */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** End-to-end near-duplicate clustering: candidate pairs (from any of the
+    * pair generators above) → connected components → one canonical
+    * representative per cluster (the minimum numeric id — the same
+    * representative rule as [[exactDedup]]'s `min(id)`). Transitivity is
+    * the point: if A≈B and B≈C, all three land in one cluster even when
+    * A and C were never a candidate pair, which is what lets a curation
+    * pipeline keep exactly one doc per duplicate family. Components run on
+    * GraphX (Pregel label propagation, or the in-memory union-find
+    * accelerator below the auto-dispatch threshold); the output carries
+    * only docs that appear in some pair — untouched docs are implicitly
+    * their own singleton clusters and never shuffle.
+    *
+    * Input: (aCol, bCol) numeric id pairs. Output: (doc_id, canonical_id,
+    * cluster_size, is_canonical 0/1), one row per clustered doc. */
+  def dedupClusters(pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("string").as("src"),
+      col(bCol).cast("string").as("dst"))
+    // component is the min node NAME (a string — lexicographic): correct as
+    // a grouping key, wrong as a numeric representative ("10" < "2"), so
+    // the canonical id is re-derived numerically per component.
+    val assign = graft.graph.GraphXOps.connectedComponentsAuto(edges)
+      .select(col("node").cast("long").as("doc_id"), col("component"))
+    val canon = assign.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("cluster_size"))
+    assign.join(canon, "component")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        (col("doc_id") === col("canonical_id")).cast("int").as("is_canonical"))
+  }
+
+  /** Benchmark decontamination: flag training documents that share at least
+    * one word `n`-gram with any document of the held-out eval set (the
+    * standard n-gram-overlap test-set leak check run before training).
+    * The eval side is aggregated to its distinct n-grams and BROADCAST —
+    * an eval benchmark is small by definition while the training corpus is
+    * the 100 TB side, so the contaminant check is a map-side semi-join with
+    * no shuffle of training n-grams. Per contaminated doc: the number of
+    * distinct shared n-grams and the smallest eval doc id sharing one.
+    *
+    * `isEval` is any boolean Column over `docs`' columns partitioning the
+    * corpus into eval (true) and training (false) rows. Docs with fewer
+    * than `n` tokens carry no n-grams and cannot collide. */
+  def decontaminationHits(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int): DataFrame = {
+    val tk = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    // Shared by the eval and training branches: materialize once (lazily,
+    // so plan-building runs no jobs).
+    val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"), tk.as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("id"), col("is_eval"),
+        array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
+      .localCheckpoint(false)
+    val evalGrams = grams.where(col("is_eval"))
+      .select(explode(col("g")).as("gram"), col("id").as("eval_id"))
+      .groupBy(col("gram")).agg(min(col("eval_id")).as("first_eval_id"))
+    val trainGrams = grams.where(!col("is_eval"))
+      .select(col("id").as("doc_id"), explode(col("g")).as("gram"))
+    // g is array_distinct per doc and evalGrams is distinct per gram, so
+    // count(*) below counts DISTINCT shared n-grams without an expensive
+    // distinct aggregate.
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("first_eval_id")).as("first_eval_id"))
+  }
 }

@@ -90,6 +90,28 @@ object DedupQueries {
           "doc_id", "text", shingleK = 4, minContainment = 0.5)
         .orderBy(col("a_id"), col("b_id"))
     }),
+
+    // End-to-end near-dup clustering: the q36 LSH pair set closed under
+    // transitivity (connected components) with one canonical doc per
+    // cluster — the complete "keep one per duplicate family" dedup step.
+    // Oracle: q36's SQL pair replay + a recursive-CTE closure (q48 shape).
+    "q61_neardup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(
+          Tables.documents(s, dir).where(col("doc_id") < 120),
+          "doc_id", "text", shingleK = 4, numHashes = 32, bands = 16,
+          minJaccard = 0.35, portable = true)
+        .select(col("a_id"), col("b_id"))
+      Dedup.dedupClusters(pairs).orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: training docs sharing a word 4-gram with
+    // the held-out eval slice (doc_id ≡ 0 mod 40) — the n-gram-overlap
+    // test-set leak check, with the eval n-gram set broadcast.
+    "q62_decontaminate" -> ((s, dir) => {
+      Dedup.decontaminationHits(Tables.documents(s, dir), "doc_id", "text",
+          isEval = col("doc_id") % 40 === 0, n = 4)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,6 +202,65 @@ object DedupQueries {
         |               b.vec_id ASC) AS rn
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND a.vec_id != b.vec_id) t
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q61_neardup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 3, 1)),
+        |      i -> substring(text, i, 4))) AS sh
+        |  FROM documents WHERE doc_id < 120),
+        |hs AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(sh, s ->
+        |      ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(generate_series(0, 31), j ->
+        |      list_min(list_transform(hs, h ->
+        |        ((1 + ((j + 1) * 2654435761) % 2147483646) * h
+        |         + ((j + 1) * 2246822519) % 2147483647) % 2147483647))) AS sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, sh, b,
+        |    array_to_string(sig[b * 2 + 1 : b * 2 + 2], ',') AS bk
+        |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.sh AS a_sh, b.sh AS b_sh
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM cand
+        |  WHERE round(len(list_intersect(a_sh, b_sh))
+        |    / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE), 6) >= 0.35),
+        |und AS (
+        |  SELECT a_id AS node, b_id AS next FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |nodes AS (SELECT DISTINCT node FROM und),
+        |reach(node, r) AS (
+        |  SELECT node, node AS r FROM nodes
+        |  UNION
+        |  SELECT u.next AS node, re.r FROM reach re JOIN und u ON u.node = re.node),
+        |comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node),
+        |sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT c.doc_id, c.canonical_id, s.cluster_size,
+        |  CAST(c.doc_id = c.canonical_id AS INT) AS is_canonical
+        |FROM comp c JOIN sizes s USING (canonical_id) ORDER BY doc_id""".stripMargin,
+
+    "q62_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(tk) - 3),
+        |      i -> array_to_string(tk[i : i + 3], ' '))) AS g
+        |  FROM toks WHERE len(tk) >= 4),
+        |eg AS (SELECT unnest(g) AS gram, doc_id AS eval_id FROM grams WHERE doc_id % 40 = 0),
+        |egm AS (SELECT gram, min(eval_id) AS first_eval_id FROM eg GROUP BY gram),
+        |tg AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 40 != 0)
+        |SELECT doc_id, count(*) AS n_hits, min(first_eval_id) AS first_eval_id
+        |FROM tg JOIN egm USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q58_containment" ->
       """WITH sh AS (

@@ -103,6 +103,52 @@ object SamplingQueries {
         .withColumn("scale", round(col("scale"), 6))
         .orderBy(col("vec_id"))
     }),
+
+    // Domain mixture weights: per (lang, source) token counts → sampling
+    // weight ∝ sqrt(tokens) (temperature-scaled upsampling of small
+    // domains, the mixture step before training-shard writes). The
+    // normalizer sums DECIMAL(18,4)-cast sqrt weights — exact fixed-point
+    // addition is order-independent, so partial aggregation order can't
+    // perturb the total (the repo's standard double-sum discipline).
+    // token_share is a single exact-int IEEE division (bit-identical
+    // cross-engine, no rounding). The group count is dims-bounded, so the
+    // scalar normalizer is a one-row driver collect off the lazily
+    // checkpointed aggregate — no cross join in the plan.
+    "q63_domain_mixture" -> ((s, dir) => {
+      val agg = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextQueries.tokens(col("text")))).cast("long").as("n_tokens"))
+        .withColumn("w_dec",
+          sqrt(col("n_tokens").cast("double")).cast("decimal(18,4)"))
+        .localCheckpoint(false)
+      val t = agg.agg(sum(col("w_dec")).as("tw"), sum(col("n_tokens")).as("tt")).head()
+      val tw = t.getDecimal(0).doubleValue
+      val tt = t.getLong(1).toDouble
+      agg.select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_dec").cast("double") / lit(tw), 6).as("weight"),
+          (col("n_tokens").cast("double") / lit(tt)).as("token_share"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Training-shard assignment: deterministic portable-hash bucketing of
+    // docs into 16 shards plus the per-shard balance audit (doc/token/char
+    // totals) a pipeline checks before writing shards. One shuffle keyed by
+    // the shard id; the md5-derived hash makes the assignment reproducible
+    // across engines and runs (content-independent, id-keyed).
+    "q64_shard_assign" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          (Dedup.portableHash60(col("doc_id").cast("string")) % 16).as("shard"),
+          col("doc_id"),
+          size(TextQueries.tokens(col("text"))).cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("chars")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,5 +198,26 @@ object SamplingQueries {
         |  list_max(q) AS qmax,
         |  list_min(q) AS qmin
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q63_domain_mixture" ->
+      """WITH agg AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source),
+        |w AS (
+        |  SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,4)) AS w_dec FROM agg),
+        |t AS (SELECT sum(w_dec) AS tw, sum(n_tokens) AS tt FROM w)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  round(CAST(w_dec AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+        |  n_tokens / CAST(tt AS DOUBLE) AS token_share
+        |FROM w, t ORDER BY lang, source""".stripMargin,
+
+    "q64_shard_assign" ->
+      """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

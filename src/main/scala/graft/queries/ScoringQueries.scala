@@ -14,11 +14,12 @@ object ScoringQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Membership table: ontology = part brand, member = supplier. */
+  // NOT deduped here: ontologyAffinity dropDuplicates its input anyway, so
+  // a distinct() in the producer would just add a second dedup shuffle.
   private def membership(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .select(col("p_brand").as("ontology"), concat(lit("s"), col("l_suppkey")).as("concept_id"))
-      .distinct()
 
   val queries: Map[String, Q] = Map(
     // A7: cross-ontology affinity — shared members / target size, top-30

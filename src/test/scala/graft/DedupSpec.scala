@@ -149,6 +149,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters closes pairs transitively with a numeric-min canonical") {
+    // A≈B, B≈C (A and C never paired) plus an independent {10, 2} pair —
+    // the second cluster is the lexicographic trap: min("10","2") = "10"
+    // as strings, but the canonical must be numeric min = 2.
+    val pairs = Seq((1L, 5L), (5L, 3L), (10L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(out.keySet == Set(1L, 5L, 3L, 10L, 2L))
+    Seq(1L, 5L, 3L).foreach { id =>
+      assert(out(id)._1 == 1L && out(id)._2 == 3L, s"doc $id")
+    }
+    Seq(10L, 2L).foreach { id =>
+      assert(out(id)._1 == 2L && out(id)._2 == 2L, s"doc $id")
+    }
+    // exactly one canonical per cluster, and it is its own representative
+    assert(out.count(_._2._3 == 1) == 2)
+    assert(out(1L)._3 == 1 && out(2L)._3 == 1)
+  }
+
+  test("decontaminationHits counts distinct shared n-grams vs the eval set") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),  // eval
+      (40L, "pack my box with five dozen liquor jugs"),     // eval
+      (1L, "the quick brown fox ran away"),                 // shares 2 4-grams w/ 0
+      (2L, "my box with five dozen eggs inside"),           // shares 2 w/ 40
+      (3L, "completely unrelated text about spark engines"), // clean
+      (4L, "tiny doc")                                      // < n tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminationHits(docs, "doc_id", "text",
+        isEval = $"doc_id" % 40 === 0, n = 4)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // doc 1: "the quick brown fox" + "quick brown fox jumps"? no — doc 1 has
+    // "quick brown fox ran", so only "the quick brown fox" is shared.
+    assert(out(1L) == (1L, 0L))
+    // doc 2: "my box with five" + "box with five dozen" shared with 40
+    assert(out(2L) == (2L, 40L))
+    assert(!out.contains(3L) && !out.contains(4L))
+    assert(!out.contains(0L) && !out.contains(40L)) // eval rows never flagged
+  }
+
   test("portableHash60 matches the DuckDB hex-decode formula") {
     // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
     val h = spark.range(1)

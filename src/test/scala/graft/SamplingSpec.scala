@@ -57,6 +57,30 @@ class SamplingSpec extends SparkSpec {
     assert(ss.queryExecution.executedPlan.toString.contains("hashpartitioning(lang"))
   }
 
+  test("domain mixture: weights normalize to 1 and upsample small domains") {
+    val out = SamplingQueries.queries("q63_domain_mixture")(spark, sf0001)
+      .select($"n_tokens", $"weight", $"token_share")
+      .as[(Long, Double, Double)].collect()
+    assert(out.length > 1)
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-3)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    // sqrt temperature: every domain below-average in tokens gets
+    // weight > token_share (upsampled), every above-average one less
+    out.foreach { case (_, w, share) =>
+      val avgShare = 1.0 / out.length
+      if (share < avgShare * 0.5) assert(w > share)
+    }
+  }
+
+  test("shard assignment partitions the corpus exactly and reproducibly") {
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    val run1 = SamplingQueries.queries("q64_shard_assign")(spark, sf0001).collect()
+    assert(run1.map(_.getLong(1)).sum == total) // every doc in exactly one shard
+    assert(run1.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    val run2 = SamplingQueries.queries("q64_shard_assign")(spark, sf0001).collect()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq) // deterministic
+  }
+
   test("int8 quantization: values within [-127, 127], absmax hits a bound") {
     val out = SamplingQueries.queries("q53_quantize_int8")(spark, sf0001).collect()
     assert(out.nonEmpty)
