@@ -332,9 +332,65 @@ object RelationalQueries {
           col("total_events"), col("distinct_kinds"))
         .orderBy(col("user_id"), col("rn"))
     }),
+
+    // Backward as-of join (pipeline extension — the reference has only
+    // equi-joins, §2.3): every error event matched to the same user's
+    // latest click at-or-before it, via graft.operators.AsOfJoin's
+    // union-tag + single-window shape (one shuffle, no range join).
+    // Oracle: DuckDB's native ASOF JOIN. gap_us is exact BIGINT micros.
+    "q65_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.asofBackward(errors, clicks,
+          key = "user_id", ts = "ts", rightCols = Seq("click_id", "ts"))
+        .where(col("r_click_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("r_click_id").as("click_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Cohort retention: users bucketed by first-seen week, distinct active
+    // users per (cohort, week offset) — the engagement rollup every event
+    // log feeds. First-seen is one aggregation joined back on user_id
+    // (shuffle join on the key at scale); offsets are exact multiples of 7
+    // days because both ends are week-truncated, so the division is
+    // bit-exact cross-engine.
+    "q66_cohort_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      e.join(first, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_asof_join" ->
+      """SELECT e.event_id, e.user_id, c.event_id AS click_event_id,
+        |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q66_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q47_lifetime" ->
       """SELECT user_id, rn, event_id, event_type, total_events, distinct_kinds
         |FROM (

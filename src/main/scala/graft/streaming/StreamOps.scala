@@ -71,6 +71,25 @@ object StreamOps {
     }
   }
 
+  /** Stream-stream interval join: pair each left event with right events of
+    * the same key whose timestamp falls in [left.ts − within, left.ts] —
+    * the streaming twin of the backward as-of lookup
+    * (graft.operators.AsOfJoin), bounded instead of latest-only because an
+    * unbounded "latest" needs state Spark can't reclaim. Both sides are
+    * watermarked and the time-range predicate is what lets the state store
+    * evict: a right row older than (watermark − within) can never match a
+    * future left row, so state is bounded by the interval, not the stream
+    * length. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $within") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long, duration_s: Long, closed: Boolean)

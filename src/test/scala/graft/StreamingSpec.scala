@@ -104,6 +104,30 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq((10L, "click"), (10L, "view"), (11L, "click")))
   }
 
+  test("stream-stream interval join pairs events within the bound only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    // user 10: click at :05 and error at :20 (in 30-min bound), error at
+    // :50 (45 min after the click — out of bound); user 11: error with no
+    // click. Expect exactly one joined pair.
+    Seq(
+      (1L, ts(5), 10L, "click", 1.0, "{}"),
+      (2L, ts(20), 10L, "error", 2.0, "{}"),
+      (3L, ts(50), 10L, "error", 3.0, "{}"),
+      (4L, ts(25), 11L, "error", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    def src = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val joined = StreamOps.intervalJoin(
+      src.where($"event_type" === "error")
+        .select($"user_id", $"ts", $"event_id".as("error_id")),
+      src.where($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id")),
+      key = "user_id", within = "30 minutes")
+      .select($"error_id", $"click_id")
+    val out = StreamOps.runToMemory(spark, joined, "ssj", OutputMode.Append)
+    assert(out.as[(Long, Long)].collect().toSet == Set((2L, 1L)))
+  }
+
   test("stateful sessionization closes sessions across the 30-min gap") {
     val events = Seq(
       SessionEvent(1L, ts(0), "click"),
