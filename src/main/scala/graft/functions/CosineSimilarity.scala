@@ -40,49 +40,105 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // from predicates over this expression and push them into the scan
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
-      dot += xv * yv; nx += xv * xv; ny += yv * yv
-      i += 1
-    }
-    if (nx == 0.0 || ny == 0.0) null
-    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  /** V1's dominant shape is `cosine(embedding, lit(queryVector))`: the right
+    * side is a foldable constant, so its values and norm are computed ONCE
+    * at plan time instead of per row — for a 1536-dim query that removes a
+    * third of the kernel's multiplies from the per-row loop (the norm) and
+    * reads the constant from a plain double[] instead of ArrayData. A
+    * foldable-but-degenerate right side (null / zero norm → always-null
+    * result) falls back to the generic path, which already yields null. */
+  @transient private lazy val foldedRight: Option[(Array[Double], Double)] =
+    if (!right.foldable) None
+    else Option(right.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+      .flatMap { r =>
+        val arr = r.asInstanceOf[ArrayData].toDoubleArray()
+        var ny = 0.0; var i = 0
+        while (i < arr.length) { ny += arr(i) * arr(i); i += 1 }
+        // NaN/Inf norms also fall back: they'd render as invalid Java
+        // literals in the generated code (and the result is degenerate).
+        if (ny == 0.0 || java.lang.Double.isNaN(ny) || java.lang.Double.isInfinite(ny)) None
+        else Some((arr, math.sqrt(ny)))
+      }
+
+  override def nullSafeEval(a: Any, b: Any): Any = foldedRight match {
+    case Some((q, qn)) =>
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != q.length) return null
+      var dot = 0.0; var nx = 0.0; var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i)
+        dot += xv * q(i); nx += xv * xv
+        i += 1
+      }
+      if (nx == 0.0) null else dot / (math.sqrt(nx) * qn)
+    case None =>
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) null
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |final int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xv = $a.getDouble($i);
-         |    final double $yv = $b.getDouble($i);
-         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
-         |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
-         |  }
-         |}
-       """.stripMargin
-    })
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val nx = ctx.freshName("nx")
+    val xv = ctx.freshName("xv")
+    foldedRight match {
+      case Some((q, qn)) =>
+        val qref = ctx.addReferenceObj("cosineQuery", q, "double[]")
+        nullSafeCodeGen(ctx, ev, (a, _) => {
+          s"""
+             |final int $n = $a.numElements();
+             |if ($n != $qref.length) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |  double $dot = 0.0; double $nx = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    final double $xv = $a.getDouble($i);
+             |    $dot += $xv * $qref[$i]; $nx += $xv * $xv;
+             |  }
+             |  if ($nx == 0.0) {
+             |    ${ev.isNull} = true;
+             |  } else {
+             |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * ${qn}D);
+             |  }
+             |}
+           """.stripMargin
+        })
+      case None =>
+        val ny = ctx.freshName("ny")
+        val yv = ctx.freshName("yv")
+        nullSafeCodeGen(ctx, ev, (a, b) => {
+          s"""
+             |final int $n = $a.numElements();
+             |if ($n != $b.numElements()) {
+             |  ${ev.isNull} = true;
+             |} else {
+             |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    final double $xv = $a.getDouble($i);
+             |    final double $yv = $b.getDouble($i);
+             |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+             |  }
+             |  if ($nx == 0.0 || $ny == 0.0) {
+             |    ${ev.isNull} = true;
+             |  } else {
+             |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+             |  }
+             |}
+           """.stripMargin
+        })
+    }
   }
 
   override protected def withNewChildrenInternal(

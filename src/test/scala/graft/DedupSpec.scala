@@ -169,6 +169,31 @@ class DedupSpec extends SparkSpec {
     assert(out(1L)._3 == 1 && out(2L)._3 == 1)
   }
 
+  test("dedupClusters agrees with a driver union-find on random pair sets") {
+    val rnd = new scala.util.Random(41)
+    val pairs = Seq.fill(120)(
+        (1L + rnd.nextInt(60), 1L + rnd.nextInt(60)))
+      .filter(p => p._1 != p._2).distinct
+    val out = Dedup.dedupClusters(pairs.toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Int)].collect()
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expect = parent.keys.toSeq.groupBy(find)
+    val expectCanon = expect.view.mapValues(_.min).toMap
+    assert(out.length == parent.keys.size) // one row per clustered doc
+    out.foreach { case (doc, canon, size, isCanon) =>
+      val root = find(doc)
+      assert(canon == expectCanon(root), s"doc $doc")
+      assert(size == expect(root).size.toLong, s"doc $doc size")
+      assert((isCanon == 1) == (doc == canon))
+    }
+  }
+
   test("decontaminationHits counts distinct shared n-grams vs the eval set") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),  // eval

@@ -36,6 +36,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(diff < 1e-12)
   }
 
+  test("constant-query fold is bit-identical to the column-column path") {
+    // cosine(v, lit(q)) takes the folded path (query norm precomputed at
+    // plan time); cosine(v, qc) with qc rebuilt per row from the data (its
+    // child references v, so it is NOT foldable) takes the generic path.
+    // Accumulation order is identical in both kernels → results must be
+    // EQUAL, not just close.
+    val q = Seq(0.3, -0.7, 0.2, 0.9)
+    val folded = vecs.select($"id", VectorOps.cosine($"v", VectorOps.vecLit(q)).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val qcol = vecs.select($"id", transform($"v", (_, i) =>
+      element_at(VectorOps.vecLit(q), i.cast("int") + 1)).as("qc"))
+    val generic = vecs.join(qcol, "id")
+      .select($"id", VectorOps.cosine($"v", $"qc").as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(folded == generic)
+  }
+
   test("mismatched lengths yield NULL, not an error") {
     val q = VectorOps.vecLit(Seq(1.0, 2.0))
     val r = vecs.select(VectorOps.cosine($"v", q).as("c")).collect()
