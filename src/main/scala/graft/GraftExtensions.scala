@@ -15,7 +15,7 @@ import graft.functions.CosineSimilarity
   * then `SELECT cosine_similarity(a.embedding, b.embedding) FROM ...`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       // cosine has a dedicated Expression class; the composed kernels
       // report this registrar so DESCRIBE FUNCTION doesn't mislabel them
@@ -26,6 +26,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, name),
         builder))
+    }
+    ext.injectOptimizerRule(_ => CosineArgumentReorder)
+  }
+}
+
+/** Optimizer rule: `cosine(lit, col)` → `cosine(col, lit)`. Cosine is
+  * symmetric, so flipping arguments is semantics-preserving — and it puts
+  * the constant on the right, where [[CosineSimilarity]]'s plan-time fold
+  * (query values + norm computed once) applies. A user writing the query
+  * vector first gets the same specialized codegen as the canonical V1
+  * shape, the same way Catalyst's own rules canonicalize commutative
+  * arithmetic. Registered via `injectOptimizerRule` (the §2.13 extension
+  * surface); `GraftExtensions.register` cannot add optimizer rules to an
+  * already-built session, so Column-API users on a plain session simply
+  * keep the generic path — the rule is an optimization, never a
+  * correctness requirement. */
+object CosineArgumentReorder
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(l, r) if l.foldable && !r.foldable =>
+        CosineSimilarity(r, l)
     }
 }
 

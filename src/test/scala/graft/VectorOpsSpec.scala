@@ -53,6 +53,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(folded == generic)
   }
 
+  test("CosineArgumentReorder flips a foldable left argument to the right") {
+    val q = Seq(0.3, -0.7, 0.2, 0.9)
+    // user writes the constant FIRST — the fold can't apply as written
+    val df = vecs.select($"id",
+      VectorOps.cosine(VectorOps.vecLit(q), $"v").as("c"))
+    val rewritten = CosineArgumentReorder(df.queryExecution.analyzed)
+    val cosines = rewritten.expressions.flatMap(_.collect {
+      case c: CosineSimilarity => c
+    })
+    assert(cosines.nonEmpty)
+    cosines.foreach { c =>
+      assert(!c.left.foldable && c.right.foldable, c.sql)
+    }
+    // symmetric: flipped arguments give identical results
+    val a = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val b = vecs.select($"id", VectorOps.cosine($"v", VectorOps.vecLit(q)).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(a == b)
+  }
+
   test("mismatched lengths yield NULL, not an error") {
     val q = VectorOps.vecLit(Seq(1.0, 2.0))
     val r = vecs.select(VectorOps.cosine($"v", q).as("c")).collect()
