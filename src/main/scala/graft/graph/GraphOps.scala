@@ -358,6 +358,48 @@ object GraphOps {
       .agg(sum(col("e.o")).as("out_degree"), sum(col("e.i")).as("in_degree"))
       .withColumn("total_degree", col("out_degree") + col("in_degree"))
 
+  /** PageRank over the directed edge view, GraphX's convention:
+    * r₀ = 1, rᵢ₊₁ = (1−d) + d·Σ_incoming r_src/outdeg_src, dangling mass
+    * dropped (no renormalization) — so results are comparable to
+    * `graphx.lib.PageRank.run` with resetProb 1−d (GraphXOpsSpec holds the
+    * two within tolerance).
+    *
+    * Deterministic by construction, unlike message-passing PageRank whose
+    * incoming-sum order varies with partitioning: each iteration's
+    * contributions are cast to DECIMAL(28,12) before the per-node sum, and
+    * fixed-point addition is exact and order-independent, so two runs (or
+    * two engines — the q68 oracle replays these iterations in SQL) agree
+    * bit-for-bit. Per iteration: one join keyed by src (co-locates with
+    * bucketing at scale), one partially-aggregated shuffle on dst, one
+    * lineage-cutting lazy checkpoint. */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85, reset: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(false) // reused every iteration + outdeg + node set
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(false) // referenced by every iteration's join
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    var ranks = nodes.withColumn("r", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          (col("r") / col("od")).cast("decimal(28,12)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      // reset is its OWN literal, not 1 − damping: IEEE (1.0 − 0.85) is a
+      // different double than the parsed literal 0.15 the SQL oracle uses.
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(reset) + lit(damping) *
+            coalesce(col("s").cast("double"), lit(0.0))).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
   /** Edge-induced subgraph (reference T5/J8): edges whose BOTH endpoints are
     * within `maxDepth` of `start` — the double semi-join form. */
   def inducedSubgraph(

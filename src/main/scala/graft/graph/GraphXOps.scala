@@ -31,6 +31,25 @@ object GraphXOps {
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Static PageRank via GraphX's message-passing implementation — the
+    * cross-validation twin of GraphOps.pageRank (same convention: r₀ = 1,
+    * r = reset + (1−reset)·Σ incoming, dangling mass dropped). Two caveats
+    * for comparison: GraphX rescales final ranks to sum to n (SPARK-18847
+    * sink correction) where the DataFrame loop reports raw iterates, and
+    * message-sum order varies with partitioning — so agreement is
+    * after-normalization and within float tolerance, not bit-exact
+    * (GraphXOpsSpec). */
+  def pageRank(edges: DataFrame, iterations: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = fromEdges(edges)
+    g.staticPageRank(iterations, resetProb).vertices
+      .join(g.vertices)
+      .map { case (_, (rank, name)) => (name, rank) }
+      .toDF("node", "r")
+  }
+
   /** Connected components via GraphX's Pregel implementation; returns
     * (node, component) where the component id is the minimum member name
     * (deterministic, engine-independent). */

@@ -92,7 +92,45 @@ object GraphQueries {
         .toDF("path_rank", "hops", "path")
         .orderBy(col("path_rank"))
     }),
+
+    // PageRank (pipeline extension): 3 deterministic iterations of
+    // GraphOps.pageRank on the directed view, top-25 by rounded rank.
+    // The decimal-summed contributions make every iteration bit-exact, so
+    // the oracle replays the iterations verbatim in SQL (see
+    // pageRankOracleSql); GraphXOpsSpec holds the DataFrame loop within
+    // tolerance of GraphX's message-passing PageRank.
+    "q68_pagerank" -> ((s, dir) => {
+      GraphOps.pageRank(edges(s, dir), iterations = 3)
+        .select(col("node"), round(col("r"), 6).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("node").asc)
+        .limit(25)
+    }),
   )
+
+  /** SQL replay of GraphOps.pageRank's deterministic iterations: same
+    * DECIMAL(28,12) contribution sums, same literal reset/damping, same
+    * dangling-mass convention (no renormalization). */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(CAST(r.r / o.od AS DECIMAL(28,12))) AS DOUBLE) AS s
+         |  FROM edges e
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN outd o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node, 0.15 + 0.85 * coalesce(c$i.s, 0.0) AS r
+         |  FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |r0 AS (SELECT node, 1.0 AS r FROM nodes),
+       |$iters
+       |SELECT node, round(r, 6) AS pagerank FROM r$iterations
+       |ORDER BY pagerank DESC, node ASC LIMIT 25""".stripMargin
+  }
 
   /** SQL replay of the k-shortest-paths edge-exclusion contract
     * (InMemoryGraph.kShortestPaths / GraphOps.kShortestPaths): per
@@ -163,6 +201,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q49_kpaths" -> kPathsOracleSql("s1", "s7", maxHops = 4, maxPaths = 3),
+    "q68_pagerank" -> pageRankOracleSql(3),
 
     // Components via recursive reachability closure: each node accumulates
     // every reachable node id; min per node = the same canonical min-name

@@ -131,6 +131,31 @@ object SamplingQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Length-outlier flagging: per-language z-score of document length,
+    // docs beyond 2σ flagged (the curation step that drops truncated and
+    // runaway documents before training). mean/std derive from EXACT
+    // integer sums (Σchars, Σchars² are BIGINTs), so the double chain is
+    // bit-identical cross-engine with no decimal staging; one dims-bounded
+    // aggregation broadcast back onto the scan.
+    "q67_length_outliers" -> ((s, dir) => {
+      val stats = Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("cs"),
+          sum(col("n_chars") * col("n_chars")).as("css"))
+        .select(col("lang"),
+          (col("cs").cast("double") / col("n").cast("double")).as("mean"),
+          sqrt(col("css").cast("double") / col("n").cast("double") -
+            (col("cs").cast("double") / col("n").cast("double")) *
+              (col("cs").cast("double") / col("n").cast("double"))).as("std"))
+      Tables.documents(s, dir)
+        .join(broadcast(stats), "lang")
+        .where(abs(col("n_chars") - col("mean")) > lit(2.0) * col("std"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round((col("n_chars") - col("mean")) / col("std"), 6).as("z"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-shard assignment: deterministic portable-hash bucketing of
     // docs into 16 shards plus the per-shard balance audit (doc/token/char
     // totals) a pipeline checks before writing shards. One shuffle keyed by
@@ -211,6 +236,24 @@ object SamplingQueries {
         |  round(CAST(w_dec AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
         |  n_tokens / CAST(tt AS DOUBLE) AS token_share
         |FROM w, t ORDER BY lang, source""".stripMargin,
+
+    "q67_length_outliers" ->
+      """WITH st AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS cs,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS css
+        |  FROM documents GROUP BY lang),
+        |m AS (
+        |  SELECT lang,
+        |    cs / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(css / CAST(n AS DOUBLE)
+        |      - (cs / CAST(n AS DOUBLE)) * (cs / CAST(n AS DOUBLE))) AS std
+        |  FROM st)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round((d.n_chars - m.mean) / m.std, 6) AS z
+        |FROM documents d JOIN m USING (lang)
+        |WHERE abs(d.n_chars - m.mean) > 2.0 * m.std
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q64_shard_assign" ->
       """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,

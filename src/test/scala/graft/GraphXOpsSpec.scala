@@ -33,6 +33,38 @@ class GraphXOpsSpec extends SparkSpec {
     assert(viaGraphX == viaUnionFind)
   }
 
+  test("deterministic PageRank agrees with GraphX message passing") {
+    val rnd = new scala.util.Random(13)
+    val es = Seq.fill(60)((s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+      .filter(e => e._1 != e._2).distinct.toDF("src", "dst")
+    val df = GraphOps.pageRank(es, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    val gx = GraphXOps.pageRank(es, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(df.keySet == gx.keySet)
+    // GraphX's static PageRank rescales final ranks to sum to n
+    // (SPARK-18847 sink correction); the iteration itself is identical, so
+    // the two agree after applying the same normalization.
+    val scale = df.size / df.values.sum
+    df.foreach { case (n, r) =>
+      assert(math.abs(r * scale - gx(n)) < 1e-8,
+        s"node $n: df=$r (scaled ${r * scale}) gx=${gx(n)}")
+    }
+    // deterministic loop is exactly reproducible run-to-run
+    val again = GraphOps.pageRank(es, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(df == again)
+  }
+
+  test("PageRank hand check: star graph center accumulates leaf mass") {
+    // leaves l1..l4 -> center; one iteration: center = 0.15 + 0.85*4*(1/1)
+    val star = (1 to 4).map(i => (s"l$i", "center")).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(star, iterations = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r1("center") - (0.15 + 0.85 * 4.0)) < 1e-12)
+    assert(math.abs(r1("l1") - 0.15) < 1e-12) // no incoming
+  }
+
   test("Pregel hop distances agree with the DataFrame BFS (differential)") {
     val fromPregel = GraphXOps.pregelHops(edges, "a", maxDepth = 5)
       .as[(String, Int)].collect().toMap
