@@ -373,7 +373,8 @@ object GraphOps {
     * bucketing at scale), one partially-aggregated shuffle on dst, one
     * lineage-cutting lazy checkpoint. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
-      damping: Double = 0.85, reset: Double = 0.15): DataFrame = {
+      damping: Double = 0.85, reset: Double = 0.15,
+      checkpointEvery: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .localCheckpoint(false) // reused every iteration + outdeg + node set
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -382,7 +383,7 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
     var ranks = nodes.withColumn("r", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
@@ -395,7 +396,12 @@ object GraphOps {
         .select(col("node"),
           (lit(reset) + lit(damping) *
             coalesce(col("s").cast("double"), lit(0.0))).as("r"))
-        .localCheckpoint(false)
+      // Lineage grows by (join + agg + join) per round: truncate every few
+      // rounds rather than every round — each materialization is a Spark
+      // job, and for short runs the job-scheduling overhead outweighs the
+      // shallow replan. Long runs still get bounded lineage.
+      if (i % math.max(checkpointEvery, 1) == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(false)
     }
     ranks
   }
