@@ -221,7 +221,13 @@ final class SnapshotStore(spark: SparkSession, root: String) {
           catch { case _: java.io.IOException => Long.MaxValue })
         .foldLeft(0L)(math.max)
       finally w.close()
-    } catch { case _: java.io.IOException => Long.MaxValue }
+    } catch {
+      // The lazy walk iterator surfaces a racing delete (cross-JVM writers
+      // are invisible to the root lock) as UncheckedIOException — treat it
+      // like the checked case: "just modified", skip this pass.
+      case _: java.io.IOException           => Long.MaxValue
+      case _: java.io.UncheckedIOException  => Long.MaxValue
+    }
 }
 
 object SnapshotStore {

@@ -315,7 +315,7 @@ object Dedup {
     * than `n` tokens carry no n-grams and cannot collide. */
   def decontaminationHits(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, n: Int): DataFrame = {
-    val tk = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    val tk = graft.functions.Text.tokens(col(textCol))
     // Shared by the eval and training branches: materialize once (lazily,
     // so plan-building runs no jobs).
     val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"), tk.as("tk"))

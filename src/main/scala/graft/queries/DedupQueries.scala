@@ -114,6 +114,8 @@ object DedupQueries {
     }),
   )
 
+  private val wordPat = graft.functions.Text.wordPat
+
   val oracles: Map[String, String] = Map(
     "q34_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fingerprint,
@@ -249,8 +251,8 @@ object DedupQueries {
         |FROM comp c JOIN sizes s USING (canonical_id) ORDER BY doc_id""".stripMargin,
 
     "q62_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents),
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '$wordPat') AS tk FROM documents),
         |grams AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(generate_series(1, len(tk) - 3),

@@ -111,38 +111,41 @@ object SamplingQueries {
     // addition is order-independent, so partial aggregation order can't
     // perturb the total (the repo's standard double-sum discipline).
     // token_share is a single exact-int IEEE division (bit-identical
-    // cross-engine, no rounding). The group count is dims-bounded, so the
-    // scalar normalizer is a one-row driver collect off the lazily
-    // checkpointed aggregate — no cross join in the plan.
+    // cross-engine, no rounding). The normalizer is an unpartitioned
+    // window over the AGGREGATE — a post-aggregation bound (rows =
+    // langs × sources, dims not corpus), so the single-partition window is
+    // fine at any input scale, and the whole query stays lazy (building
+    // the plan runs no jobs).
     "q63_domain_mixture" -> ((s, dir) => {
-      val agg = Tables.documents(s, dir)
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, dir)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextQueries.tokens(col("text")))).cast("long").as("n_tokens"))
         .withColumn("w_dec",
           sqrt(col("n_tokens").cast("double")).cast("decimal(18,4)"))
-        .localCheckpoint(false)
-      val t = agg.agg(sum(col("w_dec")).as("tw"), sum(col("n_tokens")).as("tt")).head()
-      val tw = t.getDecimal(0).doubleValue
-      val tt = t.getLong(1).toDouble
-      agg.select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
-          round(col("w_dec").cast("double") / lit(tw), 6).as("weight"),
-          (col("n_tokens").cast("double") / lit(tt)).as("token_share"))
+        .withColumn("tw", sum(col("w_dec")).over(all))
+        .withColumn("tt", sum(col("n_tokens")).over(all))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_dec").cast("double") / col("tw").cast("double"), 6).as("weight"),
+          (col("n_tokens").cast("double") / col("tt").cast("double")).as("token_share"))
         .orderBy(col("lang"), col("source"))
     }),
 
     // Length-outlier flagging: per-language z-score of document length,
     // docs beyond 2σ flagged (the curation step that drops truncated and
     // runaway documents before training). mean/std derive from EXACT
-    // integer sums (Σchars, Σchars² are BIGINTs), so the double chain is
-    // bit-identical cross-engine with no decimal staging; one dims-bounded
+    // sums: Σchars fits BIGINT, but Σchars² is staged through
+    // DECIMAL(38,0) — at 100 TB (1e9 docs × ~1e5 chars, Σchars² ≈ 1e19)
+    // a BIGINT accumulator overflows where the oracle's HUGEINT does not;
+    // both exact accumulators convert to the same double. One dims-bounded
     // aggregation broadcast back onto the scan.
     "q67_length_outliers" -> ((s, dir) => {
       val stats = Tables.documents(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("cs"),
-          sum(col("n_chars") * col("n_chars")).as("css"))
+          sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("css"))
         .select(col("lang"),
           (col("cs").cast("double") / col("n").cast("double")).as("mean"),
           sqrt(col("css").cast("double") / col("n").cast("double") -
@@ -176,6 +179,8 @@ object SamplingQueries {
     }),
   )
 
+  private val wordPat = graft.functions.Text.wordPat
+
   val oracles: Map[String, String] = Map(
     "q50_stratified_sample" ->
       """SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank FROM (
@@ -196,8 +201,8 @@ object SamplingQueries {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q52_bigrams" ->
-      """WITH tk AS (
-        |  SELECT regexp_extract_all(lower(text), '[a-z]+') AS tk FROM documents),
+      s"""WITH tk AS (
+        |  SELECT regexp_extract_all(lower(text), '$wordPat') AS tk FROM documents),
         |bg AS (
         |  SELECT unnest(list_transform(range(1, len(tk)),
         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
@@ -225,9 +230,9 @@ object SamplingQueries {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q63_domain_mixture" ->
-      """WITH agg AS (
+      s"""WITH agg AS (
         |  SELECT lang, source, count(*) AS n_docs,
-        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens
+        |    CAST(sum(len(regexp_extract_all(lower(text), '$wordPat'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY lang, source),
         |w AS (
         |  SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,4)) AS w_dec FROM agg),
@@ -241,7 +246,7 @@ object SamplingQueries {
       """WITH st AS (
         |  SELECT lang, count(*) AS n,
         |    CAST(sum(n_chars) AS BIGINT) AS cs,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS css
+        |    CAST(sum(n_chars * n_chars) AS DOUBLE) AS css
         |  FROM documents GROUP BY lang),
         |m AS (
         |  SELECT lang,
@@ -256,9 +261,9 @@ object SamplingQueries {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q64_shard_assign" ->
-      """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
+      s"""SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
         |  count(*) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '$wordPat'))) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,

@@ -17,12 +17,12 @@ import graft.sources.Tables
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val wordPat = "[a-z]+"
+  private val wordPat = graft.functions.Text.wordPat
   private val bpePat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
   private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  /** lowercase word tokens of `text`. */
-  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit(wordPat), lit(0))
+  /** lowercase word tokens of `text` (the canonical shared tokenizer). */
+  def tokens(c: Column): Column = graft.functions.Text.tokens(c)
 
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace words + BPE-ish sub-token pieces.
@@ -147,36 +147,34 @@ object TextQueries {
     // cum_share is a single IEEE division of exact BIGINTs, so the raw
     // double is bit-identical cross-engine (no rounding needed).
     //
-    // The global rank/running-sum is computed WITHOUT a single-partition
-    // window: counts are range-partitioned on the sort key (partition i's
-    // keys all precede partition i+1's), each partition windows locally in
-    // parallel, and per-partition (row count, sum) prefix offsets — one tiny
-    // driver collect of numPartitions rows — lift local ranks/sums to global
-    // ones. The vocabulary never funnels through one task, so the shape
-    // survives a 100 TB corpus whose distinct-token set is itself large.
+    // The global rank/running-sum is computed WITHOUT funneling the
+    // vocabulary through one task: counts are range-partitioned on the
+    // sort key (partition i's keys all precede partition i+1's), each
+    // partition windows locally in parallel, and per-partition prefix
+    // offsets lift local ranks/sums to global ones. The offsets come from
+    // a window over the per-partition STATS — numPartitions rows, a
+    // post-aggregation bound — so the only single-partition window in the
+    // plan sees ~32 rows whatever the corpus size, and the whole query
+    // stays lazy (building the plan runs no jobs).
     "q59_vocab_coverage" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // Materialized once (lazily): feeds both the ranked pass and the
-      // grand total, which would otherwise recompute the aggregation.
+      // offsets aggregation, which would otherwise recompute it.
       val counts = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .repartitionByRange(col("n").desc, col("token").asc)
         .withColumn("pid", spark_partition_id())
         .localCheckpoint(false)
-      val partStats = counts.groupBy(col("pid"))
+      val byPid = Window.orderBy(col("pid"))
+      val before = byPid.rowsBetween(Window.unboundedPreceding, -1)
+      val whole = byPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = counts.groupBy(col("pid"))
         .agg(count(lit(1)).as("rows"), sum(col("n")).as("s"))
-        .collect().map(r => (r.getAs[Int]("pid"),
-          r.getAs[Long]("rows"), r.getAs[Long]("s")))
-        .sortBy(_._1)
-      val total = partStats.map(_._3).sum
-      import s.implicits._
-      val offsets = {
-        var rank0 = 0L; var cum0 = 0L
-        partStats.toSeq.map { case (pid, rows, sm) =>
-          val o = (pid, rank0, cum0); rank0 += rows; cum0 += sm; o
-        }
-      }.toDF("pid", "rank_off", "cum_off")
+        .select(col("pid"),
+          coalesce(sum(col("rows")).over(before), lit(0L)).as("rank_off"),
+          coalesce(sum(col("s")).over(before), lit(0L)).as("cum_off"),
+          sum(col("s")).over(whole).as("total"))
       val w = Window.partitionBy(col("pid"))
         .orderBy(col("n").desc, col("token").asc)
       counts
@@ -187,10 +185,11 @@ object TextQueries {
         .select((col("local_rank") + col("rank_off")).as("tok_rank"),
           col("token"), col("n"),
           ((col("local_cum") + col("cum_off")).cast("double") /
-            lit(total).cast("double")).as("cum_share"),
-          (col("local_cum") + col("cum_off") - col("n")).as("cum_before"))
-        .where(col("cum_before").cast("double") < lit(0.90) * lit(total).cast("double"))
-        .drop("cum_before")
+            col("total").cast("double")).as("cum_share"),
+          (col("local_cum") + col("cum_off") - col("n")).as("cum_before"),
+          col("total"))
+        .where(col("cum_before").cast("double") < lit(0.90) * col("total").cast("double"))
+        .drop("cum_before", "total")
         .orderBy(col("tok_rank"))
     }),
 
