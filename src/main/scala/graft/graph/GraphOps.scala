@@ -406,6 +406,24 @@ object GraphOps {
     ranks
   }
 
+  /** Auto-dispatched PageRank: the driver-side accelerator below the edge
+    * threshold (no per-iteration Spark jobs — and [[InMemoryGraph.pageRank]]
+    * replays the decimal-staged arithmetic exactly, so the two paths are
+    * bit-identical), the distributed iteration above it. Shares the
+    * plan-keyed AccelCache with the traversal dispatchers, so a session
+    * running degree + BFS + PageRank over one edge view loads the graph
+    * once. */
+  def pageRankAuto(edges: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85, reset: Double = 0.15,
+      accelThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    probeAndLoad(edges.select(col("src"), col("dst")), accelThreshold) match {
+      case Some(g) => g.pageRank(iterations, damping, reset).toDF("node", "r")
+      case None    => pageRank(edges, iterations, damping, reset)
+    }
+  }
+
   /** Edge-induced subgraph (reference T5/J8): edges whose BOTH endpoints are
     * within `maxDepth` of `start` — the double semi-join form. */
   def inducedSubgraph(

@@ -35,6 +35,48 @@ final class InMemoryGraph private (
       case GraphOps.Both     => outAdj(v).iterator ++ inAdj(v).iterator
     }
 
+  /** PageRank matching [[GraphOps.pageRank]] BIT-FOR-BIT — the accel twin
+    * behind [[GraphOps.pageRankAuto]]. The distributed loop owes its
+    * determinism to staging each contribution through DECIMAL(28,12)
+    * before the per-node sum; this replays the identical arithmetic on the
+    * driver: `BigDecimal.valueOf(r/od)` (Spark's double→Decimal cast goes
+    * through the shortest decimal representation, i.e. `valueOf`) rounded
+    * HALF_UP to scale 12, summed exactly, `.doubleValue` back (nearest
+    * double, same as Spark's Decimal→double), then the same
+    * `reset + damping * s` chain. GraphXOpsSpec asserts strict equality
+    * with the DataFrame loop on random graphs. */
+  def pageRank(iterations: Int, damping: Double = 0.85,
+      reset: Double = 0.15): Seq[(String, Double)] = {
+    val n = size
+    val ranks = Array.fill(n)(1.0)
+    for (_ <- 1 to iterations) {
+      val sums = new Array[java.math.BigDecimal](n)
+      var v = 0
+      while (v < n) {
+        val od = outAdj(v).length
+        if (od > 0) {
+          val c = java.math.BigDecimal.valueOf(ranks(v) / od)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          val out = outAdj(v)
+          var k = 0
+          while (k < out.length) {
+            val d = out(k)
+            sums(d) = if (sums(d) == null) c else sums(d).add(c)
+            k += 1
+          }
+        }
+        v += 1
+      }
+      v = 0
+      while (v < n) {
+        val s = if (sums(v) == null) 0.0 else sums(v).doubleValue
+        ranks(v) = reset + damping * s
+        v += 1
+      }
+    }
+    names.indices.map(i => (names(i), ranks(i)))
+  }
+
   /** Connected components by union-find (path compression + union by
     * size); component id = minimum member name, matching the GraphX
     * backend's canonicalization. */

@@ -93,14 +93,15 @@ object GraphQueries {
         .orderBy(col("path_rank"))
     }),
 
-    // PageRank (pipeline extension): 3 deterministic iterations of
-    // GraphOps.pageRank on the directed view, top-25 by rounded rank.
-    // The decimal-summed contributions make every iteration bit-exact, so
-    // the oracle replays the iterations verbatim in SQL (see
-    // pageRankOracleSql); GraphXOpsSpec holds the DataFrame loop within
-    // tolerance of GraphX's message-passing PageRank.
+    // PageRank (pipeline extension): 3 deterministic iterations on the
+    // directed view, top-25 by rounded rank, auto-dispatched between the
+    // driver accelerator and the distributed loop (bit-identical paths —
+    // decimal-staged contributions make every iteration exact, so the
+    // oracle replays the iterations verbatim in SQL, see
+    // pageRankOracleSql); GraphXOpsSpec holds both within tolerance of
+    // GraphX's message-passing PageRank.
     "q68_pagerank" -> ((s, dir) => {
-      GraphOps.pageRank(edges(s, dir), iterations = 3)
+      GraphOps.pageRankAuto(edges(s, dir), iterations = 3)
         .select(col("node"), round(col("r"), 6).as("pagerank"))
         .orderBy(col("pagerank").desc, col("node").asc)
         .limit(25)

@@ -56,6 +56,21 @@ class GraphXOpsSpec extends SparkSpec {
     assert(df == again)
   }
 
+  test("driver-accel PageRank is BIT-IDENTICAL to the DataFrame loop") {
+    // the accel replays the decimal-staged arithmetic exactly — strict ==,
+    // no tolerance, across random multigraph shapes incl. dangling nodes
+    for (seed <- Seq(3, 29, 57)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(80)((s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+        .toDF("src", "dst") // duplicates + self-loops allowed on purpose
+      val dist = GraphOps.pageRank(es, iterations = 4)
+        .as[(String, Double)].collect().toMap
+      val accel = GraphOps.pageRankAuto(es, iterations = 4)
+        .as[(String, Double)].collect().toMap
+      assert(dist == accel, s"seed $seed")
+    }
+  }
+
   test("PageRank hand check: star graph center accumulates leaf mass") {
     // leaves l1..l4 -> center; one iteration: center = 0.15 + 0.85*4*(1/1)
     val star = (1 to 4).map(i => (s"l$i", "center")).toDF("src", "dst")
