@@ -406,6 +406,36 @@ object GraphOps {
     ranks
   }
 
+  /** Single-source weighted shortest distances by bounded Bellman-Ford —
+    * the weighted complement of the hop-count [[shortestPath]] (the
+    * reference's T2 is hops-only; edge weights are the natural extension
+    * once edges carry confidence/cost). Input: (src, dst, w) — pass a
+    * doubled view for undirected semantics, exactly like the BFS callers.
+    * Per iteration: one join keyed by src + one min-aggregation — min over
+    * IEEE doubles is exact and order-independent, and each candidate
+    * distance is the same left-to-right sum along its path in any engine,
+    * so results are deterministic and SQL-oracle-replayable with no
+    * decimal staging. `maxHops` bounds both cost and semantics (distances
+    * using at most that many edges), as in the reference's bounded
+    * traversals. */
+  def weightedShortestPaths(edges: DataFrame, source: String,
+      maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double"))
+      .localCheckpoint(false) // scanned once per relaxation round
+    var dist = Seq((source, 0.0)).toDF("node", "dist")
+    for (i <- 1 to maxHops) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist").as("sd")), "src")
+        .select(col("dst").as("node"), (col("sd") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (i % 2 == 0 && i < maxHops) dist = dist.localCheckpoint(false)
+    }
+    dist
+  }
+
   /** Auto-dispatched PageRank: the driver-side accelerator below the edge
     * threshold (no per-iteration Spark jobs — and [[InMemoryGraph.pageRank]]
     * replays the decimal-staged arithmetic exactly, so the two paths are

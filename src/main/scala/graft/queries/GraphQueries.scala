@@ -93,6 +93,23 @@ object GraphQueries {
         .orderBy(col("path_rank"))
     }),
 
+    // Weighted shortest distances (pipeline extension — reference T2 is
+    // hops-only): bounded Bellman-Ford from s1 over the undirected view
+    // with a deterministic per-edge weight, 50 nearest by rounded
+    // distance. min over doubles is exact, so the SQL oracle replays the
+    // relaxation rounds verbatim.
+    "q69_weighted_path" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("w",
+          lit(1.0) + (substring(col("src"), 2, 18).cast("long") +
+            substring(col("dst"), 2, 18).cast("long")) % 7)
+      GraphOps.weightedShortestPaths(und, "s1", maxHops = 4)
+        .select(col("node"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist").asc, col("node").asc)
+        .limit(50)
+    }),
+
     // PageRank (pipeline extension): 3 deterministic iterations on the
     // directed view, top-25 by rounded rank, auto-dispatched between the
     // driver accelerator and the distributed loop (bit-identical paths —
@@ -107,6 +124,33 @@ object GraphQueries {
         .limit(25)
     }),
   )
+
+  /** SQL replay of GraphOps.weightedShortestPaths' Bellman-Ford rounds:
+    * the same weighted undirected view, the same per-round
+    * union-then-min relaxation — min over doubles is exact, so no decimal
+    * staging is needed. */
+  private def weightedPathOracleSql(source: String, maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT u.dst AS node, d.dist + u.w AS dist
+         |    FROM d${i - 1} d JOIN wund u ON u.src = d.node) x
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCte,
+       |wund AS (
+       |  SELECT src, dst,
+       |    1.0 + (CAST(substr(src, 2) AS BIGINT)
+       |         + CAST(substr(dst, 2) AS BIGINT)) % 7 AS w
+       |  FROM (SELECT src, dst FROM edges
+       |        UNION ALL SELECT dst AS src, src AS dst FROM edges) t),
+       |d0 AS (SELECT '$source' AS node, CAST(0.0 AS DOUBLE) AS dist),
+       |$rounds
+       |SELECT node, round(dist, 6) AS dist FROM d$maxHops
+       |ORDER BY dist ASC, node ASC LIMIT 50""".stripMargin
+  }
 
   /** SQL replay of GraphOps.pageRank's deterministic iterations: same
     * DECIMAL(28,12) contribution sums, same literal reset/damping, same
@@ -203,6 +247,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q49_kpaths" -> kPathsOracleSql("s1", "s7", maxHops = 4, maxPaths = 3),
     "q68_pagerank" -> pageRankOracleSql(3),
+    "q69_weighted_path" -> weightedPathOracleSql("s1", 4),
 
     // Components via recursive reachability closure: each node accumulates
     // every reachable node id; min per node = the same canonical min-name

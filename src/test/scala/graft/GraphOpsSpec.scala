@@ -116,4 +116,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(m("b") == ((1L, 1L, 2L)))
     assert(m("c") == ((0L, 1L, 1L)))
   }
+
+  test("weighted shortest paths: a longer-hop cheaper route wins") {
+    // a->z direct costs 10; a->b->c->z costs 1+1+1 = 3
+    val e = Seq(("a", "z", 10.0), ("a", "b", 1.0), ("b", "c", 1.0),
+      ("c", "z", 1.0)).toDF("src", "dst", "w")
+    val d = GraphOps.weightedShortestPaths(e, "a", maxHops = 4)
+      .as[(String, Double)].collect().toMap
+    assert(d == Map("a" -> 0.0, "b" -> 1.0, "c" -> 2.0, "z" -> 3.0))
+    // with only 1 relaxation round, the direct edge is the best known
+    val d1 = GraphOps.weightedShortestPaths(e, "a", maxHops = 1)
+      .as[(String, Double)].collect().toMap
+    assert(d1("z") == 10.0)
+  }
+
+  test("weighted shortest paths agree with a driver Dijkstra (differential)") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(120)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}",
+      (1 + rnd.nextInt(9)).toDouble)).filter(e => e._1 != e._2).distinct
+    val hops = 6
+    val fast = GraphOps.weightedShortestPaths(es.toDF("src", "dst", "w"),
+        "n0", maxHops = hops)
+      .as[(String, Double)].collect().toMap
+    // driver Bellman-Ford with the same hop bound (Dijkstra would relax
+    // past the bound; the bounded contract is "best distance using at most
+    // maxHops edges")
+    var dist = Map("n0" -> 0.0)
+    for (_ <- 1 to hops) {
+      val relaxed = es.flatMap { case (s, d, w) =>
+        dist.get(s).map(sd => d -> (sd + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(fast == dist)
+  }
 }
