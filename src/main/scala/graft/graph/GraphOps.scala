@@ -375,7 +375,12 @@ object GraphOps {
   def pageRank(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85, reset: Double = 0.15,
       checkpointEvery: Int = 5): DataFrame = {
+    // Null-endpoint edges are dropped EXPLICITLY: the contribution join
+    // would drop a null src silently anyway, but a null dst would
+    // otherwise survive into the node set as a phantom — and the accel
+    // path (which drops both at load) must agree with this loop exactly.
     val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(false) // reused every iteration + outdeg + node set
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint(false) // referenced by every iteration's join
@@ -423,6 +428,7 @@ object GraphOps {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("w").cast("double"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(false) // scanned once per relaxation round
     var dist = Seq((source, 0.0)).toDF("node", "dist")
     for (i <- 1 to maxHops) {
@@ -448,9 +454,18 @@ object GraphOps {
       accelThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    probeAndLoad(edges.select(col("src"), col("dst")), accelThreshold) match {
+    // The SAME filteredView the traversal dispatchers probe with — the
+    // documented cache sharing depends on the plans canonicalizing
+    // identically, so the view must come from one helper, not a lookalike
+    // inline select.
+    val filtered = filteredView(edges, None, None)
+    probeAndLoad(filtered, accelThreshold) match {
       case Some(g) => g.pageRank(iterations, damping, reset).toDF("node", "r")
-      case None    => pageRank(edges, iterations, damping, reset)
+      case None    =>
+        // string-cast like the accel's load view, so both dispatch paths
+        // return the same node column type whatever the input id type
+        pageRank(filtered.select(col("src").cast("string"),
+          col("dst").cast("string")), iterations, damping, reset)
     }
   }
 

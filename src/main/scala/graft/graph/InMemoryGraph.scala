@@ -225,7 +225,12 @@ object InMemoryGraph {
   /** Build from already-collected (src, dst) rows — lets auto-dispatchers
     * size-probe and load with ONE distributed computation instead of a
     * count() pass followed by a second full collect(). */
-  def fromRows(rows: Array[org.apache.spark.sql.Row]): InMemoryGraph = {
+  def fromRows(allRows: Array[org.apache.spark.sql.Row]): InMemoryGraph = {
+    // An edge with a null endpoint carries no adjacency information; the
+    // distributed engines drop such rows implicitly at their equi-joins,
+    // so the accel must drop them too or the two dispatch paths diverge
+    // on the same input (null would otherwise intern as a phantom node).
+    val rows = allRows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     val idOf = new java.util.HashMap[String, Integer]()
     val names = mutable.ArrayBuffer[String]()
     def intern(s: String): Int = {

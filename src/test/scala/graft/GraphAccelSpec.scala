@@ -65,11 +65,8 @@ class GraphAccelSpec extends SparkSpec {
 
   test("an accel cache hit schedules zero Spark jobs") {
     val g = Seq(("x", "y"), ("y", "z"), ("z", "w")).toDF("src", "dst")
-    // prime the cache (probe + load jobs run here); pre-collect rows for
-    // the direct accel construction below — collecting inside the
-    // listener scope would itself schedule a job
+    // prime the cache (probe + load jobs run here)
     GraphOps.bfsAuto(g, Seq("x"), 3, Outgoing).count()
-    val gRows = g.collect()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -84,11 +81,11 @@ class GraphAccelSpec extends SparkSpec {
       // path that returns plain values
       val r = GraphOps.shortestPathAuto(g, "x", "w", 4, Outgoing)
       assert(r.contains((3, Seq("x", "y", "z", "w"))))
-      // PageRank's accel likewise iterates entirely on the driver's
-      // adjacency arrays (only materializing a result DataFrame would
-      // schedule work, so build the accel from the pre-collected rows)
-      val ranks = graft.graph.InMemoryGraph.fromRows(gRows)
-        .pageRank(iterations = 2).toMap
+      // pageRankAuto must HIT the same cache entry bfsAuto primed (one
+      // shared filteredView plan) and iterate on the driver — its result
+      // is a LocalRelation, so even collect() schedules no job
+      val ranks = GraphOps.pageRankAuto(g, iterations = 2)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(ranks("y") > ranks("x")) // y has incoming mass, x has none
       Thread.sleep(500) // listener events post asynchronously
       assert(jobs.get() == 0, s"expected zero jobs on cache hit, saw ${jobs.get()}")

@@ -71,6 +71,27 @@ class GraphXOpsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank dispatch paths agree on null-endpoint edges and id types") {
+    // a null endpoint must be dropped by BOTH paths (the accel skips it at
+    // load; the distributed loop filters explicitly), and numeric ids must
+    // come back as the same (string) node type from both
+    val es = Seq((null.asInstanceOf[String], "a"), ("a", "b"), ("b", null))
+      .toDF("src", "dst")
+    val dist = GraphOps.pageRank(
+        es.select($"src".cast("string"), $"dst".cast("string")), iterations = 2)
+      .as[(String, Double)].collect().toMap
+    val accel = GraphOps.pageRankAuto(es, iterations = 2)
+      .as[(String, Double)].collect().toMap
+    assert(dist == accel)
+    assert(accel.keySet == Set("a", "b")) // no phantom null node
+    val numeric = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val viaAccel = GraphOps.pageRankAuto(numeric, iterations = 1)
+    assert(viaAccel.schema("node").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(viaAccel.as[(String, Double)].collect().toMap.keySet ==
+      Set("1", "2", "3"))
+  }
+
   test("PageRank hand check: star graph center accumulates leaf mass") {
     // leaves l1..l4 -> center; one iteration: center = 0.15 + 0.85*4*(1/1)
     val star = (1 to 4).map(i => (s"l$i", "center")).toDF("src", "dst")
