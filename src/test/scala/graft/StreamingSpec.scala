@@ -70,6 +70,36 @@ class StreamingSpec extends SparkSpec {
     assert(batchPlan.contains("BroadcastHashJoin"), batchPlan.take(500))
   }
 
+  test("checkpointed restart resumes exactly-once: no reprocessed batches") {
+    // the operational contract a production ingest relies on: stop the
+    // query, add data, restart with the SAME checkpointLocation — the
+    // restarted query processes only the new file, so the append sink
+    // holds every event exactly once
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ck").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
+    def write(ids: Seq[Long], part: String): Unit =
+      ids.map(i => (i, ts(i.toInt), 10L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/$part")
+    write(Seq(1L, 2L), "p1")
+    def start() = spark.readStream.schema(StreamOps.eventSchema)
+      .parquet(s"$dir/*")
+      .select($"event_id", $"user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(sink).count() == 2)
+    write(Seq(3L), "p2")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(sink).select($"event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // 1,2 NOT reprocessed after restart
+  }
+
   test("epoch records expose the committed-epoch clock per kind (M8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     Seq(
