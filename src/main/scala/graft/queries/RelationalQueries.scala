@@ -353,6 +353,41 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Funnel analysis: users progressing signup → view → click → purchase
+    // with strictly increasing timestamps (each stage's first event must
+    // follow the previous stage's). Stage tables shrink monotonically and
+    // each is lazily checkpointed — it feeds both the next stage's join
+    // and its own count, which would otherwise recompute the chain. The
+    // per-stage join is keyed by user_id (broadcast while small, shuffle
+    // at scale), the classic event-funnel shape.
+    "q70_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .localCheckpoint(false)
+      def stageAfter(eventType: String, prev: DataFrame,
+          prevTs: String, outTs: String): DataFrame =
+        e.where(col("event_type") === eventType)
+          .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+          .where(col("ts") > col(prevTs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+          .localCheckpoint(false)
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        .localCheckpoint(false)
+      val s2 = stageAfter("view", s1, "t1", "t2")
+      val s3 = stageAfter("click", s2, "t2", "t3")
+      val s4 = stageAfter("purchase", s3, "t3", "t4")
+      Seq((1L, "signup", s1), (2L, "view", s2), (3L, "click", s3),
+          (4L, "purchase", s4))
+        .map { case (ord, name, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("n_users"))
+        }
+        .reduce(_.unionByName(_))
+        .orderBy(col("stage_ord"))
+    }),
+
     // Cohort retention: users bucketed by first-seen week, distinct active
     // users per (cohort, week offset) — the engagement rollup every event
     // log feeds. First-seen is one aggregation joined back on user_id
@@ -380,6 +415,26 @@ object RelationalQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q70_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |s4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'signup' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM s4) t
+        |ORDER BY stage_ord""".stripMargin,
 
     "q66_cohort_retention" ->
       """WITH e AS (
