@@ -442,6 +442,49 @@ object GraphOps {
     dist
   }
 
+  /** Auto-dispatched weighted shortest distances: below the edge threshold
+    * the weighted edge list is collected once and the SAME Jacobi
+    * relaxation runs on the driver — each candidate distance is the
+    * identical left-to-right double sum along its path and min is exact,
+    * so the two paths are bit-identical by construction (strict-==
+    * differential in GraphOpsSpec). Weighted edges are not in the
+    * (src, dst)-keyed AccelCache — weights vary per call — so this probes
+    * with its own bounded collect. */
+  def weightedShortestPathsAuto(edges: DataFrame, source: String,
+      maxHops: Int, accelThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val view = edges
+      .select(col("src").cast("string"), col("dst").cast("string"),
+        col("w").cast("double"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = view.limit(accelThreshold.toInt + 1).collect()
+      if (probe.length > accelThreshold) {
+        // lazy result: unpersisting view below only forfeits the probe's
+        // cache, the plan recomputes from source on first action
+        weightedShortestPaths(view, source, maxHops)
+      } else {
+        val es = probe.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        var dist = Map(source -> 0.0)
+        for (_ <- 1 to maxHops) {
+          // Jacobi: relax against the PREVIOUS round's snapshot, exactly
+          // like the distributed loop's union-then-min per round
+          val relaxed = es.iterator.flatMap { case (s, d, w) =>
+            dist.get(s).map(sd => d -> (sd + w))
+          }
+          val merged = scala.collection.mutable.Map.from(dist)
+          relaxed.foreach { case (n, dd) =>
+            if (!merged.get(n).exists(_ <= dd)) merged(n) = dd
+          }
+          dist = merged.toMap
+        }
+        dist.toSeq.toDF("node", "dist")
+      }
+    } finally { view.unpersist(); () }
+  }
+
   /** Auto-dispatched PageRank: the driver-side accelerator below the edge
     * threshold (no per-iteration Spark jobs — and [[InMemoryGraph.pageRank]]
     * replays the decimal-staged arithmetic exactly, so the two paths are

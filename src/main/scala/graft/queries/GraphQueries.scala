@@ -104,7 +104,7 @@ object GraphQueries {
         .withColumn("w",
           lit(1.0) + (substring(col("src"), 2, 18).cast("long") +
             substring(col("dst"), 2, 18).cast("long")) % 7)
-      GraphOps.weightedShortestPaths(und, "s1", maxHops = 4)
+      GraphOps.weightedShortestPathsAuto(und, "s1", maxHops = 4)
         .select(col("node"), round(col("dist"), 6).as("dist"))
         .orderBy(col("dist").asc, col("node").asc)
         .limit(50)

@@ -150,5 +150,15 @@ class GraphOpsSpec extends SparkSpec {
         .view.mapValues(_.map(_._2).min).toMap
     }
     assert(fast == dist)
+    // the auto dispatcher's driver path is bit-identical to both
+    val auto = GraphOps.weightedShortestPathsAuto(es.toDF("src", "dst", "w"),
+        "n0", maxHops = hops)
+      .as[(String, Double)].collect().toMap
+    assert(auto == fast)
+    // and above the threshold it falls back to the distributed loop
+    val forced = GraphOps.weightedShortestPathsAuto(es.toDF("src", "dst", "w"),
+        "n0", maxHops = hops, accelThreshold = 1L)
+      .as[(String, Double)].collect().toMap
+    assert(forced == fast)
   }
 }
