@@ -133,7 +133,7 @@ object SamplingQueries {
     }),
 
     // Length-outlier flagging: per-language z-score of document length,
-    // docs beyond 2σ flagged (the curation step that drops truncated and
+    // docs beyond 1.5σ flagged (the curation step that drops truncated and
     // runaway documents before training). mean/std derive from EXACT
     // sums: Σchars fits BIGINT, but Σchars² is staged through
     // DECIMAL(38,0) — at 100 TB (1e9 docs × ~1e5 chars, Σchars² ≈ 1e19)
@@ -153,7 +153,7 @@ object SamplingQueries {
               (col("cs").cast("double") / col("n").cast("double"))).as("std"))
       Tables.documents(s, dir)
         .join(broadcast(stats), "lang")
-        .where(abs(col("n_chars") - col("mean")) > lit(2.0) * col("std"))
+        .where(abs(col("n_chars") - col("mean")) > lit(1.5) * col("std"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round((col("n_chars") - col("mean")) / col("std"), 6).as("z"))
         .orderBy(col("doc_id"))
@@ -257,7 +257,7 @@ object SamplingQueries {
         |SELECT d.doc_id, d.lang, d.n_chars,
         |  round((d.n_chars - m.mean) / m.std, 6) AS z
         |FROM documents d JOIN m USING (lang)
-        |WHERE abs(d.n_chars - m.mean) > 2.0 * m.std
+        |WHERE abs(d.n_chars - m.mean) > 1.5 * m.std
         |ORDER BY d.doc_id""".stripMargin,
 
     "q64_shard_assign" ->
