@@ -66,26 +66,25 @@ object TextQueries {
         "de" -> Seq("customer", "join", "gross", "und"),
         "es" -> Seq("slow", "agg", "merge", "valor"),
         "zh" -> Seq("small", "value", "column", "shi"))
-      // Single tokenization pass (explode evaluates the regex once per doc),
-      // then ONE partial-aggregated groupBy computing all five languages'
-      // hit counts as conditional sums — no dictionary join, no scaffold
-      // cross join, no per-doc window. The argmax with lexicographic
-      // tiebreak is array_min over (−hits, lang) structs.
+      // Zero-shuffle shape: ONE aggregate() pass over the token array
+      // accumulates all five languages' hit counts per row (the token
+      // array is referenced exactly once, so the tokenizing regex runs
+      // once per doc). No explode — the prior form shuffled one row per
+      // token through a per-doc groupBy; this one is scan-shaped and
+      // embarrassingly parallel at any corpus size. Argmax with
+      // lexicographic tiebreak stays array_min over (−hits, lang) structs.
       val markerSorted = markers.toSeq.sortBy(_._1)
-      val aggs = markerSorted.map { case (ml, ws) =>
-        sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"h_$ml")
-      }
-      val d = Tables.documents(s, dir)
-      val hits = d
-        .select(col("doc_id"), col("lang"),
-          explode_outer(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(aggs.head, aggs.tail: _*)
-      val best = array_min(array(markerSorted.map { case (ml, _) =>
-        struct((-col(s"h_$ml")).as("neg"), lit(ml).as("ml"))
+      val zeros = array(markerSorted.map(_ => lit(0L)): _*)
+      val votes = aggregate(tokens(col("text")), zeros, (acc, t) =>
+        array(markerSorted.zipWithIndex.map { case ((_, ws), i) =>
+          element_at(acc, i + 1) + when(t.isin(ws: _*), 1L).otherwise(0L)
+        }: _*))
+      val best = array_min(array(markerSorted.zipWithIndex.map { case ((ml, _), i) =>
+        struct((-element_at(col("votes"), i + 1)).as("neg"), lit(ml).as("ml"))
       }: _*))
-      hits
-        .withColumn("best", best)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), votes.as("votes"))
+        .select(col("doc_id"), best.as("best"), col("lang"))
         .select(col("doc_id"), col("best.ml").as("predicted_lang"),
           (-col("best.neg")).cast("long").as("marker_hits"),
           col("lang").as("labeled_lang"))
@@ -129,8 +128,14 @@ object TextQueries {
       val nLangs = 5.0
       val tf = d.select(col("lang"), explode(tokens(col("text"))).as("word"))
         .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("word")).agg(countDistinct(col("lang")).as("df"))
-      val scored = tf.join(df, "word")
+      // tf rows are key-distinct per (lang, word), so document frequency
+      // is a plain count over a word-partitioned window — no second
+      // aggregate over a recomputed tf, no join, and the corpus is
+      // tokenized exactly once. The window partitions on `word` (high
+      // cardinality), so it parallelizes like the groupBy it replaces.
+      val wWord = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(wWord))
         .withColumn("score", round(col("tf") * log(lit(nLangs) / col("df")), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
