@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.sources.Tables
@@ -112,11 +112,98 @@ object DedupQueries {
           isEval = col("doc_id") % 40 === 0, n = 4)
         .orderBy(col("doc_id"))
     }),
+
+    // Cross-document boilerplate (line-dedup analog for unstructured text):
+    // per doc, the fraction of its distinct 8-token windows that also occur
+    // in at least one OTHER document. Two partial-aggregated passes keyed
+    // by window text — the same inverted-index shape as q35, shuffling one
+    // row per distinct (doc, window), never per token.
+    "q72_boilerplate" -> ((s, dir) => {
+      val win = 8
+      val tk = graft.functions.Text.tokens(col("text"))
+      val wins = Tables.documents(s, dir)
+        .select(col("doc_id"), tk.as("tk"))
+        .where(size(col("tk")) >= win)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("tk")) - (win - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(win)))))).as("w"))
+      // (doc_id, w) is distinct, so docs-per-window is a plain count.
+      val counts = wins.groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+      wins.join(counts, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("shared_frac",
+          col("n_shared").cast("double") / col("n_windows").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content-defined chunking (FastCDC/rsync shape): a chunk boundary
+    // falls at position i (16 ≤ i < n) where the polynomial hash of the
+    // trailing 16-char window ≡ 0 (mod 64) — boundaries move with content,
+    // so an insertion re-chunks only its neighborhood (the property that
+    // makes CDC the dedup-at-scale primitive). Purely scan-shaped: every
+    // boundary is computed row-locally, no shuffle at any corpus size.
+    // All arithmetic is the q56 portable rolling hash.
+    "q73_cdc_chunks" -> ((s, dir) => {
+      val p = 2147483647L
+      val n = length(col("text"))
+      def winHash(i: Column): Column =
+        aggregate(transform(sequence(i - 15, i), j =>
+            ascii(col("text").substr(j, lit(1))).cast("long")),
+          lit(0L), (acc, c) => (acc * 131L + c) % lit(p))
+      val bounds = when(n >= 17,
+        filter(transform(sequence(lit(16), n - 1), i =>
+            when(winHash(i) % 64 === 0, i).otherwise(lit(null).cast("int"))),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.cast("long").as("n_chars"), bounds.as("bounds"))
+        .select(col("doc_id"), col("n_chars"),
+          (size(col("bounds")) + 1).cast("long").as("n_chunks"),
+          try_element_at(col("bounds"), lit(1)).cast("long").as("first_boundary"),
+          (col("n_chars").cast("double") / (size(col("bounds")) + 1))
+            .as("mean_chunk_len"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private val wordPat = graft.functions.Text.wordPat
 
   val oracles: Map[String, String] = Map(
+    "q72_boilerplate" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$wordPat') AS tk
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+         |    i -> array_to_string(tk[i : i + 7], ' ')))) AS w
+         |  FROM tk WHERE len(tk) >= 8),
+         |c AS (SELECT w, count(*) AS n_docs FROM w GROUP BY w)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS shared_frac
+         |FROM w JOIN c USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q73_cdc_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CASE WHEN length(text) >= 17 THEN
+        |      list_filter(range(16, length(text)), i ->
+        |        list_reduce(
+        |          list_transform(range(i - 15, i + 1),
+        |            j -> CAST(ord(substring(text, j, 1)) AS BIGINT)),
+        |          (acc, c) -> (acc * 131 + c) % 2147483647) % 64 = 0)
+        |    ELSE [] END AS bounds
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(len(bounds) + 1 AS BIGINT) AS n_chunks,
+        |  CAST(bounds[1] AS BIGINT) AS first_boundary,
+        |  CAST(n_chars AS DOUBLE) / (len(bounds) + 1) AS mean_chunk_len
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "q34_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS fingerprint,
         |  min(doc_id) AS rep_id, count(*) AS group_size

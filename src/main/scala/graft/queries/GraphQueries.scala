@@ -123,6 +123,32 @@ object GraphQueries {
         .orderBy(col("pagerank").desc, col("node").asc)
         .limit(25)
     }),
+
+    // Triangle counting (pipeline extension — community/cohesion signal).
+    // The supplier↔part view is bipartite (zero triangles by construction),
+    // so collapse both keys into one 100-node id space first. Canonical
+    // u<v orientation counts each triangle exactly once via the oriented
+    // two-join (u<v<w) shape — the standard distributed-triangle plan: the
+    // wedge join's fan-out is bounded by per-node degree, and every join
+    // is a plain equi-join that scales by shuffle on node id. Per-node
+    // participation = explode of the three corners, top-10.
+    // GraphXOpsSpec cross-validates against GraphX's TriangleCount.
+    "q71_triangles" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .where(col("l_linenumber") === 1)
+        .select((col("l_suppkey") % 100).as("a"), (col("l_partkey") % 100).as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.v") === col("bc.u"))
+        .join(e.as("ac"), col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+        .select(col("ab.u").as("x"), col("ab.v").as("y"), col("bc.v").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node").asc)
+        .limit(10)
+    }),
   )
 
   /** SQL replay of GraphOps.weightedShortestPaths' Bellman-Ford rounds:
@@ -245,6 +271,23 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q71_triangles" ->
+      """WITH e0 AS (
+        |  SELECT l_suppkey % 100 AS a, l_partkey % 100 AS b
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |e AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM e0 WHERE a <> b),
+        |tri AS (
+        |  SELECT ab.u AS x, ab.v AS y, bc.v AS z
+        |  FROM e ab
+        |  JOIN e bc ON ab.v = bc.u
+        |  JOIN e ac ON ab.u = ac.u AND bc.v = ac.v),
+        |corners AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM corners GROUP BY node
+        |ORDER BY n_triangles DESC, node ASC LIMIT 10""".stripMargin,
+
     "q49_kpaths" -> kPathsOracleSql("s1", "s7", maxHops = 4, maxPaths = 3),
     "q68_pagerank" -> pageRankOracleSql(3),
     "q69_weighted_path" -> weightedPathOracleSql("s1", 4),

@@ -177,11 +177,48 @@ object SamplingQueries {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("shard"))
     }),
+
+    // Sequence packing: assign docs (in doc_id order) to fixed 2048-token
+    // training packs by the global token offset at each doc's start —
+    // deterministic greedy packing, the step that turns a curated corpus
+    // into fixed-length training rows. The global running sum goes through
+    // operators.GlobalWindow (range-partition + prefix offsets), so no
+    // task ever holds the whole corpus; the per-pack audit is one
+    // partial-aggregated groupBy.
+    "q77_pack_sequences" -> ((s, dir) => {
+      val budget = 2048L
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextQueries.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.GlobalWindow.rankedRunningSum(
+          d, Seq(col("doc_id").asc), col("n_tokens"),
+          "rank", "cum", "total")
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / budget))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("pack_id"))
+    }),
   )
 
   private val wordPat = graft.functions.Text.wordPat
 
   val oracles: Map[String, String] = Map(
+    "q77_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '$wordPat')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |SELECT CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+
     "q50_stratified_sample" ->
       """SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank FROM (
         |  SELECT lang, doc_id,

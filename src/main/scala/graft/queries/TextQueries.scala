@@ -152,50 +152,44 @@ object TextQueries {
     // cum_share is a single IEEE division of exact BIGINTs, so the raw
     // double is bit-identical cross-engine (no rounding needed).
     //
-    // The global rank/running-sum is computed WITHOUT funneling the
-    // vocabulary through one task: counts are range-partitioned on the
-    // sort key (partition i's keys all precede partition i+1's), each
-    // partition windows locally in parallel, and per-partition prefix
-    // offsets lift local ranks/sums to global ones. The offsets come from
-    // a window over the per-partition STATS — numPartitions rows, a
-    // post-aggregation bound — so the only single-partition window in the
-    // plan sees ~32 rows whatever the corpus size, and the whole query
-    // stays lazy (building the plan runs no jobs).
+    // The global rank/running-sum goes through operators.GlobalWindow
+    // (range-partition + per-partition prefix offsets), so no task ever
+    // holds the whole vocabulary and the plan stays lazy.
     "q59_vocab_coverage" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // Materialized once (lazily): feeds both the ranked pass and the
-      // offsets aggregation, which would otherwise recompute it.
       val counts = Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .repartitionByRange(col("n").desc, col("token").asc)
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(false)
-      val byPid = Window.orderBy(col("pid"))
-      val before = byPid.rowsBetween(Window.unboundedPreceding, -1)
-      val whole = byPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val offsets = counts.groupBy(col("pid"))
-        .agg(count(lit(1)).as("rows"), sum(col("n")).as("s"))
-        .select(col("pid"),
-          coalesce(sum(col("rows")).over(before), lit(0L)).as("rank_off"),
-          coalesce(sum(col("s")).over(before), lit(0L)).as("cum_off"),
-          sum(col("s")).over(whole).as("total"))
-      val w = Window.partitionBy(col("pid"))
-        .orderBy(col("n").desc, col("token").asc)
-      counts
-        .withColumn("local_rank", row_number().over(w).cast("long"))
-        .withColumn("local_cum", sum(col("n")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(offsets), "pid")
-        .select((col("local_rank") + col("rank_off")).as("tok_rank"),
-          col("token"), col("n"),
-          ((col("local_cum") + col("cum_off")).cast("double") /
-            col("total").cast("double")).as("cum_share"),
-          (col("local_cum") + col("cum_off") - col("n")).as("cum_before"),
-          col("total"))
+      graft.operators.GlobalWindow.rankedRunningSum(
+          counts, Seq(col("n").desc, col("token").asc), col("n"),
+          "tok_rank", "cum", "total")
+        .select(col("tok_rank"), col("token"), col("n"),
+          (col("cum").cast("double") / col("total").cast("double")).as("cum_share"),
+          (col("cum") - col("n")).as("cum_before"), col("total"))
         .where(col("cum_before").cast("double") < lit(0.90) * col("total").cast("double"))
         .drop("cum_before", "total")
         .orderBy(col("tok_rank"))
+    }),
+
+    // Unigram-LM quality signal (CCNet/Gopher-style): corpus token
+    // frequencies form a unigram language model; each document scores the
+    // mean log-probability of its tokens — rare-token-heavy (noisy) docs
+    // score low. Per-token logp is rounded to 6dp and summed as DECIMAL so
+    // the mean is order-independent; the final mean is one double division.
+    "q75_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = freq.agg(sum(col("n")).as("total"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(log(col("n").cast("double") / col("total").cast("double")), 6)
+            .as("logp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("logp").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_logp"))
+        .orderBy(col("doc_id"))
     }),
 
     // Repetition quality filter (the Gopher/C4-style duplicate-n-gram
@@ -326,6 +320,19 @@ object TextQueries {
          |FROM r
          |WHERE CAST(cum - n AS DOUBLE) < 0.90 * CAST((SELECT total FROM t) AS DOUBLE)
          |ORDER BY tok_rank""".stripMargin,
+
+    "q75_unigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$wordPat')) AS tok
+         |  FROM documents),
+         |freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CAST(round(ln(CAST(n AS DOUBLE)
+         |      / CAST((SELECT total FROM t) AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*) AS avg_logp
+         |FROM toks JOIN freq USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q60_repetition" ->
       s"""WITH tk AS (

@@ -100,6 +100,37 @@ object VectorQueries {
         .select(col("a_id"), col("b_id"), col("sim"), col("strength"))
         .orderBy(col("a_id"), col("b_id"))
     }),
+
+    // One k-means step (Lloyd iteration) over the embedding corpus: assign
+    // every vector to its nearest of k=8 seed centroids (squared-L2,
+    // deterministic tiebreak on centroid id), then the per-cluster centroid
+    // update for the first 4 dims. The seeds broadcast (k rows); assignment
+    // is scan-shaped; the update is one partial-aggregated groupBy — the
+    // exact shape an MLlib KMeans iteration shuffles, but oracle-checkable:
+    // per-dim sums go through floor-to-micros fixed point so the mean is
+    // order-independent and bit-identical cross-engine.
+    "q78_kmeans_step" -> ((s, dir) => {
+      val k = 8
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seeds = e.where(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("dist",
+          aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d2) => acc + d2))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cluster"))
+      e.join(assigned, "vec_id")
+        .select(col("cluster"), posexplode(col("v")))
+        .where(col("pos") < 4)
+        .groupBy(col("cluster"), col("pos").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(floor(col("col") * 1e6).cast("long")).cast("double") /
+            count(lit(1)) / lit(1e6)).as("dim_mean"))
+        .orderBy(col("cluster"), col("dim"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +176,28 @@ object VectorQueries {
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |GROUP BY a.label ORDER BY a.label""".stripMargin,
+
+    "q78_kmeans_step" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+        |d AS (
+        |  SELECT v.vec_id, s.cid,
+        |    list_reduce(list_transform(range(1, len(v.v) + 1),
+        |      i -> (v.v[i] - s.c[i]) * (v.v[i] - s.c[i])),
+        |      (acc, x) -> acc + x) AS dist
+        |  FROM v, seeds s),
+        |a AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d) t
+        |  WHERE rn = 1)
+        |SELECT a.cluster, p.pos AS dim, count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(v.v[p.pos + 1] * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1e6 AS dim_mean
+        |FROM a JOIN v USING (vec_id), (SELECT unnest(range(0, 4)) AS pos) p
+        |GROUP BY a.cluster, p.pos
+        |ORDER BY a.cluster, dim""".stripMargin,
   )
 }

@@ -22,7 +22,13 @@ class PlanShapeSpec extends SparkSpec {
     // q37: inequality pairing over an explicitly bounded probe set
     // (doc_id < 200); the unbounded form is Dedup.hammingNearPairs
     // (pigeonhole-banded equi-join, proven equivalent in DedupSpec)
-    "q37_simhash")
+    "q37_simhash",
+    // q75: scalar cross join — the broadcast side is ONE row (the corpus
+    // token total), the same shape q59's cutoff uses
+    "q75_unigram_logprob",
+    // q78: Lloyd assignment — the broadcast side is the k=8 seed
+    // centroids, the exact shape an MLlib KMeans iteration broadcasts
+    "q78_kmeans_step")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
