@@ -527,4 +527,28 @@ object GraphOps {
       .join(broadcast(nodes.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
       .select(edges.columns.map(col).toIndexedSeq: _*) // joins reorder key cols
   }
+
+  /** Per-node triangle participation counts over the undirected simple
+    * graph induced by (src, dst). The standard distributed-triangle plan:
+    * canonicalize each edge to u<v and dedupe (so every triangle
+    * {a<b<c} exists exactly once as the oriented wedge a→b→c closed by
+    * a→c), join wedges ab⋈bc on the middle vertex, close with ac — every
+    * join a plain equi-join that scales by shuffle on node id, the wedge
+    * fan-out bounded by per-node degree (skew = high-degree hubs; AQE
+    * skew-join splits those). Corners explode to (node, 1) and sum.
+    * Nodes in no triangle are absent (count 0). Cross-validated against
+    * GraphX's TriangleCount in GraphXOpsSpec; exercised by q71. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"), col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+      .select(col("ab.u").as("x"), col("ab.v").as("y"), col("bc.v").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

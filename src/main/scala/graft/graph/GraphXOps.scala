@@ -108,4 +108,25 @@ object GraphXOps {
       .filter(_._2 != Int.MaxValue)
       .toDF("node", "distance")
   }
+
+  /** Per-node triangle counts via GraphX's TriangleCount — the twin of
+    * GraphOps.triangleCounts for cross-validation. GraphX requires
+    * canonical orientation (srcId < dstId, no self-loops) and a
+    * partitioning strategy; nodes with zero triangles are dropped to
+    * match the DataFrame shape. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = fromEdges(edges
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    g.triangleCount().vertices
+      .join(g.vertices)
+      .map { case (_, (n, name)) => (name, n.toLong) }
+      .filter(_._2 > 0)
+      .toDF("node", "n_triangles")
+  }
 }

@@ -136,16 +136,8 @@ object GraphQueries {
     "q71_triangles" -> ((s, dir) => {
       val e = Tables.lineitem(s, dir)
         .where(col("l_linenumber") === 1)
-        .select((col("l_suppkey") % 100).as("a"), (col("l_partkey") % 100).as("b"))
-        .where(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .distinct()
-      val tri = e.as("ab")
-        .join(e.as("bc"), col("ab.v") === col("bc.u"))
-        .join(e.as("ac"), col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
-        .select(col("ab.u").as("x"), col("ab.v").as("y"), col("bc.v").as("z"))
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .select((col("l_suppkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
+      graft.graph.GraphOps.triangleCounts(e)
         .orderBy(col("n_triangles").desc, col("node").asc)
         .limit(10)
     }),

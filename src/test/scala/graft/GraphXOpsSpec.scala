@@ -22,6 +22,18 @@ class GraphXOpsSpec extends SparkSpec {
     assert(cc("solo1") == "solo1")
   }
 
+  test("oriented-wedge triangle counts agree with GraphX TriangleCount") {
+    val rnd = new scala.util.Random(29)
+    val es = Seq.fill(120)((s"n${rnd.nextInt(18)}", s"n${rnd.nextInt(18)}"))
+      .toDF("src", "dst") // dups + self-loops included: both must be ignored
+    val df = GraphOps.triangleCounts(es)
+      .as[(String, Long)].collect().toMap
+    val gx = GraphXOps.triangleCount(es)
+      .as[(String, Long)].collect().toMap
+    assert(df == gx)
+    assert(df.nonEmpty, "fixture must actually contain triangles")
+  }
+
   test("union-find accelerator agrees with GraphX components (differential)") {
     val rnd = new scala.util.Random(7)
     val es = Seq.fill(40)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
