@@ -109,6 +109,41 @@ object PipelineQueries {
           col("n_bytes"), col("frame_key"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
+    // PII scrub (C4/Dolma-style redaction pass): detect and redact
+    // emails, phone numbers, and IPv4s; emit per-doc detection counts and
+    // the redacted length. The corpus is synthetic word soup with no
+    // natural PII, so the query injects a deterministic PII tail derived
+    // from doc_id (identically in the oracle) — the assertion is that the
+    // regex kernels FIND and REMOVE exactly what was planted, with a
+    // count that varies per row (doc_id % 3 extra emails). Purely
+    // scan-shaped: regexes are row-local, no shuffle at any corpus size;
+    // patterns chosen for identical Java-regex/RE2 semantics.
+    "q74_pii_scrub" -> ((s, dir) => {
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\b555-[0-9]{4}\\b"
+      val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        repeat(concat(lit(" cc"), col("doc_id"), lit("@test.org")),
+          (col("doc_id") % 3).cast("int")),
+        lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"), lit(" end"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("aug"), lit(ipPat), lit(0)))
+            .cast("long").as("n_ips"),
+          length(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            emailPat, "[EMAIL]"), phonePat, "[PHONE]"), ipPat, "[IP]"))
+            .cast("long").as("redacted_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal feature extraction (REAL, not stubbed): 16-bucket
     // character-class histogram per asset — the feature-vector shape a
     // decoder plugs into, as one explode + partial-aggregated groupBy
@@ -208,6 +243,28 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q41_smart_chunker" -> smartChunkerOracleSql(minW = 20, maxW = 40, ovl = 5),
+
+    "q74_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || ' contact user' || doc_id || '@example.com'
+        |    || repeat(' cc' || doc_id || '@test.org', CAST(doc_id % 3 AS INT))
+        |    || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+        |    || ' end' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'))
+        |    AS BIGINT) AS redacted_len
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "q57_feature_histogram" ->
       """SELECT doc_id,

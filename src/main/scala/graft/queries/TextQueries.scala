@@ -192,6 +192,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM fluency signal (the KenLM-perplexity-filter shape, e.g.
+    // CCNet): corpus bigram counts form an add-k-smoothed conditional
+    // model p(w2|w1) = (c12+k)/(c1+k·V); each doc scores the mean log-prob
+    // of its bigrams — incoherent token soup scores low even when every
+    // unigram is common (the signal q75 can't see). The model table
+    // (distinct bigrams ⋈ unigram counts, V broadcast) is built once;
+    // the big doc-bigram stream shuffles once to join it. Per-bigram logp
+    // rounds to 6dp and sums as DECIMAL so avg_logp is order-independent.
+    "q76_bigram_lm" -> ((s, dir) => {
+      val kSmooth = 0.5
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .where(size(col("tk")) >= 2)
+        .localCheckpoint(false) // feeds unigrams + bigrams: tokenize once
+      val bi = docs.select(col("doc_id"), explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      val uni = docs.select(explode(col("tk")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val model = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .join(uni, "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("bigram"),
+          round(log((col("c12") + kSmooth) / (col("c1") + col("v") * kSmooth)), 6)
+            .as("logp"))
+      bi.join(model, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("logp").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition quality filter (the Gopher/C4-style duplicate-n-gram
     // signal): per document, the fraction of bigram occurrences that belong
     // to a repeated bigram, plus the dominant bigram's count — high
@@ -332,6 +368,28 @@ object TextQueries {
          |      / CAST((SELECT total FROM t) AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
          |    / count(*) AS avg_logp
          |FROM toks JOIN freq USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q76_bigram_lm" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$wordPat') AS tk
+         |  FROM documents WHERE len(regexp_extract_all(lower(text), '$wordPat')) >= 2),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+         |  FROM tk),
+         |uni AS (
+         |  SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(tk) AS w1 FROM tk) GROUP BY w1),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |model AS (
+         |  SELECT bigram,
+         |    round(ln((c12 + 0.5) / (c1 + 0.5 * (SELECT v FROM v))), 6) AS logp
+         |  FROM (SELECT bigram, count(*) AS c12 FROM bi GROUP BY bigram) bc
+         |  JOIN uni ON split_part(bc.bigram, ' ', 1) = uni.w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_logp
+         |FROM bi JOIN model USING (bigram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q60_repetition" ->
