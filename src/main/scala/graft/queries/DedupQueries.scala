@@ -115,26 +115,36 @@ object DedupQueries {
 
     // Cross-document boilerplate (line-dedup analog for unstructured text):
     // per doc, the fraction of its distinct 8-token windows that also occur
-    // in at least one OTHER document. Two partial-aggregated passes keyed
-    // by window text — the same inverted-index shape as q35, shuffling one
-    // row per distinct (doc, window), never per token.
+    // in at least one OTHER document. The wide window-string table shuffles
+    // ONCE: n_windows per doc is scan-side (size of the distinct array —
+    // no shuffle), and since (doc, window) rows are distinct,
+    // n_shared = n_windows − (windows owned by exactly this doc alone), so
+    // one partial-aggregated groupBy(window) → filter n_docs=1 →
+    // tiny per-doc count replaces the join-back of every (doc, window)
+    // row. The per-doc join at the end is one row per doc on both sides.
     "q72_boilerplate" -> ((s, dir) => {
       val win = 8
       val tk = graft.functions.Text.tokens(col("text"))
-      val wins = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"), tk.as("tk"))
         .where(size(col("tk")) >= win)
-        .select(col("doc_id"), explode(array_distinct(
+        .select(col("doc_id"), array_distinct(
           transform(sequence(lit(1), size(col("tk")) - (win - 1)),
-            i => concat_ws(" ", slice(col("tk"), i, lit(win)))))).as("w"))
-      // (doc_id, w) is distinct, so docs-per-window is a plain count.
-      val counts = wins.groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
-      wins.join(counts, "w")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
-        .withColumn("shared_frac",
-          col("n_shared").cast("double") / col("n_windows").cast("double"))
+            i => concat_ws(" ", slice(col("tk"), i, lit(win))))).as("ws"))
+        .localCheckpoint(false) // feeds the explode AND the per-doc sizes
+      // min(doc_id) is well-defined as "the owner" only when n_docs = 1.
+      val uniq = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("doc_id"))
+        .where(col("n_docs") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+      docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_windows"))
+        .join(uniq, Seq("doc_id"), "left")
+        .withColumn("n_shared",
+          col("n_windows") - coalesce(col("n_unique"), lit(0L)))
+        .select(col("doc_id"), col("n_windows"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_windows").cast("double"))
+            .as("shared_frac"))
         .orderBy(col("doc_id"))
     }),
 
