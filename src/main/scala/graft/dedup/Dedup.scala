@@ -167,6 +167,15 @@ object Dedup {
     * and emitted as (a_id, b_id, scoreName). The shingle table is
     * materialized once (lazily) because the size branch and the
     * inverted-index branch both consume it. */
+  /** Inverted-index exact pair scoring. One shuffle builds the postings
+    * (groupBy shingle → sorted id list); shingles owned by a single doc are
+    * dropped BEFORE any pair materializes (on real corpora that is most of
+    * them), and each surviving posting emits its C(k,2) ordered pairs
+    * map-side — the self-join formulation this replaces shuffled the whole
+    * inverted index twice and probed unique shingles for nothing. Pair
+    * output is inherently quadratic per hot shingle in both shapes; at
+    * corpus scale callers bound that with LSH banding ([[minhashNearDups]])
+    * or candidate scoping, not here. */
   private def indexedPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, score: Column, scoreName: String,
       minScore: Double): DataFrame = {
@@ -174,10 +183,16 @@ object Dedup {
         charShingles(col(textCol), shingleK).as("sh"))
       .localCheckpoint(false)
     val sizes = d.select(col("id"), size(col("sh")).as("n"))
-    val inv = d.select(col("id"), explode(col("sh")).as("s"))
-    inv.toDF("a_id", "s")
-      .join(inv.toDF("b_id", "s2"), col("s") === col("s2") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val postings = d.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val pairs = postings.select(explode(flatten(
+      transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+    pairs
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("a_id", "a_n"), "a_id")
       .join(sizes.toDF("b_id", "b_n"), "b_id")
       .withColumn(scoreName, score)
@@ -205,30 +220,34 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
     * bit, weighted by term frequency; fingerprint bit b is 1 iff the vote
-    * sum is positive. Near-dup docs have small Hamming distance. */
+    * sum is positive. Near-dup docs have small Hamming distance.
+    *
+    * Shape: ONE shuffle. Per token occurrence the hash is computed once
+    * and 64 `when` columns derive the per-bit votes, all inside one
+    * codegen stage; a single groupBy(id) with 64 `sum`s partially
+    * aggregates map-side, so the shuffle carries one 64-column row per
+    * (doc × partition) — never a per-token or per-bit row. (Per-occurrence
+    * ±1 votes sum to exactly the tf-weighted votes, so fingerprints are
+    * bit-identical to the tf-grouped formulation but skip its extra
+    * (id, token) shuffle and 64-way row fan-out.) */
   def simhash64(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean = false): DataFrame = {
     val nBits = if (portable) 60 else 64
-    // Aggregate to (id, token, tf) first: the hash runs once per DISTINCT
-    // token per doc and the 64-way bit fan-out explodes tf-weighted distinct
-    // tokens, not raw occurrences (identical vote sums, far fewer rows).
     val toks = df.select(col(idCol).as("id"),
         explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
       .withColumn("h",
         if (portable) portableHash60(col("tok")) else xxhash64(col("tok")))
-    // One struct per bit; `b` is a Scala literal so shifts stay codegen'd.
-    val bitVotes = (0 until nBits).map { b =>
-      struct(lit(b).as("bit"), lit(1L << b).as("weight"),
-        when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("tf"))
-          .otherwise(-col("tf")).as("vote"))
+    // `b` is a Scala literal so shifts stay codegen'd.
+    val voteSums = (0 until nBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
     }
-    toks
-      .select(col("id"), explode(array(bitVotes: _*)).as("bv"))
-      .groupBy(col("id"), col("bv.bit").as("bit"), col("bv.weight").as("weight"))
-      .agg(sum(col("bv.vote")).as("votes"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("votes") > 0, col("weight")).otherwise(0L)).as("simhash"))
+    toks.groupBy(col("id"))
+      .agg(voteSums.head, voteSums.tail: _*)
+      .select(col("id"),
+        (0 until nBits).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

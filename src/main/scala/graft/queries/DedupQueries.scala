@@ -49,9 +49,12 @@ object DedupQueries {
     // SimHash fingerprints + Hamming-near pairs, oracle-checked via the
     // portable 60-bit hash family.
     "q37_simhash" -> ((s, dir) => {
+      // The 200-row fingerprint table is checkpointed so the pair join
+      // reads it twice without recomputing the tokenize+aggregate twice.
       val fp = Dedup.simhash64(
         Tables.documents(s, dir).where(col("doc_id") < 200), "doc_id", "text",
         portable = true)
+        .localCheckpoint(false)
       val a = fp.toDF("a_id", "a_fp")
       val b = fp.toDF("b_id", "b_fp")
       a.join(b, col("a_id") < col("b_id"))

@@ -405,9 +405,62 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+
+    // Runtime-filter join (semi-join reduction): lineitem pruned by a Bloom
+    // filter of the selective supplier subset's keys BEFORE the shuffle,
+    // then exactly joined — identical rows to the plain join (the oracle
+    // IS the plain join), with the fact-side shuffle cut to ~the matching
+    // sliver. operators.RuntimeFilter; the 100 TB star-join pattern when
+    // the dim is selective but not broadcast-visible to the planner.
+    "q79_bloom_prune" -> ((s, dir) => {
+      val rich = Tables.supplier(s, dir).where(col("s_acctbal") > 9000)
+      graft.operators.RuntimeFilter.bloomPrunedJoin(
+          Tables.lineitem(s, dir), rich, "l_suppkey", "s_suppkey",
+          expectedKeys = 100000L)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Bounded top-k aggregate (functions.TopK): top-3 orders by price per
+    // priority via per-group ≤k heaps with map-side partial aggregation —
+    // the scale path for the W3/K1 window pattern (shuffle carries
+    // O(groups·k·partitions) rows, not every order). Oracle: the window
+    // row_number form — the two shapes must agree row-for-row.
+    "q80_group_topk" -> ((s, dir) => {
+      val topk = graft.functions.TopK.topK(3)
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey").cast("string")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.key").as("o_orderkey"), col("col.score").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_bloom_prune" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 9000
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q80_group_topk" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR) ASC) AS rank,
+        |    CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_totalprice
+        |  FROM orders) t
+        |WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
+
     "q65_asof_join" ->
       """SELECT e.event_id, e.user_id, c.event_id AS click_event_id,
         |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us

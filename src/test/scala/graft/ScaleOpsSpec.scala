@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TopK
+import graft.operators.RuntimeFilter
+
+/** The two explicit scale-path operators: Bloom runtime-filter join
+  * (semantics-preserving semi-join reduction) and the bounded top-k
+  * aggregate (map-side-combinable replacement for window top-k). Both are
+  * checked for exact equality against the naive formulation they replace,
+  * plus the approximate-sketch scale aids (HLL distinct, approx quantile)
+  * for bounded error against exact answers. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomPrunedJoin returns exactly the plain join's rows") {
+    // 1000 fact rows over 100 keys; dim keeps a 7-key sliver. Low
+    // expectedKeys + high fpp force real false positives through the
+    // filter, which the exact join behind it must absorb.
+    val fact = (0 until 1000).map(i => (i.toLong, i.toLong % 100, i * 1.5))
+      .toDF("row_id", "k", "v")
+    val dim = Seq(3L, 17L, 31L, 55L, 68L, 77L, 94L)
+      .map(k => (k, s"dim$k")).toDF("dk", "name")
+    val pruned = RuntimeFilter.bloomPrunedJoin(fact, dim, "k", "dk",
+      expectedKeys = 8, fpp = 0.3)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assert(pruned.select("row_id", "k", "dk", "name").except(
+      plain.select("row_id", "k", "dk", "name")).isEmpty)
+    assert(plain.select("row_id", "k", "dk", "name").except(
+      pruned.select("row_id", "k", "dk", "name")).isEmpty)
+    assert(pruned.count() === plain.count())
+  }
+
+  test("bloomPrunedJoin passes no null-key fact rows and prunes the rest") {
+    val fact = Seq(Some(1L), None, Some(2L), Some(99L))
+      .toDF("k").withColumn("row_id", monotonically_increasing_id())
+    val dim = Seq(1L).toDF("dk")
+    val out = RuntimeFilter.bloomPrunedJoin(fact, dim, "k", "dk")
+    assert(out.select("k").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("topK aggregate equals the window row_number formulation") {
+    // Scores engineered with ties (i % 7) so the key tiebreak is exercised.
+    val df = (0 until 500).map(i => (s"g${i % 5}", (i % 7).toDouble, f"k$i%03d"))
+      .toDF("g", "score", "key")
+    val topk = TopK.topK(3)
+    val viaAgg = df.groupBy($"g").agg(topk($"score", $"key").as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", ($"pos" + 1).cast("long").as("rn"),
+        $"col.score".as("score"), $"col.key".as("key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"key".asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= 3).select($"g", $"rn", $"score", $"key")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+  }
+
+  test("topK buffer stays bounded and merge keeps the global best") {
+    val agg = new graft.functions.TopKAggregator(2)
+    val s = (d: Double, k: String) => graft.functions.Scored(d, k)
+    val left = List(s(9.0, "a"), s(5.0, "b"))
+    val right = List(s(7.0, "c"), s(6.0, "d"))
+    assert(agg.merge(left, right) === List(s(9.0, "a"), s(7.0, "c")))
+    // reduce on a full buffer with a worse element is a no-op
+    assert(agg.reduce(left, s(1.0, "z")) === left)
+    // ties break on key ascending
+    assert(agg.reduce(left, s(9.0, "A")) === List(s(9.0, "A"), s(9.0, "a")))
+  }
+
+  test("approximate sketches land within bounds of exact answers") {
+    val df = (0 until 20000).map(i => (i % 1377).toLong).toDF("v")
+    val exactD = df.select(countDistinct($"v")).as[Long].head()
+    val approxD = df.select(approx_count_distinct($"v", 0.02)).as[Long].head()
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL estimate $approxD vs exact $exactD")
+    val exactMedian = df.stat.approxQuantile("v", Array(0.5), 0.0).head
+    val approxMedian = df.stat.approxQuantile("v", Array(0.5), 0.01).head
+    assert(math.abs(approxMedian - exactMedian) <= 0.02 * 1377)
+  }
+}
