@@ -439,9 +439,40 @@ object RelationalQueries {
           col("col.key").as("o_orderkey"), col("col.score").as("o_totalprice"))
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
+
+    // Keyless range join (operators.RangeJoin): purchases within one hour
+    // of ANY signup, bucketed to hour-wide equi-join keys with the exact
+    // BETWEEN as post-filter — identical to the theta join Spark would
+    // otherwise run as a nested-loop. Micros arithmetic is integral, so
+    // both engines bucket and compare bit-exactly.
+    "q81_interval_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val e = Tables.events(s, dir)
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), unix_micros(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + lit(hourUs))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("pt"))
+      graft.operators.RangeJoin.pointInInterval(
+          purchases, signups, "pt", "lo", "hi", bucketWidth = hourUs)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_purchases"), min(col("pt") - col("lo")).as("min_gap_us"))
+        .orderBy(col("signup_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_interval_join" ->
+      """SELECT s.event_id AS signup_id, count(*) AS n_purchases,
+        |  min(p.pt - s.lo) AS min_gap_us
+        |FROM (SELECT event_id, epoch_us(ts) AS lo FROM events
+        |      WHERE event_type = 'signup') s
+        |JOIN (SELECT event_id, epoch_us(ts) AS pt FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON p.pt BETWEEN s.lo AND s.lo + 3600000000
+        |GROUP BY s.event_id
+        |ORDER BY s.event_id""".stripMargin,
+
     "q79_bloom_prune" ->
       """SELECT s_suppkey, s_name,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -199,11 +199,44 @@ object SamplingQueries {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("pack_id"))
     }),
+
+    // q50's sampling semantics through the bounded top-k AGGREGATE
+    // (functions.TopK) instead of a window: per language, the 5 docs with
+    // the smallest portable hash — the same consistent sample, but
+    // map-side ≤k heaps mean the shuffle carries O(langs·k·partitions)
+    // rows where q50's window shuffles and sorts every document. The
+    // hash is compared as DOUBLE in both engines (same IEEE rounding), so
+    // selection is bit-identical to the oracle's window replay.
+    "q82_sample_topk_agg" -> ((s, dir) => {
+      val topk = graft.functions.TopK.topK(5)
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          (-Dedup.portableHash60(col("doc_id").cast("string")).cast("double"))
+            .as("score"),
+          col("doc_id").cast("string").as("key"))
+        .groupBy(col("lang"))
+        .agg(topk(col("score"), col("key")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("sample_rank"),
+          col("col.key").as("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
   )
 
   private val wordPat = graft.functions.Text.wordPat
 
   val oracles: Map[String, String] = Map(
+    "q82_sample_topk_agg" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      -CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) DESC,
+        |      CAST(doc_id AS VARCHAR) ASC) AS sample_rank,
+        |    CAST(doc_id AS VARCHAR) AS doc_id
+        |  FROM documents) t
+        |WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin,
+
     "q77_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -67,6 +67,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(agg.reduce(left, s(9.0, "A")) === List(s(9.0, "A"), s(9.0, "a")))
   }
 
+  test("pointInInterval equals the theta join, including bucket-boundary hits") {
+    // Points sit exactly on bucket edges and interval endpoints (inclusive
+    // both ends); intervals span 0, 1, and many buckets, plus an empty
+    // lo > hi interval that must vanish.
+    val points = Seq(0L, 9L, 10L, 19L, 20L, 25L, 99L, 100L)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "pt")
+    val intervals = Seq(
+      (1L, 0L, 9L),    // exactly bucket 0
+      (2L, 5L, 25L),   // spans 3 buckets
+      (3L, 20L, 20L),  // degenerate single point
+      (4L, 90L, 100L), // ends on a bucket edge
+      (5L, 50L, 40L)   // empty: lo > hi
+    ).toDF("iid", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, "pt", "lo", "hi", bucketWidth = 10L)
+    val theta = points.join(intervals,
+      col("pt") >= col("lo") && col("pt") <= col("hi"))
+    assert(out.select("pid", "iid").except(theta.select("pid", "iid")).isEmpty)
+    assert(theta.select("pid", "iid").except(out.select("pid", "iid")).isEmpty)
+    assert(out.count() === theta.count())
+  }
+
   test("approximate sketches land within bounds of exact answers") {
     val df = (0 until 20000).map(i => (i % 1377).toLong).toDF("v")
     val exactD = df.select(countDistinct($"v")).as[Long].head()
