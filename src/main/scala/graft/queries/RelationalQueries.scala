@@ -413,7 +413,7 @@ object RelationalQueries {
     // sliver. operators.RuntimeFilter; the 100 TB star-join pattern when
     // the dim is selective but not broadcast-visible to the planner.
     "q79_bloom_prune" -> ((s, dir) => {
-      val rich = Tables.supplier(s, dir).where(col("s_acctbal") > 9000)
+      val rich = Tables.supplier(s, dir).where(col("s_acctbal") > 6000)
       graft.operators.RuntimeFilter.bloomPrunedJoin(
           Tables.lineitem(s, dir), rich, "l_suppkey", "s_suppkey",
           expectedKeys = 100000L)
@@ -478,7 +478,7 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_acctbal > 9000
+        |WHERE s_acctbal > 6000
         |GROUP BY s_suppkey, s_name
         |ORDER BY s_suppkey""".stripMargin,
 

@@ -253,11 +253,34 @@ object TextQueries {
             sum(col("n")).cast("double")).as("dup_frac"))
         .orderBy(col("doc_id"))
     }),
+
+    // Exact corpus heavy hitters (operators.HeavyHitters): tokens above
+    // 1% of all occurrences via Misra-Gries candidates + exact recount —
+    // the two-pass shape that finds frequent URLs/n-grams at 100 TB
+    // without ever shuffling the full token domain. The oracle is the
+    // plain GROUP BY ... HAVING the sketch pass provably never misses.
+    "q83_heavy_hitters" -> ((s, dir) => {
+      graft.operators.HeavyHitters.exact(
+        Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("token")),
+        "token", phi = 0.01)
+    }),
   )
 
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q83_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '$wordPat')) AS token
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+         |SELECT token, CAST(count(*) AS BIGINT) AS freq,
+         |  round(CAST(count(*) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM n), 6) AS share
+         |FROM t GROUP BY token
+         |HAVING count(*) > 0.01 * (SELECT total FROM n)
+         |ORDER BY freq DESC, token ASC""".stripMargin,
+
     "q29_token_counts" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(lower(text), '$wordPat')) AS n_words,

@@ -50,6 +50,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("top-k aggregate queries plan a partial object-hash aggregate, no Window") {
+    // q80/q82 exist to replace the window top-k shape: their plans must
+    // show the two-phase ObjectHashAggregate (partial map-side heaps) and
+    // must NOT contain a Window or a global Sort of the input.
+    Seq("q80_group_topk", "q82_sample_topk_agg").foreach { name =>
+      val plan = planOf(name)
+      assert(plan.contains("ObjectHashAggregate"), s"$name object hash agg")
+      assert(!plan.contains("Window"), s"$name must not fall back to a window")
+    }
+  }
+
+  test("bloom-pruned join filters the fact side below the join") {
+    // The mightContain UDF must sit in a Filter on the lineitem scan side,
+    // not above the join — otherwise the operator degrades to a plain join.
+    val plan = SparkEntry.queries("q79_bloom_prune")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("Join")
+    val filterAt = plan.indexOf("bloomMightContain")
+    assert(filterAt >= 0, "bloom filter present")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      "bloom filter evaluates below (after, in plan text order) the join")
+  }
+
+  test("interval join plans a hash join on the bucket key, not a nested loop") {
+    val plan = planOf("q81_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "bucketed range join stays equi")
+  }
+
   test("filters push into the parquet scan and unused columns are pruned") {
     // q01 filters l_shipdate and touches 7 of lineitem's 11 columns: the
     // date predicate must reach PushedFilters and ReadSchema must not

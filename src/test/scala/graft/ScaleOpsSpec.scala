@@ -89,6 +89,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.count() === theta.count())
   }
 
+  test("heavy hitters are exact under forced sketch eviction") {
+    // 3 planted heavy tokens (>5% each) in a long tail of 400 distinct
+    // rares; phi = 0.02 gives sketch capacity 100 << 403 distinct, so the
+    // Misra-Gries eviction path genuinely runs and must still keep every
+    // heavy candidate for the exact recount.
+    val heavy = Seq.fill(300)("alpha") ++ Seq.fill(250)("beta") ++ Seq.fill(200)("gamma")
+    val tail = (0 until 400).flatMap(i => Seq.fill(8)(s"rare$i"))
+    val df = scala.util.Random.shuffle(heavy ++ tail).toDF("token")
+      .repartition(7) // heavy items spread across partitions → merges evict
+    val n = heavy.size + tail.size
+    val out = graft.operators.HeavyHitters.exact(df, "token", phi = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expected = Map("alpha" -> 300L, "beta" -> 250L, "gamma" -> 200L)
+      .filter { case (_, c) => c > 0.02 * n }
+    assert(out === expected)
+  }
+
+  test("misra-gries merge keeps every phi-heavy item across any split") {
+    val agg = new graft.operators.MisraGriesAggregator(4)
+    // 40% of the stream is "hot": with capacity 4 (ε = 1/5 = 20% < 40%)
+    // it must survive both orders of a lopsided merge.
+    val part1 = Seq("hot", "a", "b", "hot", "c", "hot", "d", "e")
+      .foldLeft(agg.zero)(agg.reduce)
+    val part2 = Seq("hot", "f", "hot", "g", "hot", "h", "hot", "i")
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(part1, part2).contains("hot"))
+    assert(agg.merge(part2, part1).contains("hot"))
+    assert(agg.merge(part1, part2).size <= 4)
+  }
+
   test("approximate sketches land within bounds of exact answers") {
     val df = (0 until 20000).map(i => (i % 1377).toLong).toDF("v")
     val exactD = df.select(countDistinct($"v")).as[Long].head()
