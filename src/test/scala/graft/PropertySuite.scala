@@ -86,4 +86,57 @@ object PropertySuite extends Properties("graft") {
     Prop.forAll(Gen.nonEmptyListOf(Gen.alphaUpperChar).map(_.mkString)) { t =>
       ProgramValidator.isValidRelType(t)
     }
+
+  // --- bounded top-k aggregate (functions.TopK): any partitioning of the
+  // input through reduce+merge must equal the brute-force sort-take ---
+
+  private val scoredGen: Gen[List[graft.functions.Scored]] = Gen.listOf(
+    for {
+      s <- Gen.choose(0, 9).map(_.toDouble) // coarse scores force ties
+      k <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    } yield graft.functions.Scored(s, k))
+
+  property("topk reduce+merge equals brute-force sort-take for any split") =
+    Prop.forAll(scoredGen, Gen.choose(1, 5), Gen.choose(0, 100)) { (xs, k, cut) =>
+      val agg = new graft.functions.TopKAggregator(k)
+      val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else cut % (xs.size + 1))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val brute = xs.sortBy(a => (-a.score, a.key)).take(k)
+      merged == brute
+    }
+
+  property("topk buffer never exceeds k") =
+    Prop.forAll(scoredGen, Gen.choose(1, 4)) { (xs, k) =>
+      val agg = new graft.functions.TopKAggregator(k)
+      xs.foldLeft(agg.zero) { (b, a) =>
+        val nb = agg.reduce(b, a)
+        if (nb.size > k) throw new AssertionError(s"buffer ${nb.size} > $k")
+        nb
+      }
+      true
+    }
+
+  // --- Misra-Gries sketch (operators.HeavyHitters): the mergeable-summary
+  // guarantee — any item above n/(capacity+1) survives any split/merge ---
+
+  private val streamGen: Gen[List[String]] = for {
+    hot <- Gen.choose(5, 30)
+    tailN <- Gen.choose(0, 60)
+    tail <- Gen.listOfN(tailN, Gen.oneOf((0 until 25).map(i => s"t$i")))
+  } yield scala.util.Random.shuffle(List.fill(hot)("HOT") ++ tail)
+
+  property("misra-gries keeps every item above n/(capacity+1) across any split") =
+    Prop.forAll(streamGen, Gen.choose(2, 8), Gen.choose(0, 1000)) { (xs, cap, cut) =>
+      val agg = new graft.operators.MisraGriesAggregator(cap)
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val sketch = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val freq = xs.groupBy(identity).map { case (k, v) => k -> v.size }
+      val n = xs.size
+      sketch.size <= cap &&
+        freq.forall { case (item, f) =>
+          f * (cap + 1) <= n || sketch.contains(item)
+        }
+    }
 }
