@@ -42,6 +42,36 @@ final case class KnowledgeGraph(
     Ann.bruteForceTopK(concepts.where(col("embedding").isNotNull),
       "concept_id", "embedding", queryVec, limit, minSimilarity)
 
+  /** S10: the FUSE read surface's query algebra
+    * (fuse/kg_fuse/filesystem/__init__.py:1-33 — nested directories = AND,
+    * symlink unions = OR via repeated calls, `.meta/exclude` = NOT,
+    * `.meta/limit`/`.meta/threshold` bound each leaf search): every
+    * include vector runs the V1 scored scan at `threshold`, the hit sets
+    * intersect keeping each concept's MINIMUM include similarity (a
+    * concept must satisfy every include term, so its weakest match ranks
+    * it), exclude vectors' hits are anti-joined away, and the survivors
+    * return hydrated, top-`limit` by that min similarity. */
+  def fuseQuery(include: Seq[Seq[Double]], exclude: Seq[Seq[Double]] = Nil,
+      threshold: Double = 0.5, limit: Int = 10): DataFrame = {
+    require(include.nonEmpty, "at least one include query vector")
+    def scored(v: Seq[Double]) =
+      concepts.where(col("embedding").isNotNull)
+        .select(col("concept_id"),
+          VectorOps.cosine(col("embedding"), VectorOps.vecLit(v)).as("sim"))
+        .where(col("sim") >= threshold)
+    val anded = include.map(scored).reduce { (a, b) =>
+      a.join(b.withColumnRenamed("sim", "sim2"), "concept_id")
+        .select(col("concept_id"), least(col("sim"), col("sim2")).as("sim"))
+    }
+    val kept = exclude.foldLeft(anded) { (acc, v) =>
+      acc.join(scored(v).select("concept_id"), Seq("concept_id"), "left_anti")
+    }
+    kept.join(concepts.select(col("concept_id"), col("label")), Seq("concept_id"))
+      .orderBy(col("sim").desc, col("concept_id").asc)
+      .limit(limit)
+      .select(col("concept_id"), col("label"), round(col("sim"), 6).as("similarity"))
+  }
+
   /** §3.2 T1: BFS neighborhood with rel-type/confidence filters and
     * hydrated labels (J3) (queries.py:1306-1416). */
   def related(conceptId: String, maxDepth: Int = 2,

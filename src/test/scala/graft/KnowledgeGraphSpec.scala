@@ -46,6 +46,24 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(top(1) == "c4") // next most similar
   }
 
+  test("fuseQuery: AND intersects includes, NOT drops excludes, min-sim ranks (S10)") {
+    // include = {x-axis, near-x}: c1 and c4 pass both at 0.5; c2 (y-axis)
+    // fails the x include. Ranking is by the MINIMUM include similarity.
+    val inc = Seq(Seq(1.0, 0, 0, 0, 0, 0, 0, 0), Seq(0.9, 0.1, 0, 0, 0, 0, 0, 0))
+    val both = kg.fuseQuery(inc, threshold = 0.5)
+      .select("concept_id").as[String].collect().toSeq
+    assert(both == Seq("c1", "c4"))
+    // excluding anything similar to c4's direction removes c4 AND c1
+    // (both are x-ish); a tight 0.995 threshold removes only c4's best
+    // matches — use exclude = exactly c4's vector at high threshold.
+    val minusC4 = kg.fuseQuery(inc,
+      exclude = Seq(Seq(0.9, 0.1, 0, 0, 0, 0, 0, 0)), threshold = 0.5)
+    // the exclude search at threshold 0.5 hits c1 and c4 → both removed
+    assert(minusC4.count() === 0)
+    // empty include list is rejected
+    intercept[IllegalArgumentException](kg.fuseQuery(Nil))
+  }
+
   test("related traverses semantic edges only, NULL confidence passes") {
     val r = kg.related("c1", maxDepth = 2)
       .select("concept_id", "distance").as[(String, Int)].collect().toMap
