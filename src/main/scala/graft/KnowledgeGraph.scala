@@ -49,24 +49,30 @@ final case class KnowledgeGraph(
     * include vector runs the V1 scored scan at `threshold`, the hit sets
     * intersect keeping each concept's MINIMUM include similarity (a
     * concept must satisfy every include term, so its weakest match ranks
-    * it), exclude vectors' hits are anti-joined away, and the survivors
-    * return hydrated, top-`limit` by that min similarity. */
+    * it), exclude vectors' hits drop out, and the survivors return
+    * hydrated, top-`limit` by that min similarity.
+    *
+    * All terms are per-row functions of the one embedding column, so the
+    * whole algebra is ONE scan with conjunctive predicates and a top-k —
+    * no self-joins, no anti-joins, no re-reading concepts per term. A
+    * NULL cosine (zero-norm embedding) fails every include (never
+    * matches) and never triggers an exclude, matching the per-term
+    * search-then-set-op semantics it replaces. */
   def fuseQuery(include: Seq[Seq[Double]], exclude: Seq[Seq[Double]] = Nil,
       threshold: Double = 0.5, limit: Int = 10): DataFrame = {
     require(include.nonEmpty, "at least one include query vector")
-    def scored(v: Seq[Double]) =
-      concepts.where(col("embedding").isNotNull)
-        .select(col("concept_id"),
-          VectorOps.cosine(col("embedding"), VectorOps.vecLit(v)).as("sim"))
-        .where(col("sim") >= threshold)
-    val anded = include.map(scored).reduce { (a, b) =>
-      a.join(b.withColumnRenamed("sim", "sim2"), "concept_id")
-        .select(col("concept_id"), least(col("sim"), col("sim2")).as("sim"))
-    }
-    val kept = exclude.foldLeft(anded) { (acc, v) =>
-      acc.join(scored(v).select("concept_id"), Seq("concept_id"), "left_anti")
-    }
-    kept.join(concepts.select(col("concept_id"), col("label")), Seq("concept_id"))
+    def sims(vs: Seq[Seq[Double]]): Seq[Column] =
+      vs.map(v => VectorOps.cosine(col("embedding"), VectorOps.vecLit(v)))
+    val incSims = sims(include)
+    val includeOk = incSims.map(_ >= threshold).reduce(_ && _)
+    val excludeOk = sims(exclude)
+      .map(s => coalesce(s < threshold, lit(true)))
+      .foldLeft(lit(true))(_ && _)
+    concepts.where(col("embedding").isNotNull)
+      .select(col("concept_id"), col("label"),
+        incSims.reduce(least(_, _)).as("sim"),
+        includeOk.as("__inc"), excludeOk.as("__exc"))
+      .where(col("__inc") && col("__exc"))
       .orderBy(col("sim").desc, col("concept_id").asc)
       .limit(limit)
       .select(col("concept_id"), col("label"), round(col("sim"), 6).as("similarity"))

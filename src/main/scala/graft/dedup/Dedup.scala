@@ -161,21 +161,19 @@ object Dedup {
       round(col("inter") / (col("a_n") + col("b_n") - col("inter")), 6),
       "jaccard", minJaccard)
 
-  /** Shared inverted-index pair kernel: per candidate pair (sharing ≥1
-    * shingle), the shared-shingle count `inter` and both set sizes
-    * `a_n`/`b_n`, scored by `score` (referencing those columns), thresholded
-    * and emitted as (a_id, b_id, scoreName). The shingle table is
-    * materialized once (lazily) because the size branch and the
-    * inverted-index branch both consume it. */
   /** Inverted-index exact pair scoring. One shuffle builds the postings
     * (groupBy shingle → sorted id list); shingles owned by a single doc are
     * dropped BEFORE any pair materializes (on real corpora that is most of
     * them), and each surviving posting emits its C(k,2) ordered pairs
     * map-side — the self-join formulation this replaces shuffled the whole
-    * inverted index twice and probed unique shingles for nothing. Pair
-    * output is inherently quadratic per hot shingle in both shapes; at
-    * corpus scale callers bound that with LSH banding ([[minhashNearDups]])
-    * or candidate scoping, not here. */
+    * inverted index twice and probed unique shingles for nothing. The pair
+    * fan-out is TWO-LEVEL (posexplode the posting, then explode each
+    * element's suffix slice), so no task ever materializes a hot shingle's
+    * quadratic pair set as one value — peak per-row memory is O(posting),
+    * the same as the posting row itself. Pair OUTPUT is still inherently
+    * quadratic per hot shingle (it is in the self-join formulation too);
+    * at corpus scale callers bound that with LSH banding
+    * ([[minhashNearDups]]) or candidate scoping, not here. */
   private def indexedPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, score: Column, scoreName: String,
       minScore: Double): DataFrame = {
@@ -186,12 +184,12 @@ object Dedup {
     val postings = d.select(col("id"), explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(array_sort(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2)
-    val pairs = postings.select(explode(flatten(
-      transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+    val pairs = postings
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("a_id"),
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("b_id"))
     pairs
-      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("a_id", "a_n"), "a_id")
       .join(sizes.toDF("b_id", "b_n"), "b_id")

@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** One scored candidate inside a [[TopKAggregator]] buffer. */
-case class Scored(score: Double, key: String)
+/** One scored candidate inside a [[TopKAggregator]] buffer. `score` is
+  * boxed so NULL input scores flow through the encoder instead of
+  * crashing it; [[TopKAggregator.reduce]] skips them. */
+case class Scored(score: java.lang.Double, key: String)
 
 /** Bounded top-k-per-group aggregate — the scale-path replacement for the
   * `row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k` pattern (W3 /
@@ -19,20 +21,29 @@ case class Scored(score: Double, key: String)
   * partitions) rows instead of O(input). At 100 TB with k=3 that is the
   * difference between a full-data sort shuffle and a rounding error.
   *
-  * Ordering: score descending, then key ascending (lexicographic) — a total
-  * order, so results are deterministic and oracle-checkable.
+  * Ordering: score descending via `java.lang.Double.compare` (a TOTAL
+  * order: NaN sorts greatest, exactly where Spark's `orderBy(desc)` window
+  * ranks it), then key ascending — deterministic and oracle-checkable
+  * under any partitioning. Rows with a NULL score or key are skipped
+  * (the window form ranks NULL scores last by default, so dropping them
+  * from a k-bounded result only diverges when fewer than k non-null rows
+  * exist in a group — document-ordering semantics callers can coalesce
+  * around if they need NULLs ranked).
   */
 class TopKAggregator(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
   require(k > 0, "k must be positive")
 
-  private def lt(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.key < b.key)
+  private def lt(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.key < b.key)
+  }
 
   override def zero: List[Scored] = Nil
 
   override def reduce(buf: List[Scored], a: Scored): List[Scored] = {
     // Insert into the sorted (best-first) list, truncate to k: O(k) per row.
-    if (buf.lengthCompare(k) >= 0 && !lt(a, buf.last)) buf
+    if (a.score == null || a.key == null) buf
+    else if (buf.lengthCompare(k) >= 0 && !lt(a, buf.last)) buf
     else {
       val (before, after) = buf.span(lt(_, a))
       (before ::: a :: after).take(k)

@@ -31,7 +31,16 @@ object RangeJoin {
       ptCol: String, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    // Floor division in INTEGER arithmetic: (v - pmod(v, w)) is an exact
+    // multiple of w, and the division runs in DECIMAL so values beyond
+    // 2^53 (e.g. epoch nanos) never round through a double — a
+    // double-rounded bucket id could disagree between the point and the
+    // interval side and silently drop a matching row.
+    def bucketOf(c: Column): Column = {
+      val v = c.cast("long")
+      ((v - pmod(v, lit(bucketWidth))).cast("decimal(28,0)") /
+        lit(bucketWidth)).cast("long")
+    }
     val bucketed = intervals.where(col(loCol) <= col(hiCol))
       .withColumn("__bucket",
         explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))

@@ -38,21 +38,21 @@ object RuntimeFilter {
       bigKey: String, smallKey: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
     // DataFrameStatFunctions.bloomFilter NPEs on a zero-row build side
-    // (nothing ever merges into the sketch buffer); an empty build side
-    // means an empty join, so prune everything with a constant-false
-    // filter instead — same plan shape, zero fact rows shuffled.
-    val bf =
-      try Some(small.stat.bloomFilter(smallKey, expectedKeys, fpp))
-      catch { case _: NullPointerException => None }
-    val pruned = bf match {
-      case Some(filter) =>
-        val bc = big.sparkSession.sparkContext.broadcast(filter)
+    // (nothing ever merges into the sketch buffer), so probe emptiness
+    // first — one cheap first-row job, and it keeps a genuine failure in
+    // the sketch build distinguishable from "no build rows" (an empty
+    // build side means an empty join: prune everything with a
+    // constant-false filter, same plan shape, zero fact rows shuffled).
+    val pruned =
+      if (small.select(col(smallKey)).isEmpty) big.where(lit(false))
+      else {
+        val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+        val bc = big.sparkSession.sparkContext.broadcast(bf)
         val mightContain = udf((k: java.lang.Long) =>
           k != null && bc.value.mightContainLong(k))
           .withName("bloomMightContain")
         big.where(mightContain(col(bigKey)))
-      case None => big.where(lit(false))
-    }
+      }
     pruned.join(small, col(bigKey) === col(smallKey))
   }
 }

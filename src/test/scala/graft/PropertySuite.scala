@@ -124,7 +124,11 @@ object PropertySuite extends Properties("graft") {
     hot <- Gen.choose(5, 30)
     tailN <- Gen.choose(0, 60)
     tail <- Gen.listOfN(tailN, Gen.oneOf((0 until 25).map(i => s"t$i")))
-  } yield scala.util.Random.shuffle(List.fill(hot)("HOT") ++ tail)
+    // shuffle with a Gen-drawn seed so a ScalaCheck replay seed
+    // reproduces the exact permutation that failed
+    shuffleSeed <- Gen.choose(Long.MinValue, Long.MaxValue)
+  } yield new scala.util.Random(shuffleSeed)
+    .shuffle(List.fill(hot)("HOT") ++ tail)
 
   property("misra-gries keeps every item above n/(capacity+1) across any split") =
     Prop.forAll(streamGen, Gen.choose(2, 8), Gen.choose(0, 1000)) { (xs, cap, cut) =>

@@ -39,6 +39,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.select("k").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("bloomPrunedJoin on an empty build side returns empty without crashing") {
+    // stat.bloomFilter NPEs on zero rows; the operator must detect the
+    // empty dim up front and return the (empty) exact join result.
+    val fact = (1L to 100L).toDF("k")
+    val dim = Seq(1L).toDF("dk").where($"dk" > 100)
+    assert(RuntimeFilter.bloomPrunedJoin(fact, dim, "k", "dk").isEmpty)
+  }
+
   test("topK aggregate equals the window row_number formulation") {
     // Scores engineered with ties (i % 7) so the key tiebreak is exercised.
     val df = (0 until 500).map(i => (s"g${i % 5}", (i % 7).toDouble, f"k$i%03d"))
@@ -96,7 +104,7 @@ class ScaleOpsSpec extends SparkSpec {
     // heavy candidate for the exact recount.
     val heavy = Seq.fill(300)("alpha") ++ Seq.fill(250)("beta") ++ Seq.fill(200)("gamma")
     val tail = (0 until 400).flatMap(i => Seq.fill(8)(s"rare$i"))
-    val df = scala.util.Random.shuffle(heavy ++ tail).toDF("token")
+    val df = new scala.util.Random(7L).shuffle(heavy ++ tail).toDF("token")
       .repartition(7) // heavy items spread across partitions → merges evict
     val n = heavy.size + tail.size
     val out = graft.operators.HeavyHitters.exact(df, "token", phi = 0.02)
