@@ -123,6 +123,32 @@ object StreamOps {
       }
   }
 
+  final case class ScoredEvent(group: String, score: Double, key: String)
+  final case class TopKSnapshot(group: String, topk: String)
+
+  /** Streaming grouped top-k: per group, the running k best (score desc,
+    * key asc) across the whole stream, re-emitted whenever a batch touches
+    * the group (Update mode). State is the same ≤k sorted buffer the batch
+    * aggregate uses (`functions.TopKAggregator.reduce` — one code path for
+    * both engines), so state size is O(k) per group FOREVER, independent
+    * of stream length: the streaming twin of q80's bounded top-k, the same
+    * way `sessionize` twins q39. */
+  def streamingTopK(events: Dataset[ScoredEvent], k: Int): Dataset[TopKSnapshot] = {
+    import events.sparkSession.implicits._
+    val agg = new graft.functions.TopKAggregator(k)
+    events
+      .groupByKey(_.group)
+      .mapGroupsWithState[List[graft.functions.Scored], TopKSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[ScoredEvent], state: GroupState[List[graft.functions.Scored]]) =>
+          val cur = state.getOption.getOrElse(agg.zero)
+          val next = batch.foldLeft(cur)((b, e) =>
+            agg.reduce(b, graft.functions.Scored(e.score, e.key)))
+          state.update(next)
+          TopKSnapshot(g, next.map(s => s"${s.key}:${s.score}").mkString(","))
+      }
+  }
+
   /** Batch-drives a streaming query over a parquet dir through the memory
     * sink; returns the sink table. Lets specs exercise the real streaming
     * planner synchronously (spark_guide.md pattern). */

