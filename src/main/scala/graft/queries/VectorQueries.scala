@@ -131,9 +131,65 @@ object VectorQueries {
             count(lit(1)) / lit(1e6)).as("dim_mean"))
         .orderBy(col("cluster"), col("dim"))
     }),
+
+    // Semantic dedup (the SemDeDup shape, Abbas et al. 2023): q78's k-means
+    // assignment bounds the candidate space, then cosine pairs form ONLY
+    // within a cluster — an equi-join on the cluster id (shuffled hash,
+    // never a nested loop), so pair count is Σ|cluster|² instead of N².
+    // That bounding is the whole point at 100 TB: all-pairs cosine is
+    // impossible, within-cluster pairs are routine. a_id is the kept
+    // (smaller) id, b_id the candidate duplicate.
+    "q84_semantic_dedup" -> ((s, dir) => {
+      val k = 8
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seeds = e.where(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("dist",
+          aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d2) => acc + d2))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cluster"))
+      // assignment + vectors materialize once; both pair sides read it
+      val withV = e.join(assigned, "vec_id").localCheckpoint(false)
+      val a = withV.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cluster"))
+      val b = withV.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("cluster").as("b_cluster"))
+      a.join(b, col("cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+        .withColumn("sim", round(VectorOps.cosine(col("a_v"), col("b_v")), 6))
+        .where(col("sim") >= 0.35)
+        .select(col("cluster"), col("a_id"), col("b_id"), col("sim"))
+        .orderBy(col("cluster"), col("a_id"), col("b_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+        |d AS (
+        |  SELECT v.vec_id, s.cid,
+        |    list_reduce(list_transform(range(1, len(v.v) + 1),
+        |      i -> (v.v[i] - s.c[i]) * (v.v[i] - s.c[i])),
+        |      (acc, x) -> acc + x) AS dist
+        |  FROM v, seeds s),
+        |a AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d) t
+        |  WHERE rn = 1)
+        |SELECT aa.cluster, aa.vec_id AS a_id, ab.vec_id AS b_id,
+        |  round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+        |FROM a aa JOIN a ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+        |JOIN v va ON va.vec_id = aa.vec_id
+        |JOIN v vb ON vb.vec_id = ab.vec_id
+        |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.35
+        |ORDER BY aa.cluster, a_id, b_id""".stripMargin,
+
     "q46_synonyms" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,

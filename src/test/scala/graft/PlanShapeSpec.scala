@@ -26,9 +26,10 @@ class PlanShapeSpec extends SparkSpec {
     // q75/q76: scalar cross join — the broadcast side is ONE row (the
     // corpus token total / vocabulary size), the same shape q59's cutoff uses
     "q75_unigram_logprob", "q76_bigram_lm",
-    // q78: Lloyd assignment — the broadcast side is the k=8 seed
+    // q78/q84: Lloyd assignment — the broadcast side is the k=8 seed
     // centroids, the exact shape an MLlib KMeans iteration broadcasts
-    "q78_kmeans_step")
+    // (q84's pair join itself is cluster-equi-keyed, never a nested loop)
+    "q78_kmeans_step", "q84_semantic_dedup")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
