@@ -150,6 +150,50 @@ final case class KnowledgeGraph(
       .select(col("node").as("concept_id"), col("label"), col("distance"))
   }
 
+  /** GET /query/concept/{id} (queries.py:600-700): one hydrated concept
+    * card — label, distinct source documents, evidence count, in/out
+    * semantic degree, grounding strength, confidence score+level. Every
+    * side input is filtered to the one concept before aggregating, so
+    * each piece is a pushed-down point lookup. */
+  def conceptDetails(conceptId: String): DataFrame = {
+    val base = concepts.where(col("concept_id") === conceptId)
+      .select(col("concept_id"), col("label"))
+    val docs = evidence.where(col("concept_id") === conceptId)
+      .agg(countDistinct(col("source_id")).as("n_documents"))
+    val ev = instances.where(col("concept_id") === conceptId)
+      .agg(count(lit(1)).as("evidence_count"))
+    val deg = semanticEdges
+      .where(col("src") === conceptId || col("dst") === conceptId)
+      .agg(
+        sum(when(col("src") === conceptId, 1L).otherwise(0L)).as("out_degree"),
+        sum(when(col("dst") === conceptId, 1L).otherwise(0L)).as("in_degree"))
+    base.crossJoin(docs).crossJoin(ev).crossJoin(deg)
+      .join(grounding().where(col("concept_id") === conceptId)
+        .select(col("concept_id"), col("grounding_strength")), Seq("concept_id"), "left")
+      .join(confidence().where(col("concept_id") === conceptId)
+        .select(col("concept_id"), col("confidence_score"), col("confidence_level")),
+        Seq("concept_id"), "left")
+  }
+
+  /** T8 / GET /concepts/{id}/lifetime (epoch_facade.py:52-196): the
+    * ordered re-evidence stream for one concept — instances ordered by
+    * their creation epoch event when the instances table carries
+    * `created_at_event_id` (ASC NULLS LAST, reference ordering), else by
+    * instance_id; keyset-paged by rank. The single-partition window is
+    * bounded by ONE concept's evidence list, the same per-entity bound
+    * the reference's pagination assumes. */
+  def lifetime(conceptId: String, limit: Int = 50, afterRank: Long = 0L): DataFrame = {
+    val mine = instances.where(col("concept_id") === conceptId)
+    val order =
+      if (instances.columns.contains("created_at_event_id"))
+        Seq(col("created_at_event_id").asc_nulls_last, col("instance_id").asc)
+      else Seq(col("instance_id").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    mine.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") > afterRank && col("rank") <= afterRank + limit)
+      .orderBy(col("rank"))
+  }
+
   /** A11: per-rel-type vocabulary value scores over the semantic edges. */
   def vocabularyScores(): DataFrame =
     Scoring.vocabularyValueScores(semanticEdges)

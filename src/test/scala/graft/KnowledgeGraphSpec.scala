@@ -64,6 +64,25 @@ class KnowledgeGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](kg.fuseQuery(Nil))
   }
 
+  test("conceptDetails hydrates one card: docs, evidence, degrees, scores") {
+    val row = kg.conceptDetails("c1").collect().head
+    assert(row.getAs[String]("label") == "alpha")
+    assert(row.getAs[Long]("n_documents") == 1L)    // s1
+    assert(row.getAs[Long]("evidence_count") == 1L) // i1
+    assert(row.getAs[Long]("out_degree") == 2L)     // →c2, →c3 (APPEARS excluded)
+    assert(row.getAs[Long]("in_degree") == 1L)      // c4→c1
+    assert(!row.isNullAt(row.fieldIndex("confidence_score")))
+  }
+
+  test("lifetime pages the ordered re-evidence stream (T8)") {
+    val rows = kg.lifetime("c1", limit = 10)
+      .select("instance_id", "rank").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("i1"))
+    assert(rows.head.getLong(1) == 1L)
+    // keyset page past the end is empty
+    assert(kg.lifetime("c1", limit = 10, afterRank = 1L).isEmpty)
+  }
+
   test("related traverses semantic edges only, NULL confidence passes") {
     val r = kg.related("c1", maxDepth = 2)
       .select("concept_id", "distance").as[(String, Int)].collect().toMap
