@@ -149,6 +149,35 @@ object StreamOps {
       }
   }
 
+  final case class TokenEvent(group: String, token: String)
+  final case class HHSnapshot(group: String, candidates: String)
+
+  /** Streaming Misra-Gries candidates: per group, the capacity-bounded
+    * frequency sketch maintained across micro-batches — state is ≤capacity
+    * counters per group forever, and the mergeable-summary guarantee means
+    * any item above n/(capacity+1) of the group's lifetime stream is
+    * always among the emitted candidates (`operators.MisraGriesAggregator
+    * .reduce`, the same kernel the batch two-pass [[graft.operators
+    * .HeavyHitters]] uses for pass 1; the exact recount stays a batch job
+    * over the accumulated data). Emits `item:lowerBoundCount` pairs,
+    * estimate-descending, whenever a batch touches the group. */
+  def streamingHeavyHitters(events: Dataset[TokenEvent],
+      capacity: Int): Dataset[HHSnapshot] = {
+    import events.sparkSession.implicits._
+    val mg = new graft.operators.MisraGriesAggregator(capacity)
+    events
+      .groupByKey(_.group)
+      .mapGroupsWithState[Map[String, Long], HHSnapshot](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[TokenEvent], state: GroupState[Map[String, Long]]) =>
+          val next = batch.foldLeft(state.getOption.getOrElse(mg.zero))(
+            (b, e) => mg.reduce(b, e.token))
+          state.update(next)
+          HHSnapshot(g, next.toSeq.sortBy { case (t, c) => (-c, t) }
+            .map { case (t, c) => s"$t:$c" }.mkString(","))
+      }
+  }
+
   /** Batch-drives a streaming query over a parquet dir through the memory
     * sink; returns the sink table. Lets specs exercise the real streaming
     * planner synchronously (spark_guide.md pattern). */

@@ -191,6 +191,19 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.last == "a:9.0,c:7.0" || snaps.contains("a:9.0,c:7.0"))
   }
 
+  test("streaming heavy-hitter candidates keep the hot item under eviction") {
+    import StreamOps.TokenEvent
+    // 12 HOTs in a 30-token tail with capacity 4: eviction runs, yet the
+    // 25%-heavy item (> 1/(4+1) = 20%) must stay among the candidates.
+    val tail = (0 until 30).map(i => TokenEvent("g", s"t${i % 15}"))
+    val hot = Seq.fill(12)(TokenEvent("g", "HOT"))
+    val events = new scala.util.Random(11L).shuffle(hot ++ tail).toDS()
+    val out = StreamOps.streamingHeavyHitters(events, capacity = 4).collect()
+    val cands = out.find(_.group == "g").get.candidates
+    assert(cands.split(",").map(_.split(":")(0)).contains("HOT"))
+    assert(cands.split(",").length <= 4)
+  }
+
   test("stateful sessionization closes sessions across the 30-min gap") {
     val events = Seq(
       SessionEvent(1L, ts(0), "click"),
