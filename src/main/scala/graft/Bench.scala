@@ -59,7 +59,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // A failed query must never IMPROVE the headline number: any -1
+    // sentinel invalidates the total (per-query values stay reported).
+    val total =
+      if (results.isEmpty) 0.0
+      else if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

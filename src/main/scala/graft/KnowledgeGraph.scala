@@ -165,8 +165,11 @@ final case class KnowledgeGraph(
     val deg = semanticEdges
       .where(col("src") === conceptId || col("dst") === conceptId)
       .agg(
-        sum(when(col("src") === conceptId, 1L).otherwise(0L)).as("out_degree"),
-        sum(when(col("dst") === conceptId, 1L).otherwise(0L)).as("in_degree"))
+        // coalesce: zero matching edges sums to NULL; the card shows 0
+        coalesce(sum(when(col("src") === conceptId, 1L).otherwise(0L)), lit(0L))
+          .as("out_degree"),
+        coalesce(sum(when(col("dst") === conceptId, 1L).otherwise(0L)), lit(0L))
+          .as("in_degree"))
     base.crossJoin(docs).crossJoin(ev).crossJoin(deg)
       .join(grounding().where(col("concept_id") === conceptId)
         .select(col("concept_id"), col("grounding_strength")), Seq("concept_id"), "left")

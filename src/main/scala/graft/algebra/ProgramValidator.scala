@@ -27,9 +27,16 @@ object ProgramValidator {
       ("""(?<![A-Z])""" + java.util.regex.Pattern.quote(kw) + """(?![A-Z])""").r
         .findFirstIn(upper).isDefined
     }.map(kw => Violation("V010", s"write operation not allowed: $kw"))
+    // Optional relationship binding/type before the star (`[r:TYPE*]`,
+    // `[r*]`, `[:T|U *]`) — the reference's own regex misses these
+    // (program_validator.py:510-518 only matches an anonymous `[*`); a
+    // typed unbounded path plans exactly as pathologically as a bare one,
+    // so the guard here is deliberately stricter. Bounded forms
+    // (`[*1..5]`, `[*3]`) stay admitted, as in the reference.
+    val binding = """(?:[A-Za-z_][A-Za-z0-9_]*)?\s*(?::\s*[A-Za-z_][A-Za-z0-9_|]*)?\s*"""
     val unbounded =
-      if ("""\[\s*\*\s*(\.\.\s*)?\]""".r.findFirstIn(text).isDefined ||
-        """\[\*\d*\.\.\s*\]""".r.findFirstIn(text).isDefined)
+      if (("""\[\s*""" + binding + """\*\s*(\.\.\s*)?\]""").r.findFirstIn(text).isDefined ||
+        ("""\[\s*""" + binding + """\*\d*\s*\.\.\s*\]""").r.findFirstIn(text).isDefined)
         Seq(Violation("V030", "unbounded variable-length path not allowed"))
       else Seq.empty
     writes ++ unbounded

@@ -46,9 +46,15 @@ object VectorOps {
   /** v / scalar elementwise. */
   def scale(v: Column, k: Column): Column = transform(asDouble(v), x => x * k)
 
-  /** L2-normalized copy of v (NULL when zero-norm). */
+  /** L2-normalized copy of v (NULL elements when zero-norm). The norm is
+    * computed ONCE as the second `zip_with` argument (Catalyst does not
+    * hoist loop-invariant subtrees out of HOF lambdas — referencing
+    * `l2Norm(v)` inside a `transform` lambda would re-evaluate the full
+    * O(d) aggregate per element, O(d²) per row). */
   def normalize(v: Column): Column =
-    transform(asDouble(v), x => x / nullif(l2Norm(v), lit(0.0)))
+    zip_with(asDouble(v),
+      array_repeat(nullif(l2Norm(v), lit(0.0)), size(v)),
+      (x, n) => x / n)
 
   /** A vector literal (for broadcast query vectors — the V1 kernel scores a
     * full scan against one driver-provided query embedding,

@@ -54,8 +54,12 @@ object GraphOps {
       relTypes: Option[Seq[String]] = None): DataFrame = {
     val hasRel = edges.columns.contains("rel_type")
     val relCol = if (hasRel) col("rel_type") else lit(null).cast("string")
+    // No confidence column ≡ all-NULL confidence ≡ every edge passes (F5:
+    // NULL passes) — mirrors filteredView's accel-path behavior so both
+    // dispatch targets of bfsAuto stay result-identical by contract.
+    val hasConf = edges.columns.contains("confidence")
     val filtered = edges
-      .where(confidencePredicate(minConfidence))
+      .where(if (hasConf) confidencePredicate(minConfidence) else lit(true))
       .where(relTypes match {
         case Some(ts) if hasRel => col("rel_type").isin(ts: _*)
         case _                  => lit(true)

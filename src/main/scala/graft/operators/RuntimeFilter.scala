@@ -53,6 +53,8 @@ object RuntimeFilter {
           .withName("bloomMightContain")
         big.where(mightContain(col(bigKey)))
       }
-    pruned.join(small, col(bigKey) === col(smallKey))
+    // Dataframe-qualified key references so bigKey == smallKey (the common
+    // same-name surrogate-key case) doesn't raise AMBIGUOUS_REFERENCE.
+    pruned.join(small, pruned(bigKey) === small(smallKey))
   }
 }

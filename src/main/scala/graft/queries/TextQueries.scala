@@ -45,11 +45,15 @@ object TextQueries {
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stop: _*))))
         .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))))
+      // Zero-token / zero-length docs ratio to 0.0 explicitly — engines
+      // disagree on 0/0 (NULL vs NaN), so the guard is part of the contract.
       d.select(
           col("doc_id"),
           col("n_tokens"),
-          round(col("n_stop") / col("n_tokens"), 6).as("stopword_ratio"),
-          round(col("n_punct") / length(col("text")), 6).as("punct_ratio"),
+          when(col("n_tokens") > 0, round(col("n_stop") / col("n_tokens"), 6))
+            .otherwise(lit(0.0)).as("stopword_ratio"),
+          when(length(col("text")) > 0, round(col("n_punct") / length(col("text")), 6))
+            .otherwise(lit(0.0)).as("punct_ratio"),
           round(
             (col("n_tokens") / lit(50.0)) / (col("n_tokens") / lit(50.0) + lit(2.0)), 6)
             .as("quality_score"))
@@ -290,8 +294,12 @@ object TextQueries {
 
     "q30_quality" ->
       s"""SELECT doc_id, n_tokens,
-         |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-         |  round(n_punct / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+         |  CASE WHEN n_tokens > 0
+         |       THEN round(n_stop / CAST(n_tokens AS DOUBLE), 6)
+         |       ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN length(text) > 0
+         |       THEN round(n_punct / CAST(length(text) AS DOUBLE), 6)
+         |       ELSE 0.0 END AS punct_ratio,
          |  round((n_tokens / 50.0) / (n_tokens / 50.0 + 2.0), 6) AS quality_score
          |FROM (
          |  SELECT doc_id, text,

@@ -30,6 +30,24 @@ object VectorQueries {
   private val duckQueryVec =
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
+  /** Lloyd assignment shared by q78/q84: nearest of the k seed centroids
+    * (squared-L2, deterministic centroid-id tiebreak) for every vector of
+    * the embeddings table. Returns (vec_id, v, cluster). */
+  private def kmeansAssign(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val seeds = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("dist",
+        aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d2) => acc + d2))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cluster"))
+    e.join(assigned, "vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // V1: cosine top-k over a full scan — threshold, sort desc, slice
     // (age_client/query.py:62-116). Ordering on the ROUNDED similarity so
@@ -110,19 +128,7 @@ object VectorQueries {
     // per-dim sums go through floor-to-micros fixed point so the mean is
     // order-independent and bit-identical cross-engine.
     "q78_kmeans_step" -> ((s, dir) => {
-      val k = 8
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val seeds = e.where(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("v").as("c"))
-      val assigned = e.crossJoin(broadcast(seeds))
-        .withColumn("dist",
-          aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d2) => acc + d2))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cluster"))
-      e.join(assigned, "vec_id")
+      kmeansAssign(s, dir, k = 8)
         .select(col("cluster"), posexplode(col("v")))
         .where(col("pos") < 4)
         .groupBy(col("cluster"), col("pos").cast("long").as("dim"))
@@ -140,20 +146,8 @@ object VectorQueries {
     // impossible, within-cluster pairs are routine. a_id is the kept
     // (smaller) id, b_id the candidate duplicate.
     "q84_semantic_dedup" -> ((s, dir) => {
-      val k = 8
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val seeds = e.where(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("v").as("c"))
-      val assigned = e.crossJoin(broadcast(seeds))
-        .withColumn("dist",
-          aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d2) => acc + d2))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cluster"))
       // assignment + vectors materialize once; both pair sides read it
-      val withV = e.join(assigned, "vec_id").localCheckpoint(false)
+      val withV = kmeansAssign(s, dir, k = 8).localCheckpoint(false)
       val a = withV.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cluster"))
       val b = withV.select(col("vec_id").as("b_id"), col("v").as("b_v"),
         col("cluster").as("b_cluster"))

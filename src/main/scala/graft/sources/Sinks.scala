@@ -79,7 +79,9 @@ object Sinks {
   def restoreWithRemap(
       backup: DataFrame, target: DataFrame, idCol: String,
       suffix: String): (DataFrame, DataFrame) = {
-    val collisions = backup.select(col(idCol))
+    // distinct: a duplicated id in the backup must produce ONE remap row,
+    // or both join-backs below fan out every matching row per duplicate.
+    val collisions = backup.select(col(idCol)).distinct()
       .join(target.select(col(idCol)), Seq(idCol), "left_semi")
     val remap = collisions
       .select(col(idCol).as("old_id"),

@@ -95,31 +95,49 @@ object StreamOps {
   final case class SessionOut(user_id: Long, n_events: Long, duration_s: Long, closed: Boolean)
 
   /** Stateful sessionization with a 30-minute idle gap via
-    * flatMapGroupsWithState (the KeyValueGroupedDataset custom-state path). */
-  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    * flatMapGroupsWithState (the KeyValueGroupedDataset custom-state path).
+    * A session closes when a later event arrives past the gap (`closed =
+    * true`) OR when the processing-time timeout fires on an idle key —
+    * without the timeout a user's final session would sit in state
+    * forever and the stream would permanently undercount vs the q39
+    * batch twin. Timed-out sessions emit `closed = false` (flushed idle,
+    * not gap-delimited; in batch execution timeouts never fire, so a
+    * batch run emits only the gap-closed sessions). */
+  def sessionize(events: Dataset[SessionEvent],
+      idleFlush: String = "35 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val gapMs = 30L * 60 * 1000
-          var cur = state.getOption
-          val closed = Vector.newBuilder[SessionOut]
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(userId, s.n, (s.last - s.start) / 1000, closed = true)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(userId, s.n, (s.last - s.start) / 1000, closed = false))
+          } else {
+            val gapMs = 30L * 60 * 1000
+            var cur = state.getOption
+            val closed = Vector.newBuilder[SessionOut]
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.n, (s.last - s.start) / 1000, closed = true)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(idleFlush)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

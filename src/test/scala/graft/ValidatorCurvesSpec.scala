@@ -23,6 +23,17 @@ class ValidatorCurvesSpec extends SparkSpec {
       "MATCH (a)-[*]->(b) RETURN b").exists(_.code == "V030"))
     assert(ProgramValidator.validateStatement(
       "MATCH (a)-[*1..]->(b) RETURN b").exists(_.code == "V030"))
+    // typed/named unbounded forms (stricter than the reference's own
+    // regex, which only catches the anonymous `[*` spelling)
+    assert(ProgramValidator.validateStatement(
+      "MATCH (a)-[r:RELATES_TO*]->(b) RETURN b").exists(_.code == "V030"))
+    assert(ProgramValidator.validateStatement(
+      "MATCH (a)-[r*]->(b) RETURN b").exists(_.code == "V030"))
+    assert(ProgramValidator.validateStatement(
+      "MATCH (a)-[:SUPPORTS|IMPLIES *2..]->(b) RETURN b").exists(_.code == "V030"))
+    // bounded forms stay admitted
+    assert(ProgramValidator.validateStatement(
+      "MATCH (a)-[r:SUPPORTS*1..3]->(b) RETURN b").isEmpty)
     assert(ProgramValidator.validateStatement(
       "MATCH (a)-[r:SUPPORTS]->(b) RETURN b").isEmpty)
   }
