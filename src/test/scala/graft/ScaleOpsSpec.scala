@@ -97,6 +97,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.count() === theta.count())
   }
 
+  test("pointInInterval equals the theta join on seeded random workloads") {
+    val rnd = new scala.util.Random(42L)
+    // Negative values exercise the floor-division bucketing; width 7 is
+    // deliberately coprime to nothing in the data.
+    val points = Seq.tabulate(300)(i => (i.toLong, rnd.between(-500L, 500L)))
+      .toDF("pid", "pt")
+    val intervals = Seq.tabulate(80) { i =>
+      val lo = rnd.between(-500L, 480L)
+      (i.toLong, lo, lo + rnd.between(0L, 60L))
+    }.toDF("iid", "lo", "hi")
+    val out = graft.operators.RangeJoin.pointInInterval(
+      points, intervals, "pt", "lo", "hi", bucketWidth = 7L)
+    val theta = points.join(intervals,
+      col("pt") >= col("lo") && col("pt") <= col("hi"))
+    assert(out.count() === theta.count())
+    assert(out.select("pid", "iid").except(theta.select("pid", "iid")).isEmpty)
+    assert(theta.select("pid", "iid").except(out.select("pid", "iid")).isEmpty)
+  }
+
   test("heavy hitters are exact under forced sketch eviction") {
     // 3 planted heavy tokens (>5% each) in a long tail of 400 distinct
     // rares; phi = 0.02 gives sketch capacity 100 << 403 distinct, so the
