@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(className, name),
         builder))
     }
+    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => CosineArgumentReorder)
   }
 }
@@ -97,9 +104,78 @@ object GraftExtensions {
     "hamming64" -> hammingBuilder,
     "portable_hash60" -> portableHashBuilder)
 
+  // --- table-valued functions: the direct analog of the reference's
+  // graph_accel_* set-returning SQL functions (graph-accel/ext/src/
+  // {neighborhood,degree,subgraph}.rs, called as `SELECT * FROM
+  // graph_accel_neighborhood($1,$2,$3,$4)` at graph_facade.py:236-241).
+  // The first argument names a registered view holding (src, dst[,
+  // rel_type, confidence]) edges; the traversal runs through the same
+  // auto-dispatching engines as the Scala API (accelerator below the
+  // size threshold — like graph_accel, the work happens eagerly inside
+  // the call) and the rows return as a LocalRelation.
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def constString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    String.valueOf(e.eval())
+  }
+  private def constInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$what: got $other")
+    }
+  }
+  private def localized(df: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    // Materialize eagerly (the reference's set-returning functions do the
+    // same — the Rust BFS runs inside the call) and hand the analyzer a
+    // LocalRelation; traversal outputs are frontier-bounded row sets.
+    val rows = df.collect().toSeq
+    Bridge.analyzedPlan(
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        df.schema))
+  }
+
+  private val neighborhoodTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 3,
+      "graft_neighborhood(edges_view, start_id, max_depth)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    localized(graft.graph.GraphOps.bfsAuto(
+      spark.table(constString(children.head, "edges_view")),
+      Seq(constString(children(1), "start_id")),
+      constInt(children(2), "max_depth")))
+  }
+  private val degreeTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 1, "graft_degree(edges_view)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    localized(graft.graph.GraphOps.degrees(
+      spark.table(constString(children.head, "edges_view"))))
+  }
+  private val subgraphTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 3,
+      "graft_subgraph(edges_view, start_id, max_depth)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    localized(graft.graph.GraphOps.inducedSubgraph(
+      spark.table(constString(children.head, "edges_view")),
+      constString(children(1), "start_id"),
+      constInt(children(2), "max_depth")))
+  }
+
+  val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_neighborhood" -> neighborhoodTvf,
+    "graft_degree" -> degreeTvf,
+    "graft_subgraph" -> subgraphTvf)
+
   /** Register on an already-built session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       Bridge.registerFunction(spark, name, builder)
     }
+    tableBuilders.foreach { case (name, builder) =>
+      Bridge.registerTableFunction(spark, name, builder)
+    }
+  }
 }

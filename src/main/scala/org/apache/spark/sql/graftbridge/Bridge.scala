@@ -21,4 +21,17 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Register a temp TABLE function (`SELECT * FROM f(...)`) on a live
+    * session — the runtime analog of `injectTableFunction`. */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The analyzed logical plan of a DataFrame (TVF builders return plans). */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
 }

@@ -71,6 +71,30 @@ class SinksSpec extends SparkSpec {
     assert(orth == 0.0)
   }
 
+  test("graph TVFs are SQL-callable: SELECT * FROM graft_neighborhood(...) (2.13)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq(("a", "b", "R"), ("b", "c", "R"), ("c", "d", "R"), ("x", "y", "R"))
+      .toDF("src", "dst", "rel_type")
+      .createOrReplaceTempView("tvf_edges")
+    // the graph_accel_neighborhood analog: set-returning SQL over a view
+    val hood = spark.sql(
+      "SELECT node, distance FROM graft_neighborhood('tvf_edges', 'a', 2) " +
+        "WHERE distance > 0 ORDER BY distance, node")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(hood == Seq(("b", 1), ("c", 2)))
+    val deg = spark.sql(
+      "SELECT node, total_degree FROM graft_degree('tvf_edges') " +
+        "ORDER BY total_degree DESC, node LIMIT 2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(deg == Seq(("b", 2L), ("c", 2L)))
+    // TVF output composes with ordinary SQL (joins/filters on the result)
+    val sub = spark.sql(
+      "SELECT count(*) FROM graft_subgraph('tvf_edges', 'a', 2)")
+      .head().getLong(0)
+    assert(sub == 2L) // a→b, b→c
+  }
+
   test("dedup kernels are SQL-callable after registration (2.13)") {
     GraftExtensions.register(spark)
     val j = spark.sql(
