@@ -164,10 +164,46 @@ object GraftExtensions {
       constInt(children(2), "max_depth")))
   }
 
+  private val pathTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 4,
+      "graft_path(edges_view, from_id, to_id, max_hops)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val path = graft.graph.GraphOps.shortestPathAuto(
+      spark.table(constString(children.head, "edges_view")),
+      constString(children(1), "from_id"),
+      constString(children(2), "to_id"),
+      constInt(children(3), "max_hops"))
+    val rows = path match {
+      case Some((hops, nodes)) =>
+        nodes.zipWithIndex.map { case (n, i) => (i, n, hops) }
+      case None => Seq.empty
+    }
+    Bridge.analyzedPlan(rows.toDF("step", "node", "total_hops"))
+  }
+  private val statusTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.isEmpty, "graft_accel_status()")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val (graphs, nodes, over) = graft.graph.GraphOps.accelStatus
+    Bridge.analyzedPlan(Seq((graphs.toLong, nodes, over.toLong))
+      .toDF("loaded_graphs", "resident_nodes", "over_threshold_entries"))
+  }
+  private val invalidateTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.isEmpty, "graft_accel_invalidate()")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    graft.graph.GraphOps.invalidateAccel()
+    Bridge.analyzedPlan(Seq(true).toDF("invalidated"))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_neighborhood" -> neighborhoodTvf,
     "graft_degree" -> degreeTvf,
-    "graft_subgraph" -> subgraphTvf)
+    "graft_subgraph" -> subgraphTvf,
+    "graft_path" -> pathTvf,
+    "graft_accel_status" -> statusTvf,
+    "graft_accel_invalidate" -> invalidateTvf)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -215,12 +215,19 @@ object GraphOps {
       while (over.size > MaxOver) over.remove(over.head._1)
     }
     def clear(): Unit = synchronized { loaded.clear(); over.clear() }
+    def stats: (Int, Long, Int) = synchronized {
+      (loaded.size, loaded.valuesIterator.map(_._2.size.toLong).sum, over.size)
+    }
   }
 
   /** Evict every cached accelerator graph (graph_accel_invalidate analog).
     * Needed only when edge INPUT FILES are rewritten in place; versioned
     * snapshot writes change paths and therefore miss the cache naturally. */
   def invalidateAccel(): Unit = AccelCache.clear()
+
+  /** (loaded graphs, total resident nodes, memoized over-threshold
+    * entries) — the graph_accel_status freshness/residency probe analog. */
+  def accelStatus: (Int, Long, Int) = AccelCache.stats
 
   /** Size-probe + accelerator load in one cached scan: the (src, dst) view
     * is persisted, the probe is a cheap `limit(N+1).count()` (no driver

@@ -93,6 +93,17 @@ class SinksSpec extends SparkSpec {
       "SELECT count(*) FROM graft_subgraph('tvf_edges', 'a', 2)")
       .head().getLong(0)
     assert(sub == 2L) // a→b, b→c
+    // shortest path as rows; status/invalidate round-trip
+    val path = spark.sql(
+      "SELECT step, node FROM graft_path('tvf_edges', 'a', 'd', 4) ORDER BY step")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(path == Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")))
+    val resident = spark.sql(
+      "SELECT loaded_graphs FROM graft_accel_status()").head().getLong(0)
+    assert(resident >= 1L) // the traversals above loaded the tiny graph
+    assert(spark.sql("SELECT * FROM graft_accel_invalidate()").head().getBoolean(0))
+    assert(spark.sql("SELECT loaded_graphs FROM graft_accel_status()")
+      .head().getLong(0) == 0L)
   }
 
   test("dedup kernels are SQL-callable after registration (2.13)") {
