@@ -181,6 +181,40 @@ object GraftExtensions {
     }
     Bridge.analyzedPlan(rows.toDF("step", "node", "total_hops"))
   }
+  private val pathsTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 5,
+      "graft_paths(edges_view, from_id, to_id, max_hops, max_paths)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val rows = graft.graph.GraphOps.kShortestPathsAuto(
+        spark.table(constString(children.head, "edges_view")),
+        constString(children(1), "from_id"),
+        constString(children(2), "to_id"),
+        constInt(children(3), "max_hops"),
+        constInt(children(4), "max_paths"))
+      .zipWithIndex.flatMap { case ((hops, nodes), p) =>
+        nodes.zipWithIndex.map { case (n, i) => (p, i, n, hops) }
+      }
+    Bridge.analyzedPlan(rows.toDF("path_idx", "step", "node", "total_hops"))
+  }
+  private val loadTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 1, "graft_accel_load(edges_view)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    // graph_accel_load analog: probe + bulk-load the view into the
+    // accelerator cache (a trivial depth-1 traversal from any endpoint
+    // triggers probeAndLoad) and report residency. A view past the size
+    // threshold reports loaded=false — the distributed engines own it.
+    val edges = spark.table(constString(children.head, "edges_view"))
+    val before = graft.graph.GraphOps.accelStatus
+    edges.select(org.apache.spark.sql.functions.col("src").cast("string")).limit(1)
+      .collect().headOption.foreach { r =>
+        graft.graph.GraphOps.bfsAuto(edges, Seq(r.getString(0)), 1)
+      }
+    val (graphs, nodes, _) = graft.graph.GraphOps.accelStatus
+    Bridge.analyzedPlan(Seq((graphs > before._1, graphs.toLong, nodes))
+      .toDF("newly_loaded", "resident_graphs", "resident_nodes"))
+  }
   private val statusTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.isEmpty, "graft_accel_status()")
     val spark = org.apache.spark.sql.SparkSession.active
@@ -202,6 +236,8 @@ object GraftExtensions {
     "graft_degree" -> degreeTvf,
     "graft_subgraph" -> subgraphTvf,
     "graft_path" -> pathTvf,
+    "graft_paths" -> pathsTvf,
+    "graft_accel_load" -> loadTvf,
     "graft_accel_status" -> statusTvf,
     "graft_accel_invalidate" -> invalidateTvf)
 

@@ -98,12 +98,23 @@ class SinksSpec extends SparkSpec {
       "SELECT step, node FROM graft_path('tvf_edges', 'a', 'd', 4) ORDER BY step")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(path == Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")))
+    // k-shortest paths as rows: 1 path only in this chain graph
+    val paths = spark.sql(
+      "SELECT path_idx, step, node FROM graft_paths('tvf_edges', 'a', 'c', 4, 3) " +
+        "ORDER BY path_idx, step")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(paths == Seq((0, 0, "a"), (0, 1, "b"), (0, 2, "c")))
     val resident = spark.sql(
       "SELECT loaded_graphs FROM graft_accel_status()").head().getLong(0)
     assert(resident >= 1L) // the traversals above loaded the tiny graph
     assert(spark.sql("SELECT * FROM graft_accel_invalidate()").head().getBoolean(0))
     assert(spark.sql("SELECT loaded_graphs FROM graft_accel_status()")
       .head().getLong(0) == 0L)
+    // load analog: explicit bulk-load after the invalidate re-populates
+    val load = spark.sql(
+      "SELECT newly_loaded, resident_graphs FROM graft_accel_load('tvf_edges')")
+      .head()
+    assert(load.getBoolean(0) && load.getLong(1) >= 1L)
   }
 
   test("dedup kernels are SQL-callable after registration (2.13)") {
