@@ -258,6 +258,46 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sparse TF-IDF cosine similarity — the lexical-retrieval twin of the
+    // dense q25/q84 kernels: documents as sparse term-weight vectors, pair
+    // dot products formed through the inverted index (pairs only share a
+    // posting, never all-pairs), norms from per-doc weight sums. All
+    // arithmetic on 6dp-rounded weights with DECIMAL pair sums, so the
+    // score is order-independent and bit-identical cross-engine (same
+    // discipline as q33's idf). At scale this is the BM25/TF-IDF shape:
+    // the shuffle keys are terms and pair output is bounded by posting
+    // sizes, exactly like the q35/q58 shingle index.
+    "q85_sparse_cosine" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).where(col("doc_id") < 150)
+      val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // feeds df-counts, norms, AND the pair join
+      val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val wtab = tf
+        .join(tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq")), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6)
+            .as("w"))
+        .localCheckpoint(false)
+      val norms = wtab.groupBy(col("doc_id"))
+        .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
+          .as("norm"))
+      val dots = wtab.toDF("a_id", "term", "a_w")
+        .join(wtab.toDF("b_id", "term2", "b_w"),
+          col("term") === col("term2") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum((col("a_w") * col("b_w")).cast("decimal(28,12)"))
+          .cast("double").as("dot"))
+      dots
+        .join(norms.toDF("a_id", "a_norm"), "a_id")
+        .join(norms.toDF("b_id", "b_norm"), "b_id")
+        .withColumn("sim", round(col("dot") / (col("a_norm") * col("b_norm")), 6))
+        .where(col("sim") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Exact corpus heavy hitters (operators.HeavyHitters): tokens above
     // 1% of all occurrences via Misra-Gries candidates + exact recount —
     // the two-pass shape that finds frequent URLs/n-grams at 100 TB
@@ -274,6 +314,38 @@ object TextQueries {
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q85_sparse_cosine" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(lower(text), '$wordPat')) AS term
+         |        FROM d) t
+         |  GROUP BY doc_id, term),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * ln((SELECT CAST(n_docs AS DOUBLE) FROM n) / df.dfreq), 6) AS w
+         |  FROM tf JOIN (
+         |    SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY term) df
+         |    USING (term)),
+         |norms AS (
+         |  SELECT doc_id,
+         |    sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+         |  FROM w GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  round(dot / (na.norm * nb.norm), 6) AS sim
+         |FROM dots
+         |JOIN norms na ON na.doc_id = a_id
+         |JOIN norms nb ON nb.doc_id = b_id
+         |WHERE round(dot / (na.norm * nb.norm), 6) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "q83_heavy_hitters" ->
       s"""WITH t AS (
          |  SELECT unnest(regexp_extract_all(lower(text), '$wordPat')) AS token
