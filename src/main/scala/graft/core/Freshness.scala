@@ -15,8 +15,8 @@ import scala.collection.concurrent.TrieMap
   * within an epoch hit executor memory, not recompute.
   */
 final class Freshness(committedEpoch: () => Long) {
+  import Freshness.Entry
 
-  private final case class Entry(epoch: Long, df: DataFrame)
   private val derivations = TrieMap.empty[String, () => DataFrame]
   private val cache = TrieMap.empty[String, Entry]
 
@@ -50,4 +50,10 @@ final class Freshness(committedEpoch: () => Long) {
     cache.values.foreach(_.df.unpersist())
     cache.clear()
   }
+}
+
+private object Freshness {
+  // Top-level so the (epoch, df) cache-entry type test carries no outer
+  // reference (silences the unchecked-outer-reference warning).
+  final case class Entry(epoch: Long, df: DataFrame)
 }
