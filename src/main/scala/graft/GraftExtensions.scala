@@ -118,32 +118,31 @@ object GraftExtensions {
 
   private def constString(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a literal")
-    String.valueOf(e.eval())
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL")
+    v.toString
   }
   private def constInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(s"$what: got $other")
+      case l: Long if l.isValidInt => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what: expected a 32-bit integer literal, got $other")
     }
   }
-  private def localized(df: org.apache.spark.sql.DataFrame): LogicalPlan = {
-    // Materialize eagerly (the reference's set-returning functions do the
-    // same — the Rust BFS runs inside the call) and hand the analyzer a
-    // LocalRelation; traversal outputs are frontier-bounded row sets.
-    val rows = df.collect().toSeq
-    Bridge.analyzedPlan(
-      df.sparkSession.createDataFrame(
-        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        df.schema))
-  }
+  // The TVF builders return the traversal's own plan: the iterative
+  // engines materialize per-hop checkpoints while CONSTRUCTING the
+  // DataFrame (the eager part, exactly like the reference's Rust BFS
+  // running inside the set-returning call), but the returned plan itself
+  // stays lazy — a distributed result (e.g. graft_degree over an
+  // over-threshold graph) is never collected to the driver.
 
   private val neighborhoodTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 3,
       "graft_neighborhood(edges_view, start_id, max_depth)")
     val spark = org.apache.spark.sql.SparkSession.active
-    localized(graft.graph.GraphOps.bfsAuto(
+    Bridge.analyzedPlan(graft.graph.GraphOps.bfsAuto(
       spark.table(constString(children.head, "edges_view")),
       Seq(constString(children(1), "start_id")),
       constInt(children(2), "max_depth")))
@@ -151,14 +150,14 @@ object GraftExtensions {
   private val degreeTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 1, "graft_degree(edges_view)")
     val spark = org.apache.spark.sql.SparkSession.active
-    localized(graft.graph.GraphOps.degrees(
+    Bridge.analyzedPlan(graft.graph.GraphOps.degrees(
       spark.table(constString(children.head, "edges_view"))))
   }
   private val subgraphTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 3,
       "graft_subgraph(edges_view, start_id, max_depth)")
     val spark = org.apache.spark.sql.SparkSession.active
-    localized(graft.graph.GraphOps.inducedSubgraph(
+    Bridge.analyzedPlan(graft.graph.GraphOps.inducedSubgraph(
       spark.table(constString(children.head, "edges_view")),
       constString(children(1), "start_id"),
       constInt(children(2), "max_depth")))
@@ -202,18 +201,15 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     // graph_accel_load analog: probe + bulk-load the view into the
-    // accelerator cache (a trivial depth-1 traversal from any endpoint
-    // triggers probeAndLoad) and report residency. A view past the size
-    // threshold reports loaded=false — the distributed engines own it.
-    val edges = spark.table(constString(children.head, "edges_view"))
-    val before = graft.graph.GraphOps.accelStatus
-    edges.select(org.apache.spark.sql.functions.col("src").cast("string")).limit(1)
-      .collect().headOption.foreach { r =>
-        graft.graph.GraphOps.bfsAuto(edges, Seq(r.getString(0)), 1)
-      }
-    val (graphs, nodes, _) = graft.graph.GraphOps.accelStatus
-    Bridge.analyzedPlan(Seq((graphs > before._1, graphs.toLong, nodes))
-      .toDF("newly_loaded", "resident_graphs", "resident_nodes"))
+    // accelerator cache, idempotently. `loaded` reflects residency AFTER
+    // the call (true on fresh load OR cache hit — a size-delta heuristic
+    // would lie at LRU capacity); false means the view exceeds the size
+    // threshold and the distributed engines own it.
+    val g = graft.graph.GraphOps.ensureLoaded(
+      spark.table(constString(children.head, "edges_view")))
+    Bridge.analyzedPlan(
+      Seq((g.isDefined, g.map(_.size.toLong).getOrElse(0L)))
+        .toDF("loaded", "resident_nodes"))
   }
   private val statusTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.isEmpty, "graft_accel_status()")

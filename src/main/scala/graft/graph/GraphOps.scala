@@ -229,6 +229,14 @@ object GraphOps {
     * entries) — the graph_accel_status freshness/residency probe analog. */
   def accelStatus: (Int, Long, Int) = AccelCache.stats
 
+  /** Probe and (if it fits) load the edge view into the accelerator cache
+    * — the graph_accel_load analog. Idempotent: Some(graph) whenever the
+    * view is resident AFTER the call (fresh load or cache hit), None when
+    * it exceeds the threshold and the distributed engines own it. */
+  def ensureLoaded(edges: DataFrame,
+      accelThreshold: Long = 2000000L): Option[InMemoryGraph] =
+    probeAndLoad(filteredView(edges, None, None), accelThreshold)
+
   /** Size-probe + accelerator load in one cached scan: the (src, dst) view
     * is persisted, the probe is a cheap `limit(N+1).count()` (no driver
     * transfer), and only an under-threshold graph is collected — the cache
