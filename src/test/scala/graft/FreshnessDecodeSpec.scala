@@ -50,6 +50,31 @@ class FreshnessDecodeSpec extends SparkSpec {
 
   val vals = Seq(1.0f, -2.5f, 0.0f, 0.5f)
 
+  test("incremental aggregate maintenance equals full recompute at every step") {
+    import graft.core.Incremental
+    // Append-only log in three epoch batches; keys overlap across batches.
+    val b1 = Seq(("a", 10.0, 1L), ("b", 5.0, 2L), ("a", 1.0, 3L))
+    val b2 = Seq(("b", 2.5, 4L), ("c", 7.0, 5L))
+    val b3 = Seq(("a", 0.5, 6L), ("c", 1.0, 7L), ("c", 2.0, 8L))
+    def log(batches: Seq[(String, Double, Long)]*): org.apache.spark.sql.DataFrame =
+      batches.flatten.toDF("k", "v", "epoch")
+
+    var state: Option[Incremental.MaintainedAgg] = None
+    val histories = Seq(log(b1), log(b1, b2), log(b1, b2, b3))
+    histories.foreach { full =>
+      state = Some(Incremental.advance(state, full, "k", "v", "epoch"))
+      val inc = state.get.agg.orderBy("k").collect().toSeq
+      val ref = Incremental.recompute(full, "k", "v").orderBy("k").collect().toSeq
+      assert(inc == ref, s"divergence at horizon ${state.get.upToEpoch}")
+    }
+    assert(state.get.upToEpoch == 8L)
+    // an empty delta advances nothing and changes nothing
+    val again = Incremental.advance(state, histories.last, "k", "v", "epoch")
+    assert(again.upToEpoch == 8L)
+    assert(again.agg.orderBy("k").collect().toSeq ==
+      state.get.agg.orderBy("k").collect().toSeq)
+  }
+
   test("f32 decode round-trips packed little-endian binary") {
     val df = Seq(Tuple1(packF32(vals))).toDF("b")
     val out = df.select(DecodeFloatArray.f32($"b")).as[Seq[Float]].head()
