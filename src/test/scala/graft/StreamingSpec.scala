@@ -204,6 +204,39 @@ class StreamingSpec extends SparkSpec {
     assert(cands.split(",").length <= 4)
   }
 
+  test("foreachBatch maintains the incremental aggregate per micro-batch") {
+    import graft.core.Incremental
+    val dir = java.nio.file.Files.createTempDirectory("inc-stream").toString
+    def write(part: String, rows: Seq[(String, Double, Long)]): Unit =
+      rows.toDF("k", "v", "epoch").coalesce(1)
+        .write.mode("append").parquet(s"$dir/$part")
+    write("p1", Seq(("a", 10.0, 1L), ("b", 5.0, 2L)))
+    write("p2", Seq(("a", 1.0, 3L), ("c", 7.0, 4L)))
+
+    var state: Option[Incremental.MaintainedAgg] = None
+    val q = spark.readStream
+      .schema("k STRING, v DOUBLE, epoch BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each micro-batch IS the delta: horizon Long.MinValue per batch
+        // would double-count on replay, so advance() keyed on epoch keeps
+        // exactly-once folding even if a batch re-delivers
+        state = Some(Incremental.advance(state, batch, "k", "v", "epoch"))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = state.get.agg.orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSeq
+    assert(got == Seq(("a", 2L, 11.0), ("b", 1L, 5.0), ("c", 1L, 7.0)))
+    assert(state.get.upToEpoch == 4L)
+  }
+
   test("stateful sessionization closes sessions across the 30-min gap") {
     val events = Seq(
       SessionEvent(1L, ts(0), "click"),
