@@ -298,6 +298,44 @@ object TextQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-form idf):
+    // top-20 documents for a fixed bag-of-words query — the lexical twin
+    // of the V1 dense-vector search (q25). Per query term t:
+    //   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+    //   w(d,t) = idf·tf·(k1+1)/(tf + k1·(1 − b + b·len/avglen))
+    // One corpus scan computes tf/len; the per-term df table and the two
+    // scalars (N, avglen) broadcast; scoring is scan-shaped. Weights are
+    // 6dp-rounded and decimal-summed per doc, so ranking is
+    // order-independent and bit-identical cross-engine.
+    "q86_bm25" -> ((s, dir) => {
+      val (k1, b) = (1.2, 0.75)
+      val qTerms = Seq("hash", "join", "order", "scan")
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .localCheckpoint(false) // feeds lengths, df, AND the tf table
+      val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val scalars = lens.agg(count(lit(1)).as("n_docs"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+      val tf = toks.where(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+      tf.join(broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(scalars))
+        .withColumn("idf",
+          log((col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("w", round(
+          col("idf") * col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avglen"))),
+          6))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("bm25"),
+          count(lit(1)).as("n_query_terms"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // Exact corpus heavy hitters (operators.HeavyHitters): tokens above
     // 1% of all occurrences via Misra-Gries candidates + exact recount —
     // the two-pass shape that finds frequent URLs/n-grams at 100 TB
@@ -314,6 +352,37 @@ object TextQueries {
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q86_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '$wordPat')) AS term
+         |  FROM documents),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+         |         FROM toks GROUP BY doc_id),
+         |scalars AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+         |  WHERE term IN ('hash', 'join', 'order', 'scan')
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq
+         |          FROM tf GROUP BY term),
+         |w AS (
+         |  SELECT tf.doc_id,
+         |    round(ln((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5) + 1.0)
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * l.len / s.avglen)), 6) AS w
+         |  FROM tf JOIN dfreq d USING (term)
+         |  JOIN lens l ON l.doc_id = tf.doc_id
+         |  CROSS JOIN scalars s)
+         |SELECT doc_id,
+         |  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+         |  CAST(count(*) AS BIGINT) AS n_query_terms
+         |FROM w GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+
     "q85_sparse_cosine" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
          |tf AS (
