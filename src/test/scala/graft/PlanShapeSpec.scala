@@ -23,8 +23,10 @@ class PlanShapeSpec extends SparkSpec {
     // (doc_id < 200); the unbounded form is Dedup.hammingNearPairs
     // (pigeonhole-banded equi-join, proven equivalent in DedupSpec)
     "q37_simhash",
-    // q75/q76: scalar cross join — the broadcast side is ONE row (the
-    // corpus token total / vocabulary size), the same shape q59's cutoff uses
+    // q75/q76/q86: scalar cross join — the broadcast side is ONE row (the
+    // corpus token total / vocabulary size / BM25 N+avglen scalars), the
+    // same shape q59's cutoff uses
+    "q86_bm25",
     "q75_unigram_logprob", "q76_bigram_lm",
     // q78/q84: Lloyd assignment — the broadcast side is the k=8 seed
     // centroids, the exact shape an MLlib KMeans iteration broadcasts
