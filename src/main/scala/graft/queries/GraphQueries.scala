@@ -141,6 +141,32 @@ object GraphQueries {
         .orderBy(col("n_triangles").desc, col("node").asc)
         .limit(10)
     }),
+
+    // Link prediction features (Adamic-Adar): for supplier pairs sharing
+    // parts, Σ 1/ln(deg(part)) over the common parts — the classic
+    // graph-ML candidate-scoring feature. Same postings shape as the
+    // dedup pair kernels: group by the shared neighbor, emit its C(k,2)
+    // supplier pairs map-side with the neighbor's weight attached (a
+    // self-join on dst would shuffle the edge list twice); per-pair
+    // weights are 6dp-rounded then decimal-summed for cross-engine
+    // bit-parity. deg≥2 drops single-supplier parts before any pair row.
+    "q87_adamic_adar" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      val postings = e.join(deg, "dst").where(col("deg") >= 2)
+        .groupBy(col("dst"), col("deg"))
+        .agg(array_sort(collect_list(col("src"))).as("ids"))
+      val pairs = postings
+        .select(round(lit(1.0) / log(col("deg").cast("double")), 6).as("w"),
+          col("ids"), posexplode(col("ids")))
+        .select(col("w"), col("col").as("a_id"),
+          explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("b_id"))
+      pairs.groupBy(col("a_id"), col("b_id"))
+        .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("aa_score"),
+          count(lit(1)).as("common_parts"))
+        .orderBy(col("aa_score").desc, col("a_id").asc, col("b_id").asc)
+        .limit(100)
+    }),
   )
 
   /** SQL replay of GraphOps.weightedShortestPaths' Bellman-Ford rounds:
@@ -263,6 +289,23 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q87_adamic_adar" ->
+      s"""WITH $edgeCte,
+         |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY dst),
+         |pairs AS (
+         |  SELECT a.src AS a_id, b.src AS b_id,
+         |    round(1.0 / ln(d.deg), 6) AS w
+         |  FROM edges a
+         |  JOIN edges b ON a.dst = b.dst AND a.src < b.src
+         |  JOIN deg d ON d.dst = a.dst
+         |  WHERE d.deg >= 2)
+         |SELECT a_id, b_id,
+         |  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS aa_score,
+         |  CAST(count(*) AS BIGINT) AS common_parts
+         |FROM pairs GROUP BY a_id, b_id
+         |ORDER BY aa_score DESC, a_id ASC, b_id ASC
+         |LIMIT 100""".stripMargin,
     "q71_triangles" ->
       """WITH e0 AS (
         |  SELECT l_suppkey % 100 AS a, l_partkey % 100 AS b
