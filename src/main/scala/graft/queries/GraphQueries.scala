@@ -150,6 +150,33 @@ object GraphQueries {
     // self-join on dst would shuffle the edge list twice); per-pair
     // weights are 6dp-rounded then decimal-summed for cross-engine
     // bit-parity. deg≥2 drops single-supplier parts before any pair row.
+    // Local clustering coefficient: 2·T(v)/(deg·(deg−1)) on the simple
+    // undirected graph — how tightly a node's neighborhood closes, the
+    // per-node companion of q71's triangle counts (same canonical u<v
+    // edge set, materialized once for degrees AND the wedge join).
+    "q88_clustering_coeff" -> ((s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .where(col("l_linenumber") === 1)
+        .select((col("l_suppkey") % 100).as("a"), (col("l_partkey") % 100).as("b"))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val tri = graft.graph.GraphOps.triangleCounts(
+        e0.select(col("u").as("src"), col("v").as("dst")))
+      deg.join(tri.withColumnRenamed("node", "tnode"),
+          col("node") === col("tnode"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .where(col("deg") >= 2)
+        .withColumn("cc", round(lit(2.0) * col("n_triangles") /
+          (col("deg") * (col("deg") - 1)), 6))
+        .orderBy(col("cc").desc, col("node").asc)
+        .limit(50)
+    }),
+
     "q87_adamic_adar" -> ((s, dir) => {
       val e = edges(s, dir)
       val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
@@ -289,6 +316,31 @@ object GraphQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q88_clustering_coeff" ->
+      """WITH e0 AS (
+        |  SELECT l_suppkey % 100 AS a, l_partkey % 100 AS b
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |e AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM e0 WHERE a <> b),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT unnest([u, v]) AS node FROM e) t GROUP BY node),
+        |tri AS (
+        |  SELECT ab.u AS x, ab.v AS y, bc.v AS z
+        |  FROM e ab
+        |  JOIN e bc ON ab.v = bc.u
+        |  JOIN e ac ON ab.u = ac.u AND bc.v = ac.v),
+        |tcount AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT unnest([x, y, z]) AS node FROM tri) c GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(t.n_triangles, 0) AS n_triangles,
+        |  round(2.0 * COALESCE(t.n_triangles, 0) / (d.deg * (d.deg - 1)), 6) AS cc
+        |FROM deg d LEFT JOIN tcount t ON t.node = d.node
+        |WHERE d.deg >= 2
+        |ORDER BY cc DESC, d.node ASC
+        |LIMIT 50""".stripMargin,
+
     "q87_adamic_adar" ->
       s"""WITH $edgeCte,
          |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
