@@ -41,11 +41,15 @@ object Bench {
       // first use otherwise pays seconds of janino/JIT inside a timing.
       val topk = graft.functions.TopK.topK(2)
       spark.range(100)
+        // regex input derives from id (non-foldable) and toks IS consumed
+        // below — a literal input would constant-fold and column-prune the
+        // whole regex path away, warming nothing.
         .selectExpr("cast(id % 5 as string) g", "cast(id as double) v",
           "cast(id as string) k",
           "aggregate(sequence(1, 3), 0L, (a, x) -> a + x) s",
-          "regexp_extract_all('a b c', '[a-z]+', 0) toks")
-        .groupBy(col("g")).agg(topk(col("v"), col("k")), max(col("s")))
+          "regexp_extract_all(concat('a b c ', cast(id as string)), '[a-z0-9]+', 0) toks")
+        .groupBy(col("g"))
+        .agg(topk(col("v"), col("k")), max(col("s")), max(size(col("toks"))))
         .collect()
     }
 

@@ -557,12 +557,24 @@ object GraphOps {
     * skew-join splits those). Corners explode to (node, 1) and sum.
     * Nodes in no triangle are absent (count 0). Cross-validated against
     * GraphX's TriangleCount in GraphXOpsSpec; exercised by q71. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsCanonical(canonicalUndirected(edges))
+
+  /** The simple undirected edge set as canonical (u < v) pairs: self-loops
+    * dropped, duplicates and reversed copies collapsed. The shared
+    * front-end of [[triangleCounts]] — callers that also need degrees on
+    * the same simple graph canonicalize once and pass the result to
+    * [[triangleCountsCanonical]]. */
+  def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+
+  /** [[triangleCounts]] over edges ALREADY in canonical (u < v, distinct)
+    * form — skips the dedup shuffle the canonical front-end would repeat. */
+  def triangleCountsCanonical(e: DataFrame): DataFrame = {
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.v") === col("bc.u"))
       .join(e.as("ac"), col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))

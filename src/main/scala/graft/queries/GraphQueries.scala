@@ -155,17 +155,15 @@ object GraphQueries {
     // per-node companion of q71's triangle counts (same canonical u<v
     // edge set, materialized once for degrees AND the wedge join).
     "q88_clustering_coeff" -> ((s, dir) => {
-      val e0 = Tables.lineitem(s, dir)
-        .where(col("l_linenumber") === 1)
-        .select((col("l_suppkey") % 100).as("a"), (col("l_partkey") % 100).as("b"))
-        .where(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .distinct()
+      val e0 = graft.graph.GraphOps.canonicalUndirected(
+          Tables.lineitem(s, dir)
+            .where(col("l_linenumber") === 1)
+            .select((col("l_suppkey") % 100).as("src"),
+              (col("l_partkey") % 100).as("dst")))
         .localCheckpoint(false)
       val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val tri = graft.graph.GraphOps.triangleCounts(
-        e0.select(col("u").as("src"), col("v").as("dst")))
+      val tri = graft.graph.GraphOps.triangleCountsCanonical(e0)
       deg.join(tri.withColumnRenamed("node", "tnode"),
           col("node") === col("tnode"), "left")
         .select(col("node"), col("deg"),
