@@ -258,6 +258,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Lexical diversity (type-token ratio + hapax count): the vocabulary-
+    // richness quality signal (low TTR = template/boilerplate text, high
+    // hapax share = noisy OCR) complementing q30's ratios and q60's
+    // repetition. One explode → per-(doc, token) counts → per-doc rollup;
+    // both aggregations partial-combine, shuffle keyed by doc and token.
+    "q89_lexical_diversity" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types") / col("n_tokens").cast("double"), 6).as("ttr"),
+          round(col("n_hapax") / col("n_types").cast("double"), 6).as("hapax_share"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sparse TF-IDF cosine similarity — the lexical-retrieval twin of the
     // dense q25/q84 kernels: documents as sparse term-weight vectors, pair
     // dot products formed through the inverted index (pairs only share a
@@ -355,6 +374,22 @@ object TextQueries {
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q89_lexical_diversity" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '$wordPat')) AS tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+         |      FROM t GROUP BY doc_id, tok)
+         |SELECT doc_id,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS ttr,
+         |  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q86_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
