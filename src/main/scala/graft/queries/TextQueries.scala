@@ -258,6 +258,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dataset card: the per-language corpus summary every training-data
+    // release publishes — doc/token totals, mean length, exact-dedup
+    // uniqueness rate (distinct content fingerprints / docs), vocabulary
+    // size. Two partial-aggregated rollups (doc-grain stats; exploded
+    // vocab) joined on the tiny language dimension.
+    "q90_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          graft.dedup.Dedup.fingerprint(col("text")).as("fp"),
+          tokens(col("text")).as("tk"))
+        .localCheckpoint(false) // feeds the doc-grain AND vocab rollups
+      val stats = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("n_tokens"),
+          round(sum(length(col("text")).cast("long")).cast("double") /
+            count(lit(1)), 6).as("mean_chars"),
+          countDistinct(col("fp")).as("n_unique"))
+      val vocab = d.select(col("lang"), explode(col("tk")).as("tok"))
+        .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vocab_size"))
+      stats.join(vocab, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("mean_chars"),
+          col("n_unique"),
+          round(col("n_unique") / col("n_docs").cast("double"), 6).as("unique_rate"),
+          coalesce(col("vocab_size"), lit(0L)).as("vocab_size"))
+        .orderBy(col("lang"))
+    }),
+
     // Lexical diversity (type-token ratio + hapax count): the vocabulary-
     // richness quality signal (low TTR = template/boilerplate text, high
     // hapax share = noisy OCR) complementing q30's ratios and q60's
@@ -374,6 +401,27 @@ object TextQueries {
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q90_dataset_card" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text,
+         |    md5(lower(trim(text))) AS fp,
+         |    regexp_extract_all(lower(text), '$wordPat') AS tk
+         |  FROM documents),
+         |stats AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |    round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS mean_chars,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+         |  FROM d GROUP BY lang),
+         |vocab AS (
+         |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+         |  FROM (SELECT lang, unnest(tk) AS tok FROM d) t GROUP BY lang)
+         |SELECT s.lang, s.n_docs, s.n_tokens, s.mean_chars, s.n_unique,
+         |  round(s.n_unique / CAST(s.n_docs AS DOUBLE), 6) AS unique_rate,
+         |  COALESCE(v.vocab_size, 0) AS vocab_size
+         |FROM stats s LEFT JOIN vocab v USING (lang)
+         |ORDER BY s.lang""".stripMargin,
+
     "q89_lexical_diversity" ->
       s"""WITH t AS (
          |  SELECT doc_id,
