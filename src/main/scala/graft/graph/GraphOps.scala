@@ -21,7 +21,13 @@ import scala.collection.mutable
   * Scale notes (100 TB design):
   *  - The frontier is usually tiny vs the edge table → the frontier side is
   *    broadcast, so a hop is a broadcast hash join against a partitioned
-  *    edge scan: no shuffle of the big table per hop.
+  *    edge scan: no shuffle of the big table per hop. The broadcast is
+  *    GUARDED, not forced: each hop knows the frontier's exact row count
+  *    from the previous materialization, and past
+  *    [[GraphOps.DefaultFrontierBroadcastLimit]] the hop degrades to a
+  *    plain shuffle join — a depth-2+ frontier on a dense graph can be
+  *    tens of millions of nodes, which a forced broadcast() (which ignores
+  *    autoBroadcastJoinThreshold) would ship to every executor.
   *  - `localCheckpoint` truncates lineage each hop (driver-loop iterative
   *    plans otherwise grow exponentially).
   *  - The visited set stays distributed; nothing is collected.
@@ -80,11 +86,46 @@ object GraphOps {
     }
   }
 
+  /** Frontier rows above which a BFS hop stops force-broadcasting the
+    * frontier and falls back to a plain shuffle join. ~10 M short node ids
+    * ≈ 100 MB serialized — comfortably under the 8 GB broadcast hard limit
+    * but past the point where shipping the frontier to every executor beats
+    * shuffling it once. Dense graphs at 100× scale reach this by depth 2. */
+  val DefaultFrontierBroadcastLimit: Long = 10000000L
+
+  /** One BFS hop as a plan (no materialization): join the frontier against
+    * the oriented adjacency view, keep one deterministic parent per newly
+    * reached node, anti-join out already-visited nodes. `broadcastFrontier`
+    * decides the join strategy: a forced broadcast is only safe while the
+    * frontier is known-small — above [[DefaultFrontierBroadcastLimit]] the
+    * caller passes false and Catalyst plans a shuffle join (it may still
+    * auto-broadcast if stats say the frontier is tiny, which is fine: the
+    * guard exists to prevent the FORCED broadcast of a huge frontier, not
+    * to forbid broadcasting ever). Package-visible so PlanShapeSpec can pin
+    * the no-BroadcastExchange shape of the large-frontier plan. */
+  private[graph] def bfsHop(adj: DataFrame, frontier: DataFrame,
+      visited: DataFrame, depth: Int, broadcastFrontier: Boolean): DataFrame = {
+    val f = frontier.withColumnRenamed("node", "f")
+    val fSide = if (broadcastFrontier) broadcast(f) else f
+    adj
+      .join(fSide, col("node") === col("f"))
+      .groupBy(col("next").as("node")).agg(min(col("f")).as("parent"))
+      .join(visited.select("node"), Seq("node"), "left_anti")
+      .withColumn("distance", lit(depth))
+      .select("node", "distance", "parent")
+  }
+
   /** BFS neighborhood with min-distance semantics (reference T1):
     * returns `(node, distance, parent)` for every node reachable within
     * `maxDepth`, each at its MINIMUM distance (W2 dedup built in), with a
     * deterministic parent pointer (min parent id) for path reconstruction.
     * `distance = 0` row for each start node is included.
+    *
+    * The frontier side of each hop's join is broadcast only while its
+    * exact row count (known from the previous hop's materialization — no
+    * extra job) stays at or below `frontierBroadcastLimit`; past that the
+    * hop is a plain shuffle join, so deep/dense traversals cannot OOM the
+    * driver or hit the broadcast size cap however wide the frontier grows.
     */
   def bfs(
       edges: DataFrame,
@@ -92,7 +133,8 @@ object GraphOps {
       maxDepth: Int,
       direction: Direction = Both,
       minConfidence: Option[Double] = None,
-      relTypes: Option[Seq[String]] = None): DataFrame = {
+      relTypes: Option[Seq[String]] = None,
+      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val adj = oriented(edges, direction, minConfidence, relTypes)
@@ -104,27 +146,27 @@ object GraphOps {
       .withColumn("parent", lit(null).cast("string"))
       .localCheckpoint(true)
     var frontier = visited.select("node")
+    var frontierSize: Long = startNodes.size.toLong
     var depth = 0
-    var done = frontier.isEmpty
+    var done = frontierSize == 0L
 
     while (!done && depth < maxDepth) {
       depth += 1
-      // Broadcast the (small) frontier against the partitioned edge view,
-      // anti-join out already-visited nodes, keep one deterministic parent.
       // One materializing job per hop: `next` is checkpointed (truncating
       // lineage); `visited` stays a shallow union of ≤ maxDepth
-      // materialized hops, which needs no checkpoint of its own.
-      val next = adj
-        .join(broadcast(frontier.withColumnRenamed("node", "f")), $"node" === $"f")
-        .groupBy($"next".as("node")).agg(min($"f").as("parent"))
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("distance", lit(depth))
-        .select("node", "distance", "parent")
+      // materialized hops, which needs no checkpoint of its own. The
+      // count() on the checkpointed hop replaces the old isEmpty() probe
+      // (same single cheap job over materialized partitions) and doubles
+      // as next hop's broadcast-vs-shuffle decision.
+      val next = bfsHop(adj, frontier, visited, depth,
+          broadcastFrontier = frontierSize <= frontierBroadcastLimit)
         .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      val n = next.count()
+      if (n == 0L) done = true
       else {
         visited = visited.unionAll(next)
         frontier = next.select("node")
+        frontierSize = n
       }
     }
     adj.unpersist()
