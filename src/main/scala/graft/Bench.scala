@@ -79,7 +79,17 @@ object Bench {
       if (results.isEmpty) 0.0
       else if (results.exists(_._2 < 0)) -1.0
       else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also write the JSON to a file: the stdout line has twice been lost to
+    // tail truncation in captured logs (BENCH_r04/r05) — the file is the
+    // durable copy of the same one-line contract.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+    try java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

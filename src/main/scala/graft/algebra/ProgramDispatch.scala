@@ -38,10 +38,13 @@ object ProgramDispatch {
           kg.concepts.where(col("concept_id").isin(ids: _*))
             .select(col("concept_id").as("node_id"))
         case ExpandWorkingSet(depth) =>
-          // bind current W ids as BFS seeds — the $W_IDS contract
-          val seeds = w.nodes.select(col("node_id")).collect().map(_.getString(0)).toSeq
-          if (seeds.isEmpty) w.nodes
-          else graft.graph.GraphOps.bfs(kg.semanticEdges, seeds, depth)
+          // bind current W ids as BFS seeds — the $W_IDS contract. The seed
+          // set stays a DataFrame end to end (bfsFrom): a working set of
+          // millions of nodes expands on-cluster, never collected to the
+          // driver (the reference materializes $W_IDS as a Python list,
+          // program_dispatch.py:185-394 — a driver OOM at scale).
+          graft.graph.GraphOps.bfsFrom(kg.semanticEdges,
+              w.nodes.select(col("node_id")), depth)
             .select(col("node").as("node_id"))
       }
       val links = kg.semanticEdges

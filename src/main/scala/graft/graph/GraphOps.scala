@@ -101,9 +101,10 @@ object GraphOps {
     * caller passes false and Catalyst plans a shuffle join (it may still
     * auto-broadcast if stats say the frontier is tiny, which is fine: the
     * guard exists to prevent the FORCED broadcast of a huge frontier, not
-    * to forbid broadcasting ever). Package-visible so PlanShapeSpec can pin
-    * the no-BroadcastExchange shape of the large-frontier plan. */
-  private[graph] def bfsHop(adj: DataFrame, frontier: DataFrame,
+    * to forbid broadcasting ever). Visible to the test package so
+    * PlanShapeSpec can pin the no-BroadcastExchange shape of the
+    * large-frontier plan. */
+  private[graft] def bfsHop(adj: DataFrame, frontier: DataFrame,
       visited: DataFrame, depth: Int, broadcastFrontier: Boolean): DataFrame = {
     val f = frontier.withColumnRenamed("node", "f")
     val fSide = if (broadcastFrontier) broadcast(f) else f
@@ -137,16 +138,48 @@ object GraphOps {
       frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val seeds = startNodes.distinct
+    bfsImpl(edges, seeds.toDF("node"), Some(seeds.size.toLong), maxDepth,
+      direction, minConfidence, relTypes, frontierBroadcastLimit)
+  }
+
+  /** [[bfs]] seeded by a DataFrame of node ids instead of a driver-side
+    * Seq — the `$W_IDS` contract's scale path (P8, ProgramDispatch): a
+    * million-row working set expands by one hop without ever shipping its
+    * ids to the driver. The first column of `seeds` is the id; seeds are
+    * deduped (a seed set is a set). One extra count() job materializes the
+    * seed frontier's size for the broadcast-vs-shuffle decision. */
+  def bfsFrom(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      direction: Direction = Both,
+      minConfidence: Option[Double] = None,
+      relTypes: Option[Seq[String]] = None,
+      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame =
+    bfsImpl(edges,
+      seeds.select(col(seeds.columns.head).cast("string").as("node")).distinct(),
+      None, maxDepth, direction, minConfidence, relTypes, frontierBroadcastLimit)
+
+  private def bfsImpl(
+      edges: DataFrame,
+      seedNodes: DataFrame,
+      knownSeedCount: Option[Long],
+      maxDepth: Int,
+      direction: Direction,
+      minConfidence: Option[Double],
+      relTypes: Option[Seq[String]],
+      frontierBroadcastLimit: Long): DataFrame = {
     val adj = oriented(edges, direction, minConfidence, relTypes)
       .select("node", "next")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var visited = startNodes.toDF("node")
+    var visited = seedNodes
       .withColumn("distance", lit(0))
       .withColumn("parent", lit(null).cast("string"))
       .localCheckpoint(true)
     var frontier = visited.select("node")
-    var frontierSize: Long = startNodes.size.toLong
+    var frontierSize: Long = knownSeedCount.getOrElse(visited.count())
     var depth = 0
     var done = frontierSize == 0L
 
@@ -155,9 +188,10 @@ object GraphOps {
       // One materializing job per hop: `next` is checkpointed (truncating
       // lineage); `visited` stays a shallow union of ≤ maxDepth
       // materialized hops, which needs no checkpoint of its own. The
-      // count() on the checkpointed hop replaces the old isEmpty() probe
-      // (same single cheap job over materialized partitions) and doubles
-      // as next hop's broadcast-vs-shuffle decision.
+      // count() over the checkpointed hop's materialized partitions is a
+      // cheap job (no recompute, no rows to the driver) that replaces the
+      // old isEmpty() probe and doubles as next hop's broadcast-vs-shuffle
+      // decision.
       val next = bfsHop(adj, frontier, visited, depth,
           broadcastFrontier = frontierSize <= frontierBroadcastLimit)
         .localCheckpoint(true)
@@ -510,7 +544,9 @@ object GraphOps {
     * so the two paths are bit-identical by construction (strict-==
     * differential in GraphOpsSpec). Weighted edges are not in the
     * (src, dst)-keyed AccelCache — weights vary per call — so this probes
-    * with its own bounded collect. */
+    * with its own limit(N+1).count() and collects only when the edge list
+    * is proven under the threshold (the over-threshold path never ships a
+    * row to the driver). */
   def weightedShortestPathsAuto(edges: DataFrame, source: String,
       maxHops: Int, accelThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
@@ -521,13 +557,17 @@ object GraphOps {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val probe = view.limit(accelThreshold.toInt + 1).collect()
-      if (probe.length > accelThreshold) {
+      // Probe with limit(N+1).count() — no rows ship to the driver (the
+      // count short-circuits after N+1), exactly like probeAndLoad's probe.
+      // Only an under-threshold edge list is then collected, and that
+      // collect reuses the probed persisted partitions.
+      val n = view.limit(accelThreshold.toInt + 1).count()
+      if (n > accelThreshold) {
         // lazy result: unpersisting view below only forfeits the probe's
         // cache, the plan recomputes from source on first action
         weightedShortestPaths(view, source, maxHops)
       } else {
-        val es = probe.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val es = view.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
         var dist = Map(source -> 0.0)
         for (_ <- 1 to maxHops) {
           // Jacobi: relax against the PREVIOUS round's snapshot, exactly

@@ -18,6 +18,12 @@ import graft.sources.Tables
 object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** q87's hub-degree ceiling: shared-neighbor nodes with more in-edges
+    * than this are excluded from Adamic-Adar pair emission (skew guard —
+    * see the q87 comment). 10k caps any single postings row at ~80 KB of
+    * ids and its fan-out at C(10k,2) pairs spread across tasks. */
+  val AdamicAdarDegreeCeiling: Int = 10000
+
   /** Directed edge view: supplier s<k> → part p<k>. */
   def edges(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -178,7 +184,15 @@ object GraphQueries {
     "q87_adamic_adar" -> ((s, dir) => {
       val e = edges(s, dir)
       val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
-      val postings = e.join(deg, "dst").where(col("deg") >= 2)
+      // Hub ceiling: a power-law hub with 10M in-neighbors would become one
+      // multi-hundred-MB collect_list row in one task. Neighbors above the
+      // ceiling are dropped BEFORE the collect — at 1/ln(deg) a hub that
+      // large contributes ~0.07 per pair while emitting C(deg,2) pairs, so
+      // the feature loses almost nothing and the skew bound becomes
+      // C(ceiling,2) pairs per neighbor row. The oracle applies the same
+      // predicate.
+      val postings = e.join(deg, "dst")
+        .where(col("deg") >= 2 && col("deg") <= AdamicAdarDegreeCeiling)
         .groupBy(col("dst"), col("deg"))
         .agg(array_sort(collect_list(col("src"))).as("ids"))
       val pairs = postings
@@ -349,7 +363,7 @@ object GraphQueries {
          |  FROM edges a
          |  JOIN edges b ON a.dst = b.dst AND a.src < b.src
          |  JOIN deg d ON d.dst = a.dst
-         |  WHERE d.deg >= 2)
+         |  WHERE d.deg >= 2 AND d.deg <= $AdamicAdarDegreeCeiling)
          |SELECT a_id, b_id,
          |  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS aa_score,
          |  CAST(count(*) AS BIGINT) AS common_parts

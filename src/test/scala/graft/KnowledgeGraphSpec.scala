@@ -181,6 +181,38 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(links.nonEmpty)
   }
 
+  test("P8 $W_IDS expansion stays on-cluster (no driver collect of the working set)") {
+    import graft.algebra.{GraphAlgebra, ProgramDispatch}
+    import graft.algebra.GraphAlgebra.Plus
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val w0 = GraphAlgebra.WorkingGraph(Seq("c1").toDF("node_id"),
+      Seq.empty[(String, String, String)].toDF("from_id", "rel_type", "to_id"))
+    val stmt = ProgramDispatch.statement(kg, Plus,
+      ProgramDispatch.ExpandWorkingSet(1))
+    spark.listenerManager.register(listener)
+    val expanded =
+      try {
+        Thread.sleep(100); actions.clear() // drain in-flight events first
+        val out = stmt.produce(w0)
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (!actions.contains("count") && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        assert(!actions.contains("collect"),
+          s"$$W_IDS seeds must expand via bfsFrom, never a driver collect (got $actions)")
+        out
+      } finally { spark.listenerManager.unregister(listener); () }
+    val nodes = expanded.nodes.select("node_id").as[String].collect().toSet
+    assert(nodes == Set("c1", "c2", "c3", "c4"))
+  }
+
   test("derived ontology edges classify OVERLAPS vs SPECIALIZES (M7)") {
     val membership = Seq(
       ("O1", "x"), ("O1", "y"), ("O2", "x"), ("O2", "y"), ("O3", "x"))

@@ -82,6 +82,33 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), "bucketed range join stays equi")
   }
 
+  test("BFS hop above the frontier-broadcast limit plans no broadcast of the frontier") {
+    // The guard exists to stop the FORCED broadcast of a huge frontier:
+    // with auto-broadcast disabled (as it effectively is for a 100M-row
+    // frontier), the broadcastFrontier = false hop must plan a shuffle
+    // join — no BroadcastExchange anywhere — while the hinted hop (the
+    // known-small-frontier path) must keep its broadcast.
+    import spark.implicits._
+    import graft.graph.GraphOps
+    val adj = Seq(("a", "b"), ("b", "c")).toDF("node", "next")
+    val frontier = Seq("a").toDF("node")
+    val visited = Seq(("a", 0, Option.empty[String]))
+      .toDF("node", "distance", "parent")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val guarded = GraphOps.bfsHop(adj, frontier, visited, 1,
+        broadcastFrontier = false).queryExecution.executedPlan.toString
+      assert(!guarded.contains("BroadcastExchange"),
+        s"guarded hop must not broadcast:\n$guarded")
+      val hinted = GraphOps.bfsHop(adj, frontier, visited, 1,
+        broadcastFrontier = true).queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastExchange"),
+        s"hinted hop must keep the forced broadcast:\n$hinted")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("filters push into the parquet scan and unused columns are pruned") {
     // q01 filters l_shipdate and touches 7 of lineitem's 11 columns: the
     // date predicate must reach PushedFilters and ReadSchema must not
