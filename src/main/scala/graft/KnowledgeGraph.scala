@@ -42,6 +42,29 @@ final case class KnowledgeGraph(
     Ann.bruteForceTopK(concepts.where(col("embedding").isNotNull),
       "concept_id", "embedding", queryVec, limit, minSimilarity)
 
+  /** V6 semantic label resolution (reference
+    * cli/src/mcp/graph-operations.ts:263-292): graph edits reference
+    * concepts by label; the resolver runs the V1 scored scan for the top 3
+    * at the suggestion floor and returns one of three bands —
+    * [[KnowledgeGraph.Resolved]] when the best hit clears the accept
+    * threshold (0.75), [[KnowledgeGraph.DidYouMean]] when the best hit is
+    * a near-miss in [0.60, 0.75) (the "did you mean?" candidates, best
+    * first), [[KnowledgeGraph.NoMatch]] when nothing reaches the floor.
+    * One bounded scan; the ≤3-row result is the only driver transfer. */
+  def resolveLabel(queryVec: Seq[Double], acceptThreshold: Double = 0.75,
+      suggestionFloor: Double = 0.60): KnowledgeGraph.LabelResolution = {
+    val hits = search(queryVec, limit = 3, minSimilarity = suggestionFloor)
+      .select(col("concept_id"), col("label"), col("sim"))
+      .collect()
+      .map(r => KnowledgeGraph.LabelMatch(r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    hits match {
+      case Seq() => KnowledgeGraph.NoMatch
+      case top +: _ if top.score >= acceptThreshold => KnowledgeGraph.Resolved(top)
+      case suggestions => KnowledgeGraph.DidYouMean(suggestions)
+    }
+  }
+
   /** S10: the FUSE read surface's query algebra
     * (fuse/kg_fuse/filesystem/__init__.py:1-33 — nested directories = AND,
     * symlink unions = OR via repeated calls, `.meta/exclude` = NOT,
@@ -286,13 +309,15 @@ final case class KnowledgeGraph(
       algorithm: String = "pca", maxSamples: Int = 2000): DataFrame = {
     val embedded = concepts.where(col("embedding").isNotNull)
       .select(col("concept_id").as("id"), col("embedding").as("v"))
-    // "tsne" = the reference's default projection algorithm (driver-side
-    // over a bounded sample, like the reference); "pca" = the distributed
-    // scale path (embedding_projection_service.py:734-751 vs SURVEY §7.3).
+    // "tsne" (the reference's default) and "umap" run driver-side over a
+    // bounded sample, like the reference; "pca" = the distributed scale
+    // path (embedding_projection_service.py:719-751 vs SURVEY §7.3).
     // Lazy checkpoint: the projected coordinates feed the eps estimate, the
     // result join, and DBSCAN — three consumers, one materialization.
     val p = (algorithm match {
       case "tsne" => graft.analysis.Projection.tsne(embedded, "id", "v", dims = 3,
+        maxSamples = maxSamples)
+      case "umap" => graft.analysis.Projection.umap(embedded, "id", "v", dims = 3,
         maxSamples = maxSamples)
       case _      => graft.analysis.Projection.pca(embedded, "id", "v", k = 3)
     }).localCheckpoint(false)
@@ -350,6 +375,15 @@ final case class KnowledgeGraph(
 }
 
 object KnowledgeGraph {
+  /** One scored hit from [[KnowledgeGraph.resolveLabel]]. */
+  final case class LabelMatch(conceptId: String, label: String, score: Double)
+
+  /** The V6 three-band resolution outcome (match / suggestions / none). */
+  sealed trait LabelResolution
+  final case class Resolved(matched: LabelMatch) extends LabelResolution
+  final case class DidYouMean(suggestions: Seq[LabelMatch]) extends LabelResolution
+  case object NoMatch extends LabelResolution
+
   /** Load a KG from a directory of parquet tables (FIXTURES.md §A names). */
   def load(spark: SparkSession, dir: String): KnowledgeGraph = {
     def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")

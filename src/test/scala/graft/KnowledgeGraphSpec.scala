@@ -64,6 +64,25 @@ class KnowledgeGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](kg.fuseQuery(Nil))
   }
 
+  test("resolveLabel returns the three V6 bands: match / did-you-mean / none") {
+    import KnowledgeGraph.{DidYouMean, NoMatch, Resolved}
+    // exact x-axis query: c1 at cosine 1.0 ≥ 0.75 → confident match
+    kg.resolveLabel(Seq(1, 0, 0, 0, 0, 0, 0, 0)) match {
+      case Resolved(m) => assert(m.conceptId == "c1" && m.score > 0.99)
+      case other       => fail(s"expected Resolved, got $other")
+    }
+    // -45° query: best hit c1 at cos 0.707 — inside [0.60, 0.75) → the
+    // near-miss band, best-first suggestions (c1 then c4 at ~0.62)
+    kg.resolveLabel(Seq(0.707, -0.707, 0, 0, 0, 0, 0, 0)) match {
+      case DidYouMean(s) =>
+        assert(s.map(_.conceptId) == Seq("c1", "c4"))
+        assert(s.forall(m => m.score >= 0.60 && m.score < 0.75))
+      case other => fail(s"expected DidYouMean, got $other")
+    }
+    // -y query: nothing reaches the 0.60 floor → no match at all
+    assert(kg.resolveLabel(Seq(0, -1, 0, 0, 0, 0, 0, 0)) == NoMatch)
+  }
+
   test("conceptDetails hydrates one card: docs, evidence, degrees, scores") {
     val row = kg.conceptDetails("c1").collect().head
     assert(row.getAs[String]("label") == "alpha")

@@ -87,6 +87,65 @@ class ProjectionSpec extends SparkSpec {
           .sortBy(_._1)))
   }
 
+  test("UMAP keeps planted clusters separated and is deterministic") {
+    // same planted geometry as the t-SNE test: two well-separated 16-D
+    // blobs must stay separated in the embedding, and a fixed seed must
+    // reproduce coordinates exactly
+    val rnd = new scala.util.Random(9)
+    def blob(tag: String, center: Double, n: Int) =
+      (1 to n).map(i => (f"$tag$i%02d",
+        Seq.tabulate(16)(_ => center + rnd.nextGaussian() * 0.05)))
+    val df = (blob("a", 0.0, 30) ++ blob("b", 5.0, 30)).toDF("id", "v")
+    val run1 = Projection.umap(df, "id", "v", dims = 2, nNeighbors = 10,
+      epochs = 150, seed = 42L)
+    val coords = run1.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(coords.size == 60)
+    assert(coords.values.forall { case (a, b) => !a.isNaN && !b.isNaN })
+    def dist(p: (Double, Double), q: (Double, Double)) =
+      math.sqrt(math.pow(p._1 - q._1, 2) + math.pow(p._2 - q._2, 2))
+    val as = coords.filter(_._1.startsWith("a")).values.toSeq
+    val bs = coords.filter(_._1.startsWith("b")).values.toSeq
+    def meanIntra(s: Seq[(Double, Double)]) =
+      (for (i <- s.indices; j <- i + 1 until s.size) yield dist(s(i), s(j)))
+        .sum / (s.size * (s.size - 1) / 2)
+    val inter = (for (p <- as; q <- bs) yield dist(p, q)).sum / (as.size * bs.size)
+    assert(meanIntra(as) < inter / 2, s"intra=${meanIntra(as)} inter=$inter")
+    assert(meanIntra(bs) < inter / 2, s"intra=${meanIntra(bs)} inter=$inter")
+    val run2 = Projection.umap(df, "id", "v", dims = 2, nNeighbors = 10,
+      epochs = 150, seed = 42L)
+    assert(run2.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).sameElements(
+        run1.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)))
+  }
+
+  test("UMAP curve fit reproduces the published (a, b) for the defaults") {
+    // umap-learn's find_ab_params(1.0, 0.1) ≈ (1.577, 0.8951)
+    val (a, b) = graft.analysis.UmapKernel.fitCurve(minDist = 0.1, spread = 1.0)
+    assert(math.abs(a - 1.577) < 0.05, s"a=$a")
+    assert(math.abs(b - 0.8951) < 0.02, s"b=$b")
+  }
+
+  test("facade projectConcepts umap path: coords + cluster for every concept") {
+    def v(x: Double, y: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    val concepts = ((1 to 5).map(i => (s"a$i", s"alpha $i", v(1.0 + i * 0.01, 0))) ++
+      (1 to 5).map(i => (s"b$i", s"beta $i", v(0, 1.0 + i * 0.01))))
+      .toDF("concept_id", "label", "embedding")
+    val edges = Seq(("a1", "b1", "SUPPORTS", Some(1.0)))
+      .toDF("src", "dst", "rel_type", "confidence")
+    val kg = KnowledgeGraph(spark, concepts, edges,
+      evidence = Seq.empty[(String, String)].toDF("concept_id", "source_id"),
+      instances = Seq.empty[(String, String, String)]
+        .toDF("instance_id", "concept_id", "quote"),
+      vocab = Seq(("SUPPORTS", v(1, 0))).toDF("relationship_type", "embedding"))
+    val out = kg.projectConcepts(eps = 0.0, minPts = 2, algorithm = "umap")
+    assert(out.columns.toSet == Set("id", "p0", "p1", "p2", "cluster"))
+    assert(out.where(col("p0").isNaN).count() == 0)
+    assert(out.count() == 10)
+  }
+
   test("suggestEps: 40th-percentile k-NN distance with the 1%-range floor") {
     // uniform 1-D line, k=3 INCLUDING self (sklearn kneighbors semantics):
     // interior points' kth distance is 1.0, endpoints' is 2.0; the sorted
