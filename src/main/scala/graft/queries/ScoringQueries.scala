@@ -64,9 +64,70 @@ object ScoringQueries {
           col("n_internal_rels"), col("mass"))
         .orderBy(col("ontology"))
     }),
+    // Catalog projection (catalog_facade.py:98-420): the ontology→
+    // document→concept browse tree with per-node child counts, derived
+    // through the real Catalog.projectNodes plan over a KG-shaped view of
+    // the star schema — region=ontology, nation=document (one synthetic
+    // source per nation), customer=concept. Scale shape: three filtered
+    // views of one edge scan, two equi-joins, distinct, one
+    // partial-aggregated count — no collects, no windows.
+    "q91_catalog" -> ((s, dir) => {
+      val region = Tables.region(s, dir)
+      val nation = Tables.nation(s, dir)
+      val customer = Tables.customer(s, dir)
+      val ontologies = region.select(
+        concat(lit("o"), col("r_regionkey")).as("ontology_id"),
+        col("r_name").as("name"))
+      val documents = nation.select(
+        concat(lit("d"), col("n_nationkey")).as("document_id"),
+        col("n_name").as("name"))
+      val concepts = customer.select(
+        concat(lit("c"), col("c_custkey")).as("concept_id"),
+        col("c_name").as("label"))
+      val edges = nation.select(
+          concat(lit("s"), col("n_nationkey")).as("src"),
+          concat(lit("o"), col("n_regionkey")).as("dst"),
+          lit("SCOPED_BY").as("rel_type"))
+        .unionByName(nation.select(
+          concat(lit("d"), col("n_nationkey")).as("src"),
+          concat(lit("s"), col("n_nationkey")).as("dst"),
+          lit("HAS_SOURCE").as("rel_type")))
+        .unionByName(customer.select(
+          concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("s"), col("c_nationkey")).as("dst"),
+          lit("APPEARS").as("rel_type")))
+      graft.core.Catalog.projectNodes(ontologies, documents, concepts, edges,
+          epoch = 1L)
+        .orderBy(col("kind"), col("node_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_catalog" ->
+      """WITH onodes AS (
+        |  SELECT 'ontology' AS kind, 'o' || r_regionkey AS node_id,
+        |    r_name AS name,
+        |    (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+        |      AS child_count
+        |  FROM region),
+        |dnodes AS (
+        |  SELECT 'document' AS kind, 'd' || n_nationkey AS node_id,
+        |    n_name AS name,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer
+        |     WHERE c_nationkey = n_nationkey) AS child_count
+        |  FROM nation),
+        |cnodes AS (
+        |  SELECT 'concept' AS kind, 'c' || c_custkey AS node_id,
+        |    c_name AS name, 0 AS child_count
+        |  FROM customer)
+        |SELECT kind, node_id, name, lower(name) AS name_lower,
+        |  CAST(child_count AS BIGINT) AS child_count,
+        |  CAST(1 AS BIGINT) AS graph_epoch
+        |FROM (SELECT * FROM onodes UNION ALL
+        |      SELECT * FROM dnodes UNION ALL
+        |      SELECT * FROM cnodes) t
+        |ORDER BY kind, node_id""".stripMargin,
+
     "q43_affinity" ->
       """WITH membership AS (
         |  SELECT DISTINCT p_brand AS ontology, 's' || l_suppkey AS concept_id

@@ -1,0 +1,77 @@
+package graft
+
+import graft.core.{Catalog, Freshness}
+
+/** The catalog projection (reference catalog_facade.py:98-420): tree
+  * shape, child counts, sourceless/orphan handling, and the ADR-207
+  * staleness gate — rebuilt exactly once per committed-epoch advance. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // O1 ← s1 ← d1 ← {c1, c2};  O2 ← s2 ← d2 ← {c3}
+  // d3's source s3 has no SCOPED_BY (sourceless doc); c4 never APPEARS
+  // (orphan concept). Both stay nodes, neither gets a tree edge.
+  val ontologies = Seq(("O1", "ont one"), ("O2", "ont two"))
+    .toDF("ontology_id", "name")
+  val documents = Seq(("d1", "doc one"), ("d2", "doc two"), ("d3", null))
+    .toDF("document_id", "name")
+  val concepts = Seq(("c1", "alpha"), ("c2", "beta"), ("c3", "gamma"),
+    ("c4", "orphan")).toDF("concept_id", "label")
+  val edges = Seq(
+    ("s1", "O1", "SCOPED_BY"), ("s2", "O2", "SCOPED_BY"),
+    ("d1", "s1", "HAS_SOURCE"), ("d2", "s2", "HAS_SOURCE"),
+    ("d3", "s3", "HAS_SOURCE"),
+    ("c1", "s1", "APPEARS"), ("c2", "s1", "APPEARS"), ("c3", "s2", "APPEARS"),
+    // semantic edges must not leak into the catalog tree
+    ("c1", "c2", "SUPPORTS")).toDF("src", "dst", "rel_type")
+
+  test("projects the ontology→document→concept tree with child counts") {
+    val nodes = Catalog.projectNodes(ontologies, documents, concepts, edges, 7L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(nodes.size == 9)
+    assert(nodes(("ontology", "O1")) == (("ont one", "ont one", 1L, 7L)))
+    assert(nodes(("ontology", "O2")) == (("ont two", "ont two", 1L, 7L)))
+    assert(nodes(("document", "d1"))._3 == 2L) // c1, c2
+    assert(nodes(("document", "d2"))._3 == 1L) // c3
+    assert(nodes(("document", "d3"))._3 == 0L) // sourceless: leafless node
+    // NULL name falls back to the id (reference: name or id)
+    assert(nodes(("document", "d3"))._1 == "d3")
+    assert(nodes(("concept", "c4"))._3 == 0L)  // orphan: node, no edge
+    assert(nodes.keys.count(_._1 == "concept") == 4)
+
+    val tree = Catalog.projectEdges(edges, 7L)
+      .select("parent_kind", "parent_id", "child_kind", "child_id")
+      .as[(String, String, String, String)].collect().toSet
+    assert(tree == Set(
+      ("ontology", "O1", "document", "d1"),
+      ("ontology", "O2", "document", "d2"),
+      ("document", "d1", "concept", "c1"),
+      ("document", "d1", "concept", "c2"),
+      ("document", "d2", "concept", "c3")))
+  }
+
+  test("staleness gate: rebuilt once per epoch advance, served cached within") {
+    var epoch = 1L
+    var rebuilds = 0
+    val freshness = new Freshness(() => epoch)
+    Catalog.register(freshness, () => epoch,
+      ontologies, documents, concepts, { rebuilds += 1; edges })
+    // two reads at the same epoch: one rebuild, cached result served
+    val first = freshness.get("catalog_nodes")
+    assert(first.count() == 9)
+    freshness.get("catalog_nodes")
+    assert(rebuilds == 1)
+    assert(first.select("graph_epoch").head().getLong(0) == 1L)
+    // the clock advances: next read rebuilds exactly once, stamped anew
+    epoch = 2L
+    val second = freshness.get("catalog_nodes")
+    assert(rebuilds == 2)
+    assert(second.select("graph_epoch").head().getLong(0) == 2L)
+    freshness.get("catalog_nodes")
+    assert(rebuilds == 2)
+    // the edge derivation is gated independently and sees the same clock
+    assert(freshness.get("catalog_edges").select("graph_epoch").head().getLong(0) == 2L)
+  }
+}
