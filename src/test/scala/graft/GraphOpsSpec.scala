@@ -117,6 +117,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(m("c") == ((0L, 1L, 1L)))
   }
 
+  test("bfsFrom (DataFrame seeds) matches bfs (Seq seeds), dedupes, takes col 1") {
+    val e = edges("a" -> "b", "b" -> "c", "x" -> "y", "q" -> "r")
+    val viaSeq = distances(GraphOps.bfs(e, Seq("a", "x"), 3, Outgoing))
+    // duplicate seed + arbitrary column name: bfsFrom dedupes and reads
+    // the first column
+    val seeds = Seq("a", "x", "a").toDF("node_id")
+    val viaDf = distances(GraphOps.bfsFrom(e, seeds, 3, Outgoing))
+    assert(viaDf == viaSeq)
+    assert(viaDf == Map("a" -> 0, "x" -> 0, "b" -> 1, "y" -> 1, "c" -> 2))
+    // empty seed set → empty traversal, schema intact
+    val none = GraphOps.bfsFrom(e, Seq.empty[String].toDF("node"), 3, Outgoing)
+    assert(none.columns.toSeq == Seq("node", "distance", "parent"))
+    assert(none.isEmpty)
+  }
+
   test("shuffle-path BFS (frontierBroadcastLimit = 1) matches the broadcast path") {
     // With the limit at 1, every hop past the single seed runs the guarded
     // broadcastFrontier = false branch (plain shuffle join) — the path that
