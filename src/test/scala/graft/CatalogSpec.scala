@@ -52,6 +52,59 @@ class CatalogSpec extends SparkSpec {
       ("document", "d2", "concept", "c3")))
   }
 
+  test("randomized DAG invariants: N parent docs ⇒ N edges; counts match") {
+    // The reference separates _project from I/O precisely so these DAG
+    // invariants are unit-testable (catalog_facade.py:259-280): a concept
+    // appearing in N documents yields N document→concept edges, and an
+    // ontology's child_count is its distinct document count.
+    val rnd = new scala.util.Random(13)
+    val onts = (1 to 4).map(i => s"O$i")
+    val docs = (1 to 12).map(i => s"d$i")
+    val srcs = (1 to 20).map(i => s"s$i")
+    val cons = (1 to 30).map(i => s"c$i")
+    // each source scoped to ≤1 random ontology; docs own random sources;
+    // concepts appear in random sources (some in none — orphans)
+    val scopedBy = srcs.filter(_ => rnd.nextDouble() < 0.8)
+      .map(s => (s, onts(rnd.nextInt(onts.size)), "SCOPED_BY"))
+    val hasSource = docs.flatMap(d => srcs.filter(_ => rnd.nextDouble() < 0.2)
+      .map(s => (d, s, "HAS_SOURCE")))
+    val appears = cons.flatMap(c => srcs.filter(_ => rnd.nextDouble() < 0.15)
+      .map(s => (c, s, "APPEARS")))
+    val e = (scopedBy ++ hasSource ++ appears).toDF("src", "dst", "rel_type")
+
+    // driver-side expected model from the same tuples
+    val srcOnt = scopedBy.map(t => t._1 -> t._2).toMap
+    val docSrcs = hasSource.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val conSrcs = appears.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expDocOnt = (for {
+      (d, ss) <- docSrcs.toSeq; s <- ss; o <- srcOnt.get(s)
+    } yield (o, d)).toSet
+    val expDocCon = (for {
+      (c, ss) <- conSrcs.toSeq; s <- ss
+      d <- docSrcs.collect { case (d, dss) if dss.contains(s) => d }
+    } yield (d, c)).toSet
+
+    val tree = Catalog.projectEdges(e, 1L)
+      .select("parent_kind", "parent_id", "child_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(tree.filter(_._1 == "ontology").map(t => (t._2, t._3)).toSet == expDocOnt)
+    assert(tree.filter(_._1 == "document").map(t => (t._2, t._3)).toSet == expDocCon)
+
+    val nodes = Catalog.projectNodes(
+      onts.map(o => (o, o)).toDF("ontology_id", "name"),
+      docs.map(d => (d, d)).toDF("document_id", "name"),
+      cons.map(c => (c, c)).toDF("concept_id", "label"), e, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(nodes.size == onts.size + docs.size + cons.size)
+    onts.foreach { o =>
+      assert(nodes(("ontology", o)) == expDocOnt.count(_._1 == o).toLong, o)
+    }
+    docs.foreach { d =>
+      assert(nodes(("document", d)) == expDocCon.count(_._1 == d).toLong, d)
+    }
+    cons.foreach(c => assert(nodes(("concept", c)) == 0L, c))
+  }
+
   test("staleness gate: rebuilt once per epoch advance, served cached within") {
     var epoch = 1L
     var rebuilds = 0

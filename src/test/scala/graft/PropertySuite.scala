@@ -143,4 +143,45 @@ object PropertySuite extends Properties("graft") {
           f * (cap + 1) <= n || sketch.contains(item)
         }
     }
+
+  // --- annealing pressure curve (analysis.Annealing.ecologicalPressure) ---
+
+  property("ecological pressure is bounded, zero in comfort, one past emergency") =
+    Prop.forAll(Gen.choose(0.0, 300.0)) { avg =>
+      val (s, zone) = graft.analysis.Annealing.ecologicalPressure(avg)
+      val inComfort = avg <= 0 ||
+        (avg >= graft.analysis.Annealing.PressureComfortMin &&
+          avg <= graft.analysis.Annealing.PressureComfortMax)
+      s >= 0.0 && s <= 1.0 &&
+        (!inComfort || (s == 0.0 && zone == "comfort")) &&
+        (avg < graft.analysis.Annealing.PressureEmergency ||
+          (s == 1.0 && zone == "emergency"))
+    }
+
+  property("ecological pressure is monotone on the over-pressure flank") =
+    Prop.forAll(Gen.choose(80.0, 150.0), Gen.choose(80.0, 150.0)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      graft.analysis.Annealing.ecologicalPressure(lo)._1 <=
+        graft.analysis.Annealing.ecologicalPressure(hi)._1 + 1e-9
+    }
+
+  property("ecological pressure rises as fragmentation deepens below comfort") =
+    Prop.forAll(Gen.choose(0.001, 10.0), Gen.choose(0.001, 10.0)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      // smaller avg = more fragmented = at least as much pressure
+      graft.analysis.Annealing.ecologicalPressure(hi)._1 <=
+        graft.analysis.Annealing.ecologicalPressure(lo)._1 + 1e-9
+    }
+
+  // --- UMAP low-dimensional curve fit (analysis.UmapKernel.fitCurve) ---
+
+  property("UMAP curve fit yields a positive decreasing membership curve") =
+    Prop.forAll(Gen.choose(0.01, 0.8), Gen.choose(0.5, 2.0)) { (minDist, spread) =>
+      val (a, b) = graft.analysis.UmapKernel.fitCurve(minDist, spread)
+      def f(d: Double) = 1.0 / (1.0 + a * math.pow(d, 2.0 * b))
+      a > 0 && b > 0 && a.isFinite && b.isFinite &&
+        // decreasing in d, ≈1 at 0, small far beyond the spread
+        f(0.001) > f(spread) && f(spread) > f(3 * spread) &&
+        f(0.001) > 0.9 && f(6 * spread) < 0.35
+    }
 }
