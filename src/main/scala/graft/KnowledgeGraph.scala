@@ -102,12 +102,17 @@ final case class KnowledgeGraph(
   }
 
   /** §3.2 T1: BFS neighborhood with rel-type/confidence filters and
-    * hydrated labels (J3) (queries.py:1306-1416). */
+    * hydrated labels (J3) (queries.py:1306-1416). Routed through
+    * [[GraphOps.bfsAuto]] — the reference serves /query/related from the
+    * accelerator with distributed fallback (graph_facade.py:186-310), and
+    * the two engines are differentially proven identical
+    * (GraphAccelSpec), so consecutive facade traversals over one snapshot
+    * reuse the loaded graph. */
   def related(conceptId: String, maxDepth: Int = 2,
       direction: GraphOps.Direction = GraphOps.Both,
       minConfidence: Option[Double] = None,
       relTypes: Option[Seq[String]] = None): DataFrame =
-    GraphOps.bfs(semanticEdges, Seq(conceptId), maxDepth, direction,
+    GraphOps.bfsAuto(semanticEdges, Seq(conceptId), maxDepth, direction,
         minConfidence, relTypes)
       .where(col("distance") > 0)
       .join(concepts.select(col("concept_id").as("node"), col("label")), Seq("node"))
@@ -166,7 +171,7 @@ final case class KnowledgeGraph(
         !col("epistemic_status").isin(excludeStatuses: _*) else lit(true))
       .select("relationship_type")
       .collect().map(_.getString(0)).toSeq
-    GraphOps.bfs(semanticEdges, Seq(conceptId), maxDepth, GraphOps.Both,
+    GraphOps.bfsAuto(semanticEdges, Seq(conceptId), maxDepth, GraphOps.Both,
         relTypes = Some(allowed))
       .where(col("distance") > 0)
       .join(concepts.select(col("concept_id").as("node"), col("label")), Seq("node"))
@@ -258,7 +263,7 @@ final case class KnowledgeGraph(
     * `maxHops` undirected hops (diversity_analyzer.py:48-185). Returns
     * one row: (concept_id, n_related, n_pairs, diversity). */
   def diversity(conceptId: String, maxHops: Int = 2, limit: Int = 100): DataFrame = {
-    val neighborIds = GraphOps.bfs(semanticEdges, Seq(conceptId), maxHops)
+    val neighborIds = GraphOps.bfsAuto(semanticEdges, Seq(conceptId), maxHops)
       .where(col("distance") > 0)
       .orderBy(col("node")).limit(limit)   // deterministic ≤100 cap (LIMIT 100)
       .select(col("node").as("concept_id"))
