@@ -362,7 +362,9 @@ final case class KnowledgeGraph(
     * SPECIALIZES/GENERALIZES (asymmetry > 30%) — full refresh semantics
     * (ontology_scorer.py:409-543). membership: (ontology, concept_id). */
   def deriveOntologyEdges(membership: DataFrame): DataFrame = {
-    val aff = Scoring.ontologyAffinity(membership, topN = Int.MaxValue)
+    // full pair table, unsorted — every pair is classified, so the top-N
+    // global sort would be pure cost
+    val aff = Scoring.ontologyAffinityAll(membership)
       .select(col("ont_a"), col("ont_b"), col("affinity").as("a_to_b"))
     val rev = aff.select(col("ont_a").as("ont_b"), col("ont_b").as("ont_a"),
       col("a_to_b").as("b_to_a"))

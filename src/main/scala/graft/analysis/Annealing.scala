@@ -75,7 +75,8 @@ object Annealing {
       .select(col("ontology"), col("coherence"))
 
     // exposure: top-5 affinity neighbors' activity weights the raw age
-    val aff = Scoring.ontologyAffinity(m, topN = Int.MaxValue)
+    // (the unsorted pair table — the per-ont_a window below is the rank)
+    val aff = Scoring.ontologyAffinityAll(m)
     val top5 = aff
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("ont_a"))

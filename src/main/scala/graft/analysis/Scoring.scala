@@ -104,7 +104,21 @@ object Scoring {
   /** A7: cross-ontology affinity — shared concepts / total concepts in
     * target, per ontology pair, top-N (ontology_scoring.py:213-265).
     * membership: (ontology, concept_id). */
-  def ontologyAffinity(membership: DataFrame, topN: Int): DataFrame = {
+  def ontologyAffinity(membership: DataFrame, topN: Int): DataFrame =
+    ontologyAffinityAll(membership)
+      // order on the UNROUNDED ratio (the oracle's sort key) — the stored
+      // `affinity` column is 6dp-rounded and could tie where the ratio
+      // doesn't, shifting the top-N cut
+      .orderBy((col("shared_concepts") / col("target_total").cast("double")).desc,
+        col("ont_a").asc, col("ont_b").asc)
+      .limit(topN)
+
+  /** [[ontologyAffinity]] without the top-N global sort — the full pair
+    * table (same columns, same 6dp rounding) for consumers that re-rank
+    * per-ontology (Annealing's top-5 exposure window) or classify every
+    * pair (M7 edge derivation): a global sort of the pair table buys them
+    * nothing and costs a full-range exchange. */
+  def ontologyAffinityAll(membership: DataFrame): DataFrame = {
     // The (ontology, concept) membership is referenced three times (both
     // sides of the self-join + per-target totals); materialize the deduped
     // view once — LAZILY, so building the plan runs no jobs — and the
@@ -124,8 +138,6 @@ object Scoring {
       .groupBy("ont_b").agg(count(lit(1)).as("target_total"))
     shared.join(broadcast(totals), "ont_b")
       .withColumn("affinity", col("shared_concepts") / col("target_total").cast("double"))
-      .orderBy(col("affinity").desc, col("ont_a").asc, col("ont_b").asc)
-      .limit(topN)
       .select(col("ont_a"), col("ont_b"), col("shared_concepts"),
         col("target_total"), round(col("affinity"), 6).as("affinity"))
   }

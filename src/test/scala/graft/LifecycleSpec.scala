@@ -83,4 +83,68 @@ class LifecycleSpec extends SparkSpec {
     assert(kg.degrees(topN = 5).count() > 0)
     assert(kg.stats().head().getLong(0) == store.read("concepts").count())
   }
+
+  test("annealing cycle runs against committed snapshots and advances the clock") {
+    import graft.analysis.Annealing
+    val store = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-anneal").toString)
+    // committed fixture state at epoch 60: one failing old ontology, one
+    // healthy one holding a promotable hub
+    store.commit("ontologies", Seq(
+      ("Healthy", "healthy", "active", 55L),
+      ("Failing", "failing", "active", 0L)
+    ).toDF("ontology_id", "name", "lifecycle_state", "creation_epoch"))
+    val bigIds = (1 to 10).map(i => f"h$i%02d")
+    store.commit("membership",
+      (bigIds.map(("Healthy", _)) ++ (1 to 5).map(i => ("Failing", s"f$i")))
+        .toDF("ontology", "concept_id"))
+    store.commit("concepts", (
+      bigIds.map(id => (id, if (id == "h01") "Hub Concept" else s"c $id",
+        Seq(1f, 0.01f))) ++
+        (1 to 5).map(i => (s"f$i", s"fc $i",
+          if (i % 2 == 0) Seq(1f, 0f) else Seq(-1f, 0.001f)))
+      ).toDF("concept_id", "label", "embedding"))
+    store.commit("edges",
+      (bigIds.drop(1).map(o => ("h01", o, "SUPPORTS")) ++
+        Seq(("h02", "h01", "SUPPORTS"), ("h03", "h01", "SUPPORTS")))
+        .toDF("src", "dst", "rel_type"))
+    store.commit("epoch_log",
+      Seq((60L, "ingestion", "setup")).toDF("event_id", "kind", "actor"))
+
+    def clock: Long = store.read("epoch_log")
+      .agg(org.apache.spark.sql.functions.max("event_id")).head().getLong(0)
+    assert(clock == 60L)
+
+    // cycle over the COMMITTED snapshots (pinned reads)
+    // three sources keep Healthy's mass high enough that aging from epoch
+    // 60 to 62 (plus the affinity pull of the newly-promoted neighbor)
+    // doesn't erode its protection below the demotion threshold — the
+    // erosion itself is verified in AnnealingSpec
+    val sources = Seq(("Healthy", "sA"), ("Healthy", "sB"), ("Healthy", "sC"),
+      ("Failing", "sD")).toDF("ontology", "source_id")
+    val cycle = Annealing.annealCycle(
+      store.read("ontologies"), store.read("membership"), sources,
+      store.read("concepts"), store.read("edges"), currentEpoch = clock)
+    val actions = cycle.proposals.select("action", "target_id")
+      .as[(String, String)].collect().toSet
+    assert(actions == Set(("DEMOTE_ONTOLOGY", "Failing"),
+      ("PROMOTE_CONCEPT", "h01")))
+
+    // apply as snapshot rewrites + epoch append — the M5-M7 discipline
+    val applied = Annealing.applyProposals(cycle.proposals,
+      store.read("ontologies"), store.read("membership"),
+      currentEpoch = clock, nextEventId = clock + 1)
+    store.commit("ontologies", applied.ontologies)
+    store.commit("membership", applied.membership)
+    store.append("epoch_log", applied.epochLog)
+    assert(clock == 62L) // two executed proposals advanced the clock
+
+    // the committed state reflects the cycle; a re-run proposes nothing
+    // (the failing ontology is dissolved, the hub now anchors an ontology)
+    val rerun = Annealing.annealCycle(
+      store.read("ontologies"), store.read("membership"), sources,
+      store.read("concepts"), store.read("edges"),
+      anchoredConceptIds = Seq("h01"), currentEpoch = clock)
+    assert(rerun.proposals.isEmpty)
+  }
 }
