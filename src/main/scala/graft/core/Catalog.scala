@@ -82,6 +82,41 @@ object Catalog {
         lit(epoch).as("graph_epoch"))
   }
 
+  /** The browse API over a projected catalog — list_children
+    * (catalog_facade.py:400-470): the children of a parent node (or the
+    * root ontologies when `parent` is None), optionally filtered by a
+    * case-insensitive name fragment, ordered, and offset/limit paged.
+    * All predicates are per-row filters on the (persisted, Freshness-
+    * cached) index — the fragment filter plays the reference's pg_trgm
+    * index role as a scan predicate; pagination is the reference's own
+    * offset contract (limit ≤ 100-ish pages over an already-small index).
+    * `sort`: "name" (default) or "children" (child_count desc). */
+  def listChildren(nodes: DataFrame, edges: DataFrame,
+      parent: Option[(String, String)], childKind: String,
+      q: Option[String] = None, sort: String = "name",
+      limit: Int = 100, offset: Int = 0): DataFrame = {
+    val children = parent match {
+      case None => nodes.where(col("kind") === childKind)
+      case Some((pKind, pId)) =>
+        nodes.join(
+          edges.where(col("parent_kind") === pKind && col("parent_id") === pId &&
+              col("child_kind") === childKind)
+            .select(col("child_kind").as("kind"), col("child_id").as("node_id")),
+          Seq("kind", "node_id"), "left_semi")
+    }
+    val filtered = q match {
+      case Some(frag) if frag.nonEmpty =>
+        children.where(col("name_lower").contains(frag.toLowerCase))
+      case _ => children
+    }
+    val ordered = sort match {
+      case "children" => filtered.orderBy(col("child_count").desc,
+        col("name_lower").asc, col("node_id").asc)
+      case _ => filtered.orderBy(col("name_lower").asc, col("node_id").asc)
+    }
+    ordered.offset(math.max(offset, 0)).limit(limit)
+  }
+
   /** Register both catalog tables as [[Freshness]] derivations — the
     * ensure_fresh contract: `freshness.get("catalog_nodes")` serves the
     * epoch-stamped cached index until `clock` advances past the epoch it

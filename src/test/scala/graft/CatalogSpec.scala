@@ -52,6 +52,38 @@ class CatalogSpec extends SparkSpec {
       ("document", "d2", "concept", "c3")))
   }
 
+  test("listChildren browses the tree: root, drill-down, fragment, paging") {
+    val nodes = Catalog.projectNodes(ontologies, documents, concepts, edges, 1L)
+      .localCheckpoint(true)
+    val tree = Catalog.projectEdges(edges, 1L).localCheckpoint(true)
+    // root: all ontologies, name-ordered
+    val roots = Catalog.listChildren(nodes, tree, None, "ontology")
+      .select("node_id").as[String].collect().toSeq
+    assert(roots == Seq("O1", "O2"))
+    // drill into d1's concepts
+    val d1kids = Catalog.listChildren(nodes, tree,
+        Some(("document", "d1")), "concept")
+      .select("node_id").as[String].collect().toSeq
+    assert(d1kids == Seq("c1", "c2")) // alpha, beta
+    // fragment filter is case-insensitive on name_lower
+    val frag = Catalog.listChildren(nodes, tree, Some(("document", "d1")),
+        "concept", q = Some("ALPH"))
+      .select("name").as[String].collect().toSeq
+    assert(frag == Seq("alpha"))
+    // children sort puts the fuller document first; paging slices it
+    val byCount = Catalog.listChildren(nodes, tree, None, "document",
+        sort = "children")
+      .select("node_id").as[String].collect().toSeq
+    assert(byCount == Seq("d1", "d2", "d3"))
+    val page2 = Catalog.listChildren(nodes, tree, None, "document",
+        sort = "children", limit = 1, offset = 1)
+      .select("node_id").as[String].collect().toSeq
+    assert(page2 == Seq("d2"))
+    // a sourceless document has no children to list
+    assert(Catalog.listChildren(nodes, tree, Some(("document", "d3")),
+      "concept").isEmpty)
+  }
+
   test("randomized DAG invariants: N parent docs ⇒ N edges; counts match") {
     // The reference separates _project from I/O precisely so these DAG
     // invariants are unit-testable (catalog_facade.py:259-280): a concept
