@@ -227,7 +227,38 @@ object GraftExtensions {
     Bridge.analyzedPlan(Seq(true).toDF("invalidated"))
   }
 
+  // Snapshot-store SQL surface: time travel from SQL, the Delta/Iceberg
+  // `VERSION AS OF` idiom over graft.core.SnapshotStore (M8's versioned
+  // parquet layer). The returned plan is the store's own lazy parquet
+  // scan — pinned to an immutable version directory at call time, so a
+  // concurrent commit never mutates data under the running query.
+  private val snapshotTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2 || children.size == 3,
+      "graft_snapshot(root, table[, version])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val table = constString(children(1), "table")
+    Bridge.analyzedPlan(
+      if (children.size == 3)
+        store.readAt(table, constInt(children(2), "version").toLong)
+      else store.read(table))
+  }
+  private val snapshotHistoryTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2, "graft_snapshot_history(root, table)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val table = constString(children(1), "table")
+    val latest = store.latestVersion(table)
+    Bridge.analyzedPlan(store.history(table)
+      .map(v => (v, latest.contains(v))).toDF("version", "is_latest"))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_snapshot" -> snapshotTvf,
+    "graft_snapshot_history" -> snapshotHistoryTvf,
     "graft_neighborhood" -> neighborhoodTvf,
     "graft_degree" -> degreeTvf,
     "graft_subgraph" -> subgraphTvf,

@@ -353,4 +353,43 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("first_eval_id")).as("first_eval_id"))
   }
+
+  /** Incremental exact dedup: admit only the rows of `newDocs` whose
+    * content fingerprint is NOT in the accumulated index — the
+    * dedup-at-ingest shape for a growing corpus (the reference's
+    * content-hash ingest check, api/app/services/content_hasher.py, made
+    * incremental the way [[graft.core.Incremental]] makes aggregates
+    * incremental). Returns (fresh, indexDelta):
+    *
+    *  - `fresh`: admitted rows, with batch-internal duplicates collapsed
+    *    to the min-`idCol` representative (the [[exactDedup]] rule) — one
+    *    fingerprint shuffle and a left-anti join; the CORPUS is never
+    *    re-read or re-hashed, only its fingerprint index is touched.
+    *  - `indexDelta`: the (fingerprint, rep_id) rows the caller appends to
+    *    the index before the next epoch.
+    *
+    * At 100 TB: the index is one short row per corpus document. Stored
+    * bucketed by fingerprint, the anti-join co-locates — the new epoch's
+    * delta shuffles to the index's bucketing and the index itself never
+    * moves; the epoch cost is O(delta + matching index buckets),
+    * independent of corpus size. Pair with [[graft.core.SnapshotStore]]
+    * for the index: a reader pins an immutable version, so `fresh` can be
+    * materialized AFTER the delta append without re-admitting its own
+    * fingerprints (DedupSpec proves the two-epoch round-trip). */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      index: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val fp = newDocs.withColumn("fingerprint", fingerprint(col(textCol)))
+    val novel = index match {
+      case Some(ix) =>
+        fp.join(ix.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+      case None => fp
+    }
+    val cols = newDocs.columns
+    val fresh = novel
+      .groupBy(col("fingerprint"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("r"))
+      .select(col("fingerprint") +: cols.map(c => col(s"r.$c")): _*)
+    (fresh.drop("fingerprint"),
+      fresh.select(col("fingerprint"), col(idCol).as("rep_id")))
+  }
 }

@@ -238,6 +238,56 @@ object TextQueries {
     // dup_frac marks boilerplate/looping text for exclusion. Two
     // partial-aggregated groupBys, keyed first by (doc, bigram) then doc;
     // dup_frac is one exact-int IEEE division (bit-identical cross-engine).
+    // Gopher-style quality rule bundle (Rae et al. 2021 §A1.1, the
+    // standard pre-training document filter set; Dolma/RefinedWeb ship the
+    // same rules): per-document rule columns + the conjunction verdict.
+    // Entirely scan-shaped — every signal (incl. the duplicate-bigram
+    // fraction, computed per-row as 1 − distinct/total over the in-row
+    // bigram array rather than q60's exploded groupBy) is one projection
+    // over the documents scan: no explode, no shuffle, embarrassingly
+    // parallel at any corpus size. Thresholds: word-count ≥ 50 and
+    // dup-bigram ≤ 0.05 are calibrated to this corpus so both verdicts
+    // occur (Gopher's 50/0.2 bounds; the synthetic word streams never
+    // trip the published repetition bound); the rest are Gopher's
+    // published bounds verbatim.
+    "q93_gopher_rules" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n_words", size(col("tk")).cast("long"))
+        // greatest(…, 0): slice with a negative length errors under ANSI,
+        // so a 0/1-word doc must clamp to an empty bigram array.
+        .withColumn("bg", zip_with(
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => concat_ws(" ", a, b)))
+        .withColumn("mean_word_len",
+          when(col("n_words") > 0,
+            aggregate(col("tk"), lit(0L), (acc, w) => acc + length(w))
+              .cast("double") / col("n_words")).otherwise(lit(0.0)))
+        .withColumn("symbol_ratio",
+          when(length(col("text")) > 0,
+            size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+              .cast("double") / length(col("text"))).otherwise(lit(0.0)))
+        .withColumn("stop_hits",
+          size(filter(col("tk"), t => t.isin(stop: _*))).cast("long"))
+        .withColumn("dup_bigram_frac",
+          when(size(col("bg")) > 0,
+            lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+              size(col("bg"))).otherwise(lit(0.0)))
+      d.select(
+          col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          col("stop_hits"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+          (when(col("n_words") >= 50 && col("n_words") <= 100000, 1L).otherwise(0L) *
+            when(col("mean_word_len") >= 3 && col("mean_word_len") <= 10, 1L).otherwise(0L) *
+            when(col("symbol_ratio") <= 0.1, 1L).otherwise(0L) *
+            when(col("stop_hits") >= 2, 1L).otherwise(0L) *
+            when(col("dup_bigram_frac") <= 0.05, 1L).otherwise(0L)).as("passes"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q60_repetition" -> ((s, dir) => {
       val tk = tokens(col("text"))
       Tables.documents(s, dir)
@@ -401,6 +451,38 @@ object TextQueries {
   private val stopList = stop.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q93_gopher_rules" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, text, regexp_extract_all(lower(text), '$wordPat') AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CASE WHEN len(tk) > 0 THEN
+         |      CAST(list_sum(list_transform(tk, w -> len(w))) AS DOUBLE) / len(tk)
+         |      ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN len(text) > 0 THEN
+         |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / len(text)
+         |      ELSE 0.0 END AS symbol_ratio,
+         |    CAST(len(list_filter(tk, w -> w IN ('${stop.mkString("','")}')))
+         |      AS BIGINT) AS stop_hits,
+         |    CASE WHEN len(tk) >= 2 THEN
+         |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+         |        i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE) / (len(tk) - 1)
+         |      ELSE 0.0 END AS dup_bigram_frac
+         |  FROM tk)
+         |SELECT doc_id, n_words,
+         |  round(mean_word_len, 6) AS mean_word_len,
+         |  round(symbol_ratio, 6) AS symbol_ratio,
+         |  stop_hits,
+         |  round(dup_bigram_frac, 6) AS dup_bigram_frac,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END *
+         |    CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END *
+         |    CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END *
+         |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END *
+         |    CASE WHEN dup_bigram_frac <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS passes
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "q90_dataset_card" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, text,

@@ -157,9 +157,80 @@ object VectorQueries {
         .select(col("cluster"), col("a_id"), col("b_id"), col("sim"))
         .orderBy(col("cluster"), col("a_id"), col("b_id"))
     }),
+
+    // Quantized coarse search + exact re-rank: score the int8-quantized
+    // vectors (q53's kernel — at 100 TB the int8 column is what's STORED,
+    // so the coarse pass scans ¼ of the bytes; cosine is scale-invariant,
+    // so the per-vector scales drop out of the coarse score entirely),
+    // keep the top 30 coarse candidates (TakeOrdered — n_partitions × 30
+    // rows move), then join ONLY those ids back to the full-precision
+    // table for the exact top-10 — the memory-bound ANN ladder rung
+    // between q25's exact scan and q26's IVF cells (Ann.scala tiers).
+    "q92_quantized_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      // scale materializes as its own column FIRST (q53's discipline):
+      // referencing the array_max expression inside the per-element lambda
+      // would re-scan the whole array per element — O(d²) per row.
+      val qz = e.where(col("vec_id") > 0)
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+        .withColumn("qv", transform(col("v"), x => {
+          val d = x / col("scale")
+          when(col("scale").isNull || col("scale") === 0, lit(0.0))
+            .when(d >= 0, floor(d + lit(0.5)).cast("double"))
+            .otherwise(ceil(d - lit(0.5)).cast("double"))
+        }))
+      // the query quantizes driver-side with the same half-away-from-zero
+      // rule (java.lang.Math floor/ceil ≡ Spark's on IEEE doubles)
+      val qSeq = Tables.embeddings(s, dir).where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val qScale = qSeq.map(math.abs).max / 127.0
+      val qQuant =
+        if (qScale == 0) qSeq.map(_ => 0.0)
+        else qSeq.map { x =>
+          val d = x / qScale
+          if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)
+        }
+      val coarse = qz
+        .withColumn("coarse_sim",
+          round(VectorOps.cosine(col("qv"), VectorOps.vecLit(qQuant)), 6))
+        .orderBy(col("coarse_sim").desc, col("vec_id").asc)
+        .limit(30)
+        .select("vec_id", "label", "coarse_sim")
+      broadcast(coarse).join(e.select(col("vec_id"), col("v")), "vec_id")
+        .withColumn("exact_sim",
+          round(VectorOps.cosine(col("v"), VectorOps.vecLit(qSeq)), 6))
+        .orderBy(col("exact_sim").desc, col("vec_id").asc)
+        .limit(10)
+        .select("vec_id", "label", "coarse_sim", "exact_sim")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q92_quantized_rerank" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, label, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+        |qz AS (SELECT vec_id, label, v,
+        |  list_transform(v, x -> CASE WHEN scale IS NULL OR scale = 0 THEN 0.0
+        |    WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
+        |    ELSE ceil(x / scale - 0.5) END) AS qv
+        |  FROM sc),
+        |coarse AS (
+        |  SELECT z.vec_id, z.label, z.v,
+        |    round(list_cosine_similarity(z.qv,
+        |      (SELECT qv FROM qz WHERE vec_id = 0)), 6) AS coarse_sim
+        |  FROM qz z WHERE z.vec_id > 0
+        |  ORDER BY coarse_sim DESC, z.vec_id ASC LIMIT 30)
+        |SELECT vec_id, label, coarse_sim,
+        |  round(list_cosine_similarity(v,
+        |    (SELECT v FROM v WHERE vec_id = 0)), 6) AS exact_sim
+        |FROM coarse
+        |ORDER BY exact_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
     "q84_semantic_dedup" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -196,6 +196,75 @@ object StreamOps {
       }
   }
 
+  final case class BandedDoc(bk: String, id: String, sig: Seq[Long])
+  final case class NearDupHit(a_id: String, b_id: String, est_jaccard: Double)
+
+  /** Streaming MinHash-LSH near-dup detection: as documents arrive, emit
+    * (a_id, b_id, est_jaccard) for every earlier document that collides
+    * with the new one in an LSH band and whose signature agreement is at
+    * least `minEstJaccard` — the streaming twin of
+    * [[graft.dedup.Dedup.minhashNearDups]], for dedup-on-ingest instead of
+    * dedup-after-the-fact (the reference dedups at ingest time too, via
+    * whole-document content hashes, api/app/lib/ingestion.py:432-507; this
+    * is the near-dup generalization).
+    *
+    * Shape: signatures are computed per-row with the batch kernels
+    * (shingle → minhash, no shuffle), the band fan-out shuffles only
+    * (band-key, id, signature), and state is per LSH bucket — a capped
+    * list of (id, signature) pairs, ≤ `maxPerBucket` entries of
+    * `numHashes` longs each, FOREVER, with FIFO eviction (keep newest:
+    * near-dups cluster in arrival time). The similarity test inside state
+    * is the signature AGREEMENT ESTIMATE (matching components /
+    * numHashes), not exact Jaccard — state holds signatures, never
+    * shingle sets, so a bucket entry is O(numHashes) regardless of
+    * document size; route emitted pairs through the batch verifier if
+    * exactness matters. A pair sharing several bands emits once per
+    * colliding band (identical est value) — consumers dedup on
+    * (a_id, b_id), which is also what makes the emission idempotent. */
+  def streamingNearDup(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 4, numHashes: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.5, maxPerBucket: Int = 256): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.dedup.Dedup
+    val banded = docs
+      .select(col(idCol).cast("string").as("id"),
+        Dedup.minhashSignature(
+          Dedup.charShingles(col(textCol), shingleK), numHashes).as("sig"))
+      .withColumn("bk",
+        explode(Dedup.lshBandKeys(col("sig"), bands, numHashes / bands)))
+      // groupByKey needs a flat key: (band idx, band hash) → "idx#hash",
+      // injective, so bucket identity is unchanged.
+      .select(concat_ws("#", col("bk.band"), col("bk.key")).as("bk"),
+        col("id"), col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(_.bk)
+      .flatMapGroupsWithState[List[(String, Seq[Long])], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, batch, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[NearDupHit]
+          // id-sorted fold: pairs inside one micro-batch emit exactly once
+          // with a deterministic orientation, whatever the task order.
+          batch.toSeq.sortBy(_.id).foreach { d =>
+            if (!seen.exists(_._1 == d.id)) {
+              seen.foreach { case (oid, osig) =>
+                val agree = osig.iterator.zip(d.sig.iterator)
+                  .count { case (a, b) => a == b }
+                val est = agree.toDouble / numHashes
+                if (est >= minEstJaccard) {
+                  val (a, b) = if (oid < d.id) (oid, d.id) else (d.id, oid)
+                  out += NearDupHit(a, b, est)
+                }
+              }
+              seen = ((d.id, d.sig) :: seen).take(maxPerBucket)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   /** Batch-drives a streaming query over a parquet dir through the memory
     * sink; returns the sink table. Lets specs exercise the real streaming
     * planner synchronously (spark_guide.md pattern). */

@@ -215,6 +215,35 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(0L) && !out.contains(40L)) // eval rows never flagged
   }
 
+  test("incremental dedup admits only unseen fingerprints across epochs") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-ix").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+
+    // epoch 1: batch-internal dup (1≡2 after normalization) collapses to
+    // the min-id representative; no index yet so both fingerprints admit
+    val e1 = Seq((1L, "alpha beta"), (2L, "ALPHA BETA "), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val (fresh1, delta1) = Dedup.dedupAgainstIndex(e1, "doc_id", "text")
+    assert(fresh1.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    store.commit("fp_index", delta1)
+
+    // epoch 2: 4 duplicates epoch 1's "alpha beta" (cross-epoch drop via
+    // the index anti-join), 5≡6 collapse in-batch, 5 is genuinely new
+    val e2 = Seq((4L, "alpha beta"), (5L, "epsilon zeta"), (6L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ix = store.read("fp_index") // pins an immutable version
+    val (fresh2, delta2) = Dedup.dedupAgainstIndex(e2, "doc_id", "text", Some(ix))
+    assert(fresh2.select("doc_id").as[Long].collect().toSet == Set(5L))
+    store.append("fp_index", delta2)
+
+    // the index grew by exactly the admitted delta, and a re-delivered
+    // epoch 2 admits nothing (idempotent re-ingest, the S6 MERGE contract)
+    assert(store.read("fp_index").count() == 3L)
+    val (replay, _) = Dedup.dedupAgainstIndex(e2, "doc_id", "text",
+      Some(store.read("fp_index")))
+    assert(replay.isEmpty)
+  }
+
   test("portableHash60 matches the DuckDB hex-decode formula") {
     // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
     val h = spark.range(1)

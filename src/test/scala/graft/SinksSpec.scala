@@ -120,6 +120,29 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("snapshot TVFs time-travel from SQL: graft_snapshot VERSION-AS-OF (2.13)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("snap-tvf").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    store.commit("t", Seq((1L, "a")).toDF("id", "v"))
+    store.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // current snapshot, pinned time travel, and history — all from SQL
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$root', 't')")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT v FROM graft_snapshot('$root', 't', 1)")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    val hist = spark.sql(
+      s"SELECT version, is_latest FROM graft_snapshot_history('$root', 't') " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(hist == Seq((1L, false), (2L, true)))
+    // the TVF result composes with ordinary SQL, like every other TVF
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_snapshot('$root', 't') WHERE v = 'b'")
+      .head().getLong(0) == 1L)
+  }
+
   test("dedup kernels are SQL-callable after registration (2.13)") {
     GraftExtensions.register(spark)
     val j = spark.sql(

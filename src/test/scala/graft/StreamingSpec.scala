@@ -248,4 +248,61 @@ class StreamingSpec extends SparkSpec {
     // only CLOSED sessions are emitted; user 1's first session closed
     assert(sessions.toSeq == Seq(SessionOut(1L, 2, 600, closed = true)))
   }
+
+  test("streaming near-dup matches the batch LSH candidates across micro-batches") {
+    import graft.dedup.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and keeps running"
+    val docs = Seq(
+      "d1" -> base,
+      "d2" -> (base + "!"),                       // near-dup of d1
+      "d3" -> "an entirely different document about spark structured streaming",
+      "d4" -> base,                               // exact dup of d1 — arrives in batch 2
+      "d5" -> "another unrelated text with its own vocabulary and shape")
+
+    // Expected set: the batch twin — same kernels, band join, agreement
+    // estimate ≥ threshold (NOT exact Jaccard: the streaming operator's
+    // state holds signatures only, so the batch comparison must too).
+    val docsDF = docs.toDF("id", "text")
+    val sigs = docsDF.select($"id",
+      Dedup.minhashSignature(Dedup.charShingles($"text", 4), 32).as("sig"))
+    val bandRows = sigs.withColumn("bk",
+      explode(Dedup.lshBandKeys($"sig", 8, 4))).select($"id", $"bk", $"sig")
+    val expected = bandRows.as("a")
+      .join(bandRows.as("b"), $"a.bk" === $"b.bk" && $"a.id" < $"b.id")
+      .select($"a.id".as("a_id"), $"b.id".as("b_id"),
+        (aggregate(zip_with($"a.sig", $"b.sig",
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m) / 32.0).as("est"))
+      .where($"est" >= 0.5)
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expected.contains(("d1", "d2")) && expected.contains(("d1", "d4")))
+
+    // Stream the same docs in two micro-batches: d4 (dup of batch-1's d1)
+    // arrives in batch 2, so the d1↔d4 hit can only come from state.
+    val dir = java.nio.file.Files.createTempDirectory("neardup-stream").toString
+    def write(part: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("id", "text").coalesce(1).write.mode("append").parquet(s"$dir/$part")
+    write("p1", docs.take(3))
+    write("p2", docs.drop(3))
+    val stream = spark.readStream.schema("id STRING, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.streamingNearDup(stream, "id", "text").toDF(), "neardup")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+  }
+
+  test("streaming near-dup bucket state is capped with FIFO eviction") {
+    import graft.streaming.StreamOps.NearDupHit
+    // Three identical docs through maxPerBucket = 1: each bucket retains
+    // only the newest signature, so e1↔e3 (evicted) never emits while the
+    // adjacent pairs do — the state bound is real, not advisory.
+    val docs = Seq("e1" -> "aaaa bbbb cccc dddd", "e2" -> "aaaa bbbb cccc dddd",
+      "e3" -> "aaaa bbbb cccc dddd").toDF("id", "text")
+    val got = StreamOps.streamingNearDup(docs, "id", "text", maxPerBucket = 1)
+      .collect().toSet
+    assert(got.map(h => (h.a_id, h.b_id)) == Set(("e1", "e2"), ("e2", "e3")))
+    assert(got.forall(_.est_jaccard == 1.0))
+  }
 }
