@@ -244,6 +244,42 @@ class DedupSpec extends SparkSpec {
     assert(replay.isEmpty)
   }
 
+  test("incremental dedup over random epochs matches the one-shot model") {
+    // Seeded multi-epoch simulation vs a driver-side model: after N
+    // epochs, the union of admitted rows must hold each distinct
+    // normalized text EXACTLY once, represented by the min id of its
+    // EARLIEST epoch of appearance — i.e. incremental admission ≡ running
+    // exactDedup over everything seen so far, epoch order respected.
+    val rnd = new scala.util.Random(7L)
+    val texts = Vector("aa bb", "cc dd", "ee ff", "gg hh", "ii jj")
+    var ix: Option[org.apache.spark.sql.DataFrame] = None
+    val model = scala.collection.mutable.Map[String, Long]() // norm text -> rep id
+    val admitted = scala.collection.mutable.Set[Long]()
+    var nextId = 0L
+    (1 to 4).foreach { _ =>
+      val batch = (1 to (2 + rnd.nextInt(4))).map { _ =>
+        val t = texts(rnd.nextInt(texts.size))
+        val decorated = if (rnd.nextBoolean()) t.toUpperCase + "  " else t
+        nextId += 1; (nextId, decorated)
+      }
+      val df = batch.toDF("doc_id", "text")
+      val (fresh, delta) = Dedup.dedupAgainstIndex(df, "doc_id", "text", ix)
+      val got = fresh.select("doc_id").as[Long].collect().toSet
+      // model: first-appearance epoch wins; min id within that epoch
+      val expect = batch.groupBy(_._2.toLowerCase.trim)
+        .collect { case (norm, rows) if !model.contains(norm) =>
+          val rep = rows.map(_._1).min
+          model(norm) = rep; rep
+        }.toSet
+      assert(got == expect, s"epoch admitted $got, model says $expect")
+      admitted ++= got
+      ix = Some(ix.map(_.unionByName(delta)).getOrElse(delta)
+        .localCheckpoint(true))
+    }
+    assert(admitted == model.values.toSet)
+    assert(admitted.size == model.size) // one representative per distinct text
+  }
+
   test("portableHash60 matches the DuckDB hex-decode formula") {
     // ('0x' || substr(md5('hello'),1,15))::BIGINT in DuckDB = 419982666956583591
     val h = spark.range(1)

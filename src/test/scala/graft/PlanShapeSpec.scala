@@ -64,6 +64,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("quantized re-rank broadcasts the candidate set and never global-sorts") {
+    // q92's contract at 100 TB: the coarse pass ends in TakeOrdered (30
+    // candidate rows per partition move, never a full sort), the
+    // join-back is a BroadcastHashJoin of those candidates against the
+    // full-precision table (the corpus side never shuffles), and the
+    // vec_id > 0 predicate reaches the parquet scan.
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10000")
+      val plan = planOf("q92_quantized_rerank")
+      assert(plan.contains("TakeOrderedAndProject"), "coarse/final top-k")
+      assert(plan.contains("BroadcastHashJoin"), "candidate join-back broadcasts")
+      assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle")
+      assert(plan.contains("PushedFilters: [IsNotNull(vec_id), GreaterThan(vec_id,0)]"),
+        "query-row exclusion pushes into the scan")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("gopher rule bundle is scan-shaped: one exchange, for the output sort only") {
+    // Every quality signal (incl. the per-row duplicate-bigram fraction)
+    // computes inside projections over the documents scan; the only
+    // exchange is the deterministic-output range sort.
+    val plan = planOf("q93_gopher_rules")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Generate"),
+      "no aggregation, no explode")
+    assert("Exchange".r.findAllIn(plan).size <= 2, // rangepartitioning renders once per AQE render
+      s"q93 must shuffle only for the output sort:\n$plan")
+  }
+
   test("bloom-pruned join filters the fact side below the join") {
     // The mightContain UDF must sit in a Filter on the lineitem scan side,
     // not above the join — otherwise the operator degrades to a plain join.

@@ -293,6 +293,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming near-dup state survives a checkpointed restart") {
+    // d1 arrives before the stop; its duplicate d9 arrives only after the
+    // restart. The pair can emit iff the restarted query restored d1's
+    // bucket signatures from the STATE STORE — a fresh query would have
+    // nothing to collide with (batch 1 is not reprocessed: exactly-once).
+    val base = "the quick brown fox jumps over the lazy dog and keeps running"
+    val dir = java.nio.file.Files.createTempDirectory("neardup-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ck").toString
+    val sink = java.nio.file.Files.createTempDirectory("neardup-sink").toString
+    def write(part: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("id", "text").coalesce(1).write.mode("append").parquet(s"$dir/$part")
+    def start() = StreamOps.streamingNearDup(
+        spark.readStream.schema("id STRING, text STRING").parquet(s"$dir/*"),
+        "id", "text").toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    write("p1", Seq("d1" -> base, "d2" -> "something entirely unrelated here"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    write("p2", Seq("d9" -> base))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val pairs = spark.read.parquet(sink)
+      .select($"a_id", $"b_id").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("d1", "d9")))
+  }
+
   test("streaming near-dup bucket state is capped with FIFO eviction") {
     import graft.streaming.StreamOps.NearDupHit
     // Three identical docs through maxPerBucket = 1: each bucket retains
