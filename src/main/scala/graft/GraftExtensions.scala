@@ -227,6 +227,43 @@ object GraftExtensions {
     Bridge.analyzedPlan(Seq(true).toDF("invalidated"))
   }
 
+  private def constDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what: expected a numeric literal, got $other")
+    }
+  }
+
+  // Pipeline TVFs: the dedup/quality operators as set-returning SQL over
+  // a registered (id/doc_id, text) view — the same lazy-plan contract as
+  // the graph TVFs (the RETURNED plan is the operator's own distributed
+  // plan; nothing collects).
+  private val exactDedupTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 1, "graft_exact_dedup(docs_view)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    Bridge.analyzedPlan(graft.dedup.Dedup.exactDedup(
+      spark.table(constString(children.head, "docs_view")), "id", "text"))
+  }
+  private val nearDupsTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2, "graft_near_dups(docs_view, min_jaccard)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    Bridge.analyzedPlan(graft.dedup.Dedup.minhashNearDups(
+      spark.table(constString(children.head, "docs_view")), "id", "text",
+      minJaccard = constDouble(children(1), "min_jaccard")))
+  }
+  private val qualityTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 1, "graft_quality(docs_view)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    Bridge.analyzedPlan(graft.queries.TextQueries.gopherRules(
+      spark.table(constString(children.head, "docs_view"))))
+  }
+
   // Snapshot-store SQL surface: time travel from SQL, the Delta/Iceberg
   // `VERSION AS OF` idiom over graft.core.SnapshotStore (M8's versioned
   // parquet layer). The returned plan is the store's own lazy parquet
@@ -259,6 +296,9 @@ object GraftExtensions {
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
+    "graft_exact_dedup" -> exactDedupTvf,
+    "graft_near_dups" -> nearDupsTvf,
+    "graft_quality" -> qualityTvf,
     "graft_neighborhood" -> neighborhoodTvf,
     "graft_degree" -> degreeTvf,
     "graft_subgraph" -> subgraphTvf,

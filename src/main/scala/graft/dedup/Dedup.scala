@@ -91,11 +91,23 @@ object Dedup {
   /** Candidate near-dup pairs via banded MinHash LSH, verified with exact
     * Jaccard over the shingle sets. Output: (a_id, b_id, jaccard).
     * The bucket join replaces the O(n²) all-pairs comparison: cost is
-    * sum over buckets of |bucket|², shuffled by band key. */
+    * sum over buckets of |bucket|², shuffled by band key.
+    *
+    * `maxBucketSize`: skew guard for the |bucket|² term. At corpus scale a
+    * DEGENERATE band key — millions of empty/boilerplate docs whose
+    * signatures agree on a band — turns one bucket into a trillions-of-
+    * pairs task. Buckets larger than the cap are dropped BEFORE the
+    * self-join (one cheap count per bucket); the recall loss is bounded
+    * and usually zero for genuine near-dups, because a pair colliding in
+    * a pathological bucket still forms from ANY of its other bands,
+    * while the mega-bucket's members (near-identical boilerplate) are
+    * better handled by exact dedup upstream. Default None preserves the
+    * complete-candidate contract q36's oracle replays. */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 4, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5, portable: Boolean = false): DataFrame = {
+      minJaccard: Double = 0.5, portable: Boolean = false,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     // Materialized ONCE (same discipline as the affinity membership table):
     // the shingle table feeds the signature aggregation AND both sides of
     // the verification join — without the checkpoint the shingling (regex +
@@ -117,10 +129,20 @@ object Dedup {
     // Also materialized once: both sides of the bucket self-join otherwise
     // re-run the whole signature aggregation. (id, band-key) rows are tiny —
     // `bands` rows per doc regardless of document size.
-    val bandRows = sigs
+    val allBandRows = sigs
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands, portable)))
       .select(col("id"), col("bk"))
       .localCheckpoint(false)
+    val bandRows = maxBucketSize match {
+      case Some(cap) =>
+        // one partial-aggregated count per bucket, then a semi-join that
+        // shares the band-key shuffle partitioning with the pair join
+        val keep = allBandRows.groupBy(col("bk"))
+          .agg(count(lit(1)).as("__bn")).where(col("__bn") <= cap)
+          .select(col("bk"))
+        allBandRows.join(keep, Seq("bk"), "left_semi")
+      case None => allBandRows
+    }
     val pairs = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

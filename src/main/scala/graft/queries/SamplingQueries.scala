@@ -164,6 +164,28 @@ object SamplingQueries {
     // totals) a pipeline checks before writing shards. One shuffle keyed by
     // the shard id; the md5-derived hash makes the assignment reproducible
     // across engines and runs (content-independent, id-keyed).
+    // Reproducible training data order: shard assignment (q64's portable
+    // hash) + a seeded pseudorandom position WITHIN each shard — the
+    // "global shuffle" a training run needs, as a deterministic function
+    // of (seed, doc_id) so any worker can recompute any shard's order
+    // independently (restart/resume without coordination). The rank
+    // window partitions by shard — shard sizes are bounded by design
+    // (q64's balance audit), so no single-partition sort ever forms; at
+    // 100 TB the same plan writes each shard's file in one task.
+    "q94_train_order" -> ((s, dir) => {
+      val seeded = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (Dedup.portableHash60(col("doc_id").cast("string")) % 16).as("shard"),
+        Dedup.portableHash60(concat(lit("seed42:"), col("doc_id").cast("string")))
+          .as("order_key"))
+      seeded
+        .withColumn("position", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+            .orderBy(col("order_key"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("position").cast("long").as("position"))
+        .orderBy(col("shard"), col("position"))
+    }),
+
     "q64_shard_assign" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(
@@ -329,6 +351,17 @@ object SamplingQueries {
         |FROM documents d JOIN m USING (lang)
         |WHERE abs(d.n_chars - m.mean) > 1.5 * m.std
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q94_train_order" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,
+        |    ('0x' || substr(md5('seed42:' || doc_id::VARCHAR), 1, 15))::BIGINT AS order_key
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+        |    AS BIGINT) AS position
+        |FROM seeded ORDER BY shard, position""".stripMargin,
 
     "q64_shard_assign" ->
       s"""SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS shard,

@@ -24,6 +24,48 @@ object TextQueries {
   /** lowercase word tokens of `text` (the canonical shared tokenizer). */
   def tokens(c: Column): Column = graft.functions.Text.tokens(c)
 
+  /** Gopher-rule quality signals + verdict over any (doc_id, text) frame —
+    * the q93 kernel, reusable from the `graft_quality` TVF. Entirely
+    * scan-shaped: every signal, including the duplicate-bigram fraction
+    * (per-row 1 − distinct/total over the in-row bigram array), is a
+    * projection over the input scan — no explode, no shuffle. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      // greatest(…, 0): slice with a negative length errors under ANSI,
+      // so a 0/1-word doc must clamp to an empty bigram array.
+      .withColumn("bg", zip_with(
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+        slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          aggregate(col("tk"), lit(0L), (acc, w) => acc + length(w))
+            .cast("double") / col("n_words")).otherwise(lit(0.0)))
+      .withColumn("symbol_ratio",
+        when(length(col("text")) > 0,
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+            .cast("double") / length(col("text"))).otherwise(lit(0.0)))
+      .withColumn("stop_hits",
+        size(filter(col("tk"), t => t.isin(stop: _*))).cast("long"))
+      .withColumn("dup_bigram_frac",
+        when(size(col("bg")) > 0,
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg"))).otherwise(lit(0.0)))
+    d.select(
+      col("doc_id"), col("n_words"),
+      round(col("mean_word_len"), 6).as("mean_word_len"),
+      round(col("symbol_ratio"), 6).as("symbol_ratio"),
+      col("stop_hits"),
+      round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+      (when(col("n_words") >= 50 && col("n_words") <= 100000, 1L).otherwise(0L) *
+        when(col("mean_word_len") >= 3 && col("mean_word_len") <= 10, 1L).otherwise(0L) *
+        when(col("symbol_ratio") <= 0.1, 1L).otherwise(0L) *
+        when(col("stop_hits") >= 2, 1L).otherwise(0L) *
+        when(col("dup_bigram_frac") <= 0.05, 1L).otherwise(0L)).as("passes"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace words + BPE-ish sub-token pieces.
     "q29_token_counts" -> ((s, dir) => {
@@ -250,43 +292,8 @@ object TextQueries {
     // occur (Gopher's 50/0.2 bounds; the synthetic word streams never
     // trip the published repetition bound); the rest are Gopher's
     // published bounds verbatim.
-    "q93_gopher_rules" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .withColumn("tk", tokens(col("text")))
-        .withColumn("n_words", size(col("tk")).cast("long"))
-        // greatest(…, 0): slice with a negative length errors under ANSI,
-        // so a 0/1-word doc must clamp to an empty bigram array.
-        .withColumn("bg", zip_with(
-          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
-          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
-          (a, b) => concat_ws(" ", a, b)))
-        .withColumn("mean_word_len",
-          when(col("n_words") > 0,
-            aggregate(col("tk"), lit(0L), (acc, w) => acc + length(w))
-              .cast("double") / col("n_words")).otherwise(lit(0.0)))
-        .withColumn("symbol_ratio",
-          when(length(col("text")) > 0,
-            size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
-              .cast("double") / length(col("text"))).otherwise(lit(0.0)))
-        .withColumn("stop_hits",
-          size(filter(col("tk"), t => t.isin(stop: _*))).cast("long"))
-        .withColumn("dup_bigram_frac",
-          when(size(col("bg")) > 0,
-            lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
-              size(col("bg"))).otherwise(lit(0.0)))
-      d.select(
-          col("doc_id"), col("n_words"),
-          round(col("mean_word_len"), 6).as("mean_word_len"),
-          round(col("symbol_ratio"), 6).as("symbol_ratio"),
-          col("stop_hits"),
-          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
-          (when(col("n_words") >= 50 && col("n_words") <= 100000, 1L).otherwise(0L) *
-            when(col("mean_word_len") >= 3 && col("mean_word_len") <= 10, 1L).otherwise(0L) *
-            when(col("symbol_ratio") <= 0.1, 1L).otherwise(0L) *
-            when(col("stop_hits") >= 2, 1L).otherwise(0L) *
-            when(col("dup_bigram_frac") <= 0.05, 1L).otherwise(0L)).as("passes"))
-        .orderBy(col("doc_id"))
-    }),
+    "q93_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables.documents(s, dir)).orderBy(col("doc_id"))),
 
     "q60_repetition" -> ((s, dir) => {
       val tk = tokens(col("text"))

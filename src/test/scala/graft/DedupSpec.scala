@@ -215,6 +215,23 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(0L) && !out.contains(40L)) // eval rows never flagged
   }
 
+  test("LSH bucket cap drops oversized buckets, leaves sane ones intact") {
+    // docs 1/2 share identical raw text: every one of their band buckets
+    // has ≥2 members. cap = 1 keeps only singleton buckets → no pairs can
+    // form at all; a roomy cap reproduces the uncapped result exactly.
+    val uncapped = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    val roomy = Dedup.minhashNearDups(docs, "doc_id", "text",
+      maxBucketSize = Some(100))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(roomy == uncapped)
+    val tight = Dedup.minhashNearDups(docs, "doc_id", "text",
+      maxBucketSize = Some(1))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(tight.isEmpty) // only singleton buckets survive a cap of 1
+  }
+
   test("incremental dedup admits only unseen fingerprints across epochs") {
     val root = java.nio.file.Files.createTempDirectory("dedup-ix").toString
     val store = new graft.core.SnapshotStore(spark, root)

@@ -143,6 +143,40 @@ class SinksSpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("pipeline TVFs run dedup and quality from SQL (2.13)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // 1 and 2 normalize to the same fingerprint (trailing space) AND
+    // share raw-text shingles (the LSH kernel is case-sensitive)
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma "),
+      (3L, "something else entirely"))
+      .toDF("id", "text").createOrReplaceTempView("tvf_docs")
+    // exact dedup: 1≡2 normalize together, min id represents
+    val groups = spark.sql(
+      "SELECT rep_id, group_size FROM graft_exact_dedup('tvf_docs') " +
+        "ORDER BY rep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(groups == Seq((1L, 2L), (3L, 1L)))
+    // near-dups: the exact-dup pair survives the LSH + verify ladder
+    val pairs = spark.sql(
+      "SELECT a_id, b_id FROM graft_near_dups('tvf_docs', 0.5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // quality: doc 10 satisfies every rule (60 distinct alphabetic words
+    // — the tokenizer is letters-only, so digit-suffixed words would all
+    // collapse to one token — no repeated bigrams, two stopword hits);
+    // doc 11 fails word count
+    val sixty = (0 until 60)
+      .map(i => s"w${('a' + i / 10).toChar}${('a' + i % 10).toChar}xx")
+    Seq((10L, sixty.mkString(" ") + " the end and more"), (11L, "tiny"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_qdocs")
+    val q = spark.sql(
+      "SELECT doc_id, passes FROM graft_quality('tvf_qdocs') ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q.map(_._1) == Seq(10L, 11L))
+    assert(q(0)._2 == 1L && q(1)._2 == 0L)
+  }
+
   test("dedup kernels are SQL-callable after registration (2.13)") {
     GraftExtensions.register(spark)
     val j = spark.sql(
