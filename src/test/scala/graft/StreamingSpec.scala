@@ -321,6 +321,31 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set(("d1", "d9")))
   }
 
+  test("dedup-on-ingest admits only unseen docs across micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("dedup-ingest").toString
+    val dir = java.nio.file.Files.createTempDirectory("dedup-ingest-src").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    val ingest = new graft.streaming.DedupIngest(spark, store)
+    def write(part: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/$part")
+    // batch 2 re-delivers batch 1's "alpha" (different id, same content)
+    // and carries an internal dup pair (5 ≡ 6)
+    write("p1", Seq(1L -> "alpha beta", 2L -> "gamma delta"))
+    val q = ingest.start(spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*"))
+    q.processAllAvailable() // batch 1 fully admitted before batch 2 exists
+    write("p2", Seq(4L -> "alpha beta", 5L -> "epsilon zeta", 6L -> "epsilon zeta"))
+    q.processAllAvailable(); q.stop()
+    val corpus = ingest.corpus().select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 5L))
+    assert(store.read("fp_index").count() == 3L)
+    // the index holds one row per distinct content, min-id representative
+    val reps = store.read("fp_index").select("rep_id").as[Long].collect().toSet
+    assert(reps == Set(1L, 2L, 5L))
+  }
+
   test("streaming near-dup bucket state is capped with FIFO eviction") {
     import graft.streaming.StreamOps.NearDupHit
     // Three identical docs through maxPerBucket = 1: each bucket retains
