@@ -85,5 +85,22 @@ class CurationPipelineSpec extends SparkSpec {
     val rerun = kept3.where(!isEval)
       .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
     assert(ids(rerun) == s4)
+
+    // 7. The Curation facade runs the same chain to the same result
+    val r = graft.pipeline.Curation.curate(docs,
+      isEval = isEval,
+      config = graft.pipeline.Curation.Config(
+        minJaccard = 0.35, shards = 4, seed = "seed42"))
+    assert(ids(r.afterQuality) == s1)
+    assert(ids(r.afterExactDedup) == s2)
+    assert(ids(r.afterNearDedup) == s3)
+    assert(ids(r.curated) == s4)
+    val facadeOrder = r.ordered
+      .select($"doc_id", $"shard", $"position")
+      .as[(Long, Long, Long)].collect().toSet
+    val manualOrder = ordered
+      .select($"doc_id", $"shard", $"position".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(facadeOrder == manualOrder)
   }
 }
