@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.functions.col
 import graft.core.SnapshotStore
 import graft.dedup.Dedup
 
@@ -45,14 +44,7 @@ final class DedupIngest(spark: SparkSession, store: SnapshotStore,
       }
       .start()
 
-  /** Admitted corpus so far (empty frame with the right columns if no
-    * batch has been admitted yet). */
-  def corpus(idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    store.latestVersion(docsTable) match {
-      case Some(_) => store.read(docsTable)
-      case None => spark.emptyDataFrame.select()
-        .withColumn(idCol, org.apache.spark.sql.functions.lit(0L))
-        .withColumn(textCol, org.apache.spark.sql.functions.lit(""))
-        .limit(0).select(col(idCol), col(textCol))
-    }
+  /** Admitted corpus so far; None until the first batch admits rows. */
+  def corpus(): Option[DataFrame] =
+    store.latestVersion(docsTable).map(_ => store.read(docsTable))
 }

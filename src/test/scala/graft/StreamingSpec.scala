@@ -338,7 +338,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable() // batch 1 fully admitted before batch 2 exists
     write("p2", Seq(4L -> "alpha beta", 5L -> "epsilon zeta", 6L -> "epsilon zeta"))
     q.processAllAvailable(); q.stop()
-    val corpus = ingest.corpus().select("doc_id").as[Long].collect().toSet
+    val corpus = ingest.corpus().get.select("doc_id").as[Long].collect().toSet
     assert(corpus == Set(1L, 2L, 5L))
     assert(store.read("fp_index").count() == 3L)
     // the index holds one row per distinct content, min-id representative
