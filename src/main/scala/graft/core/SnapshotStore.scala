@@ -137,10 +137,21 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Time travel: read a specific version. Refuses a version whose write
     * never completed (no `_SUCCESS` marker) — an in-flight or crashed
     * sibling commit must not be readable as data. */
-  def readAt(table: String, version: Long): DataFrame = {
-    require(isCommitted(table, version),
-      s"version $version of $table is not a committed version")
-    spark.read.parquet(versionDir(table, version).toString)
+  def readAt(table: String, version: Long): DataFrame =
+    spark.read.parquet(resolveVersionDir(table, Some(version))._2.toString)
+
+  /** Pin a read to an immutable (version, directory): the pointer (or the
+    * requested time-travel version) is resolved NOW and validated against
+    * the `_SUCCESS` committed-write marker. This is the single resolution
+    * step the `graft` DataSource V2 connector (sources/GraftDataSource)
+    * performs at load time — everything after it is a plain parquet scan of
+    * a directory that no later commit ever mutates. */
+  def resolveVersionDir(table: String, version: Option[Long] = None): (Long, Path) = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version of $table"))
+    require(isCommitted(table, v),
+      s"version $v of $table is not a committed version")
+    (v, versionDir(table, v))
   }
 
   /** True iff the version directory's write COMPLETED: the

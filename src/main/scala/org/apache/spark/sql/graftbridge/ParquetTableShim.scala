@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Access shim for Spark's internal vectorized parquet DSv2 table.
+  *
+  * The `graft` connector (graft.sources.GraftDataSource) resolves a snapshot
+  * pointer to one immutable directory and then wants everything Spark's own
+  * parquet source provides over it — schema inference, vectorized columnar
+  * reads, filter pushdown, column pruning, aggregate pushdown — rather than
+  * a hand-rolled row reader that would lose all of that. `ParquetTable` is
+  * `private[sql]`-adjacent internal API, so the constructor call lives in
+  * this `org.apache.spark.sql` subpackage like the rest of graftbridge.
+  */
+object ParquetTableShim {
+  /** A DSv2 parquet table over exactly `dir`, inferring schema from footers.
+    * `options` flow into the file index + parquet reader (e.g. parquet
+    * tuning options a caller passed through `spark.read.option`). */
+  def table(name: String, spark: SparkSession, dir: String,
+      options: java.util.Map[String, String]): Table =
+    ParquetTable(
+      name,
+      spark,
+      new CaseInsensitiveStringMap(options),
+      Seq(dir),
+      userSpecifiedSchema = None,
+      fallbackFileFormat = classOf[ParquetFileFormat])
+}

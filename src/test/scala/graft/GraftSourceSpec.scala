@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.SnapshotStore
+
+/** The `graft` DataSource V2 connector: `spark.read.format("graft")` over a
+  * SnapshotStore root must pin the committed snapshot at load time, time
+  * travel via the `version` option, keep parquet pushdown/pruning intact,
+  * and refuse writes (version directories are immutable). */
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+
+  test("reads the latest committed snapshot; version option time-travels") {
+    val root = freshRoot()
+    val st = new SnapshotStore(spark, root)
+    st.commit("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    st.commit("docs", Seq((3L, "c")).toDF("id", "s"))
+
+    val latest = spark.read.format("graft")
+      .option("root", root).option("table", "docs").load()
+    assert(latest.select("id").as[Long].collect().toSet == Set(3L))
+
+    val v1 = spark.read.format("graft")
+      .option("root", root).option("table", "docs").option("version", "1").load()
+    assert(v1.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("a loaded frame is pinned: a later commit never changes its rows") {
+    val root = freshRoot()
+    val st = new SnapshotStore(spark, root)
+    st.commit("t", Seq(10).toDF("x"))
+    val pinned = spark.read.format("graft")
+      .option("root", root).option("table", "t").load()
+    st.commit("t", Seq(20).toDF("x"))
+    assert(pinned.as[Int].collect().toSet == Set(10))
+    assert(spark.read.format("graft").option("root", root).option("table", "t")
+      .load().as[Int].collect().toSet == Set(20))
+  }
+
+  test("filter pushdown and column pruning reach the parquet scan") {
+    val root = freshRoot()
+    val st = new SnapshotStore(spark, root)
+    st.commit("wide", (1 to 100).map(i => (i.toLong, s"s$i", i * 2, i % 7))
+      .toDF("id", "s", "a", "b"))
+    val q = spark.read.format("graft")
+      .option("root", root).option("table", "wide").load()
+      .where(col("id") > 90L).select("id", "a")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"expected pushed id filter in:\n$plan")
+    assert(!plan.contains("ReadSchema") || !plan.matches("(?s).*ReadSchema:[^\\n]*\\bs\\b.*"),
+      s"pruned-out column 's' still in ReadSchema:\n$plan")
+    assert(q.as[(Long, Int)].collect().toSet ==
+      (91 to 100).map(i => (i.toLong, i * 2)).toSet)
+  }
+
+  test("writes through the connector are refused with the commit contract") {
+    val root = freshRoot()
+    new SnapshotStore(spark, root).commit("t", Seq(1).toDF("x"))
+    val e = intercept[Exception] {
+      Seq(2).toDF("x").write.format("graft")
+        .option("root", root).option("table", "t").mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("read-only") || m.contains("does not support")), e.toString)
+  }
+
+  test("missing table and uncommitted version fail loudly") {
+    val root = freshRoot()
+    val st = new SnapshotStore(spark, root)
+    st.commit("t", Seq(1).toDF("x"))
+    intercept[Exception] {
+      spark.read.format("graft").option("root", root).option("table", "nope").load()
+    }
+    intercept[Exception] {
+      spark.read.format("graft").option("root", root).option("table", "t")
+        .option("version", "99").load()
+    }
+  }
+}
