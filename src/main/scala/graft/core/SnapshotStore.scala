@@ -23,6 +23,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def versionDir(table: String, v: Long): Path =
     tableDir(table).resolve(s"v=$v")
+  private def changesDir(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_changes")
   private def pointer(table: String): Path = tableDir(table).resolve("_latest")
 
   /** Commit `df` as the next version of `table`; returns the new version.
@@ -46,7 +48,21 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * `history`/`read` never expose, whatever its position relative to the
     * pointer. Cross-JVM `append` linearization is still the caller's job
     * (see `append`). */
-  def commit(table: String, df: DataFrame): Long = {
+  def commit(table: String, df: DataFrame): Long = commit(table, df, None)
+
+  /** Commit with an explicit CHANGE SET: the rows this version added
+    * relative to its predecessor, recorded under `v=n/_changes/` INSIDE the
+    * claimed immutable directory. The underscore prefix hides the subdir
+    * from Spark's file listing, so snapshot reads of `v=n` are unaffected;
+    * the streaming change feed (`spark.readStream.format("graft")
+    * .option("feed", "changes")`, sources/GraftDataSource) reads exactly
+    * these per-version deltas as micro-batches. `append` records its
+    * incoming batch automatically; a bare `commit` is a REWRITE with no
+    * well-defined delta, records nothing, and is skipped by the feed
+    * (document the same way Delta CDF treats overwrites). The change set is
+    * written before the pointer moves, so every version the pointer exposes
+    * has its delta complete on disk. */
+  def commit(table: String, df: DataFrame, changeSet: Option[DataFrame]): Long = {
     // Deliberately NOT serialized across committers: allocation is atomic
     // by itself (createDirectory), the write targets an exclusively-owned
     // directory, and only the pointer move below needs mutual exclusion.
@@ -64,6 +80,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     // allocation to pointer move. (Allocation never reuses an existing
     // directory, so append semantics can never mix two commits.)
     df.write.mode("append").parquet(versionDir(table, next).toString)
+    changeSet.foreach(_.write.mode("append")
+      .parquet(changesDir(table, next).toString))
     // The committed-version contract below (history/readAt/vacuum) keys on
     // the marker; a config that suppresses it (marksuccessfuljobs=false)
     // must fail THIS commit loudly, not silently produce an unreadable
@@ -115,12 +133,16 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * two sibling versions each missing the other's batch — read-modify-write
     * appends on a shared root require a single writer per table (the same
     * contract Delta/Iceberg enforce with a commit log; the reference gets it
-    * from Postgres transactions, schema/00_baseline.sql:2198-2240). */
+    * from Postgres transactions, schema/00_baseline.sql:2198-2240).
+    *
+    * `rows` is evaluated twice — once into the snapshot union, once as the
+    * version's recorded change set — so a non-deterministic plan should be
+    * checkpointed by the caller first (DedupIngest already does). */
   def append(table: String, rows: DataFrame): Long = SnapshotStore.rootLock(root) {
     commit(table, latestVersion(table) match {
       case Some(v) => readAt(table, v).unionByName(rows, allowMissingColumns = true)
       case None    => rows
-    })
+    }, changeSet = Some(rows))
   }
 
   def latestVersion(table: String): Option[Long] = {
@@ -153,6 +175,33 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       s"version $v of $table is not a committed version")
     (v, versionDir(table, v))
   }
+
+  /** The change set a committed version recorded (None for rewrites and
+    * pre-change-set versions): the rows `append` added at `version`,
+    * pinned to the immutable `v=n/_changes/` directory. */
+  def changesAt(table: String, version: Long): Option[DataFrame] = {
+    require(isCommitted(table, version),
+      s"version $version of $table is not a committed version")
+    if (hasChanges(table, version))
+      Some(spark.read.parquet(changesDir(table, version).toString))
+    else None
+  }
+
+  /** Committed versions (ascending) that recorded a change set — the
+    * versions the streaming change feed emits as micro-batches. */
+  def changedVersions(table: String): Seq[Long] =
+    history(table).filter(hasChanges(table, _))
+
+  /** The change-set write is complete (its own `_SUCCESS` marker): the
+    * parent version's marker alone can't vouch for `_changes`, which is
+    * written after the main data. The pointer only moves after both. */
+  private def hasChanges(table: String, v: Long): Boolean =
+    Files.exists(changesDir(table, v).resolve("_SUCCESS"))
+
+  /** Directory of a committed version's change set, for the connector's
+    * micro-batch planner. */
+  private[graft] def changesDirOf(table: String, v: Long): Path =
+    changesDir(table, v)
 
   /** True iff the version directory's write COMPLETED: the
     * FileOutputCommitter writes `_SUCCESS` only after every part file is in

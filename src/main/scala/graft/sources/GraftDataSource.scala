@@ -4,7 +4,8 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.graftbridge.ParquetTableShim
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -49,9 +50,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
   // One resolution per provider instance (Spark constructs a fresh provider
   // per read): inferSchema and getTable must see the SAME pinned version
   // even if a commit lands between the two calls.
-  private var cached: Option[GraftTable] = None
+  private var cached: Option[Table] = None
 
-  private def resolvedTable(options: CaseInsensitiveStringMap): GraftTable =
+  private def resolvedTable(options: CaseInsensitiveStringMap): Table =
     synchronized {
       cached.getOrElse {
         val root = Option(options.get("root")).orElse(Option(options.get("path")))
@@ -62,13 +63,27 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
             "graft source requires option 'table': the store table name"))
         val version = Option(options.get("version")).map(_.trim.toLong)
         val spark = SparkSession.active
-        val (v, dir) =
-          new SnapshotStore(spark, root).resolveVersionDir(table, version)
-        val passThrough = new util.HashMap[String, String](options)
-        passThrough.remove("root"); passThrough.remove("path")
-        passThrough.remove("table"); passThrough.remove("version")
-        val t = new GraftTable(table, v,
-          ParquetTableShim.table(s"graft:$table@v$v", spark, dir.toString, passThrough))
+        val store = new SnapshotStore(spark, root)
+        val t =
+          if (Option(options.get("feed")).exists(_.equalsIgnoreCase("changes"))) {
+            // Change feed: schema is the CURRENT snapshot's (appended change
+            // sets carry the table schema); versions stream from the offset.
+            val (v, dir) = store.resolveVersionDir(table, None)
+            val schema = spark.read.parquet(dir.toString).schema
+            require(version.isEmpty,
+              "feed=changes streams forward — use 'startingVersion', not 'version'")
+            val startingVersion =
+              Option(options.get("startingVersion")).map(_.trim.toLong).getOrElse(0L)
+            new GraftChangeFeedTable(root, table, schema, startingVersion)
+          } else {
+            val (v, dir) = store.resolveVersionDir(table, version)
+            val passThrough = new util.HashMap[String, String](options)
+            passThrough.remove("root"); passThrough.remove("path")
+            passThrough.remove("table"); passThrough.remove("version")
+            new GraftTable(table, v,
+              ParquetTableShim.table(s"graft:$table@v$v", spark, dir.toString,
+                passThrough))
+          }
         cached = Some(t)
         t
       }
@@ -103,4 +118,89 @@ final class GraftTable(tableName: String, version: Long, inner: Table)
     throw new UnsupportedOperationException(
       s"graft table '$tableName' is read-only through the connector: version " +
         "directories are immutable — write through SnapshotStore.commit/append")
+}
+
+/** The store's CHANGE FEED as a Structured Streaming micro-batch source:
+  * `spark.readStream.format("graft").option("feed", "changes")`. Offsets
+  * are committed version numbers; each micro-batch scans exactly the
+  * `v=n/_changes/` parquet directories of the versions in its offset range,
+  * so a batch is the rows `append` admitted at those versions — never a
+  * re-read of the accumulated snapshot. Versions are immutable once
+  * committed, which is what makes restart replay exactly reproducible from
+  * a checkpointed offset (the reference's epoch log gives its workers the
+  * same replay contract, schema/00_baseline.sql:2198-2240). Rewrites (bare
+  * `commit`) record no change set and are skipped, like overwrites outside
+  * Delta CDF. Lagging consumers and `vacuum` compose the usual way: vacuum
+  * drops old versions' change sets with the versions themselves, so set
+  * `keepLast` to cover the longest expected consumer lag. */
+final class GraftChangeFeedTable(root: String, table: String,
+    tableSchema: StructType, startingVersion: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft:$table@changes"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = name() + " (version change feed)"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftMicroBatchStream(root, table, tableSchema, startingVersion)
+      }
+    }
+}
+
+/** Version-number offsets: the feed's position is "all change sets of
+  * committed versions ≤ v have been emitted". */
+final case class GraftVersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch planner for the change feed. Driver-side work per batch is
+  * one pointer read + a directory listing of the version range — nothing
+  * scales with table size — and the scan itself delegates to Spark's
+  * vectorized parquet batch over the range's `_changes` directories. */
+final class GraftMicroBatchStream(root: String, table: String,
+    tableSchema: StructType, startingVersion: Long) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def store = new SnapshotStore(spark, root)
+
+  override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(
+      store.latestVersion(table).getOrElse(startingVersion).max(startingVersion))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def changeDirs(from: Long, to: Long): Seq[String] =
+    store.changedVersions(table)
+      .filter(v => v > from && v <= to)
+      .map(v => store.changesDirOf(table, v).toString)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val dirs = changeDirs(
+      start.asInstanceOf[GraftVersionOffset].version,
+      end.asInstanceOf[GraftVersionOffset].version)
+    if (dirs.isEmpty) Array.empty
+    else ParquetTableShim.unfilteredBatch(
+      ParquetTableShim.tableWithSchema(s"graft:$table@changes", spark, dirs,
+        tableSchema)).planInputPartitions()
+  }
+
+  /** File-set-agnostic by construction: the parquet reader factory is built
+    * from schema + conf, and every planned partition carries its own files,
+    * so one factory serves any batch of this stream. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    ParquetTableShim.unfilteredBatch(
+      ParquetTableShim.tableWithSchema(s"graft:$table@changes", spark,
+        Seq.empty, tableSchema)).createReaderFactory()
 }

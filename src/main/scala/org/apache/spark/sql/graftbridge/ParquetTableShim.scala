@@ -29,4 +29,26 @@ object ParquetTableShim {
       Seq(dir),
       userSpecifiedSchema = None,
       fallbackFileFormat = classOf[ParquetFileFormat])
+
+  /** Same, over an explicit directory LIST with a known schema — the
+    * change-feed planner's shape: each micro-batch plans a parquet scan
+    * over exactly the `_changes` directories of its version range (possibly
+    * zero of them), with the table schema fixed up front so nothing is
+    * inferred from a transient file set. */
+  def tableWithSchema(name: String, spark: SparkSession, dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Table =
+    ParquetTable(
+      name,
+      spark,
+      CaseInsensitiveStringMap.empty(),
+      dirs,
+      userSpecifiedSchema = Some(schema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+
+  /** The batch (partitions, reader factory) of a DSv2 table's unfiltered
+    * scan — the delegation step that lets the change feed reuse Spark's
+    * vectorized parquet reading end to end. */
+  def unfilteredBatch(t: Table): org.apache.spark.sql.connector.read.Batch =
+    t.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
 }

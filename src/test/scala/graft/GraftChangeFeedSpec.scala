@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.SnapshotStore
+
+/** The snapshot store's streaming change feed
+  * (`spark.readStream.format("graft").option("feed", "changes")`): each
+  * micro-batch is exactly the rows `append` admitted at the versions in the
+  * offset range — never a re-read of the accumulated snapshot — rewrites
+  * are skipped, and a checkpointed restart resumes from the version offset
+  * exactly-once. */
+class GraftChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def feed(root: String, table: String) =
+    spark.readStream.format("graft")
+      .option("root", root).option("table", table).option("feed", "changes")
+      .load()
+
+  test("micro-batches emit per-version deltas, not snapshots") {
+    val root = tmp("graft-cf")
+    val st = new SnapshotStore(spark, root)
+    st.append("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    st.append("docs", Seq((3L, "c")).toDF("id", "s"))
+
+    val sink = tmp("graft-cf-out")
+    val q = feed(root, "docs").writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-cf-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // snapshot v2 holds {1,2,3}; the FEED must hold each admitted row once
+    // (a snapshot re-read would deliver 1 and 2 twice: 2 + 3 = 5 rows)
+    val out = spark.read.parquet(sink).select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("a rewrite (bare commit) records no change set and is skipped") {
+    val root = tmp("graft-cf-rw")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(1L).toDF("id"))
+    st.commit("t", Seq(100L, 200L).toDF("id")) // rewrite: no delta
+    st.append("t", Seq(2L).toDF("id"))
+
+    assert(st.changedVersions("t") == Seq(1L, 3L))
+    assert(st.changesAt("t", 2L).isEmpty)
+    assert(st.changesAt("t", 3L).get.as[Long].collect().toSeq == Seq(2L))
+
+    val sink = tmp("graft-cf-rw-out")
+    val q = feed(root, "t").writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-cf-rw-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(sink).as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L)) // 100/200 arrived via rewrite: not a delta
+  }
+
+  test("checkpointed restart resumes from the version offset exactly-once") {
+    val root = tmp("graft-cf-rs")
+    val st = new SnapshotStore(spark, root)
+    val sink = tmp("graft-cf-rs-out")
+    val ckpt = tmp("graft-cf-rs-ck")
+    def run(): Unit = {
+      val q = feed(root, "t").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    st.append("t", Seq(1L, 2L).toDF("id"))
+    run()
+    st.append("t", Seq(3L).toDF("id"))
+    run()
+    val out = spark.read.parquet(sink).as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // 1,2 NOT re-emitted on restart
+  }
+
+  test("startingVersion skips history already consumed elsewhere") {
+    val root = tmp("graft-cf-sv")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(1L).toDF("id"))
+    st.append("t", Seq(2L).toDF("id"))
+    val sink = tmp("graft-cf-sv-out")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "t").option("feed", "changes")
+      .option("startingVersion", "1").load()
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-cf-sv-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(sink).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("feed composes with DedupIngest: admitted docs stream downstream") {
+    // the loop the store closes: streaming dedup-on-ingest admits docs →
+    // the admitted table's change feed drives a downstream incremental
+    // consumer, each admitted doc exactly once
+    val root = tmp("graft-cf-di")
+    val st = new SnapshotStore(spark, root)
+    val src = tmp("graft-cf-di-src")
+    def write(part: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$part")
+    write("p1", Seq(1L -> "alpha beta", 2L -> "gamma delta"))
+    val ingest = new graft.streaming.DedupIngest(spark, st)
+    val q1 = ingest.start(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(s"$src/*"))
+    q1.processAllAvailable()
+    write("p2", Seq(3L -> "alpha beta", 4L -> "epsilon zeta")) // 3 is a dup
+    q1.processAllAvailable(); q1.stop()
+
+    val sink = tmp("graft-cf-di-out")
+    val q2 = feed(root, "docs").writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-cf-di-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val out = spark.read.parquet(sink).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 4L)) // each admitted doc exactly once
+  }
+}
