@@ -57,6 +57,22 @@ class GraftSourceSpec extends SparkSpec {
       (91 to 100).map(i => (i.toLong, i * 2)).toSet)
   }
 
+  test("aggregate pushdown reaches the parquet footers through the connector") {
+    // the layering proof that matters at 100 TB: a COUNT/MIN/MAX over a
+    // snapshot must come from parquet footer statistics (PushedAggregation
+    // in the scan), not a full scan — delegation to Spark's parquet table
+    // keeps this intact through the graft source
+    val root = freshRoot()
+    val st = new SnapshotStore(spark, root)
+    st.commit("m", (1 to 1000).map(i => (i.toLong, i % 5)).toDF("id", "g"))
+    val agg = spark.read.format("graft")
+      .option("root", root).option("table", "m").load()
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), s"no PushedAggregation in:\n$plan")
+    assert(agg.as[(Long, Long, Long)].collect().head == ((1000L, 1L, 1000L)))
+  }
+
   test("writes through the connector are refused with the commit contract") {
     val root = freshRoot()
     new SnapshotStore(spark, root).commit("t", Seq(1).toDF("x"))
