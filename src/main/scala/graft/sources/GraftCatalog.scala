@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.graftbridge.ParquetTableShim
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.core.SnapshotStore
+import scala.jdk.CollectionConverters._
+
+/** The snapshot store as a Spark SQL CATALOG — the `SELECT … FROM` face of
+  * the same layering the `graft` DataSource exposes to DataFrame readers:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.kg", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.kg.root", "/data/kg")
+  *   spark.sql("SELECT * FROM kg.concepts")                   -- latest snapshot
+  *   spark.sql("SELECT * FROM kg.concepts VERSION AS OF 3")   -- time travel
+  *   spark.sql("SHOW TABLES IN kg")
+  * }}}
+  *
+  * Resolution per query is one pointer read pinning one immutable version
+  * directory; the scan is Spark's vectorized parquet table with pushdown
+  * and pruning intact (same `GraftTable` the connector returns, so the
+  * write refusal and plan shapes are identical through both faces). The
+  * catalog is read-only by contract — DDL raises, mutation goes through
+  * `SnapshotStore.commit`/`append` — which also makes `VERSION AS OF`
+  * trivially consistent: every version a query can name is an immutable
+  * directory (reference M8 pinned-snapshot reads,
+  * schema/00_baseline.sql:2198-2240).
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name' requires spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def store = new SnapshotStore(spark, root)
+
+  /** Tables live directly under the root (`kg.<table>`): any namespace
+    * qualifier is a user error surfaced as table-not-found. */
+  private def resolved(ident: Identifier, version: Option[Long]): Table = {
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    val table = ident.name()
+    val (v, dir) =
+      try store.resolveVersionDir(table, version)
+      catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
+    new GraftTable(table, v,
+      ParquetTableShim.table(s"$catalogName.$table@v$v", spark, dir.toString,
+        util.Collections.emptyMap[String, String]()))
+  }
+
+  override def loadTable(ident: Identifier): Table = resolved(ident, None)
+
+  /** `VERSION AS OF n` — the SQL face of `SnapshotStore.readAt`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    resolved(ident, Some(version.trim.toLong))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) return Array.empty
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.exists(p.resolve("_latest")))
+      .map(p => Identifier.of(Array.empty, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  private def readOnly(): Nothing = throw new UnsupportedOperationException(
+    s"graft catalog '$catalogName' is read-only: version directories are " +
+      "immutable — mutate through SnapshotStore.commit/append")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    readOnly()
+  override def createTable(ident: Identifier, info: TableInfo): Table = readOnly()
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly()
+  override def dropTable(ident: Identifier): Boolean = readOnly()
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly()
+}

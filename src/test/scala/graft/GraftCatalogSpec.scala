@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.SnapshotStore
+import graft.sources.GraftCatalog
+
+/** The snapshot store's SQL catalog face: `SELECT … FROM <cat>.<table>`
+  * over the latest snapshot, `VERSION AS OF` time travel, SHOW TABLES,
+  * pushdown intact through SQL, and read-only DDL. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    st.commit("docs", Seq((3L, "c")).toDF("id", "s"))
+    st.commit("dims", Seq((7L, 70L)).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.kgcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.kgcat.root", r)
+    r
+  }
+
+  test("SELECT reads the latest snapshot; VERSION AS OF time-travels") {
+    root
+    assert(spark.sql("SELECT id FROM kgcat.docs").as[Long].collect().toSet
+      == Set(3L))
+    assert(spark.sql("SELECT id FROM kgcat.docs VERSION AS OF 1")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("SHOW TABLES lists committed store tables") {
+    root
+    val tables = spark.sql("SHOW TABLES IN kgcat")
+      .select("tableName").as[String].collect().toSet
+    assert(tables == Set("docs", "dims"))
+  }
+
+  test("filter pushdown survives the SQL catalog path") {
+    root
+    val q = spark.sql("SELECT id FROM kgcat.docs WHERE id > 1")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+    assert(q.as[Long].collect().toSet == Set(3L))
+  }
+
+  test("DDL and writes are refused: the catalog is read-only") {
+    root
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val drop = intercept[Exception](spark.sql("DROP TABLE kgcat.docs"))
+    assert(messages(drop).exists(_.contains("read-only")), drop.toString)
+    val ins = intercept[Exception](
+      spark.sql("INSERT INTO kgcat.docs VALUES (9, 'z')"))
+    assert(messages(ins).exists(m =>
+      m.contains("read-only") || m.contains("does not support")), ins.toString)
+  }
+
+  test("unknown table resolves to a clean analysis error") {
+    root
+    val e = intercept[Exception](spark.sql("SELECT * FROM kgcat.nope"))
+    assert(e.getMessage.contains("nope"), e.toString)
+  }
+}
