@@ -293,9 +293,25 @@ object GraftExtensions {
       .map(v => (v, latest.contains(v))).toDF("version", "is_latest"))
   }
 
+  // Batch change-feed TVF: the rows `append` admitted after since_version,
+  // tagged with _version — the SQL catch-up read for incremental jobs
+  // (Delta's table_changes analog over the store's v=n/_changes dirs).
+  private val changesTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2 || children.size == 3,
+      "graft_changes(root, table[, since_version])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val table = constString(children(1), "table")
+    val since =
+      if (children.size == 3) constInt(children(2), "since_version").toLong else 0L
+    Bridge.analyzedPlan(store.changesSince(table, since))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
+    "graft_changes" -> changesTvf,
     "graft_exact_dedup" -> exactDedupTvf,
     "graft_near_dups" -> nearDupsTvf,
     "graft_quality" -> qualityTvf,

@@ -192,6 +192,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def changedVersions(table: String): Seq[Long] =
     history(table).filter(hasChanges(table, _))
 
+  /** Batch face of the change feed (Delta's `table_changes` idiom): every
+    * change set with version > `sinceVersion`, tagged with a `_version`
+    * column — what an incremental BATCH job reads to catch up, instead of
+    * re-scanning the snapshot. The plan is a union over the range's change
+    * sets (one immutable parquet scan each); `vacuum(keepLast)` bounds how
+    * far back a consumer can lag, exactly as for the streaming feed. */
+  def changesSince(table: String, sinceVersion: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = changedVersions(table).filter(_ > sinceVersion)
+    vs.map(v => changesAt(table, v).get.withColumn("_version", lit(v)))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(read(table).limit(0).withColumn("_version", lit(0L)))
+  }
+
   /** The change-set write is complete (its own `_SUCCESS` marker): the
     * parent version's marker alone can't vouch for `_changes`, which is
     * written after the main data. The pointer only moves after both. */

@@ -96,6 +96,23 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(spark.read.parquet(sink).as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("changesSince is the batch catch-up: deltas after an offset, tagged") {
+    val root = tmp("graft-cs")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(1L).toDF("id"))
+    st.commit("t", Seq(100L).toDF("id")) // rewrite: absent from the feed
+    st.append("t", Seq(2L).toDF("id"))
+    st.append("t", Seq(3L).toDF("id"))
+    val all = st.changesSince("t").select("id", "_version")
+      .as[(Long, Long)].collect().sorted
+    assert(all.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 4L)))
+    assert(st.changesSince("t", sinceVersion = 3L).select("id")
+      .as[Long].collect().toSeq == Seq(3L))
+    // caught-up consumer: empty frame, schema preserved
+    val empty = st.changesSince("t", sinceVersion = 4L)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("id", "_version"))
+  }
+
   test("feed composes with DedupIngest: admitted docs stream downstream") {
     // the loop the store closes: streaming dedup-on-ingest admits docs →
     // the admitted table's change feed drives a downstream incremental

@@ -143,6 +143,20 @@ class SinksSpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("graft_changes reads the batch change feed from SQL (2.13)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("changes-tvf").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    store.append("t", Seq(1L).toDF("id"))
+    store.append("t", Seq(2L).toDF("id"))
+    assert(spark.sql(s"SELECT id, _version FROM graft_changes('$root', 't') " +
+      "ORDER BY id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 1L), (2L, 2L)))
+    assert(spark.sql(s"SELECT id FROM graft_changes('$root', 't', 1)")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("pipeline TVFs run dedup and quality from SQL (2.13)") {
     import spark.implicits._
     GraftExtensions.register(spark)
