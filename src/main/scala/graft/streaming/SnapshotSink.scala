@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.core.SnapshotStore
+
+/** Exactly-once streaming append into a snapshot-store table.
+  *
+  * Structured Streaming's foreachBatch is at-least-once: after a sink-side
+  * crash the engine replays the last micro-batch, and a bare
+  * `store.append` would double-append it. The fix is the idempotent-write
+  * idiom lake formats use (Delta's txnAppId/txnVersion riding inside the
+  * commit): the micro-batch id is stored IN the appended rows as a
+  * `_batch_id` column, so batch data and the "this batch is committed"
+  * record are one atomic version commit — there is no window where one
+  * exists without the other. On replay, the last committed batch id is
+  * read from the newest version's change set (O(delta), never a snapshot
+  * scan) and the batch is skipped.
+  *
+  * Contract: the table is written only through this sink (mixed writers
+  * would leave `_batch_id`-less deltas on top and break the replay check);
+  * batch ids are monotone per checkpoint, which Structured Streaming
+  * guarantees. The reference's job queue gets the same effect from
+  * Postgres transactions (api/app/services/job_queue.py); here the atomic
+  * unit is the store's version commit.
+  */
+object SnapshotSink {
+
+  /** Highest batch id this sink has committed to `table` (None for an
+    * empty or never-sink-written table). Reads ONE change set — the
+    * newest — because batch ids are monotone. */
+  def lastBatchId(store: SnapshotStore, table: String): Option[Long] =
+    store.changedVersions(table).lastOption.flatMap { v =>
+      store.changesAt(table, v)
+        .filter(_.columns.contains("_batch_id"))
+        .flatMap(df => Option(df.agg(max(col("_batch_id"))).head.get(0))
+          .map(_.asInstanceOf[Long]))
+    }
+
+  /** Append one micro-batch idempotently; returns true iff the batch was
+    * new (false = replay of an already-committed id, skipped). Public so
+    * the replay contract is directly testable without crashing a query. */
+  def appendBatch(store: SnapshotStore, table: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    val replay = lastBatchId(store, table).exists(_ >= batchId)
+    if (!replay) {
+      // localCheckpoint: the batch plan must not re-execute against moved
+      // state when append evaluates it twice (snapshot union + change set)
+      store.append(table, batch.withColumn("_batch_id", lit(batchId))
+        .localCheckpoint(true))
+    }
+    !replay
+  }
+
+  /** Run a stream into `table` exactly-once. Plain foreachBatch
+    * composition — checkpointing, triggers, and restart semantics are the
+    * caller's writeStream options, as with any Spark sink. */
+  def start(stream: DataFrame, store: SnapshotStore, table: String,
+      checkpointLocation: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        appendBatch(store, table, batch.toDF(), id)
+        ()
+      }
+      .start()
+}

@@ -113,6 +113,40 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(empty.isEmpty && empty.columns.toSeq == Seq("id", "_version"))
   }
 
+  test("SnapshotSink appends a stream exactly-once; replays are skipped") {
+    val root = tmp("graft-sink")
+    val st = new SnapshotStore(spark, root)
+    val src = tmp("graft-sink-src")
+    def write(part: String, ids: Seq[Long]): Unit =
+      ids.toDF("id").write.parquet(s"$src/$part")
+    write("p1", Seq(1L, 2L))
+    val ckpt = tmp("graft-sink-ck")
+    def run(): Unit = {
+      val q = graft.streaming.SnapshotSink.start(
+        spark.readStream.schema("id LONG").parquet(s"$src/*"), st, "t", ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    write("p2", Seq(3L))
+    run() // checkpointed restart: p1's batch must not re-append
+    assert(st.read("t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // batch ids rode inside the committed rows (the atomicity carrier)
+    assert(st.read("t").columns.contains("_batch_id"))
+
+    // direct replay of an already-committed id: the at-least-once case
+    // foreachBatch hands us after a sink-side crash — no new version
+    val before = st.history("t").size
+    assert(!graft.streaming.SnapshotSink.appendBatch(st, "t",
+      Seq(99L).toDF("id"), graft.streaming.SnapshotSink.lastBatchId(st, "t").get))
+    assert(st.history("t").size == before)
+    // and a genuinely new id commits
+    assert(graft.streaming.SnapshotSink.appendBatch(st, "t",
+      Seq(4L).toDF("id"), graft.streaming.SnapshotSink.lastBatchId(st, "t").get + 1))
+    assert(st.read("t").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("feed composes with DedupIngest: admitted docs stream downstream") {
     // the loop the store closes: streaming dedup-on-ingest admits docs →
     // the admitted table's change feed drives a downstream incremental
