@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained materialized aggregate over a snapshot-store
+  * table — the composition of the store's change feed and
+  * [[Incremental]]: each `refresh` folds ONLY the change sets recorded
+  * after the view's horizon (`changesSince`, epoch column `_version`) into
+  * the maintained `groupBy(key).agg(count, sum(val))` and commits the
+  * result as the view table's next version.
+  *
+  * The horizon rides INSIDE the committed view rows (constant
+  * `_up_to_version` column), so "which source versions are folded in" and
+  * the folded result are one atomic version commit — a crash between
+  * refreshes can never double-fold a delta (the same carrier trick as
+  * `streaming.SnapshotSink`'s `_batch_id`). Cost per refresh is
+  * O(delta) + O(groups), never a source re-scan: at 100 TB with a 10 GB
+  * daily delta, the rollup trickles instead of recomputing (the reference
+  * recomputes its cached scores from scratch on every epoch advance,
+  * grounding.py:55-68 — this is the scale-correct replacement).
+  *
+  * Contract: the source must be append-maintained (`append` /
+  * `SnapshotSink`) — rewrites record no change set, are invisible to the
+  * feed, and would leave the view stale by design. The view table is
+  * written only by this maintainer.
+  */
+object MaterializedView {
+
+  /** The maintained view's queryable rows: (key, n, total). */
+  def read(store: SnapshotStore, viewTable: String): DataFrame =
+    store.read(viewTable).drop("_up_to_version")
+
+  /** Source version the view has folded through (None = never refreshed). */
+  def horizon(store: SnapshotStore, viewTable: String): Option[Long] =
+    store.latestVersion(viewTable).map { _ =>
+      store.read(viewTable).agg(max(col("_up_to_version"))).head().getLong(0)
+    }
+
+  /** Fold all unseen change sets of `srcTable` into the view; returns the
+    * new horizon. No-op (no new version committed) when the source has
+    * recorded nothing past the current horizon — refresh is idempotent. */
+  def refresh(store: SnapshotStore, srcTable: String, viewTable: String,
+      keyCol: String, valCol: String): Option[Long] = {
+    val h = horizon(store, viewTable)
+    val delta = store.changesSince(srcTable, h.getOrElse(0L))
+    val state = h.map(v => Incremental.MaintainedAgg(v, read(store, viewTable)))
+    val advanced = Incremental.advance(state, delta, keyCol, valCol, "_version")
+    // Nothing new (or a first refresh over a source with no change sets
+    // yet): keep the current version — never commit an empty horizonless
+    // view. Long.MinValue is Incremental's "no rows folded" sentinel.
+    if (h.contains(advanced.upToEpoch) || advanced.upToEpoch == Long.MinValue) h
+    else {
+      store.commit(viewTable,
+        advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)))
+      Some(advanced.upToEpoch)
+    }
+  }
+}
