@@ -243,25 +243,36 @@ object GraftExtensions {
   // Pipeline TVFs: the dedup/quality operators as set-returning SQL over
   // a registered (id/doc_id, text) view — the same lazy-plan contract as
   // the graph TVFs (the RETURNED plan is the operator's own distributed
-  // plan; nothing collects).
+  // plan; nothing collects). One view serves all three: each resolves the
+  // document key as `doc_id` first, then `id`.
+  private def resolveDocId(df: org.apache.spark.sql.DataFrame): String =
+    Seq("doc_id", "id").find(df.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"docs view needs a doc_id or id column, got " +
+          df.columns.mkString("(", ", ", ")")))
   private val exactDedupTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 1, "graft_exact_dedup(docs_view)")
     val spark = org.apache.spark.sql.SparkSession.active
-    Bridge.analyzedPlan(graft.dedup.Dedup.exactDedup(
-      spark.table(constString(children.head, "docs_view")), "id", "text"))
+    val t = spark.table(constString(children.head, "docs_view"))
+    Bridge.analyzedPlan(graft.dedup.Dedup.exactDedup(t, resolveDocId(t), "text"))
   }
   private val nearDupsTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 2, "graft_near_dups(docs_view, min_jaccard)")
     val spark = org.apache.spark.sql.SparkSession.active
+    val t = spark.table(constString(children.head, "docs_view"))
     Bridge.analyzedPlan(graft.dedup.Dedup.minhashNearDups(
-      spark.table(constString(children.head, "docs_view")), "id", "text",
+      t, resolveDocId(t), "text",
       minJaccard = constDouble(children(1), "min_jaccard")))
   }
   private val qualityTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 1, "graft_quality(docs_view)")
     val spark = org.apache.spark.sql.SparkSession.active
-    Bridge.analyzedPlan(graft.queries.TextQueries.gopherRules(
-      spark.table(constString(children.head, "docs_view"))))
+    val t = spark.table(constString(children.head, "docs_view"))
+    // gopherRules' contract names the key doc_id; an id-keyed view is
+    // projected to it (output column is doc_id either way).
+    val in = if (resolveDocId(t) == "doc_id") t
+             else t.withColumnRenamed("id", "doc_id")
+    Bridge.analyzedPlan(graft.queries.TextQueries.gopherRules(in))
   }
 
   // Snapshot-store SQL surface: time travel from SQL, the Delta/Iceberg

@@ -137,10 +137,29 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     *
     * `rows` is evaluated twice — once into the snapshot union, once as the
     * version's recorded change set — so a non-deterministic plan should be
-    * checkpointed by the caller first (DedupIngest already does). */
+    * checkpointed by the caller first (DedupIngest already does).
+    *
+    * SCHEMA EVOLUTION CONTRACT: adding or omitting whole columns is
+    * allowed (missing sides null-fill via `unionByName`), but RETYPING an
+    * existing column is refused here rather than discovered downstream —
+    * a union would silently widen the snapshot while the recorded change
+    * set kept the batch's original type, leaving the change feed's pinned
+    * parquet schema unable to read that delta (the vectorized reader does
+    * not convert across parquet physical types). Nested types compare
+    * deeply: restructuring a struct column counts as a retype. */
   def append(table: String, rows: DataFrame): Long = SnapshotStore.rootLock(root) {
     commit(table, latestVersion(table) match {
-      case Some(v) => readAt(table, v).unionByName(rows, allowMissingColumns = true)
+      case Some(v) =>
+        val base = readAt(table, v)
+        val conflicts = base.schema.fields.flatMap { f =>
+          rows.schema.fields
+            .find(r => r.name.equalsIgnoreCase(f.name) && r.dataType != f.dataType)
+            .map(r => s"${f.name}: ${f.dataType.simpleString} -> ${r.dataType.simpleString}")
+        }
+        require(conflicts.isEmpty,
+          s"append to $table retypes existing column(s) [${conflicts.mkString("; ")}] — " +
+            "adding columns is supported, retyping is not (rewrite via commit instead)")
+        base.unionByName(rows, allowMissingColumns = true)
       case None    => rows
     }, changeSet = Some(rows))
   }

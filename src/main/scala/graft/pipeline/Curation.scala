@@ -74,8 +74,19 @@ object Curation {
       clusters.where(col("is_canonical") === 0)
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+    // The eval n-gram side is built from the ORIGINAL corpus, not kept3:
+    // quality filtering and both dedup stages can silently drop an eval
+    // row (e.g. a training doc duplicates an eval doc and wins the min-id
+    // tie-break), and a dropped eval row must still decontaminate — else
+    // the surviving duplicate training doc is exactly the test-set leak
+    // this stage exists to catch. The training side stays kept3 (only
+    // surviving training docs need flagging).
+    val evalSide = docs.where(isEval)
+      .select(col(idCol), col(textCol), lit(true).as("__eval"))
+    val trainSide = kept3.where(!isEval)
+      .select(col(idCol), col(textCol), lit(false).as("__eval"))
     val hits = Dedup.decontaminationHits(
-      kept3.withColumn("__eval", isEval), idCol, textCol, col("__eval"),
+      trainSide.unionByName(evalSide), idCol, textCol, col("__eval"),
       config.decontaminateNgram)
     val curated = kept3.where(!isEval)
       .join(hits.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")

@@ -66,8 +66,13 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
         val store = new SnapshotStore(spark, root)
         val t =
           if (Option(options.get("feed")).exists(_.equalsIgnoreCase("changes"))) {
-            // Change feed: schema is the CURRENT snapshot's (appended change
-            // sets carry the table schema); versions stream from the offset.
+            // Change feed: schema is PINNED to the current snapshot's at
+            // stream start, and every change set is projected to it —
+            // columns a later append ADDS are dropped from this stream
+            // (resubscribe to pick them up), columns an older change set
+            // lacks read as null, and a RETYPE cannot occur because
+            // SnapshotStore.append refuses it. Same contract as Delta CDF
+            // under additive evolution.
             val (v, dir) = store.resolveVersionDir(table, None)
             val schema = spark.read.parquet(dir.toString).schema
             require(version.isEmpty,

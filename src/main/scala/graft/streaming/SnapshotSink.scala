@@ -28,15 +28,20 @@ import graft.core.SnapshotStore
 object SnapshotSink {
 
   /** Highest batch id this sink has committed to `table` (None for an
-    * empty or never-sink-written table). Reads ONE change set — the
-    * newest — because batch ids are monotone. */
+    * empty or never-sink-written table). Batch ids are monotone, so the
+    * NEWEST change set carrying a `_batch_id` value is authoritative —
+    * but a zero-row change set (an empty micro-batch) has `max(_batch_id)
+    * = null`, so the scan walks versions newest-first until one yields an
+    * id, rather than degrading the replay check to None. Still O(recent
+    * deltas), never a snapshot scan: the walk stops at the first
+    * non-empty sink-written change set. */
   def lastBatchId(store: SnapshotStore, table: String): Option[Long] =
-    store.changedVersions(table).lastOption.flatMap { v =>
+    store.changedVersions(table).reverseIterator.map { v =>
       store.changesAt(table, v)
         .filter(_.columns.contains("_batch_id"))
         .flatMap(df => Option(df.agg(max(col("_batch_id"))).head.get(0))
           .map(_.asInstanceOf[Long]))
-    }
+    }.collectFirst { case Some(id) => id }
 
   /** Append one micro-batch idempotently; returns true iff the batch was
     * new (false = replay of an already-committed id, skipped). Public so
@@ -47,8 +52,11 @@ object SnapshotSink {
     if (!replay) {
       // localCheckpoint: the batch plan must not re-execute against moved
       // state when append evaluates it twice (snapshot union + change set)
-      store.append(table, batch.withColumn("_batch_id", lit(batchId))
-        .localCheckpoint(true))
+      val b = batch.withColumn("_batch_id", lit(batchId)).localCheckpoint(true)
+      // An empty micro-batch commits nothing: a zero-row version adds
+      // churn and carries no `_batch_id` evidence (its max is null), and
+      // skipping it is idempotent — a replayed empty batch skips again.
+      if (!b.isEmpty) store.append(table, b)
     }
     !replay
   }

@@ -54,9 +54,15 @@ class CurationPipelineSpec extends SparkSpec {
 
     // 4. Decontamination: drop training docs sharing 8-grams with the
     // pseudo-eval slice (every 97th doc)
+    // Eval n-grams come from the ORIGINAL corpus (an eval row dropped by
+    // quality/dedup must still decontaminate); training side is kept3.
     val isEval = $"doc_id" % 97 === 0
+    val evalSide = docs.where(isEval)
+      .select($"doc_id", $"text", lit(true).as("eval"))
+    val trainSide = kept3.where(!isEval)
+      .select($"doc_id", $"text", lit(false).as("eval"))
     val hits = Dedup.decontaminationHits(
-      kept3.withColumn("eval", isEval), "doc_id", "text", $"eval", n = 8)
+      trainSide.unionByName(evalSide), "doc_id", "text", $"eval", n = 8)
     val kept4 = kept3.where(!isEval)
       .join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
     val s4 = ids(kept4)
@@ -102,5 +108,27 @@ class CurationPipelineSpec extends SparkSpec {
       .select($"doc_id", $"shard", $"position".cast("long"))
       .as[(Long, Long, Long)].collect().toSet
     assert(facadeOrder == manualOrder)
+  }
+
+  test("decontamination survives an eval row deduplicated away by a training twin") {
+    // A training doc that exactly duplicates an eval doc WINS the min-id
+    // dedup tie-break, deleting the eval row before the decontamination
+    // stage. Its n-grams must still count as eval content — otherwise the
+    // surviving duplicate ships into the curated corpus: the precise
+    // test-set leak the stage exists to prevent.
+    def passing(tag: String): String = // clears every Gopher rule
+      "the and " + (0 until 60).map(i => // letters only: the tokenizer
+        s"tok$tag${('a' + i / 26).toChar}${('a' + i % 26).toChar}") // drops digits
+        .mkString(" ")
+    val shared = passing("dup")
+    val docs = Seq(
+      1L  -> shared,          // training twin (min id ⇒ dedup keeps it)
+      97L -> shared,          // eval row (97 % 97 == 0), dropped by dedup
+      2L  -> passing("clean") // uncontaminated training doc
+    ).toDF("doc_id", "text")
+    val r = graft.pipeline.Curation.curate(docs, isEval = $"doc_id" % 97 === 0)
+    assert(ids(r.afterExactDedup) == Set(1L, 2L)) // eval row is gone pre-hits
+    assert(ids(r.contaminationHits.select("doc_id")) == Set(1L))
+    assert(ids(r.curated) == Set(2L))
   }
 }

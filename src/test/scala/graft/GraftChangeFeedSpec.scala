@@ -147,6 +147,95 @@ class GraftChangeFeedSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("schema evolution: added columns drop from a pinned feed; retypes are refused") {
+    val root = tmp("graft-cf-evolve")
+    val st = new SnapshotStore(spark, root)
+    st.append("docs", Seq((1L, "a")).toDF("id", "s"))
+
+    val sink = tmp("graft-cf-evolve-out")
+    val ckpt = tmp("graft-cf-evolve-ck")
+    def drain(): Unit = {
+      val q = feed(root, "docs").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // pins the (id, s) schema in the sink
+
+    // a widened append mid-stream: the new column is dropped from this
+    // feed's batches (pinned schema), the shared columns stream through
+    st.append("docs", Seq((2L, "b", 9L)).toDF("id", "s", "extra"))
+    // and an append missing a pinned column null-fills it
+    st.append("docs", Seq(3L).toDF("id"))
+    drain()
+    val out = spark.read.parquet(sink).select("id", "s")
+      .as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, Some("a")), (2L, Some("b")), (3L, None)))
+
+    // retyping an existing column is refused at append time — the one
+    // evolution no pinned reader could survive
+    val err = intercept[IllegalArgumentException] {
+      st.append("docs", Seq(("4", "d")).toDF("id", "s"))
+    }
+    assert(err.getMessage.contains("retypes"))
+  }
+
+  test("lastBatchId walks past empty change sets instead of degrading") {
+    val root = tmp("graft-sink-empty")
+    val st = new SnapshotStore(spark, root)
+    assert(graft.streaming.SnapshotSink.appendBatch(st, "t",
+      Seq(1L).toDF("id"), 0L))
+    // an empty micro-batch commits nothing at all now
+    val versions = st.history("t").size
+    assert(graft.streaming.SnapshotSink.appendBatch(st, "t",
+      Seq.empty[Long].toDF("id"), 1L))
+    assert(st.history("t").size == versions)
+    // a zero-row change set in history (e.g. written before the
+    // empty-batch skip existed) must not blind the replay check: the walk
+    // falls back to the newest change set that carries a batch id
+    st.append("t", Seq.empty[(Long, Long)].toDF("id", "_batch_id"))
+    assert(graft.streaming.SnapshotSink.lastBatchId(st, "t").contains(0L))
+    assert(!graft.streaming.SnapshotSink.appendBatch(st, "t",
+      Seq(99L).toDF("id"), 0L)) // replay still detected
+  }
+
+  test("DedupIngest replay is exactly-once, including a crash between appends") {
+    val root = tmp("graft-di-replay")
+    val st = new SnapshotStore(spark, root)
+    val ingest = new graft.streaming.DedupIngest(spark, st)
+    def docsCount = st.read("docs").count()
+    def indexReps = st.read("fp_index").select("rep_id").as[Long].collect().toSet
+
+    val b0 = Seq(1L -> "alpha beta", 2L -> "gamma delta").toDF("doc_id", "text")
+    ingest.processBatch(b0, 0L)
+    val (d0, i0) = (st.history("docs").size, st.history("fp_index").size)
+    // full replay (crash after both appends, before the checkpoint write):
+    // zero new docs, zero new index rows, zero new versions
+    ingest.processBatch(b0, 0L)
+    assert(st.history("docs").size == d0 && st.history("fp_index").size == i0)
+    assert(docsCount == 2L && indexReps == Set(1L, 2L))
+
+    // crash BETWEEN the appends: docs committed, index not — replicate the
+    // batch's first half by hand, then replay the whole batch
+    val b1 = Seq(3L -> "alpha beta", 4L -> "epsilon zeta").toDF("doc_id", "text")
+    val (fresh, _) = graft.dedup.Dedup.dedupAgainstIndex(
+      b1, "doc_id", "text", Some(st.read("fp_index")))
+    graft.streaming.SnapshotSink.appendBatch(st, "docs",
+      fresh.localCheckpoint(true), 1L)
+    assert(docsCount == 3L && indexReps == Set(1L, 2L)) // the torn state
+    ingest.processBatch(b1, 1L)
+    // doc 4 admitted exactly once; the index caught up with its fingerprint
+    assert(docsCount == 3L)
+    assert(ingest.corpus().get.select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 4L))
+    assert(indexReps == Set(1L, 2L, 4L))
+    // and replaying the now-complete batch once more is a no-op
+    val (d1, i1) = (st.history("docs").size, st.history("fp_index").size)
+    ingest.processBatch(b1, 1L)
+    assert(st.history("docs").size == d1 && st.history("fp_index").size == i1)
+  }
+
   test("feed composes with DedupIngest: admitted docs stream downstream") {
     // the loop the store closes: streaming dedup-on-ingest admits docs →
     // the admitted table's change feed drives a downstream incremental
