@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   * A warm-up action first absorbs JVM/codegen startup so measurements
-  * reflect steady-state query cost; queries run in sorted name order. */
+  * reflect steady-state query cost; queries run in sorted name order.
+  * The run adjudicates its own machine: a fixed canary re-timed between
+  * query blocks detects noisy-neighbor contention, triggers re-runs of
+  * the affected block, and reports a `canary` object in the JSON so a
+  * slow total can be told apart from a slow engine (see below). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,24 +57,65 @@ object Bench {
         .collect()
     }
 
+    // SELF-ADJUDICATION: min-of-2 absorbs spikes, not SUSTAINED machine
+    // contention (a co-tenant pinning the cores for minutes inflates both
+    // runs). A fixed canary — one scan+shuffle+aggregate whose steady-state
+    // cost is known from a 3-run baseline — is re-timed after every block
+    // of 10 queries; a canary beyond 1.5× baseline means the wall clock,
+    // not the plans, moved, so the block's queries get one more run
+    // (min-merged) and the episode is recorded in the JSON. A run whose
+    // canary NEVER settled back under the bar is stamped "contended": its
+    // totals are evidence of a busy machine, not of the code.
+    import org.apache.spark.sql.functions.{col, sum}
+    val canaryLi = graft.sources.Tables.lineitem(spark, sfDir)
+    def timeCanary(): Double = {
+      val t0 = System.nanoTime()
+      canaryLi.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryBaseline = (1 to 3).map(_ => timeCanary()).min
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     // Two timed runs per query, report the min (steady-state cost; the
     // machine shows ±30% noisy-neighbor variance on single runs). A failed
     // query reports -1 (never a plausible timing) and the failure goes to
     // stderr — a crashing query must not masquerade as a fast one.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try {
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    var requeried = 0
+    var sustained = false
+    SparkEntry.queries.toSeq.sortBy(_._1).grouped(10).foreach { block =>
+      block.foreach { case (name, fn) =>
+        times(name) =
+          try (1 to 2).map(_ => timeOnce(fn)).min
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+            -1.0
+          }
+      }
+      var canary = timeCanary(); canarySamples += canary
+      if (canary > 1.5 * canaryBaseline) {
+        // the machine was busy during this block — its timings are
+        // suspect, so give each query one more (min-merged) run
+        System.err.println(f"[bench] canary ${canary}%.3fs vs baseline " +
+          f"$canaryBaseline%.3fs — re-running ${block.size} queries")
+        block.foreach { case (name, fn) =>
+          if (times(name) >= 0)
+            try times(name) = math.min(times(name), timeOnce(fn))
+            catch { case _: Throwable => () }
         }
-        name -> times.min
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
-          name -> -1.0
+        requeried += block.size
+        canary = timeCanary(); canarySamples += canary
+        // still over the bar after the retry: interference the retry
+        // could not outwait — even min-merged numbers may be inflated
+        if (canary > 1.5 * canaryBaseline) sustained = true
       }
     }
+    val results = times.toSeq
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A failed query must never IMPROVE the headline number: any -1
@@ -79,8 +124,20 @@ object Bench {
       if (results.isEmpty) 0.0
       else if (results.exists(_._2 < 0)) -1.0
       else results.map(_._2).sum
+    // "contended" = a re-run block's SECOND canary was still over the bar:
+    // sustained interference the retry could not outwait, so even the
+    // min-merged numbers may be inflated. A clean run has max_ratio ≲ 1.5.
+    val maxRatio =
+      if (canaryBaseline > 0) canarySamples.max / canaryBaseline else -1.0
+    val canaryJson = {
+      val samples = canarySamples.map(s => f"$s%.4f").mkString("[", ",", "]")
+      s"""{"baseline_sec":${f"$canaryBaseline%.4f"},"samples":$samples,""" +
+        s""""max_ratio":${f"$maxRatio%.3f"},"requeried":$requeried,""" +
+        s""""contended":$sustained}"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
     // Also write the JSON to a file: the stdout line has twice been lost to
     // tail truncation in captured logs (BENCH_r04/r05) — the file is the
