@@ -207,6 +207,33 @@ object VectorQueries {
         .limit(10)
         .select("vec_id", "label", "coarse_sim", "exact_sim")
     }),
+
+    // Consolidation merge recommendations (ADR-603 preserve decision,
+    // synonym_detector.py:396-446 + vocabulary_manager.py:688-691) over the
+    // q46 pseudo-vocabulary: for every strong synonym pair, preserve the
+    // higher-usage side (label as the usage proxy; tie → lower id) and rank
+    // by priority = sim·2 − min_usage/100. The analytical core of
+    // [[graft.analysis.Consolidation]], oracle-checkable.
+    "q95_merge_recs" -> ((s, dir) => {
+      val v = Tables.embeddings(s, dir).where(col("vec_id") < 32).select(
+        col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      val a = v.toDF("a_id", "a_usage", "a_emb")
+      val b = v.toDF("b_id", "b_usage", "b_emb")
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", round(VectorOps.cosine(col("a_emb"), col("b_emb")), 6))
+        .where(col("sim") >= 0.30)
+        .select(
+          when(col("a_usage") > col("b_usage"), col("a_id"))
+            .when(col("b_usage") > col("a_usage"), col("b_id"))
+            .otherwise(least(col("a_id"), col("b_id"))).as("preserve_id"),
+          when(col("a_usage") > col("b_usage"), col("b_id"))
+            .when(col("b_usage") > col("a_usage"), col("a_id"))
+            .otherwise(greatest(col("a_id"), col("b_id"))).as("deprecate_id"),
+          col("sim"),
+          round(col("sim") * 2 -
+            least(col("a_usage"), col("b_usage")) / lit(100.0), 6).as("priority"))
+        .orderBy(col("priority").desc, col("deprecate_id").asc, col("preserve_id").asc)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -320,5 +347,25 @@ object VectorQueries {
         |FROM a JOIN v USING (vec_id), (SELECT unnest(range(0, 4)) AS pos) p
         |GROUP BY a.cluster, p.pos
         |ORDER BY a.cluster, dim""".stripMargin,
+
+    "q95_merge_recs" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a_id, a.label AS a_usage,
+        |    b.vec_id AS b_id, b.label AS b_usage,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id AND a.vec_id < 32 AND b.vec_id < 32)
+        |SELECT
+        |  CASE WHEN a_usage > b_usage THEN a_id
+        |       WHEN b_usage > a_usage THEN b_id
+        |       ELSE least(a_id, b_id) END AS preserve_id,
+        |  CASE WHEN a_usage > b_usage THEN b_id
+        |       WHEN b_usage > a_usage THEN a_id
+        |       ELSE greatest(a_id, b_id) END AS deprecate_id,
+        |  sim,
+        |  round(sim * 2 - least(a_usage, b_usage) / 100.0, 6) AS priority
+        |FROM p WHERE sim >= 0.30
+        |ORDER BY priority DESC, deprecate_id, preserve_id""".stripMargin,
   )
 }
