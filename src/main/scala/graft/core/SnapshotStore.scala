@@ -219,10 +219,19 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * far back a consumer can lag, exactly as for the streaming feed. */
   def changesSince(table: String, sinceVersion: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val vs = changedVersions(table).filter(_ > sinceVersion)
+    val all = changedVersions(table)
+    val vs = all.filter(_ > sinceVersion)
     vs.map(v => changesAt(table, v).get.withColumn("_version", lit(v)))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .getOrElse(read(table).limit(0).withColumn("_version", lit(0L)))
+      .getOrElse {
+        // Empty catch-up: derive the zero-row frame from the NEWEST change
+        // set when one exists, so an incremental consumer stays strictly
+        // delta-only (never touches the snapshot); fall back to the
+        // snapshot only for a table that never recorded a change set.
+        val proto = all.lastOption.map(v => changesAt(table, v).get)
+          .getOrElse(read(table))
+        proto.limit(0).withColumn("_version", lit(0L))
+      }
   }
 
   /** The change-set write is complete (its own `_SUCCESS` marker): the
