@@ -68,11 +68,19 @@ object Bench {
     // totals are evidence of a busy machine, not of the code.
     import org.apache.spark.sql.functions.{col, sum}
     val canaryLi = graft.sources.Tables.lineitem(spark, sfDir)
-    def timeCanary(): Double = {
+    def timeCanaryOnce(): Double = {
       val t0 = System.nanoTime()
       canaryLi.groupBy(col("l_returnflag")).agg(sum(col("l_quantity"))).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Min of two consecutive runs — the discriminator between SELF-inflicted
+    // first-run cost and real contention. After ~100 distinct queries the
+    // 100-entry codegen cache has evicted the canary's generated class, so
+    // a single timing pays janino recompilation + re-analysis (~0.2 s —
+    // observed as a monotonic 0.15→0.38 s canary drift in the sf1 audit
+    // that min-of-2 eliminates); only the second, warm run measures the
+    // machine. External contention inflates BOTH runs and still trips.
+    def timeCanary(): Double = math.min(timeCanaryOnce(), timeCanaryOnce())
     val canaryBaseline = (1 to 3).map(_ => timeCanary()).min
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -97,6 +105,14 @@ object Bench {
             -1.0
           }
       }
+      // Litter control: queries that localCheckpoint leave their blocks in
+      // the BlockManager until the RDD object happens to be GC'd; over ~200
+      // timed runs at a big SF that accumulates into storage/GC pressure
+      // that drifts the canary upward (observed at sf1: samples rose
+      // 0.15→0.38 s monotonically, mis-read as sustained contention).
+      // Unpersisting between blocks keeps the canary a measure of the
+      // MACHINE and gives every block a clean BlockManager.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       var canary = timeCanary(); canarySamples += canary
       if (canary > 1.5 * canaryBaseline) {
         // the machine was busy during this block — its timings are

@@ -146,8 +146,15 @@ object VectorQueries {
     // impossible, within-cluster pairs are routine. a_id is the kept
     // (smaller) id, b_id the candidate duplicate.
     "q84_semantic_dedup" -> ((s, dir) => {
-      // assignment + vectors materialize once; both pair sides read it
-      val withV = kmeansAssign(s, dir, k = 8).localCheckpoint(false)
+      // SemDeDup's scale knob: k grows with the corpus (k = N/250, floor 8)
+      // so E|cluster| stays ~constant and Σ|cluster|² grows LINEARLY in N —
+      // with a fixed k the pair count is quadratic (measured 10.7× runtime
+      // at 10× rows in the sf1 audit, SCALE.md). The count() prepass is one
+      // metadata-cheap scan; at sf0.01/sf0.1 the formula still yields k=8,
+      // so small-SF results are unchanged.
+      val n = Tables.embeddings(s, dir).count()
+      val withV = kmeansAssign(s, dir, k = math.max(8L, n / 250L).toInt)
+        .localCheckpoint(false)
       val a = withV.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cluster"))
       val b = withV.select(col("vec_id").as("b_id"), col("v").as("b_v"),
         col("cluster").as("b_cluster"))
@@ -261,7 +268,8 @@ object VectorQueries {
     "q84_semantic_dedup" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < 8),
+        |seeds AS (SELECT vec_id AS cid, v AS c FROM v
+        |          WHERE vec_id < (SELECT greatest(8, count(*) // 250) FROM v)),
         |d AS (
         |  SELECT v.vec_id, s.cid,
         |    list_reduce(list_transform(range(1, len(v.v) + 1),

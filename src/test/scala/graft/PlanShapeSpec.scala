@@ -28,10 +28,13 @@ class PlanShapeSpec extends SparkSpec {
     // same shape q59's cutoff uses
     "q86_bm25",
     "q75_unigram_logprob", "q76_bigram_lm",
-    // q78/q84: Lloyd assignment — the broadcast side is the k=8 seed
+    // q78/q84: Lloyd assignment — the broadcast side is the k seed
     // centroids, the exact shape an MLlib KMeans iteration broadcasts
     // (q84's pair join itself is cluster-equi-keyed, never a nested loop)
-    "q78_kmeans_step", "q84_semantic_dedup")
+    "q78_kmeans_step", "q84_semantic_dedup",
+    // q95: consolidation-candidate pairing over the SAME ≤32-row vocab
+    // slice as q46 — bounded by the vocabulary, not the corpus
+    "q95_merge_recs")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
