@@ -18,7 +18,7 @@ import scala.jdk.CollectionConverters._
   * exactly the snapshot-rewrite contract the mutation surface (M1-M7)
   * assumes. Old versions remain for time travel until `vacuum`.
   */
-final class SnapshotStore(spark: SparkSession, root: String) {
+final class SnapshotStore(spark: SparkSession, val root: String) {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def versionDir(table: String, v: Long): Path =
