@@ -151,6 +151,50 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring-dedup EXCISION MASK (Lee et al. 2021, arXiv:2107.06499 —
+    // the remove-the-span step their suffix array drives, n-gram-hashed
+    // here): which token POSITIONS of each doc are covered by an 8-token
+    // span that also occurs in ≥2 distinct documents. q72 reports the
+    // distinct-window SIGNAL; this produces the removal mask — a doc can
+    // share 90% of its windows but have 100% position coverage, and the
+    // mask is what a rewrite pass consumes. Coverage = |union of [pos,
+    // pos+7] hit intervals|, computed as countDistinct over the exploded
+    // position ranges (set-union semantics, no interval-merge window — the
+    // ×8 blowup is a constant, and the per-doc partial agg collapses it
+    // map-side). Shuffles: one gram→distinct-doc-count (map-side combined,
+    // distinct-gram wire), one AQE-sized join of hits to the repeated-gram
+    // set, one per-doc partial agg. All corpus-linear.
+    "q96_span_coverage" -> ((s, dir) => {
+      val win = 8
+      val tk = graft.functions.Text.tokens(col("text"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), tk.as("tk"))
+        .where(size(col("tk")) >= win)
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          transform(sequence(lit(1), size(col("tk")) - (win - 1)),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(col("tk"), i, lit(win))).as("g"))).as("gs"))
+        .localCheckpoint(false) // feeds gram explode AND the final join
+      val grams = docs.select(col("doc_id"), explode(col("gs")).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
+      val rep = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .select(col("g"))
+      val covered = grams.join(rep, "g")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (win - 1))).as("cp"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("cp")).as("n_covered"))
+      docs.select(col("doc_id"), col("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_tokens"), 6)
+            .as("covered_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Content-defined chunking (FastCDC/rsync shape): a chunk boundary
     // falls at position i (16 ≤ i < n) where the polynomial hash of the
     // trailing 16-char window ≡ 0 (mod 64) — boundaries move with content,
@@ -363,6 +407,24 @@ object DedupQueries {
         |tg AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 40 != 0)
         |SELECT doc_id, count(*) AS n_hits, min(first_eval_id) AS first_eval_id
         |FROM tg JOIN egm USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q96_span_coverage" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '$wordPat') AS tk FROM documents),
+        |d AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM toks WHERE len(tk) >= 8),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 7),
+        |    i -> {'pos': i, 'g': array_to_string(tk[i : i + 7], ' ')}), recursive := true)
+        |  FROM d),
+        |rep AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT cp) AS n_covered
+        |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+        |        FROM grams JOIN rep USING (g))
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_tokens, coalesce(cov.n_covered, 0) AS n_covered,
+        |  round(coalesce(cov.n_covered, 0) / CAST(d.n_tokens AS DOUBLE), 6) AS covered_frac
+        |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q58_containment" ->
       """WITH sh AS (
