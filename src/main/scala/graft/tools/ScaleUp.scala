@@ -101,12 +101,23 @@ object ScaleUp {
       .drop("__r")
     write("documents", salted, 8)
 
+    // Orthogonal per-replica transform: cyclic shift by r mod d, negated
+    // for every second wrap of the shift range — both preserve all
+    // within-replica cosines/distances exactly, and any two replicas
+    // r < 2d apart get distinct (shift, sign) pairs, so cross-replica
+    // vectors stay decorrelated even past `d` replicas.
     val emb = replicate(spark.read.parquet(s"$srcDir/embeddings.parquet"))
+      .withColumn("__s", pmod(col("__r"), size(col("embedding"))).cast("int"))
+      .withColumn("__neg",
+        pmod(col("__r").cast("int") / size(col("embedding")), lit(2)) === 1)
       .withColumn("embedding",
-        concat(slice(col("embedding"), col("__r").cast("int") + 1,
-            size(col("embedding")) - col("__r").cast("int")),
-          slice(col("embedding"), lit(1), col("__r").cast("int"))))
-      .withColumn("vec_id", off("vec_id")).drop("__r")
+        concat(slice(col("embedding"), col("__s") + 1,
+            size(col("embedding")) - col("__s")),
+          slice(col("embedding"), lit(1), col("__s"))))
+      .withColumn("embedding",
+        when(col("__neg"), transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      .withColumn("vec_id", off("vec_id")).drop("__r", "__s", "__neg")
     write("embeddings", emb, 4)
 
     spark.stop()
