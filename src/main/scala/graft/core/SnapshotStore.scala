@@ -2,6 +2,9 @@ package graft.core
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.ParquetTableShim
+import org.apache.spark.sql.types.{DataType, StructType}
+import scala.annotation.tailrec
 import scala.jdk.CollectionConverters._
 
 /** Versioned parquet table store — the thin snapshot layer the epoch log
@@ -10,13 +13,28 @@ import scala.jdk.CollectionConverters._
   * offline, so this is the minimal immutable-version design:
   *
   *   root/<table>/v=<n>/ …parquet…   — immutable version directories
+  *   root/<table>/v=<n>/_base        — append chain: version this one EXTENDS
+  *   root/<table>/v=<n>/_snapshot_schema.json — pinned snapshot schema
   *   root/<table>/_latest            — pointer file, updated by atomic rename
   *
-  * Writers `commit` a whole new version (append = union + commit);
-  * readers resolve the pointer ONCE and then hold an immutable directory,
-  * so a concurrent commit never mutates data under a running query —
+  * A version is either SELF-CONTAINED (a `commit` rewrite: its directory
+  * holds the whole snapshot, no `_base`) or a CHAIN LINK (an `append`: the
+  * directory holds ONLY the appended delta, and `_base` names the version
+  * it extends). `snapshot(n) = snapshot(base(n)) ∪ files(n)` — reading a
+  * version assembles the base chain into one multi-directory parquet scan,
+  * so an append writes O(delta) bytes however large the table is. The
+  * alternative (union + full rewrite per append) is O(table) write
+  * amplification per micro-batch — at warehouse scale every streaming
+  * batch would rewrite the whole corpus, and N appends would write O(N²)
+  * total. This is the same manifest idea Delta/Iceberg use, reduced to a
+  * parent pointer: the "manifest" of v=n is its chain, and `compact`
+  * collapses a long chain back into one self-contained version.
+  *
+  * Readers resolve the pointer ONCE and then hold an immutable directory
+  * set, so a concurrent commit never mutates data under a running query —
   * exactly the snapshot-rewrite contract the mutation surface (M1-M7)
-  * assumes. Old versions remain for time travel until `vacuum`.
+  * assumes. Old versions remain for time travel until `vacuum` (which
+  * keeps every chain ancestor a kept version still references).
   */
 final class SnapshotStore(spark: SparkSession, val root: String) {
 
@@ -25,6 +43,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     tableDir(table).resolve(s"v=$v")
   private def changesDir(table: String, v: Long): Path =
     versionDir(table, v).resolve("_changes")
+  private def baseFile(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_base")
+  private def schemaFile(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_snapshot_schema.json")
   private def pointer(table: String): Path = tableDir(table).resolve("_latest")
 
   /** Commit `df` as the next version of `table`; returns the new version.
@@ -62,7 +84,22 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * (document the same way Delta CDF treats overwrites). The change set is
     * written before the pointer moves, so every version the pointer exposes
     * has its delta complete on disk. */
-  def commit(table: String, df: DataFrame, changeSet: Option[DataFrame]): Long = {
+  def commit(table: String, df: DataFrame, changeSet: Option[DataFrame]): Long =
+    commitWith(table, df, changeSet, base = None,
+      snapshot = ParquetTableShim.asNullable(df.schema))
+
+  /** The shared commit machinery: claim a version directory, pin its chain
+    * link + snapshot schema, write data + change set, verify the
+    * committed-write marker, advance the pointer. `base = Some(v)` makes
+    * this version a chain link over `v` (its files are a delta);
+    * `base = None` makes it self-contained. `snapshot` is the FULL snapshot
+    * schema at this version (chain-merged for appends), pinned to
+    * `_snapshot_schema.json` so reads never pay per-file footer merging —
+    * at warehouse scale, schema-on-manifest is what keeps `read` from
+    * touching every file's metadata before the scan starts. */
+  private def commitWith(table: String, df: DataFrame,
+      changeSet: Option[DataFrame], base: Option[Long],
+      snapshot: StructType): Long = {
     // Deliberately NOT serialized across committers: allocation is atomic
     // by itself (createDirectory), the write targets an exclusively-owned
     // directory, and only the pointer move below needs mutual exclusion.
@@ -73,6 +110,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       try { Files.createDirectory(versionDir(table, next)); claimed = true }
       catch { case _: java.nio.file.FileAlreadyExistsException => next += 1L }
     }
+    // Chain link + schema are written BEFORE the data: `_SUCCESS` (written
+    // during the data job) is what marks the version committed, so nothing
+    // the committed-version contract depends on may land after it — a crash
+    // between data and a late `_base` would surface a delta-only directory
+    // as a full snapshot, which is silent data loss, not a clean failure.
+    base.foreach(b => Files.writeString(baseFile(table, next), b.toString))
+    Files.writeString(schemaFile(table, next), snapshot.json)
     // `append` into the just-claimed EMPTY directory — overwrite would
     // first DELETE it, and in that window a concurrent committer's
     // createDirectory on the same version would succeed, putting two
@@ -125,33 +169,36 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def maxVersionDir(table: String): Long =
     versionDirs(table).foldLeft(0L)(math.max)
 
-  /** Append rows as a new version (union with the current snapshot).
-    * Root-locked so that within ONE JVM the base resolution and the commit
-    * are a single atomic step. Across instances/JVMs, version
-    * allocation (see `commit`) guarantees neither append's data is ever
-    * overwritten, but two appends basing off the same snapshot still produce
-    * two sibling versions each missing the other's batch — read-modify-write
-    * appends on a shared root require a single writer per table (the same
-    * contract Delta/Iceberg enforce with a commit log; the reference gets it
-    * from Postgres transactions, schema/00_baseline.sql:2198-2240).
+  /** Append rows as a new CHAIN-LINK version: the directory holds only this
+    * delta, `_base` points at the snapshot it extends, and reads assemble
+    * the chain — O(delta) written per append regardless of table size (the
+    * streaming-ingest and event-log shape; a union-and-rewrite append would
+    * be O(table) per batch). Root-locked so that within ONE JVM the base
+    * resolution and the commit are a single atomic step. Across
+    * instances/JVMs, version allocation (see `commit`) guarantees neither
+    * append's data is ever overwritten, but two appends basing off the same
+    * snapshot still produce two sibling versions each missing the other's
+    * batch — read-modify-write appends on a shared root require a single
+    * writer per table (the same contract Delta/Iceberg enforce with a
+    * commit log; the reference gets it from Postgres transactions,
+    * schema/00_baseline.sql:2198-2240).
     *
-    * `rows` is evaluated twice — once into the snapshot union, once as the
+    * `rows` is evaluated twice — once as the delta data, once as the
     * version's recorded change set — so a non-deterministic plan should be
     * checkpointed by the caller first (DedupIngest already does).
     *
     * SCHEMA EVOLUTION CONTRACT: adding or omitting whole columns is
-    * allowed (missing sides null-fill via `unionByName`), but RETYPING an
-    * existing column is refused here rather than discovered downstream —
-    * a union would silently widen the snapshot while the recorded change
-    * set kept the batch's original type, leaving the change feed's pinned
-    * parquet schema unable to read that delta (the vectorized reader does
+    * allowed (the pinned snapshot schema grows; files missing a column
+    * read as null), but RETYPING an existing column is refused here rather
+    * than discovered downstream — the chain's pinned parquet schema cannot
+    * read a delta whose physical type differs (the vectorized reader does
     * not convert across parquet physical types). Nested types compare
     * deeply: restructuring a struct column counts as a retype. */
   def append(table: String, rows: DataFrame): Long = SnapshotStore.rootLock(root) {
-    commit(table, latestVersion(table) match {
+    latestVersion(table) match {
       case Some(v) =>
-        val base = readAt(table, v)
-        val conflicts = base.schema.fields.flatMap { f =>
+        val base = snapshotSchema(table, Some(v))
+        val conflicts = base.fields.flatMap { f =>
           rows.schema.fields
             .find(r => r.name.equalsIgnoreCase(f.name) && r.dataType != f.dataType)
             .map(r => s"${f.name}: ${f.dataType.simpleString} -> ${r.dataType.simpleString}")
@@ -159,10 +206,35 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         require(conflicts.isEmpty,
           s"append to $table retypes existing column(s) [${conflicts.mkString("; ")}] — " +
             "adding columns is supported, retyping is not (rewrite via commit instead)")
-        base.unionByName(rows, allowMissingColumns = true)
-      case None    => rows
-    }, changeSet = Some(rows))
+        val added = rows.schema.fields.filterNot(r =>
+          base.fieldNames.exists(_.equalsIgnoreCase(r.name)))
+        val merged = ParquetTableShim.asNullable(StructType(base.fields ++ added))
+        commitWith(table, rows, Some(rows), base = Some(v), snapshot = merged)
+      case None =>
+        commitWith(table, rows, Some(rows), base = None,
+          snapshot = ParquetTableShim.asNullable(rows.schema))
+    }
   }
+
+  /** Collapse the current snapshot's base chain into one SELF-CONTAINED
+    * version (Delta OPTIMIZE's role): after many appends the chain is long
+    * and its part files small, so reads list/open O(chain) directories;
+    * compaction rewrites the assembled snapshot once, after which `vacuum`
+    * can actually reclaim the superseded links (a kept chain pins its
+    * ancestors). Records NO change set — the feed's consumers already saw
+    * these rows as the appends that produced them, exactly as Delta CDF
+    * skips OPTIMIZE commits. `targetPartitions` sizes the output files
+    * (0 = keep the scan's own partitioning). Same single-writer contract
+    * as `append`: root-locked in-JVM, commit-log territory across JVMs. */
+  def compact(table: String, targetPartitions: Int = 0): Long =
+    SnapshotStore.rootLock(root) {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val snap = readAt(table, v)
+      val df = if (targetPartitions > 0) snap.repartition(targetPartitions) else snap
+      commitWith(table, df, changeSet = None, base = None,
+        snapshot = snapshotSchema(table, Some(v)))
+    }
 
   def latestVersion(table: String): Option[Long] = {
     val p = pointer(table)
@@ -170,29 +242,71 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   }
 
   /** Read the current snapshot: the pointer is resolved NOW, after which
-    * the returned DataFrame is bound to an immutable directory. */
+    * the returned DataFrame is bound to an immutable directory set. */
   def read(table: String): DataFrame =
     readAt(table, latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no committed version of $table")))
 
-  /** Time travel: read a specific version. Refuses a version whose write
-    * never completed (no `_SUCCESS` marker) — an in-flight or crashed
-    * sibling commit must not be readable as data. */
-  def readAt(table: String, version: Long): DataFrame =
-    spark.read.parquet(resolveVersionDir(table, Some(version))._2.toString)
+  /** Time travel: read a specific version — the multi-directory parquet
+    * scan of its base chain under the pinned snapshot schema. Refuses a
+    * version whose write never completed (no `_SUCCESS` marker) — an
+    * in-flight or crashed sibling commit must not be readable as data. */
+  def readAt(table: String, version: Long): DataFrame = {
+    val (v, dirs) = resolveVersionPaths(table, Some(version))
+    val paths = dirs.map(_.toString)
+    val f = schemaFile(table, v)
+    if (Files.exists(f))
+      spark.read.schema(readSchemaFile(f)).parquet(paths: _*)
+    else if (paths.sizeIs == 1) spark.read.parquet(paths.head)
+    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
 
-  /** Pin a read to an immutable (version, directory): the pointer (or the
-    * requested time-travel version) is resolved NOW and validated against
-    * the `_SUCCESS` committed-write marker. This is the single resolution
-    * step the `graft` DataSource V2 connector (sources/GraftDataSource)
-    * performs at load time — everything after it is a plain parquet scan of
-    * a directory that no later commit ever mutates. */
-  def resolveVersionDir(table: String, version: Option[Long] = None): (Long, Path) = {
+  /** The version a chain-link version extends (None = self-contained). */
+  def baseOf(table: String, v: Long): Option[Long] = {
+    val p = baseFile(table, v)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** The base chain of `v`, oldest first, ending at `v` itself — the
+    * directory set whose union IS snapshot(v). Bounded by appends since the
+    * last compaction; strictly decreasing by construction, checked anyway
+    * so a corrupt `_base` fails loudly instead of looping. */
+  private def chainOf(table: String, v: Long): Seq[Long] = {
+    @tailrec def walk(cur: Long, acc: List[Long]): List[Long] = baseOf(table, cur) match {
+      case Some(b) =>
+        require(b < cur, s"corrupt _base chain at v=$cur of $table (base $b)")
+        walk(b, cur :: acc)
+      case None => cur :: acc
+    }
+    walk(v, Nil)
+  }
+
+  /** The pinned snapshot schema of a version (chain-merged at append time);
+    * falls back to reading parquet metadata for pre-schema-file versions. */
+  def snapshotSchema(table: String, version: Option[Long] = None): StructType = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version of $table"))
+    val f = schemaFile(table, v)
+    if (Files.exists(f)) readSchemaFile(f)
+    else readAt(table, v).schema
+  }
+
+  private def readSchemaFile(f: Path): StructType =
+    DataType.fromJson(Files.readString(f)).asInstanceOf[StructType]
+
+  /** Pin a read to an immutable (version, directory set): the pointer (or
+    * the requested time-travel version) is resolved NOW and validated
+    * against the `_SUCCESS` committed-write marker, then expanded to the
+    * version's base chain. This is the single resolution step the `graft`
+    * DataSource V2 connector (sources/GraftDataSource) performs at load
+    * time — everything after it is a plain parquet scan of directories no
+    * later commit ever mutates. */
+  def resolveVersionPaths(table: String, version: Option[Long] = None): (Long, Seq[Path]) = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version of $table"))
     require(isCommitted(table, v),
       s"version $v of $table is not a committed version")
-    (v, versionDir(table, v))
+    (v, chainOf(table, v).map(versionDir(table, _)))
   }
 
   /** The change set a committed version recorded (None for rewrites and
@@ -277,23 +391,29 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   }
 
   /** Drop committed versions older than the newest `keepLast`; the
-    * pointer's version is always kept (keep set is derived from committed
-    * history, never from stray directories). With `dropOrphans`, also remove
-    * directories whose write never completed (no `_SUCCESS`) — crashed or
-    * overtaken commits at ANY position. Because commit allocation + write
-    * deliberately run OUTSIDE the root lock (and cross-JVM writers are
-    * invisible to it anyway), a marker-less directory may be a LIVE commit
-    * mid-write, not a crash: an orphan candidate is reclaimed only when
-    * nothing under it has been modified for `orphanGraceMs` (default
-    * 10 min), so a directory a racing commit just claimed — or is still
-    * streaming part files into — is skipped and picked up by a later
-    * vacuum once it is demonstrably stale. */
+    * pointer's version is always kept, and so is EVERY CHAIN ANCESTOR of a
+    * kept version — a chain link's data lives in its ancestors' directories,
+    * so reclaiming an ancestor a kept snapshot still references would
+    * corrupt it, not merely lose history. Long-lived append chains
+    * therefore pin their tail until a `compact` produces a self-contained
+    * head for the keep set to resolve to (keep set is derived from
+    * committed history, never from stray directories). With `dropOrphans`,
+    * also remove directories whose write never completed (no `_SUCCESS`) —
+    * crashed or overtaken commits at ANY position. Because commit
+    * allocation + write deliberately run OUTSIDE the root lock (and
+    * cross-JVM writers are invisible to it anyway), a marker-less directory
+    * may be a LIVE commit mid-write, not a crash: an orphan candidate is
+    * reclaimed only when nothing under it has been modified for
+    * `orphanGraceMs` (default 10 min), so a directory a racing commit just
+    * claimed — or is still streaming part files into — is skipped and
+    * picked up by a later vacuum once it is demonstrably stale. */
   def vacuum(table: String, keepLast: Int = 1, dropOrphans: Boolean = false,
       orphanGraceMs: Long = SnapshotStore.DefaultOrphanGraceMs): Unit =
     SnapshotStore.rootLock(root) {
       val committed = history(table)
-      val keep = committed.takeRight(math.max(keepLast, 1)).toSet ++
+      val keepRoots = committed.takeRight(math.max(keepLast, 1)).toSet ++
         latestVersion(table)
+      val keep = keepRoots.flatMap(chainOf(table, _))
       // The pointer's version is NEVER an orphan candidate, marker or not —
       // if the marker convention is ever violated, vacuum must degrade to
       // "deletes nothing live", not to destroying the referenced version.
