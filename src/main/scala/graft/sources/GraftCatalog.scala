@@ -53,12 +53,12 @@ final class GraftCatalog extends TableCatalog {
   private def resolved(ident: Identifier, version: Option[Long]): Table = {
     if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
     val table = ident.name()
-    val (v, dir) =
-      try store.resolveVersionDir(table, version)
+    val (v, dirs) =
+      try store.resolveVersionPaths(table, version)
       catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
     new GraftTable(table, v,
-      ParquetTableShim.table(s"$catalogName.$table@v$v", spark, dir.toString,
-        util.Collections.emptyMap[String, String]()))
+      ParquetTableShim.tableWithSchema(s"$catalogName.$table@v$v", spark,
+        dirs.map(_.toString), store.snapshotSchema(table, Some(v))))
   }
 
   override def loadTable(ident: Identifier): Table = resolved(ident, None)

@@ -27,9 +27,10 @@ import graft.core.SnapshotStore
   * }}}
   *
   * Layering, not reimplementation: load-time work is ONLY pointer
-  * resolution — `SnapshotStore.resolveVersionDir` pins one immutable
-  * `v=n` directory — after which the scan IS Spark's own vectorized parquet
-  * table over that directory, so filter pushdown, column pruning, aggregate
+  * resolution — `SnapshotStore.resolveVersionPaths` pins an immutable
+  * directory set (the version's base chain) — after which the scan IS
+  * Spark's own vectorized parquet
+  * table over those directories, so filter pushdown, column pruning, aggregate
   * pushdown, and columnar reads all survive intact (PlanShapeSpec pins
   * `PushedFilters` + pruned `ReadSchema` through this connector). This is
   * the same shape Delta/Iceberg use: a thin log/pointer resolution in front
@@ -73,20 +74,25 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
             // lacks read as null, and a RETYPE cannot occur because
             // SnapshotStore.append refuses it. Same contract as Delta CDF
             // under additive evolution.
-            val (v, dir) = store.resolveVersionDir(table, None)
-            val schema = spark.read.parquet(dir.toString).schema
+            val (v, _) = store.resolveVersionPaths(table, None)
+            val schema = store.snapshotSchema(table, Some(v))
             require(version.isEmpty,
               "feed=changes streams forward — use 'startingVersion', not 'version'")
             val startingVersion =
               Option(options.get("startingVersion")).map(_.trim.toLong).getOrElse(0L)
             new GraftChangeFeedTable(root, table, schema, startingVersion)
           } else {
-            val (v, dir) = store.resolveVersionDir(table, version)
+            val (v, dirs) = store.resolveVersionPaths(table, version)
             val passThrough = new util.HashMap[String, String](options)
             passThrough.remove("root"); passThrough.remove("path")
             passThrough.remove("table"); passThrough.remove("version")
+            // A chain-link version is a directory LIST (base chain + delta);
+            // the scan runs under the version's pinned snapshot schema, so
+            // older chain files missing a later-added column read as null
+            // and no footer merging happens at plan time.
             new GraftTable(table, v,
-              ParquetTableShim.table(s"graft:$table@v$v", spark, dir.toString,
+              ParquetTableShim.tableWithSchema(s"graft:$table@v$v", spark,
+                dirs.map(_.toString), store.snapshotSchema(table, Some(v)),
                 passThrough))
           }
         cached = Some(t)

@@ -30,20 +30,33 @@ object ParquetTableShim {
       userSpecifiedSchema = None,
       fallbackFileFormat = classOf[ParquetFileFormat])
 
-  /** Same, over an explicit directory LIST with a known schema — the
-    * change-feed planner's shape: each micro-batch plans a parquet scan
-    * over exactly the `_changes` directories of its version range (possibly
-    * zero of them), with the table schema fixed up front so nothing is
-    * inferred from a transient file set. */
+  /** Same, over an explicit directory LIST with a known schema — the shape
+    * both the change-feed planner (each micro-batch scans exactly the
+    * `_changes` directories of its version range, possibly zero of them)
+    * and the snapshot face (a chain-link version IS a directory list: base
+    * chain + delta) need: the table schema fixed up front so nothing is
+    * inferred from footers of a transient or multi-schema file set. */
   def tableWithSchema(name: String, spark: SparkSession, dirs: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Table =
+      schema: org.apache.spark.sql.types.StructType,
+      options: java.util.Map[String, String] =
+        java.util.Collections.emptyMap[String, String]()): Table =
     ParquetTable(
       name,
       spark,
-      CaseInsensitiveStringMap.empty(),
+      new CaseInsensitiveStringMap(options),
       dirs,
       userSpecifiedSchema = Some(schema),
       fallbackFileFormat = classOf[ParquetFileFormat])
+
+  /** Deep all-nullable view of a schema (Spark's `private[spark]`
+    * `StructType.asNullable`). The store pins this as the snapshot schema:
+    * a chain's older files legitimately LACK columns a later append added —
+    * they must read as null — and parquet round-trips don't preserve
+    * non-nullability anyway, so pinning a non-nullable writer schema would
+    * declare a constraint the scan cannot honor. */
+  def asNullable(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    schema.asNullable
 
   /** The batch (partitions, reader factory) of a DSv2 table's unfiltered
     * scan — the delegation step that lets the change feed reuse Spark's

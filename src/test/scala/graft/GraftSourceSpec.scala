@@ -28,6 +28,36 @@ class GraftSourceSpec extends SparkSpec {
     assert(v1.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("a chained snapshot reads through the connector (chain + added column)") {
+    val root = freshRoot()
+    val st = new SnapshotStore(spark, root)
+    st.commit("docs", Seq((1L, "a")).toDF("id", "s"))
+    st.append("docs", Seq((2L, "b")).toDF("id", "s"))
+    st.append("docs", Seq((3L, "c", 0.9)).toDF("id", "s", "score"))
+
+    // latest = the whole chain under the pinned (evolved) snapshot schema
+    val latest = spark.read.format("graft")
+      .option("root", root).option("table", "docs").load()
+    assert(latest.columns.toSeq == Seq("id", "s", "score"))
+    assert(latest.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(latest.where(col("score").isNull).count() == 2L)
+
+    // time travel to a mid-chain version assembles only its prefix,
+    // under THAT version's pinned schema (no score column yet)
+    val v2 = spark.read.format("graft")
+      .option("root", root).option("table", "docs").option("version", "2").load()
+    assert(v2.columns.toSeq == Seq("id", "s"))
+    assert(v2.select("id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // SQL catalog face sees the same chain
+    spark.conf.set("spark.sql.catalog.kgchain",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.kgchain.root", root)
+    assert(spark.sql("SELECT count(*) FROM kgchain.docs").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM kgchain.docs VERSION AS OF 2")
+      .head().getLong(0) == 2L)
+  }
+
   test("a loaded frame is pinned: a later commit never changes its rows") {
     val root = freshRoot()
     val st = new SnapshotStore(spark, root)

@@ -98,8 +98,7 @@ class IncrementalCatalogSpec extends SparkSpec {
     val (store, inc, _) = fixture()
     inc.refresh("edges", "ontologies", "documents", "concepts")
     // simulate the crash window: state committed, meta lost
-    val metaDir = java.nio.file.Paths.get(
-      store.resolveVersionDir("catalog_meta")._2.getParent.toString)
+    val metaDir = java.nio.file.Paths.get(store.root, "catalog_meta")
     val w = Files.walk(metaDir)
     try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally w.close()

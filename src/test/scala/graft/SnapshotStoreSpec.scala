@@ -100,6 +100,61 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(v > 2L)
   }
 
+  test("append is a chain link: the version directory holds only the delta") {
+    val st = freshStore()
+    st.commit("t", (1 to 100).toDF("x"))
+    val v = st.append("t", Seq(101).toDF("x"))
+    assert(st.baseOf("t", v).contains(1L))
+    // O(delta) write amplification: the link's own directory holds ONE row
+    // (underscore dirs like _changes are invisible to the listing)
+    val linkDir = java.nio.file.Paths.get(st.root, "t", s"v=$v").toString
+    assert(spark.read.parquet(linkDir).count() == 1L)
+    // while the assembled snapshot is the full chain
+    assert(st.read("t").count() == 101L)
+  }
+
+  test("vacuum never reclaims a chain ancestor a kept version references") {
+    val st = freshStore()
+    st.commit("t", Seq(1).toDF("x"))
+    st.append("t", Seq(2).toDF("x"))
+    st.append("t", Seq(3).toDF("x"))
+    st.vacuum("t", keepLast = 1)
+    // v3's data lives in v1 and v2's directories — the keep set must expand
+    // through the chain or vacuum corrupts the head it kept
+    assert(st.read("t").as[Int].collect().toSet == Set(1, 2, 3))
+    assert(st.history("t") == Seq(1L, 2L, 3L))
+  }
+
+  test("compact collapses the chain; vacuum can then reclaim the links") {
+    val st = freshStore()
+    st.commit("t", Seq(1).toDF("x"))
+    st.append("t", Seq(2).toDF("x"))
+    st.append("t", Seq(3).toDF("x"))
+    val v = st.compact("t")
+    assert(st.baseOf("t", v).isEmpty) // self-contained
+    assert(st.read("t").as[Int].collect().toSet == Set(1, 2, 3))
+    st.vacuum("t", keepLast = 1)
+    assert(st.history("t") == Seq(v)) // chain reclaimed
+    assert(st.read("t").as[Int].collect().toSet == Set(1, 2, 3))
+  }
+
+  test("append may ADD columns (older chain files read null); retype refused") {
+    val st = freshStore()
+    st.append("t", Seq((1, "a")).toDF("id", "s"))
+    st.append("t", Seq((2, "b", 0.5)).toDF("id", "s", "score"))
+    val snap = st.read("t")
+    assert(snap.columns.toSeq == Seq("id", "s", "score"))
+    val byId = snap.collect().map(r => r.getInt(0) -> r.isNullAt(2)).toMap
+    assert(byId(1) && !byId(2)) // pre-evolution file reads the column as null
+    // retyping an existing column is refused loudly, not discovered at scan
+    val err = intercept[IllegalArgumentException] {
+      st.append("t", Seq(("x", "y")).toDF("id", "s"))
+    }
+    assert(err.getMessage.contains("retype"))
+    // the refused append claimed no version and broke nothing
+    assert(st.read("t").count() == 2L)
+  }
+
   test("epoch clock integration: committed version drives Freshness") {
     val st = freshStore()
     st.commit("events", Seq(1L).toDF("event_id"))
