@@ -35,10 +35,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default; read it as long nanos and truncate to microsecond
-    * TimestampType (integer division — a double round-trip would lose
-    * precision above 2^53 ns). Matches DuckDB's `ts::TIMESTAMP` cast. */
+  /** `events.ts` arrives in whatever physical type the writer chose —
+    * parquet TIMESTAMP(NANOS) (read as long nanos under the legacy flag),
+    * TIMESTAMP_NTZ (Spark 4.x infers `isAdjustedToUTC=false` `timestamp[us]`
+    * as NTZ), or plain TIMESTAMP. Normalize all three to microsecond
+    * TimestampType at the loader so downstream `unix_micros`/window calls
+    * never see a foreign temporal type. The session timezone is pinned UTC
+    * in every main/spec, so the NTZ→TIMESTAMP cast is an exact
+    * reinterpretation. Long nanos truncate by integer division (a double
+    * round-trip would lose precision above 2^53 ns); matches DuckDB's
+    * `ts::TIMESTAMP`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
@@ -47,6 +53,10 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
