@@ -282,13 +282,23 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   }
 
   /** The pinned snapshot schema of a version (chain-merged at append time);
-    * falls back to reading parquet metadata for pre-schema-file versions. */
+    * falls back to reading parquet metadata for pre-schema-file (legacy)
+    * versions. The fallback is a footer-merging read, which the SQL catalog
+    * would otherwise pay on EVERY plan resolution of a legacy version — so
+    * it is backfilled to `_snapshot_schema.json` (best-effort; a read-only
+    * filesystem just keeps the slow path) and memoized per (root, table,
+    * version), which is sound because committed versions are immutable. */
   def snapshotSchema(table: String, version: Option[Long] = None): StructType = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version of $table"))
     val f = schemaFile(table, v)
     if (Files.exists(f)) readSchemaFile(f)
-    else readAt(table, v).schema
+    else SnapshotStore.schemaCache.getOrElseUpdate((root, table, v), {
+      val schema = readAt(table, v).schema
+      try Files.writeString(f, schema.json)
+      catch { case _: java.io.IOException => () }
+      schema
+    })
   }
 
   private def readSchemaFile(f: Path): StructType =
@@ -456,6 +466,14 @@ object SnapshotStore {
   /** Orphan directories younger than this are presumed in-flight commits
     * and survive `vacuum(dropOrphans = true)`. */
   val DefaultOrphanGraceMs: Long = 10 * 60 * 1000L
+
+  /** Memoized schemas of legacy (pre-schema-file) versions, keyed by
+    * (root, table, version) — committed versions are immutable, so the
+    * entry can never go stale. Shared across store instances because the
+    * SQL catalog constructs a fresh store per resolution. */
+  private[core] val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long),
+      org.apache.spark.sql.types.StructType]
 
   /** One monitor per PHYSICAL root (symlinks resolved): serializes pointer
     * moves, appends, and vacuums across all store instances in this JVM —

@@ -53,12 +53,17 @@ final class GraftCatalog extends TableCatalog {
   private def resolved(ident: Identifier, version: Option[Long]): Table = {
     if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
     val table = ident.name()
-    val (v, dirs) =
-      try store.resolveVersionPaths(table, version)
-      catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
+    // snapshotSchema shares resolveVersionPaths' not-a-table failure mode
+    // (IllegalArgumentException on a missing/uncommitted version), so it
+    // belongs inside the same mapping to NoSuchTableException.
+    val (v, dirs, schema) =
+      try {
+        val (v0, dirs0) = store.resolveVersionPaths(table, version)
+        (v0, dirs0, store.snapshotSchema(table, Some(v0)))
+      } catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
     new GraftTable(table, v,
       ParquetTableShim.tableWithSchema(s"$catalogName.$table@v$v", spark,
-        dirs.map(_.toString), store.snapshotSchema(table, Some(v))))
+        dirs.map(_.toString), schema))
   }
 
   override def loadTable(ident: Identifier): Table = resolved(ident, None)

@@ -83,9 +83,13 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
             new GraftChangeFeedTable(root, table, schema, startingVersion)
           } else {
             val (v, dirs) = store.resolveVersionPaths(table, version)
+            // Strip every connector-only option so only genuine parquet
+            // reader options reach the file scan (feed/startingVersion are
+            // meaningless outside the changes branch but must not leak).
             val passThrough = new util.HashMap[String, String](options)
             passThrough.remove("root"); passThrough.remove("path")
             passThrough.remove("table"); passThrough.remove("version")
+            passThrough.remove("feed"); passThrough.remove("startingVersion")
             // A chain-link version is a directory LIST (base chain + delta);
             // the scan runs under the version's pinned snapshot schema, so
             // older chain files missing a later-added column read as null

@@ -20,11 +20,24 @@ object StreamOps {
       "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
         "value DOUBLE, props STRING")
 
+  /** Event-time normalization at the watermark boundary: Spark's
+    * EventTimeWatermark requires plain TIMESTAMP and rejects TIMESTAMP_NTZ
+    * at analysis (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`) — the streaming
+    * twin of the NTZ arm in [[graft.sources.Tables.events]]. Sessions pin
+    * UTC, so the cast is an exact reinterpretation. */
+  private def eventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Watermarked tumbling-window aggregate per event type — the streaming
     * twin of q20_time_window. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
-    events
+    eventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -33,7 +46,7 @@ object StreamOps {
     * (kind, actor, max event id, row count) — the committed-epoch clock is
     * `max(event_id)` (M8, schema/00_baseline.sql:2198-2240). */
   def epochRecords(events: DataFrame): DataFrame =
-    events
+    eventTime(events, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type").as("kind"))
       .agg(max(col("event_id")).as("committed_epoch"), count(lit(1)).as("n_events"))
@@ -47,7 +60,7 @@ object StreamOps {
     * longer arrive (they'd be later than the watermark allows). */
   def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
       tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
-    df.withWatermark(tsCol, watermark)
+    eventTime(df, tsCol).withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stream-static enrichment: decorate a stream with a broadcast-joined
@@ -82,8 +95,8 @@ object StreamOps {
     * length. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       within: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark("ts", watermark).as("l")
-    val r = right.withWatermark("ts", watermark).as("r")
+    val l = eventTime(left, "ts").withWatermark("ts", watermark).as("l")
+    val r = eventTime(right, "ts").withWatermark("ts", watermark).as("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") - expr(s"INTERVAL $within") &&

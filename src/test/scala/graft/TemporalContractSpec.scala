@@ -85,4 +85,39 @@ class TemporalContractSpec extends SparkSpec {
       "TIMESTAMP and long-nanos variants must decode to identical micros")
     assert(values(0).map(_._2).sorted == micros.sorted)
   }
+
+  test("streaming watermark path tolerates TIMESTAMP_NTZ event-time input") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamOps
+
+    val hourUs = 3600L * 1000000L
+    val eventMicros = Seq(5L * 60 * 1000000L, 20L * 60 * 1000000L, hourUs + 1L)
+    import spark.implicits._
+    val d = freshDir()
+    eventMicros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .drop("us")
+      .write.mode("overwrite").parquet(d)
+
+    val ntzSchema = StructType(StreamOps.eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
+      case f                   => f
+    })
+    val stream = spark.readStream.schema(ntzSchema).parquet(d)
+    // The watermark + window aggregate must analyze and run on NTZ event
+    // time, not crash the way unix_micros did on the batch side.
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.windowedCounts(stream, watermark = "0 seconds"), "wc_ntz",
+      OutputMode.Complete)
+    val clickTotal = out.where(col("event_type") === "click")
+      .agg(sum(col("n"))).as[Long].head()
+    assert(clickTotal == 3L)
+    assert(out.select(countDistinct(col("window"))).as[Long].head() == 2L,
+      "events an hour apart must land in two distinct windows")
+  }
 }
