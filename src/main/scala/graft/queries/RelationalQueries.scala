@@ -145,10 +145,16 @@ object RelationalQueries {
     }),
 
     // K2: offset pagination via row_number window (queries.py:591-599).
+    // Scale shape: the page end is a constant (offset+limit = 30), so take
+    // the global top-30 first — TakeOrderedAndProject, per-partition top-k
+    // merged at the driver, never a full sort — and only then number rows.
+    // The single-partition window sees 30 rows whatever the table size.
     "q10_pagination" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      c.withColumn("rn", row_number().over(w))
+      val order = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+      val w = Window.orderBy(order: _*)
+      c.orderBy(order: _*).limit(30)
+        .withColumn("rn", row_number().over(w))
         .where(col("rn").between(11, 30))
         .select(col("rn"), col("c_custkey"), col("c_acctbal"))
         .orderBy(col("rn"))

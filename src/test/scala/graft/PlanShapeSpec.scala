@@ -56,6 +56,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("offset pagination bounds its window to the page, not the table") {
+    // q10's global row_number must run AFTER a TakeOrderedAndProject cut
+    // to offset+limit rows — the one single-partition window in the plan
+    // sees 30 rows whatever the table size. The unbounded form (window
+    // directly over the scan) is exactly the shape q55's keyset variant
+    // exists to replace.
+    val plan = planOf("q10_pagination")
+    assert(plan.contains("TakeOrderedAndProject"), "page cut must be top-k")
+    assert(plan.contains("Window"), "row numbering still a window (over 30 rows)")
+  }
+
   test("top-k aggregate queries plan a partial object-hash aggregate, no Window") {
     // q80/q82 exist to replace the window top-k shape: their plans must
     // show the two-phase ObjectHashAggregate (partial map-side heaps) and
