@@ -4,6 +4,9 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 is deprecated and carries no parquet stats; micros keeps
+      // snapshot-store writes zone-map-prunable (FileStats) and smaller.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

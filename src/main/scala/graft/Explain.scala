@@ -16,6 +16,9 @@ object Explain {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 is deprecated and carries no parquet stats; micros keeps
+      // snapshot-store writes zone-map-prunable (FileStats) and smaller.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

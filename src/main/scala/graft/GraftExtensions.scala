@@ -335,7 +335,9 @@ object GraftExtensions {
     "graft_accel_status" -> statusTvf,
     "graft_accel_invalidate" -> invalidateTvf)
 
-  /** Register on an already-built session (tests, REPL). */
+  /** Register on an already-built session (tests, REPL). Note data
+    * skipping needs no registration at all — it lives in the connector's
+    * FileIndex, below the extension surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       Bridge.registerFunction(spark, name, builder)

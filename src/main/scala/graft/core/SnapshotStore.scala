@@ -134,9 +134,24 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       s"commit wrote v=$next of $table without a _SUCCESS marker — " +
         "the snapshot store requires mapreduce.fileoutputcommitter." +
         "marksuccessfuljobs=true (the default)")
+    // Data-skipping manifest (`_stats.json`): per-file column min/max from
+    // the just-written parquet FOOTERS — metadata-only reads, no second
+    // pass over the data. Strictly best-effort: the committed-version
+    // contract must not depend on it (a crash right here leaves a valid,
+    // merely unpruned version), so failures are swallowed.
+    try FileStats.writeStatsFile(
+      spark.sparkContext.hadoopConfiguration, versionDir(table, next))
+    catch { case scala.util.control.NonFatal(_) => () }
     advancePointer(table, next)
     next
   }
+
+  /** The version's data-skipping manifest, if its commit wrote one.
+    * Memoized like schemas: committed version directories are immutable. */
+  def fileStats(table: String, version: Long)
+      : Option[Map[String, graft.core.FileStats.FileStat]] =
+    SnapshotStore.statsCache.getOrElseUpdate((root, table, version),
+      FileStats.readStatsFile(versionDir(table, version)))
 
   /** Move the pointer to `next` unless an already-committed version is newer.
     * Forward-only is enforced under a cross-process FILE LOCK (plus a
@@ -226,15 +241,47 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * skips OPTIMIZE commits. `targetPartitions` sizes the output files
     * (0 = keep the scan's own partitioning). Same single-writer contract
     * as `append`: root-locked in-JVM, commit-log territory across JVMs. */
-  def compact(table: String, targetPartitions: Int = 0): Long =
+  def compact(table: String, targetPartitions: Int = 0,
+      clusterBy: Seq[String] = Nil): Long =
     SnapshotStore.rootLock(root) {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
       val snap = readAt(table, v)
-      val df = if (targetPartitions > 0) snap.repartition(targetPartitions) else snap
+      val df =
+        if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
+        else if (targetPartitions > 0) snap.repartition(targetPartitions)
+        else snap
       commitWith(table, df, changeSet = None, base = None,
         snapshot = snapshotSchema(table, Some(v)))
     }
+
+  /** Write-time clustering (Iceberg sort-order / Delta OPTIMIZE ZORDER's
+    * role for the single-dimension case): range-partition + sort within
+    * partitions on `cols`, so each written file covers a narrow key range
+    * and the `_stats.json` zone map actually prunes point and range
+    * predicates on those columns. Without clustering the stats still
+    * exist, but every file's [min, max] spans the key domain and nothing
+    * skips. */
+  private def clustered(df: DataFrame, cols: Seq[String],
+      targetPartitions: Int = 0): DataFrame = {
+    val cs = cols.map(org.apache.spark.sql.functions.col)
+    val rp =
+      if (targetPartitions > 0) df.repartitionByRange(targetPartitions, cs: _*)
+      else df.repartitionByRange(cs: _*)
+    rp.sortWithinPartitions(cs: _*)
+  }
+
+  /** `commit` with write-time clustering on `clusterBy` (see [[clustered]]). */
+  def commitClustered(table: String, df: DataFrame, clusterBy: Seq[String],
+      changeSet: Option[DataFrame] = None): Long =
+    commit(table, clustered(df, clusterBy), changeSet)
+
+  /** `append` with write-time clustering of the delta: the appended files
+    * cover narrow ranges of `clusterBy`, so chain reads with a selective
+    * predicate skip most delta directories' files outright. */
+  def appendClustered(table: String, rows: DataFrame,
+      clusterBy: Seq[String]): Long =
+    append(table, clustered(rows, clusterBy))
 
   def latestVersion(table: String): Option[Long] = {
     val p = pointer(table)
@@ -474,6 +521,20 @@ object SnapshotStore {
   private[core] val schemaCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long),
       org.apache.spark.sql.types.StructType]
+
+  /** Memoized data-skipping manifests, same immutability argument. A None
+    * is cached too: stats are written before the pointer advances, so a
+    * version visible without `_stats.json` will never grow one. */
+  private[core] val statsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long),
+      Option[Map[String, FileStats.FileStat]]]
+
+  /** Test hook: drop memoized schemas/manifests. Specs tamper with
+    * committed version directories to simulate legacy or corrupted stores,
+    * which violates the immutability assumption the caches rest on. */
+  private[graft] def dropCachesForTests(): Unit = {
+    schemaCache.clear(); statsCache.clear()
+  }
 
   /** One monitor per PHYSICAL root (symlinks resolved): serializes pointer
     * moves, appends, and vacuums across all store instances in this JVM —

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.FileStats
+import graft.core.FileStats.{BoolVal, ColStats, DoubleVal, FileStat, LongVal, StatVal, StringVal}
+
+/** Zone-map predicate evaluation: can a file whose manifest entry is `fs`
+  * contain ANY row satisfying a predicate? The contract is one-sided —
+  * `mayMatch` returning true proves nothing, returning false PROVES the
+  * file contributes no rows, so the scan may drop it. Every unhandled
+  * expression shape therefore answers true.
+  *
+  * Comparisons follow SQL three-valued logic: a NULL comparison result
+  * never satisfies a Filter, so a column that is all-null in a file (or
+  * physically absent — older chain files before an append added it) lets
+  * any null-rejecting predicate prune the file outright.
+  */
+object DataSkipping {
+
+  def mayMatch(cond: Expression, fs: FileStat): Boolean =
+    if (fs.rows == 0L) false else eval(cond, fs)
+
+  private def eval(e: Expression, fs: FileStat): Boolean = e match {
+    case And(l, r) => eval(l, fs) && eval(r, fs)
+    case Or(l, r) => eval(l, fs) || eval(r, fs)
+    case Literal(v, BooleanType) => v == true
+    case EqualTo(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Eq)
+    case EqualTo(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Eq)
+    case EqualNullSafe(a: Attribute, l: Literal) =>
+      if (l.value == null) nullPossible(fs, a) else cmp(fs, a, l, Op.Eq)
+    case EqualNullSafe(l: Literal, a: Attribute) =>
+      if (l.value == null) nullPossible(fs, a) else cmp(fs, a, l, Op.Eq)
+    case LessThan(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Lt)
+    case LessThan(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Gt)
+    case LessThanOrEqual(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Le)
+    case LessThanOrEqual(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Ge)
+    case GreaterThan(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Gt)
+    case GreaterThan(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Lt)
+    case GreaterThanOrEqual(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Ge)
+    case GreaterThanOrEqual(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Le)
+    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists(l => cmp(fs, a, l.asInstanceOf[Literal], Op.Eq))
+    case InSet(a: Attribute, hset) =>
+      hset.exists(v => cmp(fs, a, Literal(v, a.dataType), Op.Eq))
+    case IsNull(a: Attribute) => nullPossible(fs, a)
+    case IsNotNull(a: Attribute) => nonNullPossible(fs, a)
+    case StartsWith(a: Attribute, Literal(p: UTF8String, StringType)) =>
+      prefixPossible(fs, a, p.toString)
+    case a: Attribute if a.dataType == BooleanType =>
+      cmp(fs, a, Literal(true, BooleanType), Op.Eq)
+    case Not(a: Attribute) if a.dataType == BooleanType =>
+      cmp(fs, a, Literal(false, BooleanType), Op.Eq)
+    case _ => true
+  }
+
+  private object Op extends Enumeration { val Eq, Lt, Le, Gt, Ge = Value }
+
+  /** Catalyst literal internal value → the manifest's comparable domain.
+    * Timestamp/date literals are already epoch micros / days internally, so
+    * this is representation alignment, not a conversion. */
+  private def toStatVal(value: Any, dt: DataType): Option[StatVal] = {
+    if (value == null) return None
+    dt match {
+      case ByteType => Some(LongVal(value.asInstanceOf[Byte].toLong))
+      case ShortType => Some(LongVal(value.asInstanceOf[Short].toLong))
+      case IntegerType => Some(LongVal(value.asInstanceOf[Int].toLong))
+      case LongType => Some(LongVal(value.asInstanceOf[Long]))
+      case FloatType => // exact widening — the manifest widened floats the same way
+        val f = value.asInstanceOf[Float]
+        if (f.isNaN) None else Some(DoubleVal(f.toDouble))
+      case DoubleType =>
+        val d = value.asInstanceOf[Double]
+        if (d.isNaN) None else Some(DoubleVal(d))
+      case StringType => Some(StringVal(value.asInstanceOf[UTF8String].toString))
+      case BooleanType => Some(BoolVal(value.asInstanceOf[Boolean]))
+      case DateType => Some(LongVal(value.asInstanceOf[Int].toLong))
+      case TimestampType | TimestampNTZType =>
+        Some(LongVal(value.asInstanceOf[Long]))
+      case _ => None
+    }
+  }
+
+  /** Column state within a file, derived from the manifest. */
+  private sealed trait ColState
+  private case object Unknown extends ColState // no usable info
+  private case object AllNull extends ColState // every row NULL (or column absent)
+  private final case class Bounded(cs: ColStats) extends ColState
+
+  private def stateOf(fs: FileStat, a: Attribute): ColState = {
+    val name = a.name.toLowerCase
+    fs.cols.get(name) match {
+      case None =>
+        // Physically absent column reads as NULL on every row (pinned
+        // snapshot schema over an older chain file). Absent from stats but
+        // present in the file: no information.
+        if (fs.leaves.contains(name)) Unknown else AllNull
+      case Some(cs) =>
+        if (cs.nullCount.contains(fs.rows)) AllNull
+        else Bounded(cs)
+    }
+  }
+
+  private def nullPossible(fs: FileStat, a: Attribute): Boolean =
+    stateOf(fs, a) match {
+      case AllNull => true
+      case Unknown => true
+      case Bounded(cs) => cs.nullCount.forall(_ > 0L)
+    }
+
+  private def nonNullPossible(fs: FileStat, a: Attribute): Boolean =
+    stateOf(fs, a) match {
+      case AllNull => false
+      case _ => true
+    }
+
+  private def cmp(fs: FileStat, a: Attribute, l: Literal, op: Op.Value): Boolean = {
+    if (l.value == null) return false // comparison with NULL is never true
+    stateOf(fs, a) match {
+      case AllNull => false
+      case Unknown => true
+      case Bounded(cs) =>
+        toStatVal(l.value, l.dataType) match {
+          case None => true
+          case Some(v) =>
+            val geMin = cs.min.forall(m => FileStats.compare(v, m) >= 0)
+            val gtMin = cs.min.forall(m => FileStats.compare(v, m) > 0)
+            val leMax = cs.max.forall(m => FileStats.compare(v, m) <= 0)
+            val ltMax = cs.max.forall(m => FileStats.compare(v, m) < 0)
+            op match {
+              case Op.Eq => geMin && leMax // v inside [min, max]
+              case Op.Lt => gtMin // some row < v ⟺ min < v
+              case Op.Le => geMin // some row ≤ v ⟺ min ≤ v
+              case Op.Gt => ltMax // some row > v ⟺ max > v
+              case Op.Ge => leMax // some row ≥ v ⟺ max ≥ v
+            }
+        }
+    }
+  }
+
+  /** `col LIKE 'p%'`: the matching set is the string interval
+    * [p, successor(p)); overlap with [min, max] requires max ≥ p and
+    * min's |p|-char prefix ≤ p. ASCII bounds (the only kind the manifest
+    * stores) make Java string order agree with parquet's byte order here. */
+  private def prefixPossible(fs: FileStat, a: Attribute, p: String): Boolean =
+    stateOf(fs, a) match {
+      case AllNull => false
+      case Unknown => true
+      case Bounded(cs) =>
+        val maxOk = cs.max.forall {
+          case StringVal(mx) => mx.compareTo(p) >= 0 // p-prefixed values are ≥ p
+          case _ => true
+        }
+        val minOk = cs.min.forall {
+          case StringVal(mn) => mn.take(p.length).compareTo(p) <= 0
+          case _ => true
+        }
+        maxOk && minOk
+    }
+}

@@ -5,7 +5,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.graftbridge.ParquetTableShim
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.core.SnapshotStore
@@ -56,14 +55,8 @@ final class GraftCatalog extends TableCatalog {
     // snapshotSchema shares resolveVersionPaths' not-a-table failure mode
     // (IllegalArgumentException on a missing/uncommitted version), so it
     // belongs inside the same mapping to NoSuchTableException.
-    val (v, dirs, schema) =
-      try {
-        val (v0, dirs0) = store.resolveVersionPaths(table, version)
-        (v0, dirs0, store.snapshotSchema(table, Some(v0)))
-      } catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
-    new GraftTable(table, v,
-      ParquetTableShim.tableWithSchema(s"$catalogName.$table@v$v", spark,
-        dirs.map(_.toString), schema))
+    try GraftTable.forSnapshot(spark, store, table, version)
+    catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
   }
 
   override def loadTable(ident: Identifier): Table = resolved(ident, None)

@@ -82,7 +82,6 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
               Option(options.get("startingVersion")).map(_.trim.toLong).getOrElse(0L)
             new GraftChangeFeedTable(root, table, schema, startingVersion)
           } else {
-            val (v, dirs) = store.resolveVersionPaths(table, version)
             // Strip every connector-only option so only genuine parquet
             // reader options reach the file scan (feed/startingVersion are
             // meaningless outside the changes branch but must not leak).
@@ -90,14 +89,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
             passThrough.remove("root"); passThrough.remove("path")
             passThrough.remove("table"); passThrough.remove("version")
             passThrough.remove("feed"); passThrough.remove("startingVersion")
-            // A chain-link version is a directory LIST (base chain + delta);
-            // the scan runs under the version's pinned snapshot schema, so
-            // older chain files missing a later-added column read as null
-            // and no footer merging happens at plan time.
-            new GraftTable(table, v,
-              ParquetTableShim.tableWithSchema(s"graft:$table@v$v", spark,
-                dirs.map(_.toString), store.snapshotSchema(table, Some(v)),
-                passThrough))
+            GraftTable.forSnapshot(spark, store, table, version, passThrough)
           }
         cached = Some(t)
         t
@@ -112,15 +104,47 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     resolvedTable(new CaseInsensitiveStringMap(properties))
 }
 
+/** One element of a snapshot scan: a path Spark's parquet table will list,
+  * either a whole version DIRECTORY (no manifest — legacy or crashed-stats
+  * commit, reads unpruned) or one data FILE carrying its manifest entry,
+  * the granularity the zone-map pruner works at. */
+final case class ScanUnit(path: String, stat: Option[graft.core.FileStats.FileStat])
+
 /** A pinned snapshot version as a read-only DSv2 table: scans delegate to
-  * Spark's parquet table over the immutable version directory; writes raise
+  * Spark's parquet table over the immutable version chain; writes raise
   * with the store's commit contract instead of silently corrupting a
-  * version. */
-final class GraftTable(tableName: String, version: Long, inner: Table)
+  * version.
+  *
+  * Chain directories whose commits wrote a `_stats.json` manifest are
+  * expanded to file-grained units and served through a
+  * [[org.apache.spark.sql.graftbridge.GraftFileIndex]] — file listings
+  * come from the manifest (no filesystem metadata calls) and pushed data
+  * filters prune whole files against the zone maps in
+  * `FileIndex.listFiles`, in front of parquet's own row-group skipping.
+  * Manifest-less directories fall back to a real listing, unpruned. */
+final class GraftTable(tableName: String, val snapshotVersion: Long,
+    spark: SparkSession, val units: Seq[ScanUnit], pinnedSchema: StructType,
+    passThrough: util.Map[String, String])
   extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graft:$tableName@v$version"
-  override def schema(): StructType = inner.schema()
+  // The scan runs under the version's pinned snapshot schema, so older
+  // chain files missing a later-added column read as null and no footer
+  // merging happens at plan time.
+  private lazy val inner: Table = {
+    val known = units.collect { case ScanUnit(p, Some(st)) =>
+      (new org.apache.hadoop.fs.FileStatus(st.bytes, false, 1,
+        128L * 1024 * 1024, st.mtime, new org.apache.hadoop.fs.Path(p)), st)
+    }
+    val unlisted = units.collect { case ScanUnit(p, None) =>
+      new org.apache.hadoop.fs.Path(p)
+    }
+    ParquetTableShim.tableWithIndex(name(), spark, units.map(_.path),
+      pinnedSchema, passThrough,
+      new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known, unlisted))
+  }
+
+  override def name(): String = s"graft:$tableName@v$snapshotVersion"
+  override def schema(): StructType = pinnedSchema
   // BATCH_WRITE is declared ONLY so a write reaches newWriteBuilder and gets
   // the contract message below, instead of Spark's opaque capability error.
   override def capabilities(): util.Set[TableCapability] =
@@ -133,6 +157,31 @@ final class GraftTable(tableName: String, version: Long, inner: Table)
     throw new UnsupportedOperationException(
       s"graft table '$tableName' is read-only through the connector: version " +
         "directories are immutable — write through SnapshotStore.commit/append")
+}
+
+object GraftTable {
+  /** Resolve (pointer → immutable chain) and expand each chain directory
+    * to file-grained scan units where its commit wrote a `_stats.json`
+    * manifest. Manifest reads are memoized per immutable version, so this
+    * adds one small JSON read per chain directory on first touch — never
+    * per query. */
+  def forSnapshot(spark: SparkSession, store: SnapshotStore, table: String,
+      version: Option[Long],
+      passThrough: util.Map[String, String] =
+        java.util.Collections.emptyMap[String, String]()): GraftTable = {
+    val (v, dirs) = store.resolveVersionPaths(table, version)
+    val units = dirs.flatMap { d =>
+      val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
+      store.fileStats(table, dirVersion) match {
+        case Some(manifest) => manifest.toSeq.sortBy(_._1).map {
+          case (file, st) => ScanUnit(d.resolve(file).toString, Some(st))
+        }
+        case None => Seq(ScanUnit(d.toString, None))
+      }
+    }
+    new GraftTable(table, v, spark, units,
+      store.snapshotSchema(table, Some(v)), passThrough)
+  }
 }
 
 /** The store's CHANGE FEED as a Structured Streaming micro-batch source:

@@ -1,0 +1,82 @@
+package org.apache.spark.sql.graftbridge
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
+
+import graft.core.FileStats.FileStat
+import graft.sources.DataSkipping
+
+/** Manifest-backed file index for snapshot-store scans — the piece that
+  * makes the store's `_stats.json` zone maps ACT on the read path.
+  *
+  * Placement: `FileScan.partitions` calls
+  * `fileIndex.listFiles(partitionFilters, dataFilters)` with the CATALYST
+  * predicates the scan builder received during V2 pushdown. Pruning here —
+  * rather than in an optimizer rule — means every consumer (DataFrame
+  * `format("graft")`, the `kg.*` SQL catalog, `VERSION AS OF` time travel)
+  * skips automatically, on any session, with nothing to register; it is
+  * exactly where Delta's `TahoeLogFileIndex` and Iceberg's Spark scan do
+  * their skipping.
+  *
+  * Files carried in the manifest are served WITHOUT touching the
+  * filesystem: size + mtime come from `_stats.json`, so a chain read costs
+  * one small JSON per chain directory (memoized per immutable version)
+  * instead of a recursive listing — at warehouse scale, listing is the
+  * other half of the skipping win. Chain directories from commits without
+  * a manifest (legacy, or a crash between data and stats) fall back to a
+  * real listing via [[InMemoryFileIndex]] and are never pruned.
+  */
+final class GraftFileIndex(
+    sparkSession: SparkSession,
+    knownFiles: Seq[(FileStatus, FileStat)],
+    unlistedDirs: Seq[Path])
+  extends PartitioningAwareFileIndex(sparkSession, Map.empty, None, NoopCache) {
+
+  private lazy val dirIndex: Option[InMemoryFileIndex] =
+    if (unlistedDirs.isEmpty) None
+    else Some(new InMemoryFileIndex(sparkSession, unlistedDirs, Map.empty, None))
+
+  private def dirStatuses: Seq[FileStatus] = dirIndex.toSeq.flatMap(_.allFiles())
+
+  override def rootPaths: Seq[Path] =
+    knownFiles.map(_._1.getPath) ++ unlistedDirs
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override protected def leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = mutable.LinkedHashMap.empty[Path, FileStatus]
+    (knownFiles.map(_._1) ++ dirStatuses).foreach(st => m(st.getPath) = st)
+    m
+  }
+
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    (knownFiles.map(_._1) ++ dirStatuses)
+      .groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  /** The pruning hook: keep a manifest file only if EVERY pushed data
+    * filter may match it (the filters are conjuncts). Unlisted-dir files
+    * always survive — no stats, no proof. */
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty) knownFiles.map(_._1)
+      else knownFiles.collect {
+        case (st, fs) if dataFilters.forall(DataSkipping.mayMatch(_, fs)) => st
+      }
+    Seq(PartitionDirectory(InternalRow.empty, (kept ++ dirStatuses).toArray))
+  }
+
+  override def refresh(): Unit = dirIndex.foreach(_.refresh())
+
+  override def sizeInBytes: Long =
+    knownFiles.map(_._1.getLen).sum + dirIndex.map(_.sizeInBytes).getOrElse(0L)
+
+  override def inputFiles: Array[String] =
+    (knownFiles.map(_._1.getPath.toString) ++
+      dirStatuses.map(_.getPath.toString)).toArray
+}

@@ -48,6 +48,30 @@ object ParquetTableShim {
       userSpecifiedSchema = Some(schema),
       fallbackFileFormat = classOf[ParquetFileFormat])
 
+  /** Same, but scanning through a caller-supplied file index instead of a
+    * fresh listing — the hook that lets the `graft` connector serve its
+    * file set from the snapshot store's `_stats.json` manifests (with
+    * zone-map pruning in `listFiles`) while everything else — schema
+    * handling, pushdown, vectorized reading — stays Spark's own
+    * [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable]].
+    * `dirs` still names the logical roots for display/`inputFiles`. */
+  def tableWithIndex(name: String, spark: SparkSession, dirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      options: java.util.Map[String, String],
+      index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex)
+      : Table =
+    new ParquetTable(
+      name,
+      spark,
+      new CaseInsensitiveStringMap(options),
+      dirs,
+      userSpecifiedSchema = Some(schema),
+      fallbackFileFormat = classOf[ParquetFileFormat]) {
+      override lazy val fileIndex
+          : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
+        index
+    }
+
   /** Deep all-nullable view of a schema (Spark's `private[spark]`
     * `StructType.asNullable`). The store pins this as the snapshot schema:
     * a chain's older files legitimately LACK columns a later append added —
