@@ -271,10 +271,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     rp.sortWithinPartitions(cs: _*)
   }
 
-  /** `commit` with write-time clustering on `clusterBy` (see [[clustered]]). */
+  /** `commit` with write-time clustering on `clusterBy` (see [[clustered]]).
+    * `targetPartitions` > 0 pins the file count (an explicit partition
+    * count also opts the shuffle out of AQE coalescing — small builds
+    * otherwise collapse to one file and nothing can prune). */
   def commitClustered(table: String, df: DataFrame, clusterBy: Seq[String],
-      changeSet: Option[DataFrame] = None): Long =
-    commit(table, clustered(df, clusterBy), changeSet)
+      changeSet: Option[DataFrame] = None, targetPartitions: Int = 0): Long =
+    commit(table, clustered(df, clusterBy, targetPartitions), changeSet)
 
   /** `append` with write-time clustering of the delta: the appended files
     * cover narrow ranges of `clusterBy`, so chain reads with a selective

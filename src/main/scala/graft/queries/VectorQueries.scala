@@ -241,9 +241,67 @@ object VectorQueries {
             least(col("a_usage"), col("b_usage")) / lit(100.0), 6).as("priority"))
         .orderBy(col("priority").desc, col("deprecate_id").asc, col("preserve_id").asc)
     }),
+
+    // IVF index AT REST (V1's 10¹⁰-row shape, similarity/AnnIndex): cells
+    // 1..8 of the embeddings table are the centroids, the rest is indexed
+    // into a store CLUSTERED BY cell (one file band per cell), and the
+    // query probes its 2 nearest cells — a `cell IN (...)` predicate the
+    // manifest zone maps turn into file pruning (AnnIndexSpec pins the
+    // pruning; this entry pins the search RESULT against DuckDB
+    // recomputing assignment + probes over the original parquet). Build is
+    // idempotent across runs: min-of-2 bench timings measure the warm
+    // probed read. Tiebreaks mirror assignCells/nearestCells: max
+    // similarity then max cell.
+    "q98_ivf_store" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q98_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val store = new graft.core.SnapshotStore(s, root)
+      val cents: Seq[Seq[Double]] = Tables.embeddings(s, dir)
+        .where(col("vec_id").between(1, 8))
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      if (store.latestVersion("ivf").isEmpty)
+        graft.similarity.AnnIndex.build(store, "ivf",
+          Tables.embeddings(s, dir).where(col("vec_id") > 8)
+            .select(col("vec_id"), col("label"), col("embedding").as("v")),
+          "vec_id", "v", cents)
+      val q = Tables.embeddings(s, dir).where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val probes = graft.similarity.Ann.nearestCells(cents, q, nprobe = 2)
+      s.read.format("graft").option("root", root).option("table", "ivf")
+        .load()
+        .where(col("cell").isin(probes: _*))
+        .withColumn("sim", round(VectorOps.cosine(col("v"), VectorOps.vecLit(q)), 6))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(12)
+        .select(col("vec_id"), col("label"), col("sim"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_ivf_store" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+        |    (SELECT c.cell FROM cents c
+        |     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+        |       c.cell DESC LIMIT 1) AS cell
+        |  FROM embeddings e WHERE e.vec_id > 8),
+        |probes AS (
+        |  SELECT c.cell FROM cents c, q
+        |  ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell DESC
+        |  LIMIT 2)
+        |SELECT a.vec_id, a.label,
+        |  round(list_cosine_similarity(a.v, q.qv), 6) AS sim
+        |FROM assign a, q
+        |WHERE a.cell IN (SELECT cell FROM probes)
+        |ORDER BY sim DESC, a.vec_id ASC LIMIT 12""".stripMargin,
+
     "q92_quantized_rerank" ->
       """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |sc AS (SELECT vec_id, label, v,

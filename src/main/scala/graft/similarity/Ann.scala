@@ -49,18 +49,26 @@ object Ann {
     vectors.withColumn("cell", array_max(array(scored: _*)).getField("cell"))
   }
 
-  /** IVF search: probe only the `nprobe` cells nearest to the query.
-    * `cells` must carry the `cell` column from [[assignCells]]. */
-  def ivfTopK(cells: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], query: Seq[Double], k: Int,
-      nprobe: Int): DataFrame = {
-    val probeCells = centroids.zipWithIndex
+  /** The `nprobe` cell ids whose centroids are cosine-nearest to the
+    * query — driver-side over the C centroids (an index-metadata lookup,
+    * like the query-vector literal itself). Tiebreak: higher cell id
+    * first, mirroring [[assignCells]]'s struct-max assignment tiebreak. */
+  def nearestCells(centroids: Seq[Seq[Double]], query: Seq[Double],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
       .map { case (c, i) =>
         val dot = c.zip(query).map { case (a, b) => a * b }.sum
         val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(query.map(x => x * x).sum)
         (if (n == 0) -1.0 else dot / n, i)
       }
-      .sortBy(-_._1).take(nprobe).map(_._2)
+      .sortBy { case (sim, i) => (-sim, -i) }.take(nprobe).map(_._2)
+
+  /** IVF search: probe only the `nprobe` cells nearest to the query.
+    * `cells` must carry the `cell` column from [[assignCells]]. */
+  def ivfTopK(cells: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], query: Seq[Double], k: Int,
+      nprobe: Int): DataFrame = {
+    val probeCells = nearestCells(centroids, query, nprobe)
     bruteForceTopK(
       cells.where(col("cell").isin(probeCells: _*)), // partition-pruning predicate
       idCol, vecCol, query, k)

@@ -1,0 +1,73 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SnapshotStore
+
+/** IVF index AT REST: [[Ann.ivfTopK]]'s inverted-file layout persisted
+  * into the snapshot store so the cell-probe predicate prunes FILES, not
+  * just rows (reference V1 is a client-side full scan,
+  * api/app/lib/age_client/query.py:35-119 — fine at 10³ vectors; this is
+  * the 10¹⁰ shape).
+  *
+  * `build` assigns every vector to its nearest centroid and commits the
+  * table CLUSTERED BY `cell` (range-partition + sort), so each written
+  * file covers a narrow band of cell ids and its `_stats.json` zone map
+  * pins cell ∈ [min, max]. `search` turns the query into a
+  * `cell IN (probes)` predicate; the connector's manifest-backed
+  * FileIndex then drops every non-covering file before any listing or
+  * footer I/O — with C cells and nprobe probes, the scan reads
+  * ~nprobe/C of the index bytes, and the rest of the query is the exact
+  * [[Ann.bruteForceTopK]] kernel over the survivors.
+  *
+  * Centroids persist beside the index as `<table>_centroids` — O(C·d)
+  * rows, read driver-side at query time exactly like the query-vector
+  * literal (an index-metadata lookup, never a data scan). Rebuilds are
+  * snapshot commits: readers pinned to the old version keep a consistent
+  * (centroids, cells) pair, `VERSION AS OF` time-travels the index, and
+  * vacuum reclaims superseded builds.
+  */
+object AnnIndex {
+
+  /** Build (or rebuild) the index: one pass to assign cells, one
+    * clustered write. `partitions` pins the index file count (default one
+    * file band per centroid — the layout where `cell IN (...)` prunes to
+    * exactly the probed cells; an explicit count also opts the range
+    * shuffle out of AQE coalescing, which would otherwise collapse a
+    * small build into one unprunable file). Returns the committed index
+    * version. */
+  def build(store: SnapshotStore, table: String, vectors: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Seq[Double]],
+      partitions: Int = 0): Long = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // Payload columns ride along (label, text, …): the index IS the table,
+    // clustered — not a sidecar needing a join-back at query time.
+    val assigned = Ann.assignCells(
+      vectors.withColumn(vecCol, col(vecCol).cast("array<double>")),
+      vecCol, centroids)
+    store.commit(s"${table}_centroids",
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid"))
+    store.commitClustered(table, assigned, clusterBy = Seq("cell"),
+      targetPartitions = if (partitions > 0) partitions else centroids.size)
+  }
+
+  /** Probe the `nprobe` nearest cells through the graft connector; exact
+    * cosine top-k over the surviving files. */
+  def search(spark: SparkSession, root: String, table: String,
+      idCol: String, vecCol: String, query: Seq[Double], k: Int,
+      nprobe: Int, threshold: Double = -1.0): DataFrame = {
+    val store = new SnapshotStore(spark, root)
+    val centroids = store.read(s"${table}_centroids")
+      .orderBy(col("cell"))
+      .collect() // C rows of index metadata — bounded, driver-side by design
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val probes = Ann.nearestCells(centroids, query, nprobe)
+    val cells = spark.read.format("graft")
+      .option("root", root).option("table", table).load()
+      .where(col("cell").isin(probes: _*))
+    Ann.bruteForceTopK(cells, idCol, vecCol, query, k, threshold)
+  }
+}

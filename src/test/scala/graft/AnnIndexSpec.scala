@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.core.SnapshotStore
+import graft.similarity.{Ann, AnnIndex}
+
+/** IVF index at rest: persisted cells must answer exactly what the
+  * in-memory IVF tier answers, and the cell-probe predicate must prune
+  * index FILES through the store's zone maps. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Four well-separated directions in 8-dim; 60 vectors per cluster with
+  // small deterministic jitter on the off-axis coordinates.
+  private val dim = 8
+  private val centroids: Seq[Seq[Double]] =
+    (0 until 4).map(a => Seq.tabulate(dim)(i => if (i == a) 1.0 else 0.0))
+
+  private def corpus() = {
+    val rows = for {
+      a <- 0 until 4
+      j <- 0 until 60
+    } yield {
+      val id = a * 60 + j
+      val v = Seq.tabulate(dim) { i =>
+        if (i == a) 1.0 else 0.02 * (((id * 31 + i * 7) % 11) - 5)
+      }
+      (id.toLong, v)
+    }
+    rows.toDF("vid", "vec")
+  }
+
+  private val query: Seq[Double] =
+    Seq.tabulate(dim)(i => if (i == 2) 1.0 else 0.01)
+
+  test("index-at-rest search ≡ in-memory ivfTopK") {
+    val root = Files.createTempDirectory("annidx").toString
+    val store = new SnapshotStore(spark, root)
+    AnnIndex.build(store, "vecs", corpus(), "vid", "vec", centroids)
+
+    val atRest = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 7, nprobe = 1)
+      .select(col("vid"), round(col("sim"), 9).as("sim")).collect().toSeq
+    val inMem = Ann.ivfTopK(
+      Ann.assignCells(corpus().select(col("vid"),
+        col("vec").cast("array<double>").as("vec")), "vec", centroids),
+      "vid", "vec", centroids, query, k = 7, nprobe = 1)
+      .select(col("vid"), round(col("sim"), 9).as("sim")).collect().toSeq
+    assert(atRest === inMem)
+    // probe cell is the query's own cluster → top hits are cluster-2 ids
+    assert(atRest.map(_.getLong(0)).forall(id => id >= 120 && id < 180))
+  }
+
+  test("cell probes prune index files via the manifest") {
+    val root = Files.createTempDirectory("annidx").toString
+    val store = new SnapshotStore(spark, root)
+    AnnIndex.build(store, "vecs", corpus(), "vid", "vec", centroids)
+
+    val all = spark.read.format("graft")
+      .option("root", root).option("table", "vecs").load()
+    val probed = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 7, nprobe = 1)
+    val total = scannedFiles(all).size
+    assert(total > 1, "clustered build must write multiple files")
+    assert(scannedFiles(probed).size < total,
+      "probing one cell must skip the other cells' files")
+  }
+
+  test("rebuild is a snapshot commit: search follows the latest index") {
+    val root = Files.createTempDirectory("annidx").toString
+    val store = new SnapshotStore(spark, root)
+    AnnIndex.build(store, "vecs", corpus(), "vid", "vec", centroids)
+    // Rebuild with the corpus shifted by 1000 ids: results must come from
+    // the NEW build only.
+    AnnIndex.build(store, "vecs",
+      corpus().select((col("vid") + 1000).as("vid"), col("vec")),
+      "vid", "vec", centroids)
+    val ids = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 5, nprobe = 1).select("vid").as[Long].collect().toSeq
+    assert(ids.nonEmpty && ids.forall(_ >= 1000))
+  }
+}

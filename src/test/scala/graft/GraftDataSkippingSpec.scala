@@ -17,16 +17,6 @@ class GraftDataSkippingSpec extends SparkSpec {
   private def tmpRoot(): String =
     Files.createTempDirectory("skipspec").toString
 
-  /** Data files the executed plan will actually scan. */
-  private def scannedFiles(df: DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.collectWithSubqueries {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.inputPartitions.collect {
-          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-            fp.files.map(_.urlEncodedPath).toSeq
-        }.flatten
-    }.flatten
-
   private def graftRead(root: String, table: String): DataFrame =
     spark.read.format("graft").option("root", root).option("table", table).load()
 

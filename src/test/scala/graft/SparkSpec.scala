@@ -8,6 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Data files the executed plan will actually scan — pins FileIndex-level
+    * pruning (zone maps) where result equality alone can't see it. */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.urlEncodedPath).toSeq
+        }.flatten
+    }.flatten
 }
 
 object SparkSpec {
