@@ -185,17 +185,26 @@ object FileStats {
       Some(if ((c <= 0) == isMin) x else y)
   }
 
-  /** Total order within one domain; mixed domains should not occur within a
-    * column (same file schema) — treated as equal to stay conservative. */
-  def compare(a: StatVal, b: StatVal): Int = (a, b) match {
-    case (LongVal(x), LongVal(y)) => java.lang.Long.compare(x, y)
-    case (DoubleVal(x), DoubleVal(y)) => java.lang.Double.compare(x, y)
-    case (LongVal(x), DoubleVal(y)) => java.lang.Double.compare(x.toDouble, y)
-    case (DoubleVal(x), LongVal(y)) => java.lang.Double.compare(x, y.toDouble)
-    case (StringVal(x), StringVal(y)) => x.compareTo(y)
-    case (BoolVal(x), BoolVal(y)) => java.lang.Boolean.compare(x, y)
-    case _ => 0
+  /** Total order within comparable domains; None for a domain mismatch
+    * (e.g. a corrupt-but-parseable manifest whose bound carries the wrong
+    * value type). "Equal" would NOT be conservative for the pruner: strict
+    * Lt/Gt comparisons treat equality as proof of non-overlap and drop the
+    * file — a mismatch must surface as UNKNOWN so the caller keeps it. */
+  def compareOpt(a: StatVal, b: StatVal): Option[Int] = (a, b) match {
+    case (LongVal(x), LongVal(y)) => Some(java.lang.Long.compare(x, y))
+    case (DoubleVal(x), DoubleVal(y)) => Some(java.lang.Double.compare(x, y))
+    case (LongVal(x), DoubleVal(y)) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (DoubleVal(x), LongVal(y)) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (StringVal(x), StringVal(y)) => Some(x.compareTo(y))
+    case (BoolVal(x), BoolVal(y)) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
   }
+
+  /** [[compareOpt]] for same-domain callers (footer bound merging, where
+    * both values come from one column of one file schema); a mismatch —
+    * impossible there — degrades to "equal". The PRUNER must use
+    * [[compareOpt]] and keep the file on None. */
+  def compare(a: StatVal, b: StatVal): Int = compareOpt(a, b).getOrElse(0)
 
   // ---------------------------------------------------------------- write / read
 

@@ -47,6 +47,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     versionDir(table, v).resolve("_base")
   private def schemaFile(table: String, v: Long): Path =
     versionDir(table, v).resolve("_snapshot_schema.json")
+  private def propsFile(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_props.json")
   private def pointer(table: String): Path = tableDir(table).resolve("_latest")
 
   /** Commit `df` as the next version of `table`; returns the new version.
@@ -84,9 +86,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * (document the same way Delta CDF treats overwrites). The change set is
     * written before the pointer moves, so every version the pointer exposes
     * has its delta complete on disk. */
-  def commit(table: String, df: DataFrame, changeSet: Option[DataFrame]): Long =
+  def commit(table: String, df: DataFrame, changeSet: Option[DataFrame],
+      props: Map[String, String] = Map.empty): Long =
     commitWith(table, df, changeSet, base = None,
-      snapshot = ParquetTableShim.asNullable(df.schema))
+      snapshot = ParquetTableShim.asNullable(df.schema), props = props)
 
   /** The shared commit machinery: claim a version directory, pin its chain
     * link + snapshot schema, write data + change set, verify the
@@ -99,7 +102,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * touching every file's metadata before the scan starts. */
   private def commitWith(table: String, df: DataFrame,
       changeSet: Option[DataFrame], base: Option[Long],
-      snapshot: StructType): Long = {
+      snapshot: StructType, props: Map[String, String] = Map.empty): Long = {
     // Deliberately NOT serialized across committers: allocation is atomic
     // by itself (createDirectory), the write targets an exclusively-owned
     // directory, and only the pointer move below needs mutual exclusion.
@@ -117,6 +120,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // as a full snapshot, which is silent data loss, not a clean failure.
     base.foreach(b => Files.writeString(baseFile(table, next), b.toString))
     Files.writeString(schemaFile(table, next), snapshot.json)
+    // Commit properties (Delta commitInfo's role): caller-supplied metadata
+    // pinned INSIDE the version directory, before the data, so anything the
+    // version's consumers need to pair with it atomically (e.g. AnnIndex's
+    // centroids version) commits or vanishes WITH the version — never a
+    // second non-atomic write.
+    if (props.nonEmpty) Files.writeString(propsFile(table, next),
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        org.json4s.JObject(props.toList.sortBy(_._1)
+          .map { case (k, v) => k -> org.json4s.JString(v) }))))
     // `append` into the just-claimed EMPTY directory — overwrite would
     // first DELETE it, and in that window a concurrent committer's
     // createDirectory on the same version would succeed, putting two
@@ -147,11 +159,34 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   }
 
   /** The version's data-skipping manifest, if its commit wrote one.
-    * Memoized like schemas: committed version directories are immutable. */
+    * Memoized like schemas — but a None (no `_stats.json`) is cached ONLY
+    * once the version is at or below the table pointer: the stats write
+    * lands after `_SUCCESS` and before the pointer move, so a cross-process
+    * `readAt` hitting that window would otherwise memoize "no manifest" and
+    * permanently lose pruning for the version in this JVM. A missing
+    * manifest at or below the pointer is final (best-effort write already
+    * failed), so caching it then is sound. */
   def fileStats(table: String, version: Long)
       : Option[Map[String, graft.core.FileStats.FileStat]] =
-    SnapshotStore.statsCache.getOrElseUpdate((root, table, version),
-      FileStats.readStatsFile(versionDir(table, version)))
+    SnapshotStore.statsCache.get((root, table, version)).getOrElse {
+      val r = FileStats.readStatsFile(versionDir(table, version))
+      if (r.isDefined || latestVersion(table).exists(version <= _))
+        SnapshotStore.statsCache.putIfAbsent((root, table, version), r)
+      r
+    }
+
+  /** Commit properties a version was committed with (`_props.json`, written
+    * before the data like `_base`/the schema pin — atomic with the version).
+    * Empty for versions committed without properties. */
+  def commitProps(table: String, version: Long): Map[String, String] = {
+    val f = propsFile(table, version)
+    if (!Files.exists(f)) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
+      case org.json4s.JObject(fields) =>
+        fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
 
   /** Move the pointer to `next` unless an already-committed version is newer.
     * Forward-only is enforced under a cross-process FILE LOCK (plus a
@@ -276,8 +311,9 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * count also opts the shuffle out of AQE coalescing — small builds
     * otherwise collapse to one file and nothing can prune). */
   def commitClustered(table: String, df: DataFrame, clusterBy: Seq[String],
-      changeSet: Option[DataFrame] = None, targetPartitions: Int = 0): Long =
-    commit(table, clustered(df, clusterBy, targetPartitions), changeSet)
+      changeSet: Option[DataFrame] = None, targetPartitions: Int = 0,
+      props: Map[String, String] = Map.empty): Long =
+    commit(table, clustered(df, clusterBy, targetPartitions), changeSet, props)
 
   /** `append` with write-time clustering of the delta: the appended files
     * cover narrow ranges of `clusterBy`, so chain reads with a selective
@@ -285,6 +321,23 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def appendClustered(table: String, rows: DataFrame,
       clusterBy: Seq[String]): Long =
     append(table, clustered(rows, clusterBy))
+
+  /** `commit` with MULTI-COLUMN write clustering on a Z-order curve
+    * ([[ZOrder]]): where `commitClustered(Seq(a, b))` sorts lexically and
+    * only predicates on `a` prune, a Z-ordered commit makes the manifest's
+    * zone maps prune on EVERY listed column (Delta OPTIMIZE ZORDER's
+    * role). Same shuffle count as a clustered commit; one bounded sample
+    * pass per column on top. */
+  def commitZOrdered(table: String, df: DataFrame, zorderBy: Seq[String],
+      changeSet: Option[DataFrame] = None, targetPartitions: Int = 0,
+      props: Map[String, String] = Map.empty): Long =
+    commit(table, ZOrder.clustered(df, zorderBy, targetPartitions),
+      changeSet, props)
+
+  /** `append` with Z-order clustering of the delta (see [[commitZOrdered]]). */
+  def appendZOrdered(table: String, rows: DataFrame,
+      zorderBy: Seq[String], targetPartitions: Int = 0): Long =
+    append(table, ZOrder.clustered(rows, zorderBy, targetPartitions))
 
   def latestVersion(table: String): Option[Long] = {
     val p = pointer(table)

@@ -306,8 +306,11 @@ object RelationalQueries {
     // this entry pins end-to-end result fidelity against DuckDB reading
     // the ORIGINAL parquet — the store round trip must be value-exact).
     "q97_store_pointread" -> ((s, dir) => {
+      // Keyed on the DATA's fingerprint (file names/sizes/mtimes), not the
+      // path: regenerating or rescaling the dataset at the same path gets a
+      // fresh store instead of a stale one diverging from the oracle.
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q97_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       if (store.latestVersion("orders").isEmpty)
         store.commitClustered("orders", Tables.orders(s, dir),

@@ -253,8 +253,9 @@ object VectorQueries {
     // probed read. Tiebreaks mirror assignCells/nearestCells: max
     // similarity then max cell.
     "q98_ivf_store" -> ((s, dir) => {
+      // Keyed on the DATA's fingerprint, not the path — see q97.
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q98_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        Tables.fingerprint(dir, "embeddings")
       val store = new graft.core.SnapshotStore(s, root)
       val cents: Seq[Seq[Double]] = Tables.embeddings(s, dir)
         .where(col("vec_id").between(1, 8))

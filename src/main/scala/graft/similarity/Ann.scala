@@ -49,6 +49,90 @@ object Ann {
     vectors.withColumn("cell", array_max(array(scored: _*)).getField("cell"))
   }
 
+  /** Train IVF centroids with Lloyd iterations (spherical k-means: the
+    * assignment metric is [[assignCells]]'s cosine, so trained cells are
+    * exactly the cells the index probes — training with L2 and probing
+    * with cosine would cost recall). Seeded and deterministic: the initial
+    * centroids are the k vectors with the smallest xxhash64(vector, seed),
+    * i.e. a seeded uniform sample that is stable across partitionings and
+    * reruns (reference contract: the projection service's cluster-then-name
+    * pipeline, embedding_projection_service.py:753-807, which k-means its
+    * corpus before naming clusters).
+    *
+    * Each iteration is one distributed pass: assign (scan-shaped, codegen)
+    * → per-(cell, dim) mean via posexplode + partial-aggregated groupBy —
+    * k·d tiny rows collect to the driver per iteration, never the corpus.
+    * An iteration that EMPTIES a cell (two seeds landed in one planted
+    * cluster, one centroid captures nothing) respawns that cell's centroid
+    * on the corpus's current worst-fit vectors — the standard Lloyd
+    * degeneracy repair, kept deterministic by a seeded-hash tiebreak — so
+    * all k cells end populated and probe budgets buy real recall. */
+  def trainCentroids(vectors: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got k=$k iters=$iters)")
+    val v = vectors.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    var cents: Seq[Seq[Double]] = v
+      .withColumn("h", xxhash64(col("v"), lit(seed)))
+      .orderBy(col("h")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(cents.nonEmpty, "trainCentroids: no non-null vectors to sample")
+    def assignWithSim(cs: Seq[Seq[Double]]): DataFrame = {
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.cosine(col("v"), VectorOps.vecLit(c)).as("sim"),
+          lit(i).as("cell"))
+      }
+      v.withColumn("best", array_max(array(scored: _*)))
+        .select(col("v"), col("best.cell").as("cell"), col("best.sim").as("sim"))
+    }
+    // Respawn the empty cells' centroids on the corpus's worst-fit vectors
+    // — a TakeOrdered of |empty| rows, not a corpus collect. A respawned
+    // centroid IS a corpus vector (self-similarity 1), so its cell captures
+    // at least that vector on the next assignment.
+    def respawn(assigned: DataFrame, cur: Seq[Seq[Double]],
+        empty: Seq[Int]): Seq[Seq[Double]] = {
+      val worst = assigned
+        .orderBy(col("sim").asc, xxhash64(col("v"), lit(seed)).asc)
+        .limit(empty.size)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val repl = empty.zip(worst).toMap
+      cur.zipWithIndex.map { case (c, i) => repl.getOrElse(i, c) }
+    }
+    for (_ <- 1 to iters) {
+      val assigned = assignWithSim(cents)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect() // k·d rows of centroid state — driver-side by design
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      val updated = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      val empty = cents.indices.filterNot(means.contains)
+      cents =
+        if (empty.isEmpty) updated
+        else respawn(assigned, updated, empty)
+    }
+    // The last update can still strand a cell (means moved a centroid off
+    // every vector's argmax) — repair until every cell is populated, so the
+    // k the caller asked for is the k the index actually has. Each round's
+    // respawned centroids self-capture, so this converges in one round in
+    // practice; bounded anyway.
+    var repairs = 0
+    var needRepair = true
+    while (needRepair && repairs < 4) {
+      val assigned = assignWithSim(cents)
+      val occupied = assigned.groupBy(col("cell")).count()
+        .collect().map(_.getInt(0)).toSet
+      val empty = cents.indices.filterNot(occupied)
+      if (empty.isEmpty) needRepair = false
+      else { cents = respawn(assigned, cents, empty); repairs += 1 }
+    }
+    cents
+  }
+
   /** The `nprobe` cell ids whose centroids are cosine-nearest to the
     * query — driver-side over the C centroids (an index-metadata lookup,
     * like the query-vector literal itself). Tiebreak: higher cell id

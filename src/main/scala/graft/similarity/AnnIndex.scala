@@ -23,12 +23,23 @@ import graft.core.SnapshotStore
   *
   * Centroids persist beside the index as `<table>_centroids` — O(C·d)
   * rows, read driver-side at query time exactly like the query-vector
-  * literal (an index-metadata lookup, never a data scan). Rebuilds are
+  * literal (an index-metadata lookup, never a data scan). The PAIRING is
+  * atomic: the centroids table commits first, and its version number is
+  * pinned INSIDE the index commit as a commit property
+  * (`centroids_version` in `_props.json`, written with the version
+  * directory itself) — so `search` resolves ONE index version and reads
+  * exactly the centroids that version was built against. A crash between
+  * the two commits, or a rebuild racing a search, leaves the index
+  * pointer on the old version whose property still names the old
+  * centroids — never a new-centroids/old-cells mismatch. Rebuilds are
   * snapshot commits: readers pinned to the old version keep a consistent
   * (centroids, cells) pair, `VERSION AS OF` time-travels the index, and
   * vacuum reclaims superseded builds.
   */
 object AnnIndex {
+
+  /** The property key pairing an index version with its centroids version. */
+  val CentroidsVersionProp = "centroids_version"
 
   /** Build (or rebuild) the index: one pass to assign cells, one
     * clustered write. `partitions` pins the index file count (default one
@@ -47,26 +58,58 @@ object AnnIndex {
     val assigned = Ann.assignCells(
       vectors.withColumn(vecCol, col(vecCol).cast("array<double>")),
       vecCol, centroids)
-    store.commit(s"${table}_centroids",
+    // Centroids first; the index commit then pins THIS version by number.
+    // Publication order makes the pair atomic: an index version is only
+    // visible once its directory (property included) is complete, and the
+    // centroids version it names is already committed by then.
+    val cv = store.commit(s"${table}_centroids",
       centroids.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cell", "centroid"))
     store.commitClustered(table, assigned, clusterBy = Seq("cell"),
-      targetPartitions = if (partitions > 0) partitions else centroids.size)
+      targetPartitions = if (partitions > 0) partitions else centroids.size,
+      props = Map(CentroidsVersionProp -> cv.toString))
+  }
+
+  /** [[build]] with centroids TRAINED on the corpus ([[Ann.trainCentroids]],
+    * seeded Lloyd over the cosine metric the probes use) instead of
+    * caller-supplied — the production path: first-k "centroids" leave cell
+    * populations arbitrary, trained ones make cells compact so a given
+    * nprobe buys real recall (AnnSpec pins ≥0.9 @ nprobe=2 on a
+    * planted-cluster corpus). */
+  def buildTrained(store: SnapshotStore, table: String, vectors: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int = 5,
+      seed: Long = 42L, partitions: Int = 0): Long = {
+    val cents = Ann.trainCentroids(vectors, vecCol, k, iters, seed)
+    build(store, table, vectors, idCol, vecCol, cents, partitions)
   }
 
   /** Probe the `nprobe` nearest cells through the graft connector; exact
-    * cosine top-k over the surviving files. */
+    * cosine top-k over the surviving files. Resolves the index version
+    * ONCE, then reads both the centroids (via the version's pinned
+    * `centroids_version` property) and the cells (via `VERSION AS OF` the
+    * same number) from that single consistent snapshot — a concurrent
+    * rebuild can commit freely mid-search without skewing the pair.
+    * Pre-property index versions (no pinned pairing) fall back to the
+    * latest centroids. */
   def search(spark: SparkSession, root: String, table: String,
       idCol: String, vecCol: String, query: Seq[Double], k: Int,
       nprobe: Int, threshold: Double = -1.0): DataFrame = {
     val store = new SnapshotStore(spark, root)
-    val centroids = store.read(s"${table}_centroids")
+    val (iv, _) = store.resolveVersionPaths(table, None)
+    val centroidsDf = store.commitProps(table, iv)
+      .get(CentroidsVersionProp).map(_.toLong) match {
+        case Some(cv) => store.readAt(s"${table}_centroids", cv)
+        case None => store.read(s"${table}_centroids")
+      }
+    val centroids = centroidsDf
       .orderBy(col("cell"))
       .collect() // C rows of index metadata — bounded, driver-side by design
       .map(r => r.getSeq[Double](1).toSeq).toSeq
     val probes = Ann.nearestCells(centroids, query, nprobe)
     val cells = spark.read.format("graft")
-      .option("root", root).option("table", table).load()
+      .option("root", root).option("table", table)
+      .option("version", iv.toString)
+      .load()
       .where(col("cell").isin(probes: _*))
     Ann.bruteForceTopK(cells, idCol, vecCol, query, k, threshold)
   }

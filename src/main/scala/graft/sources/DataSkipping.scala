@@ -125,16 +125,25 @@ object DataSkipping {
         toStatVal(l.value, l.dataType) match {
           case None => true
           case Some(v) =>
-            val geMin = cs.min.forall(m => FileStats.compare(v, m) >= 0)
-            val gtMin = cs.min.forall(m => FileStats.compare(v, m) > 0)
-            val leMax = cs.max.forall(m => FileStats.compare(v, m) <= 0)
-            val ltMax = cs.max.forall(m => FileStats.compare(v, m) < 0)
-            op match {
-              case Op.Eq => geMin && leMax // v inside [min, max]
-              case Op.Lt => gtMin // some row < v ⟺ min < v
-              case Op.Le => geMin // some row ≤ v ⟺ min ≤ v
-              case Op.Gt => ltMax // some row > v ⟺ max > v
-              case Op.Ge => leMax // some row ≥ v ⟺ max ≥ v
+            // Literal-vs-bound comparison: Some(c) within a comparable
+            // domain, None on a domain mismatch (corrupt-but-parseable
+            // manifest) — which must KEEP the file, exactly like the
+            // corrupt-manifest fallback, never prune it.
+            val cMin = cs.min.map(m => FileStats.compareOpt(v, m))
+            val cMax = cs.max.map(m => FileStats.compareOpt(v, m))
+            if (cMin.exists(_.isEmpty) || cMax.exists(_.isEmpty)) true
+            else {
+              val geMin = cMin.forall(_.exists(_ >= 0))
+              val gtMin = cMin.forall(_.exists(_ > 0))
+              val leMax = cMax.forall(_.exists(_ <= 0))
+              val ltMax = cMax.forall(_.exists(_ < 0))
+              op match {
+                case Op.Eq => geMin && leMax // v inside [min, max]
+                case Op.Lt => gtMin // some row < v ⟺ min < v
+                case Op.Le => geMin // some row ≤ v ⟺ min ≤ v
+                case Op.Gt => ltMax // some row > v ⟺ max > v
+                case Op.Ge => leMax // some row ≥ v ⟺ max ≥ v
+              }
             }
         }
     }

@@ -68,6 +68,48 @@ class AnnIndexSpec extends SparkSpec {
       "probing one cell must skip the other cells' files")
   }
 
+  test("buildTrained: Lloyd-trained index at rest recovers the planted clusters") {
+    val root = Files.createTempDirectory("annidx").toString
+    val store = new SnapshotStore(spark, root)
+    AnnIndex.buildTrained(store, "vecs", corpus(), "vid", "vec",
+      k = 4, iters = 4, seed = 11L)
+    // Probing 1 of 4 trained cells must still surface the query's own
+    // cluster (ids 120..179 point along axis 2) — trained centroids land
+    // on the planted directions, so recall at nprobe=1 is total here.
+    val got = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 7, nprobe = 1).select("vid").as[Long].collect().toSeq
+    assert(got.size === 7)
+    assert(got.forall(id => id >= 120 && id < 180), s"got $got")
+  }
+
+  test("(centroids, cells) pair is atomic: a crashed rebuild cannot skew search") {
+    val root = Files.createTempDirectory("annidx").toString
+    val store = new SnapshotStore(spark, root)
+    AnnIndex.build(store, "vecs", corpus(), "vid", "vec", centroids)
+    val before = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 7, nprobe = 1)
+      .select(col("vid"), round(col("sim"), 9).as("sim")).collect().toSeq
+
+    // The index version pins the centroids version it was built against.
+    val iv = store.latestVersion("vecs").get
+    val cv = store.commitProps("vecs", iv)(AnnIndex.CentroidsVersionProp).toLong
+    assert(store.latestVersion("vecs_centroids").contains(cv))
+
+    // Simulate a rebuild that crashed AFTER committing new centroids but
+    // BEFORE committing the re-assigned cells: latest centroids now
+    // disagree with the index. Search must keep serving the old
+    // consistent pair via the pinned version — not pair new centroids
+    // with old cell assignments.
+    val garbage = centroids.map(_.map(-_)) // inverted axes: worst-case skew
+    store.commit("vecs_centroids",
+      garbage.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"))
+    val after = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 7, nprobe = 1)
+      .select(col("vid"), round(col("sim"), 9).as("sim")).collect().toSeq
+    assert(after === before,
+      "search must resolve centroids from the index version's pinned pairing")
+  }
+
   test("rebuild is a snapshot commit: search follows the latest index") {
     val root = Files.createTempDirectory("annidx").toString
     val store = new SnapshotStore(spark, root)

@@ -55,6 +55,58 @@ class AnnSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  // Planted-cluster corpus for the trained-IVF recall contract: kc
+  // well-separated directions in `dim` dims, 80 points each with small
+  // deterministic jitter (no RNG — reruns are bit-identical).
+  private val pDim = 12
+  private val pK = 6
+  private def planted() = {
+    val rows = for { a <- 0 until pK; j <- 0 until 80 } yield {
+      val id = a * 80 + j
+      val v = Seq.tabulate(pDim) { i =>
+        (if (i == 2 * a || i == 2 * a + 1) 1.0 else 0.0) +
+          0.05 * (((id * 31 + i * 7) % 11) - 5) / 5.0
+      }
+      (id.toLong, v)
+    }
+    rows.toDF("vid", "v")
+  }
+
+  test("trainCentroids is seeded-deterministic and separates planted clusters") {
+    val corpus = planted()
+    val c1 = Ann.trainCentroids(corpus, "v", k = pK, iters = 4, seed = 7L)
+    val c2 = Ann.trainCentroids(corpus, "v", k = pK, iters = 4, seed = 7L)
+    assert(c1 === c2, "same seed + corpus must reproduce centroids exactly")
+    assert(c1.size === pK && c1.forall(_.size === pDim))
+    // Trained cells must be balanced: every planted cluster captured by
+    // some centroid, so each cell holds roughly one cluster's 80 points.
+    val sizes = Ann.assignCells(corpus, "v", c1)
+      .groupBy("cell").count().select("count").as[Long].collect()
+    assert(sizes.length === pK, "no trained cell may come up empty")
+    assert(sizes.forall(n => n >= 40 && n <= 160),
+      s"trained cells should be near-balanced, got ${sizes.toSeq.sorted}")
+  }
+
+  test("trained IVF recall@10 >= 0.9 at nprobe=2 on the planted corpus") {
+    val corpus = planted().cache()
+    val cents = Ann.trainCentroids(corpus, "v", k = pK, iters = 4, seed = 7L)
+    val cells = Ann.assignCells(corpus, "v", cents).cache()
+    // One query per planted cluster, jittered off every corpus point.
+    val recalls = (0 until pK).map { a =>
+      val q = Seq.tabulate(pDim) { i =>
+        (if (i == 2 * a || i == 2 * a + 1) 1.0 else 0.0) +
+          0.03 * (((a * 13 + i * 5) % 7) - 3) / 3.0
+      }
+      val exact = Ann.bruteForceTopK(corpus, "vid", "v", q, 10)
+        .select("vid").as[Long].collect().toSet
+      val approx = Ann.ivfTopK(cells, "vid", "v", cents, q, 10, nprobe = 2)
+        .select("vid").as[Long].collect().toSet
+      approx.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / pK
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-query: $recalls)")
+  }
+
   test("batched top-k join returns k rows per query, ranked") {
     val queries = emb.where($"vec_id" < 3).select(
       $"vec_id".as("qid"), $"emb".as("qv"))

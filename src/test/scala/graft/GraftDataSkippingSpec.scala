@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -149,6 +150,139 @@ class GraftDataSkippingSpec extends SparkSpec {
         Set("id", "score", "name", "flag", "allnull")),
       "part-1.parquet" -> FileStat(0L, 10L, 98L, Map.empty, Set.empty))
     assert(FileStats.fromJson(FileStats.toJson(fs)) === fs)
+  }
+
+  test("Z-ordered commit prunes on BOTH cluster columns; lexical only on the first") {
+    // A 100×100 grid: x and y are independent uniform dimensions — the
+    // adversarial case for lexical clustering, where every file spans y's
+    // whole domain.
+    def grid = spark.range(0, 10000).select(
+      (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"),
+      col("id").as("payload"))
+
+    val lexRoot = tmpRoot()
+    val lex = new SnapshotStore(spark, lexRoot)
+    lex.commitClustered("g", grid, clusterBy = Seq("x", "y"), targetPartitions = 16)
+    val zRoot = tmpRoot()
+    val zed = new SnapshotStore(spark, zRoot)
+    zed.commitZOrdered("g", grid, zorderBy = Seq("x", "y"), targetPartitions = 16)
+
+    val lexAll = scannedFiles(graftRead(lexRoot, "g")).size
+    val zAll = scannedFiles(graftRead(zRoot, "g")).size
+    // Range-partitioner sampling may merge a boundary; near-16 is enough.
+    assert(lexAll >= 12 && zAll >= 12)
+
+    val px = col("x") === 42L
+    val py = col("y") === 87L
+    // Lexical: x (leading) prunes, y (trailing) cannot.
+    assert(scannedFiles(graftRead(lexRoot, "g").filter(px)).size < lexAll)
+    assert(scannedFiles(graftRead(lexRoot, "g").filter(py)).size === lexAll,
+      "lexical clustering must NOT prune on the trailing column (the gap z-order closes)")
+    // Z-order: BOTH columns prune, each to well under half the files.
+    val zx = scannedFiles(graftRead(zRoot, "g").filter(px)).size
+    val zy = scannedFiles(graftRead(zRoot, "g").filter(py)).size
+    assert(zx <= zAll / 2, s"x predicate scanned $zx of $zAll z-ordered files")
+    assert(zy <= zAll / 2, s"y predicate scanned $zy of $zAll z-ordered files")
+    // And pruning is invisible in results.
+    assert(graftRead(zRoot, "g").filter(px).count() === 100)
+    assert(graftRead(zRoot, "g").filter(py).count() === 100)
+    assert(graftRead(zRoot, "g").filter(px && py).count() === 1)
+
+    // Two-predicate queries compose: the conjunction scans no more files
+    // than either single-column predicate alone.
+    val zxy = scannedFiles(graftRead(zRoot, "g").filter(px && py)).size
+    assert(zxy <= math.min(zx, zy))
+  }
+
+  test("compaction regenerates the manifest and pruning survives it (+ vacuum)") {
+    val root = tmpRoot()
+    val store = new SnapshotStore(spark, root)
+    store.commitClustered("t",
+      spark.range(0, 300).select(col("id"), (col("id") % 7).as("w")),
+      clusterBy = Seq("id"))
+    store.appendClustered("t",
+      spark.range(300, 600).select(col("id"), (col("id") % 7).as("w")),
+      clusterBy = Seq("id"))
+    store.appendClustered("t",
+      spark.range(600, 900).select(col("id"), (col("id") % 7).as("w")),
+      clusterBy = Seq("id"))
+
+    val cv = store.compact("t", targetPartitions = 6, clusterBy = Seq("id"))
+    // The rewritten (self-contained) version has its own fresh manifest …
+    assert(Files.exists(Paths.get(root, "t", s"v=$cv", FileStats.StatsFileName)),
+      "compact must regenerate _stats.json for the rewritten version")
+    assert(store.fileStats("t", cv).exists(_.nonEmpty))
+    // … and pruning still works on the compacted layout.
+    val base = graftRead(root, "t")
+    val total = scannedFiles(base).size
+    assert(total > 1, "compacted rewrite keeps multiple prunable files")
+    val hit = base.filter(col("id") === 450)
+    assert(scannedFiles(hit).size < total, "point lookup prunes post-compact")
+    assert(hit.count() === 1)
+
+    // Vacuum away the superseded chain: pruning (and results) unaffected.
+    store.vacuum("t", keepLast = 1)
+    assert(store.history("t") === Seq(cv))
+    val hit2 = graftRead(root, "t").filter(col("id") === 450)
+    assert(scannedFiles(hit2).size < total)
+    assert(hit2.count() === 1)
+    assert(graftRead(root, "t").count() === 900)
+  }
+
+  test("mixed-domain manifest bounds disable pruning, never prune (corrupt-manifest parity)") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import FileStats._
+    // A corrupt-but-parseable manifest: `id` is a LONG column but its bound
+    // landed as a STRING. compare()'s old mixed-domain "equal" would make
+    // strict < / > prove non-overlap and DROP the file; the contract is the
+    // same as a corrupt manifest — keep it.
+    val fs = FileStat(100L, 1000L, 0L,
+      Map("id" -> ColStats(Some(StringVal("oops")), Some(StringVal("oops")), Some(0L))),
+      Set("id"))
+    val id = AttributeReference("id", LongType)()
+    for (pred <- Seq[Expression](
+        LessThan(id, Literal(5L)), GreaterThan(id, Literal(5L)),
+        EqualTo(id, Literal(5L)), LessThanOrEqual(id, Literal(5L)),
+        GreaterThanOrEqual(id, Literal(5L))))
+      assert(graft.sources.DataSkipping.mayMatch(pred, fs),
+        s"mixed-domain bound must keep the file for $pred")
+    // Sanity: a genuine same-domain miss still prunes.
+    val good = FileStat(100L, 1000L, 0L,
+      Map("id" -> ColStats(Some(LongVal(10)), Some(LongVal(20)), Some(0L))),
+      Set("id"))
+    assert(!graft.sources.DataSkipping.mayMatch(LessThan(id, Literal(5L)), good))
+  }
+
+  test("a missing manifest is not cached for versions above the pointer") {
+    val root = tmpRoot()
+    val store = new SnapshotStore(spark, root)
+    store.commitClustered("t", spark.range(0, 100).toDF("id"), Seq("id"))
+    // Simulate the cross-process commit window: v=2 has data + _SUCCESS but
+    // its (best-effort, post-_SUCCESS) stats write hasn't landed and the
+    // pointer hasn't moved. A reader probing stats now must not memoize
+    // "no manifest" forever.
+    val v1 = Paths.get(root, "t", "v=1")
+    val v2 = Paths.get(root, "t", "v=2")
+    Files.createDirectories(v2)
+    val w = Files.walk(v1)
+    try w.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+      Files.copy(p, v2.resolve(v1.relativize(p).toString))
+    } finally w.close()
+    Files.deleteIfExists(v2.resolve(FileStats.StatsFileName))
+    graft.core.SnapshotStore.dropCachesForTests()
+
+    assert(store.fileStats("t", 2L).isEmpty, "no manifest yet")
+    // The stats write lands (still before any pointer move) …
+    FileStats.writeStatsFile(spark.sparkContext.hadoopConfiguration, v2)
+    // … and the same JVM must now see it — the old behavior returned the
+    // memoized None here and lost pruning for v=2 permanently.
+    assert(store.fileStats("t", 2L).exists(_.nonEmpty),
+      "late-landing manifest must become visible (None not cached above pointer)")
+    // At/below the pointer a missing manifest IS final and may cache.
+    Files.deleteIfExists(v1.resolve(FileStats.StatsFileName))
+    graft.core.SnapshotStore.dropCachesForTests()
+    assert(store.fileStats("t", 1L).isEmpty)
   }
 
   test("a corrupt manifest disables pruning but not reading") {
