@@ -71,6 +71,25 @@ final class GraftFileIndex(
     Seq(PartitionDirectory(InternalRow.empty, (kept ++ dirStatuses).toArray))
   }
 
+  /** Manifest-derived scan estimate under the pushed data filters:
+    * Some((surviving rows, surviving bytes, total bytes)) when EVERY file
+    * in scope carries a manifest entry; None when any unlisted directory
+    * contributes files of unknown size/rows. Rows are exact per surviving
+    * file (parquet footer counts), so the estimate reflects zone-map
+    * pruning — a selective point read over a huge table reports the few
+    * thousand rows it will actually produce, not the table's total. */
+  def prunedStats(dataFilters: Seq[Expression]): Option[(Long, Long, Long)] =
+    if (unlistedDirs.nonEmpty) None
+    else {
+      val kept =
+        if (dataFilters.isEmpty) knownFiles.map(_._2)
+        else knownFiles.collect {
+          case (_, fs) if dataFilters.forall(DataSkipping.mayMatch(_, fs)) => fs
+        }
+      Some((kept.map(_.rows).sum, kept.map(_.bytes).sum,
+        knownFiles.map(_._2.bytes).sum))
+    }
+
   override def refresh(): Unit = dirIndex.foreach(_.refresh())
 
   override def sizeInBytes: Long =

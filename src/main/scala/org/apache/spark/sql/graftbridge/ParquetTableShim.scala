@@ -70,6 +70,20 @@ object ParquetTableShim {
       override lazy val fileIndex
           : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =
         index
+      // Manifest-backed statistics (SupportsReportStatistics with real
+      // numbers): the stock FileScan estimate is fileIndex.sizeInBytes —
+      // unpruned, row-count-less. When the index is manifest-backed, the
+      // scan reports the rows/bytes the zone maps say will SURVIVE the
+      // pushed filters, so Catalyst sizes joins from what the scan will
+      // actually produce (auto-broadcast of small snapshots AND of
+      // selective reads over big ones — no hints).
+      override def newScanBuilder(opts: CaseInsensitiveStringMap)
+          : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
+        index match {
+          case g: GraftFileIndex =>
+            new ManifestStatsScanBuilder(spark, g, this.schema, dataSchema, opts)
+          case _ => super.newScanBuilder(opts)
+        }
     }
 
   /** Deep all-nullable view of a schema (Spark's `private[spark]`
@@ -88,4 +102,64 @@ object ParquetTableShim {
   def unfilteredBatch(t: Table): org.apache.spark.sql.connector.read.Batch =
     t.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+}
+
+/** [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]]
+  * whose built scan reports manifest-derived statistics. Pushdown (filters,
+  * columns, aggregates, limits) is entirely the parent's; only `build()` is
+  * intercepted, AFTER pushdown has settled, to wrap the finished scan. */
+private[graftbridge] final class ManifestStatsScanBuilder(
+    spark: org.apache.spark.sql.SparkSession,
+    index: GraftFileIndex,
+    schema: org.apache.spark.sql.types.StructType,
+    dataSchema: org.apache.spark.sql.types.StructType,
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+    spark, index, schema, dataSchema, options) {
+
+  override def build()
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    val built = super.build()
+    // A pushed aggregate rewrites the scan output (rows become per-group);
+    // manifest row counts would be wrong — keep the stock estimate.
+    if (built.pushedAggregate.nonEmpty) built
+    else index.prunedStats(built.dataFilters) match {
+      case Some((rows, bytes, total)) =>
+        new ManifestStatsParquetScan(built, rows, bytes, total)
+      case None => built
+    }
+  }
+}
+
+/** The built scan with [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+  * answered from the snapshot manifest: exact surviving-file row counts,
+  * and the stock (compression- and projection-scaled) size estimate scaled
+  * by the surviving-bytes fraction. Construction copies the finished
+  * scan's own fields, so pushdown state, partition planning, reader
+  * factories, and exchange-reuse equality all stay the parent's. */
+private[graftbridge] final class ManifestStatsParquetScan(
+    base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    rows: Long, prunedBytes: Long, totalBytes: Long)
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+    base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+    base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
+    base.options, base.pushedAggregate, base.partitionFilters,
+    base.dataFilters, base.pushedVariantExtractions) {
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val stock = super.estimateStatistics()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val frac =
+          if (totalBytes <= 0L) 1.0
+          else prunedBytes.toDouble / totalBytes.toDouble
+        if (stock.sizeInBytes.isPresent)
+          java.util.OptionalLong.of(
+            math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
+        else stock.sizeInBytes
+      }
+    }
+  }
 }

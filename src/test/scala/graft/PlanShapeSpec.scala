@@ -174,4 +174,41 @@ class PlanShapeSpec extends SparkSpec {
       assert(q02.contains("PushedFilters:") && q02.contains("IsNotNull"), "q02 pushdown")
     } finally spark.conf.set(key, prev)
   }
+
+  test("graft tables report manifest statistics; small snapshots broadcast unhinted") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("statshape").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    store.commit("dim", spark.range(0, 100)
+      .select(col("id").as("k"), concat(lit("n"), col("id")).as("name")))
+    val dim = spark.read.format("graft")
+      .option("root", root).option("table", "dim").load()
+    // SupportsReportStatistics answered from the manifest: exact row count,
+    // not just a size guess.
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(100)),
+      s"manifest row count must reach Catalyst, got $stats")
+
+    // …which is what lets a small snapshot broadcast WITHOUT a hint.
+    val fact = spark.range(0, 200000)
+      .select((col("id") % 100).as("k"), col("id").as("v"))
+    val joined = fact.join(dim, "k")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small graft table must auto-broadcast")
+    assert(joined.count() === 200000)
+
+    // Pruning-aware: a selective predicate over a big clustered snapshot
+    // shrinks the REPORTED size by the surviving-file fraction, so even a
+    // selective read of a big table sizes (and broadcasts) correctly.
+    store.commitClustered("big", spark.range(0, 200000)
+      .select(col("id"), (col("id") * 2).as("v2")), Seq("id"),
+      targetPartitions = 16)
+    val big = spark.read.format("graft")
+      .option("root", root).option("table", "big").load()
+    val all = big.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sel = big.filter(col("id").between(100L, 200L))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sel < all / 4,
+      s"zone-map pruning must shrink reported size ($sel vs $all)")
+  }
 }
