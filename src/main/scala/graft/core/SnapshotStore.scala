@@ -175,6 +175,16 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       r
     }
 
+  /** [[commitProps]] with CHAIN INHERITANCE: a chain-link version (append)
+    * inherits its base's properties, later links overriding earlier keys —
+    * so metadata pinned at a rewrite (e.g. AnnIndex's centroids pairing)
+    * stays resolvable after any number of appends without re-stamping it
+    * on every delta. */
+  def resolvedProps(table: String, version: Long): Map[String, String] =
+    chainOf(table, version).foldLeft(Map.empty[String, String]) {
+      (acc, v) => acc ++ commitProps(table, v)
+    }
+
   /** Commit properties a version was committed with (`_props.json`, written
     * before the data like `_base`/the schema pin — atomic with the version).
     * Empty for versions committed without properties. */

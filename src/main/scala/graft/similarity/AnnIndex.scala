@@ -83,6 +83,53 @@ object AnnIndex {
     build(store, table, vectors, idCol, vecCol, cents, partitions)
   }
 
+  /** INCREMENTAL maintenance — the streaming twin of [[build]]: assign the
+    * new vectors against the index's pinned centroids and append them as a
+    * cell-clustered chain-link delta (O(batch) written, never a corpus
+    * rewrite; the delta's files are themselves zone-map-prunable on
+    * `cell`, so probes skip inside every append too). The centroids
+    * pairing rides [[SnapshotStore.resolvedProps]] chain inheritance, so
+    * search stays consistent across any number of appends.
+    *
+    * DRIFT GUARD: centroids trained on the original corpus slowly mismatch
+    * a shifting stream — cells bloat and recall decays. When the chained
+    * deltas exceed `rebuildFraction` of the base's rows (manifest row
+    * counts — a metadata check, no scan), the index is RETRAINED and
+    * rebuilt from the full table: one snapshot commit, readers pinned to
+    * the old version never skew. Returns the committed version and whether
+    * this append triggered the rebuild. */
+  def appendIncremental(store: SnapshotStore, table: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      rebuildFraction: Double = 0.25, iters: Int = 3,
+      seed: Long = 42L): (Long, Boolean) = {
+    val spark = vectors.sparkSession
+    val (iv, _) = store.resolveVersionPaths(table, None)
+    val cv = store.resolvedProps(table, iv)(CentroidsVersionProp).toLong
+    val centroids = store.readAt(s"${table}_centroids", cv)
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val assigned = Ann.assignCells(
+      vectors.withColumn(vecCol, col(vecCol).cast("array<double>")),
+      vecCol, centroids)
+    val nv = store.appendClustered(table, assigned, clusterBy = Seq("cell"))
+
+    // Drift check from the manifests of the new version's chain: rows in
+    // the self-contained root vs rows in the appended links.
+    val (_, dirs) = store.resolveVersionPaths(table, Some(nv))
+    val rowsOf: Seq[Long] = dirs.map { d =>
+      val v = d.getFileName.toString.stripPrefix("v=").toLong
+      store.fileStats(table, v).map(_.values.map(_.rows).sum).getOrElse(0L)
+    }
+    val baseRows = rowsOf.headOption.getOrElse(0L)
+    val deltaRows = rowsOf.drop(1).sum
+    if (baseRows > 0L && deltaRows.toDouble / baseRows > rebuildFraction) {
+      val snapshot = store.readAt(table, nv).drop("cell")
+      buildTrained(store, table, snapshot, idCol, vecCol,
+        k = centroids.size, iters = iters, seed = seed)
+      (store.latestVersion(table).get, true)
+    } else (nv, false)
+  }
+
   /** Probe the `nprobe` nearest cells through the graft connector; exact
     * cosine top-k over the surviving files. Resolves the index version
     * ONCE, then reads both the centroids (via the version's pinned
@@ -96,7 +143,7 @@ object AnnIndex {
       nprobe: Int, threshold: Double = -1.0): DataFrame = {
     val store = new SnapshotStore(spark, root)
     val (iv, _) = store.resolveVersionPaths(table, None)
-    val centroidsDf = store.commitProps(table, iv)
+    val centroidsDf = store.resolvedProps(table, iv)
       .get(CentroidsVersionProp).map(_.toLong) match {
         case Some(cv) => store.readAt(s"${table}_centroids", cv)
         case None => store.read(s"${table}_centroids")

@@ -46,8 +46,12 @@ object ScaleUp {
 
     val KeyOffset = 100000000L // > every sf0.1 key; replica i adds i*this
 
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite")
+    // Partition counts were sized for the 10× (sf1) build; scale them with
+    // the replica count so a 100× (sf10) build keeps ~the same bytes/file.
+    val partScale = math.max(1, replicas / 10)
+    def write(name: String, df: DataFrame, baseParts: Int): Unit = {
+      df.repartition(baseParts * (if (baseParts == 1) 1 else partScale))
+        .write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       println(s"[scaleup] $name done")
     }

@@ -110,6 +110,45 @@ class AnnIndexSpec extends SparkSpec {
       "search must resolve centroids from the index version's pinned pairing")
   }
 
+  test("incremental append: new vectors searchable as a chain delta, no rebuild") {
+    val root = Files.createTempDirectory("annidx").toString
+    val store = new SnapshotStore(spark, root)
+    AnnIndex.build(store, "vecs", corpus(), "vid", "vec", centroids)
+    // A small batch of fresh cluster-2 vectors (ids 5000+).
+    val batch = (0 until 5).map { j =>
+      (5000L + j, Seq.tabulate(dim)(i => if (i == 2) 1.0 else 0.001 * j))
+    }.toDF("vid", "vec")
+    val (nv, rebuilt) = AnnIndex.appendIncremental(store, "vecs", batch, "vid", "vec")
+    assert(!rebuilt, "a 5-row delta must not trigger the drift rebuild")
+    assert(store.baseOf("vecs", nv).nonEmpty, "the delta is a chain link")
+    // Search (nprobe=1 on the query's own cell) must surface the appended
+    // ids — the centroids pairing inherited through the chain.
+    val got = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 5, nprobe = 1).select("vid").as[Long].collect().toSet
+    assert((5000L until 5005L).toSet.subsetOf(got), s"got $got")
+  }
+
+  test("drift rebuild: deltas past the fraction retrain and collapse the chain") {
+    val root = Files.createTempDirectory("annidx").toString
+    val store = new SnapshotStore(spark, root)
+    AnnIndex.build(store, "vecs", corpus(), "vid", "vec", centroids)
+    val cvBefore = store.resolvedProps("vecs",
+      store.latestVersion("vecs").get)(AnnIndex.CentroidsVersionProp).toLong
+    // 100 rows on a 240-row base > 25% → rebuild fires on this append.
+    val big = (0 until 100).map { j =>
+      (9000L + j, Seq.tabulate(dim)(i => if (i == (j % 4)) 1.0 else 0.0))
+    }.toDF("vid", "vec")
+    val (nv, rebuilt) = AnnIndex.appendIncremental(store, "vecs", big, "vid", "vec")
+    assert(rebuilt, "a 100/240 delta must trip the 25% drift guard")
+    assert(store.baseOf("vecs", nv).isEmpty, "the rebuild is self-contained")
+    val cvAfter = store.resolvedProps("vecs", nv)(AnnIndex.CentroidsVersionProp).toLong
+    assert(cvAfter > cvBefore, "the rebuild trains and pins NEW centroids")
+    // Everything — original and appended — is searchable post-rebuild.
+    val got = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 400, nprobe = 4).count()
+    assert(got === 340)
+  }
+
   test("rebuild is a snapshot commit: search follows the latest index") {
     val root = Files.createTempDirectory("annidx").toString
     val store = new SnapshotStore(spark, root)

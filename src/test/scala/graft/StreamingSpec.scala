@@ -346,6 +346,56 @@ class StreamingSpec extends SparkSpec {
     assert(reps == Set(1L, 2L, 5L))
   }
 
+  test("streaming IVF maintenance: docs admitted batches ago are searchable, no rebuild") {
+    import graft.similarity.AnnIndex
+    val root = java.nio.file.Files.createTempDirectory("ann-stream").toString
+    val dir = java.nio.file.Files.createTempDirectory("ann-stream-src").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    val dim = 8
+    // Seed index: 4 axis clusters, 20 vectors each (same planted layout as
+    // AnnIndexSpec, smaller).
+    val seedRows = for { a <- 0 until 4; j <- 0 until 20 } yield
+      ((a * 20 + j).toLong,
+        Seq.tabulate(dim)(i => if (i == a) 1.0 else 0.01 * j))
+    AnnIndex.build(store, "vecs", seedRows.toDF("vid", "vec"), "vid", "vec",
+      (0 until 4).map(a => Seq.tabulate(dim)(i => if (i == a) 1.0 else 0.0)))
+    val v0 = store.latestVersion("vecs").get
+
+    // Stream: each parquet file is one micro-batch routed through
+    // appendIncremental — the streaming twin of build().
+    def write(part: String, rows: Seq[(Long, Seq[Double])]): Unit =
+      rows.toDF("vid", "vec").coalesce(1)
+        .write.mode("append").parquet(s"$dir/$part")
+    write("p1", Seq((1000L, Seq.tabulate(dim)(i => if (i == 2) 1.0 else 0.02))))
+    val q = spark.readStream
+      .schema("vid BIGINT, vec ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          AnnIndex.appendIncremental(store, "vecs", batch, "vid", "vec"): Unit
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ann-stream-ck").toString)
+      .start()
+    q.processAllAvailable()
+    write("p2", Seq((1001L, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.02))))
+    q.processAllAvailable()
+    write("p3", Seq((1002L, Seq.tabulate(dim)(i => if (i == 1) 1.0 else 0.02))))
+    q.processAllAvailable(); q.stop()
+
+    // The doc admitted TWO micro-batches earlier is found by a probe of
+    // its own cell — no rebuild ever ran (every post-seed version is a
+    // chain link over the original build).
+    val query = Seq.tabulate(dim)(i => if (i == 2) 1.0 else 0.0)
+    val hit = AnnIndex.search(spark, root, "vecs", "vid", "vec",
+      query, k = 25, nprobe = 1).select("vid").as[Long].collect().toSet
+    assert(hit.contains(1000L), s"batch-1 doc must be searchable, got $hit")
+    val post = store.history("vecs").filter(_ > v0)
+    assert(post.size === 3 && post.forall(v => store.baseOf("vecs", v).nonEmpty),
+      "all three micro-batches appended as chain links; none triggered a rebuild")
+  }
+
   test("streaming near-dup bucket state is capped with FIFO eviction") {
     import graft.streaming.StreamOps.NearDupHit
     // Three identical docs through maxPerBucket = 1: each bucket retains
