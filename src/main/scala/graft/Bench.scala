@@ -9,65 +9,25 @@ import org.apache.spark.sql.SparkSession
   * The run adjudicates its own machine: a fixed canary re-timed between
   * query blocks detects noisy-neighbor contention, triggers re-runs of
   * the affected block, and reports a `canary` object in the JSON so a
-  * slow total can be told apart from a slow engine (see below). */
+  * slow total can be told apart from a slow engine (see below).
+  *
+  * STANDING DUAL-SCALE GATE (VERDICT r10 #6): at sf0.1 roughly half the
+  * suite sits on the ~50 ms scheduling floor, so plan-shape regressions
+  * hide. When the primary dir is the per-round sf0.1, the bench also
+  * materializes /tmp/sf1 (ScaleUp, 10× key-offset replicas — built once,
+  * reused) and runs the full adjudicated suite there too; the sf1 numbers
+  * ride in the same JSON line under "sf1". Opt out with
+  * SPARK_GRAFT_SF1=off (quick local iterations at sf0.01 never trigger
+  * it: the gate keys on the primary dir's basename). */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // INT96 is deprecated and carries no parquet stats; micros keeps
-      // snapshot-store writes zone-map-prunable (FileStats) and smaller.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: JVM + codegen + parquet footer reads, not part of any timing.
-    // Best-effort: a broken table must surface as that QUERY's named failure
-    // in the JSON, not kill the whole bench during warm-up.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    graft.sources.Tables.names.foreach { n =>
-      try n match {
-        case "events" => graft.sources.Tables.events(spark, sfDir).limit(1).count()
-        case _        => graft.sources.Tables.load(spark, sfDir, n).limit(1).count()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up skipped $n: ${e.getMessage}")
-      }
-    }
-    // One real scan+join+aggregate JITs the vectorized parquet reader, hash
-    // aggregate, and shuffle paths the queries share — without it the
-    // alphabetically-first queries pay multi-hundred-ms of one-time JIT that
-    // no steady-state run would see.
-    try {
-      import org.apache.spark.sql.functions._
-      val li = graft.sources.Tables.lineitem(spark, sfDir)
-      val o = graft.sources.Tables.orders(spark, sfDir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_quantity")), count(lit(1)))
-        .collect()
-      // Also JIT the object-hash-aggregate (udaf), regex, and HOF paths —
-      // first use otherwise pays seconds of janino/JIT inside a timing.
-      val topk = graft.functions.TopK.topK(2)
-      spark.range(100)
-        // regex input derives from id (non-foldable) and toks IS consumed
-        // below — a literal input would constant-fold and column-prune the
-        // whole regex path away, warming nothing.
-        .selectExpr("cast(id % 5 as string) g", "cast(id as double) v",
-          "cast(id as string) k",
-          "aggregate(sequence(1, 3), 0L, (a, x) -> a + x) s",
-          "regexp_extract_all(concat('a b c ', cast(id as string)), '[a-z0-9]+', 0) toks")
-        .groupBy(col("g"))
-        .agg(topk(col("v"), col("k")), max(col("s")), max(size(col("toks"))))
-        .collect()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up join skipped: ${e.getMessage}")
-    }
-
+  /** One adjudicated suite run at `sfDir`: every query timed min-of-2 in
+    * sorted order, canary-checked per 10-query block, contended blocks
+    * re-run min-merged. Returns (per-query seconds, per-query failure
+    * reasons, canary JSON). */
+  private def runSuite(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Double)], Seq[(String, String)], String) = {
+    import org.apache.spark.sql.functions.{col, sum}
     // SELF-ADJUDICATION: min-of-2 absorbs spikes, not SUSTAINED machine
     // contention (a co-tenant pinning the cores for minutes inflates both
     // runs). A fixed canary — one scan+shuffle+aggregate whose steady-state
@@ -77,7 +37,6 @@ object Bench {
     // (min-merged) and the episode is recorded in the JSON. A run whose
     // canary NEVER settled back under the bar is stamped "contended": its
     // totals are evidence of a busy machine, not of the code.
-    import org.apache.spark.sql.functions.{col, sum}
     // If the canary table itself is unreadable, adjudication is disabled
     // (baseline 0 → ratio checks never fire) rather than killing the bench;
     // the queries still run and report their own named failures.
@@ -158,15 +117,6 @@ object Bench {
         if (canary > 1.5 * canaryBaseline) sustained = true
       }
     }
-    val results = times.toSeq
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // A failed query must never IMPROVE the headline number: any -1
-    // sentinel invalidates the total (per-query values stay reported).
-    val total =
-      if (results.isEmpty) 0.0
-      else if (results.exists(_._2 < 0)) -1.0
-      else results.map(_._2).sum
     // "contended" = a re-run block's SECOND canary was still over the bar:
     // sustained interference the retry could not outwait, so even the
     // min-merged numbers may be inflated. A clean run has max_ratio ≲ 1.5.
@@ -178,19 +128,126 @@ object Bench {
         s""""max_ratio":${f"$maxRatio%.3f"},"requeried":$requeried,""" +
         s""""contended":$sustained}"""
     }
-    def jsonStr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c    => c.toString
-      } + "\""
+    (times.toSeq, failures.toSeq, canaryJson)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
+  /** {"total":…,"queries":{…},"failed":{…},"canary":{…}} for one suite. */
+  private def suiteJson(results: Seq[(String, Double)],
+                        failures: Seq[(String, String)],
+                        canaryJson: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // A failed query must never IMPROVE the headline number: any -1
+    // sentinel invalidates the total (per-query values stay reported).
+    val total =
+      if (results.isEmpty) 0.0
+      else if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     val failedJson = failures
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(300)) }
       .mkString("{", ",", "}")
+    s""""total":$total,"queries":$qs,"failed":$failedJson,""" +
+      s""""canary":$canaryJson"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // INT96 is deprecated and carries no parquet stats; micros keeps
+      // snapshot-store writes zone-map-prunable (FileStats) and smaller.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Warm-up: JVM + codegen + parquet footer reads, not part of any timing.
+    // Best-effort: a broken table must surface as that QUERY's named failure
+    // in the JSON, not kill the whole bench during warm-up.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.names.foreach { n =>
+      try n match {
+        case "events" => graft.sources.Tables.events(spark, sfDir).limit(1).count()
+        case _        => graft.sources.Tables.load(spark, sfDir, n).limit(1).count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up skipped $n: ${e.getMessage}")
+      }
+    }
+    // One real scan+join+aggregate JITs the vectorized parquet reader, hash
+    // aggregate, and shuffle paths the queries share — without it the
+    // alphabetically-first queries pay multi-hundred-ms of one-time JIT that
+    // no steady-state run would see.
+    try {
+      import org.apache.spark.sql.functions._
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val o = graft.sources.Tables.orders(spark, sfDir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")), count(lit(1)))
+        .collect()
+      // Also JIT the object-hash-aggregate (udaf), regex, and HOF paths —
+      // first use otherwise pays seconds of janino/JIT inside a timing.
+      val topk = graft.functions.TopK.topK(2)
+      spark.range(100)
+        // regex input derives from id (non-foldable) and toks IS consumed
+        // below — a literal input would constant-fold and column-prune the
+        // whole regex path away, warming nothing.
+        .selectExpr("cast(id % 5 as string) g", "cast(id as double) v",
+          "cast(id as string) k",
+          "aggregate(sequence(1, 3), 0L, (a, x) -> a + x) s",
+          "regexp_extract_all(concat('a b c ', cast(id as string)), '[a-z0-9]+', 0) toks")
+        .groupBy(col("g"))
+        .agg(topk(col("v"), col("k")), max(col("s")), max(size(col("toks"))))
+        .collect()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up join skipped: ${e.getMessage}")
+    }
+
+    val (results, failures, canaryJson) = runSuite(spark, sfDir)
+
+    // Standing sf1 gate: only when the primary run IS the per-round sf0.1
+    // (local sf0.01 iterations stay fast), not opted out, and the suite is
+    // non-trivial. Build-if-missing, then the same adjudicated run at sf1.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    val wantSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "off" &&
+      new java.io.File(sfDir).getName == "sf0.1" && results.nonEmpty
+    val sf1Json: Option[String] =
+      if (!wantSf1) None
+      else try {
+        val marker = new java.io.File(sf1Dir, "embeddings.parquet/_SUCCESS")
+        if (!marker.isFile) {
+          System.err.println(s"[bench] building $sf1Dir (10x $sfDir)")
+          graft.tools.ScaleUp.build(spark, sfDir, sf1Dir, 10)
+        }
+        val (r1, f1, c1) = runSuite(spark, sf1Dir)
+        Some(s"""{${suiteJson(r1, f1, c1)},"dir":${jsonStr(sf1Dir)}}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 gate failed: ${e.getMessage}")
+        Some(s"""{"error":${jsonStr(
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}""")
+      }
+
+    val total = // mirror of suiteJson's total, needed for the headline field
+      if (results.isEmpty) 0.0
+      else if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        suiteJson(results, failures, canaryJson) +
+        sf1Json.map(j => s""","sf1":$j""").getOrElse("") +
+        s""","sf":"$sfDir"}"""
     println(json)
     // Also write the JSON to a file: the stdout line has twice been lost to
     // tail truncation in captured logs (BENCH_r04/r05) — the file is the

@@ -43,6 +43,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    build(spark, srcDir, outDir, replicas)
+    spark.stop()
+  }
+
+  /** Library entry (no session lifecycle): Bench calls this to materialize
+    * /tmp/sf1 for the standing dual-scale gate without tearing down its own
+    * session (ScaleUp.main's spark.stop() would). */
+  def build(spark: SparkSession, srcDir: String, outDir: String,
+            replicas: Int): Unit = {
 
     val KeyOffset = 100000000L // > every sf0.1 key; replica i adds i*this
 
@@ -126,7 +135,5 @@ object ScaleUp {
           .otherwise(col("embedding")))
       .withColumn("vec_id", off("vec_id")).drop("__r", "__s", "__neg")
     write("embeddings", emb, 4)
-
-    spark.stop()
   }
 }
