@@ -88,17 +88,33 @@ object VectorQueries {
 
     // A6: Gini-Simpson-style diversity = 1 − mean pairwise cosine within
     // each label group (diversity_analyzer.py:48-185).
+    // LINEAR closed form, not the all-pairs join (which is N²/labels —
+    // quadratic; the sf10 audit bar): for unit vectors u_i,
+    //   Σ_{i<j} cos(v_i, v_j) = (‖Σ u_i‖² − n) / 2
+    // so mean pairwise cosine = (Σ_d (Σ_i u_{i,d})² − n) / (n(n−1)).
+    // One pass to normalize, one 64·N-row posexplode aggregated on
+    // (label, dim) — |labels|·d groups — then a |labels|-row reduce.
+    // The oracle stays the literal pairwise SQL: at the sf0.01 gate the
+    // join is trivial, and agreement there proves the algebra.
     "q28_diversity" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir).select(
-        col("label"), col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val a = e.toDF("label", "a_id", "a_emb")
-      val b = e.toDF("b_label", "b_id", "b_emb")
-      a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-        .withColumn("cos", VectorOps.cosine(col("a_emb"), col("b_emb")))
+      val u = Tables.embeddings(s, dir)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm",
+          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+        .withColumn("u", transform(col("v"), x => x / col("nrm")))
+      val dimSums = u
+        .select(col("label"), posexplode(col("u")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sd"))
         .groupBy(col("label"))
-        .agg(
-          round(lit(1.0) - avg(col("cos")), 6).as("diversity"),
-          count(lit(1)).as("n_pairs"))
+        .agg(sum(col("sd") * col("sd")).as("s2"))
+      u.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .join(dimSums, "label")
+        .select(
+          col("label"),
+          round(lit(1.0) - (col("s2") - col("n")) /
+            (col("n") * (col("n") - 1)), 6).as("diversity"),
+          (col("n") * (col("n") - 1) / 2).cast("long").as("n_pairs"))
         .orderBy(col("label"))
     }),
     // A12: synonym detection — pairwise cosine over a small "vocabulary"
