@@ -35,6 +35,12 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     CosineSimilarity(asDouble(a), asDouble(b))
 
+  /** Squared L2 distance via the native codegen Expression — bit-identical
+    * to the `aggregate(zip_with(...))` HOF form (same accumulation order)
+    * but whole-stage-codegen'd; the k-means assignment kernel. */
+  def l2Sq(a: Column, b: Column): Column =
+    L2DistanceSquared(asDouble(a), asDouble(b))
+
   /** a - b elementwise. */
   def sub(a: Column, b: Column): Column =
     zip_with(asDouble(a), asDouble(b), (x, y) => x - y)

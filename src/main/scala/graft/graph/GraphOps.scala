@@ -93,6 +93,43 @@ object GraphOps {
     * shuffling it once. Dense graphs at 100× scale reach this by depth 2. */
   val DefaultFrontierBroadcastLimit: Long = 10000000L
 
+  /** Default accelerator capacity, in edges. The accelerator is the
+    * reference's graph-accel design point — the WHOLE (filtered) graph
+    * resident in RAM, traversed without per-hop job scheduling
+    * (graph-accel/docs/benchmark-findings.md:45-120) — so the threshold
+    * should be sized to driver memory, not set timidly: adjacency is two
+    * int arrays (~8 B/edge) plus the node-name dictionary, so 20M edges is
+    * ~200-400 MB resident — comfortable for any driver that runs real
+    * workloads, and the r11 sf10 audit measured the cost of landing just
+    * past a too-low threshold as a 40-240× per-query cliff (BFS-family
+    * queries falling off the accelerator onto per-hop distributed joins).
+    * Above this, the distributed iterative-join engines own the graph —
+    * that is genuinely cluster territory (~1B+ edges at 100 TB scale).
+    * Override per call, or fleet-wide via GRAFT_ACCEL_THRESHOLD. */
+  val DefaultAccelThreshold: Long =
+    sys.env.get("GRAFT_ACCEL_THRESHOLD").map(_.toLong).getOrElse(20000000L)
+
+  /** Driver-side accel results back into a DataFrame. Small results stay a
+    * LocalRelation (Catalyst sees exact stats → broadcasts downstream).
+    * Large ones are parallelized instead: a LocalRelation's rows are
+    * encoded single-threaded on the driver at EVERY action over it —
+    * measured 7 s for one aggregate over a 2M-row component assignment at
+    * sf10 — while parallelize spreads the encoding across the local
+    * executor threads (same rows, ~10× faster, still one driver→executor
+    * ship). */
+  private[graph] def accelResultDF[A <: Product
+      : org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[A], cols: String*): DataFrame = {
+    import spark.implicits._
+    if (rows.size <= 100000) rows.toDF(cols: _*)
+    else {
+      val parts = math.min(64, 1 + rows.size / 65536)
+      spark.createDataset(spark.sparkContext.parallelize(rows, parts))
+        .toDF(cols: _*)
+    }
+  }
+
   /** One BFS hop as a plan (no materialization): join the frontier against
     * the oriented adjacency view, keep one deterministic parent per newly
     * reached node, anti-join out already-visited nodes. `broadcastFrontier`
@@ -220,13 +257,13 @@ object GraphOps {
       direction: Direction = Both,
       minConfidence: Option[Double] = None,
       relTypes: Option[Seq[String]] = None,
-      accelThreshold: Long = 2000000L): DataFrame = {
+      accelThreshold: Long = DefaultAccelThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val filtered = filteredView(edges, minConfidence, relTypes)
     probeAndLoad(filtered, accelThreshold) match {
-      case Some(g) => g.bfs(startNodes, maxDepth, direction)
-        .toDF("node", "distance", "parent")
+      case Some(g) => accelResultDF(spark,
+        g.bfs(startNodes, maxDepth, direction), "node", "distance", "parent")
       case None => bfs(edges, startNodes, maxDepth, direction, minConfidence, relTypes)
     }
   }
@@ -239,7 +276,7 @@ object GraphOps {
       maxHops: Int = 6,
       direction: Direction = Both,
       minConfidence: Option[Double] = None,
-      accelThreshold: Long = 2000000L): Option[(Int, Seq[String])] = {
+      accelThreshold: Long = DefaultAccelThreshold): Option[(Int, Seq[String])] = {
     val filtered = filteredView(edges, minConfidence, None)
     probeAndLoad(filtered, accelThreshold) match {
       case Some(g) => g.shortestPath(from, to, maxHops, direction)
@@ -310,7 +347,7 @@ object GraphOps {
     * view is resident AFTER the call (fresh load or cache hit), None when
     * it exceeds the threshold and the distributed engines own it. */
   def ensureLoaded(edges: DataFrame,
-      accelThreshold: Long = 2000000L): Option[InMemoryGraph] =
+      accelThreshold: Long = DefaultAccelThreshold): Option[InMemoryGraph] =
     probeAndLoad(filteredView(edges, None, None), accelThreshold)
 
   /** Size-probe + accelerator load in one cached scan: the (src, dst) view
@@ -399,7 +436,7 @@ object GraphOps {
       maxHops: Int = 6,
       maxPaths: Int = 5,
       direction: Direction = Both,
-      accelThreshold: Long = 2000000L): Seq[(Int, Seq[String])] = {
+      accelThreshold: Long = DefaultAccelThreshold): Seq[(Int, Seq[String])] = {
     val filtered = filteredView(edges, None, None)
     probeAndLoad(filtered, accelThreshold) match {
       case Some(g) => g.kShortestPaths(from, to, maxHops, maxPaths, direction)
@@ -548,7 +585,7 @@ object GraphOps {
     * is proven under the threshold (the over-threshold path never ships a
     * row to the driver). */
   def weightedShortestPathsAuto(edges: DataFrame, source: String,
-      maxHops: Int, accelThreshold: Long = 2000000L): DataFrame = {
+      maxHops: Int, accelThreshold: Long = DefaultAccelThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val view = edges
@@ -595,7 +632,7 @@ object GraphOps {
     * once. */
   def pageRankAuto(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85, reset: Double = 0.15,
-      accelThreshold: Long = 2000000L): DataFrame = {
+      accelThreshold: Long = DefaultAccelThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // The SAME filteredView the traversal dispatchers probe with — the

@@ -71,11 +71,12 @@ object GraphXOps {
     * accelerator under the edge threshold, GraphX Pregel above it (same
     * split as GraphOps.bfsAuto; min-name canonical ids either way). */
   def connectedComponentsAuto(edges: DataFrame,
-      accelThreshold: Long = 2000000L): DataFrame = {
+      accelThreshold: Long = GraphOps.DefaultAccelThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     GraphOps.probeAndLoad(edges.select(col("src"), col("dst")), accelThreshold) match {
-      case Some(g) => g.connectedComponents().toDF("node", "component")
+      case Some(g) => GraphOps.accelResultDF(spark,
+        g.connectedComponents(), "node", "component")
       case None    => connectedComponents(edges)
     }
   }

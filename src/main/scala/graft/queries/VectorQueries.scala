@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
+import graft.functions.{NearestCentroid, VectorOps}
 import graft.sources.Tables
 
 /** Vector / semantic-search coverage (SURVEY.md §2.10) over the
@@ -31,21 +31,23 @@ object VectorQueries {
     "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
   /** Lloyd assignment shared by q78/q84: nearest of the k seed centroids
-    * (squared-L2, deterministic centroid-id tiebreak) for every vector of
-    * the embeddings table. Returns (vec_id, v, cluster). */
+    * (squared-L2, deterministic min-centroid-id tiebreak) for every vector
+    * of the embeddings table. Returns (vec_id, v, cluster).
+    *
+    * One projection, no join: the k seed centroids (k = N/250 under the
+    * SemDeDup knob — a bounded, metadata-scale driver read) ride into a
+    * single [[graft.functions.NearestCentroid]] codegen expression. The
+    * previous crossJoin + min(struct(dist, cid)) shape pushed N×k rows
+    * through a partial aggregate — 160M rows and 23 s at sf10; this is the
+    * same argmin, bit-identical (same accumulation order and tie-break),
+    * at scan cost. */
   private def kmeansAssign(s: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val seeds = e.where(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    val assigned = e.crossJoin(broadcast(seeds))
-      .withColumn("dist",
-        aggregate(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d2) => acc + d2))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cluster"))
-    e.join(assigned, "vec_id")
+    val seedRows = e.where(col("vec_id") < k).orderBy(col("vec_id")).collect()
+    val ids = seedRows.map(_.getLong(0))
+    val cents = seedRows.map(_.getSeq[Double](1).toArray)
+    e.withColumn("cluster", NearestCentroid.col(col("v"), ids, cents))
   }
 
   val queries: Map[String, Q] = Map(
@@ -97,18 +99,23 @@ object VectorQueries {
     // The oracle stays the literal pairwise SQL: at the sf0.01 gate the
     // join is trivial, and agreement there proves the algebra.
     "q28_diversity" -> ((s, dir) => {
-      val u = Tables.embeddings(s, dir)
+      val e = Tables.embeddings(s, dir)
         .select(col("label"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm",
-          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-        .withColumn("u", transform(col("v"), x => x / col("nrm")))
-      val dimSums = u
-        .select(col("label"), posexplode(col("u")))
+      // The norm must be OUTSIDE any lambda: an interpreted HOF inside
+      // `transform` re-evaluates aggregate(v) per element (64× per row,
+      // tripled again by the Generate null-filter's expression copies —
+      // measured 1.1 s warm on 2k rows). One per-row norm in the same
+      // projection as the explode, divided after exploding, is linear with
+      // per-row (not per-element) HOF cost.
+      val dimSums = e
+        .select(col("label"),
+          sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("nrm"),
+          posexplode(col("v")))
         .groupBy(col("label"), col("pos"))
-        .agg(sum(col("col")).as("sd"))
+        .agg(sum(col("col") / col("nrm")).as("sd"))
         .groupBy(col("label"))
         .agg(sum(col("sd") * col("sd")).as("s2"))
-      u.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      e.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .join(dimSums, "label")
         .select(
           col("label"),
