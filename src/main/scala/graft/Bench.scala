@@ -84,10 +84,24 @@ object Bench {
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
     var requeried = 0
     var sustained = false
+    // Per-QUERY litter control (the between-block sweep below is not
+    // enough): a single localCheckpoint-heavy query can park tens of GB
+    // in the BlockManager per RUN, and with min-of-2 runs the SECOND run
+    // plus every later query in the block then measures storage-memory
+    // eviction and spill churn, not its plan (observed in the first sf10
+    // audit: the q70-79 block read 5-20x its standalone times purely from
+    // in-block litter — q76 215 s benched vs 10 s standalone in a fresh
+    // JVM). Unpersisting after each timed run keeps every measurement a
+    // measurement of the QUERY. Driver-side caches (graph accel,
+    // over-threshold verdicts) are not RDDs and survive, as they should.
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    def timeOnceClean(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = { val t = timeOnce(fn); sweep(); t }
     SparkEntry.queries.toSeq.sortBy(_._1).grouped(10).foreach { block =>
       block.foreach { case (name, fn) =>
         times(name) =
-          try (1 to 2).map(_ => timeOnce(fn)).min
+          try (1 to 2).map(_ => timeOnceClean(fn)).min
           catch { case e: Throwable =>
             System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
             // stderr is routinely lost in driver log capture — carry the
@@ -98,14 +112,9 @@ object Bench {
             -1.0
           }
       }
-      // Litter control: queries that localCheckpoint leave their blocks in
-      // the BlockManager until the RDD object happens to be GC'd; over ~200
-      // timed runs at a big SF that accumulates into storage/GC pressure
-      // that drifts the canary upward (observed at sf1: samples rose
-      // 0.15→0.38 s monotonically, mis-read as sustained contention).
-      // Unpersisting between blocks keeps the canary a measure of the
-      // MACHINE and gives every block a clean BlockManager.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // Belt-and-braces sweep before the canary (per-query sweeps above
+      // already keep the BlockManager clean between timed runs).
+      sweep()
       var canary = timeCanary(); canarySamples += canary
       if (canary > Bar * canaryBaseline) {
         // the machine was busy during this block — its timings are
@@ -114,7 +123,7 @@ object Bench {
           f"$canaryBaseline%.3fs — re-running ${block.size} queries")
         block.foreach { case (name, fn) =>
           if (times(name) >= 0)
-            try times(name) = math.min(times(name), timeOnce(fn))
+            try times(name) = math.min(times(name), timeOnceClean(fn))
             catch { case _: Throwable => () }
         }
         requeried += block.size

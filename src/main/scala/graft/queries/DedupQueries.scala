@@ -128,12 +128,21 @@ object DedupQueries {
     "q72_boilerplate" -> ((s, dir) => {
       val win = 8
       val tk = graft.functions.Text.tokens(col("text"))
+      // Windows travel as 64-bit xxhash64 FINGERPRINTS, never as strings:
+      // an 8-token window string is ~50 bytes, and at sf10 the corpus has
+      // ~10^9 distinct windows — checkpointing and shuffling the strings
+      // moved ~50 GB per run (measured: the single biggest litter/spill
+      // source in the first sf10 audit). The fingerprint is 8 bytes, the
+      // distinct/groupBy/ownership logic is identical over it, and a
+      // 64-bit collision (≈2.7% chance of ONE among 10^9 windows) shifts
+      // one doc's shared_frac by one window — far below the signal; at
+      // the sf0.01 oracle gate the collision probability is ~1e-7.
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), tk.as("tk"))
         .where(size(col("tk")) >= win)
         .select(col("doc_id"), array_distinct(
           transform(sequence(lit(1), size(col("tk")) - (win - 1)),
-            i => concat_ws(" ", slice(col("tk"), i, lit(win))))).as("ws"))
+            i => xxhash64(concat_ws(" ", slice(col("tk"), i, lit(win)))))).as("ws"))
         .localCheckpoint(false) // feeds the explode AND the per-doc sizes
       // min(doc_id) is well-defined as "the owner" only when n_docs = 1.
       val uniq = docs.select(col("doc_id"), explode(col("ws")).as("w"))
@@ -171,9 +180,12 @@ object DedupQueries {
         .select(col("doc_id"), tk.as("tk"))
         .where(size(col("tk")) >= win)
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          // grams ride as 64-bit fingerprints (same rationale + collision
+          // math as q72: strings are ~50 B each and dominate checkpoint +
+          // shuffle bytes at 10^9 grams; the hash is 8).
           transform(sequence(lit(1), size(col("tk")) - (win - 1)),
             i => struct(i.as("pos"),
-              concat_ws(" ", slice(col("tk"), i, lit(win))).as("g"))).as("gs"))
+              xxhash64(concat_ws(" ", slice(col("tk"), i, lit(win)))).as("g"))).as("gs"))
         .localCheckpoint(false) // feeds gram explode AND the final join
       val grams = docs.select(col("doc_id"), explode(col("gs")).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))

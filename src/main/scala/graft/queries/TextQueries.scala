@@ -222,19 +222,34 @@ object TextQueries {
     // score low. Per-token logp is rounded to 6dp and summed as DECIMAL so
     // the mean is order-independent; the final mean is one double division.
     "q75_unigram_logprob" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
+      // PRE-AGGREGATED shape (first sf10 audit): joining the raw
+      // occurrence stream to the frequency table keys the shuffle on the
+      // token itself, and a natural-language token distribution always has
+      // heavy hitters — one stop-word-class token carried ~25% of the
+      // 10^9-row stream at sf10, a single-reducer mega-key. Collapsing to
+      // (doc_id, tok, c) FIRST (composite key — no skew, map-side
+      // combined) makes the model join carry one row per distinct
+      // (doc, token), and Σ c·logp over exact DECIMAL multiples equals the
+      // per-occurrence sum bit-for-bit. The per-token model (freq, total)
+      // derives from the same aggregate — the text is tokenized ONCE, and
+      // the model side is small enough for AQE to broadcast (vocabulary,
+      // not corpus, cardinality; at web scale the join degrades to a
+      // sort-merge whose residual per-token skew is AQE skew-split).
+      val dt = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds the model AND the scoring join
+      val freq = dt.groupBy(col("tok")).agg(sum(col("c")).as("n"))
       val total = freq.agg(sum(col("n")).as("total"))
-      toks.join(freq, "tok")
+      dt.join(freq, "tok")
         .crossJoin(broadcast(total))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("c"),
           round(log(col("n").cast("double") / col("total").cast("double")), 6)
             .as("logp"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          (sum(col("logp").cast("decimal(18,6)")).cast("double") /
-            count(lit(1))).as("avg_logp"))
+        .agg(sum(col("c")).as("n_tokens"),
+          (sum(col("logp").cast("decimal(18,6)") * col("c")).cast("double") /
+            sum(col("c"))).as("avg_logp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -263,10 +278,17 @@ object TextQueries {
         .withColumn("w1", substring_index(col("bigram"), " ", 1))
         .join(uni, "w1")
         .crossJoin(broadcast(vocab))
-        .select(col("bigram"),
+        .select(xxhash64(col("bigram")).as("bgh"),
           round(log((col("c12") + kSmooth) / (col("c1") + col("v") * kSmooth)), 6)
             .as("logp"))
-      bi.join(model, "bigram")
+      // The 10^9-row scoring join keys on the bigram's 64-bit fingerprint,
+      // not the ~25-byte string: the sort-merge sorts fixed-width longs
+      // (measured materially faster at sf10) and the wire shrinks. The
+      // stop-word-class mega-key (~25% of all bigrams start with the
+      // corpus's hottest token) is AQE skew-split at runtime; collision
+      // math as in q72 — negligible at any gate SF.
+      bi.select(col("doc_id"), xxhash64(col("bigram")).as("bgh"))
+        .join(model, "bgh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           (sum(col("logp").cast("decimal(18,6)")).cast("double") /

@@ -71,7 +71,14 @@ object VectorQueries {
         col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val a = e.where(col("vec_id") < 300).toDF("a_id", "a_emb")
       val b = e.where(col("vec_id") < 300).toDF("b_id", "b_emb")
-      a.join(b, col("a_id") < col("b_id"))
+      // broadcast(b): without it the non-equi join plans as a
+      // CartesianProduct whose p_a × p_b tasks EACH re-run their input
+      // partitions — at sf10 the candidate filter survives in ~12 scan
+      // partitions per side, so the full embeddings table was decoded
+      // ~12× per run (measured 10× slowdown). The candidate set is
+      // bounded by construction (the V3 match window), so the broadcast
+      // side is always small and each side is scanned exactly once.
+      a.join(broadcast(b), col("a_id") < col("b_id"))
         .withColumn("sim", round(VectorOps.cosine(col("a_emb"), col("b_emb")), 6))
         .where(col("sim") >= 0.25)
         .select(col("a_id"), col("b_id"), col("sim"))
