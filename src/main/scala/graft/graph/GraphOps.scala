@@ -130,6 +130,61 @@ object GraphOps {
     }
   }
 
+  /** The (name, double) specialization of [[accelResultDF]] for results
+    * aligned with an accel graph's interned node array (PageRank ranks,
+    * full-coverage distances). Even the parallelize path above pays
+    * per-ELEMENT JavaSerializer cost on 2M boxed tuples — measured 3-5 s
+    * per action at sf10 just shipping the result. Chunking the two
+    * parallel arrays into per-partition slices serializes the doubles as
+    * one primitive block per slice and drops the per-tuple wrappers; the
+    * rows only come into existence executor-side. */
+  private[graph] def accelPairsDF(spark: org.apache.spark.sql.SparkSession,
+      names: Array[String], vals: Array[Double],
+      c1: String, c2: String): DataFrame = {
+    import spark.implicits._
+    val n = names.length
+    if (n <= 100000) names.indices.map(i => (names(i), vals(i))).toDF(c1, c2)
+    else {
+      val chunk = 65536
+      val slices = (0 until n by chunk).map { i =>
+        val hi = math.min(i + chunk, n)
+        (java.util.Arrays.copyOfRange(names.asInstanceOf[Array[AnyRef]], i, hi)
+           .asInstanceOf[Array[String]],
+         java.util.Arrays.copyOfRange(vals, i, hi))
+      }
+      spark.createDataset(
+        spark.sparkContext.parallelize(slices, slices.size)
+          .flatMap { case (ns, vs) =>
+            ns.indices.iterator.map(j => (ns(j), vs(j))) })
+        .toDF(c1, c2)
+    }
+  }
+
+  /** [[accelPairsDF]] for a String-valued companion array (component
+    * assignments). */
+  private[graph] def accelPairsStrDF(spark: org.apache.spark.sql.SparkSession,
+      names: Array[String], vals: Array[String],
+      c1: String, c2: String): DataFrame = {
+    import spark.implicits._
+    val n = names.length
+    if (n <= 100000) names.indices.map(i => (names(i), vals(i))).toDF(c1, c2)
+    else {
+      val chunk = 65536
+      def slice(a: Array[String], i: Int, hi: Int): Array[String] =
+        java.util.Arrays.copyOfRange(a.asInstanceOf[Array[AnyRef]], i, hi)
+          .asInstanceOf[Array[String]]
+      val slices = (0 until n by chunk).map { i =>
+        val hi = math.min(i + chunk, n)
+        (slice(names, i, hi), slice(vals, i, hi))
+      }
+      spark.createDataset(
+        spark.sparkContext.parallelize(slices, slices.size)
+          .flatMap { case (ns, vs) =>
+            ns.indices.iterator.map(j => (ns(j), vs(j))) })
+        .toDF(c1, c2)
+    }
+  }
+
   /** One BFS hop as a plan (no materialization): join the frontier against
     * the oriented adjacency view, keep one deterministic parent per newly
     * reached node, anti-join out already-visited nodes. `broadcastFrontier`
@@ -336,7 +391,7 @@ object GraphOps {
   /** Evict every cached accelerator graph (graph_accel_invalidate analog).
     * Needed only when edge INPUT FILES are rewritten in place; versioned
     * snapshot writes change paths and therefore miss the cache naturally. */
-  def invalidateAccel(): Unit = AccelCache.clear()
+  def invalidateAccel(): Unit = { AccelCache.clear(); WeightedAccelCache.clear() }
 
   /** (loaded graphs, total resident nodes, memoized over-threshold
     * entries) — the graph_accel_status freshness/residency probe analog. */
@@ -574,16 +629,56 @@ object GraphOps {
     dist
   }
 
+  /** [[AccelCache]]'s weighted sibling: loaded [[WeightedGraph]]s (and
+    * over-threshold verdicts) keyed by the canonicalized plan of the
+    * (src, dst, w) view — the weight EXPRESSION is part of the key, so
+    * differently-weighted calls over one edge set never collide. Smaller
+    * bounds than the unweighted cache: each entry also carries a double
+    * per edge. */
+  private object WeightedAccelCache {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    private val MaxLoaded = 4
+    private val MaxOver = 16
+    private val loaded = mutable.LinkedHashMap.empty[LogicalPlan, (Long, WeightedGraph)]
+    private val over = mutable.LinkedHashMap.empty[LogicalPlan, Long]
+    def get(key: LogicalPlan, threshold: Long): Option[Option[WeightedGraph]] =
+      synchronized {
+        loaded.remove(key) match {
+          case Some(hit @ (n, g)) =>
+            loaded.put(key, hit) // re-insert = LRU refresh
+            if (n <= threshold) Some(Some(g)) else Some(None)
+          case None =>
+            over.get(key) match {
+              case Some(probed) if probed >= threshold => Some(None)
+              case _                                   => None
+            }
+        }
+      }
+    def putLoaded(key: LogicalPlan, n: Long, g: WeightedGraph): Unit =
+      synchronized {
+        loaded.put(key, (n, g))
+        while (loaded.size > MaxLoaded) loaded.remove(loaded.head._1)
+      }
+    def putOver(key: LogicalPlan, probedThreshold: Long): Unit = synchronized {
+      over.put(key, math.max(over.getOrElse(key, Long.MinValue), probedThreshold))
+      while (over.size > MaxOver) over.remove(over.head._1)
+    }
+    def clear(): Unit = synchronized { loaded.clear(); over.clear() }
+  }
+
   /** Auto-dispatched weighted shortest distances: below the edge threshold
-    * the weighted edge list is collected once and the SAME Jacobi
-    * relaxation runs on the driver — each candidate distance is the
-    * identical left-to-right double sum along its path and min is exact,
-    * so the two paths are bit-identical by construction (strict-==
-    * differential in GraphOpsSpec). Weighted edges are not in the
-    * (src, dst)-keyed AccelCache — weights vary per call — so this probes
-    * with its own limit(N+1).count() and collects only when the edge list
-    * is proven under the threshold (the over-threshold path never ships a
-    * row to the driver). */
+    * the weighted edge list loads ONCE per canonicalized view plan into a
+    * [[WeightedGraph]] (interned nodes, parallel primitive arrays) and the
+    * SAME Jacobi relaxation runs on the driver — each candidate distance
+    * is the identical left-to-right double sum along its path and min is
+    * exact, so the two paths are bit-identical by construction (strict-==
+    * differential in GraphOpsSpec). The r10 cut collected and re-interned
+    * the edge list on EVERY call (weights were assumed per-call-variable);
+    * caching on the full (src, dst, w) plan keys the weights too, and at
+    * audit scale the difference is the whole cost (sf10's doubled 17M-row
+    * view: ~20 s ship + intern per call vs ~0.3 s relaxation). The
+    * over-threshold path never ships a row to the driver (the probe's
+    * limit(N+1).count() short-circuits). */
   def weightedShortestPathsAuto(edges: DataFrame, source: String,
       maxHops: Int, accelThreshold: Long = DefaultAccelThreshold): DataFrame = {
     val spark = edges.sparkSession
@@ -592,35 +687,23 @@ object GraphOps {
       .select(col("src").cast("string"), col("dst").cast("string"),
         col("w").cast("double"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // Probe with limit(N+1).count() — no rows ship to the driver (the
-      // count short-circuits after N+1), exactly like probeAndLoad's probe.
-      // Only an under-threshold edge list is then collected, and that
-      // collect reuses the probed persisted partitions.
-      val n = view.limit(accelThreshold.toInt + 1).count()
-      if (n > accelThreshold) {
-        // lazy result: unpersisting view below only forfeits the probe's
-        // cache, the plan recomputes from source on first action
-        weightedShortestPaths(view, source, maxHops)
-      } else {
-        val es = view.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-        var dist = Map(source -> 0.0)
-        for (_ <- 1 to maxHops) {
-          // Jacobi: relax against the PREVIOUS round's snapshot, exactly
-          // like the distributed loop's union-then-min per round
-          val relaxed = es.iterator.flatMap { case (s, d, w) =>
-            dist.get(s).map(sd => d -> (sd + w))
-          }
-          val merged = scala.collection.mutable.Map.from(dist)
-          relaxed.foreach { case (n, dd) =>
-            if (!merged.get(n).exists(_ <= dd)) merged(n) = dd
-          }
-          dist = merged.toMap
-        }
-        dist.toSeq.toDF("node", "dist")
+    val key = view.queryExecution.analyzed.canonicalized
+    val dispatched: Option[WeightedGraph] =
+      WeightedAccelCache.get(key, accelThreshold).getOrElse {
+        val cached = view.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = cached.limit(accelThreshold.toInt + 1).count()
+          if (n <= accelThreshold) {
+            val g = WeightedGraph.fromRows(cached.collect())
+            WeightedAccelCache.putLoaded(key, n, g)
+            Some(g)
+          } else { WeightedAccelCache.putOver(key, accelThreshold); None }
+        } finally { cached.unpersist(); () }
       }
-    } finally { view.unpersist(); () }
+    dispatched match {
+      case Some(g) => accelResultDF(spark, g.relax(source, maxHops), "node", "dist")
+      case None    => weightedShortestPaths(view, source, maxHops)
+    }
   }
 
   /** Auto-dispatched PageRank: the driver-side accelerator below the edge
@@ -641,7 +724,9 @@ object GraphOps {
     // inline select.
     val filtered = filteredView(edges, None, None)
     probeAndLoad(filtered, accelThreshold) match {
-      case Some(g) => g.pageRank(iterations, damping, reset).toDF("node", "r")
+      case Some(g) =>
+        accelPairsDF(spark, g.names,
+          g.pageRankRanks(iterations, damping, reset), "node", "r")
       case None    =>
         // string-cast like the accel's load view, so both dispatch paths
         // return the same node column type whatever the input id type

@@ -75,8 +75,9 @@ object GraphXOps {
     val spark = edges.sparkSession
     import spark.implicits._
     GraphOps.probeAndLoad(edges.select(col("src"), col("dst")), accelThreshold) match {
-      case Some(g) => GraphOps.accelResultDF(spark,
-        g.connectedComponents(), "node", "component")
+      case Some(g) =>
+        val (ns, cs) = g.connectedComponentsArrays()
+        GraphOps.accelPairsStrDF(spark, ns, cs, "node", "component")
       case None    => connectedComponents(edges)
     }
   }

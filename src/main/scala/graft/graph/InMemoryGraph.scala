@@ -47,40 +47,109 @@ final class InMemoryGraph private (
     * with the DataFrame loop on random graphs. */
   def pageRank(iterations: Int, damping: Double = 0.85,
       reset: Double = 0.15): Seq[(String, Double)] = {
+    val r = pageRankRanks(iterations, damping, reset)
+    names.indices.map(i => (names(i), r(i)))
+  }
+
+  /** [[pageRank]] returning the rank array aligned with [[names]] — the
+    * allocation-free shape [[GraphOps.pageRankAuto]] ships through the
+    * chunked-array result path (2M boxed tuples through a LocalRelation
+    * or parallelize cost multiple seconds PER ACTION at sf10; two
+    * primitive-backed arrays ship once per partition). */
+  def pageRankRanks(iterations: Int, damping: Double = 0.85,
+      reset: Double = 0.15): Array[Double] = {
     val n = size
     val ranks = Array.fill(n)(1.0)
+    // Per-edge accumulation rides a LONG of scale-12 unscaled units, not a
+    // BigDecimal: adding exact scale-12 decimals IS adding their unscaled
+    // longs, so the sum is bit-identical while the inner loop drops from
+    // ~25M BigDecimal.add calls to long adds at sf10 (measured the
+    // BigDecimal loop at multiple seconds per run). The per-SOURCE
+    // contribution still goes through BigDecimal.valueOf().setScale(12,
+    // HALF_UP) — that is the part that defines the arithmetic contract
+    // with the distributed loop's DECIMAL(28,12) staging. A contribution
+    // whose scale-12 unscaled value exceeds a long (rank/od ≥ ~9.2e6 —
+    // impossible for PageRank's ≤n total mass at any graph this driver
+    // can hold) or an addExact overflow falls back to the BigDecimal path
+    // for that round, preserving exactness unconditionally.
     for (_ <- 1 to iterations) {
-      val sums = new Array[java.math.BigDecimal](n)
+      val sums = new Array[Long](n)
+      val hit = new Array[Boolean](n)
+      var overflow = false
       var v = 0
-      while (v < n) {
+      while (v < n && !overflow) {
         val od = outAdj(v).length
         if (od > 0) {
           val c = java.math.BigDecimal.valueOf(ranks(v) / od)
             .setScale(12, java.math.RoundingMode.HALF_UP)
-          val out = outAdj(v)
-          var k = 0
-          while (k < out.length) {
-            val d = out(k)
-            sums(d) = if (sums(d) == null) c else sums(d).add(c)
-            k += 1
+          if (c.unscaledValue.bitLength >= 63) overflow = true
+          else {
+            val cu = c.unscaledValue.longValueExact
+            val out = outAdj(v)
+            var k = 0
+            while (k < out.length && !overflow) {
+              val d = out(k)
+              try {
+                sums(d) = Math.addExact(sums(d), cu)
+                hit(d) = true
+              } catch { case _: ArithmeticException => overflow = true }
+              k += 1
+            }
           }
         }
         v += 1
       }
-      v = 0
-      while (v < n) {
-        val s = if (sums(v) == null) 0.0 else sums(v).doubleValue
-        ranks(v) = reset + damping * s
-        v += 1
+      if (overflow) {
+        // exact fallback: replay the round entirely in BigDecimal
+        val bsums = new Array[java.math.BigDecimal](n)
+        var u = 0
+        while (u < n) {
+          val od = outAdj(u).length
+          if (od > 0) {
+            val c = java.math.BigDecimal.valueOf(ranks(u) / od)
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+            val out = outAdj(u)
+            var k = 0
+            while (k < out.length) {
+              val d = out(k)
+              bsums(d) = if (bsums(d) == null) c else bsums(d).add(c)
+              k += 1
+            }
+          }
+          u += 1
+        }
+        var w = 0
+        while (w < n) {
+          val s = if (bsums(w) == null) 0.0 else bsums(w).doubleValue
+          ranks(w) = reset + damping * s
+          w += 1
+        }
+      } else {
+        var w = 0
+        while (w < n) {
+          val s =
+            if (!hit(w)) 0.0
+            else java.math.BigDecimal.valueOf(sums(w), 12).doubleValue
+          ranks(w) = reset + damping * s
+          w += 1
+        }
       }
     }
-    names.indices.map(i => (names(i), ranks(i)))
+    ranks
   }
 
   /** Connected components by union-find (path compression + union by
     * size); component id = minimum member name, matching the GraphX
     * backend's canonicalization. */
   def connectedComponents(): Seq[(String, String)] = {
+    val (ns, cs) = connectedComponentsArrays()
+    ns.indices.map(i => (ns(i), cs(i)))
+  }
+
+  /** [[connectedComponents]] as two parallel arrays aligned with
+    * [[names]] — the shape [[GraphOps.connectedComponentsAuto]] ships via
+    * the chunked-array result path (see [[pageRankRanks]]). */
+  def connectedComponentsArrays(): (Array[String], Array[String]) = {
     val parent = Array.tabulate(size)(identity)
     val rank = new Array[Int](size)
     def find(x: Int): Int = {
@@ -109,7 +178,10 @@ final class InMemoryGraph private (
       val cur = minName.get(r)
       if (cur.isEmpty || names(x) < cur.get) minName(r) = names(x)
     }
-    (0 until size).map(x => (names(x), minName(find(x))))
+    val comps = new Array[String](size)
+    var x = 0
+    while (x < size) { comps(x) = minName(find(x)); x += 1 }
+    (names.clone(), comps)
   }
 
   /** K-shortest paths by edge-exclusion (the reference's fallback contract,
@@ -263,5 +335,80 @@ object InMemoryGraph {
       i += 1
     }
     new InMemoryGraph(names.toArray, idOf, outAdj, inAdj)
+  }
+}
+
+/** Weighted accel twin of [[InMemoryGraph]] — interned nodes, parallel
+  * (src, dst, w) edge arrays — behind [[GraphOps.weightedShortestPathsAuto]].
+  * Loaded once per canonicalized edge-view plan (weights are PART of the
+  * plan, so a different weight expression is a different cache entry) and
+  * reused across calls: the load's collect + intern of the edge list is
+  * the dominant cost at audit scale (sf10's 17M-row doubled view measured
+  * ~20 s to ship + intern vs ~0.3 s for the relaxation itself). */
+final class WeightedGraph private (
+    val names: Array[String],
+    idOf: java.util.HashMap[String, Integer],
+    src: Array[Int], dst: Array[Int], w: Array[Double]) {
+
+  def edgeCount: Int = src.length
+
+  /** Bounded-Jacobi relaxation, bit-identical to the distributed loop in
+    * [[GraphOps.weightedShortestPaths]]: every candidate distance is the
+    * same left-to-right double sum along its path, candidates are drawn
+    * from the PREVIOUS round's snapshot, and same-round updates accumulate
+    * min in edge order — min over IEEE doubles is exact, so the strict-==
+    * differential in GraphOpsSpec holds by construction. */
+  def relax(source: String, maxHops: Int): Seq[(String, Double)] = {
+    val sid = idOf.get(source)
+    if (sid == null) return Seq((source, 0.0))
+    val Inf = Double.PositiveInfinity
+    val n = names.length
+    var dist = Array.fill(n)(Inf)
+    dist(sid.intValue) = 0.0
+    for (_ <- 1 to maxHops) {
+      val next = dist.clone()
+      var j = 0
+      while (j < src.length) {
+        val sd = dist(src(j))
+        if (sd != Inf) {
+          val cand = sd + w(j)
+          if (cand < next(dst(j))) next(dst(j)) = cand
+        }
+        j += 1
+      }
+      dist = next
+    }
+    val out = mutable.ArrayBuffer.empty[(String, Double)]
+    var k = 0
+    while (k < n) { if (dist(k) != Inf) out += ((names(k), dist(k))); k += 1 }
+    out.toSeq
+  }
+}
+
+object WeightedGraph {
+
+  /** Build from already-collected (src: String, dst: String, w: Double)
+    * rows; null endpoints are dropped to match the distributed loop's
+    * implicit equi-join behavior, like [[InMemoryGraph.fromRows]]. */
+  def fromRows(allRows: Array[org.apache.spark.sql.Row]): WeightedGraph = {
+    val rows = allRows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val idOf = new java.util.HashMap[String, Integer]()
+    val names = mutable.ArrayBuffer[String]()
+    def intern(s: String): Int = {
+      val existing = idOf.get(s)
+      if (existing != null) existing.intValue()
+      else { val id = names.length; idOf.put(s, id); names += s; id }
+    }
+    val srcs = new Array[Int](rows.length)
+    val dsts = new Array[Int](rows.length)
+    val ws = new Array[Double](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      srcs(i) = intern(rows(i).getString(0))
+      dsts(i) = intern(rows(i).getString(1))
+      ws(i) = rows(i).getDouble(2)
+      i += 1
+    }
+    new WeightedGraph(names.toArray, idOf, srcs, dsts, ws)
   }
 }
