@@ -49,4 +49,81 @@ object RangeJoin {
       .where(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("__bucket")
   }
+
+  /** Per-interval COUNT and MIN of contained points WITHOUT materializing
+    * the pairs — the aggregate-pushdown twin of [[pointInInterval]].
+    *
+    * `pointInInterval(...).groupBy(interval).agg(count, min)` is optimal
+    * only if the pairs are the product; when the product is a per-interval
+    * AGGREGATE, the join output is pure waste — and it grows as
+    * density(points) × density(intervals): the sf10 audit measured the
+    * q81 shape at 5.65 G pairs from 2 M + 2 M events (100× the output for
+    * 10× the input), 34 s spent streaming rows that immediately collapse
+    * to 2 M aggregates. This operator never forms them:
+    *
+    *   1. points pre-aggregate per bucket into a SORTED `array<long>`
+    *      (`sort_array(collect_list(pt))`) — one map-side-combined shuffle
+    *      of the point side, O(points) total state;
+    *   2. each interval explodes to its ⌈len/width⌉+1 covering buckets and
+    *      equi-joins that bucket row — O(intervals) join rows, each
+    *      carrying one bucket array by reference;
+    *   3. per (interval, bucket) row, [[graft.functions.LowerBound]]
+    *      binary-searches the array twice: contained count =
+    *      `lower_bound(arr, hi+1) − lower_bound(arr, lo)`, and the min
+    *      contained point is the element AT `lower_bound(arr, lo)` when it
+    *      exists and ≤ hi — two O(log n) probes inside whole-stage
+    *      codegen, the array never copied or exploded;
+    *   4. one final groupBy over the interval's own columns sums the
+    *      per-bucket counts and mins the per-bucket mins.
+    *
+    * Total cost: two shuffles of O(points + intervals) rows and
+    * O(join rows · log bucket) compares — linear in the INPUTS however
+    * dense the overlap. Same result as the pair-join form (differential
+    * spec in AsOfJoinSpec), inner-join semantics: intervals containing no
+    * point are dropped.
+    *
+    * Contract: interval ROWS must be distinct (the final groupBy keys on
+    * all interval columns; exact duplicates would collapse). `bucketWidth`
+    * bounds the per-bucket array: size it so points-per-bucket fits a few
+    * MB — finer widths only add ⌈len/width⌉ cheap probe rows per
+    * interval, exactly the [[pointInInterval]] knob.
+    *
+    * Output: every `intervals` column, plus `<countName>` (long, ≥ 1) and
+    * `<minName>` (long, the smallest contained point). */
+  def intervalAggregate(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String, bucketWidth: Long,
+      countName: String = "n_points",
+      minName: String = "min_pt"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    import graft.functions.LowerBound
+    def bucketOf(c: Column): Column = {
+      val v = c.cast("long")
+      ((v - pmod(v, lit(bucketWidth))).cast("decimal(28,0)") /
+        lit(bucketWidth)).cast("long")
+    }
+    val ptsPerBucket = points
+      .withColumn("__bucket", bucketOf(col(ptCol)))
+      .groupBy(col("__bucket"))
+      .agg(sort_array(collect_list(col(ptCol).cast("long"))).as("__pts"))
+    val bucketed = intervals.where(col(loCol) <= col(hiCol))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    val lb = LowerBound(col("__pts"), col(loCol))
+    val ub = LowerBound(col("__pts"), col(hiCol).cast("long") + lit(1L))
+    val perBucket = bucketed
+      .join(ptsPerBucket, Seq("__bucket"), "left")
+      .withColumn("__c", coalesce((ub - lb).cast("long"), lit(0L)))
+      // element_at is 1-based; the candidate only counts when it exists
+      // and is ≤ hi (lower_bound(lo) lands on the first element ≥ lo, so
+      // ≥ lo is already guaranteed)
+      .withColumn("__m",
+        when(lb < size(col("__pts")),
+          element_at(col("__pts"), lb + lit(1))).otherwise(lit(null)))
+      .withColumn("__m", when(col("__m") <= col(hiCol), col("__m")))
+    val intervalCols = intervals.columns.toSeq
+    perBucket
+      .groupBy(intervalCols.map(col): _*)
+      .agg(sum(col("__c")).as(countName), min(col("__m")).as(minName))
+      .where(col(countName) > 0)
+  }
 }

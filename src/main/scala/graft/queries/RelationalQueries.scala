@@ -472,11 +472,19 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
 
-    // Keyless range join (operators.RangeJoin): purchases within one hour
-    // of ANY signup, bucketed to hour-wide equi-join keys with the exact
-    // BETWEEN as post-filter — identical to the theta join Spark would
-    // otherwise run as a nested-loop. Micros arithmetic is integral, so
-    // both engines bucket and compare bit-exactly.
+    // Keyless range join (operators.RangeJoin), aggregate-pushdown form:
+    // purchases within one hour of ANY signup. The original shape —
+    // pointInInterval (bucketed equi-join with the exact BETWEEN as
+    // post-filter) then groupBy(signup) — is output-optimal when the PAIRS
+    // are the product, but here they collapse straight into per-signup
+    // count/min, and pair count grows as density² (the sf10 audit measured
+    // 5.65 G pairs from 2 M + 2 M events, 34 s). intervalAggregate computes
+    // the same aggregates from per-bucket SORTED point arrays via two
+    // binary-search probes per (signup, bucket) row (functions.LowerBound,
+    // codegen) — linear in the inputs at any density. Equivalence to the
+    // pair-join form is differential-spec'd (AsOfJoinSpec); the SQL oracle
+    // still states the literal join, so every run re-proves the algebra.
+    // Micros arithmetic is integral, so both engines compare bit-exactly.
     "q81_interval_join" -> ((s, dir) => {
       val hourUs = 3600L * 1000000L
       val e = Tables.events(s, dir)
@@ -484,11 +492,12 @@ object RelationalQueries {
         .select(col("event_id").as("signup_id"), unix_micros(col("ts")).as("lo"))
         .withColumn("hi", col("lo") + lit(hourUs))
       val purchases = e.where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("pt"))
-      graft.operators.RangeJoin.pointInInterval(
-          purchases, signups, "pt", "lo", "hi", bucketWidth = hourUs)
-        .groupBy(col("signup_id"))
-        .agg(count(lit(1)).as("n_purchases"), min(col("pt") - col("lo")).as("min_gap_us"))
+        .select(unix_micros(col("ts")).as("pt"))
+      graft.operators.RangeJoin.intervalAggregate(
+          purchases, signups, "pt", "lo", "hi", bucketWidth = hourUs,
+          countName = "n_purchases", minName = "min_pt")
+        .select(col("signup_id"), col("n_purchases"),
+          (col("min_pt") - col("lo")).as("min_gap_us"))
         .orderBy(col("signup_id"))
     }),
   )

@@ -73,4 +73,43 @@ class AsOfJoinSpec extends SparkSpec {
       if (tied == 1) assert(cid == slow(eid), s"event $eid")
     }
   }
+
+  test("intervalAggregate equals the pair join + groupBy on random data") {
+    // Random points and intervals with deliberately dense overlap, odd
+    // widths NOT aligned to the bucket, duplicate point values, and
+    // intervals that contain nothing (must be absent from both results).
+    val rnd = new scala.util.Random(42)
+    val points = (1 to 4000).map(_ => rnd.nextInt(5000).toLong)
+      .toDF("pt")
+    val intervals = (1 to 500).map { i =>
+      val lo = rnd.nextInt(5200).toLong - 100
+      (i.toLong, lo, lo + rnd.nextInt(700).toLong)
+    }.toDF("iid", "lo", "hi")
+    for (width <- Seq(64L, 250L, 1000L)) {
+      val viaPairs = graft.operators.RangeJoin.pointInInterval(
+          points, intervals, "pt", "lo", "hi", bucketWidth = width)
+        .groupBy($"iid")
+        .agg(count(lit(1)).as("n_points"), min($"pt").as("min_pt"))
+        .as[(Long, Long, Long)].collect().map { case (k, n, m) => k -> ((n, m)) }.toMap
+      val viaAgg = graft.operators.RangeJoin.intervalAggregate(
+          points, intervals, "pt", "lo", "hi", bucketWidth = width)
+        .select($"iid", $"n_points", $"min_pt")
+        .as[(Long, Long, Long)].collect().map { case (k, n, m) => k -> ((n, m)) }.toMap
+      assert(viaAgg == viaPairs, s"width=$width")
+    }
+  }
+
+  test("intervalAggregate handles empty points and degenerate intervals") {
+    val points = Seq.empty[Long].toDF("pt")
+    val intervals = Seq((1L, 0L, 10L), (2L, 5L, 4L)).toDF("iid", "lo", "hi")
+    assert(graft.operators.RangeJoin.intervalAggregate(
+      points, intervals, "pt", "lo", "hi", bucketWidth = 10L).count() == 0)
+    // single point on the boundary: inclusive on both ends
+    val p2 = Seq(10L, 20L).toDF("pt")
+    val i2 = Seq((1L, 10L, 20L)).toDF("iid", "lo", "hi")
+    val r = graft.operators.RangeJoin.intervalAggregate(
+        p2, i2, "pt", "lo", "hi", bucketWidth = 7L)
+      .select($"iid", $"n_points", $"min_pt").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 10L)))
+  }
 }
