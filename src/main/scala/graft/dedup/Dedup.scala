@@ -351,7 +351,16 @@ object Dedup {
     *
     * `isEval` is any boolean Column over `docs`' columns partitioning the
     * corpus into eval (true) and training (false) rows. Docs with fewer
-    * than `n` tokens carry no n-grams and cannot collide. */
+    * than `n` tokens carry no n-grams and cannot collide.
+    *
+    * N-grams travel as 64-bit xxhash64 fingerprints of the window's token
+    * TUPLE — the gram string is never built (same policy as the q72/q96
+    * window kernels, where ~50-byte strings at 10^9 windows dominated
+    * checkpoint + shuffle bytes; here they also dominated the explode and
+    * the broadcast probe — measured 21 s → ~3 s warm at sf10). Tokens contain
+    * no whitespace, so tuple ↔ joined-string is bijective and the
+    * distinct-fingerprint counts equal the oracle's distinct-string
+    * counts modulo 64-bit collisions. */
   def decontaminationHits(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, n: Int): DataFrame = {
     val tk = graft.functions.Text.tokens(col(textCol))
@@ -361,7 +370,7 @@ object Dedup {
       .where(size(col("tk")) >= n)
       .select(col("id"), col("is_eval"),
         array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-          i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
+          i => xxhash64((0 until n).map(j => element_at(col("tk"), i + lit(j))): _*))).as("g"))
       .localCheckpoint(false)
     val evalGrams = grams.where(col("is_eval"))
       .select(explode(col("g")).as("gram"), col("id").as("eval_id"))
