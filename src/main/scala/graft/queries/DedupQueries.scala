@@ -137,12 +137,15 @@ object DedupQueries {
       // 64-bit collision (≈2.7% chance of ONE among 10^9 windows) shifts
       // one doc's shared_frac by one window — far below the signal; at
       // the sf0.01 oracle gate the collision probability is ~1e-7.
+      // The window STRING isn't even built scan-side: xxhash64 chains the
+      // 8 tokens directly (tuple ↔ joined-string bijective — tokens carry
+      // no whitespace), dropping ~10^9 ~50 B allocations per run.
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), tk.as("tk"))
         .where(size(col("tk")) >= win)
         .select(col("doc_id"), array_distinct(
           transform(sequence(lit(1), size(col("tk")) - (win - 1)),
-            i => xxhash64(concat_ws(" ", slice(col("tk"), i, lit(win)))))).as("ws"))
+            i => xxhash64((0 until win).map(j => element_at(col("tk"), i + lit(j))): _*))).as("ws"))
         .localCheckpoint(false) // feeds the explode AND the per-doc sizes
       // min(doc_id) is well-defined as "the owner" only when n_docs = 1.
       val uniq = docs.select(col("doc_id"), explode(col("ws")).as("w"))
@@ -182,10 +185,11 @@ object DedupQueries {
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
           // grams ride as 64-bit fingerprints (same rationale + collision
           // math as q72: strings are ~50 B each and dominate checkpoint +
-          // shuffle bytes at 10^9 grams; the hash is 8).
+          // shuffle bytes at 10^9 grams; the hash is 8 — and hashed from
+          // the token tuple directly, the string is never allocated).
           transform(sequence(lit(1), size(col("tk")) - (win - 1)),
             i => struct(i.as("pos"),
-              xxhash64(concat_ws(" ", slice(col("tk"), i, lit(win)))).as("g"))).as("gs"))
+              xxhash64((0 until win).map(j => element_at(col("tk"), i + lit(j))): _*).as("g"))).as("gs"))
         .localCheckpoint(false) // feeds gram explode AND the final join
       val grams = docs.select(col("doc_id"), explode(col("gs")).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
@@ -193,11 +197,23 @@ object DedupQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .where(col("n_docs") >= 2)
         .select(col("g"))
+      // Coverage = |union of [pos, pos+7] over shared positions|. The
+      // first cut exploded the 8 covered positions of every shared gram
+      // and countDistinct-ed them — an 8× row multiplier through a second
+      // expand-shaped shuffle. For SORTED distinct starts the union
+      // length is closed-form: Σ min(p_{i+1} − p_i, win) + win, so one
+      // collect_list per doc (no multiplier, no distinct) computes it
+      // exactly; per-doc array size is bounded by token count.
       val covered = grams.join(rep, "g")
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (win - 1))).as("cp"))
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("cp")).as("n_covered"))
+        .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        .select(col("doc_id"),
+          (aggregate(
+            zip_with(
+              slice(col("ps"), lit(1), size(col("ps")) - 1),
+              slice(col("ps"), lit(2), size(col("ps")) - 1),
+              (a, b) => least(b - a, lit(win))),
+            lit(0L), (acc, x) => acc + x) + lit(win)).as("n_covered"))
       docs.select(col("doc_id"), col("n_tokens"))
         .join(covered, Seq("doc_id"), "left")
         .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
