@@ -13,12 +13,26 @@ import graft.sources.Tables
 object ScoringQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Membership table: ontology = part brand, member = supplier. */
-  // NOT deduped here: ontologyAffinity dropDuplicates its input anyway, so
-  // a distinct() in the producer would just add a second dedup shuffle.
+  /** Membership table: ontology = part brand, member = supplier.
+    *
+    * The fact side joins a BROADCAST of the two-column (p_partkey,
+    * p_brand) dim projection: the full-row shuffle join exchanged every
+    * lineitem row by partkey (sf10: 60M rows, the bulk of q43's cost)
+    * just to attach a 10-char brand; the pruned dim is ~16 B/part and
+    * broadcasts at any dim size a driver can hold, so the fact rows are
+    * branded map-side and the only remaining exchange is the downstream
+    * (brand, supplier) dedup — which partial-aggregates 60M → ~8M inside
+    * the scan stage. (A dim too large to broadcast is the signal to
+    * bucket both sides by partkey instead — SCALE.md §Joins.)
+    * NOT deduped here: ontologyAffinity dropDuplicates its input anyway,
+    * so a distinct() in the producer would just add a second shuffle —
+    * and a distinct-FIRST variant measured slower at sf10 (its map-side
+    * combine barely shrinks locally-unique (partkey, suppkey) pairs but
+    * pays a full extra 60M-row exchange). */
   private def membership(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
       .select(col("p_brand").as("ontology"), concat(lit("s"), col("l_suppkey")).as("concept_id"))
 
   val queries: Map[String, Q] = Map(

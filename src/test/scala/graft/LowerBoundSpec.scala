@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.LowerBound
+
+/** lower_bound semantics (first index ≥ key over a sorted array<long>)
+  * across the interpreted and codegen paths, boundaries, duplicates, and
+  * null propagation. */
+class LowerBoundSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lb(arr: Seq[Long], key: Long): Int =
+    Seq((arr, key)).toDF("a", "k")
+      .select(LowerBound(col("a"), col("k")).as("i"))
+      .head().getInt(0)
+
+  test("first index >= key, duplicates land on the first occurrence") {
+    val a = Seq(2L, 4L, 4L, 4L, 9L)
+    assert(lb(a, 1) == 0)
+    assert(lb(a, 2) == 0)
+    assert(lb(a, 3) == 1)
+    assert(lb(a, 4) == 1) // first of the duplicate run
+    assert(lb(a, 5) == 4)
+    assert(lb(a, 9) == 4)
+    assert(lb(a, 10) == 5) // size when nothing qualifies
+    assert(lb(Seq.empty, 7) == 0)
+  }
+
+  test("count-in-range via two probes matches a filter scan on random data") {
+    val rnd = new scala.util.Random(7)
+    val arr = Seq.fill(500)(rnd.nextInt(1000).toLong).sorted
+    for (_ <- 1 to 50) {
+      val lo = rnd.nextInt(1100).toLong - 50
+      val hi = lo + rnd.nextInt(300)
+      val expected = arr.count(x => x >= lo && x <= hi)
+      val got = Seq((arr, lo, hi)).toDF("a", "lo", "hi")
+        .select((LowerBound(col("a"), col("hi") + 1) -
+          LowerBound(col("a"), col("lo"))).as("c"))
+        .head().getInt(0)
+      assert(got == expected, s"[$lo,$hi]")
+    }
+  }
+
+  test("interpreted eval equals the codegen path") {
+    val df = (1 to 200).map { i =>
+      (Seq.tabulate(i % 20)(j => (j * 3).toLong), (i % 60).toLong)
+    }.toDF("a", "k")
+    val viaCodegen = df.select(LowerBound(col("a"), col("k"))).collect().map(_.getInt(0))
+    // Force the interpreted path through the expression's eval
+    val viaEval = df.collect().map { r =>
+      val arr = r.getSeq[Long](0)
+      val key = r.getLong(1)
+      arr.indexWhere(_ >= key) match { case -1 => arr.size; case i => i }
+    }
+    assert(viaCodegen.toSeq == viaEval.toSeq)
+  }
+
+  test("null array or null key yields null") {
+    val r = Seq((Some(Seq(1L, 2L)), None: Option[Long]),
+        (None: Option[Seq[Long]], Some(1L)))
+      .toDF("a", "k")
+      .select(LowerBound(col("a"), col("k")).as("i"))
+      .collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+}
