@@ -33,7 +33,14 @@ object ScoringQueries {
     Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("p_brand").as("ontology"), concat(lit("s"), col("l_suppkey")).as("concept_id"))
+      // dedup on the RAW int key, then build the concept string: the
+      // concat otherwise allocates one string per fact row (60M at sf10)
+      // when only the ~2.5M distinct (brand, supplier) pairs need one.
+      // The downstream dropDuplicates in ontologyAffinityAll re-runs over
+      // already-distinct rows — a cheap exchange of the small table.
+      .select(col("p_brand").as("ontology"), col("l_suppkey"))
+      .dropDuplicates()
+      .select(col("ontology"), concat(lit("s"), col("l_suppkey")).as("concept_id"))
 
   val queries: Map[String, Q] = Map(
     // A7: cross-ontology affinity — shared members / target size, top-30

@@ -230,4 +230,24 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(forced == fast)
   }
+
+  test("weighted accel cache keys on the weight expression, not just the edges") {
+    // Same (src, dst) edge set, two different weight columns: the cache is
+    // keyed on the canonicalized (src, dst, w) plan, so the second call
+    // must NOT reuse the first call's loaded graph.
+    val base = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val w1 = base.withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+    val w5 = base.withColumn("w", org.apache.spark.sql.functions.lit(5.0))
+    val d1 = GraphOps.weightedShortestPathsAuto(w1, "a", maxHops = 3)
+      .as[(String, Double)].collect().toMap
+    val d5 = GraphOps.weightedShortestPathsAuto(w5, "a", maxHops = 3)
+      .as[(String, Double)].collect().toMap
+    assert(d1 == Map("a" -> 0.0, "b" -> 1.0, "c" -> 1.0))
+    assert(d5 == Map("a" -> 0.0, "b" -> 5.0, "c" -> 5.0))
+    // and a REPEATED call with the first weights still answers from the
+    // (refreshed) cache correctly
+    val d1again = GraphOps.weightedShortestPathsAuto(w1, "a", maxHops = 3)
+      .as[(String, Double)].collect().toMap
+    assert(d1again == d1)
+  }
 }
