@@ -86,6 +86,9 @@ object ZOrder {
     * itself). Exposed for specs; writers use [[clustered]]. */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty, "zorder needs at least one column")
+    // 8 cols × 8 bits = 64 interleaved bits — the long is full; a 9th
+    // column would shift bits past 63 and silently corrupt the curve.
+    require(cols.size <= 8, s"zorder supports at most 8 columns, got ${cols.size}")
     val buckets = cols.map(c =>
       bucketOf(col(c), boundaries(df, c, 1 << BucketBits), BucketBits))
     interleave(buckets, BucketBits)
