@@ -19,6 +19,15 @@ object Text {
     * `regexp_extract_all(lower(x), '$wordPat')`. */
   val wordPat: String = "[a-z]+"
 
-  /** Lowercase word tokens of `c` as `array<string>`. */
-  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit(wordPat), lit(0))
+  /** Lowercase word tokens of `c` as `array<string>` — the codegen
+    * [[TokenizeWords]] scanner, bit-identical to
+    * `regexp_extract_all(lower(c), '[a-z]+')` (pure-ASCII fast path;
+    * literal lower+regex fallback on any non-ASCII string), which remains
+    * what the interpolated DuckDB oracles compute. */
+  def tokens(c: Column): Column = TokenizeWords(c)
+
+  /** The regex form [[tokens]] replaces — kept as the differential
+    * reference for TokenizeSpec. */
+  def tokensRegex(c: Column): Column =
+    regexp_extract_all(lower(c), lit(wordPat), lit(0))
 }
