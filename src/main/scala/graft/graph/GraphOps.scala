@@ -422,7 +422,13 @@ object GraphOps {
       try {
         val n = cached.limit(accelThreshold.toInt + 1).count()
         if (n <= accelThreshold) {
-          val g = InMemoryGraph.load(cached)
+          // Large loads intern DISTRIBUTED (dictionary join + compact int
+          // ship); the probe's n decides, so the extra jobs only run when
+          // driver-side interning would dominate (InMemoryGraph doc).
+          val g =
+            if (n > InMemoryGraph.DistributedLoadThreshold)
+              InMemoryGraph.loadDistributed(cached)
+            else InMemoryGraph.load(cached)
           AccelCache.putLoaded(key, n, g)
           Some(g)
         } else { AccelCache.putOver(key, accelThreshold); None }
@@ -694,7 +700,10 @@ object GraphOps {
         try {
           val n = cached.limit(accelThreshold.toInt + 1).count()
           if (n <= accelThreshold) {
-            val g = WeightedGraph.fromRows(cached.collect())
+            val g =
+              if (n > InMemoryGraph.DistributedLoadThreshold)
+                WeightedGraph.loadDistributed(cached)
+              else WeightedGraph.fromRows(cached.collect())
             WeightedAccelCache.putLoaded(key, n, g)
             Some(g)
           } else { WeightedAccelCache.putOver(key, accelThreshold); None }

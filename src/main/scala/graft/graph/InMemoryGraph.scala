@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col, explode}
 import scala.collection.mutable
 
 /** Driver-side in-memory traversal accelerator — the Spark re-expression of
@@ -294,6 +294,105 @@ object InMemoryGraph {
     fromRows(edges.select(col("src").cast("string"), col("dst").cast("string"))
       .collect())
 
+  /** Edge count above which the dispatchers intern DISTRIBUTED
+    * ([[loadDistributed]]) instead of on the driver: below it the two
+    * dictionary-join jobs cost more than they parallelize away. */
+  val DistributedLoadThreshold: Long = 1000000L
+
+  /** [[load]] with the interning done as a DISTRIBUTED dictionary join —
+    * the large-graph load path. Driver-side [[fromRows]] pays an
+    * O(2·E) String-keyed HashMap intern plus per-row String allocation,
+    * single-threaded (~15 s at sf10's 17M-row doubled view — more than
+    * the traversal it feeds); here the node dictionary (distinct name →
+    * dense id via zipWithIndex) and both endpoint lookups run as plain
+    * shuffles, and the driver receives COMPACT (int, int) rows plus the
+    * 1-row-per-node dictionary. Same graph by construction: the joins
+    * drop null endpoints exactly like fromRows' filter, parallel edges
+    * survive as join duplicates, and edge/array order is semantically
+    * irrelevant (BFS parents tie-break on min NAME, components are
+    * order-free union-find, PageRank sums exact decimals) — pinned by the
+    * GraphAccelSpec differential, which runs both paths. */
+  def loadDistributed(edges: DataFrame): InMemoryGraph = {
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("src").cast("string"), col("dst").cast("string"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val dict = e.select(explode(array(col("src"), col("dst"))).as("n"))
+      .distinct()
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (n, i) => org.apache.spark.sql.Row(n, i.toInt) }
+    val dictDF = spark.createDataFrame(dict,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+      .localCheckpoint(false) // read 3×: both joins + the names collect
+    // Ship COMPACT per-partition arrays, not rows: collect() of 8.5M
+    // two-int Rows costs as much as the string interning it replaces
+    // (measured ~12 s either way at sf10) — per-row deserialization is
+    // the real bottleneck. A handful of primitive-array blocks
+    // deserializes in O(bytes).
+    val edgeParts: Array[(Array[Int], Array[Int])] = e
+      .join(dictDF.toDF("src", "__sid"), "src")
+      .join(dictDF.toDF("dst", "__did"), "dst")
+      .select(col("__sid"), col("__did"))
+      .rdd.mapPartitions { it =>
+        val sb = new mutable.ArrayBuilder.ofInt
+        val db = new mutable.ArrayBuilder.ofInt
+        it.foreach { r => sb += r.getInt(0); db += r.getInt(1) }
+        Iterator((sb.result(), db.result()))
+      }.collect()
+    val nameParts: Array[(Array[Int], Array[String])] = dictDF
+      .rdd.mapPartitions { it =>
+        val ib = new mutable.ArrayBuilder.ofInt
+        val nb = mutable.ArrayBuffer.empty[String]
+        it.foreach { r => nb += r.getString(0); ib += r.getInt(1) }
+        Iterator((ib.result(), nb.toArray))
+      }.collect()
+    val n = nameParts.iterator.map(_._1.length).sum
+    val names = new Array[String](n)
+    val idOf = new java.util.HashMap[String, Integer]()
+    nameParts.foreach { case (ids, ns) =>
+      var j = 0
+      while (j < ids.length) {
+        names(ids(j)) = ns(j); idOf.put(ns(j), ids(j)); j += 1
+      }
+    }
+    val m = edgeParts.iterator.map(_._1.length).sum
+    val srcs = new Array[Int](m); val dsts = new Array[Int](m)
+    var off = 0
+    edgeParts.foreach { case (ss, ds) =>
+      System.arraycopy(ss, 0, srcs, off, ss.length)
+      System.arraycopy(ds, 0, dsts, off, ds.length)
+      off += ss.length
+    }
+    fromInterned(names, idOf, srcs, dsts)
+  }
+
+  /** Adjacency build shared by [[fromRows]] and [[loadDistributed]]. */
+  private def fromInterned(names: Array[String],
+      idOf: java.util.HashMap[String, Integer],
+      srcs: Array[Int], dsts: Array[Int]): InMemoryGraph = {
+    val n = names.length
+    val outCount = new Array[Int](n)
+    val inCount = new Array[Int](n)
+    srcs.foreach(outCount(_) += 1)
+    dsts.foreach(inCount(_) += 1)
+    val outAdj = Array.tabulate(n)(v => new Array[Int](outCount(v)))
+    val inAdj = Array.tabulate(n)(v => new Array[Int](inCount(v)))
+    val outPos = new Array[Int](n)
+    val inPos = new Array[Int](n)
+    var i = 0
+    while (i < srcs.length) {
+      val s = srcs(i); val d = dsts(i)
+      outAdj(s)(outPos(s)) = d; outPos(s) += 1
+      inAdj(d)(inPos(d)) = s; inPos(d) += 1
+      i += 1
+    }
+    new InMemoryGraph(names, idOf, outAdj, inAdj)
+  }
+
   /** Build from already-collected (src, dst) rows — lets auto-dispatchers
     * size-probe and load with ONE distributed computation instead of a
     * count() pass followed by a second full collect(). */
@@ -318,23 +417,7 @@ object InMemoryGraph {
       dsts(i) = intern(rows(i).getString(1))
       i += 1
     }
-    val n = names.length
-    val outCount = new Array[Int](n)
-    val inCount = new Array[Int](n)
-    srcs.foreach(outCount(_) += 1)
-    dsts.foreach(inCount(_) += 1)
-    val outAdj = Array.tabulate(n)(v => new Array[Int](outCount(v)))
-    val inAdj = Array.tabulate(n)(v => new Array[Int](inCount(v)))
-    val outPos = new Array[Int](n)
-    val inPos = new Array[Int](n)
-    i = 0
-    while (i < rows.length) {
-      val s = srcs(i); val d = dsts(i)
-      outAdj(s)(outPos(s)) = d; outPos(s) += 1
-      inAdj(d)(inPos(d)) = s; inPos(d) += 1
-      i += 1
-    }
-    new InMemoryGraph(names.toArray, idOf, outAdj, inAdj)
+    fromInterned(names.toArray, idOf, srcs, dsts)
   }
 }
 
@@ -386,6 +469,70 @@ final class WeightedGraph private (
 }
 
 object WeightedGraph {
+
+  /** Distributed-interning load for large weighted views — the weighted
+    * twin of [[InMemoryGraph.loadDistributed]] (same dictionary-join
+    * shape, the weight rides the edge row; same order-irrelevance
+    * argument, pinned by GraphOpsSpec's strict-== differential). */
+  def loadDistributed(edges: DataFrame): WeightedGraph = {
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col("src").cast("string"), col("dst").cast("string"),
+        col("w").cast("double"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val dict = e.select(explode(array(col("src"), col("dst"))).as("n"))
+      .distinct()
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .map { case (n, i) => org.apache.spark.sql.Row(n, i.toInt) }
+    val dictDF = spark.createDataFrame(dict,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+      .localCheckpoint(false)
+    // Compact per-partition array shipping — see InMemoryGraph.
+    val edgeParts: Array[(Array[Int], Array[Int], Array[Double])] = e
+      .join(dictDF.toDF("src", "__sid"), "src")
+      .join(dictDF.toDF("dst", "__did"), "dst")
+      .select(col("__sid"), col("__did"), col("w"))
+      .rdd.mapPartitions { it =>
+        val sb = new mutable.ArrayBuilder.ofInt
+        val db = new mutable.ArrayBuilder.ofInt
+        val wb = new mutable.ArrayBuilder.ofDouble
+        it.foreach { r =>
+          sb += r.getInt(0); db += r.getInt(1); wb += r.getDouble(2)
+        }
+        Iterator((sb.result(), db.result(), wb.result()))
+      }.collect()
+    val nameParts: Array[(Array[Int], Array[String])] = dictDF
+      .rdd.mapPartitions { it =>
+        val ib = new mutable.ArrayBuilder.ofInt
+        val nb = mutable.ArrayBuffer.empty[String]
+        it.foreach { r => nb += r.getString(0); ib += r.getInt(1) }
+        Iterator((ib.result(), nb.toArray))
+      }.collect()
+    val n = nameParts.iterator.map(_._1.length).sum
+    val names = new Array[String](n)
+    val idOf = new java.util.HashMap[String, Integer]()
+    nameParts.foreach { case (ids, ns) =>
+      var j = 0
+      while (j < ids.length) {
+        names(ids(j)) = ns(j); idOf.put(ns(j), ids(j)); j += 1
+      }
+    }
+    val m = edgeParts.iterator.map(_._1.length).sum
+    val srcs = new Array[Int](m); val dsts = new Array[Int](m)
+    val ws = new Array[Double](m)
+    var off = 0
+    edgeParts.foreach { case (ss, ds, wws) =>
+      System.arraycopy(ss, 0, srcs, off, ss.length)
+      System.arraycopy(ds, 0, dsts, off, ds.length)
+      System.arraycopy(wws, 0, ws, off, ws.length)
+      off += ss.length
+    }
+    new WeightedGraph(names, idOf, srcs, dsts, ws)
+  }
 
   /** Build from already-collected (src: String, dst: String, w: Double)
     * rows; null endpoints are dropped to match the distributed loop's

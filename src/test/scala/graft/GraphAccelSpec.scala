@@ -151,4 +151,38 @@ class GraphAccelSpec extends SparkSpec {
     assert(distances(GraphOps.bfsAuto(es, Seq("zz"), 3)) == Map("zz" -> 0))
     assert(distances(GraphOps.bfs(es, Seq("zz"), 3)) == Map("zz" -> 0))
   }
+
+  test("distributed-interning load builds the identical graph (both variants)") {
+    // loadDistributed only dispatches past 1M edges in production; force it
+    // directly here and hold every accel product equal to the driver-interned
+    // build on seeded random graphs with parallel edges, self-loops, and a
+    // null endpoint row (dropped by both paths).
+    val rnd = new scala.util.Random(23)
+    val raw = (1 to 300).map { _ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")
+    } ++ Seq(("n1", "n1"), ("n2", "n3"), ("n2", "n3")) // self-loop + parallel
+    val edges = (raw.map { case (a, b) => (a: String, b: String) } :+
+      ((null: String), "n5")).toDF("src", "dst")
+    val viaDriver = graft.graph.InMemoryGraph.load(edges)
+    val viaDist = graft.graph.InMemoryGraph.loadDistributed(edges)
+    assert(viaDist.size == viaDriver.size)
+    assert(viaDist.bfs(Seq("n0"), 4).toSet == viaDriver.bfs(Seq("n0"), 4).toSet)
+    assert(viaDist.connectedComponents().toSet ==
+      viaDriver.connectedComponents().toSet)
+    assert(viaDist.pageRank(3).toMap == viaDriver.pageRank(3).toMap)
+    assert(viaDist.kShortestPaths("n0", "n7", 4, 3, GraphOps.Both) ==
+      viaDriver.kShortestPaths("n0", "n7", 4, 3, GraphOps.Both))
+    // weighted twin
+    val wedges = edges.withColumn("w",
+      org.apache.spark.sql.functions.lit(1.0) +
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("src"),
+            org.apache.spark.sql.functions.col("dst")),
+          org.apache.spark.sql.functions.lit(5)).cast("double"))
+    val wDriver = graft.graph.WeightedGraph.fromRows(
+      wedges.select("src", "dst", "w").collect())
+    val wDist = graft.graph.WeightedGraph.loadDistributed(wedges)
+    assert(wDist.relax("n0", 4).toMap == wDriver.relax("n0", 4).toMap)
+  }
 }
