@@ -528,7 +528,7 @@ object WeightedGraph {
     edgeParts.foreach { case (ss, ds, wws) =>
       System.arraycopy(ss, 0, srcs, off, ss.length)
       System.arraycopy(ds, 0, dsts, off, ds.length)
-      System.arraycopy(wws, 0, ws, off, ws.length)
+      System.arraycopy(wws, 0, ws, off, wws.length)
       off += ss.length
     }
     new WeightedGraph(names, idOf, srcs, dsts, ws)

@@ -163,8 +163,16 @@ class GraphAccelSpec extends SparkSpec {
     } ++ Seq(("n1", "n1"), ("n2", "n3"), ("n2", "n3")) // self-loop + parallel
     val edges = (raw.map { case (a, b) => (a: String, b: String) } :+
       ((null: String), "n5")).toDF("src", "dst")
-    val viaDriver = graft.graph.InMemoryGraph.load(edges)
-    val viaDist = graft.graph.InMemoryGraph.loadDistributed(edges)
+    // AQE off forces MULTIPLE unevenly-sized per-partition array blocks
+    // through the compact-shipping path — with AQE coalescing a tiny
+    // shuffle to one partition, a block-length bug (copying the total
+    // length instead of the block's) is invisible; exactly that bug
+    // shipped in the weighted twin and only surfaced at sf10.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val viaDriver = graft.graph.InMemoryGraph.load(edges)
+      val viaDist = graft.graph.InMemoryGraph.loadDistributed(edges)
     assert(viaDist.size == viaDriver.size)
     assert(viaDist.bfs(Seq("n0"), 4).toSet == viaDriver.bfs(Seq("n0"), 4).toSet)
     assert(viaDist.connectedComponents().toSet ==
@@ -184,5 +192,6 @@ class GraphAccelSpec extends SparkSpec {
       wedges.select("src", "dst", "w").collect())
     val wDist = graft.graph.WeightedGraph.loadDistributed(wedges)
     assert(wDist.relax("n0", 4).toMap == wDriver.relax("n0", 4).toMap)
+    } finally { spark.conf.set("spark.sql.adaptive.enabled", aqeWas); () }
   }
 }
