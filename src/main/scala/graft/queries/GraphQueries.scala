@@ -191,18 +191,31 @@ object GraphQueries {
       // the feature loses almost nothing and the skew bound becomes
       // C(ceiling,2) pairs per neighbor row. The oracle applies the same
       // predicate.
+      // The C(k,2) pair stream is the query's bulk (~96M rows at sf10);
+      // it travels on LONG supplier keys and re-prefixes to "s<num>" only
+      // AFTER the aggregate — the pair shuffle carries 16 B of keys
+      // instead of ~20 B of strings (locally CPU-bound in the explode, so
+      // measured ≈neutral; at network-bound cluster scale bytes win).
+      // Pair ORIENTATION is a < b on the NUMERIC key — an arbitrary
+      // canonicalization that the oracle states identically (its join
+      // parses the suffix), so both engines emit the same oriented pairs.
       val postings = e.join(deg, "dst")
         .where(col("deg") >= 2 && col("deg") <= AdamicAdarDegreeCeiling)
+        .select(col("dst"), col("deg"),
+          substring(col("src"), 2, 18).cast("long").as("sk"))
         .groupBy(col("dst"), col("deg"))
-        .agg(array_sort(collect_list(col("src"))).as("ids"))
+        .agg(array_sort(collect_list(col("sk"))).as("ids"))
       val pairs = postings
         .select(round(lit(1.0) / log(col("deg").cast("double")), 6).as("w"),
           col("ids"), posexplode(col("ids")))
-        .select(col("w"), col("col").as("a_id"),
-          explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("b_id"))
-      pairs.groupBy(col("a_id"), col("b_id"))
+        .select(col("w"), col("col").as("a_k"),
+          explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("b_k"))
+      pairs.groupBy(col("a_k"), col("b_k"))
         .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("aa_score"),
           count(lit(1)).as("common_parts"))
+        .select(concat(lit("s"), col("a_k")).as("a_id"),
+          concat(lit("s"), col("b_k")).as("b_id"),
+          col("aa_score"), col("common_parts"))
         .orderBy(col("aa_score").desc, col("a_id").asc, col("b_id").asc)
         .limit(100)
     }),
@@ -361,7 +374,8 @@ object GraphQueries {
          |  SELECT a.src AS a_id, b.src AS b_id,
          |    round(1.0 / ln(d.deg), 6) AS w
          |  FROM edges a
-         |  JOIN edges b ON a.dst = b.dst AND a.src < b.src
+         |  JOIN edges b ON a.dst = b.dst
+         |    AND CAST(substr(a.src, 2) AS BIGINT) < CAST(substr(b.src, 2) AS BIGINT)
          |  JOIN deg d ON d.dst = a.dst
          |  WHERE d.deg >= 2 AND d.deg <= $AdamicAdarDegreeCeiling)
          |SELECT a_id, b_id,
