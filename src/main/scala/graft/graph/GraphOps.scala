@@ -692,7 +692,12 @@ object GraphOps {
     val view = edges
       .select(col("src").cast("string"), col("dst").cast("string"),
         col("w").cast("double"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
+      // w.isNotNull matters for dispatch parity: the accel loader's
+      // Row.getDouble unboxes a null weight to 0.0 while the DataFrame
+      // path drops such edges via null propagation — filtering here makes
+      // both sides of the threshold drop null-weight edges identically.
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull)
     val key = view.queryExecution.analyzed.canonicalized
     val dispatched: Option[WeightedGraph] =
       WeightedAccelCache.get(key, accelThreshold).getOrElse {

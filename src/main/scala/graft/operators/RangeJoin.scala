@@ -84,34 +84,69 @@ object RangeJoin {
     *
     * Contract: interval ROWS must be distinct (the final groupBy keys on
     * all interval columns; exact duplicates would collapse). `bucketWidth`
-    * bounds the per-bucket array: size it so points-per-bucket fits a few
-    * MB — finer widths only add ⌈len/width⌉ cheap probe rows per
-    * interval, exactly the [[pointInInterval]] knob.
+    * sizes the TYPICAL per-bucket array; a DEGENERATE bucket (every point
+    * stamped the same hour, boilerplate-timestamp style) is bounded by
+    * `maxBucketRows`: a per-bucket count pre-pass finds buckets over the
+    * cap and hash-splits their points into ⌈n/cap⌉ sub-arrays — the two
+    * probes run per sub-array and the final groupBy re-combines exactly
+    * (counts ADD across any partition of a bucket's points, mins MIN), so
+    * the result is bit-identical to the unsplit plan while no task ever
+    * materializes more than ~cap longs in one row. The oversized-bucket
+    * table is joined as a BROADCAST on both sides (it is empty in the
+    * non-degenerate case and one row per hot bucket otherwise).
     *
     * Output: every `intervals` column, plus `<countName>` (long, ≥ 1) and
     * `<minName>` (long, the smallest contained point). */
   def intervalAggregate(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String, bucketWidth: Long,
       countName: String = "n_points",
-      minName: String = "min_pt"): DataFrame = {
+      minName: String = "min_pt",
+      maxBucketRows: Int = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketRows > 0, "maxBucketRows must be positive")
+    val reserved = Seq("__bucket", "__sub", "__splits", "__pts", "__c", "__m")
+    val inputCols = (intervals.columns ++ Seq(ptCol, loCol, hiCol)).toSet
+    val clash = reserved.filter(inputCols.contains) ++
+      Seq(countName, minName).filter(intervals.columns.contains)
+    require(clash.isEmpty,
+      s"intervalAggregate: column name(s) ${clash.mkString(", ")} collide " +
+        s"with reserved internal/output names (${reserved.mkString(", ")}, " +
+        s"$countName, $minName) — rename the input columns")
     import graft.functions.LowerBound
     def bucketOf(c: Column): Column = {
       val v = c.cast("long")
       ((v - pmod(v, lit(bucketWidth))).cast("decimal(28,0)") /
         lit(bucketWidth)).cast("long")
     }
-    val ptsPerBucket = points
-      .withColumn("__bucket", bucketOf(col(ptCol)))
-      .groupBy(col("__bucket"))
+    val pts = points.withColumn("__bucket", bucketOf(col(ptCol)))
+    // Hot-bucket pre-pass (same shape as Dedup's maxBucketSize guard):
+    // partial-aggregated counts, filtered to the over-cap buckets only, so
+    // the broadcast is empty unless a bucket is actually degenerate.
+    val oversized = pts.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxBucketRows)
+      .select(col("__bucket"),
+        ceil(col("__c").cast("double") / maxBucketRows).cast("int").as("__splits"))
+    val subOf =
+      when(col("__splits").isNotNull,
+        pmod(hash(col(ptCol)), col("__splits"))).otherwise(lit(0))
+    val ptsPerBucket = pts
+      .join(broadcast(oversized), Seq("__bucket"), "left")
+      .withColumn("__sub", subOf)
+      .groupBy(col("__bucket"), col("__sub"))
       .agg(sort_array(collect_list(col(ptCol).cast("long"))).as("__pts"))
+    // Each interval probes every sub-array of each covering bucket.
     val bucketed = intervals.where(col(loCol) <= col(hiCol))
       .withColumn("__bucket",
         explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+      .join(broadcast(oversized), Seq("__bucket"), "left")
+      .withColumn("__sub",
+        explode(sequence(lit(0), coalesce(col("__splits"), lit(1)) - 1)))
+      .drop("__splits")
     val lb = LowerBound(col("__pts"), col(loCol))
     val ub = LowerBound(col("__pts"), col(hiCol).cast("long") + lit(1L))
     val perBucket = bucketed
-      .join(ptsPerBucket, Seq("__bucket"), "left")
+      .join(ptsPerBucket, Seq("__bucket", "__sub"), "left")
       .withColumn("__c", coalesce((ub - lb).cast("long"), lit(0L)))
       // element_at is 1-based; the candidate only counts when it exists
       // and is ≤ hi (lower_bound(lo) lands on the first element ≥ lo, so

@@ -47,11 +47,10 @@ object RuntimeFilter {
       if (small.select(col(smallKey)).isEmpty) big.where(lit(false))
       else {
         val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
-        val bc = big.sparkSession.sparkContext.broadcast(bf)
-        val mightContain = udf((k: java.lang.Long) =>
-          k != null && bc.value.mightContainLong(k))
-          .withName("bloomMightContain")
-        big.where(mightContain(col(bigKey)))
+        // Codegen probe (functions/BloomMightContain.scala): stays inside
+        // the fact scan's whole-stage-codegen span, no per-row boxing; the
+        // filter ships in the codegen references array once per stage.
+        big.where(graft.functions.BloomMightContain(col(bigKey), bf))
       }
     // Dataframe-qualified key references so bigKey == smallKey (the common
     // same-name surrogate-key case) doesn't raise AMBIGUOUS_REFERENCE.

@@ -199,10 +199,18 @@ object GraphQueries {
       // Pair ORIENTATION is a < b on the NUMERIC key — an arbitrary
       // canonicalization that the oracle states identically (its join
       // parses the suffix), so both engines emit the same oriented pairs.
+      // Parse the numeric suffix with NO length cap (substr-to-end, like
+      // the oracle's substr(src, 2)) and fail LOUDLY on a malformed id:
+      // Spark's cast-to-long yields NULL where DuckDB's CAST errors, and a
+      // silent NULL would collapse all malformed rows into one pair key —
+      // a latent divergence if the id format ever changes.
+      val rawSk = expr("substring(src, 2)").cast("long")
       val postings = e.join(deg, "dst")
         .where(col("deg") >= 2 && col("deg") <= AdamicAdarDegreeCeiling)
         .select(col("dst"), col("deg"),
-          substring(col("src"), 2, 18).cast("long").as("sk"))
+          when(rawSk.isNotNull, rawSk)
+            .otherwise(raise_error(concat(lit("q87: non-numeric supplier id "),
+              col("src")))).as("sk"))
         .groupBy(col("dst"), col("deg"))
         .agg(array_sort(collect_list(col("sk"))).as("ids"))
       val pairs = postings

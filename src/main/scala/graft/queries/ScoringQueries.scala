@@ -24,11 +24,12 @@ object ScoringQueries {
     * (brand, supplier) dedup — which partial-aggregates 60M → ~8M inside
     * the scan stage. (A dim too large to broadcast is the signal to
     * bucket both sides by partkey instead — SCALE.md §Joins.)
-    * NOT deduped here: ontologyAffinity dropDuplicates its input anyway,
-    * so a distinct() in the producer would just add a second shuffle —
-    * and a distinct-FIRST variant measured slower at sf10 (its map-side
-    * combine barely shrinks locally-unique (partkey, suppkey) pairs but
-    * pays a full extra 60M-row exchange). */
+    * Deduped HERE on the raw (brand, suppkey) pair — before the concat —
+    * so the string-building select below runs over the ~distinct pairs
+    * (sf10: ~2.5M) rather than allocating one concept string per fact
+    * row (60M). ontologyAffinity still dropDuplicates its input, but by
+    * then the table is already distinct and tiny, so that second
+    * exchange is cheap. */
   private def membership(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),

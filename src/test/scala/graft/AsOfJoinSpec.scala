@@ -96,6 +96,29 @@ class AsOfJoinSpec extends SparkSpec {
         .select($"iid", $"n_points", $"min_pt")
         .as[(Long, Long, Long)].collect().map { case (k, n, m) => k -> ((n, m)) }.toMap
       assert(viaAgg == viaPairs, s"width=$width")
+      // Hot-bucket split path: a cap far below the per-bucket population
+      // forces every bucket through the hash-split machinery; counts add
+      // and mins min across sub-arrays, so results must be identical.
+      val viaSplit = graft.operators.RangeJoin.intervalAggregate(
+          points, intervals, "pt", "lo", "hi", bucketWidth = width,
+          maxBucketRows = 17)
+        .select($"iid", $"n_points", $"min_pt")
+        .as[(Long, Long, Long)].collect().map { case (k, n, m) => k -> ((n, m)) }.toMap
+      assert(viaSplit == viaPairs, s"width=$width split")
+    }
+  }
+
+  test("intervalAggregate rejects reserved/output column collisions") {
+    val points = Seq(1L).toDF("__pts")
+    val intervals = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.intervalAggregate(
+        points, intervals, "__pts", "lo", "hi", bucketWidth = 10L)
+    }
+    val clashOut = Seq((1L, 0L, 10L)).toDF("n_points", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.intervalAggregate(
+        Seq(1L).toDF("pt"), clashOut, "pt", "lo", "hi", bucketWidth = 10L)
     }
   }
 

@@ -231,6 +231,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(forced == fast)
   }
 
+  test("null-weight edges drop identically on both weighted dispatch paths") {
+    // A null weight must mean "no edge" on BOTH sides of the accel
+    // threshold: the DataFrame path drops it via null propagation, and
+    // the accel path must not read it as weight 0.0 (Row.getDouble
+    // unboxes null to 0.0). The a→c direct edge is null-weighted, so the
+    // only route to c is a→b→c = 3.0 — a 0.0-misread would answer 0.0.
+    val es = Seq(("a", "b", Some(1.0)), ("b", "c", Some(2.0)),
+      ("a", "c", None: Option[Double])).toDF("src", "dst", "w")
+    val accel = GraphOps.weightedShortestPathsAuto(es, "a", maxHops = 3)
+      .as[(String, Double)].collect().toMap
+    val distributed = GraphOps.weightedShortestPathsAuto(es, "a", maxHops = 3,
+        accelThreshold = 1L)
+      .as[(String, Double)].collect().toMap
+    assert(accel == Map("a" -> 0.0, "b" -> 1.0, "c" -> 3.0))
+    assert(distributed == accel)
+  }
+
   test("weighted accel cache keys on the weight expression, not just the edges") {
     // Same (src, dst) edge set, two different weight columns: the cache is
     // keyed on the canonicalized (src, dst, w) plan, so the second call

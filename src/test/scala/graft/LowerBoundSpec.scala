@@ -45,14 +45,25 @@ class LowerBoundSpec extends SparkSpec {
     val df = (1 to 200).map { i =>
       (Seq.tabulate(i % 20)(j => (j * 3).toLong), (i % 60).toLong)
     }.toDF("a", "k")
-    val viaCodegen = df.select(LowerBound(col("a"), col("k"))).collect().map(_.getInt(0))
-    // Force the interpreted path through the expression's eval
-    val viaEval = df.collect().map { r =>
+    val q = df.select(LowerBound(col("a"), col("k")))
+    val viaCodegen = q.collect().map(_.getInt(0))
+    // Spark's OWN interpreted path (nullSafeEval) — the one constant
+    // folding and NO_CODEGEN fall back to — not a scratch Scala
+    // reimplementation, so a codegen/eval divergence in the expression
+    // itself would fail here.
+    val viaInterpreted =
+      withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+          "spark.sql.codegen.wholeStage" -> "false") {
+        q.collect().map(_.getInt(0))
+      }
+    assert(viaCodegen.toSeq == viaInterpreted.toSeq)
+    // And the reference semantics, for good measure.
+    val expected = df.collect().map { r =>
       val arr = r.getSeq[Long](0)
       val key = r.getLong(1)
       arr.indexWhere(_ >= key) match { case -1 => arr.size; case i => i }
     }
-    assert(viaCodegen.toSeq == viaEval.toSeq)
+    assert(viaCodegen.toSeq == expected.toSeq)
   }
 
   test("null array or null key yields null") {

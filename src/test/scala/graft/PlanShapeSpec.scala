@@ -108,16 +108,41 @@ class PlanShapeSpec extends SparkSpec {
       s"q93 must shuffle only for the output sort:\n$plan")
   }
 
-  test("bloom-pruned join filters the fact side below the join") {
-    // The mightContain UDF must sit in a Filter on the lineitem scan side,
-    // not above the join — otherwise the operator degrades to a plain join.
-    val plan = SparkEntry.queries("q79_bloom_prune")(spark, sf0001)
-      .queryExecution.executedPlan.toString
+  test("bloom-pruned join filters the fact side below the join, inside codegen") {
+    // The probe must sit in a Filter on the lineitem scan side, not above
+    // the join — otherwise the operator degrades to a plain join. And as
+    // a native Expression (not a UDF) it must stay INSIDE the scan
+    // stage's WholeStageCodegen span: operators fused into a codegen
+    // stage render with a "*(n) " prefix in plan text.
+    val df = SparkEntry.queries("q79_bloom_prune")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
     val joinAt = plan.indexOf("Join")
-    val filterAt = plan.indexOf("bloomMightContain")
-    assert(filterAt >= 0, "bloom filter present")
+    val filterAt = plan.indexOf("bloom_might_contain")
+    assert(filterAt >= 0, "bloom probe present")
     assert(joinAt >= 0 && filterAt > joinAt,
-      "bloom filter evaluates below (after, in plan text order) the join")
+      "bloom probe evaluates below (after, in plan text order) the join")
+    // Codegen fusion is only visible on the FINAL adaptive plan: execute,
+    // unwrap AQE, and demand a WholeStageCodegenExec subtree whose Filter
+    // carries the probe — the UDF cut failed exactly this.
+    df.collect()
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE query stages are leaf nodes to `collect` — recurse through them.
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val fused = allNodes(finalPlan).collect {
+      case w: WholeStageCodegenExec => allNodes(w.child).collect {
+        case f: FilterExec if f.condition.toString.contains("bloom_might_contain") => f
+      }
+    }.flatten
+    assert(fused.nonEmpty,
+      s"bloom probe Filter fused into WholeStageCodegen:\n$finalPlan")
   }
 
   test("interval join plans a hash join on the bucket key, not a nested loop") {

