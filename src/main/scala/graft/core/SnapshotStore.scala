@@ -70,8 +70,9 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * FileOutputCommitter after every part file) — a racing committer that is
     * overtaken, or a crash mid-write, leaves a marker-less directory that
     * `history`/`read` never expose, whatever its position relative to the
-    * pointer. Cross-JVM `append` linearization is still the caller's job
-    * (see `append`). */
+    * pointer. Read-modify-write operations (`append`, `compact`) commit
+    * via compare-and-swap instead — see `append` for the optimistic
+    * protocol; a bare `commit` is a REWRITE and keeps last-writer-wins. */
   def commit(table: String, df: DataFrame): Long = commit(table, df, None)
 
   /** Commit with an explicit CHANGE SET: the rows this version added
@@ -102,7 +103,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * touching every file's metadata before the scan starts. */
   private def commitWith(table: String, df: DataFrame,
       changeSet: Option[DataFrame], base: Option[Long],
-      snapshot: StructType, props: Map[String, String] = Map.empty): Long = {
+      snapshot: StructType, props: Map[String, String] = Map.empty,
+      advance: Boolean = true): Long = {
     // Deliberately NOT serialized across committers: allocation is atomic
     // by itself (createDirectory), the write targets an exclusively-owned
     // directory, and only the pointer move below needs mutual exclusion.
@@ -154,7 +156,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     try FileStats.writeStatsFile(
       spark.sparkContext.hadoopConfiguration, versionDir(table, next))
     catch { case scala.util.control.NonFatal(_) => () }
-    advancePointer(table, next)
+    if (advance) advancePointer(table, next)
     next
   }
 
@@ -206,6 +208,40 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * like the store itself; an object-store deployment swaps this layer for
     * a commit log, exactly as Delta/Iceberg do. */
   private def advancePointer(table: String, next: Long): Unit =
+    underPointerLock(table) {
+      if (latestVersion(table).forall(_ < next)) movePointer(table, next)
+    }
+
+  /** Compare-and-swap pointer move — the optimistic-concurrency commit
+    * step for read-modify-write operations (`append`, `compact`): under
+    * the same cross-process lock as [[advancePointer]], move the pointer
+    * to `next` ONLY if it still reads `expectedBase` (the snapshot the
+    * operation was built on). Returns false — having moved nothing — when
+    * a sibling committed first; the caller re-bases onto the new head and
+    * retries, Delta/Iceberg's commit-log protocol reduced to a pointer
+    * file. */
+  private def casAdvance(table: String, next: Long,
+      expectedBase: Option[Long]): Boolean =
+    underPointerLock(table) {
+      val latest = latestVersion(table)
+      if (latest == expectedBase && latest.forall(_ < next)) {
+        movePointer(table, next); true
+      } else false
+    }
+
+  private def movePointer(table: String, next: Long): Unit = {
+    val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Pointer-move mutual exclusion: a cross-process FILE LOCK (plus the
+    * per-root JVM monitor — overlapping FileLocks in one JVM throw rather
+    * than block). Local-filesystem design, like the store itself; an
+    * object-store deployment swaps this layer for a commit log, exactly as
+    * Delta/Iceberg do. */
+  private def underPointerLock[T](table: String)(body: => T): T =
     SnapshotStore.rootLock(root) {
       val lockPath = tableDir(table).resolve("_pointer.lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
@@ -213,14 +249,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock()
-        try {
-          if (latestVersion(table).forall(_ < next)) {
-            val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
-            Files.writeString(tmp, next.toString)
-            Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-          }
-        } finally lock.release()
+        try body finally lock.release()
       } finally ch.close()
     }
 
@@ -233,15 +262,21 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * delta, `_base` points at the snapshot it extends, and reads assemble
     * the chain — O(delta) written per append regardless of table size (the
     * streaming-ingest and event-log shape; a union-and-rewrite append would
-    * be O(table) per batch). Root-locked so that within ONE JVM the base
-    * resolution and the commit are a single atomic step. Across
-    * instances/JVMs, version allocation (see `commit`) guarantees neither
-    * append's data is ever overwritten, but two appends basing off the same
-    * snapshot still produce two sibling versions each missing the other's
-    * batch — read-modify-write appends on a shared root require a single
-    * writer per table (the same contract Delta/Iceberg enforce with a
-    * commit log; the reference gets it from Postgres transactions,
-    * schema/00_baseline.sql:2198-2240).
+    * be O(table) per batch).
+    *
+    * CONCURRENCY: optimistic, cross-JVM safe. The delta writes UNLOCKED
+    * into its exclusively-claimed version directory; the pointer move is a
+    * compare-and-swap on the base the append resolved ([[casAdvance]]). A
+    * loser — any sibling committed first, from this JVM or another on the
+    * same root — RE-BASES: its already-written directory is renamed to a
+    * fresh version number (an O(#files) metadata rename, the data is never
+    * rewritten), `_base` is repointed at the new head, the snapshot schema
+    * is re-merged (and retype conflicts re-checked) against it, and the
+    * CAS retries. Appends commute, so the rebase is exact; every CAS
+    * round has a winner, so N racing appenders finish in ≤ N rounds. This
+    * is Delta/Iceberg's optimistic commit protocol reduced to a pointer
+    * file (the reference gets the same linearization from Postgres
+    * transactions, schema/00_baseline.sql:2198-2240).
     *
     * `rows` is evaluated twice — once as the delta data, once as the
     * version's recorded change set — so a non-deterministic plan should be
@@ -253,27 +288,103 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * than discovered downstream — the chain's pinned parquet schema cannot
     * read a delta whose physical type differs (the vectorized reader does
     * not convert across parquet physical types). Nested types compare
-    * deeply: restructuring a struct column counts as a retype. */
-  def append(table: String, rows: DataFrame): Long = SnapshotStore.rootLock(root) {
-    latestVersion(table) match {
-      case Some(v) =>
-        val base = snapshotSchema(table, Some(v))
-        val conflicts = base.fields.flatMap { f =>
-          rows.schema.fields
-            .find(r => r.name.equalsIgnoreCase(f.name) && r.dataType != f.dataType)
-            .map(r => s"${f.name}: ${f.dataType.simpleString} -> ${r.dataType.simpleString}")
-        }
-        require(conflicts.isEmpty,
-          s"append to $table retypes existing column(s) [${conflicts.mkString("; ")}] — " +
-            "adding columns is supported, retyping is not (rewrite via commit instead)")
-        val added = rows.schema.fields.filterNot(r =>
-          base.fieldNames.exists(_.equalsIgnoreCase(r.name)))
-        val merged = ParquetTableShim.asNullable(StructType(base.fields ++ added))
-        commitWith(table, rows, Some(rows), base = Some(v), snapshot = merged)
-      case None =>
-        commitWith(table, rows, Some(rows), base = None,
-          snapshot = ParquetTableShim.asNullable(rows.schema))
+    * deeply: restructuring a struct column counts as a retype. The check
+    * runs against the base at write time AND again against any re-based
+    * head: a sibling append that won the race may have added the same
+    * column with a different type, in which case the loser fails loudly
+    * (its directory is removed — never exposed). */
+  def append(table: String, rows: DataFrame): Long =
+    appendFrom(table, rows, latestVersion(table))
+
+  /** [[append]] with an explicit resolved base — the OCC write + commit
+    * loop, exposed to specs so a cross-JVM interleaving (two appenders
+    * resolving the SAME base) can be forced deterministically. */
+  private[graft] def appendFrom(table: String, rows: DataFrame,
+      base: Option[Long]): Long = {
+    val merged = mergedAppendSchema(table, base, rows.schema)
+    val v = commitWith(table, rows, Some(rows), base = base,
+      snapshot = merged, advance = false)
+    occAppendCommit(table, rows.schema, v, base)
+  }
+
+  /** CAS until won: each failed round means a sibling committed, so the
+    * loop re-links onto the sibling's head and tries again — system-wide
+    * progress every iteration, no livelock. */
+  @tailrec private def occAppendCommit(table: String, deltaSchema: StructType,
+      myVersion: Long, myBase: Option[Long]): Long =
+    if (casAdvance(table, myVersion, myBase)) myVersion
+    else {
+      val head = latestVersion(table)
+      // CAS can only fail because the pointer moved off myBase, and the
+      // pointer is forward-only — a still-equal head means lock misuse.
+      require(head.isDefined && head != myBase,
+        s"append CAS to $table failed with unmoved pointer $head")
+      occAppendCommit(table, deltaSchema,
+        relink(table, myVersion, head.get, deltaSchema), head)
     }
+
+  /** Re-base a written-but-unexposed chain link onto `newBase`: rename the
+    * directory to a fresh version number above the new head, repoint
+    * `_base`, re-merge the pinned snapshot schema, restore the committed
+    * marker. The `_SUCCESS` marker is dropped for the duration of the
+    * metadata rewrite so no reader (or vacuum) can observe the directory
+    * in a half-rebased state; the rename itself is the atomic claim of the
+    * new version number (a concurrent committer's `createDirectory` on the
+    * same number makes the move fail, and we step past it). Data files,
+    * the `_changes` subdirectory, and the `_stats.json` manifest (keyed by
+    * bare filenames) all travel with the rename untouched. */
+  private def relink(table: String, oldVersion: Long, newBase: Long,
+      deltaSchema: StructType): Long = {
+    val merged =
+      try mergedAppendSchema(table, Some(newBase), deltaSchema)
+      catch {
+        case e: IllegalArgumentException =>
+          // Retype conflict against the re-based head: the delta can never
+          // commit. Remove the never-exposed directory rather than leaving
+          // an orphan that reads as a crashed commit.
+          val w = Files.walk(versionDir(table, oldVersion))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          throw e
+      }
+    Files.deleteIfExists(versionDir(table, oldVersion).resolve("_SUCCESS"))
+    var next = math.max(latestVersion(table).getOrElse(0L),
+      maxVersionDir(table)) + 1L
+    var moved = false
+    while (!moved) {
+      try {
+        Files.move(versionDir(table, oldVersion), versionDir(table, next),
+          StandardCopyOption.ATOMIC_MOVE)
+        moved = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1L
+      }
+    }
+    Files.writeString(baseFile(table, next), newBase.toString)
+    Files.writeString(schemaFile(table, next), merged.json)
+    Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")
+    next
+  }
+
+  /** The chain-merged snapshot schema an append over `base` pins — and the
+    * retype check (see [[append]]'s schema-evolution contract), which runs
+    * once at write time and again on every re-base. */
+  private def mergedAppendSchema(table: String, base: Option[Long],
+      deltaSchema: StructType): StructType = base match {
+    case Some(v) =>
+      val bs = snapshotSchema(table, Some(v))
+      val conflicts = bs.fields.flatMap { f =>
+        deltaSchema.fields
+          .find(r => r.name.equalsIgnoreCase(f.name) && r.dataType != f.dataType)
+          .map(r => s"${f.name}: ${f.dataType.simpleString} -> ${r.dataType.simpleString}")
+      }
+      require(conflicts.isEmpty,
+        s"append to $table retypes existing column(s) [${conflicts.mkString("; ")}] — " +
+          "adding columns is supported, retyping is not (rewrite via commit instead)")
+      val added = deltaSchema.fields.filterNot(r =>
+        bs.fieldNames.exists(_.equalsIgnoreCase(r.name)))
+      ParquetTableShim.asNullable(StructType(bs.fields ++ added))
+    case None => ParquetTableShim.asNullable(deltaSchema)
   }
 
   /** Collapse the current snapshot's base chain into one SELF-CONTAINED
@@ -284,21 +395,55 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * ancestors). Records NO change set — the feed's consumers already saw
     * these rows as the appends that produced them, exactly as Delta CDF
     * skips OPTIMIZE commits. `targetPartitions` sizes the output files
-    * (0 = keep the scan's own partitioning). Same single-writer contract
-    * as `append`: root-locked in-JVM, commit-log territory across JVMs. */
+    * (0 = keep the scan's own partitioning).
+    *
+    * CONCURRENCY: same CAS commit as `append` — the pointer moves only if
+    * it still reads the version the compaction scanned, so a concurrent
+    * append can never be silently dropped from the head (the old
+    * unconditional forward move would have replaced the head with a
+    * snapshot that predates the append's delta). A compaction that loses
+    * the race discards its candidate (never exposed) and re-compacts the
+    * new head; a continuously-hot table bounds this at `maxRetries` and
+    * fails loudly — compaction is an optimization, losing data is not an
+    * acceptable fallback. */
   def compact(table: String, targetPartitions: Int = 0,
-      clusterBy: Seq[String] = Nil): Long =
-    SnapshotStore.rootLock(root) {
+      clusterBy: Seq[String] = Nil, maxRetries: Int = 5): Long = {
+    @tailrec def attempt(retriesLeft: Int): Long = {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
-      val snap = readAt(table, v)
-      val df =
-        if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
-        else if (targetPartitions > 0) snap.repartition(targetPartitions)
-        else snap
-      commitWith(table, df, changeSet = None, base = None,
-        snapshot = snapshotSchema(table, Some(v)))
+      compactOnce(table, v, targetPartitions, clusterBy) match {
+        case Some(c) => c
+        case None if retriesLeft > 0 => attempt(retriesLeft - 1)
+        case None => throw new IllegalStateException(
+          s"compact($table) lost the commit race $maxRetries times — " +
+            "table is append-hot; retry later or widen maxRetries")
+      }
     }
+    attempt(maxRetries)
+  }
+
+  /** One compaction attempt over an explicitly-pinned scan version — the
+    * CAS write step of [[compact]], exposed to specs so a lost race (head
+    * moved past `scanVersion` before the pointer CAS) can be forced
+    * deterministically. Returns None after discarding the never-exposed
+    * candidate. */
+  private[graft] def compactOnce(table: String, scanVersion: Long,
+      targetPartitions: Int = 0, clusterBy: Seq[String] = Nil): Option[Long] = {
+    val snap = readAt(table, scanVersion)
+    val df =
+      if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
+      else if (targetPartitions > 0) snap.repartition(targetPartitions)
+      else snap
+    val cand = commitWith(table, df, changeSet = None, base = None,
+      snapshot = snapshotSchema(table, Some(scanVersion)), advance = false)
+    if (casAdvance(table, cand, Some(scanVersion))) Some(cand)
+    else {
+      val w = Files.walk(versionDir(table, cand))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+      None
+    }
+  }
 
   /** Write-time clustering (Iceberg sort-order / Delta OPTIMIZE ZORDER's
     * role for the single-dimension case): range-partition + sort within

@@ -73,6 +73,93 @@ class SnapshotStoreSpec extends SparkSpec {
   private def st0Readable(st: SnapshotStore, versions: Seq[Long]): Boolean =
     versions.forall(v => st.readAt("t", v).count() == 1)
 
+  test("racing appenders: OCC commit keeps every row exactly once") {
+    // Two INDEPENDENT store instances simulate two JVMs: each round both
+    // resolve the SAME base (appendFrom pins it — the worst-case
+    // interleaving version allocation alone cannot fix), then race the
+    // write + CAS concurrently. One must win the pointer move; the loser
+    // must re-base its chain link onto the winner's head. After 50 raced
+    // rounds the final chain must hold all 100 rows exactly once — the
+    // old locked-in-JVM append lost the loser's batch whenever the racers
+    // were in different processes.
+    val root = java.nio.file.Files.createTempDirectory("graft-occ").toString
+    val stores = Seq(new SnapshotStore(spark, root), new SnapshotStore(spark, root))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 50) {
+        val base = stores.head.latestVersion("t")
+        val futures = stores.zipWithIndex.map { case (st, w) =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              st.appendFrom("t", Seq(round * 2 + w).toDF("x"), base)
+          })
+        }
+        futures.foreach(_.get())
+      }
+      val rows = stores.head.read("t").as[Int].collect().toSeq
+      assert(rows.sorted == (0 until 100).toSeq, "every row exactly once")
+      // and the chain is well-formed: history strictly ascending, head
+      // readable at every committed version
+      val hist = stores.head.history("t")
+      assert(hist == hist.sorted && hist.distinct == hist)
+    } finally pool.shutdown()
+  }
+
+  test("a stale-based append relinks instead of losing the sibling's batch") {
+    // Deterministic single-threaded version of the race: B resolves its
+    // base BEFORE A commits, then appends — the CAS must fail once and
+    // the relink must graft B's delta on top of A's.
+    val st = freshStore()
+    st.append("t", Seq(0).toDF("x"))
+    val stale = st.latestVersion("t")
+    val a = st.appendFrom("t", Seq(1).toDF("x"), stale)
+    val b = st.appendFrom("t", Seq(2).toDF("x"), stale) // stale base: relink
+    assert(b > a)
+    assert(st.latestVersion("t").contains(b))
+    assert(st.read("t").as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+    // the relinked version is a chain link over A's head
+    assert(st.baseOf("t", b).contains(a))
+  }
+
+  test("relink re-checks retypes against the re-based head") {
+    // A and B both add NEW column y from the same stale base — A wins with
+    // y:int, B's y:string delta becomes a retype against the re-based
+    // head and must fail loudly (and clean up), not silently commit a
+    // chain whose pinned schema can't read its own files.
+    val st = freshStore()
+    st.append("t", Seq(Tuple1(0)).toDF("x"))
+    val stale = st.latestVersion("t")
+    st.appendFrom("t", Seq((1, 7)).toDF("x", "y"), stale)
+    val before = st.latestVersion("t").get
+    intercept[IllegalArgumentException] {
+      st.appendFrom("t", Seq((2, "s")).toDF("x", "y"), stale)
+    }
+    assert(st.latestVersion("t").contains(before), "pointer unmoved")
+    assert(st.read("t").columns.toSeq == Seq("x", "y"))
+    assert(st.read("t").count() == 2)
+  }
+
+  test("compact CAS: a concurrent append is never dropped from the head") {
+    // Force the exact interleaving: compact scans version v, but an append
+    // lands before compact's pointer CAS. The attempt must LOSE (None),
+    // discard its candidate, and leave the append's row at the head — the
+    // old unconditional forward move replaced the head with a snapshot
+    // that predated the append, silently dropping its rows.
+    val st = freshStore()
+    st.append("t", Seq(1).toDF("x"))
+    st.append("t", Seq(2).toDF("x"))
+    val v = st.latestVersion("t").get
+    st.append("t", Seq(3).toDF("x")) // lands between scan and CAS
+    assert(st.compactOnce("t", v).isEmpty, "stale compact attempt must lose")
+    assert(st.read("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // the discarded candidate left no directory behind
+    assert(st.history("t") == st.history("t").sorted)
+    // and the retrying public API compacts the POST-append head
+    val c = st.compact("t")
+    assert(st.baseOf("t", c).isEmpty, "compacted head is self-contained")
+    assert(st.read("t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("vacuum dropOrphans removes a crashed commit's directory") {
     val root = java.nio.file.Files.createTempDirectory("graft-orphan").toString
     val st = new SnapshotStore(spark, root)
