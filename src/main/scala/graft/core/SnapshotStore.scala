@@ -49,6 +49,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     versionDir(table, v).resolve("_snapshot_schema.json")
   private def propsFile(table: String, v: Long): Path =
     versionDir(table, v).resolve("_props.json")
+  private def removedFileOf(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_removed.json")
   private def pointer(table: String): Path = tableDir(table).resolve("_latest")
 
   /** Commit `df` as the next version of `table`; returns the new version.
@@ -104,7 +106,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def commitWith(table: String, df: DataFrame,
       changeSet: Option[DataFrame], base: Option[Long],
       snapshot: StructType, props: Map[String, String] = Map.empty,
-      advance: Boolean = true): Long = {
+      advance: Boolean = true, removed: Seq[String] = Nil): Long = {
     // Deliberately NOT serialized across committers: allocation is atomic
     // by itself (createDirectory), the write targets an exclusively-owned
     // directory, and only the pointer move below needs mutual exclusion.
@@ -131,6 +133,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
         org.json4s.JObject(props.toList.sortBy(_._1)
           .map { case (k, v) => k -> org.json4s.JString(v) }))))
+    // File tombstones (`_removed.json`, written by `delete`): store-relative
+    // keys ("v=N/part-....parquet") of chain files this version REPLACES.
+    // Metadata-before-marker like `_base`: a version the pointer exposes
+    // must have its full read contract on disk.
+    if (removed.nonEmpty) Files.writeString(removedFileOf(table, next),
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        org.json4s.JArray(removed.sorted.map(org.json4s.JString(_)).toList))))
     // `append` into the just-claimed EMPTY directory — overwrite would
     // first DELETE it, and in that window a concurrent committer's
     // createDirectory on the same version would succeed, putting two
@@ -511,12 +520,157 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * in-flight or crashed sibling commit must not be readable as data. */
   def readAt(table: String, version: Long): DataFrame = {
     val (v, dirs) = resolveVersionPaths(table, Some(version))
-    val paths = dirs.map(_.toString)
+    val removed = removedInChain(table, v)
     val f = schemaFile(table, v)
-    if (Files.exists(f))
-      spark.read.schema(readSchemaFile(f)).parquet(paths: _*)
-    else if (paths.sizeIs == 1) spark.read.parquet(paths.head)
-    else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    if (removed.nonEmpty) {
+      // Tombstones present: resolve to an explicit LIVE-file list (chain
+      // files minus removed keys) — still a plain pinned-schema parquet
+      // scan, just file-grained instead of directory-grained. Delete
+      // versions always pin a schema file, so the legacy fallbacks below
+      // can't be needed here.
+      val live = liveDataFiles(table, v).map(_.toString)
+      val schema =
+        if (Files.exists(f)) readSchemaFile(f) else snapshotSchema(table, Some(v))
+      if (live.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(live: _*)
+    } else {
+      val paths = dirs.map(_.toString)
+      if (Files.exists(f))
+        spark.read.schema(readSchemaFile(f)).parquet(paths: _*)
+      else if (paths.sizeIs == 1) spark.read.parquet(paths.head)
+      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
+
+  /** Store-relative keys ("v=N/part-....parquet") of the chain files this
+    * version's commit tombstoned (empty for non-delete versions). */
+  def removedAt(table: String, v: Long): Seq[String] = {
+    val f = removedFileOf(table, v)
+    if (!Files.exists(f)) Seq.empty
+    else org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
+      case org.json4s.JArray(xs) =>
+        xs.collect { case org.json4s.JString(s) => s }
+      case _ => Seq.empty
+    }
+  }
+
+  /** Every file key tombstoned anywhere in `v`'s base chain — the set a
+    * snapshot read of `v` must exclude. Empty (the overwhelmingly common
+    * case) keeps reads on the whole-directory fast path. */
+  def removedInChain(table: String, v: Long): Set[String] =
+    chainOf(table, v).flatMap(removedAt(table, _)).toSet
+
+  /** Data files of one version DIRECTORY, from the manifest when the
+    * commit wrote one (no filesystem metadata calls — the 100 TB path)
+    * and a real listing otherwise. */
+  private def dataFilesOf(table: String, v: Long): Seq[Path] = {
+    val dir = versionDir(table, v)
+    fileStats(table, v) match {
+      case Some(manifest) => manifest.keys.toSeq.sorted.map(dir.resolve)
+      case None =>
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally s.close()
+    }
+  }
+
+  /** Store-relative tombstone key of a data file: its version directory
+    * name plus its bare filename — stable under store relocation (no
+    * absolute paths in sidecars) and under nothing else, which is exactly
+    * right: version directories never rename once committed. */
+  private def fileKey(p: Path): String =
+    s"${p.getParent.getFileName}/${p.getFileName}"
+
+  /** The LIVE data files of snapshot `v`: every chain directory's files
+    * minus the chain's accumulated tombstones. */
+  private def liveDataFiles(table: String, v: Long): Seq[Path] = {
+    val removed = removedInChain(table, v)
+    chainOf(table, v).flatMap(dataFilesOf(table, _))
+      .filterNot(p => removed.contains(fileKey(p)))
+  }
+
+  /** Row-level DELETE at O(matched files) write cost — never a table
+    * rewrite. Rows where `predicate` is TRUE are removed from the current
+    * snapshot (SQL DELETE semantics: null-predicate rows survive); returns
+    * the new version, or the unchanged current version when nothing
+    * matched (no empty commit).
+    *
+    * Mechanics — copy-on-write at FILE granularity, the sidecar design
+    * the file-grained scan units make native: one metadata-scale pass
+    * finds the files containing at least one matching row (via
+    * `_metadata.file_path`, so zone-map/row-group pruning on the
+    * predicate bounds what is even read); ONLY those files are rewritten
+    * minus their matching rows, committed as a chain link whose
+    * `_removed.json` sidecar tombstones the replaced files. Readers —
+    * `readAt` and the `graft` connector's [[graft.sources.GraftTable]]
+    * alike — resolve the chain to live files (chain files minus
+    * tombstones), so the scan stays a plain pinned-schema parquet scan:
+    * no read-time anti-join, no per-row filtering, nothing that breaks
+    * pushdown or columnar reads. A clustered/Z-ordered table localizes a
+    * selective predicate to few files, which is what bounds the rewrite
+    * at 100 TB (reference M4/M5 cascade deletes,
+    * api/app/lib/age_client/query.py:277-483, were full filtered
+    * rewrites). `compact` reads through tombstones, so compaction folds
+    * them into a self-contained version and `vacuum` then reclaims the
+    * replaced bytes.
+    *
+    * CONCURRENCY: CAS commit like `compact` — and like it, a lost race
+    * discards the candidate and recomputes against the new head (a
+    * delete's survivors are only valid against the exact files it
+    * scanned; re-linking like `append` could resurrect rows a sibling
+    * delete removed or lose rows a compaction rewrote). Deletes record no
+    * change set: the feed's contract stays "rows `append` admitted";
+    * downstream incremental consumers treat a delete like a rewrite
+    * (resubscribe), as Delta CDF does for non-CDF-enabled DV commits. */
+  def delete(table: String, predicate: org.apache.spark.sql.Column,
+      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val live = liveDataFiles(table, v)
+      if (live.isEmpty) v
+      else {
+        val schema = snapshotSchema(table, Some(v))
+        val snap = spark.read.schema(schema).parquet(live.map(_.toString): _*)
+        // Which files hold >= 1 matching row: one pass, pruned by the
+        // predicate, collecting at most #files paths (metadata scale).
+        val matchedKeys = snap.where(predicate)
+          .select(col("_metadata.file_path")).distinct()
+          .collect().map(r => uriFileKey(r.getString(0))).toSeq.sorted
+        if (matchedKeys.isEmpty) v
+        else {
+          val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k).toString)
+          val survivors = spark.read.schema(schema).parquet(matchedPaths: _*)
+            .where(not(coalesce(predicate, lit(false))))
+          val cand = commitWith(table, survivors, changeSet = None,
+            base = Some(v), snapshot = schema, advance = false,
+            removed = matchedKeys)
+          if (casAdvance(table, cand, Some(v))) cand
+          else {
+            val w = Files.walk(versionDir(table, cand))
+            try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            finally w.close()
+            if (retriesLeft > 0) attempt(retriesLeft - 1)
+            else throw new IllegalStateException(
+              s"delete($table) lost the commit race $maxRetries times — " +
+                "table is write-hot; retry later or widen maxRetries")
+          }
+        }
+      }
+    }
+    attempt(maxRetries)
+  }
+
+  /** [[fileKey]] for a `_metadata.file_path` URI: the last two path
+    * segments ("v=N/part-....parquet"). */
+  private def uriFileKey(filePath: String): String = {
+    val parts = filePath.split('/')
+    s"${parts(parts.length - 2)}/${parts(parts.length - 1)}"
   }
 
   /** The version a chain-link version extends (None = self-contained). */

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -170,12 +171,30 @@ object GraftTable {
       passThrough: util.Map[String, String] =
         java.util.Collections.emptyMap[String, String]()): GraftTable = {
     val (v, dirs) = store.resolveVersionPaths(table, version)
+    // Tombstoned files (`delete`'s `_removed.json` sidecars, keyed
+    // "v=N/file") drop out of the scan-unit list here — the connector's
+    // file-level twin of `readAt`'s live-file resolution. A manifest-less
+    // directory that has tombstones must degrade to a real listing (the
+    // whole-directory unit can't exclude single files); manifest-backed
+    // directories just filter their keys, still zero filesystem calls.
+    val removed = store.removedInChain(table, v)
     val units = dirs.flatMap { d =>
-      val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
+      val dirName = d.getFileName.toString
+      val dirVersion = dirName.stripPrefix("v=").toLong
       store.fileStats(table, dirVersion) match {
-        case Some(manifest) => manifest.toSeq.sortBy(_._1).map {
-          case (file, st) => ScanUnit(d.resolve(file).toString, Some(st))
+        case Some(manifest) => manifest.toSeq.sortBy(_._1).collect {
+          case (file, st) if !removed.contains(s"$dirName/$file") =>
+            ScanUnit(d.resolve(file).toString, Some(st))
         }
+        case None if removed.exists(_.startsWith(dirName + "/")) =>
+          val s = java.nio.file.Files.list(d)
+          try s.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet") &&
+              !removed.contains(s"$dirName/${p.getFileName}"))
+            .toSeq.sortBy(_.getFileName.toString)
+            .map(p => ScanUnit(p.toString, None))
+          finally s.close()
         case None => Seq(ScanUnit(d.toString, None))
       }
     }

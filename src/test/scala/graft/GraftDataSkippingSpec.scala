@@ -229,6 +229,45 @@ class GraftDataSkippingSpec extends SparkSpec {
     assert(graftRead(root, "t").count() === 900)
   }
 
+  test("delete parity through the connector: read-after-delete equals the rewrite") {
+    val root = tmpRoot()
+    val store = new SnapshotStore(spark, root)
+    store.commitClustered("t",
+      spark.range(0, 600).select(col("id"), (col("id") % 7).as("w")),
+      clusterBy = Seq("id"), targetPartitions = 6)
+    val preDelete = store.latestVersion("t").get
+
+    // the oracle: a full filtered REWRITE into a sibling table
+    store.commit("oracle", store.read("t").filter(!col("id").between(200, 299)))
+    val dv = store.delete("t", col("id").between(200, 299))
+
+    // store face and connector face both equal the rewrite
+    val viaStore = store.read("t")
+    val viaConnector = graftRead(root, "t")
+    val oracle = graftRead(root, "oracle")
+    assert(viaStore.exceptAll(oracle).isEmpty && oracle.exceptAll(viaStore).isEmpty)
+    assert(viaConnector.exceptAll(oracle).isEmpty &&
+      oracle.exceptAll(viaConnector).isEmpty)
+
+    // tombstoned files never reach the scan, and zone-map pruning still
+    // works on the survivors
+    val total = scannedFiles(viaConnector).size
+    val removed = store.removedAt("t", dv)
+    assert(removed.nonEmpty)
+    val removedNames = removed.map(_.split('/').last).toSet
+    assert(scannedFiles(viaConnector).forall(f =>
+      !removedNames.contains(f.split('/').last)),
+      "tombstoned files excluded from the file index")
+    val hit = viaConnector.filter(col("id") === 450)
+    assert(scannedFiles(hit).size < total, "pruning survives tombstones")
+    assert(hit.count() === 1)
+
+    // connector time travel to the pre-delete version still sees all rows
+    val tt = spark.read.format("graft").option("root", root)
+      .option("table", "t").option("version", preDelete.toString).load()
+    assert(tt.count() === 600)
+  }
+
   test("mixed-domain manifest bounds disable pruning, never prune (corrupt-manifest parity)") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions.{col, lit}
 import graft.core.SnapshotStore
 
 /** Snapshot-isolation contract of the versioned table store (M8): commits
@@ -240,6 +242,76 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("retype"))
     // the refused append claimed no version and broke nothing
     assert(st.read("t").count() == 2L)
+  }
+
+  test("delete rewrites ONLY matched files; untouched files are not copied") {
+    val st = freshStore()
+    // 4 disjoint-range files via clustered commit
+    st.commitClustered("t",
+      spark.range(0, 400).selectExpr("id", "id % 7 as v"),
+      clusterBy = Seq("id"), targetPartitions = 4)
+    val v1 = st.latestVersion("t").get
+    val filesBefore = java.nio.file.Files.list(
+        java.nio.file.Paths.get(st.root, "t", s"v=$v1"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(filesBefore.size == 4)
+
+    val d = st.delete("t", col("id").between(100, 149))
+    assert(d > v1)
+    // parity with the filtered rewrite
+    assert(st.read("t").as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      ((0L until 100L) ++ (150L until 400L)))
+    // exactly one file tombstoned (ids 100-149 live in one clustered file)
+    assert(st.removedAt("t", d).size == 1)
+    // the delete version holds only the survivor rewrite of that one file
+    val deltaFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(st.root, "t", s"v=$d"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(deltaFiles.size <= 1, s"O(matched files) rewrite, got $deltaFiles")
+    // untouched originals still on disk, byte-identical set
+    val after = java.nio.file.Files.list(
+        java.nio.file.Paths.get(st.root, "t", s"v=$v1"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(after.sorted == filesBefore.sorted)
+    // time travel reads through the tombstones
+    assert(st.readAt("t", v1).count() == 400)
+  }
+
+  test("delete: no-match is a no-op; null predicate rows survive; stacking") {
+    val st = freshStore()
+    st.commit("t", Seq((1L, Some("a")), (2L, None: Option[String]),
+      (3L, Some("c"))).toDF("id", "s"))
+    val v = st.latestVersion("t").get
+    assert(st.delete("t", col("id") > 100) == v, "no matches: no new version")
+    // SQL DELETE semantics: predicate NULL (s is null) keeps the row
+    val d1 = st.delete("t", col("s") === "a")
+    assert(st.read("t").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // stacked delete over a chain that already has tombstones — removes a
+    // row living in d1's survivor rewrite
+    val d2 = st.delete("t", col("id") === 3)
+    assert(d2 > d1)
+    assert(st.read("t").select("id").as[Long].collect().toSeq == Seq(2L))
+    // delete EVERYTHING: empty snapshot still reads (zero rows, schema kept)
+    st.delete("t", lit(true))
+    assert(st.read("t").count() == 0)
+    assert(st.read("t").columns.toSeq == Seq("id", "s"))
+  }
+
+  test("compact folds tombstones; vacuum then reclaims replaced bytes") {
+    val st = freshStore()
+    st.commitClustered("t", spark.range(0, 200).toDF("id"),
+      clusterBy = Seq("id"), targetPartitions = 2)
+    st.delete("t", col("id") < 50)
+    val c = st.compact("t")
+    assert(st.baseOf("t", c).isEmpty, "compacted head is self-contained")
+    assert(st.removedAt("t", c).isEmpty, "tombstones folded, not carried")
+    assert(st.read("t").as[Long].collect().sorted.toSeq == (50L until 200L))
+    st.vacuum("t", keepLast = 1)
+    assert(st.history("t") == Seq(c))
+    assert(st.read("t").count() == 150)
   }
 
   test("epoch clock integration: committed version drives Freshness") {
