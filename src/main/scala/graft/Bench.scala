@@ -11,13 +11,16 @@ import org.apache.spark.sql.SparkSession
   * the affected block, and reports a `canary` object in the JSON so a
   * slow total can be told apart from a slow engine (see below).
   *
-  * STANDING DUAL-SCALE GATE (VERDICT r10 #6): at sf0.1 roughly half the
-  * suite sits on the ~50 ms scheduling floor, so plan-shape regressions
-  * hide. When the primary dir is the per-round sf0.1, the bench also
-  * materializes /tmp/sf1 (ScaleUp, 10× key-offset replicas — built once,
-  * reused) and runs the full adjudicated suite there too; the sf1 numbers
-  * ride in the same JSON line under "sf1". Opt out with
-  * SPARK_GRAFT_SF1=off (quick local iterations at sf0.01 never trigger
+  * STANDING DUAL-SCALE GATE (VERDICT r10 #6, promoted to sf10 by r11 #6):
+  * at sf0.1 roughly half the suite sits on the ~50 ms scheduling floor, so
+  * plan-shape regressions hide — and the r11 history showed sf1-clean
+  * defects surfacing only at the SECOND decade (the weighted-load
+  * arraycopy bug, the accel threshold cliff). When the primary dir is the
+  * per-round sf0.1, the bench also materializes /tmp/sf10 (ScaleUp, 100×
+  * key-offset replicas — ~7 min and ~2.1 GB, built once per machine,
+  * reused) and runs the full adjudicated suite there too; the sf10
+  * numbers ride in the same JSON line under "sf10". Opt out with
+  * SPARK_GRAFT_SF10=off (quick local iterations at sf0.01 never trigger
   * it: the gate keys on the primary dir's basename). */
 object Bench {
 
@@ -246,24 +249,25 @@ object Bench {
 
     val (results, failures, canaryJson) = runSuite(spark, sfDir)
 
-    // Standing sf1 gate: only when the primary run IS the per-round sf0.1
+    // Standing sf10 gate: only when the primary run IS the per-round sf0.1
     // (local sf0.01 iterations stay fast), not opted out, and the suite is
-    // non-trivial. Build-if-missing, then the same adjudicated run at sf1.
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-    val wantSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "on") != "off" &&
+    // non-trivial. Build-if-missing, then the same adjudicated run at sf10
+    // — the second decade, where sf1-clean scale defects actually surface.
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
+    val wantSf10 = sys.env.getOrElse("SPARK_GRAFT_SF10", "on") != "off" &&
       new java.io.File(sfDir).getName == "sf0.1" && results.nonEmpty
-    val sf1Json: Option[String] =
-      if (!wantSf1) None
+    val sf10Json: Option[String] =
+      if (!wantSf10) None
       else try {
-        val marker = new java.io.File(sf1Dir, "embeddings.parquet/_SUCCESS")
+        val marker = new java.io.File(sf10Dir, "embeddings.parquet/_SUCCESS")
         if (!marker.isFile) {
-          System.err.println(s"[bench] building $sf1Dir (10x $sfDir)")
-          graft.tools.ScaleUp.build(spark, sfDir, sf1Dir, 10)
+          System.err.println(s"[bench] building $sf10Dir (100x $sfDir)")
+          graft.tools.ScaleUp.build(spark, sfDir, sf10Dir, 100)
         }
-        val (r1, f1, c1) = runSuite(spark, sf1Dir)
-        Some(s"""{${suiteJson(r1, f1, c1)},"dir":${jsonStr(sf1Dir)}}""")
+        val (r1, f1, c1) = runSuite(spark, sf10Dir)
+        Some(s"""{${suiteJson(r1, f1, c1)},"dir":${jsonStr(sf10Dir)}}""")
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] sf1 gate failed: ${e.getMessage}")
+        System.err.println(s"[bench] sf10 gate failed: ${e.getMessage}")
         Some(s"""{"error":${jsonStr(
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300))}}""")
       }
@@ -275,7 +279,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         suiteJson(results, failures, canaryJson) +
-        sf1Json.map(j => s""","sf1":$j""").getOrElse("") +
+        sf10Json.map(j => s""","sf10":$j""").getOrElse("") +
         s""","sf":"$sfDir"}"""
     println(json)
     // Also write the JSON to a file: the stdout line has twice been lost to

@@ -293,11 +293,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     *
     * SCHEMA EVOLUTION CONTRACT: adding or omitting whole columns is
     * allowed (the pinned snapshot schema grows; files missing a column
-    * read as null), but RETYPING an existing column is refused here rather
-    * than discovered downstream — the chain's pinned parquet schema cannot
-    * read a delta whose physical type differs (the vectorized reader does
-    * not convert across parquet physical types). Nested types compare
-    * deeply: restructuring a struct column counts as a retype. The check
+    * read as null), and LOSSLESS NUMERIC WIDENING is allowed in either
+    * direction (byte/short/int → long, float → double — see
+    * [[mergedAppendSchema]]'s matrix: the pinned schema resolves to the
+    * wider type and the vectorized reader converts narrow files natively,
+    * so an evolved 100 TB chain never rewrites to change an int to a
+    * long). Any OTHER retype is refused here rather than discovered
+    * downstream — lossy numeric changes, string/temporal retypes, and
+    * nested types, which compare deeply (restructuring a struct column
+    * counts as a retype). The check
     * runs against the base at write time AND again against any re-based
     * head: a sibling append that won the race may have added the same
     * column with a different type, in which case the loser fails loudly
@@ -377,23 +381,62 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
   /** The chain-merged snapshot schema an append over `base` pins — and the
     * retype check (see [[append]]'s schema-evolution contract), which runs
-    * once at write time and again on every re-base. */
+    * once at write time and again on every re-base.
+    *
+    * TYPE WIDENING (the Delta/Iceberg type-promotion matrix, reduced to
+    * what Spark 4's vectorized parquet reader natively widens, pinned by
+    * GraftSourceSpec's evolution matrix): a common column whose two types
+    * differ resolves to the WIDER one when the narrower LOSSLESSLY widens
+    * to it — byte/short/int → long, float → double, byte/short/int →
+    * double — in either direction (a narrow delta reads under the wide
+    * pinned schema; a wide delta widens the pinned schema, under which the
+    * chain's older narrow files read widened). Nothing is ever rewritten:
+    * the physical files keep their original types and the reader converts
+    * per column chunk. UNSUPPORTED, refused loudly: lossy numeric changes
+    * (long → double, any narrowing), string/binary/temporal retypes, and
+    * ANY nested-type change (struct/array/map compare deeply) — those
+    * still require a rewrite via `commit`. */
   private def mergedAppendSchema(table: String, base: Option[Long],
       deltaSchema: StructType): StructType = base match {
     case Some(v) =>
       val bs = snapshotSchema(table, Some(v))
-      val conflicts = bs.fields.flatMap { f =>
-        deltaSchema.fields
-          .find(r => r.name.equalsIgnoreCase(f.name) && r.dataType != f.dataType)
-          .map(r => s"${f.name}: ${f.dataType.simpleString} -> ${r.dataType.simpleString}")
+      val conflicts = scala.collection.mutable.ArrayBuffer[String]()
+      val resolved = bs.fields.map { f =>
+        deltaSchema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          case Some(r) if r.dataType == f.dataType => f
+          case Some(r) if widensTo(r.dataType, f.dataType) => f
+          case Some(r) if widensTo(f.dataType, r.dataType) =>
+            f.copy(dataType = r.dataType)
+          case Some(r) =>
+            conflicts += s"${f.name}: ${f.dataType.simpleString} -> ${r.dataType.simpleString}"
+            f
+          case None => f
+        }
       }
       require(conflicts.isEmpty,
         s"append to $table retypes existing column(s) [${conflicts.mkString("; ")}] — " +
-          "adding columns is supported, retyping is not (rewrite via commit instead)")
+          "adding columns and lossless numeric widening (int -> long, " +
+          "float -> double) are supported; other retypes need a rewrite " +
+          "via commit")
       val added = deltaSchema.fields.filterNot(r =>
         bs.fieldNames.exists(_.equalsIgnoreCase(r.name)))
-      ParquetTableShim.asNullable(StructType(bs.fields ++ added))
+      ParquetTableShim.asNullable(StructType(resolved ++ added))
     case None => ParquetTableShim.asNullable(deltaSchema)
+  }
+
+  /** `from` widens LOSSLESSLY to `to` and Spark's vectorized parquet
+    * reader performs the conversion natively when reading a `from`-typed
+    * file under a `to`-typed read schema (probed on this Spark; pinned by
+    * the GraftSourceSpec matrix). */
+  private def widensTo(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+      case _ => false
+    }
   }
 
   /** Collapse the current snapshot's base chain into one SELF-CONTAINED

@@ -24,6 +24,62 @@ object TextQueries {
   /** lowercase word tokens of `text` (the canonical shared tokenizer). */
   def tokens(c: Column): Column = graft.functions.Text.tokens(c)
 
+  /** Dataset card: the per-language corpus summary every training-data
+    * release publishes — doc/token totals, mean length, exact-dedup
+    * uniqueness rate (distinct content fingerprints / docs), vocabulary
+    * size. Two partial-aggregated rollups (doc-grain stats; exploded
+    * vocab) joined on the tiny language dimension.
+    *
+    * `exact = false` swaps every `countDistinct` for
+    * `approx_count_distinct` (HyperLogLog++ at `rsd` relative error) —
+    * the corpus-card twin for 10⁹-distinct-token scale, where the exact
+    * vocab count shuffles one row PER DISTINCT TOKEN (the whole
+    * vocabulary crosses the wire) while the sketch shuffles one ~1.5/rsd²
+    * -register sketch PER PARTITION per language: the shuffle stops
+    * scaling with vocabulary size entirely (measured in SCALE.md). Exact
+    * stays the default — it is what q90's DuckDB oracle gates — and the
+    * reference's cached-stats design
+    * (api/app/services/stats_service.py) implies exactly this
+    * exact-for-audit / sketch-for-dashboards split. */
+  def datasetCard(docs: DataFrame, exact: Boolean = true,
+      rsd: Double = 0.01): DataFrame = {
+    def cd(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
+    val d = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        graft.dedup.Dedup.fingerprint(col("text")).as("fp"),
+        tokens(col("text")).as("tk"))
+      .localCheckpoint(false) // feeds the doc-grain AND vocab rollups
+    val stats = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("n_tokens"),
+        round(sum(length(col("text")).cast("long")).cast("double") /
+          count(lit(1)), 6).as("mean_chars"),
+        cd(col("fp")).as("n_unique"))
+    val vocab = d.select(col("lang"), explode(col("tk")).as("tok"))
+      .groupBy(col("lang")).agg(cd(col("tok")).as("vocab_size"))
+    stats.join(vocab, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("mean_chars"),
+        col("n_unique"),
+        round(col("n_unique") / col("n_docs").cast("double"), 6).as("unique_rate"),
+        coalesce(col("vocab_size"), lit(0L)).as("vocab_size"))
+      .orderBy(col("lang"))
+  }
+
+  /** Corpus vocabulary size — exact (`countDistinct`, one shuffled row
+    * per distinct token) or sketched (`approx_count_distinct`, one HLL++
+    * sketch per partition, vocabulary-size-independent shuffle). The
+    * scalar twin of [[datasetCard]]'s vocab column for callers sizing a
+    * tokenizer budget rather than publishing an audited card. */
+  def vocabSize(docs: DataFrame, exact: Boolean = true,
+      rsd: Double = 0.01): Long = {
+    val tok = docs.select(explode(tokens(col("text"))).as("token"))
+    val agg =
+      if (exact) tok.select(countDistinct(col("token")))
+      else tok.select(approx_count_distinct(col("token"), rsd))
+    agg.head().getLong(0)
+  }
+
   /** Gopher-rule quality signals + verdict over any (doc_id, text) frame —
     * the q93 kernel, reusable from the `graft_quality` TVF. Entirely
     * scan-shaped: every signal, including the duplicate-bigram fraction
@@ -342,27 +398,8 @@ object TextQueries {
     // uniqueness rate (distinct content fingerprints / docs), vocabulary
     // size. Two partial-aggregated rollups (doc-grain stats; exploded
     // vocab) joined on the tiny language dimension.
-    "q90_dataset_card" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("text"),
-          graft.dedup.Dedup.fingerprint(col("text")).as("fp"),
-          tokens(col("text")).as("tk"))
-        .localCheckpoint(false) // feeds the doc-grain AND vocab rollups
-      val stats = d.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(col("tk")).cast("long")).as("n_tokens"),
-          round(sum(length(col("text")).cast("long")).cast("double") /
-            count(lit(1)), 6).as("mean_chars"),
-          countDistinct(col("fp")).as("n_unique"))
-      val vocab = d.select(col("lang"), explode(col("tk")).as("tok"))
-        .groupBy(col("lang")).agg(countDistinct(col("tok")).as("vocab_size"))
-      stats.join(vocab, Seq("lang"), "left")
-        .select(col("lang"), col("n_docs"), col("n_tokens"), col("mean_chars"),
-          col("n_unique"),
-          round(col("n_unique") / col("n_docs").cast("double"), 6).as("unique_rate"),
-          coalesce(col("vocab_size"), lit(0L)).as("vocab_size"))
-        .orderBy(col("lang"))
-    }),
+    "q90_dataset_card" -> ((s, dir) =>
+      datasetCard(Tables.documents(s, dir))),
 
     // Lexical diversity (type-token ratio + hapax count): the vocabulary-
     // richness quality signal (low TTR = template/boilerplate text, high

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.core.SnapshotStore
 
@@ -114,6 +115,82 @@ class GraftSourceSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(m =>
       m.contains("read-only") || m.contains("does not support")), e.toString)
+  }
+
+  test("type-widening matrix: lossless numeric widening across the chain, no rewrite") {
+    // Each supported (narrow, wide) pair, BOTH directions of arrival:
+    //   A) base narrow, delta wide  -> pinned schema widens; the base's
+    //      narrow files read widened under it
+    //   B) base wide, delta narrow  -> pinned schema stays wide; the
+    //      delta's narrow files read widened
+    // Values must round-trip exactly (lossless matrix only), through the
+    // store face AND the connector face.
+    import org.apache.spark.sql.types._
+    val pairs: Seq[(DataType, DataType, Seq[Any], Seq[Any])] = Seq(
+      (ByteType, LongType, Seq(1.toByte, 2.toByte), Seq(300000000000L)),
+      (ShortType, IntegerType, Seq(7.toShort), Seq(70000)),
+      (IntegerType, LongType, Seq(5, 6), Seq(6000000000L)),
+      (IntegerType, DoubleType, Seq(9), Seq(2.5)),
+      (FloatType, DoubleType, Seq(1.5f), Seq(2.25))
+    )
+    for (((narrow, wide, nVals, wVals), i) <- pairs.zipWithIndex) {
+      val root = freshRoot()
+      val st = new SnapshotStore(spark, root)
+      def df(t: DataType, vals: Seq[Any]) = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          vals.map(v => org.apache.spark.sql.Row(v)).asJava),
+        StructType(Seq(StructField("x", t))))
+      def asDoubles(d: org.apache.spark.sql.DataFrame): Set[Double] =
+        d.select(col("x").cast("double")).as[Double].collect().toSet
+      val expect = (nVals ++ wVals)
+        .map(v => v.toString.toDouble).toSet
+
+      // A: narrow base, wide delta
+      st.append("a", df(narrow, nVals))
+      st.append("a", df(wide, wVals))
+      assert(st.snapshotSchema("a").fields.head.dataType == wide,
+        s"pair $i: pinned schema widened")
+      assert(asDoubles(st.read("a")) == expect, s"pair $i dir A store")
+      val connA = spark.read.format("graft").option("root", root)
+        .option("table", "a").load()
+      assert(connA.schema.fields.head.dataType == wide)
+      assert(asDoubles(connA) == expect, s"pair $i dir A connector")
+
+      // B: wide base, narrow delta
+      st.append("b", df(wide, wVals))
+      st.append("b", df(narrow, nVals))
+      assert(st.snapshotSchema("b").fields.head.dataType == wide,
+        s"pair $i: pinned schema stays wide")
+      assert(asDoubles(st.read("b")) == expect, s"pair $i dir B store")
+      val connB = spark.read.format("graft").option("root", root)
+        .option("table", "b").load()
+      assert(asDoubles(connB) == expect, s"pair $i dir B connector")
+    }
+  }
+
+  test("unsupported retypes still refuse loudly (the non-widening matrix)") {
+    import org.apache.spark.sql.types._
+    val bad: Seq[(DataType, Any, DataType, Any)] = Seq(
+      (LongType, 1L, DoubleType, 2.5),   // lossy: long does not fit double
+      (DoubleType, 1.5, FloatType, 2.5f), // control: this IS allowed (narrow delta)
+      (IntegerType, 1, StringType, "s"),  // cross-kind
+      (StringType, "s", IntegerType, 1)
+    )
+    for (((bt, bv, dt, dv), i) <- bad.zipWithIndex) {
+      val root = freshRoot()
+      val st = new SnapshotStore(spark, root)
+      def df(t: DataType, v: Any) = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          Seq(org.apache.spark.sql.Row(v)).asJava),
+        StructType(Seq(StructField("x", t))))
+      st.append("t", df(bt, bv))
+      if (bt == DoubleType && dt == FloatType) {
+        st.append("t", df(dt, dv)) // lossless direction: allowed
+        assert(st.snapshotSchema("t").fields.head.dataType == DoubleType)
+      } else intercept[IllegalArgumentException] {
+        st.append("t", df(dt, dv))
+      }
+    }
   }
 
   test("missing table and uncommitted version fail loudly") {

@@ -151,6 +151,32 @@ class ScaleOpsSpec extends SparkSpec {
       (3L, cnt(3599, 3599), 3599L)))
   }
 
+  test("corpus-card sketch twins land within 2% of exact at sf0.1") {
+    // The approx_count_distinct variants behind the dataset-card API: the
+    // sketch's shuffle is vocabulary-size-independent (one HLL++ sketch
+    // per partition instead of one row per distinct token), so at corpus
+    // scale it is the only viable dashboard path — but only if it is
+    // actually close. rsd = 0.01 → the 2% bound is ~2 sigma.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    def cardMap(exact: Boolean) =
+      graft.queries.TextQueries.datasetCard(docs, exact = exact)
+        .select($"lang", $"n_unique", $"vocab_size")
+        .as[(String, Long, Long)].collect()
+        .map { case (l, u, v) => l -> ((u, v)) }.toMap
+    val ex = cardMap(exact = true)
+    val ap = cardMap(exact = false)
+    assert(ex.keySet == ap.keySet)
+    for (lang <- ex.keys) {
+      val ((eu, ev), (au, av)) = (ex(lang), ap(lang))
+      assert(math.abs(au - eu).toDouble / eu <= 0.02, s"$lang n_unique $au vs $eu")
+      assert(math.abs(av - ev).toDouble / ev <= 0.02, s"$lang vocab $av vs $ev")
+    }
+    val vexact = graft.queries.TextQueries.vocabSize(docs, exact = true)
+    val vapprox = graft.queries.TextQueries.vocabSize(docs, exact = false)
+    assert(math.abs(vapprox - vexact).toDouble / vexact <= 0.02,
+      s"global vocab $vapprox vs $vexact")
+  }
+
   test("heavy hitters are exact under forced sketch eviction") {
     // 3 planted heavy tokens (>5% each) in a long tail of 400 distinct
     // rares; phi = 0.02 gives sketch capacity 100 << 403 distinct, so the
