@@ -78,6 +78,45 @@ object Incremental {
     MaintainedAgg(newHorizon, merged.localCheckpoint(true))
   }
 
+  /** [[advance]] over a SIGNED change log — the retractable form: each
+    * row carries `signCol` = +1 (insert) or -1 (delete) and contributes
+    * `sign` to the count and `sign * val` to the sum, so a delete
+    * retracts exactly what its row's insert added (exact DECIMAL sums —
+    * no float drift between the add and the retract). Groups whose live
+    * count reaches 0 are DROPPED, matching what a recompute over the
+    * surviving rows produces. This is what lets a maintained aggregate
+    * stay O(delta) across `SnapshotStore.delete` versions instead of
+    * falling back to an O(source) recompute — the change-data feed's
+    * insert/delete tags map directly onto the sign. */
+  def advanceSigned(state: Option[MaintainedAgg], changeLog: DataFrame,
+      keyCol: String, valCol: String, epochCol: String,
+      signCol: String): MaintainedAgg = {
+    val horizon = state.map(_.upToEpoch).getOrElse(Long.MinValue)
+    val deltaAgg = changeLog.where(col(epochCol) > horizon)
+      .groupBy(col(keyCol))
+      .agg(sum(col(signCol).cast("long")).as("n"),
+        sum((col(valCol) * col(signCol)).cast("decimal(28,4)")).as("total"),
+        max(col(epochCol)).as("__max_epoch"))
+      .localCheckpoint(true)
+    val newHorizon = deltaAgg.agg(max(col("__max_epoch"))).head().get(0) match {
+      case null    => horizon
+      case e: Long => e
+      case e: Int  => e.toLong
+      case other   => throw new IllegalArgumentException(
+        s"epoch column must be integral, got $other")
+    }
+    val deltaOnly = deltaAgg.drop("__max_epoch")
+    val merged = state match {
+      case None => deltaOnly
+      case Some(prev) =>
+        prev.agg.unionByName(deltaOnly)
+          .groupBy(col(keyCol))
+          .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+    }
+    MaintainedAgg(newHorizon,
+      merged.where(col("n") =!= 0).localCheckpoint(true))
+  }
+
   /** The full-recompute reference the incremental path must equal. */
   def recompute(appendLog: DataFrame, keyCol: String, valCol: String): DataFrame =
     baseAgg(appendLog, keyCol, valCol)

@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   * recomputes its cached scores from scratch on every epoch advance,
   * grounding.py:55-68 — this is the scale-correct replacement).
   *
-  * Contract: the source must be append-maintained (`append` /
-  * `SnapshotSink`) — rewrites record no change set, are invisible to the
-  * feed, and would leave the view stale by design. The view table is
-  * written only by this maintainer.
+  * Contract: the source is maintained by `append` / `SnapshotSink` /
+  * `delete`. Deletes fold INCREMENTALLY: the change-data feed tags each
+  * recorded row insert/delete, and [[Incremental.advanceSigned]]
+  * retracts a deleted row's exact (count, DECIMAL sum) contribution — a
+  * delete costs O(its rows), never a source re-scan. Bare-commit
+  * REWRITES record nothing; `refresh` detects them
+  * (`nonFeedMutationsSince`) and falls back to ONE full recompute from
+  * the current snapshot rather than silently staling (compactions are
+  * content-neutral and ignored). The view table is written only by this
+  * maintainer.
   */
 object MaterializedView {
 
@@ -43,17 +49,32 @@ object MaterializedView {
   def refresh(store: SnapshotStore, srcTable: String, viewTable: String,
       keyCol: String, valCol: String): Option[Long] = {
     val h = horizon(store, viewTable)
-    val delta = store.changesSince(srcTable, h.getOrElse(0L))
-    val state = h.map(v => Incremental.MaintainedAgg(v, read(store, viewTable)))
-    val advanced = Incremental.advance(state, delta, keyCol, valCol, "_version")
-    // Nothing new (or a first refresh over a source with no change sets
-    // yet): keep the current version — never commit an empty horizonless
-    // view. Long.MinValue is Incremental's "no rows folded" sentinel.
-    if (h.contains(advanced.upToEpoch) || advanced.upToEpoch == Long.MinValue) h
-    else {
-      store.commit(viewTable,
-        advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)))
-      Some(advanced.upToEpoch)
+    val since = h.getOrElse(0L)
+    val rewrites = store.nonFeedMutationsSince(srcTable, since)
+    if (rewrites.nonEmpty) {
+      // A rewrite's effect is not in any feed: recompute ONCE from the
+      // current snapshot, horizon = the snapshot's version (later change
+      // sets have strictly greater versions).
+      val v = store.latestVersion(srcTable).getOrElse(return h)
+      val full = Incremental.recompute(store.read(srcTable), keyCol, valCol)
+      store.commit(viewTable, full.withColumn("_up_to_version", lit(v)))
+      Some(v)
+    } else {
+      val delta = store.changeFeedSince(srcTable, since)
+        .withColumn("_sign",
+          when(col("_change_type") === "delete", lit(-1)).otherwise(lit(1)))
+      val state = h.map(v => Incremental.MaintainedAgg(v, read(store, viewTable)))
+      val advanced = Incremental.advanceSigned(state, delta, keyCol, valCol,
+        "_version", "_sign")
+      // Nothing new (or a first refresh over a source with no change sets
+      // yet): keep the current version — never commit an empty horizonless
+      // view. Long.MinValue is Incremental's "no rows folded" sentinel.
+      if (h.contains(advanced.upToEpoch) || advanced.upToEpoch == Long.MinValue) h
+      else {
+        store.commit(viewTable,
+          advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)))
+        Some(advanced.upToEpoch)
+      }
     }
   }
 }

@@ -106,7 +106,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def commitWith(table: String, df: DataFrame,
       changeSet: Option[DataFrame], base: Option[Long],
       snapshot: StructType, props: Map[String, String] = Map.empty,
-      advance: Boolean = true, removed: Seq[String] = Nil): Long = {
+      advance: Boolean = true, removed: Seq[String] = Nil,
+      removedRows: Option[DataFrame] = None): Long = {
     // Deliberately NOT serialized across committers: allocation is atomic
     // by itself (createDirectory), the write targets an exclusively-owned
     // directory, and only the pointer move below needs mutual exclusion.
@@ -149,6 +150,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     df.write.mode("append").parquet(versionDir(table, next).toString)
     changeSet.foreach(_.write.mode("append")
       .parquet(changesDir(table, next).toString))
+    // The DELETED rows of a delete version (`_changes_removed/`, own
+    // `_SUCCESS` like `_changes`): what the batch change-data feed emits
+    // as _change_type = 'delete'. O(matched rows) — the same rows the
+    // survivor rewrite already re-read.
+    removedRows.foreach(_.write.mode("append")
+      .parquet(versionDir(table, next).resolve("_changes_removed").toString))
     // The committed-version contract below (history/readAt/vacuum) keys on
     // the marker; a config that suppresses it (marksuccessfuljobs=false)
     // must fail THIS commit loudly, not silently produce an unreadable
@@ -486,8 +493,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
       else if (targetPartitions > 0) snap.repartition(targetPartitions)
       else snap
+    // Inherit the scanned chain's resolved properties (metadata pinned at
+    // any ancestor — e.g. AnnIndex's centroids pairing — must survive the
+    // chain collapsing to one self-contained version), plus the op tag
+    // that tells feed consumers this version changed LAYOUT, not content.
     val cand = commitWith(table, df, changeSet = None, base = None,
-      snapshot = snapshotSchema(table, Some(scanVersion)), advance = false)
+      snapshot = snapshotSchema(table, Some(scanVersion)), advance = false,
+      props = resolvedProps(table, scanVersion) +
+        (SnapshotStore.OpProp -> "compact"))
     if (casAdvance(table, cand, Some(scanVersion))) Some(cand)
     else {
       val w = Files.walk(versionDir(table, cand))
@@ -688,11 +701,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         if (matchedKeys.isEmpty) v
         else {
           val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k).toString)
-          val survivors = spark.read.schema(schema).parquet(matchedPaths: _*)
-            .where(not(coalesce(predicate, lit(false))))
+          val matchedScan = spark.read.schema(schema).parquet(matchedPaths: _*)
+          val survivors = matchedScan.where(not(coalesce(predicate, lit(false))))
+          val deletedRows = matchedScan.where(coalesce(predicate, lit(false)))
           val cand = commitWith(table, survivors, changeSet = None,
             base = Some(v), snapshot = schema, advance = false,
-            removed = matchedKeys)
+            removed = matchedKeys, removedRows = Some(deletedRows),
+            props = Map(SnapshotStore.OpProp -> "delete"))
           if (casAdvance(table, cand, Some(v))) cand
           else {
             val w = Files.walk(versionDir(table, cand))
@@ -813,6 +828,53 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       }
   }
 
+  /** The rows a delete version removed (`_changes_removed/`, recorded by
+    * `delete` at O(matched rows)); None for non-delete versions. */
+  def deletedRowsAt(table: String, version: Long): Option[DataFrame] = {
+    require(isCommitted(table, version),
+      s"version $version of $table is not a committed version")
+    val d = versionDir(table, version).resolve("_changes_removed")
+    if (Files.exists(d.resolve("_SUCCESS")))
+      Some(spark.read.parquet(d.toString))
+    else None
+  }
+
+  /** Batch CHANGE-DATA feed (Delta CDF's `table_changes` shape): every
+    * recorded row change with version > `sinceVersion`, tagged
+    * `_change_type` ('insert' for append change sets, 'delete' for
+    * delete versions' removed rows) and `_version`. Supersets
+    * [[changesSince]] (which remains the insert-only feed the streaming
+    * connector serves); same O(delta-directories) plan, same
+    * `vacuum(keepLast)` lag bound. Bare-commit REWRITES record nothing
+    * and stay invisible — use [[nonFeedMutationsSince]] to detect them
+    * (compactions are content-neutral and intentionally absent). */
+  def changeFeedSince(table: String, sinceVersion: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val inserts = changesSince(table, sinceVersion)
+      .withColumn("_change_type", lit("insert"))
+    val deletes = history(table).filter(_ > sinceVersion)
+      .flatMap(v => deletedRowsAt(table, v)
+        .map(_.withColumn("_version", lit(v))
+          .withColumn("_change_type", lit("delete"))))
+    deletes.foldLeft(inserts)(
+      _.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Committed versions > `since` that mutated the table OUTSIDE the
+    * change feed: bare-commit rewrites — versions with no recorded change
+    * set that are neither compactions (content-neutral layout changes,
+    * tagged via commit props) nor deletes (whose removed rows ARE in the
+    * change-data feed). An incremental consumer folding
+    * [[changeFeedSince]] must treat any version returned here as "state
+    * unknown" and recompute from the snapshot; empty (the append/delete
+    * steady state) means folding is exact. */
+  def nonFeedMutationsSince(table: String, since: Long): Seq[Long] =
+    history(table).filter(_ > since).filter { v =>
+      !hasChanges(table, v) &&
+        !commitProps(table, v).get(SnapshotStore.OpProp).contains("compact") &&
+        removedAt(table, v).isEmpty
+    }
+
   /** The change-set write is complete (its own `_SUCCESS` marker): the
     * parent version's marker alone can't vouch for `_changes`, which is
     * written after the main data. The pointer only moves after both. */
@@ -921,6 +983,13 @@ object SnapshotStore {
   /** Orphan directories younger than this are presumed in-flight commits
     * and survive `vacuum(dropOrphans = true)`. */
   val DefaultOrphanGraceMs: Long = 10 * 60 * 1000L
+
+  /** Commit-props key tagging the OPERATION that produced a version
+    * ("compact", "delete") — read via `commitProps` (per-version), NOT
+    * `resolvedProps` (a chain link's tag is about that link alone, not
+    * inheritable state). Feed consumers use it to tell content-neutral
+    * compactions from rewrites. */
+  val OpProp: String = "graft.op"
 
   /** Memoized schemas of legacy (pre-schema-file) versions, keyed by
     * (root, table, version) — committed versions are immutable, so the

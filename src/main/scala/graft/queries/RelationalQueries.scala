@@ -322,6 +322,34 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Row-level DELETE round trip (M4/M5's store-level mechanism): commit
+    // `orders` clustered, apply two STACKED deletes — the second's
+    // predicate overlaps the first's survivor rewrite, so the read
+    // crosses original files, first-generation survivors, and
+    // second-generation survivors of survivors — then read the final
+    // snapshot through the graft connector. The oracle replays the
+    // deletes as WHERE NOT(...) over the ORIGINAL parquet: the
+    // tombstone/rewrite machinery must be value-invisible. Build is
+    // idempotent across runs (mutations only on first creation), so
+    // min-of-2 bench timings measure the warm tombstone-resolved READ.
+    "q99_store_delete" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q99_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      if (store.latestVersion("orders").isEmpty) {
+        store.commitClustered("orders", Tables.orders(s, dir),
+          clusterBy = Seq("o_orderkey"))
+        store.delete("orders", col("o_orderkey").between(500L, 1499L))
+        store.delete("orders", col("o_orderstatus") === "F" &&
+          col("o_orderkey").between(1000L, 2999L))
+      }
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .load()
+        .filter(col("o_orderkey") < 4000L)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Epoch-log clock (M8/T8): per-kind event counts + min/max event id —
     // committed epoch = max(event_id) (ingestion.py:31-152).
     "q19_epoch_clock" -> ((s, dir) => {
@@ -755,6 +783,14 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q99_store_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey BETWEEN 500 AND 1499)
+        |  AND NOT (o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 2999)
+        |  AND o_orderkey < 4000
         |ORDER BY o_orderkey""".stripMargin,
 
     "q19_epoch_clock" ->

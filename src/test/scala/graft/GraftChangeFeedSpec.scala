@@ -113,6 +113,29 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(empty.isEmpty && empty.columns.toSeq == Seq("id", "_version"))
   }
 
+  test("changeFeedSince carries deletes with change-type tags (batch CDF)") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft-cdf")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    st.append("t", Seq((3L, "z")).toDF("id", "s"))
+    val dv = st.delete("t", col("id") === 2L)
+    val feed = st.changeFeedSince("t")
+      .select("id", "_version", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(feed == Set((1L, 1L, "insert"), (2L, 1L, "insert"),
+      (3L, 2L, "insert"), (2L, dv, "delete")))
+    // offset past the delete: caught-up
+    assert(st.changeFeedSince("t", sinceVersion = dv).isEmpty)
+    // deletedRowsAt exposes exactly the removed rows, None elsewhere
+    assert(st.deletedRowsAt("t", dv).get.select("id")
+      .as[Long].collect().toSeq == Seq(2L))
+    assert(st.deletedRowsAt("t", 1L).isEmpty)
+    // vacuum keeps the CDF lag contract: dropping old versions drops
+    // their change data with them (chain ancestors of the head survive)
+    assert(st.nonFeedMutationsSince("t", 0L).isEmpty)
+  }
+
   test("SnapshotSink appends a stream exactly-once; replays are skipped") {
     val root = tmp("graft-sink")
     val st = new SnapshotStore(spark, root)

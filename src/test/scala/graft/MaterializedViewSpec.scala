@@ -52,10 +52,44 @@ class MaterializedViewSpec extends SparkSpec {
       == Set(("a", 2L, BigDecimal("3.0000"))))
   }
 
-  test("first refresh over a source with no change sets commits nothing") {
+  test("a rewrite triggers ONE full recompute, then folding resumes") {
     val st = fresh()
     st.commit("src", Seq(("a", 1.0)).toDF("k", "v")) // rewrite: no change set
-    assert(MaterializedView.refresh(st, "src", "view", "k", "v").isEmpty)
-    assert(st.latestVersion("view").isEmpty)
+    // r12 semantics: a rewrite is detected (nonFeedMutationsSince) and the
+    // view recomputes from the snapshot instead of silently staling
+    assert(MaterializedView.refresh(st, "src", "view", "k", "v") == Some(1L))
+    assert(rows(MaterializedView.read(st, "view"))
+      == Set(("a", 1L, BigDecimal("1.0000"))))
+    // appends after the rewrite fold incrementally again (no-op check:
+    // a second refresh with nothing new commits no view version)
+    val versions = st.history("view")
+    assert(MaterializedView.refresh(st, "src", "view", "k", "v") == Some(1L))
+    assert(st.history("view") == versions)
+    st.append("src", Seq(("b", 2.0)).toDF("k", "v"))
+    assert(MaterializedView.refresh(st, "src", "view", "k", "v") == Some(2L))
+    assert(rows(MaterializedView.read(st, "view"))
+      == rows(Incremental.recompute(st.read("src"), "k", "v")))
+  }
+
+  test("deletes fold incrementally: exact retraction, zero-count groups drop") {
+    import org.apache.spark.sql.functions.col
+    val st = fresh()
+    st.append("src", Seq(("a", 1.0), ("a", 2.5), ("b", 4.0)).toDF("k", "v"))
+    st.append("src", Seq(("b", 6.0), ("c", 9.0)).toDF("k", "v"))
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    // delete one of a's rows and ALL of c's
+    st.delete("src", (col("k") === "a" && col("v") > 2.0) || col("k") === "c")
+    // deletes are feed-visible, NOT rewrite-class: no recompute trigger
+    assert(st.nonFeedMutationsSince("src", 0L).isEmpty)
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(rows(MaterializedView.read(st, "view"))
+      == rows(Incremental.recompute(st.read("src"), "k", "v")))
+    assert(rows(MaterializedView.read(st, "view"))
+      == Set(("a", 1L, BigDecimal("1.0000")), ("b", 2L, BigDecimal("10.0000"))))
+    // and folding continues past the delete
+    st.append("src", Seq(("c", 1.5)).toDF("k", "v"))
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(rows(MaterializedView.read(st, "view"))
+      == rows(Incremental.recompute(st.read("src"), "k", "v")))
   }
 }
