@@ -319,10 +319,27 @@ object GraftExtensions {
     Bridge.analyzedPlan(store.changesSince(table, since))
   }
 
+  // Change-DATA feed TVF (Delta table_changes shape): inserts AND deletes
+  // after since_version, tagged _change_type/_version — what a SQL
+  // incremental consumer folds (retractions included) instead of
+  // re-scanning the snapshot.
+  private val changeFeedTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2 || children.size == 3,
+      "graft_change_feed(root, table[, since_version])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val table = constString(children(1), "table")
+    val since =
+      if (children.size == 3) constInt(children(2), "since_version").toLong else 0L
+    Bridge.analyzedPlan(store.changeFeedSince(table, since))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
     "graft_changes" -> changesTvf,
+    "graft_change_feed" -> changeFeedTvf,
     "graft_exact_dedup" -> exactDedupTvf,
     "graft_near_dups" -> nearDupsTvf,
     "graft_quality" -> qualityTvf,

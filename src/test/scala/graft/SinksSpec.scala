@@ -157,6 +157,26 @@ class SinksSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("graft_change_feed reads the CDF with delete tags from SQL (2.13)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("cdf-tvf").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    store.append("t", Seq(1L, 2L).toDF("id"))
+    store.append("t", Seq(3L).toDF("id"))
+    store.delete("t", org.apache.spark.sql.functions.col("id") === 2L)
+    assert(spark.sql(
+      s"SELECT id, _change_type FROM graft_change_feed('$root', 't') " +
+        "ORDER BY id, _change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "insert"), (2L, "delete"), (2L, "insert"), (3L, "insert")))
+    // since-version form: only changes after the offset
+    assert(spark.sql(
+      s"SELECT id, _change_type FROM graft_change_feed('$root', 't', 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((2L, "delete")))
+  }
+
   test("pipeline TVFs run dedup and quality from SQL (2.13)") {
     import spark.implicits._
     GraftExtensions.register(spark)
