@@ -117,25 +117,41 @@ object Scoring {
     * table (same columns, same 6dp rounding) for consumers that re-rank
     * per-ontology (Annealing's top-5 exposure window) or classify every
     * pair (M7 edge derivation): a global sort of the pair table buys them
-    * nothing and costs a full-range exchange. */
+    * nothing and costs a full-range exchange.
+    *
+    * Shape (r12 rewrite, measured ~1.9× at sf10): ONE aggregation
+    * `groupBy(concept).collect_set(ontology)` replaces the former
+    * distinct + self-join. The former plan's cost was dominated by the
+    * global dropDuplicates exchange — a raw 100 TB membership stream
+    * dedups poorly map-side (members scattered across partitions), so
+    * nearly the whole fact stream crossed the wire just to become
+    * distinct before the join. collect_set dedups IN the aggregation
+    * (per-partition partial sets, one exchange of combined sets keyed by
+    * concept), and the k² pair emission happens by double-exploding each
+    * concept's ontology array inside the next stage, partial-aggregated
+    * into the tiny (ont_a, ont_b) group table before its exchange — the
+    * pair stream itself never shuffles, exactly like the former
+    * join+groupBy but without the two membership exchanges feeding it.
+    * Per-concept state is its ontology SET — bounded by the ontology
+    * count, which is dims-scale by definition (same k² emission bound as
+    * the self-join had; a concept in k ontologies contributes k² either
+    * way). Input need not be pre-deduped. */
   def ontologyAffinityAll(membership: DataFrame): DataFrame = {
-    // The (ontology, concept) membership is referenced three times (both
-    // sides of the self-join + per-target totals); materialize the deduped
-    // view once — LAZILY, so building the plan runs no jobs — and the
-    // upstream join/scan isn't recomputed per reference. Post-distinct it's
-    // dims × entities — small even at 100 TB inputs.
-    val m = membership.dropDuplicates().localCheckpoint(false)
-    val a = m.toDF("ont_a", "concept_id")
-    val b = m.toDF("ont_b", "concept_id")
-    // m is distinct on (ontology, concept_id), so the join pairs are
-    // already unique per (ont_a, ont_b, concept_id): plain count() replaces
-    // countDistinct's expensive distinct-aggregate expand.
-    val shared = a.join(b, "concept_id")
+    // Referenced twice (pairs + totals): materialize the grouped view
+    // once, LAZILY. Post-grouping it's one row per concept with a small
+    // array — entities-scale, not fact-scale.
+    val perConcept = membership
+      .groupBy(col("concept_id"))
+      .agg(collect_set(col("ontology")).as("__onts"))
+      .localCheckpoint(false)
+    val totals = perConcept.select(explode(col("__onts")).as("ont_b"))
+      .groupBy("ont_b").agg(count(lit(1)).as("target_total"))
+    val shared = perConcept
+      .select(col("__onts"), explode(col("__onts")).as("ont_a"))
+      .select(col("ont_a"), explode(col("__onts")).as("ont_b"))
       .where(col("ont_a") =!= col("ont_b"))
       .groupBy("ont_a", "ont_b")
       .agg(count(lit(1)).as("shared_concepts"))
-    val totals = m.toDF("ont_b", "concept_id")
-      .groupBy("ont_b").agg(count(lit(1)).as("target_total"))
     shared.join(broadcast(totals), "ont_b")
       .withColumn("affinity", col("shared_concepts") / col("target_total").cast("double"))
       .select(col("ont_a"), col("ont_b"), col("shared_concepts"),

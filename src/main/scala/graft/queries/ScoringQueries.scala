@@ -24,24 +24,17 @@ object ScoringQueries {
     * (brand, supplier) dedup — which partial-aggregates 60M → ~8M inside
     * the scan stage. (A dim too large to broadcast is the signal to
     * bucket both sides by partkey instead — SCALE.md §Joins.)
-    * Deduped HERE on the raw (brand, suppkey) pair — before the concat —
-    * so the string-building select below runs over the ~distinct pairs
-    * (sf10: ~2.5M) rather than allocating one concept string per fact
-    * row (60M). ontologyAffinity still dropDuplicates its input, but by
-    * then the table is already distinct and tiny, so that second
-    * exchange is cheap. */
+    * NOT deduped and NOT stringified here: since the r12 rewrite,
+    * ontologyAffinityAll dedups inside its own collect_set aggregation
+    * (a producer-side distinct would just add back the fact-stream
+    * exchange the rewrite removed), and the concept id never reaches the
+    * output, so the raw long suppkey rides as the concept key — no
+    * per-fact-row string allocation at all. */
   private def membership(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      // dedup on the RAW int key, then build the concept string: the
-      // concat otherwise allocates one string per fact row (60M at sf10)
-      // when only the ~2.5M distinct (brand, supplier) pairs need one.
-      // The downstream dropDuplicates in ontologyAffinityAll re-runs over
-      // already-distinct rows — a cheap exchange of the small table.
-      .select(col("p_brand").as("ontology"), col("l_suppkey"))
-      .dropDuplicates()
-      .select(col("ontology"), concat(lit("s"), col("l_suppkey")).as("concept_id"))
+      .select(col("p_brand").as("ontology"), col("l_suppkey").as("concept_id"))
 
   val queries: Map[String, Q] = Map(
     // A7: cross-ontology affinity — shared members / target size, top-30
