@@ -60,6 +60,28 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L)) // 100/200 arrived via rewrite: not a delta
   }
 
+  test("a delete version is skipped by the streaming insert feed (resubscribe contract)") {
+    // The streaming feed's contract is "rows append admitted": a delete
+    // records no INSERT change set, so the stream must walk past its
+    // version (the removed rows live in the batch change-data feed,
+    // changeFeedSince, for consumers that fold retractions).
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft-cf-del")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(1L, 2L).toDF("id"))
+    st.delete("t", col("id") === 1L)
+    st.append("t", Seq(3L).toDF("id"))
+    assert(st.changedVersions("t") == Seq(1L, 3L))
+    val sink = tmp("graft-cf-del-out")
+    val q = feed(root, "t").writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-cf-del-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(sink).as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // feed replays admits; 1's delete is CDF-only
+  }
+
   test("checkpointed restart resumes from the version offset exactly-once") {
     val root = tmp("graft-cf-rs")
     val st = new SnapshotStore(spark, root)

@@ -244,6 +244,52 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").count() == 2L)
   }
 
+  test("mixed-writer stress: appends, deletes, compactions race without loss") {
+    // Three writer roles on one table from independent store instances
+    // (the cross-JVM shape): an appender streaming disjoint batches, a
+    // deleter removing a known subset, a compactor rewriting layout.
+    // Invariants at the end: every appended row except the deleted set is
+    // present EXACTLY once, history is well-formed, and the head reads
+    // through whatever mix of chain links / tombstones / compactions the
+    // race produced.
+    val root = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    val appender = new SnapshotStore(spark, root)
+    val deleter = new SnapshotStore(spark, root)
+    val compactor = new SnapshotStore(spark, root)
+    appender.append("t", Seq(-1).toDF("x")) // seed
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          for (i <- 0 until 12) appender.append("t", Seq(i * 2, i * 2 + 1).toDF("x"))
+      })
+      val fd = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = for (_ <- 0 until 4) {
+          // delete every multiple of 6 present at the time; re-running is
+          // idempotent on the final state (later appends re-add none)
+          deleter.delete("t", col("x") % 6 === 0 && col("x") >= 0)
+          Thread.sleep(50)
+        }
+      })
+      val fc = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = for (_ <- 0 until 3) {
+          try compactor.compact("t")
+          catch { case _: IllegalStateException => () } // append-hot: fine
+          Thread.sleep(80)
+        }
+      })
+      fa.get(); fd.get(); fc.get()
+      // final delete AFTER all appends settles the expected set exactly
+      deleter.delete("t", col("x") % 6 === 0 && col("x") >= 0)
+    } finally pool.shutdown()
+    val got = appender.read("t").as[Int].collect().toSeq
+    val expected = (-1 +: (0 until 24)).filterNot(v => v >= 0 && v % 6 == 0)
+    assert(got.sorted == expected.sorted,
+      s"every surviving row exactly once (got ${got.sorted})")
+    val hist = appender.history("t")
+    assert(hist == hist.sorted && hist.distinct == hist)
+  }
+
   test("delete rewrites ONLY matched files; untouched files are not copied") {
     val st = freshStore()
     // 4 disjoint-range files via clustered commit
