@@ -33,14 +33,29 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedView {
 
+  /** Commit-props key carrying the view's horizon. The horizon used to
+    * ride ONLY inside the committed rows (`_up_to_version`), which loses
+    * it the moment a fold retracts every group (a delete can legally
+    * empty the view — found by the randomized schedule differential:
+    * max-over-empty read NULL and the next refresh crashed). Commit
+    * props are written inside the version directory before the data, so
+    * the props carrier is exactly as atomic as the row carrier. */
+  val HorizonProp = "graft.view.up_to_version"
+
   /** The maintained view's queryable rows: (key, n, total). */
   def read(store: SnapshotStore, viewTable: String): DataFrame =
     store.read(viewTable).drop("_up_to_version")
 
-  /** Source version the view has folded through (None = never refreshed). */
+  /** Source version the view has folded through (None = never refreshed).
+    * Reads the commit-props carrier; pre-r12 views fall back to the row
+    * carrier (those can't be empty — the unsigned fold never retracted). */
   def horizon(store: SnapshotStore, viewTable: String): Option[Long] =
-    store.latestVersion(viewTable).map { _ =>
-      store.read(viewTable).agg(max(col("_up_to_version"))).head().getLong(0)
+    store.latestVersion(viewTable).map { v =>
+      store.commitProps(viewTable, v).get(HorizonProp) match {
+        case Some(s) => s.toLong
+        case None =>
+          store.read(viewTable).agg(max(col("_up_to_version"))).head().getLong(0)
+      }
     }
 
   /** Fold all unseen change sets of `srcTable` into the view; returns the
@@ -57,7 +72,8 @@ object MaterializedView {
       // sets have strictly greater versions).
       val v = store.latestVersion(srcTable).getOrElse(return h)
       val full = Incremental.recompute(store.read(srcTable), keyCol, valCol)
-      store.commit(viewTable, full.withColumn("_up_to_version", lit(v)))
+      store.commit(viewTable, full.withColumn("_up_to_version", lit(v)),
+        None, Map(HorizonProp -> v.toString))
       Some(v)
     } else {
       val delta = store.changeFeedSince(srcTable, since)
@@ -72,7 +88,8 @@ object MaterializedView {
       if (h.contains(advanced.upToEpoch) || advanced.upToEpoch == Long.MinValue) h
       else {
         store.commit(viewTable,
-          advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)))
+          advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)),
+          None, Map(HorizonProp -> advanced.upToEpoch.toString))
         Some(advanced.upToEpoch)
       }
     }

@@ -71,6 +71,55 @@ class MaterializedViewSpec extends SparkSpec {
       == rows(Incremental.recompute(st.read("src"), "k", "v")))
   }
 
+  test("a fold that retracts EVERYTHING empties the view; refresh survives it") {
+    import org.apache.spark.sql.functions.lit
+    val st = fresh()
+    st.append("src", Seq(("a", 1.0)).toDF("k", "v"))
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    st.delete("src", lit(true))
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(rows(MaterializedView.read(st, "view")).isEmpty)
+    // horizon survives the empty view (props carrier) and folding resumes
+    assert(MaterializedView.horizon(st, "view").isDefined)
+    st.append("src", Seq(("b", 3.0)).toDF("k", "v"))
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(rows(MaterializedView.read(st, "view"))
+      == Set(("b", 1L, BigDecimal("3.0000"))))
+  }
+
+  test("randomized schedule differential: fold ≡ recompute over appends+deletes") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(1234)
+    val st = fresh()
+    var nextId = 0
+    // seeded random interleaving of appends, deletes, and refreshes; after
+    // EVERY refresh the view must equal the from-scratch recompute
+    st.append("src", Seq(("a", 1.0, 0)).toDF("k", "v", "id"))
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    for (step <- 1 to 18) {
+      rnd.nextInt(3) match {
+        case 0 | 1 =>
+          val batch = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextId += 1
+            (s"k${rnd.nextInt(5)}", (rnd.nextInt(80) + 1) / 4.0, nextId)
+          }
+          st.append("src", batch.toDF("k", "v", "id"))
+        case 2 =>
+          // delete a random id band (possibly empty)
+          val lo = rnd.nextInt(math.max(nextId, 1))
+          st.delete("src", col("id").between(lo, lo + rnd.nextInt(4)))
+      }
+      if (rnd.nextBoolean()) {
+        MaterializedView.refresh(st, "src", "view", "k", "v")
+        assert(rows(MaterializedView.read(st, "view"))
+          == rows(Incremental.recompute(st.read("src"), "k", "v")), s"step $step")
+      }
+    }
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(rows(MaterializedView.read(st, "view"))
+      == rows(Incremental.recompute(st.read("src"), "k", "v")), "final")
+  }
+
   test("deletes fold incrementally: exact retraction, zero-count groups drop") {
     import org.apache.spark.sql.functions.col
     val st = fresh()
