@@ -125,8 +125,10 @@ final case class ScanUnit(path: String, stat: Option[graft.core.FileStats.FileSt
   * Manifest-less directories fall back to a real listing, unpruned. */
 final class GraftTable(tableName: String, val snapshotVersion: Long,
     spark: SparkSession, val units: Seq[ScanUnit], pinnedSchema: StructType,
-    passThrough: util.Map[String, String])
-  extends Table with SupportsRead with SupportsWrite {
+    passThrough: util.Map[String, String],
+    storeRoot: Option[String] = None)
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   // The scan runs under the version's pinned snapshot schema, so older
   // chain files missing a later-added column read as null and no footer
@@ -158,6 +160,37 @@ final class GraftTable(tableName: String, val snapshotVersion: Long,
     throw new UnsupportedOperationException(
       s"graft table '$tableName' is read-only through the connector: version " +
         "directories are immutable — write through SnapshotStore.commit/append")
+
+  // ---- ANSI DELETE (`DELETE FROM kg.t WHERE …`) --------------------------
+  // Metadata-plus-matched-files delete through the store's tombstone
+  // machinery (SnapshotStore.delete): Spark bridges the V2 predicates to
+  // V1 source Filters, we translate those to a Column predicate, and the
+  // store commits an O(matched files) delete version via its pointer CAS.
+  // This does NOT violate the bare-write refusal above: no version
+  // directory is ever mutated — DELETE commits a NEW version like every
+  // other mutation. The delete resolves the CURRENT head (a DELETE is a
+  // table mutation, not a read of this object's pinned snapshot; the
+  // pinned version stays readable via time travel). Predicates outside
+  // the translatable set (arithmetic, UDFs, subqueries) make
+  // canDeleteWhere false and Spark raises its standard "cannot delete"
+  // analysis error — use SnapshotStore.delete with an arbitrary Column
+  // for those.
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    storeRoot.isDefined && filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val root = storeRoot.getOrElse(throw new UnsupportedOperationException(
+      s"graft table '$tableName' was resolved without a store root — DELETE " +
+        "requires the catalog or root-option face"))
+    import org.apache.spark.sql.functions.lit
+    val predicate = filters.toSeq
+      .map(f => GraftTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(s"untranslatable delete filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true)) // no WHERE = truncate semantics
+    new graft.core.SnapshotStore(spark, root).delete(tableName, predicate)
+    ()
+  }
 }
 
 object GraftTable {
@@ -199,7 +232,36 @@ object GraftTable {
       }
     }
     new GraftTable(table, v, spark, units,
-      store.snapshotSchema(table, Some(v)), passThrough)
+      store.snapshotSchema(table, Some(v)), passThrough, Some(store.root))
+  }
+
+  /** V1 source Filter → Column, for the DELETE translation. None marks a
+    * filter outside the supported set (Spark then refuses the DELETE at
+    * analysis rather than this table guessing semantics). */
+  private[sources] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _      => None
+    }
   }
 }
 

@@ -56,6 +56,35 @@ class GraftCatalogSpec extends SparkSpec {
       m.contains("read-only") || m.contains("does not support")), ins.toString)
   }
 
+  test("ANSI DELETE FROM routes through the store's tombstone delete") {
+    // Own root: the shared fixture's tables stay untouched for the other
+    // cases. DELETE commits a NEW version (O(matched files) tombstones),
+    // never mutates the read-only version directories — so time travel to
+    // the pre-delete version still works through the same catalog.
+    val r = java.nio.file.Files.createTempDirectory("graft-cat-del").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitClustered("t",
+      spark.range(0, 100).selectExpr("id", "cast(id % 3 as string) as tag"),
+      clusterBy = Seq("id"), targetPartitions = 4)
+    spark.conf.set("spark.sql.catalog.kgdel", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.kgdel.root", r)
+    spark.sql("DELETE FROM kgdel.t WHERE id >= 40 AND id < 60")
+    assert(spark.sql("SELECT count(*) FROM kgdel.t").head().getLong(0) == 80L)
+    assert(spark.sql("SELECT count(*) FROM kgdel.t VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+    // compound + IN + string predicates translate too
+    spark.sql("DELETE FROM kgdel.t WHERE tag IN ('2') OR id = 0")
+    assert(spark.sql("SELECT count(*) FROM kgdel.t").head().getLong(0) ==
+      (1L until 100L).filterNot(i => i >= 40 && i < 60).count(_ % 3 != 2))
+    assert(st.removedAt("t", st.latestVersion("t").get).nonEmpty)
+    // untranslatable predicate: refused at analysis, nothing deleted
+    val before = spark.sql("SELECT count(*) FROM kgdel.t").head().getLong(0)
+    val err = intercept[Exception](
+      spark.sql("DELETE FROM kgdel.t WHERE id % 7 = 0"))
+    assert(err.getMessage != null)
+    assert(spark.sql("SELECT count(*) FROM kgdel.t").head().getLong(0) == before)
+  }
+
   test("unknown table resolves to a clean analysis error") {
     root
     val e = intercept[Exception](spark.sql("SELECT * FROM kgcat.nope"))
