@@ -724,6 +724,91 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     attempt(maxRetries)
   }
 
+  /** Row-level UPDATE at O(matched files) write cost — `delete`'s
+    * copy-on-write twin (reference M5 `merge_edge_types`,
+    * vocabulary.py:701-841, is exactly this shape: rewrite a column
+    * where a predicate holds). Rows where `predicate` is TRUE get each
+    * `assignments` column replaced by its expression (evaluated against
+    * the OLD row — assignments may reference any column); all other rows,
+    * and all unmatched files, are untouched. Returns the new version, or
+    * the unchanged current version when nothing matched.
+    *
+    * Mechanics: the files containing a match are rewritten ONCE with a
+    * per-column `when(hit, assignment) otherwise(old)` projection —
+    * matched and surviving rows land in the same rewrite, tombstoning
+    * the replaced files exactly like `delete`. Assignments are cast to
+    * the column's pinned type (an update never retypes; use
+    * `commit`-rewrite + the widening rules for that).
+    *
+    * CHANGE FEEDS: an update is recorded as delete(pre-image) +
+    * insert(post-image) — the pre-image rows go to `_changes_removed`
+    * (CDF `_change_type='delete'`), the post-image rows are the
+    * version's change SET (so the streaming insert feed and
+    * `changesSince` see them as admitted rows, and
+    * [[graft.core.Incremental.advanceSigned]] folds the net effect of
+    * the update into a maintained aggregate exactly). Same CAS commit
+    * and lost-race recompute as `delete`. */
+  def update(table: String, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "update requires at least one assignment")
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val live = liveDataFiles(table, v)
+      if (live.isEmpty) v
+      else {
+        val schema = snapshotSchema(table, Some(v))
+        val badCols = assignments.keys.filterNot(k =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+        require(badCols.isEmpty,
+          s"update assigns to unknown column(s) ${badCols.mkString(", ")}")
+        val snap = spark.read.schema(schema).parquet(live.map(_.toString): _*)
+        val matchedKeys = snap.where(predicate)
+          .select(col("_metadata.file_path")).distinct()
+          .collect().map(r => uriFileKey(r.getString(0))).toSeq.sorted
+        if (matchedKeys.isEmpty) v
+        else {
+          val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k).toString)
+          val matchedScan = spark.read.schema(schema).parquet(matchedPaths: _*)
+          val hit = coalesce(predicate, lit(false))
+          def assigned(fieldName: String): Option[org.apache.spark.sql.Column] =
+            assignments.collectFirst {
+              case (k, c) if k.equalsIgnoreCase(fieldName) => c
+            }
+          val rewritten = matchedScan.select(schema.fields.map { f =>
+            assigned(f.name) match {
+              case Some(c) =>
+                when(hit, c.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }.toIndexedSeq: _*)
+          val preImage = matchedScan.where(hit)
+          val postImage = preImage.select(schema.fields.map { f =>
+            assigned(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name))
+          }.toIndexedSeq: _*)
+          val cand = commitWith(table, rewritten, changeSet = Some(postImage),
+            base = Some(v), snapshot = schema, advance = false,
+            removed = matchedKeys, removedRows = Some(preImage),
+            props = Map(SnapshotStore.OpProp -> "update"))
+          if (casAdvance(table, cand, Some(v))) cand
+          else {
+            val w = Files.walk(versionDir(table, cand))
+            try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            finally w.close()
+            if (retriesLeft > 0) attempt(retriesLeft - 1)
+            else throw new IllegalStateException(
+              s"update($table) lost the commit race $maxRetries times — " +
+                "table is write-hot; retry later or widen maxRetries")
+          }
+        }
+      }
+    }
+    attempt(maxRetries)
+  }
+
   /** [[fileKey]] for a `_metadata.file_path` URI: the last two path
     * segments ("v=N/part-....parquet"). */
   private def uriFileKey(filePath: String): String = {

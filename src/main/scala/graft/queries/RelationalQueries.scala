@@ -350,6 +350,34 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Row-level UPDATE round trip (M5 merge_edge_types' store-level
+    // mechanism): commit `orders` clustered, update a predicate band
+    // (assignment references the OLD row: price scaled 1.1x, priority
+    // re-tagged), read the final snapshot through the connector. The
+    // oracle replays the update as CASE WHEN over the original parquet —
+    // the copy-on-write rewrite must be value-invisible (the double
+    // multiply is IEEE-identical cross-engine). Build idempotent, like
+    // q97/q99.
+    "q100_store_update" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q100_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      if (store.latestVersion("orders").isEmpty) {
+        store.commitClustered("orders", Tables.orders(s, dir),
+          clusterBy = Seq("o_orderkey"))
+        store.update("orders",
+          col("o_orderstatus") === "F" && col("o_orderkey") < 2000L,
+          Map("o_totalprice" -> (col("o_totalprice") * 1.1),
+            "o_orderpriority" -> lit("0-UPDATED")))
+      }
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .load()
+        .filter(col("o_orderkey") < 4000L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Epoch-log clock (M8/T8): per-kind event counts + min/max event id —
     // committed epoch = max(event_id) (ingestion.py:31-152).
     "q19_epoch_clock" -> ((s, dir) => {
@@ -791,6 +819,16 @@ object RelationalQueries {
         |WHERE NOT (o_orderkey BETWEEN 500 AND 1499)
         |  AND NOT (o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 2999)
         |  AND o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q100_store_update" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' AND o_orderkey < 2000
+        |       THEN '0-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderstatus = 'F' AND o_orderkey < 2000
+        |       THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 4000
         |ORDER BY o_orderkey""".stripMargin,
 
     "q19_epoch_clock" ->

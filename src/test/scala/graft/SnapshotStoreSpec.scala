@@ -346,6 +346,62 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").columns.toSeq == Seq("id", "s"))
   }
 
+  test("update rewrites matched rows in place; CDF records delete(pre)+insert(post)") {
+    val st = freshStore()
+    st.commitClustered("t",
+      spark.range(0, 100).selectExpr("id", "cast(id % 10 as double) as v",
+        "cast(id % 3 as string) as tag"),
+      clusterBy = Seq("id"), targetPartitions = 4)
+    val v1 = st.latestVersion("t").get
+    // assignment references the OLD row (v doubled where tag = '1')
+    val uv = st.update("t", col("tag") === "1",
+      Map("v" -> (col("v") * 2), "tag" -> lit("updated")))
+    assert(uv > v1)
+    val now = st.read("t").select("id", "v", "tag")
+      .as[(Long, Double, String)].collect()
+      .map { case (i, vv, tag) => i -> ((vv, tag)) }.toMap
+    for (i <- 0L until 100L) {
+      val (vv, tag) = now(i)
+      if (i % 3 == 1) assert(vv == (i % 10) * 2.0 && tag == "updated", s"id $i")
+      else assert(vv == (i % 10).toDouble && tag == (i % 3).toString, s"id $i")
+    }
+    // O(matched files): tombstones only for files holding a tag='1' row
+    assert(st.removedAt("t", uv).nonEmpty)
+    // CDF: pre-images as deletes, post-images as inserts, same version
+    val feed = st.changeFeedSince("t", sinceVersion = v1)
+      .select("id", "tag", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    val expectedPre = (0L until 100L).filter(_ % 3 == 1)
+      .map(i => (i, "1", "delete")).toSet
+    val expectedPost = (0L until 100L).filter(_ % 3 == 1)
+      .map(i => (i, "updated", "insert")).toSet
+    assert(feed == expectedPre ++ expectedPost)
+    // streaming insert feed sees exactly the post-image as admitted rows
+    assert(st.changesAt("t", uv).get.count() ==
+      (0L until 100L).count(_ % 3 == 1))
+    // time travel reads the pre-update rows
+    assert(st.readAt("t", v1).where(col("tag") === "updated").count() == 0)
+    // no-match update is a no-op
+    assert(st.update("t", col("id") > 10000, Map("v" -> lit(0.0))) == uv)
+    // unknown column refused
+    intercept[IllegalArgumentException] {
+      st.update("t", lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("a maintained aggregate folds an update exactly (delete+insert net)") {
+    val st = freshStore()
+    st.append("src", Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"))
+    graft.core.MaterializedView.refresh(st, "src", "view", "k", "v")
+    st.update("src", col("k") === "a" && col("v") === 2.0,
+      Map("v" -> lit(10.0)))
+    graft.core.MaterializedView.refresh(st, "src", "view", "k", "v")
+    val got = graft.core.MaterializedView.read(st, "view")
+      .select("k", "n", "total").as[(String, Long, BigDecimal)].collect().toSet
+    assert(got == Set(("a", 2L, BigDecimal("11.0000")),
+      ("b", 1L, BigDecimal("5.0000"))))
+  }
+
   test("compact folds tombstones; vacuum then reclaims replaced bytes") {
     val st = freshStore()
     st.commitClustered("t", spark.range(0, 200).toDF("id"),
