@@ -259,8 +259,10 @@ object GraftTable {
         for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
       case Or(l, r) =>
         for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
-      case Not(c) => filterToColumn(c).map(!_)
-      case _      => None
+      case Not(c)         => filterToColumn(c).map(!_)
+      case _: AlwaysTrue  => Some(lit(true)) // TRUNCATE's delete-all form
+      case _: AlwaysFalse => Some(lit(false))
+      case _              => None
     }
   }
 }

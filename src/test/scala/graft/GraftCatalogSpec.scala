@@ -83,6 +83,13 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("DELETE FROM kgdel.t WHERE id % 7 = 0"))
     assert(err.getMessage != null)
     assert(spark.sql("SELECT count(*) FROM kgdel.t").head().getLong(0) == before)
+    // TRUNCATE TABLE rides the same machinery (TruncatableTable default =
+    // delete everything) — schema and history survive, rows go
+    spark.sql("TRUNCATE TABLE kgdel.t")
+    assert(spark.sql("SELECT count(*) FROM kgdel.t").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT * FROM kgdel.t").columns.toSeq == Seq("id", "tag"))
+    assert(spark.sql("SELECT count(*) FROM kgdel.t VERSION AS OF 1")
+      .head().getLong(0) == 100L)
   }
 
   test("unknown table resolves to a clean analysis error") {
