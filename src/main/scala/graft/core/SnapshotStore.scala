@@ -160,7 +160,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // the marker; a config that suppresses it (marksuccessfuljobs=false)
     // must fail THIS commit loudly, not silently produce an unreadable
     // version that vacuum would later reclaim as an orphan.
-    require(isCommitted(table, next),
+    require(hasSuccessMarker(table, next),
       s"commit wrote v=$next of $table without a _SUCCESS marker — " +
         "the snapshot store requires mapreduce.fileoutputcommitter." +
         "marksuccessfuljobs=true (the default)")
@@ -225,6 +225,19 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * a commit log, exactly as Delta/Iceberg do. */
   private def advancePointer(table: String, next: Long): Unit =
     underPointerLock(table) {
+      // The COMMITTED sentinel is written here — inside the lock, before
+      // any pointer move — never by the data write itself: `_SUCCESS`
+      // alone only proves the candidate's FILES are complete, and a CAS
+      // loser sitting below a sibling's higher pointer would otherwise
+      // read as committed history in the window before its relink or
+      // discard (transient exposure in history/readAt/feeds, double-fold
+      // hazards for incremental consumers, and vacuum reclaiming an
+      // in-flight retry as "old history"). A bare `commit` is
+      // last-writer-wins, so it is committed even when a higher sibling
+      // already moved the pointer past it (committed-but-superseded) —
+      // the sentinel lands unconditionally; only the pointer move is
+      // forward-gated.
+      Files.writeString(committedMarker(table, next), "")
       if (latestVersion(table).forall(_ < next)) movePointer(table, next)
     }
 
@@ -241,6 +254,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     underPointerLock(table) {
       val latest = latestVersion(table)
       if (latest == expectedBase && latest.forall(_ < next)) {
+        // Sentinel strictly before the pointer move: a reader that sees
+        // the new pointer must find the version already committed. A CAS
+        // LOSER never reaches this line, so its candidate stays
+        // sentinel-less (invisible to history/readAt/feeds) until the
+        // caller relinks or discards it — vacuum sees it only as an
+        // orphan candidate under the mtime grace window.
+        Files.writeString(committedMarker(table, next), "")
         movePointer(table, next); true
       } else false
     }
@@ -971,12 +991,30 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private[graft] def changesDirOf(table: String, v: Long): Path =
     changesDir(table, v)
 
-  /** True iff the version directory's write COMPLETED: the
-    * FileOutputCommitter writes `_SUCCESS` only after every part file is in
-    * place, so a slow or crashed commit — even one overtaken by a sibling
-    * whose pointer advanced past it — is never mistaken for data. */
-  private def isCommitted(table: String, v: Long): Boolean =
+  /** The data write of the version directory COMPLETED: the
+    * FileOutputCommitter writes `_SUCCESS` only after every part file is
+    * in place. Necessary but NOT sufficient for commitment — a CAS
+    * candidate is fully written long before it wins the pointer race. */
+  private def hasSuccessMarker(table: String, v: Long): Boolean =
     Files.exists(versionDir(table, v).resolve("_SUCCESS"))
+
+  /** The gate-visibility sentinel (`_committed`): written ONLY under the
+    * pointer lock, by [[advancePointer]] (bare commits, unconditionally —
+    * an overtaken rewrite is committed-but-superseded) or by a WINNING
+    * [[casAdvance]] (OCC commits). Its absence is what keeps a
+    * fully-written CAS loser — transiently sitting below a sibling's
+    * higher pointer while it waits to relink, recompute, or be discarded —
+    * out of `history`/`readAt`/change feeds/vacuum's committed set. */
+  private def committedMarker(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_committed")
+
+  /** True iff the version is COMMITTED: its write completed (`_SUCCESS`)
+    * AND it was exposed through the pointer protocol (`_committed`). A
+    * directory with data but no sentinel is an in-flight candidate or a
+    * crashed/discard-pending loser — never data, never history. */
+  private def isCommitted(table: String, v: Long): Boolean =
+    hasSuccessMarker(table, v) &&
+      Files.exists(committedMarker(table, v))
 
   /** Every existing version directory number, ascending (committed or not). */
   private def versionDirs(table: String): Seq[Long] = {

@@ -416,6 +416,52 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").count() == 150)
   }
 
+  test("a fully-written but never-exposed candidate is invisible everywhere") {
+    // The cross-process OCC hazard: a CAS candidate (or a commit crashed
+    // right before its pointer step) sits BELOW a sibling's higher pointer
+    // with data + _SUCCESS complete. `_SUCCESS` alone only proves the
+    // files are whole — commitment requires the `_committed` sentinel the
+    // pointer protocol writes under the lock. Without the sentinel gate,
+    // history/readAt/feeds would transiently expose the loser (and an
+    // append loser's later relink would re-emit the same change set —
+    // a double-fold for incremental consumers), and vacuum would reclaim
+    // an in-flight retry's data as old history.
+    val root = java.nio.file.Files.createTempDirectory("graft-vis").toString
+    val st = new SnapshotStore(spark, root)
+    st.commit("t", Seq(1).toDF("x")) // v1
+    // Fake the fully-written loser at v=2: v1's files (data, _SUCCESS,
+    // schema pin) minus the sentinel only a pointer win writes.
+    val v1 = java.nio.file.Paths.get(root, "t", "v=1")
+    val v2 = java.nio.file.Paths.get(root, "t", "v=2")
+    java.nio.file.Files.createDirectories(v2)
+    val w = java.nio.file.Files.walk(v1)
+    try w.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString == "_committed")
+      .foreach(p => java.nio.file.Files.copy(p, v2.resolve(v1.relativize(p).toString)))
+    finally w.close()
+    val v3 = st.commit("t", Seq(3).toDF("x")) // allocates above the loser
+    assert(v3 == 3L)
+    assert(st.history("t") == Seq(1L, 3L), "pending candidate is not history")
+    intercept[IllegalArgumentException] { st.readAt("t", 2L) }
+    intercept[IllegalArgumentException] { st.changesAt("t", 2L) }
+    assert(st.changeFeedSince("t", 0L).where(col("_version") === 2L).count() == 0)
+    // vacuum: the sentinel-less directory is an ORPHAN candidate — the
+    // mtime grace window protects it while fresh (it may be a live retry
+    // mid-relink), reclaim only once demonstrably stale.
+    st.vacuum("t", keepLast = 2, dropOrphans = true)
+    assert(java.nio.file.Files.exists(v2), "grace window protects a fresh candidate")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600_000L)
+    val w2 = java.nio.file.Files.walk(v2)
+    try w2.iterator().asScala.toSeq.foreach(
+      java.nio.file.Files.setLastModifiedTime(_, old))
+    finally w2.close()
+    st.vacuum("t", keepLast = 2, dropOrphans = true)
+    assert(!java.nio.file.Files.exists(v2), "stale loser reclaimed as orphan")
+    assert(st.history("t") == Seq(1L, 3L))
+    assert(st.read("t").as[Int].collect().toSeq == Seq(3))
+  }
+
   test("epoch clock integration: committed version drives Freshness") {
     val st = freshStore()
     st.commit("events", Seq(1L).toDF("event_id"))
