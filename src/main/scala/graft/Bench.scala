@@ -24,12 +24,19 @@ import org.apache.spark.sql.SparkSession
   * it: the gate keys on the primary dir's basename). */
 object Bench {
 
+  /** One suite run's evidence: per-query seconds, per-query failure
+    * reasons, and the canary record the suite-level gate adjudicates on. */
+  private final case class SuiteRun(results: Seq[(String, Double)],
+      failures: Seq[(String, String)], baseline: Double,
+      samples: Seq[Double], requeried: Int, contended: Boolean) {
+    def maxRatio: Double =
+      if (baseline > 0 && samples.nonEmpty) samples.max / baseline else -1.0
+  }
+
   /** One adjudicated suite run at `sfDir`: every query timed min-of-2 in
     * sorted order, canary-checked per 10-query block, contended blocks
-    * re-run min-merged. Returns (per-query seconds, per-query failure
-    * reasons, canary JSON). */
-  private def runSuite(spark: SparkSession, sfDir: String)
-      : (Seq[(String, Double)], Seq[(String, String)], String) = {
+    * re-run min-merged. */
+  private def runSuite(spark: SparkSession, sfDir: String): SuiteRun = {
     import org.apache.spark.sql.functions.{col, sum}
     // SELF-ADJUDICATION: min-of-2 absorbs spikes, not SUSTAINED machine
     // contention (a co-tenant pinning the cores for minutes inflates both
@@ -149,18 +156,66 @@ object Bench {
       if (!settled && i < 3) Thread.sleep(2000)
       settled
     }
-    // A clean run has final-canary ratio ≲ 2 (max_ratio reports the worst
-    // MID-SUITE sample for transparency; it routinely touches ~2 on a
-    // healthy run and is not the contended criterion).
-    val maxRatio =
-      if (canaryBaseline > 0) canarySamples.max / canaryBaseline else -1.0
+    SuiteRun(times.toSeq, failures.toSeq, canaryBaseline,
+      canarySamples.toSeq, requeried, sustained)
+  }
+
+  /** How far a suite's worst canary sample may sit above the idle baseline
+    * before the WHOLE run is deemed noise-contaminated. Mid-suite samples
+    * routinely touch ~2x on a healthy run (the suite's own residual
+    * activity — see Bar above); 2.5x only trips on genuine external
+    * contention. */
+  private val SuiteBar = 2.5
+
+  /** The suite-level canary gate (r12 lesson: the per-block min-merged
+    * retries bound a SPIKE, but a sustained noise window inflates every
+    * retry too, and the r12 artifact published a max_ratio-9.4 sf10 block
+    * as the round's official number). A run whose canary evidence blows
+    * past [[SuiteBar]] — or never settles ("contended") — is not
+    * published as-is: the whole suite runs ONCE more after a settle
+    * pause, per-query times min-merge (both runs measured the same plans;
+    * noise only ever inflates), and the cleaner run's canary evidence is
+    * what the artifact carries. `"valid"` in the canary JSON says whether
+    * the published block is trustworthy for round-over-round comparison;
+    * `"suite_reruns"` how many full re-runs the gate spent. */
+  private def adjudicatedSuite(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Double)], Seq[(String, String)], String) = {
+    val first = runSuite(spark, sfDir)
+    val (best, reruns) =
+      if (first.maxRatio >= 0 && first.maxRatio <= SuiteBar && !first.contended)
+        (first, 0)
+      else {
+        System.err.println(f"[bench] suite canary blew out at $sfDir " +
+          f"(max_ratio ${first.maxRatio}%.2f, contended=${first.contended}) " +
+          "- re-running the whole suite once")
+        Thread.sleep(5000)
+        val second = runSuite(spark, sfDir)
+        val firstByName = first.results.toMap
+        val mergedTimes = second.results.map { case (k, t2) =>
+          val t1 = firstByName.getOrElse(k, t2)
+          // min of the two clean timings; if either run failed the query,
+          // prefer the run that succeeded (max picks the non-negative)
+          k -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+        }
+        val stillFailed = mergedTimes.filter(_._2 < 0).map(_._1).toSet
+        val mergedFailures = (second.failures ++ first.failures)
+          .filter { case (k, _) => stillFailed.contains(k) }.distinct
+        val cleaner =
+          if (second.maxRatio >= 0 &&
+            (first.maxRatio < 0 || second.maxRatio <= first.maxRatio)) second
+          else first
+        (cleaner.copy(results = mergedTimes, failures = mergedFailures), 1)
+      }
+    val valid = best.maxRatio >= 0 && best.maxRatio <= SuiteBar && !best.contended
+    if (!valid) System.err.println(f"[bench] $sfDir block is NOT canary-clean " +
+      f"after re-run (max_ratio ${best.maxRatio}%.2f) - marked \"valid\":false")
     val canaryJson = {
-      val samples = canarySamples.map(s => f"$s%.4f").mkString("[", ",", "]")
-      s"""{"baseline_sec":${f"$canaryBaseline%.4f"},"samples":$samples,""" +
-        s""""max_ratio":${f"$maxRatio%.3f"},"requeried":$requeried,""" +
-        s""""contended":$sustained}"""
+      val samples = best.samples.map(s => f"$s%.4f").mkString("[", ",", "]")
+      s"""{"baseline_sec":${f"${best.baseline}%.4f"},"samples":$samples,""" +
+        s""""max_ratio":${f"${best.maxRatio}%.3f"},"requeried":${best.requeried},""" +
+        s""""contended":${best.contended},"suite_reruns":$reruns,"valid":$valid}"""
     }
-    (times.toSeq, failures.toSeq, canaryJson)
+    (best.results, best.failures, canaryJson)
   }
 
   private def jsonStr(s: String): String =
@@ -247,7 +302,7 @@ object Bench {
       System.err.println(s"[bench] warm-up join skipped: ${e.getMessage}")
     }
 
-    val (results, failures, canaryJson) = runSuite(spark, sfDir)
+    val (results, failures, canaryJson) = adjudicatedSuite(spark, sfDir)
 
     // Standing sf10 gate: only when the primary run IS the per-round sf0.1
     // (local sf0.01 iterations stay fast), not opted out, and the suite is
@@ -264,7 +319,7 @@ object Bench {
           System.err.println(s"[bench] building $sf10Dir (100x $sfDir)")
           graft.tools.ScaleUp.build(spark, sfDir, sf10Dir, 100)
         }
-        val (r1, f1, c1) = runSuite(spark, sf10Dir)
+        val (r1, f1, c1) = adjudicatedSuite(spark, sf10Dir)
         Some(s"""{${suiteJson(r1, f1, c1)},"dir":${jsonStr(sf10Dir)}}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf10 gate failed: ${e.getMessage}")

@@ -694,17 +694,140 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * them into a self-contained version and `vacuum` then reclaims the
     * replaced bytes.
     *
-    * CONCURRENCY: CAS commit like `compact` — and like it, a lost race
-    * discards the candidate and recomputes against the new head (a
-    * delete's survivors are only valid against the exact files it
-    * scanned; re-linking like `append` could resurrect rows a sibling
-    * delete removed or lose rows a compaction rewrote). Deletes record no
-    * change set: the feed's contract stays "rows `append` admitted";
-    * downstream incremental consumers treat a delete like a rewrite
-    * (resubscribe), as Delta CDF does for non-CDF-enabled DV commits. */
+    * CONCURRENCY: CAS commit like `compact` — but with a LIVENESS
+    * guarantee a bounded recompute loop cannot give. A lost race whose
+    * conflicting commits are all PURE APPENDS re-bases like `append`
+    * does: appends only ADD files, so the already-written survivor
+    * rewrite and tombstones stay exactly valid against the new head —
+    * the candidate is renamed above it, its `_base` repointed, and ONLY
+    * the newly-appended files are scanned for additional matches (work
+    * per round shrinks to the delta, so a sustained appender can no
+    * longer starve the delete; every CAS round has a system-wide
+    * winner). Conflicts with sibling deletes/updates/compactions/
+    * rewrites still discard and recompute — the survivors are only
+    * valid against the exact files scanned — bounded by `maxRetries`
+    * with backoff. Deletes record no change set as inserts; the removed
+    * rows go to `_changes_removed` for the change-DATA feed, while the
+    * insert-only streaming feed's contract stays "rows `append`
+    * admitted" (a delete is "resubscribe" there, as Delta CDF treats
+    * non-CDF commits). */
   def delete(table: String, predicate: org.apache.spark.sql.Column,
       maxRetries: Int = 5): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val hit = coalesce(predicate, lit(false))
+    rowMutation(table, predicate, "delete", maxRetries)(
+      rewrite = (matchedScan, _) => matchedScan.where(not(hit)),
+      changeSetOf = (_, _) => None)
+  }
+
+  /** The shared copy-on-write engine of [[delete]] and [[update]]:
+    * find matched files (metadata-scale, predicate-pruned), write the
+    * replacement rows `rewrite` produces as a chain-link candidate that
+    * tombstones the matched files, CAS-commit — re-basing over
+    * pure-append conflicts, recomputing (bounded, with backoff) over
+    * everything else. `rewrite(matchedFilesScan, snapshotSchema)` returns
+    * the rows replacing the matched files; `changeSetOf` the rows
+    * recorded as the version's admitted change set (update's
+    * post-images; None for delete). Matched rows (`predicate` TRUE,
+    * null-safe) are always recorded to `_changes_removed` as the
+    * change-data feed's delete images. */
+  private def rowMutation(table: String,
+      predicate: org.apache.spark.sql.Column, op: String, maxRetries: Int)(
+      rewrite: (DataFrame, StructType) => DataFrame,
+      changeSetOf: (DataFrame, StructType) => Option[DataFrame]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val hit = coalesce(predicate, lit(false))
+
+    /** Store-relative keys of files under `paths` holding ≥1 matching
+      * row: one pass, pruned by the predicate, collecting at most #files
+      * paths (metadata scale). */
+    def matchedKeysIn(paths: Seq[Path], schema: StructType): Seq[String] =
+      if (paths.isEmpty) Seq.empty
+      else spark.read.schema(schema).parquet(paths.map(_.toString): _*)
+        .where(predicate).select(col("_metadata.file_path")).distinct()
+        .collect().map(r => uriFileKey(r.getString(0))).toSeq.sorted
+
+    def discard(cand: Long): Unit = {
+      val w = Files.walk(versionDir(table, cand))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+
+    /** Every commit between `base` and `head` is a pure APPEND — `base`
+      * is still in `head`'s chain and no link above it tombstoned
+      * anything (delete/update links always carry tombstones; compactions
+      * and rewrites are self-contained, which breaks the chain). Exactly
+      * the conflicts whose effect is "files were added", against which
+      * the candidate's survivors + tombstones remain valid as-is. */
+    def pureAppendsSince(base: Long, head: Long): Boolean = {
+      val chain = chainOf(table, head)
+      val i = chain.indexOf(base)
+      i >= 0 && chain.drop(i + 1).forall(l => removedAt(table, l).isEmpty)
+    }
+
+    /** Re-base the candidate over pure-append conflicts (the liveness
+      * path): scan ONLY the newly-appended files for additional matches,
+      * fold their replacement rows / tombstones / change images into the
+      * candidate's own directory, then relink it above the new head —
+      * O(delta-since-base) work however hot the appender. The mutation
+      * serializes AFTER the appends it scanned, same as a recompute. */
+    def rebaseOnto(cand: Long, base: Long, head: Long): Long = {
+      val newLinks = { val c = chainOf(table, head); c.drop(c.indexOf(base) + 1) }
+      val schemaH = snapshotSchema(table, Some(head))
+      val newFiles = newLinks.flatMap(dataFilesOf(table, _))
+      val dir = versionDir(table, cand)
+      val extraKeys = matchedKeysIn(newFiles, schemaH)
+      if (extraKeys.nonEmpty) {
+        val paths = extraKeys.map(k => tableDir(table).resolve(k).toString)
+        val scan = spark.read.schema(schemaH).parquet(paths: _*)
+        rewrite(scan, schemaH).write.mode("append").parquet(dir.toString)
+        scan.where(hit).write.mode("append")
+          .parquet(dir.resolve("_changes_removed").toString)
+        changeSetOf(scan, schemaH).foreach(_.write.mode("append")
+          .parquet(changesDir(table, cand).toString))
+        val allKeys = (removedAt(table, cand) ++ extraKeys).distinct.sorted
+        Files.writeString(removedFileOf(table, cand),
+          org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+            org.json4s.JArray(allKeys.map(org.json4s.JString(_)).toList))))
+        try FileStats.writeStatsFile(
+          spark.sparkContext.hadoopConfiguration, dir)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // Relink above the new head (append's rebase-by-rename machinery):
+      // marker dropped for the metadata rewrite, rename claims the fresh
+      // number, `_base` repointed, schema re-pinned to the head's (the
+      // appends may have added or widened columns — the candidate's own
+      // narrower files read under the wider pinned schema exactly like
+      // any evolved chain).
+      Files.deleteIfExists(dir.resolve("_SUCCESS"))
+      var next = math.max(latestVersion(table).getOrElse(0L),
+        maxVersionDir(table)) + 1L
+      var moved = false
+      while (!moved) {
+        try {
+          Files.move(dir, versionDir(table, next), StandardCopyOption.ATOMIC_MOVE)
+          moved = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => next += 1L
+        }
+      }
+      Files.writeString(baseFile(table, next), head.toString)
+      Files.writeString(schemaFile(table, next), schemaH.json)
+      Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")
+      next
+    }
+
+    /** CAS until won or a non-append conflict forces a recompute (None). */
+    @tailrec def casLoop(cand: Long, base: Long): Option[Long] =
+      if (casAdvance(table, cand, Some(base))) Some(cand)
+      else {
+        val head = latestVersion(table).getOrElse(
+          throw new IllegalStateException(s"pointer of $table vanished mid-CAS"))
+        require(head != base, s"$op CAS to $table failed with unmoved pointer $head")
+        if (pureAppendsSince(base, head)) casLoop(rebaseOnto(cand, base, head), head)
+        else { discard(cand); None }
+      }
+
     @tailrec def attempt(retriesLeft: Int): Long = {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
@@ -712,31 +835,30 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       if (live.isEmpty) v
       else {
         val schema = snapshotSchema(table, Some(v))
-        val snap = spark.read.schema(schema).parquet(live.map(_.toString): _*)
-        // Which files hold >= 1 matching row: one pass, pruned by the
-        // predicate, collecting at most #files paths (metadata scale).
-        val matchedKeys = snap.where(predicate)
-          .select(col("_metadata.file_path")).distinct()
-          .collect().map(r => uriFileKey(r.getString(0))).toSeq.sorted
+        val matchedKeys = matchedKeysIn(live, schema)
         if (matchedKeys.isEmpty) v
         else {
           val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k).toString)
           val matchedScan = spark.read.schema(schema).parquet(matchedPaths: _*)
-          val survivors = matchedScan.where(not(coalesce(predicate, lit(false))))
-          val deletedRows = matchedScan.where(coalesce(predicate, lit(false)))
-          val cand = commitWith(table, survivors, changeSet = None,
+          val cand = commitWith(table, rewrite(matchedScan, schema),
+            changeSet = changeSetOf(matchedScan, schema),
             base = Some(v), snapshot = schema, advance = false,
-            removed = matchedKeys, removedRows = Some(deletedRows),
-            props = Map(SnapshotStore.OpProp -> "delete"))
-          if (casAdvance(table, cand, Some(v))) cand
-          else {
-            val w = Files.walk(versionDir(table, cand))
-            try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-            finally w.close()
-            if (retriesLeft > 0) attempt(retriesLeft - 1)
-            else throw new IllegalStateException(
-              s"delete($table) lost the commit race $maxRetries times — " +
-                "table is write-hot; retry later or widen maxRetries")
+            removed = matchedKeys, removedRows = Some(matchedScan.where(hit)),
+            props = Map(SnapshotStore.OpProp -> op))
+          SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+          casLoop(cand, v) match {
+            case Some(won) => won
+            case None if retriesLeft > 0 =>
+              // Non-append conflict (sibling delete/update/compact/
+              // rewrite): recompute against the new head after a short
+              // backoff so racing mutators interleave instead of
+              // lock-stepping.
+              Thread.sleep(math.min(25L << (maxRetries - retriesLeft), 400L))
+              attempt(retriesLeft - 1)
+            case None => throw new IllegalStateException(
+              s"$op($table) lost the commit race to conflicting rewrites " +
+                s"$maxRetries times — retry later or widen maxRetries " +
+                "(pure-append contention re-bases and cannot starve this)")
           }
         }
       }
@@ -766,67 +888,68 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * version's change SET (so the streaming insert feed and
     * `changesSince` see them as admitted rows, and
     * [[graft.core.Incremental.advanceSigned]] folds the net effect of
-    * the update into a maintained aggregate exactly). Same CAS commit
-    * and lost-race recompute as `delete`. */
+    * the update into a maintained aggregate exactly). Same CAS commit,
+    * append-rebase liveness, and non-append recompute as `delete`.
+    *
+    * TYPE SAFETY: each assignment's resolved type must equal the pinned
+    * column type or up-cast to it losslessly ([[Cast.canUpCast]]) —
+    * refused loudly up front otherwise. Under non-ANSI evaluation a lossy
+    * `Column.cast` (a non-numeric string into a long column) silently
+    * NULLs every matched row, which is data corruption wearing a type
+    * coercion's clothes; a caller who wants a parsing/lossy conversion
+    * writes the cast explicitly in the assignment expression. */
   def update(table: String, predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       maxRetries: Int = 5): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update requires at least one assignment")
-    @tailrec def attempt(retriesLeft: Int): Long = {
-      val v = latestVersion(table).getOrElse(
-        throw new IllegalArgumentException(s"no committed version of $table"))
-      val live = liveDataFiles(table, v)
-      if (live.isEmpty) v
-      else {
-        val schema = snapshotSchema(table, Some(v))
-        val badCols = assignments.keys.filterNot(k =>
-          schema.fieldNames.exists(_.equalsIgnoreCase(k)))
-        require(badCols.isEmpty,
-          s"update assigns to unknown column(s) ${badCols.mkString(", ")}")
-        val snap = spark.read.schema(schema).parquet(live.map(_.toString): _*)
-        val matchedKeys = snap.where(predicate)
-          .select(col("_metadata.file_path")).distinct()
-          .collect().map(r => uriFileKey(r.getString(0))).toSeq.sorted
-        if (matchedKeys.isEmpty) v
-        else {
-          val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k).toString)
-          val matchedScan = spark.read.schema(schema).parquet(matchedPaths: _*)
-          val hit = coalesce(predicate, lit(false))
-          def assigned(fieldName: String): Option[org.apache.spark.sql.Column] =
-            assignments.collectFirst {
-              case (k, c) if k.equalsIgnoreCase(fieldName) => c
-            }
-          val rewritten = matchedScan.select(schema.fields.map { f =>
-            assigned(f.name) match {
-              case Some(c) =>
-                when(hit, c.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-              case None => col(f.name)
-            }
-          }.toIndexedSeq: _*)
-          val preImage = matchedScan.where(hit)
-          val postImage = preImage.select(schema.fields.map { f =>
-            assigned(f.name).map(_.cast(f.dataType).as(f.name))
-              .getOrElse(col(f.name))
-          }.toIndexedSeq: _*)
-          val cand = commitWith(table, rewritten, changeSet = Some(postImage),
-            base = Some(v), snapshot = schema, advance = false,
-            removed = matchedKeys, removedRows = Some(preImage),
-            props = Map(SnapshotStore.OpProp -> "update"))
-          if (casAdvance(table, cand, Some(v))) cand
-          else {
-            val w = Files.walk(versionDir(table, cand))
-            try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-            finally w.close()
-            if (retriesLeft > 0) attempt(retriesLeft - 1)
-            else throw new IllegalStateException(
-              s"update($table) lost the commit race $maxRetries times — " +
-                "table is write-hot; retry later or widen maxRetries")
-          }
+    val hit = coalesce(predicate, lit(false))
+    def assigned(schema: StructType, fieldName: String)
+        : Option[org.apache.spark.sql.Column] =
+      assignments.collectFirst {
+        case (k, c) if k.equalsIgnoreCase(fieldName) => c
+      }
+    var validated = false
+    def validate(schema: StructType): Unit = if (!validated) {
+      val badCols = assignments.keys.filterNot(k =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+      require(badCols.isEmpty,
+        s"update assigns to unknown column(s) ${badCols.mkString(", ")}")
+      // Resolve each assignment's type against an empty frame of the
+      // pinned schema — plan-time only, no data touched.
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      schema.fields.foreach { f =>
+        assigned(schema, f.name).foreach { c =>
+          val from = probe.select(c.as(f.name)).schema.head.dataType
+          require(from == f.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, f.dataType),
+            s"update assigns ${from.simpleString} to column ${f.name}: " +
+              s"${f.dataType.simpleString} — a lossy or invalid coercion " +
+              "would silently NULL matched rows under non-ANSI semantics; " +
+              "cast explicitly in the assignment expression if intended")
         }
       }
+      validated = true
     }
-    attempt(maxRetries)
+    rowMutation(table, predicate, "update", maxRetries)(
+      rewrite = (matchedScan, schema) => {
+        validate(schema)
+        matchedScan.select(schema.fields.map { f =>
+          assigned(schema, f.name) match {
+            case Some(c) =>
+              when(hit, c.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+      },
+      changeSetOf = (matchedScan, schema) => {
+        validate(schema)
+        Some(matchedScan.where(hit).select(schema.fields.map { f =>
+          assigned(schema, f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }.toIndexedSeq: _*))
+      })
   }
 
   /** [[fileKey]] for a `_metadata.file_path` URI: the last two path
@@ -1040,6 +1163,27 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       versionDirs(table).filter(v => v <= latest && isCommitted(table, v))
   }
 
+  /** Upgrade a table written BEFORE the `_committed` sentinel protocol:
+    * stamp the sentinel onto every `_SUCCESS` version at or below the
+    * pointer. Sound for a quiesced legacy store — under the OLD protocol
+    * a CAS loser's directory was always renamed (append relink) or
+    * deleted (delete/update/compact discard), so any surviving
+    * marker-complete directory at or below the pointer WAS genuinely
+    * committed. Do NOT run concurrently with active NEW-protocol writers
+    * on the same table: a current in-flight CAS loser below the pointer
+    * is exactly what the sentinel exists to hide, and stamping it would
+    * re-expose it. Idempotent; no-op for empty or already-current
+    * tables. */
+  def migrateLegacyTable(table: String): Unit =
+    SnapshotStore.rootLock(root) {
+      latestVersion(table).foreach { latest =>
+        versionDirs(table)
+          .filter(v => v <= latest && hasSuccessMarker(table, v) &&
+            !Files.exists(committedMarker(table, v)))
+          .foreach(v => Files.writeString(committedMarker(table, v), ""))
+      }
+    }
+
   /** Drop committed versions older than the newest `keepLast`; the
     * pointer's version is always kept, and so is EVERY CHAIN ANCESTOR of a
     * kept version — a chain link's data lives in its ancestors' directories,
@@ -1128,6 +1272,13 @@ object SnapshotStore {
   private[core] val statsCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long),
       Option[Map[String, FileStats.FileStat]]]
+
+  /** Test seam: runs between a row-mutation's candidate write and its
+    * pointer CAS, so a spec can force the exact candidate-written /
+    * sibling-committed interleaving deterministically (the rebase and
+    * recompute paths are otherwise only reachable by lucky scheduling).
+    * A no-op outside specs. */
+  private[graft] var testRaceHook: () => Unit = () => ()
 
   /** Test hook: drop memoized schemas/manifests. Specs tamper with
     * committed version directories to simulate legacy or corrupted stores,

@@ -97,6 +97,18 @@ object RangeJoin {
     *
     * Output: every `intervals` column, plus `<countName>` (long, ≥ 1) and
     * `<minName>` (long, the smallest contained point). */
+  /** Sub-array assignment for an over-cap bucket's points. Must be
+    * ROW-unique, not value-keyed: the degenerate case the cap exists for
+    * is every point carrying the SAME value (boilerplate timestamps), and
+    * `pmod(hash(value), splits)` would send all of them to one sub — the
+    * memory bound failing exactly where it matters. Salting with
+    * partition id + per-row id spreads identical values evenly; the
+    * interval side probes EVERY sub, and counts/mins recombine exactly
+    * over any partition of a bucket's points, so the assignment is free
+    * to be arbitrary (and need not be stable across retries). */
+  private[graft] def saltedSub(pt: Column, splits: Column): Column =
+    pmod(hash(pt, spark_partition_id(), monotonically_increasing_id()), splits)
+
   def intervalAggregate(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String, bucketWidth: Long,
       countName: String = "n_points",
@@ -129,7 +141,7 @@ object RangeJoin {
         ceil(col("__c").cast("double") / maxBucketRows).cast("int").as("__splits"))
     val subOf =
       when(col("__splits").isNotNull,
-        pmod(hash(col(ptCol)), col("__splits"))).otherwise(lit(0))
+        saltedSub(col(ptCol), col("__splits"))).otherwise(lit(0))
     val ptsPerBucket = pts
       .join(broadcast(oversized), Seq("__bucket"), "left")
       .withColumn("__sub", subOf)

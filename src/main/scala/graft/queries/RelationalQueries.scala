@@ -312,6 +312,8 @@ object RelationalQueries {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q97_" +
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
+      // fixture caches persist across builds: stamp pre-sentinel stores
+      store.migrateLegacyTable("orders")
       if (store.latestVersion("orders").isEmpty)
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
@@ -336,6 +338,8 @@ object RelationalQueries {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q99_" +
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
+      // fixture caches persist across builds: stamp pre-sentinel stores
+      store.migrateLegacyTable("orders")
       if (store.latestVersion("orders").isEmpty) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
@@ -362,6 +366,8 @@ object RelationalQueries {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q100_" +
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
+      // fixture caches persist across builds: stamp pre-sentinel stores
+      store.migrateLegacyTable("orders")
       if (store.latestVersion("orders").isEmpty) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))

@@ -287,6 +287,8 @@ object VectorQueries {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_q98_" +
         Tables.fingerprint(dir, "embeddings")
       val store = new graft.core.SnapshotStore(s, root)
+      // fixture caches persist across builds: stamp pre-sentinel stores
+      store.migrateLegacyTable("ivf")
       val cents: Seq[Seq[Double]] = Tables.embeddings(s, dir)
         .where(col("vec_id").between(1, 8))
         .orderBy(col("vec_id"))

@@ -126,7 +126,8 @@ final case class ScanUnit(path: String, stat: Option[graft.core.FileStats.FileSt
 final class GraftTable(tableName: String, val snapshotVersion: Long,
     spark: SparkSession, val units: Seq[ScanUnit], pinnedSchema: StructType,
     passThrough: util.Map[String, String],
-    storeRoot: Option[String] = None)
+    storeRoot: Option[String] = None,
+    versionPinned: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -175,10 +176,20 @@ final class GraftTable(tableName: String, val snapshotVersion: Long,
   // canDeleteWhere false and Spark raises its standard "cannot delete"
   // analysis error — use SnapshotStore.delete with an arbitrary Column
   // for those.
+  // A table resolved with an EXPLICIT time-travel version refuses DELETE
+  // outright (canDeleteWhere false -> Spark's standard analysis error):
+  // the user addressed a historical snapshot, but a delete necessarily
+  // mutates the CURRENT head — silently honoring it would delete against
+  // a state the user never named. Mutate through an unpinned resolution.
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    storeRoot.isDefined && filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+    storeRoot.isDefined && !versionPinned &&
+      filters.forall(f => GraftTable.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(!versionPinned,
+      s"graft table '$tableName' is pinned to historical version " +
+        s"$snapshotVersion — DELETE mutates the current head; resolve the " +
+        "table without a version option to delete")
     val root = storeRoot.getOrElse(throw new UnsupportedOperationException(
       s"graft table '$tableName' was resolved without a store root — DELETE " +
         "requires the catalog or root-option face"))
@@ -232,7 +243,8 @@ object GraftTable {
       }
     }
     new GraftTable(table, v, spark, units,
-      store.snapshotSchema(table, Some(v)), passThrough, Some(store.root))
+      store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
+      versionPinned = version.isDefined)
   }
 
   /** V1 source Filter → Column, for the DELETE translation. None marks a

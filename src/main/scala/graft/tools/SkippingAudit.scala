@@ -63,6 +63,8 @@ object SkippingAudit {
     val root97 = s"${System.getProperty("java.io.tmpdir")}/graft_q97_" +
       Tables.fingerprint(sfDir, "orders")
     val store97 = new SnapshotStore(spark, root97)
+    // fixture caches persist across builds: stamp pre-sentinel stores
+    store97.migrateLegacyTable("orders")
     if (store97.latestVersion("orders").isEmpty)
       store97.commitClustered("orders", Tables.orders(spark, sfDir),
         clusterBy = Seq("o_orderkey"))
@@ -94,6 +96,8 @@ object SkippingAudit {
     val root98 = s"${System.getProperty("java.io.tmpdir")}/graft_q98_" +
       Tables.fingerprint(sfDir, "embeddings")
     val store98 = new SnapshotStore(spark, root98)
+    // fixture caches persist across builds: stamp pre-sentinel stores
+    store98.migrateLegacyTable("ivf")
     val cents: Seq[Seq[Double]] = Tables.embeddings(spark, sfDir)
       .where(col("vec_id").between(1, 8))
       .orderBy(col("vec_id"))

@@ -92,6 +92,28 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 100L)
   }
 
+  test("a version-pinned resolution refuses DELETE (head-mutation mismatch)") {
+    // A table addressed with explicit time travel names a HISTORICAL
+    // snapshot; a delete necessarily mutates the CURRENT head. Honoring
+    // it would delete against a state the user never addressed —
+    // canDeleteWhere must be false so Spark raises its standard analysis
+    // error instead, and a direct deleteWhere call fails loudly.
+    val r = java.nio.file.Files.createTempDirectory("graft-cat-pin").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", Seq((1L, "a")).toDF("id", "s"))
+    st.commit("t", Seq((2L, "b")).toDF("id", "s"))
+    val pinned = graft.sources.GraftTable.forSnapshot(spark, st, "t", Some(1L))
+    val all = Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("id", 1L))
+    assert(!pinned.canDeleteWhere(all), "time-travel-pinned table must refuse")
+    intercept[IllegalArgumentException](pinned.deleteWhere(all))
+    // the unpinned resolution of the same table still deletes fine
+    val head = graft.sources.GraftTable.forSnapshot(spark, st, "t", None)
+    assert(head.canDeleteWhere(all))
+    head.deleteWhere(all)
+    assert(st.read("t").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("unknown table resolves to a clean analysis error") {
     root
     val e = intercept[Exception](spark.sql("SELECT * FROM kgcat.nope"))

@@ -151,6 +151,29 @@ class ScaleOpsSpec extends SparkSpec {
       (3L, cnt(3599, 3599), 3599L)))
   }
 
+  test("hot-bucket split bounds IDENTICAL-valued points (row-salted subs)") {
+    // The worst degenerate case: every point carries the SAME value, so a
+    // value-keyed hash(pt) % splits sends all of them to one sub-array and
+    // the memory cap fails exactly in the scenario it targets. The salted
+    // assignment must spread identical values near-evenly…
+    val n = 200000
+    val same = spark.range(n.toLong).select(lit(1000L).as("pt"))
+    val sizes = same
+      .withColumn("__sub", graft.operators.RangeJoin.saltedSub(col("pt"), lit(16)))
+      .groupBy("__sub").count().select("count").as[Long].collect()
+    assert(sizes.length == 16, "identical values must reach every sub")
+    assert(sizes.max <= (n / 16) * 2,
+      s"no sub may hold more than ~2x its fair share (got max ${sizes.max})")
+    // …and the split aggregate over identical values must stay exact.
+    val intervals = Seq((1L, 0L, 2000L), (2L, 1500L, 2000L)).toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin.intervalAggregate(
+        same, intervals, "pt", "lo", "hi", bucketWidth = 3600L,
+        maxBucketRows = 8192)
+      .select($"iid", $"n_points", $"min_pt")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, n.toLong, 1000L)))
+  }
+
   test("corpus-card sketch twins land within 2% of exact at sf0.1") {
     // The approx_count_distinct variants behind the dataset-card API: the
     // sketch's shuffle is vocabulary-size-independent (one HLL++ sketch

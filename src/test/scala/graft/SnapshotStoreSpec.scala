@@ -346,6 +346,50 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").columns.toSeq == Seq("id", "s"))
   }
 
+  test("delete re-bases over a pure-append conflict: no recompute, no starvation") {
+    // Force the exact interleaving that starved the old recompute loop: a
+    // sibling append lands AFTER the delete's survivor candidate is fully
+    // written, BEFORE its pointer CAS. The delete must NOT throw away its
+    // work — appends only add files, so the candidate re-bases: renamed
+    // above the append's head, tombstones kept, and ONLY the newly
+    // appended files scanned for additional matches (serialize-last, like
+    // a recompute would produce — but O(delta) instead of O(matched)).
+    val root = java.nio.file.Files.createTempDirectory("graft-rebase").toString
+    val st = new SnapshotStore(spark, root)
+    val sibling = new SnapshotStore(spark, root)
+    st.commitClustered("t", spark.range(0, 100).toDF("id"),
+      clusterBy = Seq("id"), targetPartitions = 2)
+    var fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true
+      sibling.append("t", spark.range(100, 110).toDF("id")) // 105 matches
+    }
+    val d = try st.delete("t", col("id") % 7 === 0)
+    finally SnapshotStore.testRaceHook = () => ()
+    assert(fired, "race hook must have interleaved the append")
+    // the delete serialized AFTER the append: matches from BOTH the
+    // original snapshot and the appended batch are gone, exactly once each
+    val expected = (0L until 110L).filterNot(_ % 7 == 0)
+    assert(st.read("t").as[Long].collect().sorted.toSeq == expected)
+    // the committed delete is a chain link over the APPEND's head
+    val appendV = st.history("t").filter(_ < d).max
+    assert(st.baseOf("t", d).contains(appendV), "rebased onto the append")
+    // tombstones cover matched files from the original commit AND the
+    // appended link (105 lived there)
+    val removed = st.removedAt("t", d)
+    assert(removed.exists(_.startsWith("v=1/")), "original matched files tombstoned")
+    assert(removed.exists(_.startsWith(s"v=$appendV/")), "appended matched file tombstoned")
+    // change-data feed carries every removed row exactly once
+    val feedDeletes = st.changeFeedSince("t", 0L)
+      .where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(feedDeletes == (0L until 110L).filter(_ % 7 == 0))
+    // time travel: the append's head still shows the pre-delete world
+    assert(st.readAt("t", appendV).count() == 110)
+    val hist = st.history("t")
+    assert(hist == hist.sorted && hist.distinct == hist)
+  }
+
   test("update rewrites matched rows in place; CDF records delete(pre)+insert(post)") {
     val st = freshStore()
     st.commitClustered("t",
@@ -387,6 +431,16 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       st.update("t", lit(true), Map("nope" -> lit(1)))
     }
+    // lossy coercion refused up front: under non-ANSI semantics a
+    // string→double Column.cast would silently NULL every matched row
+    val lossy = intercept[IllegalArgumentException] {
+      st.update("t", lit(true), Map("v" -> lit("not a number")))
+    }
+    assert(lossy.getMessage.contains("lossy"))
+    // …while a lossless up-cast (int literal into the double column) is fine
+    st.update("t", col("id") === 0L, Map("v" -> lit(42)))
+    assert(st.read("t").where(col("id") === 0L).select("v")
+      .as[Double].head() == 42.0)
   }
 
   test("a maintained aggregate folds an update exactly (delete+insert net)") {
@@ -460,6 +514,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(v2), "stale loser reclaimed as orphan")
     assert(st.history("t") == Seq(1L, 3L))
     assert(st.read("t").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("migrateLegacyTable stamps a pre-sentinel store back to readable") {
+    // A store written before the _committed protocol has _SUCCESS-only
+    // versions everywhere — all genuinely committed (the old protocol
+    // renamed or deleted losers, never left them). Reads refuse them
+    // under the new gate; the explicit migration stamps them committed.
+    val root = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val st = new SnapshotStore(spark, root)
+    st.commit("t", Seq(1).toDF("x"))
+    st.append("t", Seq(2).toDF("x"))
+    // simulate the legacy layout: strip every sentinel
+    for (v <- Seq(1L, 2L))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(root, "t", s"v=$v", "_committed"))
+    assert(st.history("t").isEmpty, "pre-migration: nothing reads as committed")
+    intercept[IllegalArgumentException](st.read("t"))
+    st.migrateLegacyTable("t")
+    assert(st.history("t") == Seq(1L, 2L))
+    assert(st.read("t").as[Int].collect().toSet == Set(1, 2))
+    st.migrateLegacyTable("t") // idempotent
+    st.migrateLegacyTable("never_existed") // no-op on unknown tables
+    assert(st.history("t") == Seq(1L, 2L))
   }
 
   test("epoch clock integration: committed version drives Freshness") {
