@@ -51,6 +51,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     versionDir(table, v).resolve("_props.json")
   private def removedFileOf(table: String, v: Long): Path =
     versionDir(table, v).resolve("_removed.json")
+  private def dvFileOf(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_dv.json")
   private def pointer(table: String): Path = tableDir(table).resolve("_latest")
 
   /** Commit `df` as the next version of `table`; returns the new version.
@@ -91,7 +93,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * has its delta complete on disk. */
   def commit(table: String, df: DataFrame, changeSet: Option[DataFrame],
       props: Map[String, String] = Map.empty): Long =
-    commitWith(table, df, changeSet, base = None,
+    commitWith(table, Some(df), changeSet, base = None,
       snapshot = ParquetTableShim.asNullable(df.schema), props = props)
 
   /** The shared commit machinery: claim a version directory, pin its chain
@@ -103,11 +105,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * `_snapshot_schema.json` so reads never pay per-file footer merging —
     * at warehouse scale, schema-on-manifest is what keeps `read` from
     * touching every file's metadata before the scan starts. */
-  private def commitWith(table: String, df: DataFrame,
+  private def commitWith(table: String, df: Option[DataFrame],
       changeSet: Option[DataFrame], base: Option[Long],
       snapshot: StructType, props: Map[String, String] = Map.empty,
       advance: Boolean = true, removed: Seq[String] = Nil,
-      removedRows: Option[DataFrame] = None): Long = {
+      removedRows: Option[DataFrame] = None,
+      dv: Map[String, Seq[Long]] = Map.empty): Long = {
     // Deliberately NOT serialized across committers: allocation is atomic
     // by itself (createDirectory), the write targets an exclusively-owned
     // directory, and only the pointer move below needs mutual exclusion.
@@ -141,13 +144,32 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     if (removed.nonEmpty) Files.writeString(removedFileOf(table, next),
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
         org.json4s.JArray(removed.sorted.map(org.json4s.JString(_)).toList))))
+    // Deletion vectors (`_dv.json`, written by sparse `delete`/`update`):
+    // store-relative file key -> sorted row indexes (`_metadata.row_index`)
+    // this version DELETES from still-live chain files WITHOUT rewriting
+    // them. Metadata-before-marker like the tombstones. JSON is the
+    // local-filesystem rendering; an object-store deployment would swap in
+    // a roaring-bitmap sidecar (Delta DV's serialization) behind the same
+    // key->indexes contract.
+    if (dv.nonEmpty) Files.writeString(dvFileOf(table, next),
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        org.json4s.JObject(dv.toList.sortBy(_._1).map { case (k, idxs) =>
+          k -> org.json4s.JArray(idxs.sorted.map(org.json4s.JLong(_)).toList)
+        }))))
     // `append` into the just-claimed EMPTY directory — overwrite would
     // first DELETE it, and in that window a concurrent committer's
     // createDirectory on the same version would succeed, putting two
     // writers in one directory. The claim must exist continuously from
     // allocation to pointer move. (Allocation never reuses an existing
     // directory, so append semantics can never mix two commits.)
-    df.write.mode("append").parquet(versionDir(table, next).toString)
+    df match {
+      case Some(d) => d.write.mode("append").parquet(versionDir(table, next).toString)
+      case None =>
+        // A data-less version (a pure deletion-vector commit): nothing to
+        // write, so the committer never runs — stamp the completed-write
+        // marker directly. The sidecars above are the version's content.
+        Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")
+    }
     changeSet.foreach(_.write.mode("append")
       .parquet(changesDir(table, next).toString))
     // The DELETED rows of a delete version (`_changes_removed/`, own
@@ -342,7 +364,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private[graft] def appendFrom(table: String, rows: DataFrame,
       base: Option[Long]): Long = {
     val merged = mergedAppendSchema(table, base, rows.schema)
-    val v = commitWith(table, rows, Some(rows), base = base,
+    val v = commitWith(table, Some(rows), Some(rows), base = base,
       snapshot = merged, advance = false)
     occAppendCommit(table, rows.schema, v, base)
   }
@@ -517,7 +539,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // any ancestor — e.g. AnnIndex's centroids pairing — must survive the
     // chain collapsing to one self-contained version), plus the op tag
     // that tells feed consumers this version changed LAYOUT, not content.
-    val cand = commitWith(table, df, changeSet = None, base = None,
+    val cand = commitWith(table, Some(df), changeSet = None, base = None,
       snapshot = snapshotSchema(table, Some(scanVersion)), advance = false,
       props = resolvedProps(table, scanVersion) +
         (SnapshotStore.OpProp -> "compact"))
@@ -598,7 +620,20 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val (v, dirs) = resolveVersionPaths(table, Some(version))
     val removed = removedInChain(table, v)
     val f = schemaFile(table, v)
-    if (removed.nonEmpty) {
+    val dvs = dvInChain(table, v)
+    if (dvs.nonEmpty) {
+      // Deletion vectors in the chain: resolve to live files and apply
+      // the accumulated row-level anti-join (scanWithDv). Rarer than the
+      // tombstone-only case — compaction folds DVs back to plain files.
+      val schema =
+        if (Files.exists(f)) readSchemaFile(f) else snapshotSchema(table, Some(v))
+      val live = liveDataFiles(table, v)
+      if (live.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else scanWithDv(table, live, schema, dvs)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col(_))
+          .toIndexedSeq: _*)
+    } else if (removed.nonEmpty) {
       // Tombstones present: resolve to an explicit LIVE-file list (chain
       // files minus removed keys) — still a plain pinned-schema parquet
       // scan, just file-grained instead of directory-grained. Delete
@@ -636,6 +671,70 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * case) keeps reads on the whole-directory fast path. */
   def removedInChain(table: String, v: Long): Set[String] =
     chainOf(table, v).flatMap(removedAt(table, _)).toSet
+
+  /** The deletion vector one version recorded (`_dv.json`): file key ->
+    * sorted row indexes it deletes without rewriting the file. Empty for
+    * versions with no DV sidecar. */
+  def dvAt(table: String, v: Long): Map[String, Seq[Long]] = {
+    val f = dvFileOf(table, v)
+    if (!Files.exists(f)) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
+      case org.json4s.JObject(fields) => fields.collect {
+        case (k, org.json4s.JArray(xs)) =>
+          k -> xs.collect {
+            case org.json4s.JLong(i) => i
+            case org.json4s.JInt(i)  => i.toLong
+          }
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** All deletion vectors accumulated along `v`'s base chain, merged per
+    * file (row-index sets union — a later sparse delete on an already
+    * DV'd file adds to its vector). Keys whose files a later version
+    * tombstoned are dropped: the whole file is out of the scan anyway. */
+  def dvInChain(table: String, v: Long): Map[String, Seq[Long]] = {
+    val removed = removedInChain(table, v)
+    chainOf(table, v).flatMap(l => dvAt(table, l).toSeq)
+      .filterNot { case (k, _) => removed.contains(k) }
+      .groupMapReduce(_._1)(_._2.toSet)(_ ++ _)
+      .map { case (k, s) => k -> s.toSeq.sorted }
+  }
+
+  /** Spark-side store-relative file key of the scanned row's source file
+    * — the expression twin of [[fileKey]] over `_metadata.file_path`. */
+  private def fileKeyCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val parts = split(col("_metadata.file_path"), "/")
+    concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+  }
+
+  /** DV-aware scan of explicit files under a pinned schema: the plain
+    * parquet scan, minus rows the chain's deletion vectors killed (a
+    * broadcast anti-join on (file key, row index) — O(DV rows), applied
+    * ONLY when one of `files` actually carries DV entries; clean scans
+    * never pay it). The helper columns `__file_key` / `__row_idx` are
+    * KEPT so mutation passes can attribute matches to files; plain reads
+    * re-select the schema columns. */
+  private def scanWithDv(table: String, files: Seq[Path], schema: StructType,
+      chainDv: Map[String, Seq[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = spark.read.schema(schema).parquet(files.map(_.toString): _*)
+      .withColumn("__file_key", fileKeyCol)
+      .withColumn("__row_idx", col("_metadata.row_index"))
+    val keys = files.map(fileKey).toSet
+    val relevant = chainDv.filter { case (k, _) => keys.contains(k) }
+    if (relevant.isEmpty) base
+    else {
+      val pairs = relevant.toSeq
+        .flatMap { case (k, idxs) => idxs.map(i => (k, i)) }
+      val sp = spark
+      import sp.implicits._
+      base.join(broadcast(pairs.toDF("__file_key", "__row_idx")),
+        Seq("__file_key", "__row_idx"), "left_anti")
+    }
+  }
 
   /** Data files of one version DIRECTORY, from the manifest when the
     * commit wrote one (no filesystem metadata calls — the 100 TB path)
@@ -712,12 +811,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * admitted" (a delete is "resubscribe" there, as Delta CDF treats
     * non-CDF commits). */
   def delete(table: String, predicate: org.apache.spark.sql.Column,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val hit = coalesce(predicate, lit(false))
-    rowMutation(table, predicate, "delete", maxRetries)(
+    rowMutation(table, predicate, "delete", maxRetries, dvMaxFraction)(
       rewrite = (matchedScan, _) => matchedScan.where(not(hit)),
-      changeSetOf = (_, _) => None)
+      changeSetOf = (_, _) => None,
+      dvReplacement = (_, _) => None)
   }
 
   /** The shared copy-on-write engine of [[delete]] and [[update]]:
@@ -730,11 +831,29 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * recorded as the version's admitted change set (update's
     * post-images; None for delete). Matched rows (`predicate` TRUE,
     * null-safe) are always recorded to `_changes_removed` as the
-    * change-data feed's delete images. */
+    * change-data feed's delete images.
+    *
+    * DELETION VECTORS (the row-granular escape from copy-on-write's
+    * worst case): one matching row in a fat, badly-clustered file forces
+    * a whole-file rewrite — on a 100 TB table a sparse predicate
+    * degrades toward O(table) write cost. Files whose matched fraction
+    * is ≤ `dvMaxFraction` (and whose manifest knows their row count) are
+    * NOT rewritten: the version records their matched rows' indexes in a
+    * `_dv.json` sidecar, readers anti-join the accumulated vectors (a
+    * broadcast of O(DV rows)), and `compact` folds the vectors away like
+    * tombstones. `dvReplacement(matchedDvRows, schema)` contributes the
+    * rows a DV'd file's matches are REPLACED by (update's post-images,
+    * written as ordinary version data; None for delete). Write cost for
+    * the sparse case: O(matched rows), not O(matched files × size). The
+    * per-mutation vector is capped at [[SnapshotStore.DvMaxRowsPerMutation]]
+    * (it transits the driver and every reader's broadcast) — over the
+    * cap, the dense-predicate reality wins and those files rewrite. */
   private def rowMutation(table: String,
-      predicate: org.apache.spark.sql.Column, op: String, maxRetries: Int)(
+      predicate: org.apache.spark.sql.Column, op: String, maxRetries: Int,
+      dvMaxFraction: Double = 0.0)(
       rewrite: (DataFrame, StructType) => DataFrame,
-      changeSetOf: (DataFrame, StructType) => Option[DataFrame]): Long = {
+      changeSetOf: (DataFrame, StructType) => Option[DataFrame],
+      dvReplacement: (DataFrame, StructType) => Option[DataFrame]): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val hit = coalesce(predicate, lit(false))
 
@@ -762,7 +881,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     def pureAppendsSince(base: Long, head: Long): Boolean = {
       val chain = chainOf(table, head)
       val i = chain.indexOf(base)
-      i >= 0 && chain.drop(i + 1).forall(l => removedAt(table, l).isEmpty)
+      i >= 0 && chain.drop(i + 1).forall(l =>
+        removedAt(table, l).isEmpty && dvAt(table, l).isEmpty)
     }
 
     /** Re-base the candidate over pure-append conflicts (the liveness
@@ -835,16 +955,68 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       if (live.isEmpty) v
       else {
         val schema = snapshotSchema(table, Some(v))
-        val matchedKeys = matchedKeysIn(live, schema)
-        if (matchedKeys.isEmpty) v
+        val selSchema = schema.fieldNames.map(col(_)).toIndexedSeq
+        val chainDv = dvInChain(table, v)
+        // Matched files + per-file matched-row counts in ONE pruned pass
+        // (metadata scale: at most #files rows come back). The scan is
+        // DV-aware: rows an earlier sparse delete already killed must not
+        // re-match (they'd re-emit delete images into the change feed).
+        val matchedCounts = scanWithDv(table, live, schema, chainDv)
+          .where(predicate).groupBy(col("__file_key")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+          .toSeq.sortBy(_._1)
+        if (matchedCounts.isEmpty) v
         else {
-          val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k).toString)
-          val matchedScan = spark.read.schema(schema).parquet(matchedPaths: _*)
-          val cand = commitWith(table, rewrite(matchedScan, schema),
-            changeSet = changeSetOf(matchedScan, schema),
+          // DV policy split: a file goes row-granular when the manifest
+          // knows its LIVE row count (total minus accumulated DV) and the
+          // matched fraction is within dvMaxFraction; manifest-less files
+          // and dense hits take the copy-on-write rewrite.
+          val liveTotals: Map[String, Long] = live.flatMap { p =>
+            val dirV = p.getParent.getFileName.toString.stripPrefix("v=").toLong
+            val k = fileKey(p)
+            fileStats(table, dirV).flatMap(_.get(p.getFileName.toString))
+              .map(st => k -> (st.rows -
+                chainDv.get(k).map(_.size.toLong).getOrElse(0L)))
+          }.toMap
+          var (dvEligible, cowSeq) = matchedCounts.partition { case (k, c) =>
+            dvMaxFraction > 0 && liveTotals.get(k).exists(t =>
+              t > 0 && c.toDouble / t <= dvMaxFraction)
+          }
+          if (dvEligible.iterator.map(_._2).sum >
+              SnapshotStore.DvMaxRowsPerMutation) {
+            cowSeq = matchedCounts; dvEligible = Seq.empty
+          }
+          val cowKeys = cowSeq.map(_._1)
+          val dvKeys = dvEligible.map(_._1)
+          def pathsOf(keys: Seq[String]): Seq[Path] =
+            keys.map(k => tableDir(table).resolve(k))
+          val matchedRows = scanWithDv(table, pathsOf(cowKeys ++ dvKeys),
+            schema, chainDv).where(hit)
+          val cowData =
+            if (cowKeys.isEmpty) None
+            else Some(rewrite(scanWithDv(table, pathsOf(cowKeys), schema,
+              chainDv), schema).select(selSchema: _*))
+          val dvMatched =
+            if (dvKeys.isEmpty) None
+            else Some(scanWithDv(table, pathsOf(dvKeys), schema, chainDv)
+              .where(hit))
+          val dvData = dvMatched.flatMap(m => dvReplacement(m, schema))
+            .map(_.select(selSchema: _*))
+          val data = (cowData.toSeq ++ dvData.toSeq)
+            .reduceOption(_.unionByName(_))
+          // The recorded vector: (file, row index) of every DV'd match —
+          // O(matched sparse rows), bounded by the cap above.
+          val dvRecord: Map[String, Seq[Long]] = dvMatched.map(
+            _.select(col("__file_key"), col("__row_idx")).collect()
+              .groupBy(_.getString(0))
+              .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq.sorted })
+            .getOrElse(Map.empty)
+          val cand = commitWith(table, data,
+            changeSet = changeSetOf(matchedRows, schema),
             base = Some(v), snapshot = schema, advance = false,
-            removed = matchedKeys, removedRows = Some(matchedScan.where(hit)),
-            props = Map(SnapshotStore.OpProp -> op))
+            removed = cowKeys,
+            removedRows = Some(matchedRows.select(selSchema: _*)),
+            dv = dvRecord, props = Map(SnapshotStore.OpProp -> op))
           SnapshotStore.testRaceHook() // spec seam: force a sibling commit
           casLoop(cand, v) match {
             case Some(won) => won
@@ -900,7 +1072,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * writes the cast explicitly in the assignment expression. */
   def update(table: String, predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update requires at least one assignment")
     val hit = coalesce(predicate, lit(false))
@@ -932,7 +1105,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       }
       validated = true
     }
-    rowMutation(table, predicate, "update", maxRetries)(
+    def postImage(rows: DataFrame, schema: StructType): DataFrame = {
+      validate(schema)
+      rows.select(schema.fields.map { f =>
+        assigned(schema, f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toIndexedSeq: _*)
+    }
+    rowMutation(table, predicate, "update", maxRetries, dvMaxFraction)(
       rewrite = (matchedScan, schema) => {
         validate(schema)
         matchedScan.select(schema.fields.map { f =>
@@ -943,13 +1123,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           }
         }.toIndexedSeq: _*)
       },
-      changeSetOf = (matchedScan, schema) => {
-        validate(schema)
-        Some(matchedScan.where(hit).select(schema.fields.map { f =>
-          assigned(schema, f.name).map(_.cast(f.dataType).as(f.name))
-            .getOrElse(col(f.name))
-        }.toIndexedSeq: _*))
-      })
+      changeSetOf = (matchedScan, schema) =>
+        Some(postImage(matchedScan.where(hit), schema)),
+      // A sparse update's DV'd rows are REPLACED by their post-images,
+      // written as ordinary version data — delete(old row via vector) +
+      // insert(new row in the delta) in one commit, O(matched rows).
+      dvReplacement = (dvMatched, schema) => Some(postImage(dvMatched, schema)))
   }
 
   /** [[fileKey]] for a `_metadata.file_path` URI: the last two path
@@ -1100,7 +1279,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     history(table).filter(_ > since).filter { v =>
       !hasChanges(table, v) &&
         !commitProps(table, v).get(SnapshotStore.OpProp).contains("compact") &&
-        removedAt(table, v).isEmpty
+        removedAt(table, v).isEmpty && dvAt(table, v).isEmpty
     }
 
   /** The change-set write is complete (its own `_SUCCESS` marker): the
@@ -1250,6 +1429,18 @@ object SnapshotStore {
   /** Orphan directories younger than this are presumed in-flight commits
     * and survive `vacuum(dropOrphans = true)`. */
   val DefaultOrphanGraceMs: Long = 10 * 60 * 1000L
+
+  /** Default sparse-delete threshold: a matched file whose hit fraction is
+    * at or under this goes row-granular (deletion vector) instead of
+    * copy-on-write. 5% keeps the vector small relative to the file while
+    * capturing the pathological case (a handful of rows in a fat file). */
+  val DefaultDvMaxFraction: Double = 0.05
+
+  /** Hard cap on one mutation's total deletion-vector entries: the vector
+    * transits the driver and rides every subsequent reader's broadcast, so
+    * past this the predicate is demonstrably dense and copy-on-write is
+    * the honest cost. ~4M entries ≈ 64 MB of boxed pairs at collect time. */
+  val DvMaxRowsPerMutation: Long = 1L << 22
 
   /** Commit-props key tagging the OPERATION that produced a version
     * ("compact", "delete") — read via `commitProps` (per-version), NOT

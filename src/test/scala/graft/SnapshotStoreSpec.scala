@@ -1,7 +1,7 @@
 package graft
 
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 import graft.core.SnapshotStore
 
 /** Snapshot-isolation contract of the versioned table store (M8): commits
@@ -514,6 +514,83 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(v2), "stale loser reclaimed as orphan")
     assert(st.history("t") == Seq(1L, 3L))
     assert(st.read("t").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("sparse delete records a deletion vector: no file rewrite at all") {
+    // The copy-on-write worst case: ONE matching row in a fat file forces
+    // a whole-file rewrite. With the manifest knowing file row counts, a
+    // matched fraction within dvMaxFraction goes row-granular instead —
+    // the commit writes a `_dv.json` sidecar (file -> row indexes), ZERO
+    // parquet data, no tombstones; readers anti-join the vector.
+    val st = freshStore()
+    st.commit("t", spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+      .coalesce(1))
+    val v1 = st.latestVersion("t").get
+    val d = st.delete("t", col("id") === 500L)
+    assert(d > v1)
+    // no rewrite: the delete version holds NO parquet files…
+    val deltaFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(st.root, "t", s"v=$d"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(deltaFiles.isEmpty, s"DV delete must not rewrite (got $deltaFiles)")
+    // …no tombstones, ONE vector entry
+    assert(st.removedAt("t", d).isEmpty)
+    assert(st.dvAt("t", d).values.map(_.size).sum == 1)
+    // reads exclude exactly the vectored row; time travel unaffected
+    assert(st.read("t").count() == 999)
+    assert(st.read("t").where(col("id") === 500L).count() == 0)
+    assert(st.readAt("t", v1).count() == 1000)
+    // change-data feed carries the deleted row
+    assert(st.changeFeedSince("t", v1)
+      .where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq == Seq(500L))
+    // STACKED sparse delete on the same file: vectors union, and the
+    // already-deleted row must not re-match (no duplicate feed image)
+    val d2 = st.delete("t", col("id").isin(500L, 501L, 502L))
+    assert(st.dvAt("t", d2).values.map(_.size).sum == 2, "only NEW rows vectored")
+    assert(st.read("t").count() == 997)
+    // a DENSE delete over the same file still rewrites (fraction > cap)…
+    val d3 = st.delete("t", col("id") >= 500L)
+    assert(st.removedAt("t", d3).nonEmpty, "dense delete takes copy-on-write")
+    // …and its survivors must honor the earlier vectors (497 of id<500
+    // remain: 0..499 had no vectored rows — all 500 survive)
+    assert(st.read("t").as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      (0L until 500L))
+    // compact folds vectors into a self-contained version
+    val c = st.compact("t")
+    assert(st.dvAt("t", c).isEmpty && st.removedAt("t", c).isEmpty)
+    assert(st.read("t").count() == 500)
+  }
+
+  test("sparse update: vector kills the old row, delta carries the post-image") {
+    val st = freshStore()
+    st.commit("t", spark.range(0, 1000)
+      .selectExpr("id", "cast(id as double) as v").coalesce(1))
+    val v1 = st.latestVersion("t").get
+    val u = st.update("t", col("id") === 7L, Map("v" -> lit(-1.0)))
+    assert(u > v1)
+    // no rewrite of the fat file: the version's own data is ONE row (the
+    // post-image), the old row dies by vector
+    assert(st.removedAt("t", u).isEmpty)
+    assert(st.dvAt("t", u).values.map(_.size).sum == 1)
+    val delta = spark.read.parquet(
+      java.nio.file.Paths.get(st.root, "t", s"v=$u").toString)
+    assert(delta.count() == 1)
+    val got = st.read("t").where(col("id") === 7L)
+      .select("v").as[Double].collect().toSeq
+    assert(got == Seq(-1.0), "exactly one post-image row visible")
+    assert(st.read("t").count() == 1000)
+    // CDF: delete(pre-image v=7.0) + insert(post-image v=-1.0)
+    val feed = st.changeFeedSince("t", v1)
+      .select("id", "v", "_change_type").as[(Long, Double, String)]
+      .collect().toSet
+    assert(feed == Set((7L, 7.0, "delete"), (7L, -1.0, "insert")))
+    // maintained aggregate folds the sparse update exactly
+    assert(st.readAt("t", v1).agg(sum(col("v"))).head().getDouble(0) ==
+      (0L until 1000L).map(_.toDouble).sum)
+    assert(st.read("t").agg(sum(col("v"))).head().getDouble(0) ==
+      (0L until 1000L).map(_.toDouble).sum - 7.0 - 1.0)
   }
 
   test("migrateLegacyTable stamps a pre-sentinel store back to readable") {
