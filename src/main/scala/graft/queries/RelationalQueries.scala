@@ -354,6 +354,32 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Deletion-vector round trip (the sparse twin of q99): the predicate
+    // matches ~1% of every clustered file — under the DV threshold, so the
+    // delete rewrites NOTHING and commits a row-vector sidecar instead;
+    // the connector read drops the vectored rows inside its scan. The
+    // oracle replays the delete as WHERE NOT(...) over the ORIGINAL
+    // parquet: the vector path must be value-invisible, exactly like the
+    // tombstone path. Build idempotent like q97/q99.
+    "q101_store_dv_delete" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q101_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders")
+      if (store.latestVersion("orders").isEmpty) {
+        store.commitClustered("orders", Tables.orders(s, dir),
+          clusterBy = Seq("o_orderkey"))
+        val d = store.delete("orders", col("o_orderkey") % 97 === 0)
+        require(store.dvAt("orders", d).nonEmpty,
+          "q101 fixture must exercise the deletion-vector path")
+      }
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .load()
+        .filter(col("o_orderkey") < 4000L)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Row-level UPDATE round trip (M5 merge_edge_types' store-level
     // mechanism): commit `orders` clustered, update a predicate band
     // (assignment references the OLD row: price scaled 1.1x, priority
@@ -824,6 +850,13 @@ object RelationalQueries {
         |FROM orders
         |WHERE NOT (o_orderkey BETWEEN 500 AND 1499)
         |  AND NOT (o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 2999)
+        |  AND o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q101_store_dv_delete" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 0
         |  AND o_orderkey < 4000
         |ORDER BY o_orderkey""".stripMargin,
 

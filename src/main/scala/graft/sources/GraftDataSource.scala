@@ -127,7 +127,8 @@ final class GraftTable(tableName: String, val snapshotVersion: Long,
     spark: SparkSession, val units: Seq[ScanUnit], pinnedSchema: StructType,
     passThrough: util.Map[String, String],
     storeRoot: Option[String] = None,
-    versionPinned: Boolean = false)
+    versionPinned: Boolean = false,
+    dv: Map[String, Array[Long]] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -144,7 +145,8 @@ final class GraftTable(tableName: String, val snapshotVersion: Long,
     }
     ParquetTableShim.tableWithIndex(name(), spark, units.map(_.path),
       pinnedSchema, passThrough,
-      new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known, unlisted))
+      new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known, unlisted),
+      dv)
   }
 
   override def name(): String = s"graft:$tableName@v$snapshotVersion"
@@ -242,9 +244,16 @@ object GraftTable {
         case None => Seq(ScanUnit(d.toString, None))
       }
     }
+    // Deletion vectors accumulated along the chain (sparse deletes that
+    // rewrote nothing): handed to the scan layer, which drops vectored
+    // rows inside the readers (DvParquetScan). Empty for the
+    // overwhelmingly common clean snapshot — the scan then stays fully
+    // vectorized with aggregate pushdown intact.
+    val dv = store.dvInChain(table, v)
+      .map { case (k, idxs) => k -> idxs.toArray }
     new GraftTable(table, v, spark, units,
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
-      versionPinned = version.isDefined)
+      versionPinned = version.isDefined, dv = dv)
   }
 
   /** V1 source Filter → Column, for the DELETE translation. None marks a

@@ -58,8 +58,12 @@ object ParquetTableShim {
   def tableWithIndex(name: String, spark: SparkSession, dirs: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
       options: java.util.Map[String, String],
-      index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex)
-      : Table =
+      index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
+      dv: Map[String, Array[Long]] = Map.empty)
+      : Table = {
+    require(dv.isEmpty ||
+      index.isInstanceOf[GraftFileIndex],
+      "deletion vectors require the manifest-backed file index")
     new ParquetTable(
       name,
       spark,
@@ -81,10 +85,12 @@ object ParquetTableShim {
           : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
         index match {
           case g: GraftFileIndex =>
-            new ManifestStatsScanBuilder(spark, g, this.schema, dataSchema, opts)
+            new ManifestStatsScanBuilder(spark, g, this.schema, dataSchema,
+              opts, dv)
           case _ => super.newScanBuilder(opts)
         }
     }
+  }
 
   /** Deep all-nullable view of a schema (Spark's `private[spark]`
     * `StructType.asNullable`). The store pins this as the snapshot schema:
@@ -113,16 +119,34 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     index: GraftFileIndex,
     schema: org.apache.spark.sql.types.StructType,
     dataSchema: org.apache.spark.sql.types.StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    dv: Map[String, Array[Long]] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
     spark, index, schema, dataSchema, options) {
+
+  // A DV'd snapshot must not push aggregates into footer statistics: the
+  // footer counts include vector-deleted rows. (Clean snapshots keep
+  // aggregate pushdown untouched.)
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    if (dv.nonEmpty) false else super.pushAggregation(aggregation)
 
   override def build()
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
     val built = super.build()
+    if (dv.nonEmpty) {
+      // Deletion vectors present: wrap the finished scan so its readers
+      // drop vectored rows (DvParquetScan). Statistics subtract the
+      // vectored row count from the manifest numbers.
+      val dvRows = dv.valuesIterator.map(_.length.toLong).sum
+      new DvParquetScan(built, dv,
+        index.prunedStats(built.dataFilters)
+          .map { case (r, b, t) => (math.max(0L, r - dvRows), b, t) })
+    }
     // A pushed aggregate rewrites the scan output (rows become per-group);
     // manifest row counts would be wrong — keep the stock estimate.
-    if (built.pushedAggregate.nonEmpty) built
+    else if (built.pushedAggregate.nonEmpty) built
     else index.prunedStats(built.dataFilters) match {
       case Some((rows, bytes, total)) =>
         new ManifestStatsParquetScan(built, rows, bytes, total)
@@ -160,6 +184,156 @@ private[graftbridge] final class ManifestStatsParquetScan(
             math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
         else stock.sizeInBytes
       }
+    }
+  }
+}
+
+/** The finished parquet scan of a snapshot that carries DELETION VECTORS
+  * (`SnapshotStore`'s `_dv.json` sidecars): sparse deletes recorded as
+  * (file, row index) sets instead of file rewrites. The declared scan
+  * surface — `readSchema`, pushdown state, file index, exchange-reuse
+  * equality inputs — is the parent's, untouched; three things change:
+  *
+  *   1. READERS drop vectored rows. A twin inner scan re-reads with the
+  *      parquet reader's row-index temporary column appended (the same
+  *      mechanism that powers `_metadata.row_index`; the generated index
+  *      is the row's position IN ITS FILE, correct under both row-group
+  *      skipping and file splits), and [[DvPartitionReaderFactory]]
+  *      binary-searches each row's index against its file's vector,
+  *      projecting the temp column away.
+  *   2. PARTITION PLANNING isolates each vectored file's splits into
+  *      their own partitions, so a reader knows THE file its rows came
+  *      from without per-row path bookkeeping; clean files keep the
+  *      parent's packing.
+  *   3. The scan reads ROW-BASED (no columnar batches): filtering a
+  *      `ColumnarBatch` row-wise means rebuilding vectors. A DV'd
+  *      snapshot trades vectorization for O(matched rows) delete cost
+  *      until `compact` folds the vectors away and the scan returns to
+  *      the fully vectorized path — the same trade Delta makes before
+  *      DV-aware readers.
+  *
+  * Aggregate pushdown is refused upstream (footer counts include deleted
+  * rows — ManifestStatsScanBuilder.pushAggregation); filter/column
+  * pushdown survive (a pushed filter can only REMOVE rows the vector
+  * would also have to check). */
+private[graftbridge] final class DvParquetScan(
+    base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    dv: Map[String, Array[Long]],
+    manifestStats: Option[(Long, Long, Long)])
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+    base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+    base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
+    base.options, base.pushedAggregate, base.partitionFilters,
+    base.dataFilters, base.pushedVariantExtractions) {
+
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  /** The twin scan whose readers append the per-file row index as a
+    * trailing long column. Its declared schema never reaches a plan —
+    * only its reader factory is used. */
+  private def extendedScan
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+      org.apache.spark.sql.types.StructType(base.readDataSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+            .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)),
+      base.readPartitionSchema, base.pushedFilters, base.options,
+      pushedAggregate = None, base.partitionFilters, base.dataFilters,
+      base.pushedVariantExtractions)
+
+  override def partitions: Seq[FilePartition] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[PartitionedFile]]()
+    super.partitions.foreach { p =>
+      val (vectored, clean) =
+        p.files.partition(f => dv.contains(DvParquetScan.keyOf(f)))
+      if (clean.nonEmpty) out += clean
+      vectored.foreach(f => out += Array(f)) // own partition: unambiguous file
+    }
+    out.toSeq.zipWithIndex.map { case (fs, i) => FilePartition(i, fs) }
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new DvPartitionReaderFactory(extendedScan.createReaderFactory(), dv,
+      readDataSchema.length, readSchema())
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val stock = super.estimateStatistics()
+    manifestStats match {
+      case None => stock
+      case Some((rows, prunedBytes, totalBytes)) =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows)
+          override def sizeInBytes(): java.util.OptionalLong = {
+            val frac =
+              if (totalBytes <= 0L) 1.0
+              else prunedBytes.toDouble / totalBytes.toDouble
+            if (stock.sizeInBytes.isPresent)
+              java.util.OptionalLong.of(
+                math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
+            else stock.sizeInBytes
+          }
+        }
+    }
+  }
+}
+
+private[graftbridge] object DvParquetScan {
+  /** Store-relative key of a planned file: version directory name + bare
+    * file name — the exact key `SnapshotStore`'s sidecars use. */
+  def keyOf(pf: org.apache.spark.sql.execution.datasources.PartitionedFile): String = {
+    val p = pf.toPath
+    s"${p.getParent.getName}/${p.getName}"
+  }
+}
+
+/** Row-filtering reader factory over the row-index-extended inner readers:
+  * a partition holding a vectored file (always alone in its partition —
+  * DvParquetScan.partitions) drops rows whose index binary-searches into
+  * the file's vector; every partition projects the trailing temp index
+  * column away so consumers see exactly the declared read schema. */
+private[graftbridge] final class DvPartitionReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    dv: Map[String, Array[Long]],
+    readDataLen: Int,
+    outSchema: org.apache.spark.sql.types.StructType)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val files = p.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition].files
+    val deleted: Array[Long] =
+      if (files.length == 1) dv.getOrElse(DvParquetScan.keyOf(files.head), null)
+      else null // multi-file partitions are clean by construction
+    val innerReader = inner.createReader(p)
+    // rows arrive as readData ++ [rowIndex] ++ partitionCols: project the
+    // index (ordinal readDataLen) away, keep everything else in order
+    val ordinals = (0 until readDataLen) ++
+      ((readDataLen + 1) until (outSchema.length + 1))
+    val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      outSchema, ordinals.toIndexedSeq)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def next(): Boolean = {
+        var ok = innerReader.next()
+        while (ok && deleted != null &&
+            java.util.Arrays.binarySearch(deleted,
+              innerReader.get().getLong(readDataLen)) >= 0)
+          ok = innerReader.next()
+        ok
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+        proj.project(innerReader.get()); proj
+      }
+      override def close(): Unit = innerReader.close()
     }
   }
 }

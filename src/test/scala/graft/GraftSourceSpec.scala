@@ -104,6 +104,49 @@ class GraftSourceSpec extends SparkSpec {
     assert(agg.as[(Long, Long, Long)].collect().head == ((1000L, 1L, 1000L)))
   }
 
+  test("deletion vectors filter rows through the connector scan") {
+    // A sparse delete records a row vector instead of rewriting the file;
+    // the DSv2 scan must drop exactly those rows — in plain reads, under
+    // pushed filters, and in aggregates (which must NOT push to footer
+    // statistics: the footers still count the vectored rows). Time travel
+    // to the pre-delete version reads the file whole, same connector.
+    val root = freshRoot()
+    val st = new SnapshotStore(spark, root)
+    st.commit("docs", spark.range(0, 1000)
+      .selectExpr("id", "id * 3 as v").coalesce(1))
+    st.delete("docs", col("id").isin(5L, 500L, 999L))
+    assert(st.removedAt("docs", st.latestVersion("docs").get).isEmpty,
+      "precondition: the delete was vectored, not a rewrite")
+    def load(version: Option[Long]) = {
+      val r = spark.read.format("graft").option("root", root).option("table", "docs")
+      version.fold(r)(v => r.option("version", v.toString)).load()
+    }
+    // plain read: exactly the 997 survivors
+    assert(load(None).count() == 997L)
+    assert(load(None).where(col("id").isin(5L, 500L, 999L)).count() == 0L)
+    // pushed filter over a vectored region still excludes the vectored row
+    val band = load(None).where(col("id").between(498L, 502L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(band == Seq(498L, 499L, 501L, 502L))
+    // aggregates are computed from surviving rows, not footer counts
+    assert(load(None).agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 1000L).filterNot(Set(5L, 500L, 999L)).map(_ * 3).sum)
+    // time travel: the pre-delete snapshot reads whole
+    assert(load(Some(1L)).count() == 1000L)
+    // SQL catalog face over the same DV'd table
+    spark.conf.set("spark.sql.catalog.kgdv",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.kgdv.root", root)
+    assert(spark.sql("SELECT count(*) FROM kgdv.docs").head().getLong(0) == 997L)
+    // a SECOND stacked vector delete composes
+    st.delete("docs", col("id") === 7L)
+    assert(load(None).count() == 996L)
+    // compaction folds the vectors; the scan returns to the plain path
+    st.compact("docs")
+    assert(load(None).count() == 996L)
+    assert(load(None).where(col("id") === 7L).count() == 0L)
+  }
+
   test("writes through the connector are refused with the commit contract") {
     val root = freshRoot()
     new SnapshotStore(spark, root).commit("t", Seq(1).toDF("x"))
