@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => CosineArgumentReorder)
+    // ANSI UPDATE over graft catalog tables — planned straight onto
+    // SnapshotStore.update (graft.plans.GraftUpdateStrategy).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftUpdateStrategy)
   }
 }
 
@@ -362,5 +365,12 @@ object GraftExtensions {
     tableBuilders.foreach { case (name, builder) =>
       Bridge.registerTableFunction(spark, name, builder)
     }
+    // Planner strategies can't be injected into an ALREADY-BUILT session
+    // through SparkSessionExtensions; the experimental-strategies hook is
+    // the sanctioned post-hoc path (a session built with
+    // spark.sql.extensions=graft.GraftExtensions gets it via apply above).
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftUpdateStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftUpdateStrategy
   }
 }

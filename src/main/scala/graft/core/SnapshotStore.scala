@@ -720,6 +720,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def scanWithDv(table: String, files: Seq[Path], schema: StructType,
       chainDv: Map[String, Seq[Long]]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    val clash = schema.fieldNames.filter(n =>
+      n.equalsIgnoreCase("__file_key") || n.equalsIgnoreCase("__row_idx"))
+    require(clash.isEmpty,
+      s"table $table reserves column name(s) ${clash.mkString(", ")} used " +
+        "by the mutation scan's file attribution — rename the column(s)")
     val base = spark.read.schema(schema).parquet(files.map(_.toString): _*)
       .withColumn("__file_key", fileKeyCol)
       .withColumn("__row_idx", col("_metadata.row_index"))

@@ -123,11 +123,11 @@ final case class ScanUnit(path: String, stat: Option[graft.core.FileStats.FileSt
   * filters prune whole files against the zone maps in
   * `FileIndex.listFiles`, in front of parquet's own row-group skipping.
   * Manifest-less directories fall back to a real listing, unpruned. */
-final class GraftTable(tableName: String, val snapshotVersion: Long,
+final class GraftTable(val tableName: String, val snapshotVersion: Long,
     spark: SparkSession, val units: Seq[ScanUnit], pinnedSchema: StructType,
     passThrough: util.Map[String, String],
-    storeRoot: Option[String] = None,
-    versionPinned: Boolean = false,
+    val storeRoot: Option[String] = None,
+    val versionPinned: Boolean = false,
     dv: Map[String, Array[Long]] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {

@@ -92,6 +92,51 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 100L)
   }
 
+  test("ANSI UPDATE routes through the store's copy-on-write/DV update") {
+    // UPDATE <cat>.<t> SET … WHERE … — planned by GraftUpdateStrategy
+    // straight onto SnapshotStore.update: same O(matched files) rewrite /
+    // deletion-vector policy, CAS commit, and pre/post-image change feed
+    // as the Scala API; time travel to the pre-update version intact.
+    val r = java.nio.file.Files.createTempDirectory("graft-cat-upd").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitClustered("t",
+      spark.range(0, 100).selectExpr("id", "cast(id as double) as v",
+        "cast(id % 3 as string) as tag"),
+      clusterBy = Seq("id"), targetPartitions = 4)
+    spark.conf.set("spark.sql.catalog.kgupd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.kgupd.root", r)
+    graft.GraftExtensions.register(spark)
+    spark.sql("UPDATE kgupd.t SET v = v * 2, tag = 'updated' WHERE tag = '1'")
+    val now = spark.sql("SELECT id, v, tag FROM kgupd.t")
+      .as[(Long, Double, String)].collect()
+      .map { case (i, vv, tg) => i -> ((vv, tg)) }.toMap
+    for (i <- 0L until 100L) {
+      val (vv, tg) = now(i)
+      if (i % 3 == 1) assert(vv == i * 2.0 && tg == "updated", s"id $i")
+      else assert(vv == i.toDouble && tg == (i % 3).toString, s"id $i")
+    }
+    // the mutation went through the store: new version, feed images there
+    val uv = st.latestVersion("t").get
+    assert(uv == 2L)
+    assert(st.changesAt("t", uv).get.count() == (0L until 100L).count(_ % 3 == 1))
+    assert(spark.sql("SELECT count(*) FROM kgupd.t VERSION AS OF 1 WHERE tag = 'updated'")
+      .head().getLong(0) == 0L)
+    // UPDATE without WHERE hits every row
+    spark.sql("UPDATE kgupd.t SET v = 0.5")
+    assert(spark.sql("SELECT sum(v) FROM kgupd.t").head().getDouble(0) == 50.0)
+    // a lossy assignment is refused loudly — either by Spark's own ANSI
+    // analysis of the UPDATE (CAST_INVALID_INPUT on the malformed literal)
+    // or by the store's up-cast gate ("lossy"); silence is the only bug
+    val err = intercept[Exception](
+      spark.sql("UPDATE kgupd.t SET v = 'not a number'"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(m =>
+      m.contains("lossy") || m.contains("cannot be cast")), err.toString)
+    assert(spark.sql("SELECT sum(v) FROM kgupd.t").head().getDouble(0) == 50.0,
+      "refused update must not have mutated anything")
+  }
+
   test("a version-pinned resolution refuses DELETE (head-mutation mismatch)") {
     // A table addressed with explicit time travel names a HISTORICAL
     // snapshot; a delete necessarily mutates the CURRENT head. Honoring
