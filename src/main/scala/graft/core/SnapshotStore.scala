@@ -1298,6 +1298,23 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private[graft] def changesDirOf(table: String, v: Long): Path =
     changesDir(table, v)
 
+  /** Directory of a version's recorded delete images (`_changes_removed`),
+    * for the CDF stream's micro-batch planner. */
+  private[graft] def removedRowsDirOf(table: String, v: Long): Path =
+    versionDir(table, v).resolve("_changes_removed")
+
+  /** The delete-image write is complete (own `_SUCCESS`, like `_changes`). */
+  private[graft] def hasRemovedRows(table: String, v: Long): Boolean =
+    Files.exists(removedRowsDirOf(table, v).resolve("_SUCCESS"))
+
+  /** Committed versions (ascending) that recorded ANY change images —
+    * admitted rows and/or delete images — the versions the streaming
+    * CHANGE-DATA feed (`feed=cdf`) emits as micro-batches. Supersets
+    * [[changedVersions]] by the delete/update versions. */
+  def cdfVersions(table: String): Seq[Long] =
+    history(table).filter(v =>
+      hasChanges(table, v) || hasRemovedRows(table, v))
+
   /** The data write of the version directory COMPLETED: the
     * FileOutputCommitter writes `_SUCCESS` only after every part file is
     * in place. Necessary but NOT sufficient for commitment — a CAS

@@ -67,7 +67,20 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
         val spark = SparkSession.active
         val store = new SnapshotStore(spark, root)
         val t =
-          if (Option(options.get("feed")).exists(_.equalsIgnoreCase("changes"))) {
+          if (Option(options.get("feed")).exists(_.equalsIgnoreCase("cdf"))) {
+            // CHANGE-DATA feed: tagged insert/delete row images per version
+            // (the streaming twin of SnapshotStore.changeFeedSince) — what
+            // lets a long-running incremental consumer fold deletes and
+            // updates signed, instead of resubscribing. Same pinned-schema
+            // contract as feed=changes, plus the two tag columns.
+            val (v, _) = store.resolveVersionPaths(table, None)
+            val schema = store.snapshotSchema(table, Some(v))
+            require(version.isEmpty,
+              "feed=cdf streams forward — use 'startingVersion', not 'version'")
+            val startingVersion =
+              Option(options.get("startingVersion")).map(_.trim.toLong).getOrElse(0L)
+            new GraftCdfTable(root, table, schema, startingVersion)
+          } else if (Option(options.get("feed")).exists(_.equalsIgnoreCase("changes"))) {
             // Change feed: schema is PINNED to the current snapshot's at
             // stream start, and every change set is projected to it —
             // columns a later append ADDS are dropped from this stream
@@ -325,6 +338,135 @@ final class GraftChangeFeedTable(root: String, table: String,
   * committed versions ≤ v have been emitted". */
 final case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
+}
+
+/** The store's CHANGE-DATA feed as a streaming source
+  * (`spark.readStream.format("graft").option("feed", "cdf")`): every
+  * micro-batch carries the TAGGED row images of its version range —
+  * `_change_type` 'insert' for admitted change sets, 'delete' for
+  * delete/update pre-images — plus `_version`. Where the insert-only
+  * `feed=changes` contract treats a delete as "resubscribe", this feed
+  * lets an incremental consumer FOLD the retraction
+  * ([[graft.core.Incremental]]'s signed maintenance) and keep running
+  * across deletes, sparse DV deletes, and updates (which appear as
+  * delete(pre) + insert(post) at one version, netting exactly). Rewrites
+  * (bare commits) record no images and remain invisible, as in the batch
+  * feed — `nonFeedMutationsSince` detects them. */
+final class GraftCdfTable(root: String, table: String,
+    tableSchema: StructType, startingVersion: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft:$table@cdf"
+  override def schema(): StructType = GraftCdfTable.tagged(tableSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftCdfTable.tagged(tableSchema)
+        override def description(): String = name() + " (change-data feed)"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftCdfMicroBatchStream(root, table, tableSchema, startingVersion)
+      }
+    }
+}
+
+object GraftCdfTable {
+  /** The feed's output schema: every table column, then the two tags. */
+  def tagged(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+/** One planned parquet partition of the CDF stream, tagged with the
+  * version and image kind its rows carry — the reader appends the tags as
+  * constant trailing columns. */
+final case class GraftCdfInputPartition(inner: InputPartition,
+    changeType: String, version: Long) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Micro-batch planner for the change-data feed: per version in the
+  * offset range, the `_changes` directory plans as 'insert' partitions
+  * and `_changes_removed` as 'delete' partitions — one immutable parquet
+  * scan each, nothing proportional to table size. */
+final class GraftCdfMicroBatchStream(root: String, table: String,
+    tableSchema: StructType, startingVersion: Long) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private def store = new SnapshotStore(spark, root)
+
+  override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(
+      store.latestVersion(table).getOrElse(startingVersion).max(startingVersion))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def planDir(dir: String): Array[InputPartition] =
+    ParquetTableShim.unfilteredBatch(
+      ParquetTableShim.tableWithSchema(s"graft:$table@cdf", spark, Seq(dir),
+        tableSchema)).planInputPartitions()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftVersionOffset].version
+    val to = end.asInstanceOf[GraftVersionOffset].version
+    store.cdfVersions(table).filter(v => v > from && v <= to).flatMap { v =>
+      val inserts =
+        if (java.nio.file.Files.exists(
+            store.changesDirOf(table, v).resolve("_SUCCESS")))
+          planDir(store.changesDirOf(table, v).toString)
+            .map(GraftCdfInputPartition(_, "insert", v))
+        else Array.empty[GraftCdfInputPartition]
+      val deletes =
+        if (store.hasRemovedRows(table, v))
+          planDir(store.removedRowsDirOf(table, v).toString)
+            .map(GraftCdfInputPartition(_, "delete", v))
+        else Array.empty[GraftCdfInputPartition]
+      inserts ++ deletes
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdfReaderFactory(
+      ParquetTableShim.unfilteredBatch(
+        ParquetTableShim.tableWithSchema(s"graft:$table@cdf", spark,
+          Seq.empty, tableSchema)).createReaderFactory())
+}
+
+/** Appends the partition's constant (change type, version) tags to every
+  * row via a reused JoinedRow — no per-row allocation. */
+final class GraftCdfReaderFactory(
+    inner: PartitionReaderFactory) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val cp = p.asInstanceOf[GraftCdfInputPartition]
+    val innerReader = inner.createReader(cp.inner)
+    val tags = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(cp.changeType),
+        cp.version))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def next(): Boolean = innerReader.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        joined(innerReader.get(), tags)
+      override def close(): Unit = innerReader.close()
+    }
+  }
 }
 
 /** Micro-batch planner for the change feed. Driver-side work per batch is

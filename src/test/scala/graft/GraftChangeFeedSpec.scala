@@ -60,6 +60,79 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L)) // 100/200 arrived via rewrite: not a delta
   }
 
+  test("feed=cdf streams tagged insert/delete images; a signed fold stays exact across a delete") {
+    // The CDF stream is what frees a long-running incremental consumer
+    // from the resubscribe contract: deletes (including sparse DV
+    // deletes) and updates arrive as tagged row images, so a signed fold
+    // (Incremental.advanceSigned's shape) nets to exactly the snapshot
+    // aggregate — no restart, no snapshot re-read.
+    import org.apache.spark.sql.functions.{col, sum, when}
+    val root = tmp("graft-cdf")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"))
+    st.delete("t", col("k") === "a" && col("v") === 2.0)
+    st.append("t", Seq(("b", 7.0)).toDF("k", "v"))
+    st.update("t", col("k") === "b" && col("v") === 5.0,
+      Map("v" -> org.apache.spark.sql.functions.lit(50.0)))
+
+    val sink = tmp("graft-cdf-out")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "t").option("feed", "cdf")
+      .load().writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-cdf-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.read.parquet(sink)
+    assert(out.columns.toSeq == Seq("k", "v", "_change_type", "_version"))
+    val images = out.select("k", "v", "_change_type")
+      .as[(String, Double, String)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(images == Map(
+      ("a", 1.0, "insert") -> 1, ("a", 2.0, "insert") -> 1,
+      ("b", 5.0, "insert") -> 1,                       // v1 admits
+      ("a", 2.0, "delete") -> 1,                       // v2 delete image
+      ("b", 7.0, "insert") -> 1,                       // v3 admit
+      ("b", 5.0, "delete") -> 1, ("b", 50.0, "insert") -> 1)) // v4 update
+    // signed fold over the streamed images == the snapshot aggregate
+    val folded = out
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    val snap = st.read("t").groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(col("v")).as("n"),
+        sum(col("v")).as("total"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(folded == snap, s"signed fold $folded must equal snapshot $snap")
+  }
+
+  test("feed=cdf restart resumes from the version offset exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft-cdf-rs")
+    val st = new SnapshotStore(spark, root)
+    val sink = tmp("graft-cdf-rs-out")
+    val ckpt = tmp("graft-cdf-rs-ck")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "t").option("feed", "cdf")
+        .load().writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    st.append("t", Seq(1L, 2L).toDF("id"))
+    run()
+    st.delete("t", col("id") === 1L)
+    run()
+    val out = spark.read.parquet(sink).select("id", "_change_type")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((1L, "delete"), (1L, "insert"), (2L, "insert")),
+      "no image re-emitted across the checkpointed restart")
+  }
+
   test("a delete version is skipped by the streaming insert feed (resubscribe contract)") {
     // The streaming feed's contract is "rows append admitted": a delete
     // records no INSERT change set, so the stream must walk past its
