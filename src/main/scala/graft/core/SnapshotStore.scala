@@ -608,9 +608,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
   /** Read the current snapshot: the pointer is resolved NOW, after which
     * the returned DataFrame is bound to an immutable directory set. */
-  def read(table: String): DataFrame =
+  def read(table: String): DataFrame = {
+    // Pending-txn roll-forward BEFORE the pointer resolves, or this read
+    // would pin the pre-transaction version recovery is about to advance.
+    recoverPendingTxns()
     readAt(table, latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no committed version of $table")))
+  }
 
   /** Time travel: read a specific version — the multi-directory parquet
     * scan of its base chain under the pinned snapshot schema. Refuses a
@@ -1194,6 +1198,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * time — everything after it is a plain parquet scan of directories no
     * later commit ever mutates. */
   def resolveVersionPaths(table: String, version: Option[Long] = None): (Long, Seq[Path]) = {
+    // A pending multi-table transaction (crash between intent and pointer
+    // moves) rolls forward before anything resolves — one directory stat
+    // on the overwhelmingly common no-txn path.
+    recoverPendingTxns()
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version of $table"))
     require(isCommitted(table, v),
@@ -1364,6 +1372,161 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       versionDirs(table).filter(v => v <= latest && isCommitted(table, v))
   }
 
+  // ---- Multi-table atomic commit ------------------------------------------
+
+  private def txnDir: Path = Paths.get(root, "_txn")
+
+  /** ATOMIC MULTI-TABLE APPEND — the reference's ingestion-transaction
+    * shape (concepts + instances + sources + epoch written in ONE Postgres
+    * tx, api/app/lib/age_client/ingestion.py:31-152), on the pointer
+    * store. All tables' deltas commit together or none do; a reader can
+    * never observe table A's half of an ingest without table B's.
+    *
+    * Protocol (write-ahead intent + roll-forward):
+    *   1. Every table's delta writes as an ordinary UNEXPOSED candidate
+    *      (no sentinel, pointer untouched). A crash here leaves invisible
+    *      orphans — NEITHER table exposed; vacuum reclaims them.
+    *   2. Under the root monitor + every table's pointer file lock (sorted
+    *      order, deadlock-free), the bases are re-validated; if any table
+    *      moved, its candidate RELINKS onto the new head (append's rebase
+    *      machinery — appends commute) and the multi-CAS retries.
+    *   3. With all bases current, a TXN INTENT file (table -> version)
+    *      lands in `_txn/` by atomic rename. THIS is the commit point: a
+    *      crash after it rolls FORWARD — recovery stamps the sentinels and
+    *      advances the remaining pointers — so the transaction is again
+    *      all-or-none, just 'all' this time.
+    *   4. Sentinels + pointer moves per table, then the intent is removed.
+    *
+    * Recovery runs from [[recoverPendingTxns]] — invoked by every
+    * resolution that notices a pending `_txn/` entry, by the next
+    * `appendAll`, and by `vacuum` (so a txn-pending candidate is never
+    * reclaimed as an orphan). Returns the committed version per table. */
+  def appendAll(rows: Map[String, DataFrame]): Map[String, Long] = {
+    require(rows.nonEmpty, "appendAll requires at least one table")
+    recoverPendingTxns()
+    appendAllCommit(appendAllPrepare(rows), rows)
+  }
+
+  /** Steps 2-4 of [[appendAll]] (multi-CAS with relink-on-stale), exposed
+    * so a spec can force a sibling commit between prepare and commit. */
+  private[graft] def appendAllCommit(cands0: Map[String, (Long, Option[Long])],
+      rows: Map[String, DataFrame]): Map[String, Long] = {
+    var cands = cands0
+    val tables = rows.keys.toSeq.sorted
+    var result = Map.empty[String, Long]
+    var done = false
+    while (!done) {
+      val staleOrDone = underPointerLocks(tables) {
+        val stale = tables.filter(t => latestVersion(t) != cands(t)._2)
+        if (stale.nonEmpty) Left(stale)
+        else {
+          val intent = writeTxnIntent(cands.map { case (t, (v, _)) => t -> v })
+          tables.foreach { t =>
+            val v = cands(t)._1
+            Files.writeString(committedMarker(t, v), "")
+            if (latestVersion(t).forall(_ < v)) movePointer(t, v)
+          }
+          Files.deleteIfExists(intent)
+          Right(cands.map { case (t, (v, _)) => t -> v })
+        }
+      }
+      staleOrDone match {
+        case Right(r) => result = r; done = true
+        case Left(stale) => stale.foreach { t =>
+          // A sibling committed to this table: relink our candidate onto
+          // its head (schema re-merged, retypes re-checked) and retry the
+          // multi-CAS — every round some writer commits, so no livelock.
+          val head = latestVersion(t).getOrElse(throw new IllegalStateException(
+            s"pointer of $t vanished during appendAll"))
+          val relinked = relink(t, cands(t)._1, head, rows(t).schema)
+          cands += t -> ((relinked, Some(head)))
+        }
+      }
+    }
+    result
+  }
+
+  /** Step 1 of [[appendAll]], exposed so specs can crash the protocol
+    * between candidate write and intent: every table's delta written as an
+    * unexposed candidate; returns table -> (candidate version, base). */
+  private[graft] def appendAllPrepare(rows: Map[String, DataFrame])
+      : Map[String, (Long, Option[Long])] =
+    rows.map { case (t, df) =>
+      val base = latestVersion(t)
+      val merged = mergedAppendSchema(t, base, df.schema)
+      val v = commitWith(t, Some(df), Some(df), base = base,
+        snapshot = merged, advance = false)
+      t -> ((v, base))
+    }
+
+  /** The txn intent record: {table: version}, written temp + atomic
+    * rename. Exposed so specs can crash between intent and pointer moves. */
+  private[graft] def writeTxnIntent(versions: Map[String, Long]): Path = {
+    Files.createDirectories(txnDir)
+    val name = s"txn-${java.util.UUID.randomUUID()}.json"
+    val tmp = txnDir.resolve(name + ".tmp")
+    Files.writeString(tmp, org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+        versions.toList.sortBy(_._1).map { case (t, v) =>
+          t -> org.json4s.JLong(v) }))))
+    val dst = txnDir.resolve(name)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    dst
+  }
+
+  /** Roll pending multi-table transactions FORWARD: an intent file only
+    * exists once every candidate is fully written, so recovery stamps the
+    * sentinels and advances any pointer the crash left behind, then
+    * removes the intent. Idempotent; cheap no-op when `_txn/` is absent
+    * (one directory stat — the cost every read resolution pays). */
+  def recoverPendingTxns(): Unit = {
+    if (!Files.exists(txnDir)) return
+    SnapshotStore.rootLock(root) {
+      val s = Files.list(txnDir)
+      val intents =
+        try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally s.close()
+      intents.foreach { f =>
+        val versions = org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
+          case org.json4s.JObject(fields) => fields.collect {
+            case (t, org.json4s.JLong(v)) => t -> v
+            case (t, org.json4s.JInt(v))  => t -> v.toLong
+          }
+          case _ => Nil
+        }
+        versions.sortBy(_._1).foreach { case (t, v) =>
+          if (hasSuccessMarker(t, v)) underPointerLock(t) {
+            Files.writeString(committedMarker(t, v), "")
+            if (latestVersion(t).forall(_ < v)) movePointer(t, v)
+          }
+        }
+        Files.deleteIfExists(f)
+      }
+    }
+  }
+
+  /** Every listed table's pointer file lock, acquired in sorted order
+    * (deadlock-free) inside the root monitor — the multi-table mutual
+    * exclusion [[appendAll]]'s commit step needs. */
+  private def underPointerLocks[T](tables: Seq[String])(body: => T): T =
+    SnapshotStore.rootLock(root) {
+      def loop(remaining: List[String]): T = remaining match {
+        case Nil => body
+        case t :: rest =>
+          val lockPath = tableDir(t).resolve("_pointer.lock")
+          Files.createDirectories(tableDir(t))
+          val ch = java.nio.channels.FileChannel.open(lockPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val lock = ch.lock()
+            try loop(rest) finally lock.release()
+          } finally ch.close()
+      }
+      loop(tables.sorted.toList)
+    }
+
   /** Upgrade a table written BEFORE the `_committed` sentinel protocol:
     * stamp the sentinel onto every `_SUCCESS` version at or below the
     * pointer. Sound for a quiesced legacy store — under the OLD protocol
@@ -1403,7 +1566,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * claimed — or is still streaming part files into — is skipped and
     * picked up by a later vacuum once it is demonstrably stale. */
   def vacuum(table: String, keepLast: Int = 1, dropOrphans: Boolean = false,
-      orphanGraceMs: Long = SnapshotStore.DefaultOrphanGraceMs): Unit =
+      orphanGraceMs: Long = SnapshotStore.DefaultOrphanGraceMs): Unit = {
+    // Roll pending transactions forward first: a txn-listed candidate is
+    // committed-in-waiting, not an orphan.
+    recoverPendingTxns()
     SnapshotStore.rootLock(root) {
       val committed = history(table)
       val keepRoots = committed.takeRight(math.max(keepLast, 1)).toSet ++
@@ -1425,6 +1591,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         finally w.close()
       }
     }
+  }
 
   /** Newest modification time (ms) of a directory or anything under it —
     * a live commit writing part files keeps this fresh. Missing paths (a

@@ -616,6 +616,80 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.history("t") == Seq(1L, 2L))
   }
 
+  test("appendAll commits N tables atomically; both crash windows are all-or-none") {
+    // The reference's ingestion transaction writes concepts + instances +
+    // sources + epoch in ONE Postgres tx; the store's multi-table append
+    // must give readers the same contract: never table A's half of an
+    // ingest without table B's.
+    val st = freshStore()
+    st.append("concepts", Seq((1L, "c1")).toDF("id", "label"))
+    st.append("instances", Seq((10L, 1L)).toDF("iid", "concept_id"))
+    // the happy path: both tables advance together
+    val committed = st.appendAll(Map(
+      "concepts" -> Seq((2L, "c2")).toDF("id", "label"),
+      "instances" -> Seq((20L, 2L)).toDF("iid", "concept_id")))
+    assert(committed.keySet == Set("concepts", "instances"))
+    assert(st.read("concepts").count() == 2 && st.read("instances").count() == 2)
+    // change feeds see the deltas like any append
+    assert(st.changesAt("concepts", committed("concepts")).get.count() == 1)
+
+    // CRASH WINDOW 1 — after candidate writes, BEFORE the intent: neither
+    // table may expose anything (unexposed orphans, reclaimed by vacuum)
+    val cands = st.appendAllPrepare(Map(
+      "concepts" -> Seq((3L, "c3")).toDF("id", "label"),
+      "instances" -> Seq((30L, 3L)).toDF("iid", "concept_id")))
+    // "crash": nothing else happens
+    assert(st.read("concepts").count() == 2, "concepts half not exposed")
+    assert(st.read("instances").count() == 2, "instances half not exposed")
+    assert(st.history("concepts").size == 2 && st.history("instances").size == 2)
+    // clean the abandoned candidates so they don't interfere below
+    for ((t, (v, _)) <- cands) {
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(st.root, t, s"v=$v"))
+      try w.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
+
+    // CRASH WINDOW 2 — after the intent, BEFORE any pointer move: the
+    // intent is the commit point, so recovery rolls BOTH forward
+    val cands2 = st.appendAllPrepare(Map(
+      "concepts" -> Seq((4L, "c4")).toDF("id", "label"),
+      "instances" -> Seq((40L, 4L)).toDF("iid", "concept_id")))
+    st.writeTxnIntent(cands2.map { case (t, (v, _)) => t -> v })
+    // "crash": pointers never moved. A fresh reader triggers roll-forward.
+    val reader = new SnapshotStore(spark, st.root)
+    assert(reader.read("concepts").count() == 3, "rolled forward")
+    assert(reader.read("instances").count() == 3, "rolled forward")
+    assert(reader.latestVersion("concepts").contains(cands2("concepts")._1))
+    assert(reader.latestVersion("instances").contains(cands2("instances")._1))
+    assert(!java.nio.file.Files.list(
+        java.nio.file.Paths.get(st.root, "_txn"))
+      .iterator().asScala.exists(_.getFileName.toString.endsWith(".json")),
+      "intent removed after recovery")
+
+    // a CONCURRENT sibling append lands between prepare and commit: the
+    // stale table's candidate RELINKS onto the sibling's head and the
+    // transaction still commits both tables atomically, nothing lost
+    val sibling = new SnapshotStore(spark, st.root)
+    val txnRows = Map(
+      "concepts" -> Seq((7L, "c7")).toDF("id", "label"),
+      "instances" -> Seq((70L, 7L)).toDF("iid", "concept_id"))
+    val prep = st.appendAllPrepare(txnRows)
+    sibling.append("concepts", Seq((6L, "c6")).toDF("id", "label"))
+    val r2 = st.appendAllCommit(prep, txnRows)
+    assert(st.read("concepts").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L, 6L, 7L), "sibling's row AND the txn's row both present")
+    assert(st.read("instances").select("iid").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 40L, 70L))
+    // the relinked concepts delta sits ABOVE the sibling's commit
+    assert(st.baseOf("concepts", r2("concepts"))
+      .contains(sibling.latestVersion("concepts").get - 1) ||
+      r2("concepts") > prep("concepts")._1, "concepts candidate was relinked")
+    val hist = st.history("concepts")
+    assert(hist == hist.sorted && hist.distinct == hist)
+  }
+
   test("epoch clock integration: committed version drives Freshness") {
     val st = freshStore()
     st.commit("events", Seq(1L).toDF("event_id"))
