@@ -50,6 +50,21 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected nested-loop/cartesian join in: ${offenders.mkString(", ")}")
   }
 
+  test("q18 star join: dims broadcast, at most the fact chain sort-merges") {
+    // The r12 bench artifact showed an unexplained sf10 elevation for q18
+    // that a clean min-of-2 re-measure (5.0-5.4 s, matching r11's 5.33 s)
+    // proved to be machine noise — this pin makes any FUTURE drift
+    // attributable: if the plan still has broadcast dims and no extra
+    // shuffled join, a slower number is the machine, not the plan.
+    val plan = planOf("q18_star_join")
+    assert(plan.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    val smjCount = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smjCount <= 1,
+      s"only the lineitem-orders fact chain may sort-merge (got $smjCount):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("top-k queries compile to TakeOrderedAndProject, never a global sort") {
     Seq("q09_topk", "q25_cosine_topk", "q52_bigrams").foreach { name =>
       assert(planOf(name).contains("TakeOrderedAndProject"), name)
