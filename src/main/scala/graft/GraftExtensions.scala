@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANSI UPDATE over graft catalog tables — planned straight onto
     // SnapshotStore.update (graft.plans.GraftUpdateStrategy).
     ext.injectPlannerStrategy(_ => graft.plans.GraftUpdateStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
   }
 }
 
@@ -369,8 +370,12 @@ object GraftExtensions {
     // through SparkSessionExtensions; the experimental-strategies hook is
     // the sanctioned post-hoc path (a session built with
     // spark.sql.extensions=graft.GraftExtensions gets it via apply above).
-    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftUpdateStrategy))
+    val mutationStrategies = Seq(graft.plans.GraftUpdateStrategy,
+      graft.plans.GraftMergeStrategy)
+    val missing = mutationStrategies.filterNot(
+      spark.experimental.extraStrategies.contains(_))
+    if (missing.nonEmpty)
       spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.GraftUpdateStrategy
+        spark.experimental.extraStrategies ++ missing
   }
 }

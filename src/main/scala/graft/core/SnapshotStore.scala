@@ -1140,6 +1140,207 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       dvReplacement = (dvMatched, schema) => Some(postImage(dvMatched, schema)))
   }
 
+  /** MERGE — the ANSI upsert over the snapshot store (the reference's
+    * two-tier match-or-create ingestion shape, ingestion.py:194-487, as a
+    * single atomic table operation; Delta MERGE's core subset):
+    *
+    *   - WHEN MATCHED THEN UPDATE SET `matchedUpdate` assignments
+    *     (expressions over BOTH sides), or WHEN MATCHED THEN DELETE
+    *     (`matchedDelete`), and/or
+    *   - WHEN NOT MATCHED THEN INSERT by NAME (`insertNotMatched`):
+    *     source columns project into the target schema, missing columns
+    *     null, types gated by the same lossless up-cast rule as `update`.
+    *
+    * `condition` and assignment Columns reference the two sides through
+    * the ALIASES `target` and `source` (`col("target.id") ===
+    * col("source.id")`, `col("source.v") + col("target.v")`) — both
+    * frames are aliased internally, the idiomatic Spark spelling of
+    * Delta's target()/source() contract.
+    *
+    * Mechanics — `update`'s copy-on-write machinery generalized to a
+    * two-sided match: the source is materialized ONCE (localCheckpoint —
+    * it is evaluated in three passes and must not drift); one inner-join
+    * pass finds the matched files AND the per-target-row match
+    * multiplicity (grouped on the scan's (file, row-index) identity —
+    * multiple source matches for one target row make an UPDATE ambiguous
+    * and fail loudly, ANSI/Delta's cardinality rule; deletes tolerate
+    * them); matched files rewrite once via a left join (hit rows updated
+    * or dropped, unhit rows copied); not-matched source rows append as
+    * ordinary delta data. One commit carries the rewrite + inserts +
+    * tombstones + change images (delete pre-images, insert post-images
+    * — the feed's delete(pre)+insert(post) update contract extends to
+    * merge unchanged).
+    *
+    * CONCURRENCY: CAS commit with RECOMPUTE on any conflict — unlike
+    * delete/update, a merge cannot re-base over pure appends: an
+    * appended row may flip a source row from not-matched (insert) to
+    * matched (update), so the classification itself is stale. Bounded
+    * by `maxRetries` with backoff. */
+  def merge(table: String, source: DataFrame,
+      condition: org.apache.spark.sql.Column,
+      matchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      matchedDelete: Boolean = false,
+      insertNotMatched: Boolean = true,
+      insertAssignments: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, when}
+    require(!(matchedUpdate.isDefined && matchedDelete),
+      "merge takes ONE matched action: update or delete")
+    require(matchedUpdate.isDefined || matchedDelete || insertNotMatched,
+      "merge with no actions is a no-op by construction — refuse loudly")
+    val reserved = Seq("__src_hit", "__file_key", "__row_idx")
+    val clash = source.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"merge source reserves column name(s) ${clash.mkString(", ")}")
+    val src = source.localCheckpoint(true)
+      .withColumn("__src_hit", lit(true)).alias("source")
+
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val schema = snapshotSchema(table, Some(v))
+      val selTarget = schema.fieldNames
+        .map(n => col(s"target.$n").as(n)).toIndexedSeq
+      // INSERT projection: explicit assignments (SQL MERGE's aligned
+      // INSERT clause — expressions over the source, types resolved
+      // plan-only against the not-matched frame) or, by default, source
+      // columns BY NAME into the target schema; either way gated by the
+      // same lossless up-cast rule as update's assignments.
+      def insertProjection(notMatched: DataFrame): Seq[org.apache.spark.sql.Column] =
+        insertAssignments match {
+          case Some(assigns) =>
+            def assigned(n: String) = assigns.collectFirst {
+              case (k, c) if k.equalsIgnoreCase(n) => c
+            }
+            schema.fields.map { f =>
+              assigned(f.name) match {
+                case Some(c) =>
+                  val from = notMatched.select(c.as(f.name)).schema.head.dataType
+                  require(from == f.dataType ||
+                    org.apache.spark.sql.catalyst.expressions.Cast
+                      .canUpCast(from, f.dataType),
+                    s"merge inserts ${from.simpleString} into column " +
+                      s"${f.name}: ${f.dataType.simpleString} — lossy/" +
+                      "invalid; cast in the insert expression")
+                  c.cast(f.dataType).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
+            }.toIndexedSeq
+          case None => schema.fields.map { f =>
+            source.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+              case Some(s) =>
+                require(s.dataType == f.dataType ||
+                  org.apache.spark.sql.catalyst.expressions.Cast
+                    .canUpCast(s.dataType, f.dataType),
+                  s"merge inserts ${s.dataType.simpleString} into column " +
+                    s"${f.name}: ${f.dataType.simpleString} — lossy/invalid; " +
+                    "cast in the source")
+                col(s"source.${s.name}").cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }.toIndexedSeq
+        }
+      val chainDv = dvInChain(table, v)
+      val live = liveDataFiles(table, v)
+      def tgt(files: Seq[Path]): DataFrame =
+        scanWithDv(table, files, schema, chainDv).alias("target")
+
+      // Pass 1: matched files + per-target-row match multiplicity
+      val perFile =
+        if (live.isEmpty) Array.empty[(String, Long)]
+        else tgt(live).join(src, condition, "inner")
+          .groupBy(col("__file_key"), col("__row_idx"))
+          .agg(count(lit(1)).as("__m"))
+          .groupBy(col("__file_key")).agg(max(col("__m")).as("__mm"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+      val matchedKeys = perFile.map(_._1).toSeq.sorted
+      if (matchedUpdate.isDefined && perFile.exists(_._2 > 1))
+        throw new IllegalStateException(
+          s"merge into $table: a target row matches multiple source rows — " +
+            "UPDATE is ambiguous (ANSI cardinality violation); deduplicate " +
+            "the source or tighten the condition")
+
+      val hasMatchedAction = matchedUpdate.isDefined || matchedDelete
+      val doRewrite = matchedKeys.nonEmpty && hasMatchedAction
+      val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k))
+      val lj = if (doRewrite)
+        Some(tgt(matchedPaths).join(src, condition, "left_outer")) else None
+      val hit = col("__src_hit").isNotNull
+      val rewritten: Option[DataFrame] = lj.map { j =>
+        matchedUpdate match {
+          case Some(assignments) =>
+            def assigned(n: String) = assignments.collectFirst {
+              case (k, c) if k.equalsIgnoreCase(n) => c
+            }
+            j.select(schema.fields.map { f =>
+              assigned(f.name) match {
+                case Some(c) => when(hit, c.cast(f.dataType))
+                  .otherwise(col(s"target.${f.name}")).as(f.name)
+                case None => col(s"target.${f.name}").as(f.name)
+              }
+            }.toIndexedSeq: _*)
+          case None => // matched DELETE: unhit rows survive (exactly once
+            // even when a dropped row matched several source rows)
+            j.where(!hit).dropDuplicates("__file_key", "__row_idx")
+              .select(selTarget: _*)
+        }
+      }
+      // pre-images: every matched target row, exactly once
+      val preImages = lj.map(
+        _.where(hit).dropDuplicates("__file_key", "__row_idx")
+          .select(selTarget: _*))
+      val postImages = (lj, matchedUpdate) match {
+        case (Some(j), Some(assignments)) =>
+          def assigned(n: String) = assignments.collectFirst {
+            case (k, c) if k.equalsIgnoreCase(n) => c
+          }
+          Some(j.where(hit).select(schema.fields.map { f =>
+            assigned(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(s"target.${f.name}").as(f.name))
+          }.toIndexedSeq: _*))
+        case _ => None
+      }
+      val inserts: Option[DataFrame] =
+        if (!insertNotMatched) None
+        else {
+          val notMatched =
+            if (live.isEmpty) src
+            else src.join(tgt(live), condition, "left_anti")
+          Some(notMatched.select(insertProjection(notMatched): _*))
+        }
+
+      // No-op guard: nothing to rewrite and nothing to insert — return
+      // the unchanged version instead of committing an empty one. The
+      // isEmpty probe only runs on the already-rare no-rewrite path.
+      if (!doRewrite && inserts.forall(_.isEmpty)) v
+      else {
+        val data = (rewritten.toSeq ++ inserts.toSeq)
+          .reduceOption(_.unionByName(_))
+        val changeSet = (postImages.toSeq ++ inserts.toSeq)
+          .reduceOption(_.unionByName(_))
+        val cand = commitWith(table, data, changeSet = changeSet,
+          base = Some(v), snapshot = schema, advance = false,
+          removed = if (hasMatchedAction) matchedKeys else Nil,
+          removedRows = preImages,
+          props = Map(SnapshotStore.OpProp -> "merge"))
+        SnapshotStore.testRaceHook()
+        if (casAdvance(table, cand, Some(v))) cand
+        else {
+          val w = Files.walk(versionDir(table, cand))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          if (retriesLeft > 0) {
+            Thread.sleep(math.min(25L << (maxRetries - retriesLeft), 400L))
+            attempt(retriesLeft - 1)
+          } else throw new IllegalStateException(
+            s"merge($table) lost the commit race $maxRetries times — " +
+              "retry later or widen maxRetries")
+        }
+      }
+    }
+    attempt(maxRetries)
+  }
+
   /** [[fileKey]] for a `_metadata.file_path` URI: the last two path
     * segments ("v=N/part-....parquet"). */
   private def uriFileKey(filePath: String): String = {

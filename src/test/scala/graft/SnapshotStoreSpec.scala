@@ -593,6 +593,81 @@ class SnapshotStoreSpec extends SparkSpec {
       (0L until 1000L).map(_.toDouble).sum - 7.0 - 1.0)
   }
 
+  test("merge: upsert (update matched from source, insert not-matched)") {
+    val st = freshStore()
+    st.commitClustered("t",
+      spark.range(0, 100).selectExpr("id", "cast(id as double) as v"),
+      clusterBy = Seq("id"), targetPartitions = 4)
+    val v1 = st.latestVersion("t").get
+    // source: updates ids 10,20 (v := source v), inserts ids 200,201
+    val src = Seq((10L, -1.0), (20L, -2.0), (200L, 5.0), (201L, 6.0))
+      .toDF("id", "v")
+    val m = st.merge("t", src,
+      col("target.id") === col("source.id"),
+      matchedUpdate = Some(Map("v" ->
+        (col("source.v") + col("target.v") * 0))))
+    assert(m > v1)
+    val now = st.read("t").as[(Long, Double)].collect().toMap
+    assert(now.size == 102)
+    assert(now(10L) == -1.0 && now(20L) == -2.0, "matched rows updated")
+    assert(now(200L) == 5.0 && now(201L) == 6.0, "not-matched inserted")
+    assert(now(11L) == 11.0, "unmatched target rows untouched")
+    // O(matched files): only the files holding ids 10/20 tombstoned
+    assert(st.removedAt("t", m).nonEmpty && st.removedAt("t", m).size <= 2)
+    // change feed: delete(pre) for updates; insert(post + new rows)
+    val feed = st.changeFeedSince("t", v1)
+      .select("id", "v", "_change_type").as[(Long, Double, String)]
+      .collect().toSet
+    assert(feed == Set((10L, 10.0, "delete"), (20L, 20.0, "delete"),
+      (10L, -1.0, "insert"), (20L, -2.0, "insert"),
+      (200L, 5.0, "insert"), (201L, 6.0, "insert")))
+    // time travel pre-merge intact
+    assert(st.readAt("t", v1).count() == 100)
+    // no-op merge (nothing matches, nothing inserts): no new version
+    val empty = Seq((10L, 0.0)).toDF("id", "v").limit(0)
+    assert(st.merge("t", empty, col("target.id") === col("source.id"),
+      matchedUpdate = Some(Map("v" -> col("source.v")))) == m)
+  }
+
+  test("merge: matched DELETE, cardinality violation, type gate, missing column") {
+    val st = freshStore()
+    st.commit("t", spark.range(0, 50)
+      .selectExpr("id", "cast(id as double) as v", "'x' as tag").coalesce(1))
+    // WHEN MATCHED THEN DELETE + insert-not-matched=false
+    val m = st.merge("t", Seq(Tuple1(7L), Tuple1(8L)).toDF("id"),
+      col("target.id") === col("source.id"),
+      matchedDelete = true, insertNotMatched = false)
+    assert(st.read("t").count() == 48)
+    assert(st.read("t").where(col("id").isin(7L, 8L)).count() == 0)
+    // delete pre-images in the feed, exactly once each
+    assert(st.changeFeedSince("t", m - 1)
+      .where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+    // a DUPLICATED source vs UPDATE: ambiguous, refused loudly
+    val dup = Seq((9L, 1.0), (9L, 2.0)).toDF("id", "v")
+    val err = intercept[IllegalStateException] {
+      st.merge("t", dup, col("target.id") === col("source.id"),
+        matchedUpdate = Some(Map("v" -> col("source.v"))))
+    }
+    assert(err.getMessage.contains("cardinality"))
+    // …while the same duplicated source under DELETE is fine (idempotent)
+    st.merge("t", dup, col("target.id") === col("source.id"),
+      matchedDelete = true, insertNotMatched = false)
+    assert(st.read("t").where(col("id") === 9L).count() == 0)
+    // INSERT type gate: lossy source type refused
+    val lossy = Seq(("not a number", 1.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      st.merge("t", lossy.selectExpr("id", "v"),
+        col("target.v") === col("source.v"))
+    }
+    // INSERT with a missing source column: nulls in, no error
+    st.merge("t", Seq(Tuple1(999L)).toDF("id"),
+      col("target.id") === col("source.id"))
+    val row = st.read("t").where(col("id") === 999L)
+      .select("v", "tag").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("migrateLegacyTable stamps a pre-sentinel store back to readable") {
     // A store written before the _committed protocol has _SUCCESS-only
     // versions everywhere — all genuinely committed (the old protocol
