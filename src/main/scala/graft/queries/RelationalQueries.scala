@@ -380,6 +380,39 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // MERGE round trip (the reference's two-tier match-or-create ingest as
+    // one atomic upsert): source = an update band derived from orders
+    // itself (keys 100-999 re-prioritized) plus synthetic insert rows
+    // (keys offset by 5M). The oracle replays the merge as CASE WHEN +
+    // UNION ALL over the ORIGINAL parquet — matched-file rewrite, by-name
+    // inserts (absent source columns read NULL), and the tombstone
+    // resolution must all be value-invisible. Build idempotent like q99.
+    "q102_store_merge" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q102_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders")
+      if (store.latestVersion("orders").isEmpty) {
+        store.commitClustered("orders", Tables.orders(s, dir),
+          clusterBy = Seq("o_orderkey"))
+        val o = Tables.orders(s, dir)
+        val src = o.where(col("o_orderkey").between(100L, 999L))
+          .select(col("o_orderkey"), lit("9-MERGED").as("o_orderpriority"))
+          .unionByName(o.where(col("o_orderkey") < 100L)
+            .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+              lit("9-NEW").as("o_orderpriority")))
+        store.merge("orders", src,
+          col("target.o_orderkey") === col("source.o_orderkey"),
+          matchedUpdate = Some(Map(
+            "o_orderpriority" -> col("source.o_orderpriority"))))
+      }
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .load()
+        .filter(col("o_orderkey") < 4000L || col("o_orderkey") >= 5000000L)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Row-level UPDATE round trip (M5 merge_edge_types' store-level
     // mechanism): commit `orders` clustered, update a predicate band
     // (assignment references the OLD row: price scaled 1.1x, priority
@@ -859,6 +892,18 @@ object RelationalQueries {
         |WHERE o_orderkey % 97 <> 0
         |  AND o_orderkey < 4000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q102_store_merge" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 100 AND 999
+        |         THEN '9-MERGED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey < 4000
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000 AS o_orderkey,
+        |    NULL AS o_orderstatus, '9-NEW' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey < 100
+        |) ORDER BY o_orderkey""".stripMargin,
 
     "q100_store_update" ->
       """SELECT o_orderkey, o_orderstatus,
