@@ -1165,7 +1165,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * multiple source matches for one target row make an UPDATE ambiguous
     * and fail loudly, ANSI/Delta's cardinality rule; deletes tolerate
     * them); matched files rewrite once via a left join (hit rows updated
-    * or dropped, unhit rows copied); not-matched source rows append as
+    * or dropped, unhit rows copied) — EXCEPT sparse ones: a file whose
+    * matched fraction is within `delete`'s dvMaxFraction policy records
+    * a deletion vector for its old rows instead of rewriting (the CDC
+    * upsert shape — one changed row per fat file — is copy-on-write's
+    * worst case here too), with an update's post-images riding as
+    * ordinary delta data; not-matched source rows append as
     * ordinary delta data. One commit carries the rewrite + inserts +
     * tombstones + change images (delete pre-images, insert post-images
     * — the feed's delete(pre)+insert(post) update contract extends to
@@ -1182,7 +1187,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       matchedDelete: Boolean = false,
       insertNotMatched: Boolean = true,
       insertAssignments: Option[Map[String, org.apache.spark.sql.Column]] = None,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max, when}
     require(!(matchedUpdate.isDefined && matchedDelete),
       "merge takes ONE matched action: update or delete")
@@ -1245,14 +1251,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       def tgt(files: Seq[Path]): DataFrame =
         scanWithDv(table, files, schema, chainDv).alias("target")
 
-      // Pass 1: matched files + per-target-row match multiplicity
+      // Pass 1: matched files, per-target-row match multiplicity, and
+      // per-file matched-row counts (the deletion-vector policy's input)
+      // in ONE job — at most #files rows come back.
       val perFile =
-        if (live.isEmpty) Array.empty[(String, Long)]
+        if (live.isEmpty) Array.empty[(String, Long, Long)]
         else tgt(live).join(src, condition, "inner")
           .groupBy(col("__file_key"), col("__row_idx"))
           .agg(count(lit(1)).as("__m"))
-          .groupBy(col("__file_key")).agg(max(col("__m")).as("__mm"))
-          .collect().map(r => r.getString(0) -> r.getLong(1))
+          .groupBy(col("__file_key"))
+          .agg(max(col("__m")).as("__mm"), count(lit(1)).as("__rows"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       val matchedKeys = perFile.map(_._1).toSeq.sorted
       if (matchedUpdate.isDefined && perFile.exists(_._2 > 1))
         throw new IllegalStateException(
@@ -1261,11 +1270,53 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
             "the source or tighten the condition")
 
       val hasMatchedAction = matchedUpdate.isDefined || matchedDelete
-      val doRewrite = matchedKeys.nonEmpty && hasMatchedAction
-      val matchedPaths = matchedKeys.map(k => tableDir(table).resolve(k))
-      val lj = if (doRewrite)
-        Some(tgt(matchedPaths).join(src, condition, "left_outer")) else None
+      // DV policy split — the same sparse-predicate rule as delete/update,
+      // because the CDC upsert shape (one changed row per fat file) is
+      // copy-on-write's worst case here too: files whose matched fraction
+      // is within dvMaxFraction vector their old rows instead of
+      // rewriting; an update's post-images for them ride as ordinary
+      // delta data, a delete's contribute nothing.
+      val liveTotals: Map[String, Long] = live.flatMap { p =>
+        val dirV = p.getParent.getFileName.toString.stripPrefix("v=").toLong
+        val k = fileKey(p)
+        fileStats(table, dirV).flatMap(_.get(p.getFileName.toString))
+          .map(st => k -> (st.rows -
+            chainDv.get(k).map(_.size.toLong).getOrElse(0L)))
+      }.toMap
+      var (dvEligible, cowSeq) =
+        if (!hasMatchedAction) (Array.empty[(String, Long, Long)], perFile)
+        else perFile.partition { case (k, _, c) =>
+          dvMaxFraction > 0 && liveTotals.get(k).exists(t =>
+            t > 0 && c.toDouble / t <= dvMaxFraction)
+        }
+      if (dvEligible.iterator.map(_._3).sum > SnapshotStore.DvMaxRowsPerMutation) {
+        cowSeq = perFile; dvEligible = Array.empty
+      }
+      val cowKeys = cowSeq.map(_._1).toSeq.sorted
+      val dvKeySet = dvEligible.map(_._1).toSet
+      val doRewrite = cowKeys.nonEmpty && hasMatchedAction
       val hit = col("__src_hit").isNotNull
+      // one joint matched-row frame over ALL matched files feeds the
+      // change images and the vector record; the left-join rewrite runs
+      // over the copy-on-write files only
+      val matchedAll =
+        if (hasMatchedAction && matchedKeys.nonEmpty)
+          Some(tgt(matchedKeys.map(k => tableDir(table).resolve(k)))
+            .join(src, condition, "inner"))
+        else None
+      val lj = if (doRewrite)
+        Some(tgt(cowKeys.map(k => tableDir(table).resolve(k)))
+          .join(src, condition, "left_outer")) else None
+      def postProjection(j: DataFrame,
+          assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+        def assigned(n: String) = assignments.collectFirst {
+          case (k, c) if k.equalsIgnoreCase(n) => c
+        }
+        j.select(schema.fields.map { f =>
+          assigned(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(s"target.${f.name}").as(f.name))
+        }.toIndexedSeq: _*)
+      }
       val rewritten: Option[DataFrame] = lj.map { j =>
         matchedUpdate match {
           case Some(assignments) =>
@@ -1285,19 +1336,28 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
               .select(selTarget: _*)
         }
       }
-      // pre-images: every matched target row, exactly once
-      val preImages = lj.map(
-        _.where(hit).dropDuplicates("__file_key", "__row_idx")
-          .select(selTarget: _*))
-      val postImages = (lj, matchedUpdate) match {
-        case (Some(j), Some(assignments)) =>
-          def assigned(n: String) = assignments.collectFirst {
-            case (k, c) if k.equalsIgnoreCase(n) => c
-          }
-          Some(j.where(hit).select(schema.fields.map { f =>
-            assigned(f.name).map(_.cast(f.dataType).as(f.name))
-              .getOrElse(col(s"target.${f.name}").as(f.name))
-          }.toIndexedSeq: _*))
+      // pre-images: every matched target row (cow AND vectored), once
+      val preImages = matchedAll.map(
+        _.dropDuplicates("__file_key", "__row_idx").select(selTarget: _*))
+      // post-images: multiplicity == 1 is enforced for update, so the
+      // inner-join rows ARE the updated rows, no dedup needed
+      val postImages = (matchedAll, matchedUpdate) match {
+        case (Some(j), Some(assignments)) => Some(postProjection(j, assignments))
+        case _ => None
+      }
+      // the vector: (file, row index) of every matched row in a DV'd file
+      val dvRecord: Map[String, Seq[Long]] =
+        if (dvKeySet.isEmpty) Map.empty
+        else matchedAll.get
+          .where(col("__file_key").isin(dvKeySet.toSeq: _*))
+          .select(col("__file_key"), col("__row_idx")).distinct()
+          .collect().groupBy(_.getString(0))
+          .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq.sorted }
+      // a DV'd file's updated rows land as ordinary version data
+      val dvPost: Option[DataFrame] = (matchedAll, matchedUpdate) match {
+        case (Some(j), Some(assignments)) if dvKeySet.nonEmpty =>
+          Some(postProjection(
+            j.where(col("__file_key").isin(dvKeySet.toSeq: _*)), assignments))
         case _ => None
       }
       val inserts: Option[DataFrame] =
@@ -1309,19 +1369,19 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           Some(notMatched.select(insertProjection(notMatched): _*))
         }
 
-      // No-op guard: nothing to rewrite and nothing to insert — return
-      // the unchanged version instead of committing an empty one. The
-      // isEmpty probe only runs on the already-rare no-rewrite path.
-      if (!doRewrite && inserts.forall(_.isEmpty)) v
+      // No-op guard: nothing to rewrite, nothing to vector, nothing to
+      // insert — return the unchanged version instead of committing an
+      // empty one. The isEmpty probe only runs on this already-rare path.
+      if (!doRewrite && dvRecord.isEmpty && inserts.forall(_.isEmpty)) v
       else {
-        val data = (rewritten.toSeq ++ inserts.toSeq)
+        val data = (rewritten.toSeq ++ dvPost.toSeq ++ inserts.toSeq)
           .reduceOption(_.unionByName(_))
         val changeSet = (postImages.toSeq ++ inserts.toSeq)
           .reduceOption(_.unionByName(_))
         val cand = commitWith(table, data, changeSet = changeSet,
           base = Some(v), snapshot = schema, advance = false,
-          removed = if (hasMatchedAction) matchedKeys else Nil,
-          removedRows = preImages,
+          removed = if (hasMatchedAction) cowKeys else Nil,
+          removedRows = preImages, dv = dvRecord,
           props = Map(SnapshotStore.OpProp -> "merge"))
         SnapshotStore.testRaceHook()
         if (casAdvance(table, cand, Some(v))) cand

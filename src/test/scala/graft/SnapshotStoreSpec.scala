@@ -629,6 +629,42 @@ class SnapshotStoreSpec extends SparkSpec {
       matchedUpdate = Some(Map("v" -> col("source.v")))) == m)
   }
 
+  test("merge: sparse matched rows vector instead of rewriting (CDC upsert shape)") {
+    // One changed row per fat file — THE continuous-upsert pattern, and
+    // copy-on-write's worst case: the merge must record a deletion vector
+    // for the old row and ship only the post-image as version data, never
+    // rewrite the file.
+    val st = freshStore()
+    st.commit("t", spark.range(0, 10000)
+      .selectExpr("id", "cast(id as double) as v").coalesce(1))
+    val v1 = st.latestVersion("t").get
+    val src = Seq((42L, -1.0), (20042L, 7.0)).toDF("id", "v") // 1 update + 1 insert
+    val m = st.merge("t", src, col("target.id") === col("source.id"),
+      matchedUpdate = Some(Map("v" -> col("source.v"))))
+    assert(st.removedAt("t", m).isEmpty, "no tombstones: the fat file stays")
+    assert(st.dvAt("t", m).values.map(_.size).sum == 1, "old row vectored")
+    // version data = post-image + insert only
+    assert(spark.read.parquet(
+      java.nio.file.Paths.get(st.root, "t", s"v=$m").toString).count() == 2)
+    val now = st.read("t")
+    assert(now.count() == 10001)
+    assert(now.where(col("id") === 42L).select("v").as[Double].head() == -1.0)
+    assert(now.where(col("id") === 20042L).select("v").as[Double].head() == 7.0)
+    // change images complete: delete(pre 42) + insert(post 42, new row)
+    val feed = st.changeFeedSince("t", v1)
+      .select("id", "v", "_change_type").as[(Long, Double, String)]
+      .collect().toSet
+    assert(feed == Set((42L, 42.0, "delete"), (42L, -1.0, "insert"),
+      (20042L, 7.0, "insert")))
+    // sparse matched DELETE merges vector too
+    val m2 = st.merge("t", Seq(Tuple1(43L)).toDF("id"),
+      col("target.id") === col("source.id"),
+      matchedDelete = true, insertNotMatched = false)
+    assert(st.removedAt("t", m2).isEmpty && st.dvAt("t", m2).nonEmpty)
+    assert(st.read("t").count() == 10000)
+    assert(st.read("t").where(col("id") === 43L).count() == 0)
+  }
+
   test("merge: matched DELETE, cardinality violation, type gate, missing column") {
     val st = freshStore()
     st.commit("t", spark.range(0, 50)
