@@ -161,10 +161,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(now(10L) == 999.0, "matched row updated from source expression")
     assert(now(200L) == 5.0, "not-matched row inserted")
     assert(now(11L) == 11.0, "unmatched rows untouched")
-    // one commit, with change images — exactly the store-merge contract
+    // one commit, with change images — exactly the store-merge contract.
+    // The single matched row is 4% of its 25-row file, under the sparse
+    // threshold: the old row dies by deletion vector, no tombstone.
     val mv = st.latestVersion("t").get
     assert(mv == 2L)
-    assert(st.removedAt("t", mv).nonEmpty)
+    assert(st.removedAt("t", mv).isEmpty && st.dvAt("t", mv).nonEmpty,
+      "sparse matched row must vector, not rewrite")
     assert(spark.sql("SELECT count(*) FROM kgmrg.t VERSION AS OF 1")
       .head().getLong(0) == 100L)
     // WHEN MATCHED THEN DELETE
