@@ -83,32 +83,33 @@ object RangeJoin {
     * point are dropped.
     *
     * Contract: interval ROWS must be distinct (the final groupBy keys on
-    * all interval columns; exact duplicates would collapse). `bucketWidth`
-    * sizes the TYPICAL per-bucket array; a DEGENERATE bucket (every point
-    * stamped the same hour, boilerplate-timestamp style) is bounded by
-    * `maxBucketRows`: a per-bucket count pre-pass finds buckets over the
-    * cap and hash-splits their points into ⌈n/cap⌉ sub-arrays — the two
-    * probes run per sub-array and the final groupBy re-combines exactly
-    * (counts ADD across any partition of a bucket's points, mins MIN), so
-    * the result is bit-identical to the unsplit plan while no task ever
-    * materializes more than ~cap longs in one row. The oversized-bucket
-    * table is joined as a BROADCAST on both sides (it is empty in the
-    * non-degenerate case and one row per hot bucket otherwise).
+    * all interval columns; exact duplicates would collapse). Point
+    * multiplicity rides a COUNT column, not array length: step 1 first
+    * deduplicates to (bucket, value, count) — `sort_array(collect_list)`
+    * then holds SORTED DISTINCT values plus a [[graft.functions.PrefixSums]]
+    * cumulative-count array, and the contained count becomes
+    * `prefix[lower_bound(hi+1)] − prefix[lower_bound(lo)]`. The classic
+    * degenerate bucket (a million points stamped the same boilerplate
+    * timestamp) therefore collapses to ONE array entry before any array is
+    * built. `bucketWidth` sizes the TYPICAL per-bucket DISTINCT-value
+    * array; a bucket still over `maxBucketRows` distinct values is found
+    * by a count pre-pass and hash-split into ⌈n/cap⌉ sub-arrays keyed on
+    * `pmod(hash(value), splits)` — DETERMINISTIC in the row's value, so a
+    * partial stage retry recomputes identical sub assignments (a
+    * nondeterministic salt here is the SPARK-23207 shape: surviving map
+    * outputs and retried ones disagree on row placement and rows silently
+    * drop or double-count). Value-keyed splitting is safe precisely
+    * BECAUSE of the dedup: within a bucket every row's value is distinct,
+    * so identical-value pileups that would defeat a value hash no longer
+    * exist. The two probes run per sub-array and the final groupBy
+    * re-combines exactly (counts ADD across any partition of a bucket's
+    * values, mins MIN) — bit-identical to the unsplit plan while no task
+    * materializes more than ~2·cap longs in one row. The oversized-bucket
+    * table is joined as a BROADCAST on both sides (empty in the
+    * non-degenerate case, one row per hot bucket otherwise).
     *
     * Output: every `intervals` column, plus `<countName>` (long, ≥ 1) and
     * `<minName>` (long, the smallest contained point). */
-  /** Sub-array assignment for an over-cap bucket's points. Must be
-    * ROW-unique, not value-keyed: the degenerate case the cap exists for
-    * is every point carrying the SAME value (boilerplate timestamps), and
-    * `pmod(hash(value), splits)` would send all of them to one sub — the
-    * memory bound failing exactly where it matters. Salting with
-    * partition id + per-row id spreads identical values evenly; the
-    * interval side probes EVERY sub, and counts/mins recombine exactly
-    * over any partition of a bucket's points, so the assignment is free
-    * to be arbitrary (and need not be stable across retries). */
-  private[graft] def saltedSub(pt: Column, splits: Column): Column =
-    pmod(hash(pt, spark_partition_id(), monotonically_increasing_id()), splits)
-
   def intervalAggregate(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String, bucketWidth: Long,
       countName: String = "n_points",
@@ -116,7 +117,8 @@ object RangeJoin {
       maxBucketRows: Int = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxBucketRows > 0, "maxBucketRows must be positive")
-    val reserved = Seq("__bucket", "__sub", "__splits", "__pts", "__c", "__m")
+    val reserved = Seq("__bucket", "__sub", "__splits", "__pt", "__n",
+      "__zs", "__pts", "__cum", "__c", "__m")
     val inputCols = (intervals.columns ++ Seq(ptCol, loCol, hiCol)).toSet
     val clash = reserved.filter(inputCols.contains) ++
       Seq(countName, minName).filter(intervals.columns.contains)
@@ -124,29 +126,41 @@ object RangeJoin {
       s"intervalAggregate: column name(s) ${clash.mkString(", ")} collide " +
         s"with reserved internal/output names (${reserved.mkString(", ")}, " +
         s"$countName, $minName) — rename the input columns")
-    import graft.functions.LowerBound
+    import graft.functions.{LowerBound, PrefixSums}
     def bucketOf(c: Column): Column = {
       val v = c.cast("long")
       ((v - pmod(v, lit(bucketWidth))).cast("decimal(28,0)") /
         lit(bucketWidth)).cast("long")
     }
-    val pts = points.withColumn("__bucket", bucketOf(col(ptCol)))
+    // Dedup FIRST: multiplicity becomes a count column (map-side combined,
+    // so the shuffle carries distinct values, not raw rows), and every
+    // later per-bucket structure is bounded by DISTINCT values.
+    val ptsAgg = points
+      .select(bucketOf(col(ptCol)).as("__bucket"),
+        col(ptCol).cast("long").as("__pt"))
+      .groupBy(col("__bucket"), col("__pt"))
+      .agg(count(lit(1)).as("__n"))
     // Hot-bucket pre-pass (same shape as Dedup's maxBucketSize guard):
-    // partial-aggregated counts, filtered to the over-cap buckets only, so
-    // the broadcast is empty unless a bucket is actually degenerate.
-    val oversized = pts.groupBy(col("__bucket"))
+    // per-bucket DISTINCT-value counts, filtered to the over-cap buckets
+    // only, so the broadcast is empty unless a bucket is degenerate.
+    val oversized = ptsAgg.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__c"))
       .where(col("__c") > maxBucketRows)
       .select(col("__bucket"),
         ceil(col("__c").cast("double") / maxBucketRows).cast("int").as("__splits"))
+    // Deterministic value-keyed sub assignment — retry-safe (see scaladoc):
+    // post-dedup a bucket's values are distinct, so hash(value) spreads.
     val subOf =
       when(col("__splits").isNotNull,
-        saltedSub(col(ptCol), col("__splits"))).otherwise(lit(0))
-    val ptsPerBucket = pts
+        pmod(hash(col("__pt")), col("__splits"))).otherwise(lit(0))
+    val ptsPerBucket = ptsAgg
       .join(broadcast(oversized), Seq("__bucket"), "left")
       .withColumn("__sub", subOf)
       .groupBy(col("__bucket"), col("__sub"))
-      .agg(sort_array(collect_list(col(ptCol).cast("long"))).as("__pts"))
+      .agg(sort_array(collect_list(struct(col("__pt"), col("__n")))).as("__zs"))
+      .select(col("__bucket"), col("__sub"),
+        col("__zs").getField("__pt").as("__pts"),
+        PrefixSums(col("__zs").getField("__n")).as("__cum"))
     // Each interval probes every sub-array of each covering bucket.
     val bucketed = intervals.where(col(loCol) <= col(hiCol))
       .withColumn("__bucket",
@@ -157,9 +171,13 @@ object RangeJoin {
       .drop("__splits")
     val lb = LowerBound(col("__pts"), col(loCol))
     val ub = LowerBound(col("__pts"), col(hiCol).cast("long") + lit(1L))
+    // Contained count = prefix[ub] − prefix[lb] (element_at is 1-based and
+    // __cum has size(__pts)+1 entries, so ub+1 ≤ size+1 is always valid).
     val perBucket = bucketed
       .join(ptsPerBucket, Seq("__bucket", "__sub"), "left")
-      .withColumn("__c", coalesce((ub - lb).cast("long"), lit(0L)))
+      .withColumn("__c", coalesce(
+        element_at(col("__cum"), ub + lit(1)) -
+          element_at(col("__cum"), lb + lit(1)), lit(0L)))
       // element_at is 1-based; the candidate only counts when it exists
       // and is ≤ hi (lower_bound(lo) lands on the first element ≥ lo, so
       // ≥ lo is already guaranteed)

@@ -75,3 +75,62 @@ class LowerBoundSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(0)))
   }
 }
+
+/** prefix_sums semantics (exclusive prefix, n+1 entries) across the
+  * interpreted and codegen paths, plus the count-in-range composition with
+  * lower_bound that intervalAggregate relies on. */
+class PrefixSumsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.PrefixSums
+
+  test("exclusive prefix with total as the last entry") {
+    val got = Seq(Tuple1(Seq(3L, 1L, 4L, 1L, 5L))).toDF("a")
+      .select(PrefixSums(col("a")).as("p")).head().getSeq[Long](0)
+    assert(got == Seq(0L, 3L, 4L, 8L, 9L, 14L))
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("a")
+      .select(PrefixSums(col("a")).as("p")).head().getSeq[Long](0)
+    assert(empty == Seq(0L))
+  }
+
+  test("interpreted eval equals the codegen path") {
+    val df = (1 to 100).map(i => Tuple1(Seq.tabulate(i % 13)(j => (i * j % 7).toLong)))
+      .toDF("a")
+    val q = df.select(PrefixSums(col("a")))
+    val viaCodegen = q.collect().map(_.getSeq[Long](0))
+    val viaInterpreted =
+      withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+          "spark.sql.codegen.wholeStage" -> "false") {
+        q.collect().map(_.getSeq[Long](0))
+      }
+    assert(viaCodegen.toSeq == viaInterpreted.toSeq)
+    val expected = df.collect().map(r => r.getSeq[Long](0).scanLeft(0L)(_ + _))
+    assert(viaCodegen.toSeq == expected.toSeq)
+  }
+
+  test("count-in-range over (distinct values, counts) matches the raw scan") {
+    // The intervalAggregate kernel: raw points dedup to sorted distinct
+    // values + counts; contained count = prefix[lb(hi+1)] - prefix[lb(lo)].
+    val rnd = new scala.util.Random(13)
+    val raw = Seq.fill(2000)(rnd.nextInt(80).toLong)
+    val grouped = raw.groupBy(identity).toSeq.sortBy(_._1)
+    val vals = grouped.map(_._1)
+    val cnts = grouped.map(_._2.size.toLong)
+    for (_ <- 1 to 40) {
+      val lo = rnd.nextInt(100).toLong - 10
+      val hi = lo + rnd.nextInt(40)
+      val got = Seq((vals, cnts, lo, hi)).toDF("v", "c", "lo", "hi")
+        .select((element_at(PrefixSums(col("c")),
+            graft.functions.LowerBound(col("v"), col("hi") + 1) + lit(1)) -
+          element_at(PrefixSums(col("c")),
+            graft.functions.LowerBound(col("v"), col("lo")) + lit(1))).as("n"))
+        .head().getLong(0)
+      assert(got == raw.count(x => x >= lo && x <= hi), s"[$lo,$hi]")
+    }
+  }
+
+  test("null array yields null") {
+    val r = Seq(Tuple1(None: Option[Seq[Long]])).toDF("a")
+      .select(PrefixSums(col("a")).as("p")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+}

@@ -117,13 +117,11 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("intervalAggregate bounds a degenerate hot bucket and stays exact") {
-    // 10^6 points all landing in ONE bucket (the boilerplate-timestamp
-    // shape): without the split, the per-bucket sort_array(collect_list)
-    // row is a single 8 MB array built in one task; with maxBucketRows =
-    // 65536 the pre-pass hash-splits it into 16 sub-arrays. The split
-    // plan must (a) keep every materialized array within the cap (checked
-    // via the split machinery's own sub-array output) and (b) produce
-    // results hash-equal to the unsplit plan — counts add, mins min.
+    // 10^6 points all landing in ONE bucket: the dedup pre-pass collapses
+    // them to 3600 distinct (value, count) entries, and maxBucketRows =
+    // 1024 then forces the hot-bucket hash-split into 4 sub-arrays. The
+    // split plan must produce results identical to the unsplit plan —
+    // counts add (through the prefix-sums arrays), mins min.
     val n = 1000000
     val points = spark.range(n.toLong)
       .select((col("id") % 3600).as("pt")) // all within one 1-hour bucket
@@ -138,7 +136,7 @@ class ScaleOpsSpec extends SparkSpec {
         maxBucketRows = cap)
       .select($"iid", $"n_points", $"min_pt")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-    val split = run(65536)
+    val split = run(1024)
     val unsplit = run(Int.MaxValue)
     assert(split == unsplit)
     // per = n/3600 occurrences of each value in [0, 3600)
@@ -151,20 +149,13 @@ class ScaleOpsSpec extends SparkSpec {
       (3L, cnt(3599, 3599), 3599L)))
   }
 
-  test("hot-bucket split bounds IDENTICAL-valued points (row-salted subs)") {
-    // The worst degenerate case: every point carries the SAME value, so a
-    // value-keyed hash(pt) % splits sends all of them to one sub-array and
-    // the memory cap fails exactly in the scenario it targets. The salted
-    // assignment must spread identical values near-evenly…
+  test("intervalAggregate stays exact over identical-valued points") {
+    // Every point carries the SAME value — the boilerplate-timestamp
+    // degenerate case. With multiplicity carried as a count column the
+    // whole pile collapses to ONE dedup row (no split needed, no 200k-long
+    // array materialized anywhere), and the count must still be exact.
     val n = 200000
     val same = spark.range(n.toLong).select(lit(1000L).as("pt"))
-    val sizes = same
-      .withColumn("__sub", graft.operators.RangeJoin.saltedSub(col("pt"), lit(16)))
-      .groupBy("__sub").count().select("count").as[Long].collect()
-    assert(sizes.length == 16, "identical values must reach every sub")
-    assert(sizes.max <= (n / 16) * 2,
-      s"no sub may hold more than ~2x its fair share (got max ${sizes.max})")
-    // …and the split aggregate over identical values must stay exact.
     val intervals = Seq((1L, 0L, 2000L), (2L, 1500L, 2000L)).toDF("iid", "lo", "hi")
     val got = graft.operators.RangeJoin.intervalAggregate(
         same, intervals, "pt", "lo", "hi", bucketWidth = 3600L,
@@ -172,6 +163,29 @@ class ScaleOpsSpec extends SparkSpec {
       .select($"iid", $"n_points", $"min_pt")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, n.toLong, 1000L)))
+  }
+
+  test("hot-bucket sub assignment is deterministic in the value (retry-safe)") {
+    // A partial stage retry recomputes some map tasks while others'
+    // outputs survive; the sub key must therefore be a pure function of
+    // row content (SPARK-23207 class of bug otherwise). Distinct values
+    // must also spread near-evenly so the memory cap actually binds.
+    val sizes = spark.range(200000L)
+      .select(pmod(hash(col("id")), lit(16)).as("__sub"))
+      .groupBy("__sub").count().select("count").as[Long].collect()
+    assert(sizes.length == 16, "distinct values must reach every sub")
+    assert(sizes.max <= (200000 / 16) * 2,
+      s"no sub may hold more than ~2x its fair share (got max ${sizes.max})")
+    // Exactness when the split DOES engage on distinct values: 40k
+    // distinct points in one bucket, cap 1k → 40 sub-arrays.
+    val points = spark.range(40000L).select(col("id").as("pt"))
+    val intervals = Seq((1L, 0L, 39999L), (2L, 100L, 199L)).toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin.intervalAggregate(
+        points, intervals, "pt", "lo", "hi", bucketWidth = 65536L,
+        maxBucketRows = 1000)
+      .select($"iid", $"n_points", $"min_pt")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 40000L, 0L), (2L, 100L, 100L)))
   }
 
   test("corpus-card sketch twins land within 2% of exact at sf0.1") {
