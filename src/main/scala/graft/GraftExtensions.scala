@@ -304,8 +304,18 @@ object GraftExtensions {
       spark, constString(children.head, "root"))
     val table = constString(children(1), "table")
     val latest = store.latestVersion(table)
+    // DESCRIBE HISTORY's shape: version, expose-time commit timestamp
+    // (what TIMESTAMP AS OF resolves against), the producing operation
+    // (commit-props tag; bare commits/appends carry none), and whether
+    // the version is the current head.
     Bridge.analyzedPlan(store.history(table)
-      .map(v => (v, latest.contains(v))).toDF("version", "is_latest"))
+      .map { v =>
+        (v,
+          store.commitTimeOf(table, v).map(new java.sql.Timestamp(_)),
+          store.commitProps(table, v).get(graft.core.SnapshotStore.OpProp),
+          latest.contains(v))
+      }
+      .toDF("version", "commit_time", "op", "is_latest"))
   }
 
   // Batch change-feed TVF: the rows `append` admitted after since_version,

@@ -259,9 +259,24 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       // already moved the pointer past it (committed-but-superseded) —
       // the sentinel lands unconditionally; only the pointer move is
       // forward-gated.
-      Files.writeString(committedMarker(table, next), "")
+      stampCommitted(table, next)
       if (latestVersion(table).forall(_ < next)) movePointer(table, next)
     }
+
+  /** Write the committed sentinel CARRYING the expose-time wall clock
+    * (epoch ms as the file's content) — what `TIMESTAMP AS OF` resolves
+    * against. Expose time, not data-write time: a rebased candidate's
+    * files predate the appends it serialized after, but its sentinel
+    * lands strictly later, so timestamp order always equals commit
+    * order. Clamped monotonic against the current head's stamp, so a
+    * wall-clock step backwards (NTP) can never make two versions resolve
+    * out of order. Callers hold the pointer lock. */
+  private def stampCommitted(table: String, v: Long): Unit = {
+    val floor = latestVersion(table)
+      .flatMap(commitTimeOf(table, _)).getOrElse(0L)
+    Files.writeString(committedMarker(table, v),
+      math.max(System.currentTimeMillis(), floor + 1L).toString)
+  }
 
   /** Compare-and-swap pointer move — the optimistic-concurrency commit
     * step for read-modify-write operations (`append`, `compact`): under
@@ -282,7 +297,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         // sentinel-less (invisible to history/readAt/feeds) until the
         // caller relinks or discards it — vacuum sees it only as an
         // orphan candidate under the mtime grace window.
-        Files.writeString(committedMarker(table, next), "")
+        stampCommitted(table, next)
         movePointer(table, next); true
       } else false
     }
@@ -551,6 +566,61 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       None
     }
   }
+
+  /** Fold the chain's accumulated DELETION VECTORS away WITHOUT collapsing
+    * the chain (compact's O(table) rewrite): rewrites ONLY the vectored
+    * files — their surviving rows land as a chain link that tombstones
+    * them — after which every reader broadcast of the chain's vectors
+    * (scanWithDv) disappears. O(vectored files), content-neutral (the
+    * vectored rows' delete images were already emitted when they were
+    * vectored, so like compact this records NO change set and stays
+    * invisible to the feeds). Returns the fold version, or the unchanged
+    * head when the chain carries no vectors.
+    *
+    * This is the BACKSTOP against unbounded vector accumulation: each
+    * mutation's vector is capped ([[SnapshotStore.DvMaxRowsPerMutation]]),
+    * but many sparse mutations stack — every read pays a driver-side
+    * broadcast of the chain total. Mutations auto-trigger this fold when
+    * the chain crosses [[SnapshotStore.DvMaxChainRows]] (seam:
+    * [[dvChainFoldRows]]); long mutation-quiesced tables can call it
+    * directly. Same CAS + bounded-recompute contract as [[compact]]. */
+  def compactVectored(table: String, maxRetries: Int = 5): Long = {
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val dvs = dvInChain(table, v)
+      if (dvs.isEmpty) v
+      else {
+        val schema = snapshotSchema(table, Some(v))
+        val keys = dvs.keys.toSeq.sorted
+        val paths = keys.map(k => tableDir(table).resolve(k))
+        val survivors = scanWithDv(table, paths, schema, dvs)
+          .select(schema.fieldNames
+            .map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
+        val cand = commitWith(table, Some(survivors), changeSet = None,
+          base = Some(v), snapshot = schema, advance = false,
+          removed = keys,
+          props = resolvedProps(table, v) +
+            (SnapshotStore.OpProp -> "compact-dv"))
+        if (casAdvance(table, cand, Some(v))) cand
+        else {
+          val w = Files.walk(versionDir(table, cand))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          if (retriesLeft > 0) attempt(retriesLeft - 1)
+          else throw new IllegalStateException(
+            s"compactVectored($table) lost the commit race $maxRetries " +
+              "times — table is mutation-hot; retry later or widen maxRetries")
+        }
+      }
+    }
+    attempt(maxRetries)
+  }
+
+  /** The chain-accumulated DV row count above which a mutation folds the
+    * vectors ([[compactVectored]]) before proceeding. A spec seam and an
+    * ops lever; the default is [[SnapshotStore.DvMaxChainRows]]. */
+  private[graft] var dvChainFoldRows: Long = SnapshotStore.DvMaxChainRows
 
   /** Write-time clustering (Iceberg sort-order / Delta OPTIMIZE ZORDER's
     * role for the single-dimension case): range-partition + sort within
@@ -962,7 +1032,16 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         throw new IllegalArgumentException(s"no committed version of $table"))
       val live = liveDataFiles(table, v)
       if (live.isEmpty) v
-      else {
+      else if (dvInChain(table, v).valuesIterator.map(_.size.toLong).sum >
+          dvChainFoldRows) {
+        // Chain-vector backstop: the accumulated vectors ride every
+        // reader's broadcast (scanWithDv) — unbounded across many sparse
+        // mutations until something folds them. Fold first (O(vectored
+        // files)), then mutate against the clean head; the fold empties
+        // the chain's vectors, so this branch cannot re-trigger.
+        compactVectored(table)
+        attempt(retriesLeft)
+      } else {
         val schema = snapshotSchema(table, Some(v))
         val selSchema = schema.fieldNames.map(col(_)).toIndexedSeq
         val chainDv = dvInChain(table, v)
@@ -1251,11 +1330,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       def tgt(files: Seq[Path]): DataFrame =
         scanWithDv(table, files, schema, chainDv).alias("target")
 
+      val hasMatchedAction = matchedUpdate.isDefined || matchedDelete
       // Pass 1: matched files, per-target-row match multiplicity, and
       // per-file matched-row counts (the deletion-vector policy's input)
-      // in ONE job — at most #files rows come back.
+      // in ONE job — at most #files rows come back. An insert-only merge
+      // never consumes matched files (no rewrite, no vectors, no images,
+      // no cardinality check), so it skips this full target⋈source scan
+      // outright — its only join is the left_anti below.
       val perFile =
-        if (live.isEmpty) Array.empty[(String, Long, Long)]
+        if (live.isEmpty || !hasMatchedAction) Array.empty[(String, Long, Long)]
         else tgt(live).join(src, condition, "inner")
           .groupBy(col("__file_key"), col("__row_idx"))
           .agg(count(lit(1)).as("__m"))
@@ -1268,8 +1351,6 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           s"merge into $table: a target row matches multiple source rows — " +
             "UPDATE is ambiguous (ANSI cardinality violation); deduplicate " +
             "the source or tighten the condition")
-
-      val hasMatchedAction = matchedUpdate.isDefined || matchedDelete
       // DV policy split — the same sparse-predicate rule as delete/update,
       // because the CDC upsert shape (one changed row per fat file) is
       // copy-on-write's worst case here too: files whose matched fraction
@@ -1398,6 +1479,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         }
       }
     }
+    // Chain-vector backstop (see rowMutation): fold an over-cap vector
+    // chain before merging, so reader broadcasts stay bounded however
+    // many sparse merges stack.
+    latestVersion(table).foreach { v =>
+      if (dvInChain(table, v).valuesIterator.map(_.size.toLong).sum >
+          dvChainFoldRows)
+        compactVectored(table)
+    }
     attempt(maxRetries)
   }
 
@@ -1465,17 +1554,39 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     recoverPendingTxns()
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"no committed version of $table"))
-    require(isCommitted(table, v),
-      s"version $v of $table is not a committed version")
+    requireCommitted(table, v)
     (v, chainOf(table, v).map(versionDir(table, _)))
   }
+
+  /** Refuse an uncommitted version — with a DIAGNOSIS. A complete write
+    * (`_SUCCESS`) at or below the pointer with no `_committed` sentinel is
+    * the signature of a store written before the sentinel protocol (round
+    * 13): name [[migrateLegacyTable]] instead of the generic refusal, or
+    * the migration is undiscoverable from the failure (every pre-sentinel
+    * fixture call site had to know it by heart). The same signature can
+    * also be a LIVE CAS loser awaiting relink/discard, which is exactly
+    * why this does NOT auto-stamp — the message says when migration is
+    * sound (quiesced store) and the caller decides. */
+  private def requireCommitted(table: String, v: Long): Unit =
+    if (!isCommitted(table, v)) {
+      if (hasSuccessMarker(table, v) && latestVersion(table).exists(v <= _))
+        throw new IllegalArgumentException(
+          s"version $v of $table completed its write but carries no " +
+            "_committed sentinel. If this store was written by a " +
+            "pre-sentinel version of graft and is quiesced (no active " +
+            s"""writers), run migrateLegacyTable("$table") once to stamp """ +
+            "its committed history; if new-protocol writers are active, " +
+            "this directory is an in-flight or crashed commit candidate " +
+            "and must not be read")
+      else throw new IllegalArgumentException(
+        s"version $v of $table is not a committed version")
+    }
 
   /** The change set a committed version recorded (None for rewrites and
     * pre-change-set versions): the rows `append` added at `version`,
     * pinned to the immutable `v=n/_changes/` directory. */
   def changesAt(table: String, version: Long): Option[DataFrame] = {
-    require(isCommitted(table, version),
-      s"version $version of $table is not a committed version")
+    requireCommitted(table, version)
     if (hasChanges(table, version))
       Some(spark.read.parquet(changesDir(table, version).toString))
     else None
@@ -1512,8 +1623,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   /** The rows a delete version removed (`_changes_removed/`, recorded by
     * `delete` at O(matched rows)); None for non-delete versions. */
   def deletedRowsAt(table: String, version: Long): Option[DataFrame] = {
-    require(isCommitted(table, version),
-      s"version $version of $table is not a committed version")
+    requireCommitted(table, version)
     val d = versionDir(table, version).resolve("_changes_removed")
     if (Files.exists(d.resolve("_SUCCESS")))
       Some(spark.read.parquet(d.toString))
@@ -1552,7 +1662,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def nonFeedMutationsSince(table: String, since: Long): Seq[Long] =
     history(table).filter(_ > since).filter { v =>
       !hasChanges(table, v) &&
-        !commitProps(table, v).get(SnapshotStore.OpProp).contains("compact") &&
+        !commitProps(table, v).get(SnapshotStore.OpProp)
+          .exists(_.startsWith("compact")) &&
         removedAt(table, v).isEmpty && dvAt(table, v).isEmpty
     }
 
@@ -1633,6 +1744,38 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       versionDirs(table).filter(v => v <= latest && isCommitted(table, v))
   }
 
+  /** EXPOSE-time commit timestamp (epoch ms) of a committed version: the
+    * `_committed` sentinel's content ([[stampCommitted]]). Sentinels
+    * written before the timestamp convention (or by hand) fall back to
+    * the sentinel file's mtime — best-effort, exactly like Delta's
+    * pre-in-commit-timestamp resolution. None for uncommitted versions. */
+  def commitTimeOf(table: String, v: Long): Option[Long] = {
+    val m = committedMarker(table, v)
+    if (!Files.exists(m)) None
+    else {
+      val s = Files.readString(m).trim
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong)
+      else Some(Files.getLastModifiedTime(m).toMillis)
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the NEWEST committed version whose
+    * expose time is at or before `tsMillis` — "the table as a reader at
+    * that wall-clock instant saw it". Stamps are monotonic in version
+    * order ([[stampCommitted]]'s clamp), so the answer is well-defined;
+    * a timestamp before the first commit refuses loudly (nothing existed
+    * to read), mirroring Delta/Iceberg semantics. */
+  def versionAtTimestamp(table: String, tsMillis: Long): Long = {
+    val h = history(table)
+    if (h.isEmpty)
+      throw new IllegalArgumentException(s"no committed version of $table")
+    val at = h.takeWhile(v => commitTimeOf(table, v).exists(_ <= tsMillis))
+    at.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"timestamp $tsMillis ms predates the earliest commit of $table " +
+        s"(${commitTimeOf(table, h.head).getOrElse(-1L)} ms) — nothing " +
+        "existed to read"))
+  }
+
   // ---- Multi-table atomic commit ------------------------------------------
 
   private def txnDir: Path = Paths.get(root, "_txn")
@@ -1684,7 +1827,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           val intent = writeTxnIntent(cands.map { case (t, (v, _)) => t -> v })
           tables.foreach { t =>
             val v = cands(t)._1
-            Files.writeString(committedMarker(t, v), "")
+            stampCommitted(t, v)
             if (latestVersion(t).forall(_ < v)) movePointer(t, v)
           }
           Files.deleteIfExists(intent)
@@ -1758,7 +1901,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         }
         versions.sortBy(_._1).foreach { case (t, v) =>
           if (hasSuccessMarker(t, v)) underPointerLock(t) {
-            Files.writeString(committedMarker(t, v), "")
+            stampCommitted(t, v)
             if (latestVersion(t).forall(_ < v)) movePointer(t, v)
           }
         }
@@ -1805,7 +1948,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         versionDirs(table)
           .filter(v => v <= latest && hasSuccessMarker(table, v) &&
             !Files.exists(committedMarker(table, v)))
-          .foreach(v => Files.writeString(committedMarker(table, v), ""))
+          // Legacy versions never recorded an expose time: approximate
+          // with the completed-write marker's mtime, preserving the
+          // store's historical order for TIMESTAMP AS OF.
+          .foreach(v => Files.writeString(committedMarker(table, v),
+            Files.getLastModifiedTime(
+              versionDir(table, v).resolve("_SUCCESS")).toMillis.toString))
       }
     }
 
@@ -1891,6 +2039,14 @@ object SnapshotStore {
     * past this the predicate is demonstrably dense and copy-on-write is
     * the honest cost. ~4M entries ≈ 64 MB of boxed pairs at collect time. */
   val DvMaxRowsPerMutation: Long = 1L << 22
+
+  /** Backstop on the CHAIN-ACCUMULATED deletion-vector rows: the per-
+    * mutation cap bounds one commit, but sparse mutations stack and the
+    * union rides EVERY reader's broadcast until something folds it. Past
+    * this, the next mutation triggers [[SnapshotStore.compactVectored]]
+    * — an O(vectored files) rewrite — before proceeding, so reads never
+    * pay more than (chain cap + one mutation cap) of vector broadcast. */
+  val DvMaxChainRows: Long = 1L << 22
 
   /** Commit-props key tagging the OPERATION that produced a version
     * ("compact", "delete") — read via `commitProps` (per-version), NOT

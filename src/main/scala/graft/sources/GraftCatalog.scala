@@ -65,6 +65,19 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     resolved(ident, Some(version.trim.toLong))
 
+  /** `TIMESTAMP AS OF t` — DSv2 hands the evaluated timestamp in MICROS;
+    * resolved to the newest version whose expose-time stamp is at or
+    * before it (`SnapshotStore.versionAtTimestamp`). A timestamp before
+    * the table's first commit propagates the store's loud refusal —
+    * mapping it to table-not-found would misdiagnose a real table. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    val table = ident.name()
+    if (store.latestVersion(table).isEmpty) throw new NoSuchTableException(ident)
+    resolved(ident,
+      Some(store.versionAtTimestamp(table, Math.floorDiv(timestamp, 1000L))))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) return Array.empty
     val dir = java.nio.file.Paths.get(root)

@@ -63,9 +63,22 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
         val table = Option(options.get("table")).getOrElse(
           throw new IllegalArgumentException(
             "graft source requires option 'table': the store table name"))
-        val version = Option(options.get("version")).map(_.trim.toLong)
         val spark = SparkSession.active
         val store = new SnapshotStore(spark, root)
+        val explicitVersion = Option(options.get("version")).map(_.trim.toLong)
+        // TIMESTAMP AS OF through the DataFrame face: epoch millis or an
+        // ISO-8601 instant, resolved NOW to a pinned version (so the read
+        // carries the same immutability contract as an explicit version).
+        val asOf = Option(options.get("timestampAsOf")).map { raw =>
+          val s = raw.trim
+          val ms =
+            if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+            else java.time.Instant.parse(s).toEpochMilli
+          require(explicitVersion.isEmpty,
+            "options 'version' and 'timestampAsOf' are mutually exclusive")
+          store.versionAtTimestamp(table, ms)
+        }
+        val version = explicitVersion.orElse(asOf)
         val t =
           if (Option(options.get("feed")).exists(_.equalsIgnoreCase("cdf"))) {
             // CHANGE-DATA feed: tagged insert/delete row images per version
@@ -103,6 +116,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
             passThrough.remove("root"); passThrough.remove("path")
             passThrough.remove("table"); passThrough.remove("version")
             passThrough.remove("feed"); passThrough.remove("startingVersion")
+            passThrough.remove("timestampAsOf")
             GraftTable.forSnapshot(spark, store, table, version, passThrough)
           }
         cached = Some(t)

@@ -90,6 +90,21 @@ final class GraftFileIndex(
         knownFiles.map(_._2.bytes).sum))
     }
 
+  /** Store-relative keys ("v=N/name.parquet" — the deletion-vector
+    * sidecar's key shape) of the manifest files SURVIVING the pushed data
+    * filters. DV statistics subtract only these files' vector rows: a
+    * pruned-away file's deleted rows were never in the pruned row count,
+    * so subtracting them would undercount the scan and mis-size joins. */
+  def prunedKeys(dataFilters: Seq[Expression]): Set[String] = {
+    val kept =
+      if (dataFilters.isEmpty) knownFiles.map(_._1)
+      else knownFiles.collect {
+        case (st, fs) if dataFilters.forall(DataSkipping.mayMatch(_, fs)) => st
+      }
+    kept.map(st =>
+      s"${st.getPath.getParent.getName}/${st.getPath.getName}").toSet
+  }
+
   override def refresh(): Unit = dirIndex.foreach(_.refresh())
 
   override def sizeInBytes: Long =

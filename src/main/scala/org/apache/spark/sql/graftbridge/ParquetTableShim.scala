@@ -137,9 +137,14 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     val built = super.build()
     if (dv.nonEmpty) {
       // Deletion vectors present: wrap the finished scan so its readers
-      // drop vectored rows (DvParquetScan). Statistics subtract the
-      // vectored row count from the manifest numbers.
-      val dvRows = dv.valuesIterator.map(_.length.toLong).sum
+      // drop vectored rows (DvParquetScan). Statistics subtract only the
+      // vectors of files SURVIVING pruning — a pruned file's deleted rows
+      // were never counted, so subtracting the chain total would
+      // undercount selective scans and mislead join sizing.
+      val surviving = index.prunedKeys(built.dataFilters)
+      val dvRows = dv.iterator
+        .collect { case (k, v) if surviving.contains(k) => v.length.toLong }
+        .sum
       new DvParquetScan(built, dv,
         index.prunedStats(built.dataFilters)
           .map { case (r, b, t) => (math.max(0L, r - dvRows), b, t) })

@@ -29,6 +29,47 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("TIMESTAMP AS OF resolves expose-time stamps through SQL and the connector") {
+    root
+    val st = new SnapshotStore(spark, root)
+    val t1 = st.commitTimeOf("docs", 1L).get
+    val t2 = st.commitTimeOf("docs", 2L).get
+    assert(t1 < t2, "expose stamps are strictly monotonic in version order")
+    // store-level resolution
+    assert(st.versionAtTimestamp("docs", t1) == 1L)
+    assert(st.versionAtTimestamp("docs", t2 + 60000L) == 2L)
+    val early = intercept[IllegalArgumentException](
+      st.versionAtTimestamp("docs", t1 - 1L))
+    assert(early.getMessage.contains("predates"))
+    // SQL face: the AS OF expression evaluates to micros, floor-divided
+    // back to the stamp's millis domain
+    assert(spark.sql(
+      s"SELECT id FROM kgcat.docs TIMESTAMP AS OF timestamp_millis(${t1}L)")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.sql(
+      s"SELECT id FROM kgcat.docs TIMESTAMP AS OF timestamp_millis(${t2}L)")
+      .as[Long].collect().toSet == Set(3L))
+    // DataFrame face: epoch-millis or ISO-8601 instant
+    assert(spark.read.format("graft").option("root", root)
+      .option("table", "docs").option("timestampAsOf", t1.toString).load()
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.read.format("graft").option("root", root)
+      .option("table", "docs")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(t2).toString)
+      .load().select("id").as[Long].collect().toSet == Set(3L))
+    // a timestamp-pinned table is historical: DELETE refuses like VERSION AS OF
+    val del = intercept[Exception](spark.sql(
+      s"DELETE FROM kgcat.docs TIMESTAMP AS OF timestamp_millis(${t1}L) WHERE id = 1"))
+    assert(del.getMessage != null)
+    // history TVF carries the stamps (DESCRIBE HISTORY's shape)
+    graft.GraftExtensions.register(spark)
+    val hist = spark.sql(
+      s"SELECT version, commit_time, is_latest FROM graft_snapshot_history('$root', 'docs')")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(hist.forall(!_.isNullAt(1)), "every committed version carries a stamp")
+  }
+
   test("SHOW TABLES lists committed store tables") {
     root
     val tables = spark.sql("SHOW TABLES IN kgcat")

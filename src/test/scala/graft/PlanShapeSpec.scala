@@ -251,4 +251,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(sel < all / 4,
       s"zone-map pruning must shrink reported size ($sel vs $all)")
   }
+
+  test("DV scan statistics subtract only SURVIVING files' vectors") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("dvstats").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    // four appends = four single-file versions with tight disjoint ranges
+    for (lo <- 0L until 4000L by 1000L)
+      store.append("t", spark.range(lo, lo + 1000)
+        .select(col("id"), (col("id") * 2).as("v")).coalesce(1))
+    // 3 sparse rows in the [0,999] file only → a deletion vector there
+    val d = store.delete("t", col("id").isin(10L, 20L, 30L))
+    assert(store.dvAt("t", d).nonEmpty, "fixture must exercise the DV path")
+    val df = spark.read.format("graft")
+      .option("root", root).option("table", "t").load()
+    def scanRows(q: org.apache.spark.sql.DataFrame): BigInt =
+      q.queryExecution.optimizedPlan.collectLeaves().head.stats.rowCount
+        .getOrElse(fail(s"scan must report a row count: $q"))
+    // a band that PRUNES the vectored file: its vector's rows were never
+    // in the pruned count — subtracting the chain total would undercount
+    assert(scanRows(df.filter(col("id").between(3000L, 3999L))) == BigInt(1000),
+      "pruned-away vectors must not be subtracted")
+    // the band covering the vectored file subtracts exactly its 3 rows
+    assert(scanRows(df.filter(col("id").between(0L, 999L))) == BigInt(997),
+      "surviving file's vector rows are subtracted")
+  }
 }

@@ -718,13 +718,68 @@ class SnapshotStoreSpec extends SparkSpec {
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(root, "t", s"v=$v", "_committed"))
     assert(st.history("t").isEmpty, "pre-migration: nothing reads as committed")
-    intercept[IllegalArgumentException](st.read("t"))
+    // The refusal must DIAGNOSE the legacy pattern (complete write at/below
+    // the pointer, sentinel absent) and name the migration — the generic
+    // "not committed" message leaves the fix undiscoverable.
+    val refusal = intercept[IllegalArgumentException](st.read("t"))
+    assert(refusal.getMessage.contains("migrateLegacyTable"),
+      s"legacy refusal must name the migration, got: ${refusal.getMessage}")
     st.migrateLegacyTable("t")
     assert(st.history("t") == Seq(1L, 2L))
     assert(st.read("t").as[Int].collect().toSet == Set(1, 2))
     st.migrateLegacyTable("t") // idempotent
     st.migrateLegacyTable("never_existed") // no-op on unknown tables
     assert(st.history("t") == Seq(1L, 2L))
+  }
+
+  test("compactVectored folds chain deletion vectors; content and feeds unchanged") {
+    val st = freshStore()
+    st.commitClustered("t", spark.range(0, 4000)
+      .select(col("id"), (col("id") * 2).as("v")), Seq("id"),
+      targetPartitions = 4)
+    // sparse delete: ~2 of ~1000 rows per file → deletion vectors, no rewrite
+    val d = st.delete("t", col("id") % 500 === 7)
+    assert(st.dvAt("t", d).nonEmpty, "fixture must exercise the DV path")
+    val expected = st.read("t").select(sum(col("v"))).as[Long].head()
+    val folded = st.compactVectored("t")
+    assert(st.dvInChain("t", folded).isEmpty, "fold must clear every chain vector")
+    assert(st.read("t").select(sum(col("v"))).as[Long].head() == expected,
+      "fold is content-neutral")
+    assert(st.read("t").count() == 4000 - 8)
+    // time travel below the fold still resolves the vectors
+    assert(st.readAt("t", d).count() == 4000 - 8)
+    // content-neutral to consumers: the FOLD version is never flagged as a
+    // non-feed mutation (the initial bare commit legitimately is), and the
+    // change-data feed carries the delete's images exactly once
+    assert(!st.nonFeedMutationsSince("t", 0L).contains(folded),
+      "a vector fold must not blind incremental consumers")
+    val feedDeletes = st.changeFeedSince("t", 0L)
+      .where(col("_change_type") === "delete")
+    assert(feedDeletes.count() == 8, "fold must add no delete images")
+    assert(st.compactVectored("t") == folded, "no vectors → unchanged head")
+  }
+
+  test("mutations auto-fold an over-cap vector chain (reader-broadcast backstop)") {
+    val st = freshStore()
+    st.dvChainFoldRows = 4L // spec seam: the production cap is 4M rows
+    st.commitClustered("t", spark.range(0, 4000)
+      .select(col("id"), (col("id") * 2).as("v")), Seq("id"),
+      targetPartitions = 4)
+    st.delete("t", col("id") % 1000 === 3) // chain DV = 4 rows (at cap)
+    st.delete("t", col("id") % 1000 === 5) // pre-check 4 > 4 false → stacks to 8
+    val head = st.latestVersion("t").get
+    assert(st.dvInChain("t", head).valuesIterator.map(_.size).sum == 8)
+    // next mutation sees 8 > 4: folds first, then mutates the clean head
+    st.delete("t", col("id") % 1000 === 7)
+    val after = st.latestVersion("t").get
+    assert(st.dvInChain("t", after).valuesIterator.map(_.size).sum == 4,
+      "the over-cap chain must fold; only the new mutation's vectors remain")
+    assert(st.history("t").exists(v =>
+      st.commitProps("t", v).get(SnapshotStore.OpProp).contains("compact-dv")),
+      "the fold must be a tagged content-neutral commit")
+    assert(st.read("t").count() == 4000 - 12, "all three deletes applied")
+    // only the initial bare commit is a non-feed mutation; the fold is not
+    assert(st.nonFeedMutationsSince("t", 1L).isEmpty)
   }
 
   test("appendAll commits N tables atomically; both crash windows are all-or-none") {
