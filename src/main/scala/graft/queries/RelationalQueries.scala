@@ -380,6 +380,33 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // TIMESTAMP AS OF round trip (M8's epoch clock as wall time): commit
+    // `orders` clustered, delete a band at a LATER version, then read the
+    // snapshot AS OF the FIRST commit's expose-time stamp through the
+    // connector — the pre-delete table, value-exact. The oracle is a plain
+    // SELECT over the ORIGINAL parquet: timestamp resolution + the pinned
+    // historical read must be invisible. Build idempotent like q97/q99
+    // (stamps live on disk, so re-runs resolve the same instant).
+    "q103_store_timetravel" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q103_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders")
+      if (store.latestVersion("orders").isEmpty) {
+        store.commitClustered("orders", Tables.orders(s, dir),
+          clusterBy = Seq("o_orderkey"))
+        store.delete("orders", col("o_orderkey") < 2000L)
+      }
+      val t1 = store.commitTimeOf("orders", 1L).getOrElse(
+        throw new IllegalStateException("q103 fixture: v1 carries no stamp"))
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .option("timestampAsOf", t1.toString)
+        .load()
+        .filter(col("o_orderkey") < 4000L)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // MERGE round trip (the reference's two-tier match-or-create ingest as
     // one atomic upsert): source = an update band derived from orders
     // itself (keys 100-999 re-prioritized) plus synthetic insert rows
@@ -891,6 +918,14 @@ object RelationalQueries {
         |FROM orders
         |WHERE o_orderkey % 97 <> 0
         |  AND o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The AS OF read pins the PRE-delete snapshot: the oracle is the
+    // original table, no delete replay.
+    "q103_store_timetravel" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 4000
         |ORDER BY o_orderkey""".stripMargin,
 
     "q102_store_merge" ->
