@@ -377,10 +377,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * loop, exposed to specs so a cross-JVM interleaving (two appenders
     * resolving the SAME base) can be forced deterministically. */
   private[graft] def appendFrom(table: String, rows: DataFrame,
-      base: Option[Long]): Long = {
+      base: Option[Long], props: Map[String, String] = Map.empty): Long = {
     val merged = mergedAppendSchema(table, base, rows.schema)
     val v = commitWith(table, Some(rows), Some(rows), base = base,
-      snapshot = merged, advance = false)
+      snapshot = merged, advance = false, props = props)
     occAppendCommit(table, rows.schema, v, base)
   }
 
@@ -554,9 +554,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // any ancestor — e.g. AnnIndex's centroids pairing — must survive the
     // chain collapsing to one self-contained version), plus the op tag
     // that tells feed consumers this version changed LAYOUT, not content.
+    // Bucket props are DROPPED: the compacted files are not bucket-
+    // attributed, and inheriting the claim would silently corrupt
+    // storage-partitioned joins — re-bucket with commitBucketed to get
+    // the layout back.
     val cand = commitWith(table, Some(df), changeSet = None, base = None,
       snapshot = snapshotSchema(table, Some(scanVersion)), advance = false,
-      props = resolvedProps(table, scanVersion) +
+      props = resolvedProps(table, scanVersion) -
+        SnapshotStore.BucketColProp - SnapshotStore.BucketNProp +
         (SnapshotStore.OpProp -> "compact"))
     if (casAdvance(table, cand, Some(scanVersion))) Some(cand)
     else {
@@ -600,7 +605,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         val cand = commitWith(table, Some(survivors), changeSet = None,
           base = Some(v), snapshot = schema, advance = false,
           removed = keys,
-          props = resolvedProps(table, v) +
+          props = resolvedProps(table, v) -
+            SnapshotStore.BucketColProp - SnapshotStore.BucketNProp +
             (SnapshotStore.OpProp -> "compact-dv"))
         if (casAdvance(table, cand, Some(v))) cand
         else {
@@ -653,6 +659,67 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def appendClustered(table: String, rows: DataFrame,
       clusterBy: Seq[String]): Long =
     append(table, clustered(rows, clusterBy))
+
+  /** HASH-BUCKETED commit — the co-located-join layout (Iceberg `bucket`
+    * partitioning / Hive bucketing's role): rows land in the file whose
+    * part index equals `pmod(murmur3(bucketBy, 42), numBuckets)` (that IS
+    * `repartition(n, col)`'s partition id, and the task partition index
+    * names the file — the explicit count also opts the shuffle out of AQE
+    * coalescing, which would otherwise merge buckets). The graft scan of
+    * a bucket-consistent chain reports `KeyGroupedPartitioning(bucket(n,
+    * col), n)`, so TWO tables bucketed the same way join with NO exchange
+    * on either side (storage-partitioned join) — at 100 TB, the shuffle
+    * this deletes is the fact⋈fact join's dominant cost. Requires
+    * `spark.sql.sources.v2.bucketing.enabled=true` and resolution through
+    * the SQL catalog (the bucket transform binds via FunctionCatalog). */
+  def commitBucketed(table: String, df: DataFrame, bucketBy: String,
+      numBuckets: Int, changeSet: Option[DataFrame] = None): Long = {
+    require(numBuckets > 0, "commitBucketed requires numBuckets > 0")
+    require(df.columns.exists(_.equalsIgnoreCase(bucketBy)),
+      s"bucket column $bucketBy is not in ${df.columns.mkString(", ")}")
+    commit(table,
+      df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy)),
+      changeSet,
+      props = Map(SnapshotStore.BucketColProp -> bucketBy,
+        SnapshotStore.BucketNProp -> numBuckets.toString))
+  }
+
+  /** Bucketed APPEND: the delta is bucketed exactly like the head (same
+    * column, same count — validated), so the chain STAYS storage-
+    * partitioned-join eligible: bucket b of the snapshot is the union of
+    * every link's bucket-b files, all holding only bucket-b rows. */
+  def appendBucketed(table: String, rows: DataFrame, bucketBy: String,
+      numBuckets: Int): Long = {
+    latestVersion(table).foreach { v =>
+      val spec = bucketSpecOf(table, v)
+      require(spec.exists { case (c, n) =>
+        c.equalsIgnoreCase(bucketBy) && n == numBuckets },
+        s"appendBucketed($bucketBy, $numBuckets) onto $table whose head " +
+          s"is ${spec.fold("unbucketed")(s => s"bucketed ${s._1}/${s._2}")} " +
+          "— mixed layouts would silently break co-partitioned joins")
+    }
+    appendFrom(table,
+      rows.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy)),
+      latestVersion(table),
+      props = Map(SnapshotStore.BucketColProp -> bucketBy,
+        SnapshotStore.BucketNProp -> numBuckets.toString))
+  }
+
+  /** The snapshot's bucket layout, iff EVERY chain link carries the same
+    * one (a plain append, mutation, or compaction link breaks the claim —
+    * its files are not bucket-attributed, so the scan must not report
+    * co-partitioning). None for unbucketed or mixed chains. */
+  def bucketSpecOf(table: String, v: Long): Option[(String, Int)] = {
+    val specs = chainOf(table, v).map { l =>
+      val p = commitProps(table, l)
+      (p.get(SnapshotStore.BucketColProp), p.get(SnapshotStore.BucketNProp))
+    }
+    specs.head match {
+      case (Some(c), Some(n)) if specs.forall(_ == (Some(c), Some(n))) =>
+        Some((c, n.toInt))
+      case _ => None
+    }
+  }
 
   /** `commit` with MULTI-COLUMN write clustering on a Z-order curve
     * ([[ZOrder]]): where `commitClustered(Seq(a, b))` sorts lexically and
@@ -2047,6 +2114,13 @@ object SnapshotStore {
     * — an O(vectored files) rewrite — before proceeding, so reads never
     * pay more than (chain cap + one mutation cap) of vector broadcast. */
   val DvMaxChainRows: Long = 1L << 22
+
+  /** Commit-props keys of the BUCKET layout (`commitBucketed`): the hash
+    * column and bucket count under which every file of the version was
+    * written. A chain is storage-partitioned-join eligible iff every link
+    * carries the same pair (`bucketSpecOf`). */
+  val BucketColProp: String = "graft.bucket.col"
+  val BucketNProp: String = "graft.bucket.n"
 
   /** Commit-props key tagging the OPERATION that produced a version
     * ("compact", "delete") — read via `commitProps` (per-version), NOT

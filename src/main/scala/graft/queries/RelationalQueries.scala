@@ -407,6 +407,44 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Storage-partitioned join round trip: orders and lineitem committed
+    // HASH-BUCKETED on the join key (commitBucketed: file part index =
+    // pmod(murmur3(key, 42), 8)), then joined + aggregated through the
+    // SQL catalog with v2 bucketing on — the scan reports
+    // KeyGroupedPartitioning and the join plans with NO exchange on
+    // either side (shape pinned in StoragePartitionJoinSpec; this entry
+    // pins VALUE fidelity: the bucketed write→scan→join→agg must equal
+    // DuckDB's plain join over the original parquet). Build idempotent
+    // like q97/q99.
+    "q104_store_bucketed_join" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q104_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders_b")
+      store.migrateLegacyTable("lineitem_b")
+      if (store.latestVersion("orders_b").isEmpty) {
+        store.commitBucketed("orders_b", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+          "o_orderkey", 8)
+        store.commitBucketed("lineitem_b", Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice")),
+          "l_orderkey", 8)
+      }
+      s.conf.set("spark.sql.catalog.q104",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q104.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus,
+          count(*) AS n_items,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM q104.orders_b JOIN q104.lineitem_b ON o_orderkey = l_orderkey
+        WHERE o_orderkey < 8000
+        GROUP BY o_orderkey, o_orderstatus
+        ORDER BY o_orderkey""")
+    }),
+
     // MERGE round trip (the reference's two-tier match-or-create ingest as
     // one atomic upsert): source = an update band derived from orders
     // itself (keys 100-999 re-prioritized) plus synthetic insert rows
@@ -926,6 +964,17 @@ object RelationalQueries {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The bucketed layout must be value-invisible: plain join over the
+    // original parquet.
+    "q104_store_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 8000
+        |GROUP BY o_orderkey, o_orderstatus
         |ORDER BY o_orderkey""".stripMargin,
 
     "q102_store_merge" ->

@@ -2,8 +2,9 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,7 +32,7 @@ import scala.jdk.CollectionConverters._
   * directory (reference M8 pinned-snapshot reads,
   * schema/00_baseline.sql:2198-2240).
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -89,6 +90,22 @@ final class GraftCatalog extends TableCatalog {
       .toArray
     finally s.close()
   }
+
+  // ---- FunctionCatalog: the bucket transform --------------------------
+  // A bucketed graft scan reports KeyGroupedPartitioning(bucket(n, col));
+  // Catalyst's V2ScanPartitioningAndOrdering can only honor that claim by
+  // resolving `bucket` against THIS catalog (DataSourceV2Relation
+  // .funCatalog) — without it the claim silently degrades to unknown
+  // partitioning and every join shuffles. The bound function replicates
+  // the writer's hash exactly (graftbridge.GraftBucketFunction).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name().equalsIgnoreCase("bucket"))
+      org.apache.spark.sql.graftbridge.GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   private def readOnly(): Nothing = throw new UnsupportedOperationException(
     s"graft catalog '$catalogName' is read-only: version directories are " +

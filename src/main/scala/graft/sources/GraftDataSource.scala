@@ -155,7 +155,8 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     passThrough: util.Map[String, String],
     val storeRoot: Option[String] = None,
     val versionPinned: Boolean = false,
-    dv: Map[String, Array[Long]] = Map.empty)
+    dv: Map[String, Array[Long]] = Map.empty,
+    bucket: Option[(String, Int)] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -173,7 +174,7 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     ParquetTableShim.tableWithIndex(name(), spark, units.map(_.path),
       pinnedSchema, passThrough,
       new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known, unlisted),
-      dv)
+      dv, bucket)
   }
 
   override def name(): String = s"graft:$tableName@v$snapshotVersion"
@@ -278,9 +279,21 @@ object GraftTable {
     // vectorized with aggregate pushdown intact.
     val dv = store.dvInChain(table, v)
       .map { case (k, idxs) => k -> idxs.toArray }
+    // Bucket layout (commitBucketed/appendBucketed): claimed to the scan
+    // — which then reports KeyGroupedPartitioning for storage-partitioned
+    // joins — ONLY when the whole chain carries one spec (bucketSpecOf),
+    // no deletion vectors reorder rows out of their files' claim, and
+    // every scan unit is a manifest-backed file whose part-name carries
+    // its writer task index (the bucket id). Anything else: no claim,
+    // plain scan, joins just shuffle as before.
+    val bucket = store.bucketSpecOf(table, v)
+      .filter(_ => dv.isEmpty)
+      .filter(_ => units.forall(u => u.stat.isDefined &&
+        org.apache.spark.sql.graftbridge.KeyGroupedParquetScan.isPartNamed(
+          new org.apache.hadoop.fs.Path(u.path).getName)))
     new GraftTable(table, v, spark, units,
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
-      versionPinned = version.isDefined, dv = dv)
+      versionPinned = version.isDefined, dv = dv, bucket = bucket)
   }
 
   /** V1 source Filter → Column, for the DELETE translation. None marks a

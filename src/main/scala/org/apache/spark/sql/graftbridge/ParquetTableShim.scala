@@ -59,7 +59,8 @@ object ParquetTableShim {
       schema: org.apache.spark.sql.types.StructType,
       options: java.util.Map[String, String],
       index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
-      dv: Map[String, Array[Long]] = Map.empty)
+      dv: Map[String, Array[Long]] = Map.empty,
+      bucket: Option[(String, Int)] = None)
       : Table = {
     require(dv.isEmpty ||
       index.isInstanceOf[GraftFileIndex],
@@ -86,7 +87,7 @@ object ParquetTableShim {
         index match {
           case g: GraftFileIndex =>
             new ManifestStatsScanBuilder(spark, g, this.schema, dataSchema,
-              opts, dv)
+              opts, dv, bucket)
           case _ => super.newScanBuilder(opts)
         }
     }
@@ -120,7 +121,8 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     schema: org.apache.spark.sql.types.StructType,
     dataSchema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap,
-    dv: Map[String, Array[Long]] = Map.empty)
+    dv: Map[String, Array[Long]] = Map.empty,
+    bucket: Option[(String, Int)] = None)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
     spark, index, schema, dataSchema, options) {
 
@@ -150,14 +152,130 @@ private[graftbridge] final class ManifestStatsScanBuilder(
           .map { case (r, b, t) => (math.max(0L, r - dvRows), b, t) })
     }
     // A pushed aggregate rewrites the scan output (rows become per-group);
-    // manifest row counts would be wrong — keep the stock estimate.
+    // manifest row counts would be wrong — keep the stock estimate, and
+    // make no partitioning claim (the bucket column may not even survive
+    // into the aggregated output).
     else if (built.pushedAggregate.nonEmpty) built
-    else index.prunedStats(built.dataFilters) match {
-      case Some((rows, bytes, total)) =>
+    else (bucket, index.prunedStats(built.dataFilters)) match {
+      case (Some((c, n)), stats) =>
+        new KeyGroupedParquetScan(built, c, n, stats)
+      case (None, Some((rows, bytes, total))) =>
         new ManifestStatsParquetScan(built, rows, bytes, total)
-      case None => built
+      case (None, None) => built
     }
   }
+}
+
+/** One bucket's files as a planned partition CARRYING ITS KEY — what lets
+  * `DataSourceV2ScanExecBase` group a keyed scan's partitions and
+  * EnsureRequirements match them across the two sides of a storage-
+  * partitioned join. Extends [[FilePartition]] so the stock parquet
+  * reader factory serves it unchanged. */
+private[graftbridge] final class KeyedFilePartition(
+    idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(idx, fs)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
+/** The finished parquet scan of a BUCKET-CONSISTENT snapshot chain
+  * (`SnapshotStore.commitBucketed` / `appendBucketed`): reports
+  * `KeyGroupedPartitioning(bucket(n, col), n)` and plans exactly one
+  * partition per bucket id, each carrying its key — the DSv2 contract for
+  * storage-partitioned joins. Two graft tables bucketed with the same
+  * (column-hash, count) then join with NO exchange on either side; a
+  * single bucketed table's `groupBy(col)` aggregates without a shuffle.
+  *
+  * File→bucket attribution is the writer's task partition index, which
+  * Spark burns into the file name (`part-NNNNN-…`): `repartition(n, col)`
+  * routes every row to partition `pmod(murmur3(col, 42), n)`, and the
+  * explicit count keeps AQE from coalescing buckets. Pruned files simply
+  * drop out of their bucket's partition; empty buckets still plan (an
+  * empty FilePartition reads nothing), so the reported partition count is
+  * always exactly `n` on both sides. Eligibility (every chain link
+  * bucketed identically, no deletion vectors, every file manifest-backed
+  * and part-named) is established by the CALLER — GraftTable.forSnapshot
+  * — before the claim is made here. */
+private[graftbridge] final class KeyGroupedParquetScan(
+    base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    bucketCol: String, numBuckets: Int,
+    manifestStats: Option[(Long, Long, Long)])
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+    base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+    base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
+    base.options, base.pushedAggregate, base.partitionFilters,
+    base.dataFilters, base.pushedVariantExtractions)
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(numBuckets, bucketCol)),
+      numBuckets)
+
+  override def partitions: Seq[FilePartition] = {
+    val byBucket = Array.fill(numBuckets)(
+      scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
+    super.partitions.foreach(_.files.foreach { f =>
+      byBucket(KeyGroupedParquetScan.bucketOf(
+        f.toPath.getName, numBuckets)) += f
+    })
+    (0 until numBuckets).map { b =>
+      new KeyedFilePartition(b, byBucket(b).toArray,
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](b)))
+    }
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val stock = super.estimateStatistics()
+    manifestStats match {
+      case None => stock
+      case Some((rows, prunedBytes, totalBytes)) =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows)
+          override def sizeInBytes(): java.util.OptionalLong = {
+            val frac =
+              if (totalBytes <= 0L) 1.0
+              else prunedBytes.toDouble / totalBytes.toDouble
+            if (stock.sizeInBytes.isPresent)
+              java.util.OptionalLong.of(
+                math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
+            else stock.sizeInBytes
+          }
+        }
+    }
+  }
+}
+
+object KeyGroupedParquetScan {
+  private val PartIndex = "^part-(\\d+)-".r.unanchored
+
+  /** The writer task partition index burned into a part-file name — the
+    * file's bucket id. Eligibility checks guarantee a match before any
+    * partitioning claim; a non-matching name here is a broken invariant,
+    * failed loudly rather than mis-bucketed silently. */
+  def bucketOf(fileName: String, numBuckets: Int): Int = fileName match {
+    case PartIndex(i) =>
+      val b = i.toInt
+      require(b < numBuckets,
+        s"file $fileName claims bucket $b of $numBuckets — bucket layout " +
+          "corrupted (was the table compacted by a pre-bucketing writer?)")
+      b
+    case _ => throw new IllegalStateException(
+      s"bucketed scan over non-part-named file $fileName")
+  }
+
+  /** A file name the bucket attribution can parse — forSnapshot's
+    * eligibility probe. */
+  def isPartNamed(fileName: String): Boolean =
+    PartIndex.findPrefixMatchOf(fileName).isDefined
 }
 
 /** The built scan with [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]

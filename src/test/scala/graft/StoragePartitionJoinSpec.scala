@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.SnapshotStore
+import graft.sources.GraftCatalog
+
+/** Storage-partitioned joins over the snapshot store: two tables written
+  * with `commitBucketed` on the same (column, count) must join through the
+  * SQL catalog with NO shuffle exchange on either side — the scan reports
+  * `KeyGroupedPartitioning(bucket(n, col), n)`, the catalog resolves the
+  * bucket transform as a V2 function, and EnsureRequirements matches the
+  * two sides' partition keys. The shuffle this deletes is the dominant
+  * cost of a fact⋈fact join at warehouse scale. */
+class StoragePartitionJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("fa", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    st.commitBucketed("fb", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") + 7).as("vb")), "k", 8)
+    spark.conf.set("spark.sql.catalog.spj", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj.root", r)
+    r
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // AQE finalizes stages only on execution
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("co-bucketed tables join with zero exchanges; values exact") {
+    root
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spj.fa a JOIN spj.fb b ON a.k = b.k")
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // value parity against the shuffled join of the same snapshots
+      val plain = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spj.fa a JOIN spj.fb b ON a.k = b.k")
+      assert(j.count() == 10000)
+      assert(j.agg(sum("va"), sum("vb")).head() ==
+        plain.agg(sum("va"), sum("vb")).head())
+    }
+  }
+
+  test("bucketed appends keep the layout; a plain append breaks the claim safely") {
+    root
+    val st = new SnapshotStore(spark, root)
+    st.appendBucketed("fa", spark.range(10000, 12000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spj.fa a JOIN spj.fb b ON a.k = b.k")
+      assert(!finalPlan(j).contains("Exchange"),
+        "a bucketed append must keep the co-partition claim")
+      assert(j.count() == 10000, "fb has no keys >= 10000")
+    }
+    // mismatched layout refused loudly
+    val bad = intercept[IllegalArgumentException](
+      st.appendBucketed("fa", Seq((1L, 2L)).toDF("k", "va"), "k", 16))
+    assert(bad.getMessage.contains("mixed layouts"))
+    // a PLAIN append's files are not bucket-attributed: the claim must
+    // drop (correctness over speed), so the join shuffles again
+    st.append("fa", Seq((20000L, 40000L)).toDF("k", "va"))
+    assert(st.bucketSpecOf("fa", st.latestVersion("fa").get).isEmpty)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spj.fa a JOIN spj.fb b ON a.k = b.k")
+      assert(finalPlan(j).contains("Exchange"),
+        "an unbucketed chain must not claim co-partitioning")
+      assert(j.count() == 10000)
+    }
+  }
+
+  test("groupBy on the bucket column aggregates without a shuffle") {
+    root
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val agg = spark.sql(
+        "SELECT k, sum(vb) AS s FROM spj.fb GROUP BY k")
+      val plan = finalPlan(agg)
+      assert(!plan.contains("Exchange"),
+        s"bucketed groupBy must be exchange-free:\n$plan")
+      assert(agg.count() == 10000)
+    }
+  }
+
+  test("writer bucket ids equal the V2 function's (shuffle-side parity)") {
+    // The file a row landed in (its part index) must equal what the bound
+    // bucket function computes — the contract that lets Spark shuffle a
+    // NON-bucketed side to match a bucketed one.
+    val st = new SnapshotStore(spark, root)
+    val snap = spark.read.parquet(s"$root/fb/v=1")
+      .select(col("k"), col("_metadata.file_path").as("fp"))
+      .collect()
+    val fn = org.apache.spark.sql.graftbridge.GraftBucketFunction
+    snap.foreach { r =>
+      val fileBucket = "part-(\\d+)-".r.findFirstMatchIn(
+        r.getString(1).split('/').last).get.group(1).toInt
+      val expected = fn.bucketId(r.getLong(0),
+        org.apache.spark.sql.types.LongType, 8)
+      assert(fileBucket == expected,
+        s"k=${r.getLong(0)} landed in bucket $fileBucket, function says $expected")
+    }
+    assert(st.bucketSpecOf("fb", st.latestVersion("fb").get)
+      .contains(("k", 8)))
+  }
+}
