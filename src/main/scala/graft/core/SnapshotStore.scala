@@ -660,6 +660,50 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       clusterBy: Seq[String]): Long =
     append(table, clustered(rows, clusterBy))
 
+  /** SCHEMA-ONLY evolution — `ALTER TABLE … ADD COLUMNS`' engine: widen
+    * the pinned snapshot schema with new NULLABLE columns as a DATA-LESS
+    * chain link (no file touched; the chain's files read null for the
+    * added columns, exactly as older files do under an appended wider
+    * delta). Content-neutral to feeds, like compact. Preserves a bucketed
+    * chain's layout claim (no row moved, so the spec is re-stamped onto
+    * the link). Name collisions refuse; a later append may then fill the
+    * column, and the widening rules apply from its declared type. */
+  def addColumns(table: String, columns: StructType,
+      maxRetries: Int = 5): Long = {
+    require(columns.nonEmpty, "addColumns requires at least one column")
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val base = snapshotSchema(table, Some(v))
+      val dups = columns.fieldNames.filter(n =>
+        base.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(dups.isEmpty,
+        s"addColumns to $table: column(s) ${dups.mkString(", ")} already exist")
+      val merged = ParquetTableShim.asNullable(
+        StructType(base.fields ++ columns.fields))
+      // Carry the bucket claim forward iff the head holds one: files are
+      // untouched, so the layout is exactly as valid after the link.
+      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+          SnapshotStore.BucketNProp -> n.toString)
+      }
+      val cand = commitWith(table, None, None, base = Some(v),
+        snapshot = merged, advance = false,
+        props = bucketProps + (SnapshotStore.OpProp -> "add-columns"))
+      if (casAdvance(table, cand, Some(v))) cand
+      else {
+        val w = Files.walk(versionDir(table, cand))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        if (retriesLeft > 0) attempt(retriesLeft - 1)
+        else throw new IllegalStateException(
+          s"addColumns($table) lost the commit race $maxRetries times — " +
+            "retry later or widen maxRetries")
+      }
+    }
+    attempt(maxRetries)
+  }
+
   /** HASH-BUCKETED commit — the co-located-join layout (Iceberg `bucket`
     * partitioning / Hive bucketing's role): rows land in the file whose
     * part index equals `pmod(murmur3(bucketBy, 42), numBuckets)` (that IS
@@ -1730,7 +1774,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     history(table).filter(_ > since).filter { v =>
       !hasChanges(table, v) &&
         !commitProps(table, v).get(SnapshotStore.OpProp)
-          .exists(_.startsWith("compact")) &&
+          .exists(SnapshotStore.ContentNeutralOps.contains) &&
         removedAt(table, v).isEmpty && dvAt(table, v).isEmpty
     }
 
@@ -2128,6 +2172,11 @@ object SnapshotStore {
     * inheritable state). Feed consumers use it to tell content-neutral
     * compactions from rewrites. */
   val OpProp: String = "graft.op"
+
+  /** Op tags whose versions change LAYOUT or SCHEMA but not content —
+    * invisible to incremental consumers by design, so
+    * [[SnapshotStore.nonFeedMutationsSince]] must not flag them. */
+  val ContentNeutralOps: Set[String] = Set("compact", "compact-dv", "add-columns")
 
   /** Memoized schemas of legacy (pre-schema-file) versions, keyed by
     * (root, table, version) — committed versions are immutable, so the

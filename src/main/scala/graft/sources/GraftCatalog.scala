@@ -115,8 +115,42 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     readOnly()
   override def createTable(ident: Identifier, info: TableInfo): Table = readOnly()
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly()
+
+  /** `ALTER TABLE kg.t ADD COLUMNS (…)` — the one DDL the store expresses
+    * natively (a data-less schema-widening chain link,
+    * `SnapshotStore.addColumns`; no file touched, old rows read null).
+    * Everything else keeps the read-only refusal: version directories are
+    * immutable, and renames/drops/retypes would need a rewrite the caller
+    * should do deliberately through `commit`. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size) readOnly()
+    adds.foreach { a =>
+      require(a.fieldNames().length == 1,
+        s"ADD COLUMNS on ${ident.name()}: nested field " +
+          s"${a.fieldNames().mkString(".")} — only top-level columns " +
+          "can be added without a rewrite")
+      require(a.isNullable,
+        s"ADD COLUMNS on ${ident.name()}: ${a.fieldNames().head} NOT NULL — " +
+          "existing rows have no value for it; add nullable, backfill, " +
+          "then constrain via rewrite")
+      require(a.defaultValue() == null,
+        s"ADD COLUMNS on ${ident.name()}: ${a.fieldNames().head} has a " +
+          "DEFAULT — the store does not record column defaults; backfill " +
+          "explicitly")
+    }
+    try store.addColumns(ident.name(), StructType(adds.map(a =>
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames().head, a.dataType(), nullable = true))))
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.startsWith("no committed version") =>
+        throw new NoSuchTableException(ident)
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly()
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly()

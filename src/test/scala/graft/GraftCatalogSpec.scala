@@ -85,6 +85,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.as[Long].collect().toSet == Set(3L))
   }
 
+  test("ALTER TABLE ADD COLUMNS widens the schema; data untouched, history intact") {
+    val r = java.nio.file.Files.createTempDirectory("graft-alter").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    spark.conf.set("spark.sql.catalog.altcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.altcat.root", r)
+    spark.sql("ALTER TABLE altcat.t ADD COLUMNS (note STRING, score DOUBLE)")
+    val after = spark.sql("SELECT id, note, score FROM altcat.t")
+    assert(after.count() == 2)
+    assert(after.where(col("note").isNull && col("score").isNull).count() == 2,
+      "existing rows read null for the added columns")
+    // the pre-alter version still carries the narrow schema
+    assert(spark.sql("SELECT * FROM altcat.t VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "s"))
+    // a later append fills the column; old rows stay null
+    st.append("t", Seq((3L, "c", "hi", 1.5)).toDF("id", "s", "note", "score"))
+    val filled = spark.sql(
+      "SELECT note FROM altcat.t WHERE id = 3").as[String].head()
+    assert(filled == "hi")
+    // schema-only: content-neutral to incremental consumers
+    assert(st.nonFeedMutationsSince("t", 1L).isEmpty,
+      "an add-columns link must not blind the change feed")
+    // refusals: NOT NULL, duplicate, and every non-ADD change
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val nn = intercept[Exception](
+      spark.sql("ALTER TABLE altcat.t ADD COLUMNS (x INT NOT NULL)"))
+    assert(messages(nn).exists(_.contains("NOT NULL")), nn.toString)
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE altcat.t ADD COLUMNS (ID INT)"))
+    assert(messages(dup).exists(_.contains("already exist")), dup.toString)
+    val ren = intercept[Exception](
+      spark.sql("ALTER TABLE altcat.t RENAME COLUMN id TO id2"))
+    assert(messages(ren).exists(_.contains("read-only")), ren.toString)
+  }
+
   test("DDL and writes are refused: the catalog is read-only") {
     root
     def messages(t: Throwable): Seq[String] =

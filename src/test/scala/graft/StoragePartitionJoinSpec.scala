@@ -100,6 +100,27 @@ class StoragePartitionJoinSpec extends SparkSpec {
     }
   }
 
+  test("addColumns keeps the bucket claim (no row moved, layout still valid)") {
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-alter").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("t", spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 3).as("v")), "k", 4)
+    st.addColumns("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType))))
+    assert(st.bucketSpecOf("t", st.latestVersion("t").get).contains(("k", 4)),
+      "a schema-only link must not drop the co-partition claim")
+    val snap = spark.read.format("graft")
+      .option("root", r).option("table", "t").load()
+    assert(snap.where(col("w").isNull).count() == 1000)
+    // duplicate name refuses case-insensitively
+    val dup = intercept[IllegalArgumentException](st.addColumns("t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("K",
+          org.apache.spark.sql.types.IntegerType)))))
+    assert(dup.getMessage.contains("already exist"))
+  }
+
   test("writer bucket ids equal the V2 function's (shuffle-side parity)") {
     // The file a row landed in (its part index) must equal what the bound
     // bucket function computes — the contract that lets Spark shuffle a
