@@ -55,32 +55,40 @@ class StoragePartitionJoinSpec extends SparkSpec {
   }
 
   test("bucketed appends keep the layout; a plain append breaks the claim safely") {
-    root
-    val st = new SnapshotStore(spark, root)
-    st.appendBucketed("fa", spark.range(10000, 12000)
+    // Own root: this test deliberately DESTROYS a table's bucket claim,
+    // which must not leak into the shared fixture's later tests.
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-mut").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("ma", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    st.commitBucketed("mb", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") + 7).as("vb")), "k", 8)
+    spark.conf.set("spark.sql.catalog.spjm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjm.root", r)
+    st.appendBucketed("ma", spark.range(10000, 12000)
       .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
     withSQLConf(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val j = spark.sql(
-        "SELECT a.k AS k, va, vb FROM spj.fa a JOIN spj.fb b ON a.k = b.k")
+        "SELECT a.k AS k, va, vb FROM spjm.ma a JOIN spjm.mb b ON a.k = b.k")
       assert(!finalPlan(j).contains("Exchange"),
         "a bucketed append must keep the co-partition claim")
-      assert(j.count() == 10000, "fb has no keys >= 10000")
+      assert(j.count() == 10000, "mb has no keys >= 10000")
     }
     // mismatched layout refused loudly
     val bad = intercept[IllegalArgumentException](
-      st.appendBucketed("fa", Seq((1L, 2L)).toDF("k", "va"), "k", 16))
+      st.appendBucketed("ma", Seq((1L, 2L)).toDF("k", "va"), "k", 16))
     assert(bad.getMessage.contains("mixed layouts"))
     // a PLAIN append's files are not bucket-attributed: the claim must
     // drop (correctness over speed), so the join shuffles again
-    st.append("fa", Seq((20000L, 40000L)).toDF("k", "va"))
-    assert(st.bucketSpecOf("fa", st.latestVersion("fa").get).isEmpty)
+    st.append("ma", Seq((20000L, 40000L)).toDF("k", "va"))
+    assert(st.bucketSpecOf("ma", st.latestVersion("ma").get).isEmpty)
     withSQLConf(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val j = spark.sql(
-        "SELECT a.k AS k, va, vb FROM spj.fa a JOIN spj.fb b ON a.k = b.k")
+        "SELECT a.k AS k, va, vb FROM spjm.ma a JOIN spjm.mb b ON a.k = b.k")
       assert(finalPlan(j).contains("Exchange"),
         "an unbucketed chain must not claim co-partitioning")
       assert(j.count() == 10000)
@@ -97,6 +105,50 @@ class StoragePartitionJoinSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"bucketed groupBy must be exchange-free:\n$plan")
       assert(agg.count() == 10000)
+    }
+  }
+
+  test("a selective filter prunes inside buckets; the join stays exchange-free") {
+    root
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT a.k AS k, va, vb FROM spj.fa a JOIN spj.fb b ON a.k = b.k
+          |WHERE a.k < 100""".stripMargin)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"filters must not break the co-partition claim:\n$plan")
+      assert(j.count() == 100)
+    }
+  }
+
+  test("bucketed vs unbucketed: only the unbucketed side shuffles (V2 function runs)") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled lets Spark shuffle a
+    // NON-bucketed side into the bucketed side's KeyGroupedPartitioning by
+    // EVALUATING the catalog's bucket function — the path that exercises
+    // BoundBucket.produceResult for real, and the reason its hash must
+    // equal the writer's.
+    root
+    val plainRoot = java.nio.file.Files.createTempDirectory("graft-spj-plain").toString
+    val st = new SnapshotStore(spark, plainRoot)
+    st.commit("pu", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") % 97).as("vu")))
+    spark.conf.set("spark.sql.catalog.spjp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjp.root", plainRoot)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vu FROM spj.fa a JOIN spjp.pu u ON a.k = u.k")
+      val plan = finalPlan(j)
+      assert(j.count() == 10000)
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"exactly the unbucketed side must shuffle:\n$plan")
+      // the shuffled rows landed in the RIGHT buckets (produceResult
+      // parity with the writer), or this equality would drop matches
+      assert(j.where(col("k") === 96).select("vu").as[Long].head() == 96L)
     }
   }
 
@@ -119,6 +171,41 @@ class StoragePartitionJoinSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("K",
           org.apache.spark.sql.types.IntegerType)))))
     assert(dup.getMessage.contains("already exist"))
+  }
+
+  test("bucketId equals Spark's hash-partitioning id across column types") {
+    // The function must replicate pmod(murmur3(col, 42), n) for ANY
+    // bucketable type, not just the longs the fixtures use — compare
+    // against Spark's own hash() + pmod for ints, longs, strings, dates
+    // and nulls (hash(null) folds the bare seed through, like the
+    // HashExpression).
+    import org.apache.spark.sql.types._
+    val fn = org.apache.spark.sql.graftbridge.GraftBucketFunction
+    val n = 16
+    def sparkSide(df: org.apache.spark.sql.DataFrame): Seq[(Any, Int)] =
+      df.select(col("v"), pmod(hash(col("v")), lit(n)).as("b"))
+        .collect().map(r => (r.get(0), r.getInt(1))).toSeq
+    sparkSide(spark.range(-50, 50).select(col("id").as("v")))
+      .foreach { case (v, b) =>
+        assert(fn.bucketId(v, LongType, n) == b, s"long $v") }
+    sparkSide(spark.range(0, 100)
+      .select(col("id").cast("int").as("v")))
+      .foreach { case (v, b) => assert(fn.bucketId(v, IntegerType, n) == b, s"int $v") }
+    sparkSide(spark.range(0, 100)
+      .select(concat(lit("k"), col("id")).as("v")))
+      .foreach { case (v, b) =>
+        assert(fn.bucketId(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString),
+          StringType, n) == b, s"string $v") }
+    sparkSide(spark.range(0, 50)
+      .select(date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        col("id").cast("int")).as("v")))
+      .foreach { case (v, b) =>
+        val days = v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+        assert(fn.bucketId(days, DateType, n) == b, s"date $v") }
+    val nullBucket = spark.sql(s"SELECT pmod(hash(CAST(NULL AS BIGINT)), $n)")
+      .head().getInt(0)
+    assert(fn.bucketId(null, LongType, n) == nullBucket, "null")
   }
 
   test("writer bucket ids equal the V2 function's (shuffle-side parity)") {
