@@ -2091,25 +2091,57 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // committed-in-waiting, not an orphan.
     recoverPendingTxns()
     SnapshotStore.rootLock(root) {
+      vacuumKeeping(table,
+        history(table).takeRight(math.max(keepLast, 1)).toSet,
+        dropOrphans, orphanGraceMs)
+    }
+  }
+
+  /** TIME-based retention (Delta `VACUUM … RETAIN`'s shape, enabled by
+    * the expose-time commit stamps): drop committed versions whose stamp
+    * is strictly OLDER than `tsMillis`, under exactly [[vacuum]]'s safety
+    * rails — the pointer's version survives regardless, every chain
+    * ancestor of a survivor survives (a kept chain link's data lives in
+    * its ancestors' directories), and the newest version is kept even if
+    * every stamp is older than the horizon. The natural pairing:
+    * `TIMESTAMP AS OF` can reach exactly as far back as the horizon this
+    * was last run with. */
+  def vacuumOlderThan(table: String, tsMillis: Long,
+      dropOrphans: Boolean = false,
+      orphanGraceMs: Long = SnapshotStore.DefaultOrphanGraceMs): Unit = {
+    recoverPendingTxns()
+    SnapshotStore.rootLock(root) {
       val committed = history(table)
-      val keepRoots = committed.takeRight(math.max(keepLast, 1)).toSet ++
-        latestVersion(table)
-      val keep = keepRoots.flatMap(chainOf(table, _))
-      // The pointer's version is NEVER an orphan candidate, marker or not —
-      // if the marker convention is ever violated, vacuum must degrade to
-      // "deletes nothing live", not to destroying the referenced version.
-      val cutoff = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
-      val orphans =
-        if (!dropOrphans) Seq.empty
-        else versionDirs(table)
-          .filterNot(committed.toSet)
-          .filterNot(latestVersion(table).toSet)
-          .filter(v => newestMtime(versionDir(table, v)) < cutoff)
-      (committed.filterNot(keep) ++ orphans).foreach { v =>
-        val w = Files.walk(versionDir(table, v))
-        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally w.close()
-      }
+      val recent = committed.filter(v =>
+        commitTimeOf(table, v).exists(_ >= tsMillis))
+      vacuumKeeping(table,
+        if (recent.nonEmpty) recent.toSet else committed.lastOption.toSet,
+        dropOrphans, orphanGraceMs)
+    }
+  }
+
+  /** The shared reclamation step of [[vacuum]]/[[vacuumOlderThan]]:
+    * delete committed versions outside `keepRoots`' chain closure, plus
+    * (optionally) stale marker-less orphans. Callers hold the root lock. */
+  private def vacuumKeeping(table: String, keepRootsIn: Set[Long],
+      dropOrphans: Boolean, orphanGraceMs: Long): Unit = {
+    val committed = history(table)
+    val keepRoots = keepRootsIn ++ latestVersion(table)
+    val keep = keepRoots.flatMap(chainOf(table, _))
+    // The pointer's version is NEVER an orphan candidate, marker or not —
+    // if the marker convention is ever violated, vacuum must degrade to
+    // "deletes nothing live", not to destroying the referenced version.
+    val cutoff = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
+    val orphans =
+      if (!dropOrphans) Seq.empty
+      else versionDirs(table)
+        .filterNot(committed.toSet)
+        .filterNot(latestVersion(table).toSet)
+        .filter(v => newestMtime(versionDir(table, v)) < cutoff)
+    (committed.filterNot(keep) ++ orphans).foreach { v =>
+      val w = Files.walk(versionDir(table, v))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
   }
 

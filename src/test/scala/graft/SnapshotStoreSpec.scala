@@ -732,6 +732,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.history("t") == Seq(1L, 2L))
   }
 
+  test("vacuumOlderThan reclaims by commit stamp; TIMESTAMP AS OF reaches the horizon") {
+    val st = freshStore()
+    (1 to 4).foreach(i => st.commit("t", Seq(i).toDF("x")))
+    val t3 = st.commitTimeOf("t", 3L).get
+    // horizon at v3's stamp: v1/v2 (strictly older) reclaim, v3/v4 stay
+    st.vacuumOlderThan("t", t3)
+    assert(st.history("t") == Seq(3L, 4L))
+    assert(st.readAt("t", 3).as[Int].collect().toSet == Set(3))
+    assert(st.versionAtTimestamp("t", t3) == 3L,
+      "AS OF reaches exactly as far back as the horizon")
+    // everything older than the far future: the newest version survives
+    st.vacuumOlderThan("t", Long.MaxValue)
+    assert(st.history("t") == Seq(4L))
+    assert(st.read("t").as[Int].collect().toSet == Set(4))
+    // chain safety: appends pin their ancestors like vacuum(keepLast)
+    val st2 = freshStore()
+    st2.commit("u", Seq(1).toDF("x"))
+    Thread.sleep(3)
+    st2.append("u", Seq(2).toDF("x"))
+    st2.vacuumOlderThan("u", st2.commitTimeOf("u", 2L).get)
+    assert(st2.read("u").as[Int].collect().toSet == Set(1, 2),
+      "a kept chain link must pin its ancestor directories")
+  }
+
   test("compactVectored folds chain deletion vectors; content and feeds unchanged") {
     val st = freshStore()
     st.commitClustered("t", spark.range(0, 4000)
