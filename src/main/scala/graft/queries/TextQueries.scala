@@ -299,12 +299,16 @@ object TextQueries {
       val total = freq.agg(sum(col("n")).as("total"))
       dt.join(freq, "tok")
         .crossJoin(broadcast(total))
+        // 6dp logp as long micro-units (q87/q76's trick): mu*c is an
+        // exact long product, the long sum equals the decimal sum scaled
+        // 1e6, /1e6 through double rounds once from the same rational —
+        // bit-identical avg_logp, primitive-long hot aggregate.
         .select(col("doc_id"), col("c"),
-          round(log(col("n").cast("double") / col("total").cast("double")), 6)
-            .as("logp"))
+          round(round(log(col("n").cast("double") / col("total").cast("double")), 6)
+            * lit(1e6)).cast("long").as("logp_mu"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_tokens"),
-          (sum(col("logp").cast("decimal(18,6)") * col("c")).cast("double") /
+          (sum(col("logp_mu") * col("c")).cast("double") / lit(1e6) /
             sum(col("c"))).as("avg_logp"))
         .orderBy(col("doc_id"))
     }),
@@ -334,9 +338,16 @@ object TextQueries {
         .withColumn("w1", substring_index(col("bigram"), " ", 1))
         .join(uni, "w1")
         .crossJoin(broadcast(vocab))
+        // The 6dp logp rides the scoring stream as LONG MICRO-UNITS
+        // (computed HERE, on the small model table — the e9-row stream
+        // pays no per-row round/cast): round(logp*1e6) recovers the 6dp
+        // decimal's integer micros exactly, the long sum equals the
+        // decimal sum scaled 1e6, and sum/1e6 through double rounds once
+        // from the same rational — bit-identical avg_logp with the hot
+        // aggregate on primitive longs (same trick as q87's pair stage).
         .select(xxhash64(col("bigram")).as("bgh"),
-          round(log((col("c12") + kSmooth) / (col("c1") + col("v") * kSmooth)), 6)
-            .as("logp"))
+          round(round(log((col("c12") + kSmooth) / (col("c1") + col("v") * kSmooth)), 6)
+            * lit(1e6)).cast("long").as("logp_mu"))
       // The 10^9-row scoring join keys on the bigram's 64-bit fingerprint,
       // not the ~25-byte string: the sort-merge sorts fixed-width longs
       // (measured materially faster at sf10) and the wire shrinks. The
@@ -347,7 +358,7 @@ object TextQueries {
         .join(model, "bgh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          (sum(col("logp").cast("decimal(18,6)")).cast("double") /
+          (sum(col("logp_mu")).cast("double") / lit(1e6) /
             count(lit(1))).as("avg_logp"))
         .orderBy(col("doc_id"))
     }),
