@@ -484,6 +484,16 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           "via commit")
       val added = deltaSchema.fields.filterNot(r =>
         bs.fieldNames.exists(_.equalsIgnoreCase(r.name)))
+      // Resurrection guard (see dropColumns): a delta column whose name was
+      // DROPPED from this chain would re-widen the pinned schema and expose
+      // the dropped column's stale values still sitting in older chain
+      // files. Refuse until compact rewrites the chain without them.
+      val dropped = droppedColumnsOf(table, v)
+      val revived = added.map(_.name).filter(n => dropped.contains(n.toLowerCase))
+      require(revived.isEmpty,
+        s"append to $table re-introduces dropped column(s) " +
+          s"${revived.mkString(", ")} whose data still exists in chain " +
+          "files — run compact first, or rename the delta column(s)")
       ParquetTableShim.asNullable(StructType(resolved ++ added))
     case None => ParquetTableShim.asNullable(deltaSchema)
   }
@@ -561,7 +571,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val cand = commitWith(table, Some(df), changeSet = None, base = None,
       snapshot = snapshotSchema(table, Some(scanVersion)), advance = false,
       props = resolvedProps(table, scanVersion) -
-        SnapshotStore.BucketColProp - SnapshotStore.BucketNProp +
+        SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+        SnapshotStore.DroppedColsProp +
         (SnapshotStore.OpProp -> "compact"))
     if (casAdvance(table, cand, Some(scanVersion))) Some(cand)
     else {
@@ -606,7 +617,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           base = Some(v), snapshot = schema, advance = false,
           removed = keys,
           props = resolvedProps(table, v) -
-            SnapshotStore.BucketColProp - SnapshotStore.BucketNProp +
+            SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+            SnapshotStore.DroppedColsProp +
             (SnapshotStore.OpProp -> "compact-dv"))
         if (casAdvance(table, cand, Some(v))) cand
         else {
@@ -679,6 +691,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         base.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(dups.isEmpty,
         s"addColumns to $table: column(s) ${dups.mkString(", ")} already exist")
+      // Resurrection guard: a previously-dropped name's PHYSICAL data is
+      // still in the chain's files, and parquet resolves by name — re-adding
+      // it would silently expose the old values as the "new" column.
+      val dropped = droppedColumnsOf(table, v)
+      val revived = columns.fieldNames.filter(n => dropped.contains(n.toLowerCase))
+      require(revived.isEmpty,
+        s"addColumns to $table: column(s) ${revived.mkString(", ")} were " +
+          "previously dropped and their data still exists in chain files — " +
+          "run compact first to rewrite the chain without them")
       val merged = ParquetTableShim.asNullable(
         StructType(base.fields ++ columns.fields))
       // Carry the bucket claim forward iff the head holds one: files are
@@ -703,6 +724,91 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     }
     attempt(maxRetries)
   }
+
+  /** SCHEMA-ONLY narrowing — `ALTER TABLE … DROP COLUMN`'s engine: remove
+    * columns from the pinned snapshot schema as a DATA-LESS chain link.
+    * No file is touched: every read scans under the pinned schema (column
+    * pruning at the source), so the dropped column's physical bytes simply
+    * stop being requested — at 100 TB, dropping a fat column costs one
+    * metadata commit, not a table rewrite (Delta DROP COLUMN's contract;
+    * reference M4/M5 learned-CRUD cascade,
+    * api/app/lib/age_client/query.py:277-483). Content-neutral to feeds,
+    * like add-columns. Time travel to a pre-drop version still reads the
+    * column (schemas are pinned per version). Preserves a bucketed chain's
+    * layout claim UNLESS the bucket column itself is dropped — the claim
+    * names a column readers can no longer see, so the link omits the props
+    * and `bucketSpecOf`'s every-link rule breaks the claim.
+    *
+    * RESURRECTION GUARD: the physical column still exists in chain files
+    * and parquet resolves by NAME, so re-introducing the name (addColumns,
+    * or an append whose delta carries it) would silently expose the stale
+    * values as the "new" column. The link records its dropped names
+    * ([[SnapshotStore.DroppedColsProp]]); [[addColumns]] and the append
+    * schema merge refuse those names until a `compact` rewrites the chain
+    * from the narrowed snapshot (compact commits base = None — a fresh
+    * chain whose files no longer hold the column — so the marker clears
+    * with the chain). */
+  def dropColumns(table: String, names: Seq[String],
+      maxRetries: Int = 5): Long = {
+    require(names.nonEmpty, "dropColumns requires at least one column")
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val base = snapshotSchema(table, Some(v))
+      val missing = names.filterNot(n =>
+        base.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"dropColumns from $table: no such column(s) ${missing.mkString(", ")}")
+      val dropSet = names.map(_.toLowerCase).toSet
+      val narrowed = StructType(
+        base.fields.filterNot(f => dropSet.contains(f.name.toLowerCase)))
+      require(narrowed.nonEmpty,
+        s"dropColumns from $table would remove every column — drop the " +
+          "table instead")
+      val bucketProps = bucketSpecOf(table, v)
+        .filterNot { case (c, _) => dropSet.contains(c.toLowerCase) }
+        .fold(Map.empty[String, String]) { case (c, n) =>
+          Map(SnapshotStore.BucketColProp -> c,
+            SnapshotStore.BucketNProp -> n.toString)
+        }
+      val cand = commitWith(table, None, None, base = Some(v),
+        snapshot = narrowed, advance = false,
+        props = bucketProps +
+          (SnapshotStore.OpProp -> "drop-columns") +
+          (SnapshotStore.DroppedColsProp ->
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(org.json4s.JArray(
+                dropSet.toList.sorted.map(org.json4s.JString(_)))))))
+      if (casAdvance(table, cand, Some(v))) cand
+      else {
+        val w = Files.walk(versionDir(table, cand))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        if (retriesLeft > 0) attempt(retriesLeft - 1)
+        else throw new IllegalStateException(
+          s"dropColumns($table) lost the commit race $maxRetries times — " +
+            "retry later or widen maxRetries")
+      }
+    }
+    attempt(maxRetries)
+  }
+
+  /** Lowercased names dropped anywhere in `v`'s base chain whose physical
+    * data may therefore still exist in the chain's files — the set the
+    * resurrection guard refuses to re-introduce. Per-link props, NOT
+    * `resolvedProps` (compact strips the inherited copy exactly so a
+    * rewritten chain forgets its drops). */
+  def droppedColumnsOf(table: String, v: Long): Set[String] =
+    chainOf(table, v).flatMap { l =>
+      commitProps(table, l).get(SnapshotStore.DroppedColsProp).toSeq.flatMap {
+        s =>
+          org.json4s.jackson.JsonMethods.parse(s) match {
+            case org.json4s.JArray(xs) =>
+              xs.collect { case org.json4s.JString(n) => n }
+            case _ => Nil
+          }
+      }
+    }.toSet
 
   /** HASH-BUCKETED commit — the co-located-join layout (Iceberg `bucket`
     * partitioning / Hive bucketing's role): rows land in the file whose
@@ -2208,7 +2314,15 @@ object SnapshotStore {
   /** Op tags whose versions change LAYOUT or SCHEMA but not content —
     * invisible to incremental consumers by design, so
     * [[SnapshotStore.nonFeedMutationsSince]] must not flag them. */
-  val ContentNeutralOps: Set[String] = Set("compact", "compact-dv", "add-columns")
+  val ContentNeutralOps: Set[String] =
+    Set("compact", "compact-dv", "add-columns", "drop-columns")
+
+  /** Commit-props key of a drop-columns link's OWN dropped names (a JSON
+    * array, lowercased): the resurrection guard's per-link record. Chain-
+    * walked by [[SnapshotStore.droppedColumnsOf]] via `commitProps` —
+    * compact strips the `resolvedProps`-inherited copy so a rewritten
+    * chain (whose files no longer hold the columns) forgets its drops. */
+  val DroppedColsProp: String = "graft.droppedColumns"
 
   /** Memoized schemas of legacy (pre-schema-file) versions, keyed by
     * (root, table, version) — committed versions are immutable, so the

@@ -445,6 +445,32 @@ object RelationalQueries {
         ORDER BY o_orderkey""")
     }),
 
+    // DROP COLUMN round trip: commit `orders` clustered, then drop every
+    // column except three as a DATA-LESS schema link (dropColumns — the
+    // fat-column amputation that costs one metadata commit at 100 TB, not
+    // a rewrite), and read the snapshot back through the connector with
+    // SELECT *. The oracle selects exactly the three survivors from the
+    // ORIGINAL parquet: a drop that failed to narrow the scan surfaces as
+    // a schema mismatch, a drop that touched values surfaces as a hash
+    // mismatch. Build idempotent like q97/q99.
+    "q105_store_drop_column" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q105_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders")
+      val keep = Set("o_orderkey", "o_orderstatus", "o_totalprice")
+      if (store.latestVersion("orders").isEmpty) {
+        val src = Tables.orders(s, dir)
+        store.commitClustered("orders", src, clusterBy = Seq("o_orderkey"))
+        store.dropColumns("orders",
+          src.columns.toSeq.filterNot(keep.contains))
+      }
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .load()
+        .filter(col("o_orderkey") < 4000L)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // MERGE round trip (the reference's two-tier match-or-create ingest as
     // one atomic upsert): source = an update band derived from orders
     // itself (keys 100-999 re-prioritized) plus synthetic insert rows
@@ -975,6 +1001,14 @@ object RelationalQueries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey < 8000
         |GROUP BY o_orderkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The three survivors of the drop, straight off the original parquet:
+    // schema compare pins the narrowing, value compare pins untouched data.
+    "q105_store_drop_column" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 4000
         |ORDER BY o_orderkey""".stripMargin,
 
     "q102_store_merge" ->

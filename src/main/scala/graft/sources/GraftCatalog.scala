@@ -116,14 +116,44 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     readOnly()
   override def createTable(ident: Identifier, info: TableInfo): Table = readOnly()
 
-  /** `ALTER TABLE kg.t ADD COLUMNS (…)` — the one DDL the store expresses
-    * natively (a data-less schema-widening chain link,
-    * `SnapshotStore.addColumns`; no file touched, old rows read null).
+  /** `ALTER TABLE kg.t ADD COLUMNS (…)` / `DROP COLUMN` — the DDL the
+    * store expresses natively as data-less schema chain links
+    * (`SnapshotStore.addColumns` / `dropColumns`; no file touched — adds
+    * read null on old rows, drops stop being scanned, and the store's
+    * resurrection guard refuses re-adding a dropped name until compact).
     * Everything else keeps the read-only refusal: version directories are
-    * immutable, and renames/drops/retypes would need a rewrite the caller
+    * immutable, and renames/retypes would need a rewrite the caller
     * should do deliberately through `commit`. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    // Zero changes reach here when the analyzer swallowed them all (e.g.
+    // DROP COLUMN IF EXISTS on a missing column) — a no-op, not DDL.
+    if (changes.isEmpty) return loadTable(ident)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (drops.nonEmpty) {
+      if (drops.size != changes.size) readOnly()
+      drops.foreach { d =>
+        require(d.fieldNames().length == 1,
+          s"DROP COLUMN on ${ident.name()}: nested field " +
+            s"${d.fieldNames().mkString(".")} — only top-level columns " +
+            "can be dropped without a rewrite")
+      }
+      try {
+        // IF EXISTS drops are filtered against the live schema here (the
+        // store refuses unknown names — that refusal IS the bare form).
+        val present = store.snapshotSchema(ident.name()).fieldNames
+        val names = drops.filter(d => !d.ifExists() ||
+            present.exists(_.equalsIgnoreCase(d.fieldNames().head)))
+          .map(_.fieldNames().head)
+        if (names.nonEmpty) store.dropColumns(ident.name(), names)
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("no committed version") =>
+          throw new NoSuchTableException(ident)
+      }
+      return loadTable(ident)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.size != changes.size) readOnly()
     adds.foreach { a =>

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.core.SnapshotStore
 import graft.sources.GraftCatalog
+import scala.jdk.CollectionConverters._
 
 /** The snapshot store's SQL catalog face: `SELECT … FROM <cat>.<table>`
   * over the latest snapshot, `VERSION AS OF` time travel, SHOW TABLES,
@@ -119,6 +120,87 @@ class GraftCatalogSpec extends SparkSpec {
     val ren = intercept[Exception](
       spark.sql("ALTER TABLE altcat.t RENAME COLUMN id TO id2"))
     assert(messages(ren).exists(_.contains("read-only")), ren.toString)
+  }
+
+  test("ALTER TABLE DROP COLUMN narrows data-lessly; resurrection refused until compact") {
+    val r = java.nio.file.Files.createTempDirectory("graft-dropcol").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "w"))
+    spark.conf.set("spark.sql.catalog.dropcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dropcat.root", r)
+    val sizeBefore = dirSize(r)
+    spark.sql("ALTER TABLE dropcat.t DROP COLUMN w")
+    assert(dirSize(r) - sizeBefore < 4096,
+      "a drop link must be metadata-only — no file rewritten")
+    // the column is gone from both faces; values untouched
+    assert(spark.sql("SELECT * FROM dropcat.t").columns.toSeq == Seq("id", "s"))
+    assert(st.read("t").columns.toSeq == Seq("id", "s"))
+    assert(spark.sql("SELECT id FROM dropcat.t WHERE s = 'b'")
+      .as[Long].head() == 2L)
+    // time travel to the pre-drop version still reads it
+    assert(spark.sql("SELECT w FROM dropcat.t VERSION AS OF 1")
+      .as[Double].collect().toSet == Set(10.0, 20.0))
+    // content-neutral to incremental consumers, like add-columns
+    assert(st.nonFeedMutationsSince("t", 1L).isEmpty,
+      "a drop-columns link must not blind the change feed")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // resurrection guard: the physical bytes are still in v1's files
+    val re = intercept[Exception](
+      spark.sql("ALTER TABLE dropcat.t ADD COLUMNS (w DOUBLE)"))
+    assert(messages(re).exists(_.contains("previously dropped")), re.toString)
+    val app = intercept[Exception](
+      st.append("t", Seq((3L, "c", 99.0)).toDF("id", "s", "w")))
+    assert(messages(app).exists(_.contains("re-introduces dropped")), app.toString)
+    // a narrow append is fine, and reads stay narrow
+    st.append("t", Seq((3L, "c")).toDF("id", "s"))
+    assert(spark.sql("SELECT count(*) FROM dropcat.t").as[Long].head() == 3L)
+    // compact rewrites the chain from the narrowed snapshot: the name frees
+    st.compact("t")
+    assert(st.droppedColumnsOf("t", st.latestVersion("t").get).isEmpty)
+    spark.sql("ALTER TABLE dropcat.t ADD COLUMNS (w DOUBLE)")
+    assert(spark.sql("SELECT w FROM dropcat.t").as[java.lang.Double]
+      .collect().forall(_ == null),
+      "post-compact re-add must NOT resurrect the old values")
+    // IF EXISTS tolerates a missing column; bare form refuses
+    spark.sql("ALTER TABLE dropcat.t DROP COLUMN IF EXISTS nosuch")
+    val miss = intercept[Exception](
+      spark.sql("ALTER TABLE dropcat.t DROP COLUMN nosuch"))
+    assert(messages(miss).exists(m =>
+      m.contains("no such column") || m.contains("cannot be resolved")),
+      miss.toString)
+    // dropping every column refuses
+    st.dropColumns("t", Seq("w"))
+    val all = intercept[Exception](st.dropColumns("t", Seq("id", "s")))
+    assert(messages(all).exists(_.contains("every column")), all.toString)
+  }
+
+  test("dropping the bucket column breaks the chain's layout claim; other drops keep it") {
+    val r = java.nio.file.Files.createTempDirectory("graft-dropbkt").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("t", Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "s", "w"), "k", 4)
+    val v1 = st.latestVersion("t").get
+    assert(st.bucketSpecOf("t", v1).contains(("k", 4)))
+    // dropping a NON-bucket column re-stamps the claim (files untouched)
+    st.dropColumns("t", Seq("w"))
+    val v2 = st.latestVersion("t").get
+    assert(st.bucketSpecOf("t", v2).contains(("k", 4)),
+      "a drop of an unrelated column must preserve SPJ eligibility")
+    // dropping the bucket column itself must break the claim
+    st.dropColumns("t", Seq("k"))
+    val v3 = st.latestVersion("t").get
+    assert(st.bucketSpecOf("t", v3).isEmpty,
+      "the claim names a column readers can no longer see")
+    assert(st.read("t").columns.toSeq == Seq("s"))
+  }
+
+  private def dirSize(root: String): Long = {
+    val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try w.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size(_)).sum
+    finally w.close()
   }
 
   test("DDL and writes are refused: the catalog is read-only") {
