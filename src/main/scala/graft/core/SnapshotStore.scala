@@ -679,11 +679,20 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * delta). Content-neutral to feeds, like compact. Preserves a bucketed
     * chain's layout claim (no row moved, so the spec is re-stamped onto
     * the link). Name collisions refuse; a later append may then fill the
-    * column, and the widening rules apply from its declared type. */
-  def addColumns(table: String, columns: StructType,
-      maxRetries: Int = 5): Long = {
+    * column, and the widening rules apply from its declared type.
+    *
+    * LIVENESS: CAS until won, like `append` — every lost round means a
+    * sibling committed (system-wide progress, never livelock), and the
+    * recompute is METADATA-ONLY (re-read one schema file, re-validate,
+    * rewrite one link directory), so unlike `compact`'s O(table) retry
+    * there is no cost argument for a bounded budget; a sustained appender
+    * must not be able to starve schema DDL (the delete-starvation lesson,
+    * round 12). A sibling that makes the change invalid (e.g. appended
+    * the same column name) surfaces as the validation refusal, not a
+    * retry. */
+  def addColumns(table: String, columns: StructType): Long = {
     require(columns.nonEmpty, "addColumns requires at least one column")
-    @tailrec def attempt(retriesLeft: Int): Long = {
+    @tailrec def attempt(): Long = {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
       val base = snapshotSchema(table, Some(v))
@@ -711,18 +720,20 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val cand = commitWith(table, None, None, base = Some(v),
         snapshot = merged, advance = false,
         props = bucketProps + (SnapshotStore.OpProp -> "add-columns"))
+      SnapshotStore.testRaceHook() // spec seam: force a sibling commit
       if (casAdvance(table, cand, Some(v))) cand
       else {
         val w = Files.walk(versionDir(table, cand))
         try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
         finally w.close()
-        if (retriesLeft > 0) attempt(retriesLeft - 1)
-        else throw new IllegalStateException(
-          s"addColumns($table) lost the commit race $maxRetries times — " +
-            "retry later or widen maxRetries")
+        // CAS only fails because the pointer moved off v (forward-only) —
+        // a still-equal head means lock misuse, not a race to retry.
+        require(latestVersion(table).exists(_ != v),
+          s"addColumns CAS to $table failed with unmoved pointer $v")
+        attempt()
       }
     }
-    attempt(maxRetries)
+    attempt()
   }
 
   /** SCHEMA-ONLY narrowing — `ALTER TABLE … DROP COLUMN`'s engine: remove
@@ -747,11 +758,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * schema merge refuse those names until a `compact` rewrites the chain
     * from the narrowed snapshot (compact commits base = None — a fresh
     * chain whose files no longer hold the column — so the marker clears
-    * with the chain). */
-  def dropColumns(table: String, names: Seq[String],
-      maxRetries: Int = 5): Long = {
+    * with the chain).
+    *
+    * LIVENESS: CAS until won (see [[addColumns]] — metadata-only
+    * recompute, sibling progress every lost round, no bounded budget for
+    * an appender to starve). */
+  def dropColumns(table: String, names: Seq[String]): Long = {
     require(names.nonEmpty, "dropColumns requires at least one column")
-    @tailrec def attempt(retriesLeft: Int): Long = {
+    @tailrec def attempt(): Long = {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
       val base = snapshotSchema(table, Some(v))
@@ -779,6 +793,67 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
             org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(org.json4s.JArray(
                 dropSet.toList.sorted.map(org.json4s.JString(_)))))))
+      SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+      if (casAdvance(table, cand, Some(v))) cand
+      else {
+        val w = Files.walk(versionDir(table, cand))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        require(latestVersion(table).exists(_ != v),
+          s"dropColumns CAS to $table failed with unmoved pointer $v")
+        attempt()
+      }
+    }
+    attempt()
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN`'s engine — deliberately a REWRITE, not
+    * a schema link: parquet resolves columns BY NAME, so a data-less
+    * rename would read null everywhere (and a rename-via-drop+add would
+    * resurrect nothing at all). Metadata-only renames need physical names
+    * (or parquet field IDs) pinned at column birth — a layer this store
+    * does not carry — so the honest contract is one O(table) rewrite,
+    * CAS-committed: unlike a caller's read-then-commit (last-writer-wins,
+    * a concurrent append between the two silently vanishes), a lost race
+    * here discards the candidate and re-reads the new head, so no sibling
+    * commit is ever dropped. Bucket props are stripped like compact's
+    * (the rewritten files are not bucket-attributed); dropped-column
+    * markers clear with the chain (base = None) — the rewrite's files no
+    * longer hold any dropped column. NOT content-neutral to feeds: the
+    * row values survive but the schema every consumer sees changes, so
+    * the version reads as a rewrite (resubscribe), like any commit. */
+  def renameColumns(table: String, renames: Map[String, String],
+      maxRetries: Int = 5): Long = {
+    require(renames.nonEmpty, "renameColumns requires at least one rename")
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val base = snapshotSchema(table, Some(v))
+      val missing = renames.keys.filterNot(n =>
+        base.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"renameColumns on $table: no such column(s) ${missing.mkString(", ")}")
+      val fromSet = renames.keys.map(_.toLowerCase).toSet
+      val survivors = base.fieldNames.filterNot(n => fromSet.contains(n.toLowerCase))
+      val targets = renames.values.toSeq
+      val collisions = targets.filter(t =>
+        survivors.exists(_.equalsIgnoreCase(t)) ||
+          targets.count(_.equalsIgnoreCase(t)) > 1)
+      require(collisions.isEmpty,
+        s"renameColumns on $table: target name(s) " +
+          s"${collisions.distinct.mkString(", ")} collide")
+      def renamed(n: String): String = renames.collectFirst {
+        case (f, t) if f.equalsIgnoreCase(n) => t
+      }.getOrElse(n)
+      val df = readAt(table, v).select(base.fieldNames.map(n =>
+        org.apache.spark.sql.functions.col(n).as(renamed(n))).toIndexedSeq: _*)
+      val cand = commitWith(table, Some(df), changeSet = None, base = None,
+        snapshot = ParquetTableShim.asNullable(df.schema), advance = false,
+        props = resolvedProps(table, v) -
+          SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+          SnapshotStore.DroppedColsProp +
+          (SnapshotStore.OpProp -> "rename-columns"))
+      SnapshotStore.testRaceHook() // spec seam: force a sibling commit
       if (casAdvance(table, cand, Some(v))) cand
       else {
         val w = Files.walk(versionDir(table, cand))
@@ -786,7 +861,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         finally w.close()
         if (retriesLeft > 0) attempt(retriesLeft - 1)
         else throw new IllegalStateException(
-          s"dropColumns($table) lost the commit race $maxRetries times — " +
+          s"renameColumns($table) lost the commit race $maxRetries times — " +
             "retry later or widen maxRetries")
       }
     }

@@ -471,6 +471,31 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // RENAME COLUMN round trip: commit `orders` clustered, rename two
+    // columns through the store's OCC rewrite, read the snapshot back
+    // through the connector. The oracle aliases the ORIGINAL columns to
+    // the new names: the rewrite must be value-invisible (a rename that
+    // nulled a column — the data-less-rename hazard renameColumns exists
+    // to prevent — fails the hash). Build idempotent like q97/q99.
+    "q106_store_rename" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q106_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders")
+      if (store.latestVersion("orders").isEmpty) {
+        store.commitClustered("orders", Tables.orders(s, dir),
+          clusterBy = Seq("o_orderkey"))
+        store.renameColumns("orders",
+          Map("o_totalprice" -> "price", "o_orderpriority" -> "priority"))
+      }
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .load()
+        .filter(col("o_orderkey") < 4000L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price"), col("priority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // MERGE round trip (the reference's two-tier match-or-create ingest as
     // one atomic upsert): source = an update band derived from orders
     // itself (keys 100-999 re-prioritized) plus synthetic insert rows
@@ -1007,6 +1032,15 @@ object RelationalQueries {
     // schema compare pins the narrowing, value compare pins untouched data.
     "q105_store_drop_column" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The original columns aliased to the renamed names: the OCC rewrite
+    // must be value-invisible.
+    "q106_store_rename" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  o_totalprice AS price, o_orderpriority AS priority
         |FROM orders
         |WHERE o_orderkey < 4000
         |ORDER BY o_orderkey""".stripMargin,

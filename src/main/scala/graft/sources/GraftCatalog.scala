@@ -121,9 +121,11 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     * (`SnapshotStore.addColumns` / `dropColumns`; no file touched — adds
     * read null on old rows, drops stop being scanned, and the store's
     * resurrection guard refuses re-adding a dropped name until compact).
-    * Everything else keeps the read-only refusal: version directories are
-    * immutable, and renames/retypes would need a rewrite the caller
-    * should do deliberately through `commit`. */
+    * `RENAME COLUMN` routes to `SnapshotStore.renameColumns` — an OCC
+    * REWRITE, deliberately not a schema link (parquet resolves by name;
+    * see the store's contract note). Everything else keeps the read-only
+    * refusal: version directories are immutable, and retypes would need
+    * a rewrite the caller should do deliberately through `commit`. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
     // Zero changes reach here when the analyzer swallowed them all (e.g.
@@ -147,6 +149,25 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
           .map(_.fieldNames().head)
         if (names.nonEmpty) store.dropColumns(ident.name(), names)
       } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("no committed version") =>
+          throw new NoSuchTableException(ident)
+      }
+      return loadTable(ident)
+    }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty) {
+      if (renames.size != changes.size) readOnly()
+      renames.foreach { r =>
+        require(r.fieldNames().length == 1,
+          s"RENAME COLUMN on ${ident.name()}: nested field " +
+            s"${r.fieldNames().mkString(".")} — only top-level columns " +
+            "can be renamed")
+      }
+      try store.renameColumns(ident.name(),
+        renames.map(r => r.fieldNames().head -> r.newName()).toMap)
+      catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&
               e.getMessage.startsWith("no committed version") =>

@@ -117,9 +117,46 @@ class GraftCatalogSpec extends SparkSpec {
     val dup = intercept[Exception](
       spark.sql("ALTER TABLE altcat.t ADD COLUMNS (ID INT)"))
     assert(messages(dup).exists(_.contains("already exist")), dup.toString)
-    val ren = intercept[Exception](
-      spark.sql("ALTER TABLE altcat.t RENAME COLUMN id TO id2"))
-    assert(messages(ren).exists(_.contains("read-only")), ren.toString)
+    val ret = intercept[Exception](
+      spark.sql("ALTER TABLE altcat.t ALTER COLUMN id TYPE STRING"))
+    assert(messages(ret).exists(_.contains("read-only")), ret.toString)
+  }
+
+  test("ALTER TABLE RENAME COLUMN is an OCC rewrite: values intact, history pinned") {
+    val r = java.nio.file.Files.createTempDirectory("graft-rencol").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "w"))
+    st.append("t", Seq((3L, "c", 3.0)).toDF("id", "s", "w"))
+    spark.conf.set("spark.sql.catalog.rencat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rencat.root", r)
+    spark.sql("ALTER TABLE rencat.t RENAME COLUMN s TO label")
+    assert(spark.sql("SELECT * FROM rencat.t").columns.toSeq
+      == Seq("id", "label", "w"))
+    assert(spark.sql("SELECT label FROM rencat.t WHERE id = 3")
+      .as[String].head() == "c")
+    assert(spark.sql("SELECT count(*) FROM rencat.t").as[Long].head() == 3L)
+    // pre-rename versions keep the old name (pinned per-version schemas)
+    assert(spark.sql("SELECT s FROM rencat.t VERSION AS OF 1")
+      .as[String].collect().toSet == Set("a", "b"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // target collisions refuse
+    val coll = intercept[Exception](st.renameColumns("t", Map("id" -> "label")))
+    assert(messages(coll).exists(_.contains("collide")), coll.toString)
+    // a simultaneous swap is a valid (collision-free) rename set
+    st.renameColumns("t", Map("id" -> "w", "w" -> "id"))
+    assert(st.read("t").columns.toSeq == Seq("w", "label", "id"))
+    assert(st.read("t").where(col("w") === 3L).select(col("id"))
+      .as[Double].head() == 3.0)
+    // the rewrite resets the chain: a pre-rename DROP's resurrection
+    // marker clears (the rewritten files no longer hold the column)
+    st.dropColumns("t", Seq("label"))
+    st.renameColumns("t", Map("id" -> "weight"))
+    st.addColumns("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType))))
+    assert(st.read("t").where(col("label").isNotNull).count() == 0L,
+      "re-added post-rewrite column must read null, never stale values")
   }
 
   test("ALTER TABLE DROP COLUMN narrows data-lessly; resurrection refused until compact") {

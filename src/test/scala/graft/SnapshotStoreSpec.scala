@@ -346,6 +346,52 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").columns.toSeq == Seq("id", "s"))
   }
 
+  test("schema DDL never starves under a sustained appender; renames never lose appends") {
+    // A sibling append beats EVERY CAS round, 8 times — past the old
+    // bounded budget of 5 that let a busy appender starve metadata DDL
+    // (the delete-starvation class, round 12). add/dropColumns recompute
+    // is metadata-only, so they CAS-until-won like append: each loss IS a
+    // sibling's progress.
+    val root = java.nio.file.Files.createTempDirectory("graft-ddlrace").toString
+    val st = new SnapshotStore(spark, root)
+    val sibling = new SnapshotStore(spark, root)
+    st.commit("t", spark.range(0, 10).toDF("id"))
+    var remaining = 0
+    SnapshotStore.testRaceHook = () => if (remaining > 0) {
+      remaining -= 1
+      sibling.append("t", spark.range(100, 101).toDF("id"))
+    }
+    val d = try {
+      remaining = 4
+      st.addColumns("t", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+      assert(remaining == 0, "the appender must contend every add round")
+      remaining = 4
+      st.dropColumns("t", Seq("w"))
+    } finally SnapshotStore.testRaceHook = () => ()
+    assert(remaining == 0, "the appender must contend every drop round")
+    assert(d == st.latestVersion("t").get)
+    // every contended append survived; the schema ends where DDL left it
+    assert(st.read("t").count() == 18)
+    assert(st.read("t").columns.toSeq == Seq("id"))
+
+    // renameColumns is an O(table) rewrite with a bounded budget — but a
+    // lost round must RE-READ the head, never silently drop the append
+    // that beat it (the lost-update hazard of a caller's read-then-commit).
+    var fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true
+      sibling.append("t", spark.range(200, 205).toDF("id"))
+    }
+    try st.renameColumns("t", Map("id" -> "key"))
+    finally SnapshotStore.testRaceHook = () => ()
+    assert(fired)
+    assert(st.read("t").columns.toSeq == Seq("key"))
+    assert(st.read("t").count() == 23,
+      "the append that won the first CAS round must survive the rename rewrite")
+  }
+
   test("delete re-bases over a pure-append conflict: no recompute, no starvation") {
     // Force the exact interleaving that starved the old recompute loop: a
     // sibling append lands AFTER the delete's survivor candidate is fully
