@@ -868,6 +868,40 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     attempt(maxRetries)
   }
 
+  /** DROP TABLE: remove the table's directory tree — every version, the
+    * pointer, everything — under the table's pointer lock (no committer
+    * can advance a pointer that is being deleted out from under it; a
+    * commit racing the drop either completes first and is deleted with
+    * the table, or finds its claimed directory gone and fails loudly).
+    * The JVM-wide schema/stats memos for the table are PURGED: they are
+    * keyed (root, table, version) and a re-created table reuses version
+    * numbers, so a stale entry would serve the old table's schema for the
+    * new one's v=1. Returns false if the table does not exist. */
+  def dropTable(table: String): Boolean = {
+    if (!Files.isDirectory(tableDir(table))) false
+    else underPointerLock(table) {
+      val w = Files.walk(tableDir(table))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+      SnapshotStore.schemaCache.filterInPlace {
+        case ((r, t, _), _) => !(r == root && t == table) }
+      SnapshotStore.statsCache.filterInPlace {
+        case ((r, t, _), _) => !(r == root && t == table) }
+      true
+    }
+  }
+
+  /** CREATE TABLE's engine: commit version 1 of a table that does not
+    * exist yet as an EMPTY snapshot carrying only the schema (zero data
+    * files — the pinned `_snapshot_schema.json` is the content). Refuses
+    * an existing table (CREATE's contract; CREATE OR REPLACE is `commit`). */
+  def createTable(table: String, schema: StructType): Long = {
+    require(latestVersion(table).isEmpty,
+      s"table $table already exists — use commit to replace its content")
+    commit(table, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+  }
+
   /** Lowercased names dropped anywhere in `v`'s base chain whose physical
     * data may therefore still exist in the chain's files — the set the
     * resurrection guard refuses to re-introduce. Per-link props, NOT

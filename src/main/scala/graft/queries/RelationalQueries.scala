@@ -471,6 +471,34 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SQL write-surface round trip: CREATE TABLE AS SELECT seeds half of
+    // `orders` through the catalog (a store rewrite commit), INSERT INTO
+    // appends the other half (the store's OCC chain-link append), and the
+    // read goes back through the same catalog. The oracle is a plain
+    // SELECT over the ORIGINAL parquet: the V1-write fallback, the commit
+    // protocol, and the chain read must all be value-invisible. Build
+    // idempotent like q97/q99.
+    "q107_store_sql_insert" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q107_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders")
+      s.conf.set("spark.sql.catalog.q107",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q107.root", root)
+      if (store.latestVersion("orders").isEmpty) {
+        Tables.orders(s, dir).createOrReplaceTempView("q107_src")
+        s.sql("""CREATE TABLE q107.orders AS
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM q107_src WHERE o_orderkey < 2000""")
+        s.sql("""INSERT INTO q107.orders
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM q107_src WHERE o_orderkey >= 2000 AND o_orderkey < 4000""")
+      }
+      s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM q107.orders ORDER BY o_orderkey""")
+    }),
+
     // RENAME COLUMN round trip: commit `orders` clustered, rename two
     // columns through the store's OCC rewrite, read the snapshot back
     // through the connector. The oracle aliases the ORIGINAL columns to
@@ -1031,6 +1059,14 @@ object RelationalQueries {
     // The three survivors of the drop, straight off the original parquet:
     // schema compare pins the narrowing, value compare pins untouched data.
     "q105_store_drop_column" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // CTAS seeded the <2000 band, INSERT INTO appended [2000, 4000): the
+    // SQL write surface must be value-invisible vs the original parquet.
+    "q107_store_sql_insert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey < 4000

@@ -24,13 +24,15 @@ import scala.jdk.CollectionConverters._
   *
   * Resolution per query is one pointer read pinning one immutable version
   * directory; the scan is Spark's vectorized parquet table with pushdown
-  * and pruning intact (same `GraftTable` the connector returns, so the
-  * write refusal and plan shapes are identical through both faces). The
-  * catalog is read-only by contract — DDL raises, mutation goes through
-  * `SnapshotStore.commit`/`append` — which also makes `VERSION AS OF`
-  * trivially consistent: every version a query can name is an immutable
-  * directory (reference M8 pinned-snapshot reads,
-  * schema/00_baseline.sql:2198-2240).
+  * and pruning intact (same `GraftTable` the connector returns, so plan
+  * shapes are identical through both faces). Every mutation the catalog
+  * accepts — CREATE/CTAS, INSERT [OVERWRITE], DELETE/UPDATE/MERGE, ALTER
+  * ADD/DROP/RENAME COLUMN, DROP TABLE — lands as a NEW version through
+  * the store's commit protocol; version directories themselves are never
+  * mutated, which keeps `VERSION AS OF` trivially consistent: every
+  * version a query can name is an immutable directory (reference M8
+  * pinned-snapshot reads, schema/00_baseline.sql:2198-2240). Only
+  * table RENAME and column retypes keep the refusal.
   */
 final class GraftCatalog extends TableCatalog with FunctionCatalog {
 
@@ -108,13 +110,32 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     else throw new NoSuchFunctionException(ident)
 
   private def readOnly(): Nothing = throw new UnsupportedOperationException(
-    s"graft catalog '$catalogName' is read-only: version directories are " +
-      "immutable — mutate through SnapshotStore.commit/append")
+    s"graft catalog '$catalogName' does not support this DDL: version " +
+      "directories are immutable — express the change as a new commit " +
+      "through SnapshotStore (table renames: copy via commit + dropTable; " +
+      "retypes: rewrite via commit)")
 
+  /** `CREATE TABLE <cat>.<t> (…)` — version 1 as an empty snapshot
+    * carrying the schema (`SnapshotStore.createTable`). Partition/bucket
+    * transforms refuse: the catalog cannot promise the transform on
+    * subsequent plain INSERTs (a bucketed layout is a per-commit write
+    * contract — `commitBucketed`/`appendBucketed`). With the V1 write path
+    * on the table, `CREATE TABLE … AS SELECT` works end to end. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly()
-  override def createTable(ident: Identifier, info: TableInfo): Table = readOnly()
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
+    require(partitions.isEmpty,
+      s"CREATE TABLE ${ident.name()}: partitioning/bucketing transforms " +
+        "are not supported through the catalog — a bucketed layout is a " +
+        "per-commit write contract; use SnapshotStore.commitBucketed")
+    if (store.latestVersion(ident.name()).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.name())
+    store.createTable(ident.name(), schema)
+    loadTable(ident)
+  }
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(), info.properties())
 
   /** `ALTER TABLE kg.t ADD COLUMNS (…)` / `DROP COLUMN` — the DDL the
     * store expresses natively as data-less schema chain links
@@ -202,7 +223,12 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     }
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = readOnly()
+  /** `DROP TABLE <cat>.<t>` — deletes every version under the table's
+    * pointer lock and purges the JVM-wide schema/stats memos (version
+    * numbers are reused by a re-created table). */
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && store.dropTable(ident.name())
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly()
 }

@@ -179,27 +179,45 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
 
   override def name(): String = s"graft:$tableName@v$snapshotVersion"
   override def schema(): StructType = pinnedSchema
-  // BATCH_WRITE is declared ONLY so a write reaches newWriteBuilder and gets
-  // the contract message below, instead of Spark's opaque capability error.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.asInstanceOf[SupportsRead].newScanBuilder(options)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    throw new UnsupportedOperationException(
-      s"graft table '$tableName' is read-only through the connector: version " +
-        "directories are immutable — write through SnapshotStore.commit/append")
+  /** `INSERT INTO` / `INSERT OVERWRITE` / `df.writeTo(...).append()` —
+    * planned through Spark's V1 write fallback (`V1Write` →
+    * `InsertableRelation`), which hands the insert a driver-side
+    * DataFrame: exactly the shape of the store's own atomic commits, so
+    * the SQL surface inherits the full protocol — append is the OCC
+    * chain-link commit (CAS until won, schema merge + widening rules,
+    * change set recorded for the feeds), overwrite is the self-contained
+    * rewrite `commit`. No version directory is ever mutated: both land as
+    * NEW versions, keeping the immutability contract this builder used to
+    * defend by refusing writes outright. A bucketed chain accepts plain
+    * inserts but the SPJ layout claim drops (mixed chain) — use
+    * `appendBucketed` to keep it. Time-travel resolutions refuse: the
+    * write mutates the current head, not the pinned snapshot. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val root = storeRoot.getOrElse(throw new UnsupportedOperationException(
+      s"graft table '$tableName' was resolved without a store root — " +
+        "writes require the catalog or root-option face; or write through " +
+        "SnapshotStore.commit/append"))
+    require(!versionPinned,
+      s"graft table '$tableName' is pinned to historical version " +
+        s"$snapshotVersion — INSERT mutates the current head; resolve the " +
+        "table without a version option to write")
+    new GraftWriteBuilder(root, tableName)
+  }
 
   // ---- ANSI DELETE (`DELETE FROM kg.t WHERE …`) --------------------------
   // Metadata-plus-matched-files delete through the store's tombstone
   // machinery (SnapshotStore.delete): Spark bridges the V2 predicates to
   // V1 source Filters, we translate those to a Column predicate, and the
   // store commits an O(matched files) delete version via its pointer CAS.
-  // This does NOT violate the bare-write refusal above: no version
-  // directory is ever mutated — DELETE commits a NEW version like every
-  // other mutation. The delete resolves the CURRENT head (a DELETE is a
+  // Like the insert path above, no version directory is ever mutated —
+  // DELETE commits a NEW version like every other mutation. The delete resolves the CURRENT head (a DELETE is a
   // table mutation, not a read of this object's pinned snapshot; the
   // pinned version stays readable via time travel). Predicates outside
   // the translatable set (arithmetic, UDFs, subqueries) make
@@ -232,6 +250,36 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     new graft.core.SnapshotStore(spark, root).delete(tableName, predicate)
     ()
   }
+}
+
+/** The V1-fallback write: `build()` yields a [[V1Write]] whose
+  * [[org.apache.spark.sql.sources.InsertableRelation]] routes the
+  * analyzer-aligned DataFrame (Spark has already reordered/cast the query
+  * to the table schema) onto `SnapshotStore.append`/`commit`.
+  * `SupportsTruncate` is what `INSERT OVERWRITE` (full, `deleteExpr` =
+  * true) lowers to; partial overwrites (`replaceWhere`-style filters) are
+  * not claimed, so they fail with Spark's standard capability error. */
+private[sources] final class GraftWriteBuilder(root: String, table: String)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwriteFlag: Boolean): Unit = {
+            val store = new graft.core.SnapshotStore(data.sparkSession, root)
+            if (overwrite || overwriteFlag) store.commit(table, data)
+            else store.append(table, data)
+            ()
+          }
+        }
+    }
 }
 
 object GraftTable {

@@ -119,7 +119,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(messages(dup).exists(_.contains("already exist")), dup.toString)
     val ret = intercept[Exception](
       spark.sql("ALTER TABLE altcat.t ALTER COLUMN id TYPE STRING"))
-    assert(messages(ret).exists(_.contains("read-only")), ret.toString)
+    assert(messages(ret).exists(_.contains("does not support")), ret.toString)
   }
 
   test("ALTER TABLE RENAME COLUMN is an OCC rewrite: values intact, history pinned") {
@@ -240,16 +240,57 @@ class GraftCatalogSpec extends SparkSpec {
     finally w.close()
   }
 
-  test("DDL and writes are refused: the catalog is read-only") {
-    root
+  test("CREATE / INSERT / OVERWRITE / CTAS / DROP TABLE route through store commits") {
+    val r = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    spark.conf.set("spark.sql.catalog.ddlcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ddlcat.root", r)
+    val st = new SnapshotStore(spark, r)
+    // CREATE: version 1 is an empty snapshot carrying the schema
+    spark.sql("CREATE TABLE ddlcat.t (id BIGINT, s STRING)")
+    assert(spark.sql("SELECT * FROM ddlcat.t").columns.toSeq == Seq("id", "s"))
+    assert(spark.sql("SELECT * FROM ddlcat.t").count() == 0)
+    // INSERT INTO = the store's OCC append (a chain link, feed-visible)
+    spark.sql("INSERT INTO ddlcat.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO ddlcat.t SELECT 3 AS id, 'c' AS s")
+    Seq((4L, "d")).toDF("id", "s").writeTo("ddlcat.t").append()
+    assert(spark.sql("SELECT id FROM ddlcat.t").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 4L))
+    assert(st.changesAt("t", st.latestVersion("t").get)
+      .exists(_.count() == 1), "an insert records its change set for the feeds")
+    // INSERT OVERWRITE = self-contained rewrite; history stays readable
+    val preOverwrite = st.latestVersion("t").get
+    spark.sql("INSERT OVERWRITE ddlcat.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM ddlcat.t").as[Long].collect().toSeq
+      == Seq(9L))
+    assert(spark.sql(
+      s"SELECT id FROM ddlcat.t VERSION AS OF $preOverwrite")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // CTAS
+    spark.sql("CREATE TABLE ddlcat.t2 AS SELECT id * 10 AS id10, s FROM ddlcat.t")
+    assert(spark.sql("SELECT id10, s FROM ddlcat.t2").as[(Long, String)]
+      .collect().toSeq == Seq((90L, "z")))
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    val drop = intercept[Exception](spark.sql("DROP TABLE kgcat.docs"))
-    assert(messages(drop).exists(_.contains("read-only")), drop.toString)
-    val ins = intercept[Exception](
-      spark.sql("INSERT INTO kgcat.docs VALUES (9, 'z')"))
-    assert(messages(ins).exists(m =>
-      m.contains("read-only") || m.contains("does not support")), ins.toString)
+    // CREATE of an existing table refuses
+    val dup = intercept[Exception](
+      spark.sql("CREATE TABLE ddlcat.t (x INT)"))
+    assert(messages(dup).exists(_.toLowerCase.contains("already exists")),
+      dup.toString)
+    // partition/bucket transforms refuse with the commitBucketed pointer
+    val part = intercept[Exception](
+      spark.sql("CREATE TABLE ddlcat.t3 (id BIGINT) PARTITIONED BY (bucket(4, id))"))
+    assert(messages(part).exists(_.contains("commitBucketed")), part.toString)
+    // DROP TABLE deletes the tree and purges memos: a re-created table
+    // with a new schema must not read the old one's cached schema
+    spark.sql("DROP TABLE ddlcat.t2")
+    assert(!spark.sql("SHOW TABLES IN ddlcat").select("tableName")
+      .as[String].collect().contains("t2"))
+    spark.sql("CREATE TABLE ddlcat.t2 (other DOUBLE)")
+    assert(spark.sql("SELECT * FROM ddlcat.t2").columns.toSeq == Seq("other"))
+    // table RENAME keeps the refusal
+    val ren = intercept[Exception](
+      spark.sql("ALTER TABLE ddlcat.t RENAME TO renamed"))
+    assert(messages(ren).exists(_.contains("does not support")), ren.toString)
   }
 
   test("ANSI DELETE FROM routes through the store's tombstone delete") {

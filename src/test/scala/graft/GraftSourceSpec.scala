@@ -147,17 +147,31 @@ class GraftSourceSpec extends SparkSpec {
     assert(load(None).where(col("id") === 7L).count() == 0L)
   }
 
-  test("writes through the connector are refused with the commit contract") {
+  test("writes through the connector land as store commits (V1 write fallback)") {
     val root = freshRoot()
-    new SnapshotStore(spark, root).commit("t", Seq(1).toDF("x"))
+    val st = new SnapshotStore(spark, root)
+    st.commit("t", Seq(1).toDF("x"))
+    // mode("append") = the store's OCC chain-link append, feed-visible
+    Seq(2).toDF("x").write.format("graft")
+      .option("root", root).option("table", "t").mode("append").save()
+    assert(st.read("t").as[Int].collect().toSet == Set(1, 2))
+    val v = st.latestVersion("t").get
+    assert(st.changesAt("t", v).exists(_.count() == 1),
+      "a connector append records its change set")
+    // mode("overwrite") = self-contained rewrite; history stays readable
+    Seq(9).toDF("x").write.format("graft")
+      .option("root", root).option("table", "t").mode("overwrite").save()
+    assert(st.read("t").as[Int].collect().toSeq == Seq(9))
+    assert(st.readAt("t", v).as[Int].collect().toSet == Set(1, 2))
+    // a version-pinned resolution refuses writes (head-mutation mismatch)
     val e = intercept[Exception] {
-      Seq(2).toDF("x").write.format("graft")
-        .option("root", root).option("table", "t").mode("append").save()
+      Seq(3).toDF("x").write.format("graft")
+        .option("root", root).option("table", "t").option("version", "1")
+        .mode("append").save()
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(m =>
-      m.contains("read-only") || m.contains("does not support")), e.toString)
+    assert(messages(e).exists(_.contains("pinned")), e.toString)
   }
 
   test("type-widening matrix: lossless numeric widening across the chain, no rewrite") {
