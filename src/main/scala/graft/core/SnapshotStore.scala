@@ -868,6 +868,48 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     attempt(maxRetries)
   }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES`' engine: pin caller metadata onto
+    * the table as a DATA-LESS chain link whose `_props.json` carries the
+    * new pairs — `resolvedProps`' chain inheritance (later links override
+    * earlier keys) IS table-property semantics, so nothing else is needed.
+    * Content-neutral to feeds. Reserved `graft.*` keys refuse: they are
+    * the store's own protocol (op tags, bucket claims, dropped-column
+    * markers) and a user write could corrupt a layout claim. UNSET has no
+    * data-less expression (inheritance can only override, not forget) —
+    * set the key to an empty value, or rewrite via `commit`. Same
+    * CAS-until-won liveness as [[addColumns]]. */
+  def setTableProperties(table: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setTableProperties requires at least one pair")
+    val reserved = props.keys.filter(_.toLowerCase.startsWith("graft."))
+    require(reserved.isEmpty,
+      s"setTableProperties on $table: key(s) ${reserved.mkString(", ")} are " +
+        "reserved store protocol (graft.*)")
+    @tailrec def attempt(): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      // Re-stamp a bucket claim like addColumns: no file moved.
+      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+          SnapshotStore.BucketNProp -> n.toString)
+      }
+      val cand = commitWith(table, None, None, base = Some(v),
+        snapshot = snapshotSchema(table, Some(v)), advance = false,
+        props = props ++ bucketProps +
+          (SnapshotStore.OpProp -> "set-properties"))
+      SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+      if (casAdvance(table, cand, Some(v))) cand
+      else {
+        val w = Files.walk(versionDir(table, cand))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        require(latestVersion(table).exists(_ != v),
+          s"setTableProperties CAS to $table failed with unmoved pointer $v")
+        attempt()
+      }
+    }
+    attempt()
+  }
+
   /** DROP TABLE: remove the table's directory tree — every version, the
     * pointer, everything — under the table's pointer lock (no committer
     * can advance a pointer that is being deleted out from under it; a
@@ -2424,7 +2466,8 @@ object SnapshotStore {
     * invisible to incremental consumers by design, so
     * [[SnapshotStore.nonFeedMutationsSince]] must not flag them. */
   val ContentNeutralOps: Set[String] =
-    Set("compact", "compact-dv", "add-columns", "drop-columns")
+    Set("compact", "compact-dv", "add-columns", "drop-columns",
+      "set-properties")
 
   /** Commit-props key of a drop-columns link's OWN dropped names (a JSON
     * array, lowercased): the resurrection guard's per-link record. Chain-

@@ -177,6 +177,19 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       }
       return loadTable(ident)
     }
+    val sets = changes.collect { case p: TableChange.SetProperty => p }
+    if (sets.nonEmpty) {
+      if (sets.size != changes.size) readOnly()
+      try store.setTableProperties(ident.name(),
+        sets.map(p => p.property() -> p.value()).toMap)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("no committed version") =>
+          throw new NoSuchTableException(ident)
+      }
+      return loadTable(ident)
+    }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     if (renames.nonEmpty) {
       if (renames.size != changes.size) readOnly()

@@ -183,6 +183,21 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** `SHOW TBLPROPERTIES` / DESCRIBE: the chain-resolved commit props of
+    * the pinned snapshot (`SnapshotStore.resolvedProps` — later links
+    * override earlier keys, which is table-property semantics; includes
+    * the store's own `graft.*` protocol keys, which read as useful
+    * DESCRIBE output: op tags, bucket claims). */
+  override def properties(): util.Map[String, String] = storeRoot match {
+    case None => java.util.Collections.emptyMap[String, String]()
+    case Some(root) =>
+      val m = new java.util.HashMap[String, String]()
+      new graft.core.SnapshotStore(spark, root)
+        .resolvedProps(tableName, snapshotVersion)
+        .foreach { case (k, v) => m.put(k, v) }
+      m
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.asInstanceOf[SupportsRead].newScanBuilder(options)
 

@@ -240,6 +240,39 @@ class GraftCatalogSpec extends SparkSpec {
     finally w.close()
   }
 
+  test("SET TBLPROPERTIES pins chain-inherited metadata; reserved keys refuse") {
+    val r = java.nio.file.Files.createTempDirectory("graft-props").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", Seq((1L, "a")).toDF("id", "s"))
+    spark.conf.set("spark.sql.catalog.propcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.propcat.root", r)
+    spark.sql(
+      "ALTER TABLE propcat.t SET TBLPROPERTIES ('owner.team'='graft', 'tier'='gold')")
+    def props(): Map[String, String] = spark.sql("SHOW TBLPROPERTIES propcat.t")
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(props().get("owner.team").contains("graft"))
+    assert(props().get("tier").contains("gold"))
+    // inherits across appends; a later SET overrides (chain semantics)
+    st.append("t", Seq((2L, "b")).toDF("id", "s"))
+    assert(props().get("tier").contains("gold"))
+    spark.sql("ALTER TABLE propcat.t SET TBLPROPERTIES ('tier'='silver')")
+    assert(props().get("tier").contains("silver"))
+    // data-less and feed-neutral
+    assert(st.read("t").count() == 2)
+    assert(st.nonFeedMutationsSince("t", 1L).isEmpty,
+      "a set-properties link must not blind the change feed")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the store's own protocol keys are not writable
+    val res = intercept[Exception](spark.sql(
+      "ALTER TABLE propcat.t SET TBLPROPERTIES ('graft.bucket.col'='id')"))
+    assert(messages(res).exists(_.contains("reserved")), res.toString)
+    // UNSET has no data-less expression: refused
+    val unset = intercept[Exception](spark.sql(
+      "ALTER TABLE propcat.t UNSET TBLPROPERTIES ('tier')"))
+    assert(messages(unset).exists(_.contains("does not support")), unset.toString)
+  }
+
   test("CREATE / INSERT / OVERWRITE / CTAS / DROP TABLE route through store commits") {
     val r = java.nio.file.Files.createTempDirectory("graft-ddl").toString
     spark.conf.set("spark.sql.catalog.ddlcat", classOf[GraftCatalog].getName)
