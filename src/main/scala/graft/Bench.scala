@@ -188,6 +188,15 @@ object Bench {
         System.err.println(f"[bench] suite canary blew out at $sfDir " +
           f"(max_ratio ${first.maxRatio}%.2f, contended=${first.contended}) " +
           "- re-running the whole suite once")
+        // Drop the first pass's litter before rerunning IN THE SAME JVM:
+        // localCheckpoint queries (q86-style) leave their blocks persisted
+        // for the JVM's life, so a second full pass starts with the heap
+        // half-full and OOMs where a fresh run wouldn't (observed: GCLocker
+        // retry death in the sf10 rerun at -Xmx8g). Store/cache state is
+        // on disk; dropping persisted RDDs only trades recompute, and the
+        // rerun re-times every query from its own scans anyway.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.sharedState.cacheManager.clearCache()
         Thread.sleep(5000)
         val second = runSuite(spark, sfDir)
         val firstByName = first.results.toMap
@@ -319,6 +328,10 @@ object Bench {
           System.err.println(s"[bench] building $sf10Dir (100x $sfDir)")
           graft.tools.ScaleUp.build(spark, sfDir, sf10Dir, 100)
         }
+        // The sf0.1 block's localCheckpoint litter must not shrink the
+        // sf10 block's heap (same-JVM lesson as the rerun cleanup above).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        spark.sharedState.cacheManager.clearCache()
         val (r1, f1, c1) = adjudicatedSuite(spark, sf10Dir)
         Some(s"""{${suiteJson(r1, f1, c1)},"dir":${jsonStr(sf10Dir)}}""")
       } catch { case e: Throwable =>

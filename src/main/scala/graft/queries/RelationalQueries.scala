@@ -431,15 +431,21 @@ object RelationalQueries {
             col("l_extendedprice")),
           "l_orderkey", 8)
       }
-      s.conf.set("spark.sql.catalog.q104",
+      // Catalog name embeds the fixture fingerprint: CatalogManager CACHES
+      // catalog instances by name at first use, so re-pointing the same
+      // name's `.root` at another scale's fixture is silently ignored —
+      // the sf10 block of the dual-scale bench was reading (and timing)
+      // the sf0.1 tables through the stale cached instance.
+      val cat = s"q104_${Tables.fingerprint(dir, "orders")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.q104.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.sql("""
+      s.sql(s"""
         SELECT o_orderkey, o_orderstatus,
           count(*) AS n_items,
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        FROM q104.orders_b JOIN q104.lineitem_b ON o_orderkey = l_orderkey
+        FROM $cat.orders_b JOIN $cat.lineitem_b ON o_orderkey = l_orderkey
         WHERE o_orderkey < 8000
         GROUP BY o_orderkey, o_orderstatus
         ORDER BY o_orderkey""")
@@ -483,20 +489,24 @@ object RelationalQueries {
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders")
-      s.conf.set("spark.sql.catalog.q107",
+      // Fingerprinted catalog name — same stale-cached-instance hazard as
+      // q104 (CatalogManager memoizes by name; a CTAS through a stale
+      // instance finds the OTHER scale's table and refuses ALREADY_EXISTS).
+      val cat = s"q107_${Tables.fingerprint(dir, "orders")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.q107.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       if (store.latestVersion("orders").isEmpty) {
         Tables.orders(s, dir).createOrReplaceTempView("q107_src")
-        s.sql("""CREATE TABLE q107.orders AS
+        s.sql(s"""CREATE TABLE $cat.orders AS
           SELECT o_orderkey, o_orderstatus, o_totalprice
           FROM q107_src WHERE o_orderkey < 2000""")
-        s.sql("""INSERT INTO q107.orders
+        s.sql(s"""INSERT INTO $cat.orders
           SELECT o_orderkey, o_orderstatus, o_totalprice
           FROM q107_src WHERE o_orderkey >= 2000 AND o_orderkey < 4000""")
       }
-      s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice
-        FROM q107.orders ORDER BY o_orderkey""")
+      s.sql(s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM $cat.orders ORDER BY o_orderkey""")
     }),
 
     // RENAME COLUMN round trip: commit `orders` clustered, rename two
