@@ -133,9 +133,22 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // version's consumers need to pair with it atomically (e.g. AnnIndex's
     // centroids version) commits or vanishes WITH the version — never a
     // second non-atomic write.
-    if (props.nonEmpty) Files.writeString(propsFile(table, next),
+    //
+    // CHECK constraints are STANDING table metadata (ANSI): a
+    // self-contained rewrite (base = None) starts a fresh props chain and
+    // would silently forget them, so the pre-rewrite head's graft.check.*
+    // entries carry into the candidate's own props (caller's entries
+    // override) — forgetting a constraint is dropCheckConstraint, never a
+    // side effect of an overwrite or compaction.
+    val carried =
+      if (base.isDefined) props
+      else latestVersion(table).map { prev =>
+        resolvedProps(table, prev).filter { case (k, _) =>
+          k.startsWith(SnapshotStore.CheckPropPrefix) } ++ props
+      }.getOrElse(props)
+    if (carried.nonEmpty) Files.writeString(propsFile(table, next),
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
-        org.json4s.JObject(props.toList.sortBy(_._1)
+        org.json4s.JObject(carried.toList.sortBy(_._1)
           .map { case (k, v) => k -> org.json4s.JString(v) }))))
     // File tombstones (`_removed.json`, written by `delete`): store-relative
     // keys ("v=N/part-....parquet") of chain files this version REPLACES.
@@ -194,6 +207,44 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     try FileStats.writeStatsFile(
       spark.sparkContext.hadoopConfiguration, versionDir(table, next))
     catch { case scala.util.control.NonFatal(_) => () }
+    // ANSI CHECK enforcement — ONE choke point for every data-carrying
+    // write path (append, commit/overwrite, update/merge survivors, the
+    // V1 SQL insert): validate the JUST-WRITTEN files against the active
+    // constraint set, O(delta) with column pruning, BEFORE any exposure —
+    // a violating candidate is discarded, never half-visible. Predicates
+    // evaluating NULL pass (ANSI: violated only when FALSE). Reading the
+    // written files (not the input frame) avoids recomputing the caller's
+    // plan and validates what is actually stored. Sidecar subdirectories
+    // (_changes etc.) are underscore-hidden from the scan.
+    // Content-neutral rewrites (compact, compact-dv) re-arrange rows that
+    // came from an already-validated snapshot — re-validating them would
+    // double the cost of an O(table) compaction for nothing.
+    val contentNeutral = carried.get(SnapshotStore.OpProp)
+      .exists(SnapshotStore.ContentNeutralOps.contains)
+    if (df.isDefined && !contentNeutral) {
+      val active = base.map(checkConstraintsOf(table, _)).getOrElse(Map.empty) ++
+        carried.collect {
+          case (k, sql) if k.startsWith(SnapshotStore.CheckPropPrefix) &&
+            sql.nonEmpty =>
+            k.stripPrefix(SnapshotStore.CheckPropPrefix) -> sql
+        }
+      if (active.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        val written = spark.read.schema(snapshot)
+          .parquet(versionDir(table, next).toString)
+        active.find { case (_, sql) =>
+          written.where(coalesce(expr(sql).cast("boolean"), lit(true)) ===
+            lit(false)).head(1).nonEmpty
+        }.foreach { case (n, sql) =>
+          val w = Files.walk(versionDir(table, next))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          throw new IllegalArgumentException(
+            s"write to $table violates CHECK constraint $n ($sql) — " +
+              "candidate discarded, table unchanged")
+        }
+      }
+    }
     if (advance) advancePointer(table, next)
     next
   }
@@ -779,6 +830,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       require(narrowed.nonEmpty,
         s"dropColumns from $table would remove every column — drop the " +
           "table instead")
+      val blocked = constraintRefs(table, v).filter {
+        case (_, cols) => cols.exists(dropSet.contains) }
+      require(blocked.isEmpty,
+        s"dropColumns from $table: CHECK constraint(s) " +
+          s"${blocked.keys.toSeq.sorted.mkString(", ")} reference the " +
+          "column(s) — drop the constraint(s) first")
       val bucketProps = bucketSpecOf(table, v)
         .filterNot { case (c, _) => dropSet.contains(c.toLowerCase) }
         .fold(Map.empty[String, String]) { case (c, n) =>
@@ -842,6 +899,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       require(collisions.isEmpty,
         s"renameColumns on $table: target name(s) " +
           s"${collisions.distinct.mkString(", ")} collide")
+      val blocked = constraintRefs(table, v).filter {
+        case (_, cols) => cols.exists(fromSet.contains) }
+      require(blocked.isEmpty,
+        s"renameColumns on $table: CHECK constraint(s) " +
+          s"${blocked.keys.toSeq.sorted.mkString(", ")} reference the " +
+          "column(s) — drop the constraint(s), rename, re-add")
       def renamed(n: String): String = renames.collectFirst {
         case (f, t) if f.equalsIgnoreCase(n) => t
       }.getOrElse(n)
@@ -866,6 +929,121 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       }
     }
     attempt(maxRetries)
+  }
+
+  /** Lowercased top-level column names each active CHECK constraint
+    * references — what column drop/rename must refuse to touch (the
+    * stored predicate SQL would silently stop resolving under the new
+    * schema). */
+  private def constraintRefs(table: String, v: Long): Map[String, Set[String]] =
+    checkConstraintsOf(table, v).map { case (n, sql) =>
+      n -> spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase
+      }.toSet
+    }
+
+  /** Active CHECK constraints of a version: name -> predicate SQL, from
+    * the chain-resolved `graft.check.<name>` props. An EMPTY value is the
+    * drop marker ([[dropCheckConstraint]] — chain inheritance can
+    * override a key but never forget it), filtered out here. */
+  def checkConstraintsOf(table: String, v: Long): Map[String, String] =
+    resolvedProps(table, v).collect {
+      case (k, sql) if k.startsWith(SnapshotStore.CheckPropPrefix) &&
+        sql.nonEmpty =>
+        k.stripPrefix(SnapshotStore.CheckPropPrefix) -> sql
+    }
+
+  /** `ALTER TABLE … ADD CONSTRAINT <name> CHECK (<predicate>)`' engine —
+    * ANSI CHECK constraints as STANDING table metadata: a data-less props
+    * link pins `graft.check.<name>`, chain inheritance carries it across
+    * appends, and [[commitWith]] re-injects the set across self-contained
+    * rewrites (INSERT OVERWRITE / compact must not silently forget a
+    * contract — forgetting is [[dropCheckConstraint]]). EXISTING rows are
+    * validated before the link commits (ANSI ADD CONSTRAINT semantics);
+    * every subsequent data-carrying write validates its delta at
+    * O(delta) inside the commit protocol, and the SQL faces additionally
+    * advertise the set through `Table.constraints()` so Spark's own
+    * analyzer-side enforcement fires on INSERT. NULL predicates PASS
+    * (ANSI: violated only when FALSE). Same CAS-until-won liveness as
+    * [[addColumns]]. */
+  def addCheckConstraint(table: String, name: String,
+      predicateSql: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' — use [A-Za-z0-9_]+")
+    require(predicateSql.trim.nonEmpty, "empty CHECK predicate")
+    @tailrec def attempt(): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      require(!checkConstraintsOf(table, v).contains(name),
+        s"constraint $name already exists on $table")
+      // ANSI: the table's CURRENT rows must satisfy the new constraint
+      // (this scan also surfaces an unresolvable predicate loudly).
+      val violating = readAt(table, v).where(
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.expr(predicateSql).cast("boolean"),
+          org.apache.spark.sql.functions.lit(true)) ===
+          org.apache.spark.sql.functions.lit(false))
+      require(violating.head(1).isEmpty,
+        s"cannot add CHECK constraint $name to $table: existing rows " +
+          s"violate ($predicateSql)")
+      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+          SnapshotStore.BucketNProp -> n.toString)
+      }
+      val cand = commitWith(table, None, None, base = Some(v),
+        snapshot = snapshotSchema(table, Some(v)), advance = false,
+        props = bucketProps +
+          (SnapshotStore.CheckPropPrefix + name -> predicateSql) +
+          (SnapshotStore.OpProp -> "add-constraint"))
+      SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+      if (casAdvance(table, cand, Some(v))) cand
+      else {
+        val w = Files.walk(versionDir(table, cand))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        require(latestVersion(table).exists(_ != v),
+          s"addCheckConstraint CAS to $table failed with unmoved pointer $v")
+        attempt()
+      }
+    }
+    attempt()
+  }
+
+  /** Drop a CHECK constraint: a data-less link whose `graft.check.<name>`
+    * is EMPTY — the inheritance-safe drop marker (later links override
+    * earlier keys; an absent key cannot be expressed down-chain). */
+  def dropCheckConstraint(table: String, name: String,
+      ifExists: Boolean = false): Long = {
+    @tailrec def attempt(): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      if (!checkConstraintsOf(table, v).contains(name)) {
+        require(ifExists, s"no CHECK constraint $name on $table")
+        v
+      } else {
+        val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+            SnapshotStore.BucketNProp -> n.toString)
+        }
+        val cand = commitWith(table, None, None, base = Some(v),
+          snapshot = snapshotSchema(table, Some(v)), advance = false,
+          props = bucketProps +
+            (SnapshotStore.CheckPropPrefix + name -> "") +
+            (SnapshotStore.OpProp -> "drop-constraint"))
+        SnapshotStore.testRaceHook()
+        if (casAdvance(table, cand, Some(v))) cand
+        else {
+          val w = Files.walk(versionDir(table, cand))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          require(latestVersion(table).exists(_ != v),
+            s"dropCheckConstraint CAS to $table failed with unmoved pointer $v")
+          attempt()
+        }
+      }
+    }
+    attempt()
   }
 
   /** `ALTER TABLE … SET TBLPROPERTIES`' engine: pin caller metadata onto
@@ -2467,7 +2645,15 @@ object SnapshotStore {
     * [[SnapshotStore.nonFeedMutationsSince]] must not flag them. */
   val ContentNeutralOps: Set[String] =
     Set("compact", "compact-dv", "add-columns", "drop-columns",
-      "set-properties")
+      "set-properties", "add-constraint", "drop-constraint")
+
+  /** Commit-props key prefix of ANSI CHECK constraints
+    * (`graft.check.<name>` -> predicate SQL; empty value = drop marker).
+    * Reserved like all `graft.*` keys — written only by
+    * [[SnapshotStore.addCheckConstraint]]/[[SnapshotStore.dropCheckConstraint]],
+    * enforced by `commitWith` on every data-carrying write, carried
+    * across self-contained rewrites as standing table metadata. */
+  val CheckPropPrefix: String = "graft.check."
 
   /** Commit-props key of a drop-columns link's OWN dropped names (a JSON
     * array, lowercased): the resurrection guard's per-link record. Chain-

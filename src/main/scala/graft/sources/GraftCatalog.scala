@@ -47,6 +47,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def name(): String = catalogName
 
+  /** Advertise ANSI table-constraint DDL: `ALTER TABLE … ADD CONSTRAINT
+    * <n> CHECK (…)` / `DROP CONSTRAINT` route through `alterTable`
+    * below; the tables report the active set via `constraints()`, which
+    * also arms Spark's own analyzer-side INSERT validation. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark = SparkSession.active
   private def store = new SnapshotStore(spark, root)
 
@@ -134,8 +143,22 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     store.createTable(ident.name(), schema)
     loadTable(ident)
   }
-  override def createTable(ident: Identifier, info: TableInfo): Table =
-    createTable(ident, info.schema(), info.partitions(), info.properties())
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val created =
+      createTable(ident, info.schema(), info.partitions(), info.properties())
+    val cons = Option(info.constraints()).map(_.toSeq).getOrElse(Nil)
+    if (cons.isEmpty) created
+    else {
+      cons.foreach {
+        case ch: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          store.addCheckConstraint(ident.name(), ch.name(), ch.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"constraint ${other.name()} on ${ident.name()}: only CHECK " +
+            "constraints are supported")
+      }
+      loadTable(ident)
+    }
+  }
 
   /** `ALTER TABLE kg.t ADD COLUMNS (…)` / `DROP COLUMN` — the DDL the
     * store expresses natively as data-less schema chain links
@@ -175,6 +198,28 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
               e.getMessage.startsWith("no committed version") =>
           throw new NoSuchTableException(ident)
       }
+      return loadTable(ident)
+    }
+    val addCons = changes.collect { case c: TableChange.AddConstraint => c }
+    if (addCons.nonEmpty) {
+      if (addCons.size != changes.size) readOnly()
+      addCons.foreach { c =>
+        c.constraint() match {
+          case ch: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            store.addCheckConstraint(ident.name(), ch.name(), ch.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"constraint ${other.name()} on ${ident.name()}: only CHECK " +
+              "constraints are supported (PK/FK/UNIQUE would need an index " +
+              "the store does not maintain)")
+        }
+      }
+      return loadTable(ident)
+    }
+    val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
+    if (dropCons.nonEmpty) {
+      if (dropCons.size != changes.size) readOnly()
+      dropCons.foreach(d =>
+        store.dropCheckConstraint(ident.name(), d.name(), d.ifExists()))
       return loadTable(ident)
     }
     val sets = changes.collect { case p: TableChange.SetProperty => p }

@@ -183,6 +183,27 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** ANSI CHECK constraints of the pinned snapshot (graft.check.* chain
+    * props) — reported ENFORCED + VALID: the store validated existing
+    * rows at ADD time and validates every delta at commit time, and
+    * reporting them here arms Spark's analyzer-side INSERT validation
+    * as the earliest (pre-job) refusal. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    storeRoot match {
+      case None => Array.empty
+      case Some(root) =>
+        new graft.core.SnapshotStore(spark, root)
+          .checkConstraintsOf(tableName, snapshotVersion)
+          .toSeq.sortBy(_._1).map { case (n, sql) =>
+            org.apache.spark.sql.connector.catalog.constraints.Constraint
+              .check(n).predicateSql(sql).enforced(true)
+              .validationStatus(org.apache.spark.sql.connector.catalog
+                .constraints.Constraint.ValidationStatus.VALID)
+              .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+          }.toArray
+    }
+
   /** `SHOW TBLPROPERTIES` / DESCRIBE: the chain-resolved commit props of
     * the pinned snapshot (`SnapshotStore.resolvedProps` — later links
     * override earlier keys, which is table-property semantics; includes

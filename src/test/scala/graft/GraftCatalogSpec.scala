@@ -240,6 +240,57 @@ class GraftCatalogSpec extends SparkSpec {
     finally w.close()
   }
 
+  test("CHECK constraints: validated at ADD, enforced on every write path, survive overwrite") {
+    val r = java.nio.file.Files.createTempDirectory("graft-check").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", Seq((1L, Some(10)), (2L, Some(20))).toDF("id", "qty"))
+    spark.conf.set("spark.sql.catalog.conscat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.conscat.root", r)
+    graft.GraftExtensions.register(spark)
+    spark.sql("ALTER TABLE conscat.t ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // ADD validates EXISTING rows (ANSI): a violating table refuses
+    st.commit("bad", Seq((1L, Some(-5))).toDF("id", "qty"))
+    val pre = intercept[Exception](
+      st.addCheckConstraint("bad", "qty_pos", "qty > 0"))
+    assert(messages(pre).exists(_.contains("existing rows violate")), pre.toString)
+    // a violating SQL INSERT refuses; the table is unchanged
+    val ins = intercept[Exception](
+      spark.sql("INSERT INTO conscat.t VALUES (9, -5)"))
+    assert(messages(ins).exists(m =>
+      m.contains("CHECK") || m.contains("violates")), ins.toString)
+    assert(spark.sql("SELECT count(*) FROM conscat.t").as[Long].head() == 2L)
+    // the store face is equally gated (no SQL analyzer in the way)
+    val app = intercept[Exception](
+      st.append("t", Seq((9L, Some(-5))).toDF("id", "qty")))
+    assert(messages(app).exists(_.contains("violates CHECK constraint qty_pos")),
+      app.toString)
+    assert(st.read("t").count() == 2)
+    // NULL predicate PASSES (ANSI: violated only when FALSE)
+    st.append("t", Seq((3L, None: Option[Int])).toDF("id", "qty"))
+    assert(st.read("t").count() == 3)
+    // a violating UPDATE refuses through the SQL face
+    val upd = intercept[Exception](
+      spark.sql("UPDATE conscat.t SET qty = -1 WHERE id = 1"))
+    assert(messages(upd).exists(m =>
+      m.contains("CHECK") || m.contains("violates")), upd.toString)
+    // constraints are STANDING metadata: INSERT OVERWRITE keeps them
+    spark.sql("INSERT OVERWRITE conscat.t VALUES (7, 70)")
+    val post = intercept[Exception](
+      st.append("t", Seq((8L, Some(-1))).toDF("id", "qty")))
+    assert(messages(post).exists(_.contains("qty_pos")), post.toString)
+    // a referenced column cannot be dropped or renamed from under it
+    val dc = intercept[Exception](st.dropColumns("t", Seq("qty")))
+    assert(messages(dc).exists(_.contains("qty_pos")), dc.toString)
+    val rc = intercept[Exception](st.renameColumns("t", Map("qty" -> "n")))
+    assert(messages(rc).exists(_.contains("qty_pos")), rc.toString)
+    // DROP CONSTRAINT frees the write path (overwrite left 1 row)
+    spark.sql("ALTER TABLE conscat.t DROP CONSTRAINT qty_pos")
+    st.append("t", Seq((8L, Some(-1))).toDF("id", "qty"))
+    assert(st.read("t").count() == 2)
+  }
+
   test("SET TBLPROPERTIES pins chain-inherited metadata; reserved keys refuse") {
     val r = java.nio.file.Files.createTempDirectory("graft-props").toString
     val st = new SnapshotStore(spark, r)
