@@ -375,6 +375,12 @@ class GraftCatalogSpec extends SparkSpec {
     val ren = intercept[Exception](
       spark.sql("ALTER TABLE ddlcat.t RENAME TO renamed"))
     assert(messages(ren).exists(_.contains("does not support")), ren.toString)
+    // CREATE OR REPLACE: drop + create through the same catalog hooks
+    spark.sql(
+      "CREATE OR REPLACE TABLE ddlcat.t2 AS SELECT CAST(5.0 AS DOUBLE) AS other2")
+    assert(spark.sql("SELECT * FROM ddlcat.t2").columns.toSeq == Seq("other2"))
+    assert(spark.sql("SELECT other2 FROM ddlcat.t2").as[Double]
+      .collect().toSeq == Seq(5.0))
   }
 
   test("ANSI DELETE FROM routes through the store's tombstone delete") {
