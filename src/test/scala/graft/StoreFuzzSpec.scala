@@ -94,7 +94,31 @@ class StoreFuzzSpec extends SparkSpec {
     }
     verify("seed")
 
+    // Time-travel checkpoints: (version, schema, rows) captured mid-run;
+    // every later mutation/DDL must leave them byte-readable unchanged.
+    val checkpoints = scala.collection.mutable.ArrayBuffer[
+      (Long, Vector[String], Seq[Seq[Option[Long]]])]()
+    // One live CHECK constraint from mid-run on: its column is excluded
+    // from drop/rename (the store would refuse; the model mirrors by not
+    // proposing), and its predicate is never violated by the generators
+    // (values stay far below the bound) — so every subsequent write path
+    // runs THROUGH enforcement.
+    var protectedCol: Option[String] = None
+
     (1 to 40).foreach { step =>
+      if (step % 10 == 0)
+        checkpoints += ((st.latestVersion("t").get, model.cols, model.snapshot))
+      if (step == 20) {
+        val c = model.cols(rnd.nextInt(model.cols.size))
+        st.addCheckConstraint("t", "fuzz_bound", s"$c IS NULL OR $c < 100000")
+        protectedCol = Some(c)
+        ops += s"addCheckConstraint($c < 100000)"
+        // a violating append must refuse and leave the table untouched
+        val e = intercept[IllegalArgumentException](
+          st.append("t", df(Seq(Seq(Some(200000L))), Seq(c))))
+        assert(e.getMessage.contains("fuzz_bound"))
+        verify("constraint refusal leaves state intact")
+      }
       rnd.nextInt(7) match {
         case 0 | 1 => // append, sometimes with a brand-new column
           val extra =
@@ -131,16 +155,19 @@ class StoreFuzzSpec extends SparkSpec {
             st.addColumns("t", StructType(Seq(StructField(c, LongType))))
             ops += s"addColumns($c)"
           }
-        case 5 => // schema narrow (keep at least two columns)
-          if (model.cols.size > 2) {
-            val c = model.cols(rnd.nextInt(model.cols.size))
+        case 5 => // schema narrow (keep at least two columns; the
+          // constraint's column is excluded — the store would refuse)
+          val droppable = model.cols.filterNot(protectedCol.contains)
+          if (model.cols.size > 2 && droppable.nonEmpty) {
+            val c = droppable(rnd.nextInt(droppable.size))
             model.dropCols(Seq(c))
             st.dropColumns("t", Seq(c))
             ops += s"dropColumns($c)"
           }
         case 6 =>
-          if (rnd.nextBoolean()) { // rename (OCC rewrite; clears drops)
-            val from = model.cols(rnd.nextInt(model.cols.size))
+          val renameable = model.cols.filterNot(protectedCol.contains)
+          if (rnd.nextBoolean() && renameable.nonEmpty) { // rename (OCC rewrite; clears drops)
+            val from = renameable(rnd.nextInt(renameable.size))
             val to = freshCol()
             model.rename(from, to)
             model.dropped = Set.empty // rewrite resets the chain
@@ -163,6 +190,21 @@ class StoreFuzzSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         st.append("t", df(Seq(Seq(Some(1L))), Seq(dead))))
       assert(e.getMessage.contains("re-introduces dropped"))
+    }
+
+    // time travel: every mid-run checkpoint reads back EXACTLY as captured,
+    // untouched by the 20-30 mutations and DDL links layered after it
+    assert(checkpoints.nonEmpty)
+    checkpoints.foreach { case (v, cols, snap) =>
+      val at = st.readAt("t", v)
+      assert(at.columns.toSeq == cols,
+        s"time-travel schema drift at v=$v\nops: ${ops.mkString("; ")}")
+      val got = at.collect().toSeq
+        .map(r => cols.indices.map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .sortBy(_.toString)
+      assert(got == snap.sortBy(_.toString),
+        s"time-travel row drift at v=$v\nops: ${ops.mkString("; ")}")
     }
   }
 }
