@@ -53,14 +53,26 @@ object RelationalQueries {
 
     // J1-shape: chained 4-way equi-join with small-dim broadcast
     // (evidence join concepts⋈instances⋈sources, queries.py:1085-1103).
+    // JOIN ORDER IS HAND-PICKED — without table statistics Catalyst's
+    // cost-based reorder is inert and the declared order IS the plan.
+    // Joining the two mid-size tables first (orders⋈customer, keyed
+    // custkey) and decorating with the broadcast dim keeps the custkey
+    // exchange at |orders| rows; the naive lineitem-first order shuffles
+    // the |lineitem|-sized join RESULT a second time on custkey. Local
+    // min-of-2 at sf10 is neutral (6.0 vs 5.8 s — loopback shuffle is
+    // memory-speed), but the exchange this deletes carries the query's
+    // BIGGEST intermediate, which on a real cluster is its dominant
+    // wire cost — the plan is chosen for that, not for local[32].
     "q03_join_chain" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val orderNation = o
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("n_name"))
+      li.join(orderNation, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
