@@ -484,16 +484,32 @@ object TextQueries {
       val (k1, b) = (1.2, 0.75)
       val qTerms = Seq("hash", "join", "order", "scan")
       val d = Tables.documents(s, dir)
-      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .localCheckpoint(false) // feeds lengths, df, AND the tf table
-      val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-      val scalars = lens.agg(count(lit(1)).as("n_docs"),
+      // ONE conditional aggregation replaces the former checkpoint of the
+      // full exploded token table (fact × tokens — unmaterializable at
+      // 100 TB) that fed three consumers: with a FIXED query-term set,
+      // doc length and each term's tf are columns of the same
+      // groupBy(doc_id) pass. A document's tokens never leave the
+      // partition its row exploded in, so partial aggregation collapses
+      // to one row per doc before the only shuffle; everything downstream
+      // is doc-grain. Same counts, same 6dp weights — bit-identical.
+      val perDoc = d
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("len"),
+          qTerms.map(t =>
+            sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      val scalars = perDoc.agg(count(lit(1)).as("n_docs"),
         (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
-      val tf = toks.where(col("term").isin(qTerms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // melt the tf columns back to (doc_id, len, term, tf > 0) rows —
+      // the exact row set the former tf⋈lens join produced
+      val tf = perDoc.select(col("doc_id"), col("len"),
+        explode(array(qTerms.map(t =>
+          struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("e"))
+        .select(col("doc_id"), col("len"),
+          col("e.term").as("term"), col("e.tf").as("tf"))
+        .where(col("tf") > 0)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
       tf.join(broadcast(dfreq), "term")
-        .join(lens, "doc_id")
         .crossJoin(broadcast(scalars))
         .withColumn("idf",
           log((col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))
