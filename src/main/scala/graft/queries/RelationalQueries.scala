@@ -201,10 +201,16 @@ object RelationalQueries {
     // (confidence_analyzer.py:54-62,561-627).
     "q12_mm_confidence" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
+      // Two countDistincts would EXPAND the 60M-row scan 3x before the
+      // exchange (one replica per distinct column + one for the plain
+      // count); per-order groups are tiny (~4 lines), so size(collect_set)
+      // keeps the pass single and the partial-aggregate state a handful
+      // of longs per key — the wire carries one row per (order,partition)
+      // instead of three.
       val sig = li.groupBy(col("l_orderkey")).agg(
         count(lit(1)).as("n_items"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"))
+        size(collect_set(col("l_partkey"))).cast("long").as("n_parts"),
+        size(collect_set(col("l_suppkey"))).cast("long").as("n_supps"))
       sig
         .withColumn("composite",
           col("n_items") / lit(10.0) + col("n_parts") / lit(5.0) + col("n_supps") / lit(10.0))
