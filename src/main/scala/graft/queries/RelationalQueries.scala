@@ -527,6 +527,44 @@ object RelationalQueries {
         FROM $cat.orders ORDER BY o_orderkey""")
     }),
 
+    // CHECK-constraint round trip: seed half of `orders`, pin an ANSI
+    // CHECK constraint (existing rows validated), append the other half
+    // THROUGH enforcement, and — every run — prove a violating append
+    // refuses without committing anything. The oracle is a plain SELECT
+    // over the ORIGINAL parquet: enforcement must be value-invisible for
+    // conforming writes and state-invisible for refused ones. Build
+    // idempotent like q97/q99.
+    "q108_store_constraint" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q108_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders")
+      if (store.latestVersion("orders").isEmpty) {
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        store.commitClustered("orders",
+          src.filter(col("o_orderkey") < 2000L), clusterBy = Seq("o_orderkey"))
+        store.addCheckConstraint("orders", "price_pos", "o_totalprice > 0")
+        store.append("orders", src.filter(
+          col("o_orderkey") >= 2000L && col("o_orderkey") < 4000L))
+      }
+      // refused writes must leave the table untouched — exercised per run
+      val refused =
+        try {
+          store.append("orders", s.range(1).select(
+            lit(9999999L).as("o_orderkey"), lit("X").as("o_orderstatus"),
+            lit(-1.0).as("o_totalprice")))
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("price_pos")
+        }
+      if (!refused) throw new IllegalStateException(
+        "q108: the violating append must refuse via the CHECK constraint")
+      s.read.format("graft").option("root", root).option("table", "orders")
+        .load()
+        .orderBy(col("o_orderkey"))
+    }),
+
     // RENAME COLUMN round trip: commit `orders` clustered, rename two
     // columns through the store's OCC rewrite, read the snapshot back
     // through the connector. The oracle aliases the ORIGINAL columns to
@@ -1087,6 +1125,14 @@ object RelationalQueries {
     // The three survivors of the drop, straight off the original parquet:
     // schema compare pins the narrowing, value compare pins untouched data.
     "q105_store_drop_column" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey < 4000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Conforming writes through CHECK enforcement are value-invisible;
+    // the refused violator is state-invisible.
+    "q108_store_constraint" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey < 4000
