@@ -320,6 +320,7 @@ object Bench {
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
     val wantSf10 = sys.env.getOrElse("SPARK_GRAFT_SF10", "on") != "off" &&
       new java.io.File(sfDir).getName == "sf0.1" && results.nonEmpty
+    var sf10Summary: Option[(Double, Boolean)] = None
     val sf10Json: Option[String] =
       if (!wantSf10) None
       else try {
@@ -333,6 +334,11 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.sharedState.cacheManager.clearCache()
         val (r1, f1, c1) = adjudicatedSuite(spark, sf10Dir)
+        sf10Summary = Some((
+          if (r1.isEmpty) 0.0
+          else if (r1.exists(_._2 < 0)) -1.0
+          else r1.map(_._2).sum,
+          c1.contains("\"valid\":true")))
         Some(s"""{${suiteJson(r1, f1, c1)},"dir":${jsonStr(sf10Dir)}}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf10 gate failed: ${e.getMessage}")
@@ -359,5 +365,20 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
+    // LAST stdout line, after spark.stop() so nothing follows it: a COMPACT
+    // (<500 B) summary that survives the driver's tail-capture whole. Three
+    // rounds running, BENCH_rN.json held a mid-line fragment of the big JSON
+    // above (its per-query maps push it past the capture window) with
+    // `parsed` empty, so round-over-round totals were compared across
+    // scales. The detailed per-query line still prints above and lands in
+    // bench_out.json; this line is the parse contract.
+    val sf01Valid = canaryJson.contains("\"valid\":true")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jsonStr(
+        new java.io.File(sfDir).getName)},"queries_n":${results.size},""" +
+        s""""failed_n":${failures.size},"sf01_total":$total,""" +
+        s""""sf01_valid":$sf01Valid,"sf10_total":${
+          sf10Summary.map(_._1).getOrElse(-1.0)},"sf10_valid":${
+          sf10Summary.exists(_._2)},"detail":${jsonStr(out.toString)}}""")
   }
 }

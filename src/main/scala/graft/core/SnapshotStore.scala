@@ -134,17 +134,27 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // centroids version) commits or vanishes WITH the version — never a
     // second non-atomic write.
     //
-    // CHECK constraints are STANDING table metadata (ANSI): a
-    // self-contained rewrite (base = None) starts a fresh props chain and
-    // would silently forget them, so the pre-rewrite head's graft.check.*
-    // entries carry into the candidate's own props (caller's entries
-    // override) — forgetting a constraint is dropCheckConstraint, never a
-    // side effect of an overwrite or compaction.
+    // STANDING table metadata survives rewrites: a self-contained rewrite
+    // (base = None) starts a fresh props chain and would silently forget
+    // everything the chain carried, so the pre-rewrite head's graft.check.*
+    // constraints AND user table properties (non-reserved keys — SET
+    // TBLPROPERTIES' pairs, Delta's semantics: properties survive data
+    // rewrites) carry into the candidate's own props, caller's entries
+    // overriding. Reserved graft.* LAYOUT/protocol keys (op tags, bucket
+    // claims, dropped-column markers) do NOT carry — they describe the
+    // old chain's files, and a rewrite invalidates exactly those claims.
+    // Forgetting a constraint is dropCheckConstraint; forgetting a
+    // property is unsetTableProperties — never a side effect of an
+    // overwrite or compaction. Tombstoned (empty-value) entries are
+    // dropped at the carry: a fresh chain has no inherited value left to
+    // suppress.
     val carried =
       if (base.isDefined) props
       else latestVersion(table).map { prev =>
-        resolvedProps(table, prev).filter { case (k, _) =>
-          k.startsWith(SnapshotStore.CheckPropPrefix) } ++ props
+        resolvedProps(table, prev).filter { case (k, v) =>
+          v.nonEmpty && (k.startsWith(SnapshotStore.CheckPropPrefix) ||
+            k.startsWith(SnapshotStore.KeyConsPropPrefix) ||
+            !k.toLowerCase.startsWith("graft.")) } ++ props
       }.getOrElse(props)
     if (carried.nonEmpty) Files.writeString(propsFile(table, next),
       org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
@@ -463,18 +473,71 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * bare filenames) all travel with the rename untouched. */
   private def relink(table: String, oldVersion: Long, newBase: Long,
       deltaSchema: StructType): Long = {
+    def discard(reason: => Throwable): Nothing = {
+      // The delta can never commit against this head. Remove the
+      // never-exposed directory rather than leaving an orphan that reads
+      // as a crashed commit.
+      val w = Files.walk(versionDir(table, oldVersion))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+      throw reason
+    }
+    // The base this delta was WRITTEN against (its current `_base`), for
+    // the two relink-only hazards below: both compare "what the write
+    // validated against" with "what the new head now demands".
+    val writeBase: Option[Long] = {
+      val f = baseFile(table, oldVersion)
+      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    }
+    // RENAME-RACE GUARD: mergedAppendSchema treats a delta column absent
+    // from the base as a schema-widening ADD — correct for genuinely new
+    // columns, silent data mangling when the column EXISTED at write time
+    // and a concurrent rewrite (renameColumns) removed the name: the
+    // delta's values would land in a resurrected old-name column while
+    // the renamed column reads NULL for those rows. A name the delta
+    // carries that the write-time base had but the new head lost is a
+    // schema conflict, and fails as loudly as the dropped-column guard.
+    writeBase.foreach { wb =>
+      val hadAtWrite = snapshotSchema(table, Some(wb))
+        .fieldNames.map(_.toLowerCase).toSet
+      val hasNow = snapshotSchema(table, Some(newBase))
+        .fieldNames.map(_.toLowerCase).toSet
+      val lost = deltaSchema.fieldNames.filter(n =>
+        hadAtWrite.contains(n.toLowerCase) && !hasNow.contains(n.toLowerCase))
+      if (lost.nonEmpty) discard(new IllegalStateException(
+        s"append to $table raced a schema rewrite that removed column(s) " +
+          s"${lost.mkString(", ")} the delta still carries (concurrent " +
+          "RENAME/replace) — delta discarded, re-run the append against " +
+          "the current schema"))
+    }
     val merged =
       try mergedAppendSchema(table, Some(newBase), deltaSchema)
-      catch {
-        case e: IllegalArgumentException =>
-          // Retype conflict against the re-based head: the delta can never
-          // commit. Remove the never-exposed directory rather than leaving
-          // an orphan that reads as a crashed commit.
-          val w = Files.walk(versionDir(table, oldVersion))
-          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          finally w.close()
-          throw e
+      catch { case e: IllegalArgumentException => discard(e) }
+    // CHECK-GROWTH RE-VALIDATION: commitWith validated the written files
+    // against the constraint set of the WRITE-TIME base; a concurrent
+    // addCheckConstraint between then and this relink would otherwise
+    // commit unvalidated rows into a table whose constraints() reports
+    // them ENFORCED. Only the GROWN/CHANGED predicates re-run — O(delta),
+    // column-pruned, and casAdvance's expected-base check makes this
+    // airtight: a constraint landing AFTER this point moves the pointer,
+    // fails the CAS, and routes back through here.
+    val newChecks = checkConstraintsOf(table, newBase)
+    val oldChecks = writeBase.map(checkConstraintsOf(table, _))
+      .getOrElse(Map.empty[String, String])
+    val toRevalidate = newChecks.filter { case (n, sql) =>
+      !oldChecks.get(n).contains(sql) }
+    if (toRevalidate.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit}
+      val written = spark.read.schema(merged)
+        .parquet(versionDir(table, oldVersion).toString)
+      toRevalidate.find { case (_, sql) =>
+        written.where(coalesce(expr(sql).cast("boolean"), lit(true)) ===
+          lit(false)).head(1).nonEmpty
+      }.foreach { case (n, sql) => discard(new IllegalArgumentException(
+        s"append to $table violates CHECK constraint $n ($sql) added " +
+          "concurrently with the write — delta discarded, table unchanged"))
       }
+    }
     Files.deleteIfExists(versionDir(table, oldVersion).resolve("_SUCCESS"))
     var next = math.max(latestVersion(table).getOrElse(0L),
       maxVersionDir(table)) + 1L
@@ -931,16 +994,19 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     attempt(maxRetries)
   }
 
-  /** Lowercased top-level column names each active CHECK constraint
-    * references — what column drop/rename must refuse to touch (the
-    * stored predicate SQL would silently stop resolving under the new
-    * schema). */
+  /** Lowercased top-level column names each active constraint (CHECK
+    * predicate attributes + key-constraint columns) references — what
+    * column drop/rename must refuse to touch (the stored predicate SQL
+    * would silently stop resolving, and a key constraint would name a
+    * ghost column, under the new schema). */
   private def constraintRefs(table: String, v: Long): Map[String, Set[String]] =
     checkConstraintsOf(table, v).map { case (n, sql) =>
       n -> spark.sessionState.sqlParser.parseExpression(sql).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.nameParts.head.toLowerCase
       }.toSet
+    } ++ keyConstraintsOf(table, v).map { case (n, kc) =>
+      n -> kc.columns.map(_.toLowerCase).toSet
     }
 
   /** Active CHECK constraints of a version: name -> predicate SQL, from
@@ -975,7 +1041,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     @tailrec def attempt(): Long = {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
-      require(!checkConstraintsOf(table, v).contains(name),
+      require(!checkConstraintsOf(table, v).contains(name) &&
+        !keyConstraintsOf(table, v).contains(name),
         s"constraint $name already exists on $table")
       // ANSI: the table's CURRENT rows must satisfy the new constraint
       // (this scan also surfaces an unresolvable predicate loudly).
@@ -1046,22 +1113,163 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     attempt()
   }
 
+  /** INFORMATIONAL key constraints — `PRIMARY KEY` / `UNIQUE` / `FOREIGN
+    * KEY … NOT ENFORCED`' engine (the Delta/engine-hint idiom): standing
+    * table METADATA pinned as `graft.keycons.<name>` chain props, never
+    * validated or enforced (enforcement needs an index the store does not
+    * maintain — the SQL face refuses ENFORCED outright). What this buys
+    * at 100 TB: the optimizer and downstream consumers SEE the keys —
+    * DESCRIBE/`Table.constraints()` surface them as NOT ENFORCED +
+    * UNVALIDATED (RELY opt-in carried verbatim), so a planner entitled to
+    * trust RELY can drop a distinct or reorder a join, and a data
+    * consumer can discover join keys without tribal knowledge. Same
+    * tombstone drop, rewrite carry, and column-reference guards as CHECK
+    * constraints; same CAS-until-won liveness as [[addColumns]].
+    *
+    * `kind` ∈ primary | unique | foreign; `foreign` requires `refTable`
+    * and equally-many `refColumns`. */
+  def addKeyConstraint(table: String, name: String, kind: String,
+      columns: Seq[String], refTable: Option[String] = None,
+      refColumns: Seq[String] = Nil, rely: Boolean = false): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' — use [A-Za-z0-9_]+")
+    require(SnapshotStore.KeyConstraintKinds.contains(kind),
+      s"key constraint kind '$kind' — use one of " +
+        SnapshotStore.KeyConstraintKinds.mkString(", "))
+    require(columns.nonEmpty, s"key constraint $name names no columns")
+    if (kind == "foreign") {
+      require(refTable.exists(_.nonEmpty),
+        s"FOREIGN KEY $name requires a referenced table")
+      require(refColumns.size == columns.size,
+        s"FOREIGN KEY $name: ${columns.size} column(s) reference " +
+          s"${refColumns.size} — counts must match")
+    } else require(refTable.isEmpty && refColumns.isEmpty,
+      s"$kind constraint $name must not name a referenced table")
+    @tailrec def attempt(): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      require(!checkConstraintsOf(table, v).contains(name) &&
+        !keyConstraintsOf(table, v).contains(name),
+        s"constraint $name already exists on $table")
+      val schema = snapshotSchema(table, Some(v))
+      val missing = columns.filterNot(c =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"key constraint $name on $table: no such column(s) " +
+          missing.mkString(", "))
+      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+          SnapshotStore.BucketNProp -> n.toString)
+      }
+      import org.json4s._
+      val json = jackson.JsonMethods.compact(jackson.JsonMethods.render(JObject(
+        List("kind" -> JString(kind),
+          "columns" -> JArray(columns.toList.map(JString(_))),
+          "rely" -> JBool(rely)) ++
+          refTable.map(t => "refTable" -> (JString(t): JValue)).toList ++
+          (if (refColumns.nonEmpty)
+            List("refColumns" -> JArray(refColumns.toList.map(JString(_))))
+          else Nil))))
+      val cand = commitWith(table, None, None, base = Some(v),
+        snapshot = schema, advance = false,
+        props = bucketProps +
+          (SnapshotStore.KeyConsPropPrefix + name -> json) +
+          (SnapshotStore.OpProp -> "add-key-constraint"))
+      SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+      if (casAdvance(table, cand, Some(v))) cand
+      else {
+        val w = Files.walk(versionDir(table, cand))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        require(latestVersion(table).exists(_ != v),
+          s"addKeyConstraint CAS to $table failed with unmoved pointer $v")
+        attempt()
+      }
+    }
+    attempt()
+  }
+
+  /** Drop an informational key constraint — the same empty-value
+    * tombstone as [[dropCheckConstraint]]. */
+  def dropKeyConstraint(table: String, name: String,
+      ifExists: Boolean = false): Long = {
+    @tailrec def attempt(): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      if (!keyConstraintsOf(table, v).contains(name)) {
+        require(ifExists, s"no key constraint $name on $table")
+        v
+      } else {
+        val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+            SnapshotStore.BucketNProp -> n.toString)
+        }
+        val cand = commitWith(table, None, None, base = Some(v),
+          snapshot = snapshotSchema(table, Some(v)), advance = false,
+          props = bucketProps +
+            (SnapshotStore.KeyConsPropPrefix + name -> "") +
+            (SnapshotStore.OpProp -> "drop-key-constraint"))
+        SnapshotStore.testRaceHook()
+        if (casAdvance(table, cand, Some(v))) cand
+        else {
+          val w = Files.walk(versionDir(table, cand))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          require(latestVersion(table).exists(_ != v),
+            s"dropKeyConstraint CAS to $table failed with unmoved pointer $v")
+          attempt()
+        }
+      }
+    }
+    attempt()
+  }
+
+  /** Active informational key constraints of a version: name ->
+    * [[SnapshotStore.KeyConstraint]], from the chain-resolved
+    * `graft.keycons.<name>` props (empty value = drop tombstone). */
+  def keyConstraintsOf(table: String, v: Long)
+      : Map[String, SnapshotStore.KeyConstraint] =
+    resolvedProps(table, v).collect {
+      case (k, json) if k.startsWith(SnapshotStore.KeyConsPropPrefix) &&
+        json.nonEmpty =>
+        import org.json4s._
+        val o = jackson.JsonMethods.parse(json)
+        def strs(field: String): Seq[String] = o \ field match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        k.stripPrefix(SnapshotStore.KeyConsPropPrefix) ->
+          SnapshotStore.KeyConstraint(
+            kind = (o \ "kind") match { case JString(s) => s; case _ => "" },
+            columns = strs("columns"),
+            refTable = (o \ "refTable") match {
+              case JString(s) => Some(s); case _ => None },
+            refColumns = strs("refColumns"),
+            rely = (o \ "rely") match { case JBool(b) => b; case _ => false })
+    }
+
   /** `ALTER TABLE … SET TBLPROPERTIES`' engine: pin caller metadata onto
     * the table as a DATA-LESS chain link whose `_props.json` carries the
     * new pairs — `resolvedProps`' chain inheritance (later links override
     * earlier keys) IS table-property semantics, so nothing else is needed.
     * Content-neutral to feeds. Reserved `graft.*` keys refuse: they are
     * the store's own protocol (op tags, bucket claims, dropped-column
-    * markers) and a user write could corrupt a layout claim. UNSET has no
-    * data-less expression (inheritance can only override, not forget) —
-    * set the key to an empty value, or rewrite via `commit`. Same
-    * CAS-until-won liveness as [[addColumns]]. */
+    * markers) and a user write could corrupt a layout claim. An EMPTY
+    * value refuses too — it is the store's UNSET tombstone
+    * ([[unsetTableProperties]]), the one divergence from engines that
+    * admit empty-string property values. Same CAS-until-won liveness as
+    * [[addColumns]]. */
   def setTableProperties(table: String, props: Map[String, String]): Long = {
     require(props.nonEmpty, "setTableProperties requires at least one pair")
     val reserved = props.keys.filter(_.toLowerCase.startsWith("graft."))
     require(reserved.isEmpty,
       s"setTableProperties on $table: key(s) ${reserved.mkString(", ")} are " +
         "reserved store protocol (graft.*)")
+    val empties = props.collect { case (k, v) if v.isEmpty => k }
+    require(empties.isEmpty,
+      s"setTableProperties on $table: empty value for ${empties.mkString(", ")}" +
+        " — an empty value is the store's UNSET tombstone; use " +
+        "unsetTableProperties to forget a key")
     @tailrec def attempt(): Long = {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
@@ -1087,6 +1295,67 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     }
     attempt()
   }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES`' engine: forget keys as a
+    * DATA-LESS chain link whose `_props.json` carries EMPTY values — the
+    * same inheritance-safe drop-marker shape [[dropCheckConstraint]] uses
+    * (later links override earlier keys, and an absent key cannot be
+    * expressed down-chain, so "forgotten" is an override to empty).
+    * [[tablePropertiesOf]] and the SQL faces filter tombstones out; a
+    * later SET of the same key overrides the tombstone back to a value;
+    * a base=None rewrite drops tombstones entirely (fresh chain, nothing
+    * left to suppress). Reserved `graft.*` keys refuse like SET. Same
+    * CAS-until-won liveness as [[addColumns]]. */
+  def unsetTableProperties(table: String, keys: Seq[String],
+      ifExists: Boolean = false): Long = {
+    require(keys.nonEmpty, "unsetTableProperties requires at least one key")
+    val reserved = keys.filter(_.toLowerCase.startsWith("graft."))
+    require(reserved.isEmpty,
+      s"unsetTableProperties on $table: key(s) ${reserved.mkString(", ")} " +
+        "are reserved store protocol (graft.*)")
+    @tailrec def attempt(): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val live = tablePropertiesOf(table, v)
+      val missing = keys.filterNot(live.contains)
+      if (missing.nonEmpty && !ifExists)
+        throw new IllegalArgumentException(
+          s"unsetTableProperties on $table: no such propert" +
+            s"${if (missing.size == 1) "y" else "ies"} " +
+            missing.mkString(", "))
+      val present = keys.filter(live.contains)
+      if (present.isEmpty) v
+      else {
+        val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+            SnapshotStore.BucketNProp -> n.toString)
+        }
+        val cand = commitWith(table, None, None, base = Some(v),
+          snapshot = snapshotSchema(table, Some(v)), advance = false,
+          props = present.map(_ -> "").toMap ++ bucketProps +
+            (SnapshotStore.OpProp -> "unset-properties"))
+        SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+        if (casAdvance(table, cand, Some(v))) cand
+        else {
+          val w = Files.walk(versionDir(table, cand))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          require(latestVersion(table).exists(_ != v),
+            s"unsetTableProperties CAS to $table failed with unmoved pointer $v")
+          attempt()
+        }
+      }
+    }
+    attempt()
+  }
+
+  /** USER-VISIBLE table properties of a version — what `SHOW
+    * TBLPROPERTIES` means: the chain-resolved props minus the store's
+    * reserved `graft.*` protocol keys and minus UNSET tombstones
+    * (empty values). [[resolvedProps]] stays the raw protocol view. */
+  def tablePropertiesOf(table: String, v: Long): Map[String, String] =
+    resolvedProps(table, v).filter { case (k, value) =>
+      value.nonEmpty && !k.toLowerCase.startsWith("graft.") }
 
   /** DROP TABLE: remove the table's directory tree — every version, the
     * pointer, everything — under the table's pointer lock (no committer
@@ -2307,19 +2576,26 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
 
   /** `TIMESTAMP AS OF` resolution: the NEWEST committed version whose
     * expose time is at or before `tsMillis` — "the table as a reader at
-    * that wall-clock instant saw it". Stamps are monotonic in version
-    * order ([[stampCommitted]]'s clamp), so the answer is well-defined;
-    * a timestamp before the first commit refuses loudly (nothing existed
-    * to read), mirroring Delta/Iceberg semantics. */
+    * that wall-clock instant saw it". Resolved by max-over-filter, NOT a
+    * prefix scan: stamps are USUALLY monotonic in version order
+    * ([[stampCommitted]]'s clamp), but two committed versions can carry
+    * inverted stamps — a committed-but-superseded bare commit is stamped
+    * AFTER the higher head that overtook it (the clamp only pushes
+    * forward), and [[migrateLegacyTable]]'s mtime fallbacks carry no
+    * ordering at all — and a prefix scan would stop at the inversion,
+    * permanently resolving a window of timestamps to a version older
+    * than what a reader actually saw. A timestamp before the first
+    * commit refuses loudly (nothing existed to read), mirroring
+    * Delta/Iceberg semantics. */
   def versionAtTimestamp(table: String, tsMillis: Long): Long = {
     val h = history(table)
     if (h.isEmpty)
       throw new IllegalArgumentException(s"no committed version of $table")
-    val at = h.takeWhile(v => commitTimeOf(table, v).exists(_ <= tsMillis))
+    val at = h.filter(v => commitTimeOf(table, v).exists(_ <= tsMillis))
     at.lastOption.getOrElse(throw new IllegalArgumentException(
       s"timestamp $tsMillis ms predates the earliest commit of $table " +
-        s"(${commitTimeOf(table, h.head).getOrElse(-1L)} ms) — nothing " +
-        "existed to read"))
+        s"(${h.flatMap(v => commitTimeOf(table, v)).minOption.getOrElse(-1L)}" +
+        " ms) — nothing existed to read"))
   }
 
   // ---- Multi-table atomic commit ------------------------------------------
@@ -2645,7 +2921,8 @@ object SnapshotStore {
     * [[SnapshotStore.nonFeedMutationsSince]] must not flag them. */
   val ContentNeutralOps: Set[String] =
     Set("compact", "compact-dv", "add-columns", "drop-columns",
-      "set-properties", "add-constraint", "drop-constraint")
+      "set-properties", "unset-properties", "add-constraint",
+      "drop-constraint", "add-key-constraint", "drop-key-constraint")
 
   /** Commit-props key prefix of ANSI CHECK constraints
     * (`graft.check.<name>` -> predicate SQL; empty value = drop marker).
@@ -2654,6 +2931,21 @@ object SnapshotStore {
     * enforced by `commitWith` on every data-carrying write, carried
     * across self-contained rewrites as standing table metadata. */
   val CheckPropPrefix: String = "graft.check."
+
+  /** Commit-props key prefix of INFORMATIONAL key constraints
+    * (`graft.keycons.<name>` -> JSON {kind, columns, refTable?,
+    * refColumns?, rely}; empty value = drop tombstone). NOT ENFORCED
+    * metadata only — written by [[SnapshotStore.addKeyConstraint]] /
+    * [[SnapshotStore.dropKeyConstraint]], never validated, carried
+    * across self-contained rewrites as standing table metadata. */
+  val KeyConsPropPrefix: String = "graft.keycons."
+
+  /** The admissible [[SnapshotStore.addKeyConstraint]] kinds. */
+  val KeyConstraintKinds: Set[String] = Set("primary", "unique", "foreign")
+
+  /** An informational key constraint (see [[SnapshotStore.KeyConsPropPrefix]]). */
+  final case class KeyConstraint(kind: String, columns: Seq[String],
+      refTable: Option[String], refColumns: Seq[String], rely: Boolean)
 
   /** Commit-props key of a drop-columns link's OWN dropped names (a JSON
     * array, lowercased): the resurrection guard's per-link record. Chain-

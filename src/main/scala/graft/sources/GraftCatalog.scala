@@ -143,19 +143,54 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     store.createTable(ident.name(), schema)
     loadTable(ident)
   }
+  /** One SQL-face constraint, routed to the store: CHECK enforced,
+    * PK/UNIQUE/FK accepted as INFORMATIONAL metadata iff NOT ENFORCED
+    * (enforcement needs an index the store does not maintain; the
+    * metadata still surfaces through `constraints()`/DESCRIBE so
+    * planners and consumers see the keys — the Delta idiom). */
+  private def addConstraint(table: String,
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint): Unit = {
+    import org.apache.spark.sql.connector.catalog.constraints._
+    def cols(refs: Array[org.apache.spark.sql.connector.expressions.NamedReference])
+        : Seq[String] = refs.toSeq.map { r =>
+      require(r.fieldNames().length == 1,
+        s"constraint ${c.name()} on $table: nested field " +
+          s"${r.fieldNames().mkString(".")} — only top-level columns")
+      r.fieldNames().head
+    }
+    def informational(kind: String, columns: Seq[String],
+        refTable: Option[String] = None, refCols: Seq[String] = Nil): Unit = {
+      require(!c.enforced(),
+        s"constraint ${c.name()} on $table: ENFORCED ${kind.toUpperCase} " +
+          "needs an index the store does not maintain — declare it NOT " +
+          "ENFORCED (informational metadata, surfaced via DESCRIBE and " +
+          "Table.constraints)")
+      store.addKeyConstraint(table, c.name(), kind, columns, refTable,
+        refCols, rely = c.rely())
+    }
+    c match {
+      case ch: Check =>
+        store.addCheckConstraint(table, ch.name(), ch.predicateSql())
+      case pk: PrimaryKey => informational("primary", cols(pk.columns()))
+      case u: Unique      => informational("unique", cols(u.columns()))
+      case fk: ForeignKey => informational("foreign", cols(fk.columns()),
+        Some(fk.referencedTable().name()), cols(fk.referencedColumns()))
+      case other => throw new UnsupportedOperationException(
+        s"constraint ${other.name()} on $table: unsupported kind")
+    }
+  }
+
   override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val cons = Option(info.constraints()).map(_.toSeq).getOrElse(Nil)
     val created =
       createTable(ident, info.schema(), info.partitions(), info.properties())
-    val cons = Option(info.constraints()).map(_.toSeq).getOrElse(Nil)
     if (cons.isEmpty) created
     else {
-      cons.foreach {
-        case ch: org.apache.spark.sql.connector.catalog.constraints.Check =>
-          store.addCheckConstraint(ident.name(), ch.name(), ch.predicateSql())
-        case other => throw new UnsupportedOperationException(
-          s"constraint ${other.name()} on ${ident.name()}: only CHECK " +
-            "constraints are supported")
-      }
+      // ALL-OR-NOTHING: a failing constraint (unresolvable predicate,
+      // ENFORCED key kind) must not leave a half-created table with a
+      // partial constraint set behind — roll the CREATE back and rethrow.
+      try cons.foreach(addConstraint(ident.name(), _))
+      catch { case e: Throwable => store.dropTable(ident.name()); throw e }
       loadTable(ident)
     }
   }
@@ -203,23 +238,20 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     val addCons = changes.collect { case c: TableChange.AddConstraint => c }
     if (addCons.nonEmpty) {
       if (addCons.size != changes.size) readOnly()
-      addCons.foreach { c =>
-        c.constraint() match {
-          case ch: org.apache.spark.sql.connector.catalog.constraints.Check =>
-            store.addCheckConstraint(ident.name(), ch.name(), ch.predicateSql())
-          case other => throw new UnsupportedOperationException(
-            s"constraint ${other.name()} on ${ident.name()}: only CHECK " +
-              "constraints are supported (PK/FK/UNIQUE would need an index " +
-              "the store does not maintain)")
-        }
-      }
+      addCons.foreach(c => addConstraint(ident.name(), c.constraint()))
       return loadTable(ident)
     }
     val dropCons = changes.collect { case d: TableChange.DropConstraint => d }
     if (dropCons.nonEmpty) {
       if (dropCons.size != changes.size) readOnly()
-      dropCons.foreach(d =>
-        store.dropCheckConstraint(ident.name(), d.name(), d.ifExists()))
+      // Route by which namespace holds the name; a name in neither set is
+      // the CHECK path's loud refusal (or a silent pass with IF EXISTS).
+      dropCons.foreach { d =>
+        if (store.latestVersion(ident.name()).exists(v =>
+          store.keyConstraintsOf(ident.name(), v).contains(d.name())))
+          store.dropKeyConstraint(ident.name(), d.name(), d.ifExists())
+        else store.dropCheckConstraint(ident.name(), d.name(), d.ifExists())
+      }
       return loadTable(ident)
     }
     val sets = changes.collect { case p: TableChange.SetProperty => p }
@@ -227,6 +259,23 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       if (sets.size != changes.size) readOnly()
       try store.setTableProperties(ident.name(),
         sets.map(p => p.property() -> p.value()).toMap)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("no committed version") =>
+          throw new NoSuchTableException(ident)
+      }
+      return loadTable(ident)
+    }
+    val unsets = changes.collect { case p: TableChange.RemoveProperty => p }
+    if (unsets.nonEmpty) {
+      if (unsets.size != changes.size) readOnly()
+      // Spark's UNSET TBLPROPERTIES is lenient about missing keys (it
+      // sends RemoveProperty without an existence pre-check), so the SQL
+      // face maps to the store's ifExists form; the strict form stays
+      // available on SnapshotStore directly.
+      try store.unsetTableProperties(ident.name(),
+        unsets.map(_.property()), ifExists = true)
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null &&

@@ -183,39 +183,66 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** ANSI CHECK constraints of the pinned snapshot (graft.check.* chain
-    * props) — reported ENFORCED + VALID: the store validated existing
-    * rows at ADD time and validates every delta at commit time, and
-    * reporting them here arms Spark's analyzer-side INSERT validation
-    * as the earliest (pre-job) refusal. */
+  /** Constraints of the pinned snapshot. ANSI CHECK (graft.check.* chain
+    * props) report ENFORCED + VALID: the store validated existing rows at
+    * ADD time and validates every delta at commit time, and reporting
+    * them here arms Spark's analyzer-side INSERT validation as the
+    * earliest (pre-job) refusal. Informational key constraints
+    * (graft.keycons.* — PK/UNIQUE/FK) report NOT ENFORCED + UNVALIDATED
+    * with their declared RELY bit: pure metadata for planners and
+    * consumers, never checked by the store. */
   override def constraints()
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     storeRoot match {
       case None => Array.empty
       case Some(root) =>
-        new graft.core.SnapshotStore(spark, root)
-          .checkConstraintsOf(tableName, snapshotVersion)
+        import org.apache.spark.sql.connector.catalog.constraints.Constraint
+        val store = new graft.core.SnapshotStore(spark, root)
+        val checks = store.checkConstraintsOf(tableName, snapshotVersion)
           .toSeq.sortBy(_._1).map { case (n, sql) =>
-            org.apache.spark.sql.connector.catalog.constraints.Constraint
-              .check(n).predicateSql(sql).enforced(true)
-              .validationStatus(org.apache.spark.sql.connector.catalog
-                .constraints.Constraint.ValidationStatus.VALID)
-              .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
-          }.toArray
+            Constraint.check(n).predicateSql(sql).enforced(true)
+              .validationStatus(Constraint.ValidationStatus.VALID)
+              .build(): Constraint
+          }
+        val keys = store.keyConstraintsOf(tableName, snapshotVersion)
+          .toSeq.sortBy(_._1).map { case (n, kc) =>
+            def refs(cols: Seq[String])
+                : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+              cols.map(c => org.apache.spark.sql.connector.expressions
+                .Expressions.column(c)).toArray
+            val unvalidated = Constraint.ValidationStatus.UNVALIDATED
+            (kc.kind match {
+              case "primary" => Constraint.primaryKey(n, refs(kc.columns))
+                .enforced(false).rely(kc.rely).validationStatus(unvalidated)
+                .build()
+              case "unique" => Constraint.unique(n, refs(kc.columns))
+                .enforced(false).rely(kc.rely).validationStatus(unvalidated)
+                .build()
+              case "foreign" => Constraint.foreignKey(n, refs(kc.columns),
+                org.apache.spark.sql.connector.catalog.Identifier.of(
+                  Array.empty, kc.refTable.getOrElse("")),
+                refs(kc.refColumns))
+                .enforced(false).rely(kc.rely).validationStatus(unvalidated)
+                .build()
+            }): Constraint
+          }
+        (checks ++ keys).toArray
     }
 
   /** `SHOW TBLPROPERTIES` / DESCRIBE: the chain-resolved commit props of
     * the pinned snapshot (`SnapshotStore.resolvedProps` — later links
     * override earlier keys, which is table-property semantics; includes
     * the store's own `graft.*` protocol keys, which read as useful
-    * DESCRIBE output: op tags, bucket claims). */
+    * DESCRIBE output: op tags, bucket claims). UNSET tombstones (empty
+    * values — `unsetTableProperties` and constraint drop markers) are
+    * filtered: a forgotten key must not SHOW as an empty-valued one. */
   override def properties(): util.Map[String, String] = storeRoot match {
     case None => java.util.Collections.emptyMap[String, String]()
     case Some(root) =>
       val m = new java.util.HashMap[String, String]()
       new graft.core.SnapshotStore(spark, root)
         .resolvedProps(tableName, snapshotVersion)
-        .foreach { case (k, v) => m.put(k, v) }
+        .foreach { case (k, v) => if (v.nonEmpty) m.put(k, v) }
       m
   }
 

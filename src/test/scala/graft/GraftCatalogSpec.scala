@@ -318,10 +318,116 @@ class GraftCatalogSpec extends SparkSpec {
     val res = intercept[Exception](spark.sql(
       "ALTER TABLE propcat.t SET TBLPROPERTIES ('graft.bucket.col'='id')"))
     assert(messages(res).exists(_.contains("reserved")), res.toString)
-    // UNSET has no data-less expression: refused
-    val unset = intercept[Exception](spark.sql(
-      "ALTER TABLE propcat.t UNSET TBLPROPERTIES ('tier')"))
-    assert(messages(unset).exists(_.contains("does not support")), unset.toString)
+    // properties SURVIVE a self-contained rewrite (Delta semantics: an
+    // INSERT OVERWRITE replaces data, not table metadata)
+    spark.sql("INSERT OVERWRITE propcat.t VALUES (9, 'z')")
+    assert(props().get("tier").contains("silver"),
+      "user props must carry across base=None rewrites")
+    assert(props().get("owner.team").contains("graft"))
+    // UNSET: a data-less tombstone link — the key stops SHOWing, stays
+    // forgotten across appends, and a later SET brings it back
+    spark.sql("ALTER TABLE propcat.t UNSET TBLPROPERTIES ('tier')")
+    assert(!props().contains("tier"), props().toString)
+    st.append("t", Seq((3L, "c")).toDF("id", "s"))
+    assert(!props().contains("tier"), "tombstone must hold across appends")
+    assert(props().get("owner.team").contains("graft"),
+      "unset of one key must not disturb others")
+    spark.sql("ALTER TABLE propcat.t SET TBLPROPERTIES ('tier'='bronze')")
+    assert(props().get("tier").contains("bronze"))
+    // a tombstoned key also stays forgotten across an overwrite
+    spark.sql("ALTER TABLE propcat.t UNSET TBLPROPERTIES ('tier')")
+    spark.sql("INSERT OVERWRITE propcat.t VALUES (10, 'y')")
+    assert(!props().contains("tier"))
+    // SQL UNSET is lenient about missing keys (Spark semantics); the
+    // store's direct form is strict unless ifExists
+    spark.sql("ALTER TABLE propcat.t UNSET TBLPROPERTIES ('nope')")
+    val strict = intercept[Exception](
+      st.unsetTableProperties("t", Seq("nope")))
+    assert(messages(strict).exists(_.contains("no such")), strict.toString)
+    assert(st.unsetTableProperties("t", Seq("nope"), ifExists = true) ==
+      st.latestVersion("t").get)
+    // reserved keys refuse through UNSET like SET
+    val resU = intercept[Exception](
+      st.unsetTableProperties("t", Seq("graft.bucket.col")))
+    assert(messages(resU).exists(_.contains("reserved")), resU.toString)
+    // SET of an empty value refuses — empty IS the tombstone encoding
+    val emp = intercept[Exception](
+      st.setTableProperties("t", Map("tier" -> "")))
+    assert(messages(emp).exists(_.contains("tombstone")), emp.toString)
+  }
+
+  test("informational PK/FK/UNIQUE: NOT ENFORCED metadata round-trips; ENFORCED refuses") {
+    val r = java.nio.file.Files.createTempDirectory("graft-keycons").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("o", Seq((1L, 10L, "a")).toDF("o_id", "cust_id", "s"))
+    st.commit("c", Seq((10L, "x")).toDF("c_id", "name"))
+    spark.conf.set("spark.sql.catalog.keycat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.keycat.root", r)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    spark.sql("ALTER TABLE keycat.o ADD CONSTRAINT o_pk PRIMARY KEY (o_id) RELY")
+    spark.sql("ALTER TABLE keycat.o ADD CONSTRAINT o_cust_fk FOREIGN KEY " +
+      "(cust_id) REFERENCES keycat.c (c_id)")
+    spark.sql("ALTER TABLE keycat.c ADD CONSTRAINT c_uq UNIQUE (c_id)")
+    val kcs = st.keyConstraintsOf("o", st.latestVersion("o").get)
+    assert(kcs("o_pk").kind == "primary" && kcs("o_pk").columns == Seq("o_id")
+      && kcs("o_pk").rely, kcs.toString)
+    assert(kcs("o_cust_fk").kind == "foreign" &&
+      kcs("o_cust_fk").refTable.contains("c") &&
+      kcs("o_cust_fk").refColumns == Seq("c_id"), kcs.toString)
+    // surfaced through Table.constraints() as NOT ENFORCED metadata
+    val cat = spark.sessionState.catalogManager.catalog("keycat")
+      .asInstanceOf[GraftCatalog]
+    val cons = cat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array.empty, "o")).constraints()
+    val pk = cons.find(_.name() == "o_pk").get
+    assert(!pk.enforced() && pk.rely(), pk.toDDL())
+    assert(cons.exists(_.name() == "o_cust_fk"), cons.map(_.name()).toSeq)
+    // the metadata survives appends AND self-contained rewrites
+    st.append("o", Seq((2L, 10L, "b")).toDF("o_id", "cust_id", "s"))
+    spark.sql("INSERT OVERWRITE keycat.o VALUES (3, 10, 'c')")
+    assert(st.keyConstraintsOf("o", st.latestVersion("o").get)
+      .keySet == Set("o_pk", "o_cust_fk"))
+    // a keyed column cannot be dropped or renamed from under the claim
+    val dc = intercept[Exception](st.dropColumns("o", Seq("cust_id")))
+    assert(messages(dc).exists(_.contains("o_cust_fk")), dc.toString)
+    val rn = intercept[Exception](st.renameColumns("o", Map("o_id" -> "id")))
+    assert(messages(rn).exists(_.contains("o_pk")), rn.toString)
+    // DROP CONSTRAINT routes to the key namespace and frees the column
+    spark.sql("ALTER TABLE keycat.o DROP CONSTRAINT o_cust_fk")
+    assert(st.keyConstraintsOf("o", st.latestVersion("o").get)
+      .keySet == Set("o_pk"))
+    st.dropColumns("o", Seq("cust_id"))
+    // name collisions refuse across BOTH constraint namespaces
+    val dup = intercept[Exception](
+      st.addCheckConstraint("o", "o_pk", "o_id > 0"))
+    assert(messages(dup).exists(_.contains("already exists")), dup.toString)
+    // ENFORCED key constraints refuse loudly — no index to back them
+    val enf = intercept[Exception](spark.sql(
+      "ALTER TABLE keycat.c ADD CONSTRAINT c_pk PRIMARY KEY (c_id) ENFORCED"))
+    assert(messages(enf).exists(m => m.contains("ENFORCED") ||
+      m.contains("enforced")), enf.toString)
+  }
+
+  test("CREATE TABLE with a failing constraint rolls back — never half-created") {
+    val r = java.nio.file.Files.createTempDirectory("graft-atomic").toString
+    spark.conf.set("spark.sql.catalog.atomcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.atomcat.root", r)
+    val st = new SnapshotStore(spark, r)
+    // an ENFORCED key constraint refuses AFTER the table commit inside
+    // createTable(info) — the refusal must take the CREATE down with it
+    intercept[Exception](spark.sql(
+      "CREATE TABLE atomcat.t (id BIGINT, CONSTRAINT p PRIMARY KEY (id) ENFORCED)"))
+    assert(st.latestVersion("t").isEmpty,
+      "failed CREATE must not leave a half-created table")
+    assert(spark.sql("SHOW TABLES IN atomcat").count() == 0)
+    // and the rolled-back name is immediately reusable
+    spark.sql("CREATE TABLE atomcat.t (id BIGINT, " +
+      "CONSTRAINT p PRIMARY KEY (id) NOT ENFORCED, " +
+      "CONSTRAINT pos CHECK (id > 0))")
+    assert(st.latestVersion("t").isDefined)
+    assert(st.keyConstraintsOf("t", st.latestVersion("t").get).contains("p"))
+    assert(st.checkConstraintsOf("t", st.latestVersion("t").get).contains("pos"))
   }
 
   test("CREATE / INSERT / OVERWRITE / CTAS / DROP TABLE route through store commits") {

@@ -141,6 +141,74 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").count() == 2)
   }
 
+  test("relink re-validates CHECK constraints added since the write-time base") {
+    // The r14 advice hole: commitWith validates a delta against the
+    // constraint set of the base resolved AT WRITE TIME; an append racing
+    // a concurrent addCheckConstraint relinks onto the new head and —
+    // without re-validation — would commit violating rows into a table
+    // whose constraints() reports them ENFORCED+VALID.
+    val st = freshStore()
+    st.commit("t", Seq((1L, 5)).toDF("id", "qty"))
+    val stale = st.latestVersion("t")
+    st.addCheckConstraint("t", "qty_pos", "qty > 0") // pointer moves
+    val before = st.latestVersion("t").get
+    val bad = intercept[IllegalArgumentException] {
+      st.appendFrom("t", Seq((2L, -3)).toDF("id", "qty"), stale)
+    }
+    assert(bad.getMessage.contains("qty_pos"), bad.getMessage)
+    assert(st.latestVersion("t").contains(before), "pointer unmoved")
+    assert(st.read("t").count() == 1, "violating delta never exposed")
+    // a SATISFYING delta from the same stale base relinks and commits
+    st.appendFrom("t", Seq((3L, 4)).toDF("id", "qty"), stale)
+    assert(st.read("t").count() == 2)
+    // and the discarded candidate left no orphan directory
+    assert(st.history("t").forall(v => st.readAt("t", v).count() >= 0))
+  }
+
+  test("relink refuses a delta racing a rename rewrite that removed its columns") {
+    // Without the guard, mergedAppendSchema treats the delta's old-named
+    // column as a schema-widening ADD: its values land in a resurrected
+    // old-name column while the renamed column reads NULL for those rows
+    // — silent data mangling instead of a conflict.
+    val st = freshStore()
+    st.commit("t", Seq((1L, "a")).toDF("id", "s"))
+    val stale = st.latestVersion("t")
+    st.renameColumns("t", Map("s" -> "txt"))
+    val before = st.latestVersion("t").get
+    val bad = intercept[IllegalStateException] {
+      st.appendFrom("t", Seq((2L, "b")).toDF("id", "s"), stale)
+    }
+    assert(bad.getMessage.contains("raced a schema rewrite"), bad.getMessage)
+    assert(st.latestVersion("t").contains(before), "pointer unmoved")
+    assert(st.read("t").columns.toSeq == Seq("id", "txt"))
+    assert(st.read("t").count() == 1, "mangled delta never exposed")
+    // a delta already in the NEW schema relinks fine from the stale base
+    st.appendFrom("t", Seq((3L, "c")).toDF("id", "txt"), stale)
+    assert(st.read("t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c")))
+  }
+
+  test("TIMESTAMP AS OF resolves non-monotonic stamps by max committed version") {
+    // Two committed versions CAN carry inverted stamps: a committed-but-
+    // superseded bare commit is stamped after the head that overtook it,
+    // and legacy-migration mtime stamps carry no ordering. A prefix scan
+    // (the old takeWhile) stops at the inversion and permanently resolves
+    // a window of timestamps to a version older than what readers saw.
+    val st = freshStore()
+    val root = st.root
+    st.commit("t", Seq(1).toDF("x"))
+    st.commit("t", Seq(2).toDF("x"))
+    st.commit("t", Seq(3).toDF("x"))
+    def stamp(v: Long, ts: Long): Unit = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "t", s"v=$v", "_committed"), ts.toString)
+    stamp(1L, 1000L); stamp(2L, 3000L); stamp(3L, 2000L) // inverted 2 vs 3
+    assert(st.versionAtTimestamp("t", 2500L) == 3L,
+      "max committed version with stamp <= ts, not the prefix cut")
+    assert(st.versionAtTimestamp("t", 5000L) == 3L)
+    assert(st.versionAtTimestamp("t", 1500L) == 1L)
+    intercept[IllegalArgumentException](st.versionAtTimestamp("t", 500L))
+  }
+
   test("compact CAS: a concurrent append is never dropped from the head") {
     // Force the exact interleaving: compact scans version v, but an append
     // lands before compact's pointer CAS. The attempt must LOSE (None),
