@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{NearestCentroid, VectorOps}
+import graft.functions.{NearestCentroid, QuantizedCosine, VectorOps}
 import graft.sources.Tables
 
 /** Vector / semantic-search coverage (SURVEY.md §2.10) over the
@@ -203,22 +203,16 @@ object VectorQueries {
     // rows move), then join ONLY those ids back to the full-precision
     // table for the exact top-10 — the memory-bound ANN ladder rung
     // between q25's exact scan and q26's IVF cells (Ann.scala tiers).
+    // The coarse score is ONE fused codegen kernel ([[QuantizedCosine]]:
+    // scale + quantize + cosine in a single per-row loop) — the composed
+    // HOF form it replaces ran three interpreted array passes per row,
+    // whose shared LambdaFunction dispatch went JIT-megamorphic in ~1/3
+    // of full-suite JVMs and made the query 5× BIMODAL at sf10 (the
+    // r13/r14 verdict mystery).
     "q92_quantized_rerank" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      // scale materializes as its own column FIRST (q53's discipline):
-      // referencing the array_max expression inside the per-element lambda
-      // would re-scan the whole array per element — O(d²) per row.
-      val qz = e.where(col("vec_id") > 0)
-        .withColumn("scale",
-          array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-        .withColumn("qv", transform(col("v"), x => {
-          val d = x / col("scale")
-          when(col("scale").isNull || col("scale") === 0, lit(0.0))
-            .when(d >= 0, floor(d + lit(0.5)).cast("double"))
-            .otherwise(ceil(d - lit(0.5)).cast("double"))
-        }))
       // the query quantizes driver-side with the same half-away-from-zero
       // rule (java.lang.Math floor/ceil ≡ Spark's on IEEE doubles)
       val qSeq = Tables.embeddings(s, dir).where(col("vec_id") === 0)
@@ -231,9 +225,9 @@ object VectorQueries {
           val d = x / qScale
           if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)
         }
-      val coarse = qz
+      val coarse = e.where(col("vec_id") > 0)
         .withColumn("coarse_sim",
-          round(VectorOps.cosine(col("qv"), VectorOps.vecLit(qQuant)), 6))
+          round(QuantizedCosine(col("v"), VectorOps.vecLit(qQuant)), 6))
         .orderBy(col("coarse_sim").desc, col("vec_id").asc)
         .limit(30)
         .select("vec_id", "label", "coarse_sim")

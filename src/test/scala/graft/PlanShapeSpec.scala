@@ -109,6 +109,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin"), "corpus side must not shuffle")
       assert(plan.contains("PushedFilters: [IsNotNull(vec_id), GreaterThan(vec_id,0)]"),
         "query-row exclusion pushes into the scan")
+      // The r13/r14 bimodality pin: the coarse score must be the FUSED
+      // codegen kernel (one per-row loop), never the composed interpreted
+      // HOF pipeline (transform/array_max/transform) whose shared
+      // LambdaFunction dispatch went JIT-megamorphic in ~1/3 of suite
+      // JVMs and made the query 5× bimodal at sf10.
+      assert(plan.contains("quantized_cosine"), "fused coarse kernel")
+      assert(!plan.toLowerCase.contains("lambdafunction") &&
+        !plan.contains("transform("),
+        "no interpreted HOF pass may remain in the coarse projection")
     } finally spark.conf.set(key, prev)
   }
 

@@ -111,4 +111,56 @@ class VectorOpsSpec extends SparkSpec {
     val c = f.select(VectorOps.cosine($"v", q)).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("QuantizedCosine fused kernel is bit-identical to the composed HOF form") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    // the composed pipeline the fused expression replaced (q92's original
+    // coarse pass, bit-for-bit the oracle contract): scale = max|x|/127,
+    // half-away-from-zero rounding, cosine of the quantized image
+    def composed(v: Column, q: Column): Column = {
+      val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+      val qv = transform(v, x => {
+        val d = x / scale
+        when(scale.isNull || scale === 0, lit(0.0))
+          .when(d >= 0, floor(d + lit(0.5)).cast("double"))
+          .otherwise(ceil(d - lit(0.5)).cast("double"))
+      })
+      VectorOps.cosine(qv, q)
+    }
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 20 - 10))
+    } ++ Seq(
+      (1001L, Seq.fill(16)(0.0)),          // zero scale -> NULL
+      (1002L, Seq.fill(16)(-3.7)),         // all-negative
+      (1003L, Seq.tabulate(16)(j => if (j == 0) 127.5 else 0.25)))
+    val df = rows.toDF("id", "v")
+    val qSeq = Seq.tabulate(16)(j => (j - 8).toDouble)
+    val qLit = VectorOps.vecLit(qSeq)
+    def bits(c: Column): Seq[Option[Long]] =
+      df.select(c).collect().toSeq.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(0))))
+    val fused = bits(graft.functions.QuantizedCosine($"v", qLit))
+    val viaHof = bits(composed($"v", qLit))
+    assert(fused == viaHof, "fused kernel must replay the composed math exactly")
+    assert(fused.exists(_.isEmpty), "zero-scale row must yield NULL")
+    // Spark's OWN interpreted path (nullSafeEval), not a scratch
+    // reimplementation — a codegen/eval divergence fails here
+    val interpreted =
+      withSQLConf("spark.sql.codegen.factoryMode" -> "NO_CODEGEN",
+          "spark.sql.codegen.wholeStage" -> "false") {
+        bits(graft.functions.QuantizedCosine($"v", qLit))
+      }
+    assert(fused == interpreted)
+    // the non-foldable (column-column) generic path agrees too: wrapping
+    // the query in a per-row column defeats the plan-time fold
+    val dfQ = df.withColumn("q", when($"id" >= 0, qLit))
+    val colCol = dfQ.select(graft.functions.QuantizedCosine($"v", $"q"))
+      .collect().toSeq.map(r =>
+        if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(0))))
+    assert(colCol == viaHof, "generic two-sided kernel agrees")
+  }
 }
