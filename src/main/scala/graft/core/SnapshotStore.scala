@@ -1806,6 +1806,21 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         try FileStats.writeStatsFile(
           spark.sparkContext.hadoopConfiguration, dir)
         catch { case scala.util.control.NonFatal(_) => () }
+        // The rebase just added rewrite files + tombstones, so a bucket
+        // claim the candidate re-stamped as a pure-vector link no longer
+        // holds — strip it before the link is exposed (the new files are
+        // not bucket-attributed and would corrupt SPJ planning).
+        val props = commitProps(table, cand)
+        if (props.contains(SnapshotStore.BucketColProp) ||
+            props.contains(SnapshotStore.BucketNProp)) {
+          val stripped = props - SnapshotStore.BucketColProp -
+            SnapshotStore.BucketNProp
+          Files.writeString(propsFile(table, cand),
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+                stripped.toList.sortBy(_._1).map { case (k, v2) =>
+                  k -> org.json4s.JString(v2) }))))
+        }
       }
       // Relink above the new head (append's rebase-by-rename machinery):
       // marker dropped for the metadata rewrite, rename claims the fresh
@@ -1914,12 +1929,27 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
               .groupBy(_.getString(0))
               .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq.sorted })
             .getOrElse(Map.empty)
+          // A PURE-VECTOR link (no rewrite files, no tombstones, no
+          // post-image delta — the all-sparse delete) moves no row and
+          // adds no file, so the head's bucket layout claim remains
+          // exactly as valid and is re-stamped: a sparsely-mutated
+          // bucketed fact table keeps its zero-exchange joins
+          // (DvKeyGroupedParquetScan) instead of shuffling until compact.
+          // Anything that writes files (copy-on-write survivors, update
+          // post-images) is not bucket-attributed and must not claim.
+          val bucketProps =
+            if (data.isEmpty && cowKeys.isEmpty)
+              bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+                case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+                  SnapshotStore.BucketNProp -> n.toString)
+              }
+            else Map.empty[String, String]
           val cand = commitWith(table, data,
             changeSet = changeSetOf(matchedRows, schema),
             base = Some(v), snapshot = schema, advance = false,
             removed = cowKeys,
             removedRows = Some(matchedRows.select(selSchema: _*)),
-            dv = dvRecord, props = Map(SnapshotStore.OpProp -> op))
+            dv = dvRecord, props = bucketProps + (SnapshotStore.OpProp -> op))
           SnapshotStore.testRaceHook() // spec seam: force a sibling commit
           casLoop(cand, v) match {
             case Some(won) => won

@@ -392,13 +392,17 @@ object GraftTable {
       .map { case (k, idxs) => k -> idxs.toArray }
     // Bucket layout (commitBucketed/appendBucketed): claimed to the scan
     // — which then reports KeyGroupedPartitioning for storage-partitioned
-    // joins — ONLY when the whole chain carries one spec (bucketSpecOf),
-    // no deletion vectors reorder rows out of their files' claim, and
-    // every scan unit is a manifest-backed file whose part-name carries
-    // its writer task index (the bucket id). Anything else: no claim,
-    // plain scan, joins just shuffle as before.
+    // joins — ONLY when the whole chain carries one spec (bucketSpecOf)
+    // and every scan unit is a manifest-backed file whose part-name
+    // carries its writer task index (the bucket id). Deletion vectors do
+    // NOT drop the claim (the r14 gap): a vector only subtracts rows
+    // within a file and can never move a row across buckets, so the scan
+    // serves the keyed layout with DV-filtering readers
+    // (DvKeyGroupedParquetScan) — bucketSpecOf already breaks the claim
+    // for any link that WROTE non-bucket-attributed files (copy-on-write
+    // survivors, update post-images); only pure-vector links re-stamp it.
+    // Anything else: no claim, plain scan, joins just shuffle as before.
     val bucket = store.bucketSpecOf(table, v)
-      .filter(_ => dv.isEmpty)
       .filter(_ => units.forall(u => u.stat.isDefined &&
         org.apache.spark.sql.graftbridge.KeyGroupedParquetScan.isPartNamed(
           new org.apache.hadoop.fs.Path(u.path).getName)))

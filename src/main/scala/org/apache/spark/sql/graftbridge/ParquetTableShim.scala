@@ -147,9 +147,19 @@ private[graftbridge] final class ManifestStatsScanBuilder(
       val dvRows = dv.iterator
         .collect { case (k, v) if surviving.contains(k) => v.length.toLong }
         .sum
-      new DvParquetScan(built, dv,
-        index.prunedStats(built.dataFilters)
-          .map { case (r, b, t) => (math.max(0L, r - dvRows), b, t) })
+      val stats = index.prunedStats(built.dataFilters)
+        .map { case (r, b, t) => (math.max(0L, r - dvRows), b, t) }
+      bucket match {
+        // A bucket-consistent chain KEEPS its KeyGroupedPartitioning
+        // claim under vectors: a DV only REMOVES rows from a file, it
+        // can never move a row across buckets, so bucket b's partition
+        // still holds exactly bucket-b rows after filtering — the
+        // zero-exchange join stays sound while the readers pay the
+        // row-based DV trade (the r14 gap: any vector used to drop the
+        // claim until compact).
+        case Some((c, n)) => new DvKeyGroupedParquetScan(built, dv, c, n, stats)
+        case None => new DvParquetScan(built, dv, stats)
+      }
     }
     // A pushed aggregate rewrites the scan output (rows become per-group);
     // manifest row counts would be wrong — keep the stock estimate, and
@@ -411,6 +421,175 @@ private[graftbridge] object DvParquetScan {
   def keyOf(pf: org.apache.spark.sql.execution.datasources.PartitionedFile): String = {
     val p = pf.toPath
     s"${p.getParent.getName}/${p.getName}"
+  }
+}
+
+/** The DV-AND-BUCKETED scan: [[KeyGroupedParquetScan]]'s partitioning
+  * claim with [[DvParquetScan]]'s row filtering. Sound because a deletion
+  * vector is a per-file ROW SUBTRACTION — it cannot move a row across
+  * buckets — so each keyed partition still holds exactly its bucket's
+  * rows after filtering, and `KeyGroupedPartitioning(bucket(n, col), n)`
+  * remains exactly the layout on disk. What this buys at 100 TB: a
+  * mutation-heavy bucketed fact table keeps its ZERO-EXCHANGE
+  * storage-partitioned joins between sparse deletes instead of paying a
+  * full fact⋈fact shuffle until the next `compact` (the reference keeps
+  * serving accelerated reads across invalidations the same way,
+  * api/app/lib/graph_facade.py:50-58).
+  *
+  * Unlike [[DvParquetScan]] — which isolates each vectored file into its
+  * own partition so the reader knows its vector — a keyed partition MUST
+  * hold all of its bucket's files (the partition count and keys are the
+  * claim), so the reader factory here chains one inner reader per FILE
+  * GROUP inside the partition: clean splits ride one reader untouched,
+  * each vectored file's splits get their own reader with that file's
+  * vector bound. Row-based like every DV read (the columnar trade folds
+  * away with the vectors at `compact`). */
+private[graftbridge] final class DvKeyGroupedParquetScan(
+    base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    dv: Map[String, Array[Long]],
+    bucketCol: String, numBuckets: Int,
+    manifestStats: Option[(Long, Long, Long)])
+  extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+    base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+    base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
+    base.options, base.pushedAggregate, base.partitionFilters,
+    base.dataFilters, base.pushedVariantExtractions)
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(numBuckets, bucketCol)),
+      numBuckets)
+
+  override def partitions: Seq[FilePartition] = {
+    val byBucket = Array.fill(numBuckets)(
+      scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
+    super.partitions.foreach(_.files.foreach { f =>
+      byBucket(KeyGroupedParquetScan.bucketOf(
+        f.toPath.getName, numBuckets)) += f
+    })
+    (0 until numBuckets).map { b =>
+      new KeyedFilePartition(b, byBucket(b).toArray,
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](b)))
+    }
+  }
+
+  /** The row-index-extended twin, as in [[DvParquetScan.extendedScan]]. */
+  private def extendedScan
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
+      org.apache.spark.sql.types.StructType(base.readDataSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+            .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)),
+      base.readPartitionSchema, base.pushedFilters, base.options,
+      pushedAggregate = None, base.partitionFilters, base.dataFilters,
+      base.pushedVariantExtractions)
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new DvKeyedPartitionReaderFactory(extendedScan.createReaderFactory(), dv,
+      readDataSchema.length, readSchema())
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val stock = super.estimateStatistics()
+    manifestStats match {
+      case None => stock
+      case Some((rows, prunedBytes, totalBytes)) =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(rows)
+          override def sizeInBytes(): java.util.OptionalLong = {
+            val frac =
+              if (totalBytes <= 0L) 1.0
+              else prunedBytes.toDouble / totalBytes.toDouble
+            if (stock.sizeInBytes.isPresent)
+              java.util.OptionalLong.of(
+                math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
+            else stock.sizeInBytes
+          }
+        }
+    }
+  }
+}
+
+/** Reader factory of the DV'd KEYED scan: a partition's splits are
+  * regrouped by (clean | vectored-file), each group served by its own
+  * inner row-index-extended reader chained in sequence, vectored rows
+  * binary-searched away against exactly their file's vector. The output
+  * projection (temp index column dropped) matches
+  * [[DvPartitionReaderFactory]]'s. */
+private[graftbridge] final class DvKeyedPartitionReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    dv: Map[String, Array[Long]],
+    readDataLen: Int,
+    outSchema: org.apache.spark.sql.types.StructType)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val files = p.asInstanceOf[FilePartition].files
+    // (splits, vector-or-null) groups: clean splits together (one inner
+    // reader, no per-row filtering), each vectored FILE's splits as their
+    // own group bound to that file's vector.
+    val (vectored, clean) =
+      files.partition(f => dv.contains(DvParquetScan.keyOf(f)))
+    val groups: Seq[(Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+        Array[Long])] =
+      (if (clean.nonEmpty) Seq((clean, null: Array[Long])) else Nil) ++
+        vectored.groupBy(DvParquetScan.keyOf).toSeq.sortBy(_._1)
+          .map { case (k, fs) => (fs, dv(k)) }
+    val ordinals = (0 until readDataLen) ++
+      ((readDataLen + 1) until (outSchema.length + 1))
+    val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      outSchema, ordinals.toIndexedSeq)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var gi = -1
+      private var cur: org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = null
+      private var deleted: Array[Long] = null
+      private def openNext(): Boolean = {
+        if (cur != null) { cur.close(); cur = null }
+        gi += 1
+        if (gi >= groups.length) false
+        else {
+          val (fs, d) = groups(gi)
+          cur = inner.createReader(FilePartition(gi, fs))
+          deleted = d
+          true
+        }
+      }
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null && !openNext()) return false
+          var ok = cur.next()
+          while (ok && deleted != null &&
+              java.util.Arrays.binarySearch(deleted,
+                cur.get().getLong(readDataLen)) >= 0)
+            ok = cur.next()
+          if (ok) return true
+          cur.close(); cur = null
+        }
+        false // unreachable
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+        proj.project(cur.get()); proj
+      }
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
   }
 }
 

@@ -95,6 +95,66 @@ class StoragePartitionJoinSpec extends SparkSpec {
     }
   }
 
+  test("a sparse DV delete keeps the claim: join stays zero-exchange, values exact") {
+    // The r14 gap closed: ANY deletion vector used to drop the
+    // KeyGroupedPartitioning claim until compact, so a mutation-heavy
+    // bucketed fact table lost its zero-exchange joins. A vector only
+    // subtracts rows within a file — it cannot move a row across buckets
+    // — so the claim is retained and the readers DV-filter in place.
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-dv").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("da", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    st.commitBucketed("db", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") + 7).as("vb")), "k", 8)
+    spark.conf.set("spark.sql.catalog.spjdv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjdv.root", r)
+    // sparse delete: a handful of keys out of 1250/file -> deletion vector
+    st.delete("da", col("k").isin(3L, 1007L, 4242L, 9999L))
+    val v = st.latestVersion("da").get
+    assert(st.dvInChain("da", v).nonEmpty, "precondition: the delete vectored")
+    assert(st.bucketSpecOf("da", v).contains(("k", 8)),
+      "a pure-vector link must re-stamp the bucket claim")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spjdv.da a JOIN spjdv.db b ON a.k = b.k")
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"DV'd co-bucketed join must stay zero-exchange:\n$plan")
+      // values EXACT vs the shuffled plan over the same snapshots
+      val shuffled = withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(
+          "SELECT a.k AS k, va, vb FROM spjdv.da a JOIN spjdv.db b ON a.k = b.k")
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j.count() == 9996L, "4 vectored keys drop from the join")
+      assert(shuffled._1 == 9996L)
+      assert(j.agg(sum("va"), sum("vb")).head() == shuffled._2)
+      // and the per-key content survives the keyed readers exactly
+      assert(j.where(col("k").isin(3L, 1007L, 4242L, 9999L)).count() == 0)
+      assert(j.where(col("k") === 4241L).select("va", "vb")
+        .as[(Long, Long)].head() == ((8482L, 4248L)))
+    }
+    // a DENSE delete copy-on-writes survivor files that are not
+    // bucket-attributed: the claim must drop (correctness over speed)
+    st.delete("da", col("k") < 5000L)
+    val v2 = st.latestVersion("da").get
+    assert(st.bucketSpecOf("da", v2).isEmpty,
+      "a rewrite-bearing delete link must not re-stamp the claim")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spjdv.da a JOIN spjdv.db b ON a.k = b.k")
+      assert(finalPlan(j).contains("Exchange"),
+        "a non-bucket-attributed chain must not claim co-partitioning")
+      assert(j.count() == 4999L, "survivors: 5000..9998, nothing below")
+    }
+  }
+
   test("groupBy on the bucket column aggregates without a shuffle") {
     root
     withSQLConf(
