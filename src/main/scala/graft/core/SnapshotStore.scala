@@ -38,6 +38,75 @@ import scala.jdk.CollectionConverters._
   */
 final class SnapshotStore(spark: SparkSession, val root: String) {
 
+  // Field-ID reads, armed once per store construction: pinned snapshot
+  // schemas carry parquet.field.id metadata ([[SnapshotStore.FieldIdKey]])
+  // and resolution must match file columns by ID — with the flag off,
+  // Spark matches by NAME and a renamed column would silently read NULL
+  // from pre-rename files (probed: FieldIdProbe's CONF-OFF case).
+  // Session-global but semantically a no-op for read schemas without IDs
+  // (everything non-graft), so arming it here cannot change other reads.
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** Pin a field ID on every top-level column: a field already carrying
+    * one keeps it, IDs of columns sharing a name with `prev` carry over
+    * (stability across rewrites), everything else MINTS a fresh random
+    * ID. Random, not max+1: two OCC writers racing to add different
+    * columns from the same base would both mint max+1 and collide — the
+    * relink would then silently cross-wire the columns — while random
+    * 63-bit draws collide never in practice and the relink checks
+    * anyway. IDs are never reused within a schema lineage, so a new
+    * column can never inherit a dead column's physical data (the
+    * ID-level resurrection guarantee). Parquet field ids are 32-bit
+    * (ParquetUtils.getFieldId refuses wider), so draws come from
+    * [2^20, Int.MaxValue) — ~2^31 values, collision-free in practice
+    * for the handful of concurrent adds a table ever sees, and checked
+    * at relink regardless. */
+  private def withFieldIds(schema: StructType,
+      prev: Option[StructType]): StructType = {
+    val prevIds: Map[String, Long] = prev.toSeq.flatMap(_.fields)
+      .flatMap(f => SnapshotStore.fieldIdOf(f).map(f.name.toLowerCase -> _))
+      .toMap
+    val taken = scala.collection.mutable.Set[Long]()
+    taken ++= prevIds.valuesIterator
+    taken ++= schema.fields.iterator.flatMap(SnapshotStore.fieldIdOf(_))
+    def mint(): Long = {
+      var id = 0L
+      do id = java.util.concurrent.ThreadLocalRandom.current()
+        .nextInt(1 << 20, Int.MaxValue).toLong
+      while (taken.contains(id))
+      taken += id; id
+    }
+    StructType(schema.fields.map { f =>
+      val id = SnapshotStore.fieldIdOf(f)
+        .orElse(prevIds.get(f.name.toLowerCase))
+        .getOrElse(mint())
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong(SnapshotStore.FieldIdKey, id).build())
+    })
+  }
+
+  /** Field-ID stamping: when the pinned snapshot carries IDs, every
+    * written column carries its ID into the parquet footer (Spark's
+    * writer stamps fields whose metadata holds [[SnapshotStore.FieldIdKey]])
+    * — the per-file half of the metadata-rename contract. A cheap alias
+    * projection; columns the delta lacks simply aren't written (they
+    * read null under the pinned schema, as ever). Every data-file write
+    * path must route through this — commitWith's writes do, and so must
+    * any direct write into a claimed version directory (the mutation
+    * rebase path). */
+  private def stampedWithIds(d: DataFrame, snapshot: StructType): DataFrame =
+    if (!SnapshotStore.schemaHasFieldIds(snapshot)) d
+    else {
+      val byName = snapshot.fields.map(f => f.name.toLowerCase -> f).toMap
+      d.select(d.columns.map { c =>
+        byName.get(c.toLowerCase) match {
+          case Some(f) => d.col(s"`$c`").as(c, f.metadata)
+          case None => d.col(s"`$c`")
+        }
+      }.toIndexedSeq: _*)
+    }
+
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def versionDir(table: String, v: Long): Path =
     tableDir(table).resolve(s"v=$v")
@@ -92,9 +161,26 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * written before the pointer moves, so every version the pointer exposes
     * has its delta complete on disk. */
   def commit(table: String, df: DataFrame, changeSet: Option[DataFrame],
-      props: Map[String, String] = Map.empty): Long =
-    commitWith(table, Some(df), changeSet, base = None,
-      snapshot = ParquetTableShim.asNullable(df.schema), props = props)
+      props: Map[String, String] = Map.empty): Long = {
+    // Field IDs are a TABLE-BIRTH property: a new table's columns get
+    // never-used IDs; an ID'd table's overwrite keeps name-matching
+    // columns' IDs and mints fresh ones for new columns; a LEGACY
+    // (ID-less) table stays legacy forever — mid-lineage upgrades are
+    // deliberately refused because cross-version readers (the change
+    // feed reads every version's deltas under the LATEST schema) would
+    // then mix an ID'd read schema with pre-upgrade ID-less files, which
+    // fails loudly rather than resolving. Legacy tables keep the
+    // rename-as-rewrite path; recreate (or export/import) to adopt IDs.
+    val prev = latestVersion(table).map(v => snapshotSchema(table, Some(v)))
+    val s = ParquetTableShim.asNullable(df.schema)
+    val snap = prev match {
+      case None => withFieldIds(s, None)
+      case Some(p) if SnapshotStore.schemaHasFieldIds(p) => withFieldIds(s, Some(p))
+      case Some(_) => s
+    }
+    commitWith(table, Some(df), changeSet, base = None, snapshot = snap,
+      props = props)
+  }
 
   /** The shared commit machinery: claim a version directory, pin its chain
     * link + snapshot schema, write data + change set, verify the
@@ -185,21 +271,23 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // writers in one directory. The claim must exist continuously from
     // allocation to pointer move. (Allocation never reuses an existing
     // directory, so append semantics can never mix two commits.)
+    def stamped(d: DataFrame): DataFrame = stampedWithIds(d, snapshot)
     df match {
-      case Some(d) => d.write.mode("append").parquet(versionDir(table, next).toString)
+      case Some(d) =>
+        stamped(d).write.mode("append").parquet(versionDir(table, next).toString)
       case None =>
         // A data-less version (a pure deletion-vector commit): nothing to
         // write, so the committer never runs — stamp the completed-write
         // marker directly. The sidecars above are the version's content.
         Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")
     }
-    changeSet.foreach(_.write.mode("append")
+    changeSet.foreach(c => stamped(c).write.mode("append")
       .parquet(changesDir(table, next).toString))
     // The DELETED rows of a delete version (`_changes_removed/`, own
     // `_SUCCESS` like `_changes`): what the batch change-data feed emits
     // as _change_type = 'delete'. O(matched rows) — the same rows the
     // survivor rewrite already re-read.
-    removedRows.foreach(_.write.mode("append")
+    removedRows.foreach(r => stamped(r).write.mode("append")
       .parquet(versionDir(table, next).resolve("_changes_removed").toString))
     // The committed-version contract below (history/readAt/vacuum) keys on
     // the marker; a config that suppresses it (marksuccessfuljobs=false)
@@ -510,9 +598,107 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           "RENAME/replace) — delta discarded, re-run the append against " +
           "the current schema"))
     }
+    // Re-merge from the candidate's PINNED write-time schema restricted
+    // to the delta's columns, not the caller's raw schema: the delta's
+    // files are already field-ID-STAMPED (and type-widened) under the
+    // write-time merge, and a re-merge from raw types would re-MINT ids
+    // for added columns — the files would then carry ids the new pinned
+    // schema doesn't know, and the delta would silently read NULL (or
+    // worse, cross-wire into a sibling's same-minted id).
+    val deltaNames = deltaSchema.fieldNames.map(_.toLowerCase).toSet
+    val writtenDelta = {
+      val f = schemaFile(table, oldVersion)
+      if (!Files.exists(f)) deltaSchema
+      else StructType(org.apache.spark.sql.types.DataType.fromJson(
+        Files.readString(f)).asInstanceOf[StructType]
+        .fields.filter(x => deltaNames.contains(x.name.toLowerCase)))
+    }
     val merged =
-      try mergedAppendSchema(table, Some(newBase), deltaSchema)
+      try mergedAppendSchema(table, Some(newBase), writtenDelta)
       catch { case e: IllegalArgumentException => discard(e) }
+    // ID-collision check: a preserved stamped id must not be bound to a
+    // DIFFERENT column by the new base (possible only if two writers
+    // minted the same random id for different columns — astronomically
+    // rare, but silent cross-column wiring if unchecked).
+    if (SnapshotStore.schemaHasFieldIds(merged)) {
+      val dup = merged.fields.flatMap(f =>
+        SnapshotStore.fieldIdOf(f).map(_ -> f.name)).groupBy(_._1)
+        .collect { case (id, fs) if fs.map(_._2).distinct.length > 1 =>
+          s"id $id: ${fs.map(_._2).mkString(", ")}" }
+      if (dup.nonEmpty) discard(new IllegalStateException(
+        s"append to $table: field-id collision after re-base " +
+          s"(${dup.mkString("; ")}) — delta discarded, re-run the append"))
+    }
+    // ID-DIVERGENCE RESTAMP: when the re-merged schema binds a delta
+    // column to a DIFFERENT id than the one stamped in the delta's files
+    // — two racing writers adding the same new column each minted their
+    // own id, or an append raced a metadata rename whose winning link
+    // owns the name under the original id — the already-written files
+    // would read NULL under the new pinned schema (id matching, not
+    // name). The candidate directory is UNEXPOSED, so the delta's data
+    // and change-set files are lawfully rewritten restamped: O(delta),
+    // only on the racing path, never in steady state (existing columns'
+    // ids are lineage-stable).
+    if (SnapshotStore.schemaHasFieldIds(merged)) {
+      val mergedIds = merged.fields
+        .flatMap(f => SnapshotStore.fieldIdOf(f).map(f.name.toLowerCase -> _))
+        .toMap
+      val divergent = writtenDelta.fields.exists(f =>
+        SnapshotStore.fieldIdOf(f).exists(id =>
+          mergedIds.get(f.name.toLowerCase).exists(_ != id)))
+      if (divergent) {
+        val target = StructType(writtenDelta.fields.map { f =>
+          merged.fields.find(_.name.equalsIgnoreCase(f.name))
+            .map(m => f.copy(metadata = m.metadata)).getOrElse(f)
+        })
+        def restamp(sub: Path): Unit = {
+          val s = Files.list(sub)
+          val parts =
+            try s.iterator().asScala.filter(p =>
+              p.getFileName.toString.endsWith(".parquet")).toSeq
+            finally s.close()
+          if (parts.nonEmpty) {
+            val df = spark.read.schema(writtenDelta)
+              .parquet(parts.map(_.toString): _*)
+            val tmp = sub.resolve("_restamp_tmp")
+            stampedWithIds(df, target).write.parquet(tmp.toString)
+            parts.foreach { p =>
+              Files.deleteIfExists(p)
+              Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+            }
+            val t = Files.list(tmp)
+            try t.iterator().asScala.filter(p =>
+              p.getFileName.toString.endsWith(".parquet")).foreach { p =>
+              Files.move(p, sub.resolve(p.getFileName.toString))
+            } finally t.close()
+            val w = Files.walk(tmp)
+            try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+            finally w.close()
+          }
+        }
+        restamp(versionDir(table, oldVersion))
+        val ch = changesDir(table, oldVersion)
+        if (Files.isDirectory(ch)) restamp(ch)
+        // file names changed: regenerate the data-skipping manifest
+        try FileStats.writeStatsFile(
+          spark.sparkContext.hadoopConfiguration, versionDir(table, oldVersion))
+        catch { case scala.util.control.NonFatal(_) => () }
+        // the rewritten files' part indexes no longer carry the writer's
+        // bucket attribution: a bucket claim on this link must drop
+        // (correctness over speed — the rare racing path only)
+        val props = commitProps(table, oldVersion)
+        if (props.contains(SnapshotStore.BucketColProp) ||
+            props.contains(SnapshotStore.BucketNProp)) {
+          val stripped = props - SnapshotStore.BucketColProp -
+            SnapshotStore.BucketNProp
+          Files.writeString(propsFile(table, oldVersion),
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+                stripped.toList.sortBy(_._1).map { case (k, v2) =>
+                  k -> org.json4s.JString(v2) }))))
+        }
+      }
+    }
     // CHECK-GROWTH RE-VALIDATION: commitWith validated the written files
     // against the constraint set of the WRITE-TIME base; a concurrent
     // addCheckConstraint between then and this relink would otherwise
@@ -602,14 +788,27 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       // DROPPED from this chain would re-widen the pinned schema and expose
       // the dropped column's stale values still sitting in older chain
       // files. Refuse until compact rewrites the chain without them.
-      val dropped = droppedColumnsOf(table, v)
-      val revived = added.map(_.name).filter(n => dropped.contains(n.toLowerCase))
-      require(revived.isEmpty,
-        s"append to $table re-introduces dropped column(s) " +
-          s"${revived.mkString(", ")} whose data still exists in chain " +
-          "files — run compact first, or rename the delta column(s)")
-      ParquetTableShim.asNullable(StructType(resolved ++ added))
-    case None => ParquetTableShim.asNullable(deltaSchema)
+      // ID'd chains don't need the guard: the re-added column mints a
+      // FRESH field id, readers match by id, and the dead column's bytes
+      // (old id) are structurally unreachable — re-adding reads null.
+      if (!SnapshotStore.schemaHasFieldIds(bs)) {
+        val dropped = droppedColumnsOf(table, v)
+        val revived = added.map(_.name).filter(n => dropped.contains(n.toLowerCase))
+        require(revived.isEmpty,
+          s"append to $table re-introduces dropped column(s) " +
+            s"${revived.mkString(", ")} whose data still exists in chain " +
+            "files — run compact first, or rename the delta column(s)")
+      }
+      // An ID'd chain assigns never-used IDs to the delta's ADDED columns
+      // (resolved fields keep the base's); a legacy chain stays ID-less
+      // until a rewrite upgrades it.
+      val merged0 = StructType(resolved ++ added)
+      ParquetTableShim.asNullable(
+        if (SnapshotStore.schemaHasFieldIds(bs)) withFieldIds(merged0, Some(bs))
+        else merged0)
+    case None =>
+      // append-born table: ID'd at birth like a commit-born one
+      withFieldIds(ParquetTableShim.asNullable(deltaSchema), None)
   }
 
   /** `from` widens LOSSLESSLY to `to` and Spark's vectorized parquet
@@ -816,15 +1015,21 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         s"addColumns to $table: column(s) ${dups.mkString(", ")} already exist")
       // Resurrection guard: a previously-dropped name's PHYSICAL data is
       // still in the chain's files, and parquet resolves by name — re-adding
-      // it would silently expose the old values as the "new" column.
-      val dropped = droppedColumnsOf(table, v)
-      val revived = columns.fieldNames.filter(n => dropped.contains(n.toLowerCase))
-      require(revived.isEmpty,
-        s"addColumns to $table: column(s) ${revived.mkString(", ")} were " +
-          "previously dropped and their data still exists in chain files — " +
-          "run compact first to rewrite the chain without them")
+      // it would silently expose the old values as the "new" column. ID'd
+      // chains skip it: the re-added column mints a fresh field id, so the
+      // dead column's bytes are unreachable and the new column reads null.
+      if (!SnapshotStore.schemaHasFieldIds(base)) {
+        val dropped = droppedColumnsOf(table, v)
+        val revived = columns.fieldNames.filter(n => dropped.contains(n.toLowerCase))
+        require(revived.isEmpty,
+          s"addColumns to $table: column(s) ${revived.mkString(", ")} were " +
+            "previously dropped and their data still exists in chain files — " +
+            "run compact first to rewrite the chain without them")
+      }
+      val merged0 = StructType(base.fields ++ columns.fields)
       val merged = ParquetTableShim.asNullable(
-        StructType(base.fields ++ columns.fields))
+        if (SnapshotStore.schemaHasFieldIds(base)) withFieldIds(merged0, Some(base))
+        else merged0)
       // Carry the bucket claim forward iff the head holds one: files are
       // untouched, so the layout is exactly as valid after the link.
       val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
@@ -927,21 +1132,30 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     attempt()
   }
 
-  /** `ALTER TABLE … RENAME COLUMN`'s engine — deliberately a REWRITE, not
-    * a schema link: parquet resolves columns BY NAME, so a data-less
-    * rename would read null everywhere (and a rename-via-drop+add would
-    * resurrect nothing at all). Metadata-only renames need physical names
-    * (or parquet field IDs) pinned at column birth — a layer this store
-    * does not carry — so the honest contract is one O(table) rewrite,
-    * CAS-committed: unlike a caller's read-then-commit (last-writer-wins,
-    * a concurrent append between the two silently vanishes), a lost race
-    * here discards the candidate and re-reads the new head, so no sibling
-    * commit is ever dropped. Bucket props are stripped like compact's
+  /** `ALTER TABLE … RENAME COLUMN`'s engine. Two paths by chain lineage:
+    *
+    * ID'D CHAIN (tables born under field-ID stamping — every commit since
+    * r15; see [[SnapshotStore.FieldIdKey]]): a DATA-LESS metadata link.
+    * Parquet columns are matched by the pinned field IDs, which the
+    * rename preserves under the new names, so no file is touched — one
+    * metadata commit at any table size (Iceberg/Delta column-mapping
+    * semantics; the reference's Postgres renames are metadata-only the
+    * same way, schema/00_baseline.sql). Pre-rename time travel reads the
+    * old names (schemas pinned per version); a bucket claim survives with
+    * its column name mapped; content-neutral to feeds like ADD/DROP.
+    * CAS-until-won liveness like [[addColumns]].
+    *
+    * LEGACY (ID-less) CHAIN: an O(table) OCC REWRITE — parquet resolves
+    * those files by name, so a data-less rename would read null
+    * everywhere. CAS-committed (a lost race discards the candidate and
+    * re-reads the new head, so no sibling commit is ever dropped); the
+    * rewrite assigns fresh field IDs, upgrading the table so the NEXT
+    * rename is metadata-only. Bucket props are stripped like compact's
     * (the rewritten files are not bucket-attributed); dropped-column
-    * markers clear with the chain (base = None) — the rewrite's files no
-    * longer hold any dropped column. NOT content-neutral to feeds: the
-    * row values survive but the schema every consumer sees changes, so
-    * the version reads as a rewrite (resubscribe), like any commit. */
+    * markers clear with the chain (base = None); the rewrite stays
+    * ID-less (lineage is a birth property — see `commit`). NOT
+    * content-neutral to feeds: the version reads as a rewrite
+    * (resubscribe), like any commit. */
   def renameColumns(table: String, renames: Map[String, String],
       maxRetries: Int = 5): Long = {
     require(renames.nonEmpty, "renameColumns requires at least one rename")
@@ -971,10 +1185,72 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       def renamed(n: String): String = renames.collectFirst {
         case (f, t) if f.equalsIgnoreCase(n) => t
       }.getOrElse(n)
+      // The metadata path additionally requires every TARGET name to be
+      // free of chain history under a different field ID: Spark's reader
+      // resolves a requested column by NAME when the file holds that
+      // name, field IDs notwithstanding (probed: FieldIdProbe2's swap
+      // case fails with a type mismatch), so renaming onto a name some
+      // chain file carries for another column would mis-resolve. A name
+      // only ever bound to the SAME id (rename-back: a->b then b->a) is
+      // safe. Swaps and name-reuse fall back to the honest rewrite.
+      val targetsIdSafe = SnapshotStore.schemaHasFieldIds(base) && {
+        val historical: Map[String, Set[Long]] = chainOf(table, v)
+          .flatMap(l => snapshotSchema(table, Some(l)).fields)
+          .flatMap(f => SnapshotStore.fieldIdOf(f).map(f.name.toLowerCase -> _))
+          .groupMapReduce(_._1)(kv => Set(kv._2))(_ ++ _)
+        renames.forall { case (from, to) =>
+          val fid = base.fields.find(_.name.equalsIgnoreCase(from))
+            .flatMap(SnapshotStore.fieldIdOf)
+          historical.getOrElse(to.toLowerCase, Set.empty)
+            .forall(id => fid.contains(id))
+        }
+      }
+      if (targetsIdSafe) {
+        // METADATA-ONLY RENAME (the ID'd-chain path, r15): every chain
+        // file is field-ID-stamped and readers match by ID, so renaming
+        // is a data-less chain link whose pinned schema carries the new
+        // NAMES over the same IDs — one metadata commit at any table
+        // size, like ADD/DROP (at 100 TB the rewrite alternative is a
+        // full-table write). Time travel to pre-rename versions reads
+        // the old names (schemas pinned per version). A bucket claim
+        // survives (no row moved) with the claim's column name mapped
+        // through the rename. Content-neutral to feeds like add/drop:
+        // no row changed.
+        val renamedSchema = ParquetTableShim.asNullable(StructType(
+          base.fields.map(f => f.copy(name = renamed(f.name)))))
+        val bucketProps = bucketSpecOf(table, v)
+          .fold(Map.empty[String, String]) { case (c, n) =>
+            Map(SnapshotStore.BucketColProp -> renamed(c),
+              SnapshotStore.BucketNProp -> n.toString)
+          }
+        val cand = commitWith(table, None, None, base = Some(v),
+          snapshot = renamedSchema, advance = false,
+          props = bucketProps +
+            (SnapshotStore.OpProp -> "rename-columns-metadata"))
+        SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+        if (casAdvance(table, cand, Some(v))) cand
+        else {
+          val w = Files.walk(versionDir(table, cand))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          // metadata-only recompute: CAS-until-won like addColumns (a
+          // sustained appender must not starve schema DDL); the retry
+          // budget is only spent by the legacy rewrite path below
+          require(latestVersion(table).exists(_ != v),
+            s"renameColumns CAS to $table failed with unmoved pointer $v")
+          attempt(retriesLeft)
+        }
+      } else {
+      // LEGACY (ID-less chain) path — an OCC REWRITE: parquet resolves
+      // these files by name, so a data-less rename would read null
+      // everywhere. The rewrite stays ID-less (table lineage is a birth
+      // property — see `commit`'s note on why mid-lineage upgrades would
+      // break cross-version feed reads).
       val df = readAt(table, v).select(base.fieldNames.map(n =>
         org.apache.spark.sql.functions.col(n).as(renamed(n))).toIndexedSeq: _*)
       val cand = commitWith(table, Some(df), changeSet = None, base = None,
-        snapshot = ParquetTableShim.asNullable(df.schema), advance = false,
+        snapshot = ParquetTableShim.asNullable(df.schema),
+        advance = false,
         props = resolvedProps(table, v) -
           SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
           SnapshotStore.DroppedColsProp +
@@ -989,6 +1265,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         else throw new IllegalStateException(
           s"renameColumns($table) lost the commit race $maxRetries times — " +
             "retry later or widen maxRetries")
+      }
       }
     }
     attempt(maxRetries)
@@ -1456,11 +1733,28 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   /** The snapshot's bucket layout, iff EVERY chain link carries the same
     * one (a plain append, mutation, or compaction link breaks the claim —
     * its files are not bucket-attributed, so the scan must not report
-    * co-partitioning). None for unbucketed or mixed chains. */
+    * co-partitioning). None for unbucketed or mixed chains. On an ID'd
+    * chain each link's claimed column resolves through any later metadata
+    * RENAME to its name AT THE HEAD (the hash is over the same physical
+    * data whatever the column is called), so a rename link — which
+    * re-stamps the claim under the new name — agrees with the pre-rename
+    * links it extends. */
   def bucketSpecOf(table: String, v: Long): Option[(String, Int)] = {
+    val pinned = snapshotSchema(table, Some(v))
+    val headById: Option[Map[Long, String]] =
+      if (!SnapshotStore.schemaHasFieldIds(pinned)) None
+      else Some(pinned.fields.flatMap(f =>
+        SnapshotStore.fieldIdOf(f).map(_ -> f.name)).toMap)
     val specs = chainOf(table, v).map { l =>
       val p = commitProps(table, l)
-      (p.get(SnapshotStore.BucketColProp), p.get(SnapshotStore.BucketNProp))
+      val col = p.get(SnapshotStore.BucketColProp).map { c =>
+        headById.flatMap { byId =>
+          snapshotSchema(table, Some(l)).fields
+            .find(_.name.equalsIgnoreCase(c))
+            .flatMap(SnapshotStore.fieldIdOf).flatMap(byId.get)
+        }.getOrElse(c)
+      }
+      (col, p.get(SnapshotStore.BucketNProp))
     }
     specs.head match {
       case (Some(c), Some(n)) if specs.forall(_ == (Some(c), Some(n))) =>
@@ -1794,11 +2088,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       if (extraKeys.nonEmpty) {
         val paths = extraKeys.map(k => tableDir(table).resolve(k).toString)
         val scan = spark.read.schema(schemaH).parquet(paths: _*)
-        rewrite(scan, schemaH).write.mode("append").parquet(dir.toString)
-        scan.where(hit).write.mode("append")
+        stampedWithIds(rewrite(scan, schemaH), schemaH)
+          .write.mode("append").parquet(dir.toString)
+        stampedWithIds(scan.where(hit), schemaH).write.mode("append")
           .parquet(dir.resolve("_changes_removed").toString)
-        changeSetOf(scan, schemaH).foreach(_.write.mode("append")
-          .parquet(changesDir(table, cand).toString))
+        changeSetOf(scan, schemaH).foreach(c => stampedWithIds(c, schemaH)
+          .write.mode("append").parquet(changesDir(table, cand).toString))
         val allKeys = (removedAt(table, cand) ++ extraKeys).distinct.sorted
         Files.writeString(removedFileOf(table, cand),
           org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
@@ -2352,6 +2647,32 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * directory set whose union IS snapshot(v). Bounded by appends since the
     * last compaction; strictly decreasing by construction, checked anyway
     * so a corrupt `_base` fails loudly instead of looping. */
+  /** Per chain-version LOGICAL→PHYSICAL column name mapping (lowercased,
+    * keyed "v=N"), for zone-map pruning after a metadata RENAME: a
+    * pre-rename chain file holds a renamed column under its OLD name, so
+    * the pruning layer must look that file's stats up under the old name
+    * — and must not infer all-null from the new name's absence. Only
+    * versions with a NON-identity mapping appear; rename-free chains (the
+    * overwhelmingly common case) return empty, costing one memoized
+    * schema read per chain link. */
+  def physicalNamesByVersion(table: String, v: Long)
+      : Map[String, Map[String, String]] = {
+    val pinned = snapshotSchema(table, Some(v))
+    if (!SnapshotStore.schemaHasFieldIds(pinned)) Map.empty
+    else {
+      val logicalById: Seq[(Long, String)] = pinned.fields.toSeq
+        .flatMap(f => SnapshotStore.fieldIdOf(f).map(_ -> f.name.toLowerCase))
+      chainOf(table, v).iterator.map { l =>
+        val physById: Map[Long, String] = snapshotSchema(table, Some(l))
+          .fields.flatMap(f =>
+            SnapshotStore.fieldIdOf(f).map(_ -> f.name.toLowerCase)).toMap
+        val m = logicalById.flatMap { case (id, ln) =>
+          physById.get(id).filter(_ != ln).map(pn => ln -> pn) }.toMap
+        s"v=$l" -> m
+      }.filter(_._2.nonEmpty).toMap
+    }
+  }
+
   private def chainOf(table: String, v: Long): Seq[Long] = {
     @tailrec def walk(cur: Long, acc: List[Long]): List[Long] = baseOf(table, cur) match {
       case Some(b) =>
@@ -2951,8 +3272,9 @@ object SnapshotStore {
     * [[SnapshotStore.nonFeedMutationsSince]] must not flag them. */
   val ContentNeutralOps: Set[String] =
     Set("compact", "compact-dv", "add-columns", "drop-columns",
-      "set-properties", "unset-properties", "add-constraint",
-      "drop-constraint", "add-key-constraint", "drop-key-constraint")
+      "rename-columns-metadata", "set-properties", "unset-properties",
+      "add-constraint", "drop-constraint", "add-key-constraint",
+      "drop-key-constraint")
 
   /** Commit-props key prefix of ANSI CHECK constraints
     * (`graft.check.<name>` -> predicate SQL; empty value = drop marker).
@@ -2961,6 +3283,31 @@ object SnapshotStore {
     * enforced by `commitWith` on every data-carrying write, carried
     * across self-contained rewrites as standing table metadata. */
   val CheckPropPrefix: String = "graft.check."
+
+  /** StructField metadata key Spark's parquet writer/reader use for FIELD
+    * IDS (`spark.sql.parquet.fieldId.{write,read}.enabled`). The store
+    * pins an ID per column AT BIRTH in the snapshot schema and stamps it
+    * into every written file, which is what makes RENAME COLUMN a
+    * data-less metadata commit ([[SnapshotStore.renameColumns]]): the
+    * pinned schema's names change, the IDs don't, and the reader matches
+    * file columns by ID — the Iceberg/Delta column-mapping idea on
+    * Spark's own native mechanism. Tables whose chains predate ID
+    * stamping keep name resolution (and the rename-as-rewrite path)
+    * until any self-contained rewrite upgrades them. */
+  val FieldIdKey: String = "parquet.field.id"
+
+  /** Every top-level field carries a pinned field ID — the chain was
+    * born under ID stamping, every data file is ID-stamped, and ID-based
+    * renames are sound. (Nested subfields are deliberately unstamped:
+    * Spark matches them by name within their ID-matched parent, and the
+    * store only renames top-level columns.) */
+  def schemaHasFieldIds(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(_.metadata.contains(FieldIdKey))
+
+  private[core] def fieldIdOf(f: org.apache.spark.sql.types.StructField)
+      : Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
 
   /** Commit-props key prefix of INFORMATIONAL key constraints
     * (`graft.keycons.<name>` -> JSON {kind, columns, refTable?,

@@ -20,40 +20,52 @@ import graft.core.FileStats.{BoolVal, ColStats, DoubleVal, FileStat, LongVal, St
   */
 object DataSkipping {
 
-  def mayMatch(cond: Expression, fs: FileStat): Boolean =
-    if (fs.rows == 0L) false else eval(cond, fs)
+  /** `resolve` maps a queried (logical) column name — lowercased — to the
+    * PHYSICAL name the file was written under, when they differ: after a
+    * metadata RENAME on a field-ID'd chain, pre-rename files hold the
+    * column under its old name, and both the stats lookup and the
+    * absent-means-null inference must follow the mapping or a renamed
+    * column would prune files that match (the name is absent, the ID
+    * isn't). Identity by default. */
+  def mayMatch(cond: Expression, fs: FileStat,
+      resolve: Map[String, String] = Map.empty): Boolean =
+    if (fs.rows == 0L) false else eval(cond, fs, resolve)
 
-  private def eval(e: Expression, fs: FileStat): Boolean = e match {
-    case And(l, r) => eval(l, fs) && eval(r, fs)
-    case Or(l, r) => eval(l, fs) || eval(r, fs)
-    case Literal(v, BooleanType) => v == true
-    case EqualTo(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Eq)
-    case EqualTo(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Eq)
-    case EqualNullSafe(a: Attribute, l: Literal) =>
-      if (l.value == null) nullPossible(fs, a) else cmp(fs, a, l, Op.Eq)
-    case EqualNullSafe(l: Literal, a: Attribute) =>
-      if (l.value == null) nullPossible(fs, a) else cmp(fs, a, l, Op.Eq)
-    case LessThan(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Lt)
-    case LessThan(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Gt)
-    case LessThanOrEqual(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Le)
-    case LessThanOrEqual(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Ge)
-    case GreaterThan(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Gt)
-    case GreaterThan(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Lt)
-    case GreaterThanOrEqual(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Ge)
-    case GreaterThanOrEqual(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Le)
-    case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
-      list.exists(l => cmp(fs, a, l.asInstanceOf[Literal], Op.Eq))
-    case InSet(a: Attribute, hset) =>
-      hset.exists(v => cmp(fs, a, Literal(v, a.dataType), Op.Eq))
-    case IsNull(a: Attribute) => nullPossible(fs, a)
-    case IsNotNull(a: Attribute) => nonNullPossible(fs, a)
-    case StartsWith(a: Attribute, Literal(p: UTF8String, StringType)) =>
-      prefixPossible(fs, a, p.toString)
-    case a: Attribute if a.dataType == BooleanType =>
-      cmp(fs, a, Literal(true, BooleanType), Op.Eq)
-    case Not(a: Attribute) if a.dataType == BooleanType =>
-      cmp(fs, a, Literal(false, BooleanType), Op.Eq)
-    case _ => true
+  private def eval(e: Expression, fs: FileStat,
+      resolve: Map[String, String]): Boolean = {
+    implicit val rs: Map[String, String] = resolve
+    e match {
+      case And(l, r) => eval(l, fs, resolve) && eval(r, fs, resolve)
+      case Or(l, r) => eval(l, fs, resolve) || eval(r, fs, resolve)
+      case Literal(v, BooleanType) => v == true
+      case EqualTo(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Eq)
+      case EqualTo(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Eq)
+      case EqualNullSafe(a: Attribute, l: Literal) =>
+        if (l.value == null) nullPossible(fs, a) else cmp(fs, a, l, Op.Eq)
+      case EqualNullSafe(l: Literal, a: Attribute) =>
+        if (l.value == null) nullPossible(fs, a) else cmp(fs, a, l, Op.Eq)
+      case LessThan(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Lt)
+      case LessThan(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Gt)
+      case LessThanOrEqual(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Le)
+      case LessThanOrEqual(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Ge)
+      case GreaterThan(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Gt)
+      case GreaterThan(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Lt)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => cmp(fs, a, l, Op.Ge)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => cmp(fs, a, l, Op.Le)
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists(l => cmp(fs, a, l.asInstanceOf[Literal], Op.Eq))
+      case InSet(a: Attribute, hset) =>
+        hset.exists(v => cmp(fs, a, Literal(v, a.dataType), Op.Eq))
+      case IsNull(a: Attribute) => nullPossible(fs, a)
+      case IsNotNull(a: Attribute) => nonNullPossible(fs, a)
+      case StartsWith(a: Attribute, Literal(p: UTF8String, StringType)) =>
+        prefixPossible(fs, a, p.toString)
+      case a: Attribute if a.dataType == BooleanType =>
+        cmp(fs, a, Literal(true, BooleanType), Op.Eq)
+      case Not(a: Attribute) if a.dataType == BooleanType =>
+        cmp(fs, a, Literal(false, BooleanType), Op.Eq)
+      case _ => true
+    }
   }
 
   private object Op extends Enumeration { val Eq, Lt, Le, Gt, Ge = Value }
@@ -89,8 +101,9 @@ object DataSkipping {
   private case object AllNull extends ColState // every row NULL (or column absent)
   private final case class Bounded(cs: ColStats) extends ColState
 
-  private def stateOf(fs: FileStat, a: Attribute): ColState = {
-    val name = a.name.toLowerCase
+  private def stateOf(fs: FileStat, a: Attribute)(
+      implicit resolve: Map[String, String]): ColState = {
+    val name = resolve.getOrElse(a.name.toLowerCase, a.name.toLowerCase)
     fs.cols.get(name) match {
       case None =>
         // Physically absent column reads as NULL on every row (pinned
@@ -103,20 +116,23 @@ object DataSkipping {
     }
   }
 
-  private def nullPossible(fs: FileStat, a: Attribute): Boolean =
+  private def nullPossible(fs: FileStat, a: Attribute)(
+      implicit resolve: Map[String, String]): Boolean =
     stateOf(fs, a) match {
       case AllNull => true
       case Unknown => true
       case Bounded(cs) => cs.nullCount.forall(_ > 0L)
     }
 
-  private def nonNullPossible(fs: FileStat, a: Attribute): Boolean =
+  private def nonNullPossible(fs: FileStat, a: Attribute)(
+      implicit resolve: Map[String, String]): Boolean =
     stateOf(fs, a) match {
       case AllNull => false
       case _ => true
     }
 
-  private def cmp(fs: FileStat, a: Attribute, l: Literal, op: Op.Value): Boolean = {
+  private def cmp(fs: FileStat, a: Attribute, l: Literal, op: Op.Value)(
+      implicit resolve: Map[String, String]): Boolean = {
     if (l.value == null) return false // comparison with NULL is never true
     stateOf(fs, a) match {
       case AllNull => false
@@ -153,7 +169,8 @@ object DataSkipping {
     * [p, successor(p)); overlap with [min, max] requires max ≥ p and
     * min's |p|-char prefix ≤ p. ASCII bounds (the only kind the manifest
     * stores) make Java string order agree with parquet's byte order here. */
-  private def prefixPossible(fs: FileStat, a: Attribute, p: String): Boolean =
+  private def prefixPossible(fs: FileStat, a: Attribute, p: String)(
+      implicit resolve: Map[String, String]): Boolean =
     stateOf(fs, a) match {
       case AllNull => false
       case Unknown => true

@@ -156,7 +156,8 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     val storeRoot: Option[String] = None,
     val versionPinned: Boolean = false,
     dv: Map[String, Array[Long]] = Map.empty,
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None,
+    physNames: Map[String, Map[String, String]] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -173,7 +174,8 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     }
     ParquetTableShim.tableWithIndex(name(), spark, units.map(_.path),
       pinnedSchema, passThrough,
-      new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known, unlisted),
+      new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known,
+        unlisted, physNames),
       dv, bucket)
   }
 
@@ -408,7 +410,8 @@ object GraftTable {
           new org.apache.hadoop.fs.Path(u.path).getName)))
     new GraftTable(table, v, spark, units,
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
-      versionPinned = version.isDefined, dv = dv, bucket = bucket)
+      versionPinned = version.isDefined, dv = dv, bucket = bucket,
+      physNames = store.physicalNamesByVersion(table, v))
   }
 
   /** V1 source Filter → Column, for the DELETE translation. None marks a

@@ -58,6 +58,11 @@ object DdlAudit {
     val (_, tConstraint) = timed {
       store.addCheckConstraint("orders", "price_pos", "o_totalprice > 0")
     }
+    // (e) metadata RENAME (r15, field-ID chains): must cost ≈ drop — one
+    // data-less link — not the 2.8 s rewrite it was in r14
+    val (_, tRename) = timed {
+      store.renameColumns("orders", Map("o_orderstatus" -> "o_status"))
+    }
     // post-DDL read: pruning means the narrowed scan pays nothing extra
     val (_, tRead) = timed {
       store.read("orders").agg(count(lit(1)), sum(col("o_totalprice"))).collect()
@@ -71,10 +76,13 @@ object DdlAudit {
     }
 
     val ratio = if (tDrop > 0) tRewrite / tDrop else -1.0
+    val renOp = store.commitProps("orders", store.latestVersion("orders").get)
+      .getOrElse(SnapshotStore.OpProp, "?")
     println(
       f"""{"metric":"ddl_audit","sf":"$sfDir","rows":$rows,""" +
         f""""commit_sec":$tCommit%.3f,"drop_columns_sec":$tDrop%.3f,""" +
         f""""add_columns_sec":$tAdd%.3f,"add_constraint_sec":$tConstraint%.3f,""" +
+        f""""rename_sec":$tRename%.3f,"rename_op":"$renOp",""" +
         f""""post_ddl_read_sec":$tRead%.3f,"rewrite_counterfactual_sec":$tRewrite%.3f,""" +
         f""""rewrite_over_drop":$ratio%.1f}""")
 

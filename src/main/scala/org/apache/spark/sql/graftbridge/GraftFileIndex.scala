@@ -34,8 +34,19 @@ import graft.sources.DataSkipping
 final class GraftFileIndex(
     sparkSession: SparkSession,
     knownFiles: Seq[(FileStatus, FileStat)],
-    unlistedDirs: Seq[Path])
+    unlistedDirs: Seq[Path],
+    /** Per-version logical→physical column name mapping (both lowercased),
+      * keyed by the version DIRECTORY name ("v=N") a file sits in: after a
+      * metadata RENAME on a field-ID'd chain, pre-rename files hold a
+      * column under its OLD name, and zone-map pruning must look its
+      * stats up there — and must NOT infer all-null from the new name's
+      * absence. Empty for rename-free tables (identity resolution). */
+    physNames: Map[String, Map[String, String]] = Map.empty)
   extends PartitioningAwareFileIndex(sparkSession, Map.empty, None, NoopCache) {
+
+  private def resolveFor(st: FileStatus): Map[String, String] =
+    if (physNames.isEmpty) Map.empty
+    else physNames.getOrElse(st.getPath.getParent.getName, Map.empty)
 
   private lazy val dirIndex: Option[InMemoryFileIndex] =
     if (unlistedDirs.isEmpty) None
@@ -66,7 +77,8 @@ final class GraftFileIndex(
     val kept =
       if (dataFilters.isEmpty) knownFiles.map(_._1)
       else knownFiles.collect {
-        case (st, fs) if dataFilters.forall(DataSkipping.mayMatch(_, fs)) => st
+        case (st, fs) if dataFilters.forall(
+          DataSkipping.mayMatch(_, fs, resolveFor(st))) => st
       }
     Seq(PartitionDirectory(InternalRow.empty, (kept ++ dirStatuses).toArray))
   }
@@ -84,7 +96,8 @@ final class GraftFileIndex(
       val kept =
         if (dataFilters.isEmpty) knownFiles.map(_._2)
         else knownFiles.collect {
-          case (_, fs) if dataFilters.forall(DataSkipping.mayMatch(_, fs)) => fs
+          case (st, fs) if dataFilters.forall(
+            DataSkipping.mayMatch(_, fs, resolveFor(st))) => fs
         }
       Some((kept.map(_.rows).sum, kept.map(_.bytes).sum,
         knownFiles.map(_._2.bytes).sum))
@@ -99,7 +112,8 @@ final class GraftFileIndex(
     val kept =
       if (dataFilters.isEmpty) knownFiles.map(_._1)
       else knownFiles.collect {
-        case (st, fs) if dataFilters.forall(DataSkipping.mayMatch(_, fs)) => st
+        case (st, fs) if dataFilters.forall(
+          DataSkipping.mayMatch(_, fs, resolveFor(st))) => st
       }
     kept.map(st =>
       s"${st.getPath.getParent.getName}/${st.getPath.getName}").toSet

@@ -159,6 +159,60 @@ class GraftCatalogSpec extends SparkSpec {
       "re-added post-rewrite column must read null, never stale values")
   }
 
+  test("RENAME COLUMN on an ID'd chain is a data-less metadata commit") {
+    val r = java.nio.file.Files.createTempDirectory("graft-renmeta").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("t", spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        concat(lit("s"), col("id")).as("s")), "k", 4)
+    st.append("t", spark.range(2000, 2100)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        concat(lit("s"), col("id")).as("s"))) // plain append: claim breaks, data stays
+    spark.conf.set("spark.sql.catalog.renmeta", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.renmeta.root", r)
+    val sizeBefore = dirSize(r)
+    val preVersion = st.latestVersion("t").get
+    spark.sql("ALTER TABLE renmeta.t RENAME COLUMN v TO weight")
+    // DATA-LESS: no file rewritten — at 100 TB this is the whole point
+    assert(dirSize(r) - sizeBefore < 4096,
+      s"metadata rename wrote ${dirSize(r) - sizeBefore} bytes — it rewrote data")
+    assert(st.commitProps("t", st.latestVersion("t").get)
+      .get(graft.core.SnapshotStore.OpProp).contains("rename-columns-metadata"))
+    // values intact under the new name, across the whole chain
+    assert(spark.sql("SELECT * FROM renmeta.t").columns.toSeq
+      == Seq("k", "weight", "s"))
+    assert(spark.sql("SELECT count(*) FROM renmeta.t").as[Long].head() == 2100L)
+    assert(spark.sql("SELECT weight FROM renmeta.t WHERE k = 7")
+      .as[Long].head() == 14L)
+    assert(spark.sql("SELECT weight FROM renmeta.t WHERE k = 2050")
+      .as[Long].head() == 4100L)
+    // filter pushdown on the renamed column still yields exact results
+    assert(spark.sql("SELECT count(*) FROM renmeta.t WHERE weight >= 4000")
+      .as[Long].head() == 100L)
+    // pre-rename time travel reads the old name (pinned per-version schema)
+    assert(spark.sql(s"SELECT v FROM renmeta.t VERSION AS OF $preVersion " +
+      "WHERE k = 7").as[Long].head() == 14L)
+    // content-neutral to feeds: no consumer resubscribe for a pure rename
+    assert(st.nonFeedMutationsSince("t", preVersion).isEmpty,
+      "a metadata rename must not blind the change feed")
+    // renaming the BUCKET column maps the layout claim's name through
+    val r2 = java.nio.file.Files.createTempDirectory("graft-renbkt").toString
+    val st2 = new SnapshotStore(spark, r2)
+    st2.commitBucketed("b", spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") + 1).as("v")), "k", 4)
+    st2.renameColumns("b", Map("k" -> "key"))
+    assert(st2.bucketSpecOf("b", st2.latestVersion("b").get)
+      .contains(("key", 4)),
+      "the bucket claim must follow the renamed column name")
+    // a SWAP falls back to the honest rewrite (Spark resolves an existing
+    // file NAME over the field id — probed in FieldIdProbe2)
+    val szPre = dirSize(r2)
+    st2.renameColumns("b", Map("key" -> "v", "v" -> "key"))
+    assert(dirSize(r2) - szPre > 4096, "a swap must rewrite, not alias")
+    assert(st2.read("b").where(col("key") === 1L).select(col("v"))
+      .as[Long].head() == 0L, "swapped values must stay exact")
+  }
+
   test("ALTER TABLE DROP COLUMN narrows data-lessly; resurrection refused until compact") {
     val r = java.nio.file.Files.createTempDirectory("graft-dropcol").toString
     val st = new SnapshotStore(spark, r)
@@ -182,23 +236,47 @@ class GraftCatalogSpec extends SparkSpec {
       "a drop-columns link must not blind the change feed")
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    // resurrection guard: the physical bytes are still in v1's files
-    val re = intercept[Exception](
-      spark.sql("ALTER TABLE dropcat.t ADD COLUMNS (w DOUBLE)"))
-    assert(messages(re).exists(_.contains("previously dropped")), re.toString)
-    val app = intercept[Exception](
-      st.append("t", Seq((3L, "c", 99.0)).toDF("id", "s", "w")))
-    assert(messages(app).exists(_.contains("re-introduces dropped")), app.toString)
-    // a narrow append is fine, and reads stay narrow
-    st.append("t", Seq((3L, "c")).toDF("id", "s"))
+    // Resurrection on an ID'D chain (tables born under field-ID stamping
+    // — every r15+ commit) is SAFE WITHOUT compact: the physical bytes
+    // are still in v1's files under the OLD field id, but a re-added
+    // column mints a FRESH id and readers match by id, so the dead
+    // column's values are structurally unreachable — re-add reads null.
+    spark.sql("ALTER TABLE dropcat.t ADD COLUMNS (w DOUBLE)")
+    assert(spark.sql("SELECT w FROM dropcat.t").as[java.lang.Double]
+      .collect().forall(_ == null),
+      "an ID'd chain's re-added column must read null, never stale values")
+    st.dropColumns("t", Seq("w"))
+    // an append re-introducing the name is the same fresh-id add
+    st.append("t", Seq((3L, "c", 99.0)).toDF("id", "s", "w"))
     assert(spark.sql("SELECT count(*) FROM dropcat.t").as[Long].head() == 3L)
-    // compact rewrites the chain from the narrowed snapshot: the name frees
+    assert(spark.sql("SELECT w FROM dropcat.t WHERE id = 3")
+      .as[java.lang.Double].head() == 99.0)
+    assert(spark.sql("SELECT w FROM dropcat.t WHERE id < 3")
+      .as[java.lang.Double].collect().forall(_ == null),
+      "v1's dropped values must not resurrect into the re-added column")
+    st.dropColumns("t", Seq("w"))
+    // compact still clears the vestigial markers
     st.compact("t")
     assert(st.droppedColumnsOf("t", st.latestVersion("t").get).isEmpty)
     spark.sql("ALTER TABLE dropcat.t ADD COLUMNS (w DOUBLE)")
     assert(spark.sql("SELECT w FROM dropcat.t").as[java.lang.Double]
       .collect().forall(_ == null),
       "post-compact re-add must NOT resurrect the old values")
+    // LEGACY (ID-less) chains keep the hard refusal: parquet resolves
+    // those files by name, so re-adding WOULD expose stale bytes
+    val lr = java.nio.file.Files.createTempDirectory("graft-droplegacy").toString
+    val lst = new SnapshotStore(spark, lr)
+    lst.commit("lt", Seq((1L, 7.0)).toDF("id", "w"))
+    stripFieldIds(lr, "lt") // simulate a pre-field-id store
+    lst.dropColumns("lt", Seq("w"))
+    val re = intercept[Exception](lst.addColumns("lt",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType)))))
+    assert(messages(re).exists(_.contains("previously dropped")), re.toString)
+    val app = intercept[Exception](
+      lst.append("lt", Seq((3L, 9.0)).toDF("id", "w")))
+    assert(messages(app).exists(_.contains("re-introduces dropped")), app.toString)
     // IF EXISTS tolerates a missing column; bare form refuses
     spark.sql("ALTER TABLE dropcat.t DROP COLUMN IF EXISTS nosuch")
     val miss = intercept[Exception](
@@ -230,6 +308,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(st.bucketSpecOf("t", v3).isEmpty,
       "the claim names a column readers can no longer see")
     assert(st.read("t").columns.toSeq == Seq("s"))
+  }
+
+  /** Simulate a PRE-FIELD-ID (legacy) store: strip the id metadata from
+    * every pinned snapshot schema of `table`. Reads then resolve by name
+    * (the legacy contract) and the legacy-only guards re-arm. */
+  private def stripFieldIds(root: String, table: String): Unit = {
+    val dir = java.nio.file.Paths.get(root, table)
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v=")).foreach { vd =>
+        val f = vd.resolve("_snapshot_schema.json")
+        if (java.nio.file.Files.exists(f)) {
+          val st = org.apache.spark.sql.types.DataType.fromJson(
+            java.nio.file.Files.readString(f))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val stripped = org.apache.spark.sql.types.StructType(st.fields.map(
+            x => x.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+          java.nio.file.Files.writeString(f, stripped.json)
+        }
+      }
+    finally s.close()
+    graft.core.SnapshotStore.dropCachesForTests() // schemas are memoized
   }
 
   private def dirSize(root: String): Long = {

@@ -166,11 +166,13 @@ class StoreFuzzSpec extends SparkSpec {
           }
         case 6 =>
           val renameable = model.cols.filterNot(protectedCol.contains)
-          if (rnd.nextBoolean() && renameable.nonEmpty) { // rename (OCC rewrite; clears drops)
+          if (rnd.nextBoolean() && renameable.nonEmpty) {
+            // rename — a data-less metadata link on this ID'd chain
+            // (fresh target names keep it off the swap-fallback path);
+            // drop markers persist through it, unlike the old rewrite
             val from = renameable(rnd.nextInt(renameable.size))
             val to = freshCol()
             model.rename(from, to)
-            model.dropped = Set.empty // rewrite resets the chain
             st.renameColumns("t", Map(from -> to))
             ops += s"rename($from -> $to)"
           } else { // compact (content-neutral; clears drops)
@@ -182,19 +184,123 @@ class StoreFuzzSpec extends SparkSpec {
       verify(ops.last)
     }
 
-    // the guard held throughout: no appended column ever reused a dropped
-    // name (freshCol is monotonic), so the run never tripped resurrection
-    // — now trip it deliberately from the fuzz end-state if a drop is live
+    // ID'd-chain resurrection SAFETY (the r15 contract): re-introducing a
+    // dropped name is allowed — the re-added column mints a fresh field
+    // id, so the dead column's bytes are unreachable and prior rows read
+    // null under it. freshCol is monotonic, so the run itself never
+    // reused a name; trip the path deliberately from the end state.
     if (model.dropped.nonEmpty) {
       val dead = model.dropped.head
-      val e = intercept[IllegalArgumentException](
-        st.append("t", df(Seq(Seq(Some(1L))), Seq(dead))))
-      assert(e.getMessage.contains("re-introduces dropped"))
+      val priorRows = model.rows.size
+      model.append(Seq(Map(dead -> Some(1L))), Seq(dead))
+      st.append("t", df(Seq(Seq(Some(1L))), Seq(dead)))
+      ops += s"re-add dropped $dead"
+      verify("re-added dropped name reads null on prior rows, value on new")
+      assert(st.read("t").where(col(dead).isNotNull).count() == 1L &&
+        priorRows + 1 == model.rows.size,
+        "exactly the one new row may carry the re-added column")
     }
 
     // time travel: every mid-run checkpoint reads back EXACTLY as captured,
     // untouched by the 20-30 mutations and DDL links layered after it
     assert(checkpoints.nonEmpty)
+    checkpoints.foreach { case (v, cols, snap) =>
+      val at = st.readAt("t", v)
+      assert(at.columns.toSeq == cols,
+        s"time-travel schema drift at v=$v\nops: ${ops.mkString("; ")}")
+      val got = at.collect().toSeq
+        .map(r => cols.indices.map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .sortBy(_.toString)
+      assert(got == snap.sortBy(_.toString),
+        s"time-travel row drift at v=$v\nops: ${ops.mkString("; ")}")
+    }
+  }
+
+  test("rename-heavy schedule: metadata renames stack over mutations exactly") {
+    // The r15 metadata-rename path under pressure: renames dominate the
+    // op mix, interleaved with appends/deletes/updates, so the pruning
+    // name-mapping, the pinned per-version schemas, and the feed-neutral
+    // links stack many deep. Every rename to a fresh name must be the
+    // DATA-LESS link (op tag pinned), and reads must match the model at
+    // every step and at every time-travel checkpoint.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-fuzz-ren").toString
+    val st = new SnapshotStore(spark, root)
+    val rnd = new Random(150815L)
+    val model = new Model
+    var nextCol = 0
+    def freshCol(): String = { nextCol += 1; s"r$nextCol" }
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    def df(rows: Seq[Seq[Option[Long]]], cols: Seq[String]): DataFrame = {
+      val schema = StructType(cols.map(StructField(_, LongType)))
+      spark.createDataFrame(
+        rows.map(r => Row.fromSeq(r.map(_.map(Long.box).orNull))).asJava,
+        schema)
+    }
+    val c0 = freshCol(); val c1 = freshCol(); val c2 = freshCol()
+    model.append(Seq.tabulate(10)(i => Map(
+      c0 -> Some(i.toLong), c1 -> Some((i * 3).toLong),
+      c2 -> Some(rnd.nextInt(40).toLong))), Seq(c0, c1, c2))
+    st.commit("t", df(model.snapshot, model.cols))
+    def verify(step: String): Unit = {
+      val got = st.read("t")
+      assert(got.columns.toSeq == model.cols,
+        s"schema drift after $step\nops: ${ops.mkString("; ")}")
+      val gotRows = got.collect().toSeq
+        .map(r => model.cols.indices.map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .sortBy(_.toString)
+      assert(gotRows == model.snapshot.sortBy(_.toString),
+        s"row drift after $step\nops: ${ops.mkString("; ")}")
+    }
+    val checkpoints = scala.collection.mutable.ArrayBuffer[
+      (Long, Vector[String], Seq[Seq[Option[Long]]])]()
+    var metadataRenames = 0
+    (1 to 24).foreach { step =>
+      if (step % 8 == 0)
+        checkpoints += ((st.latestVersion("t").get, model.cols, model.snapshot))
+      rnd.nextInt(5) match {
+        case 0 | 1 | 2 => // RENAME to a fresh name — must stay data-less
+          val from = model.cols(rnd.nextInt(model.cols.size))
+          val to = freshCol()
+          model.rename(from, to)
+          st.renameColumns("t", Map(from -> to))
+          val tag = st.commitProps("t", st.latestVersion("t").get)
+            .get(graft.core.SnapshotStore.OpProp)
+          assert(tag.contains("rename-columns-metadata"),
+            s"fresh-name rename took $tag, not the metadata path " +
+              s"(ops: ${ops.mkString("; ")})")
+          metadataRenames += 1
+          ops += s"rename($from -> $to)"
+        case 3 => // append through the renamed schema
+          val n = 1 + rnd.nextInt(4)
+          val useCols = model.cols
+          val newRows = Seq.fill(n)(useCols.map(c =>
+            c -> (if (rnd.nextInt(8) == 0) None
+                  else Some(rnd.nextInt(60).toLong))).toMap)
+          model.append(newRows, useCols)
+          st.append("t", df(newRows.map(r => useCols.map(r(_))), useCols))
+          ops += s"append($n)"
+        case 4 => // delete/update by modulus on a renamed column
+          val c = model.cols(rnd.nextInt(model.cols.size))
+          val m = 2L + rnd.nextInt(4); val r = rnd.nextInt(m.toInt).toLong
+          if (rnd.nextBoolean()) {
+            model.delete(c, m, r)
+            st.delete("t", pmod(col(c), lit(m)) === lit(r))
+            ops += s"delete($c % $m == $r)"
+          } else {
+            val tgt = model.cols(rnd.nextInt(model.cols.size))
+            model.update(c, m, r, tgt)
+            st.update("t", pmod(col(c), lit(m)) === lit(r),
+              Map(tgt -> (col(tgt) + lit(1L))))
+            ops += s"update($tgt += 1 where $c % $m == $r)"
+          }
+      }
+      verify(ops.last)
+    }
+    assert(metadataRenames >= 8, s"schedule drew too few renames: $metadataRenames")
+    // time travel under many stacked renames: pinned schemas hold
     checkpoints.foreach { case (v, cols, snap) =>
       val at = st.readAt("t", v)
       assert(at.columns.toSeq == cols,
