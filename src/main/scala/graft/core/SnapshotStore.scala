@@ -2802,9 +2802,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * delete versions' removed rows) and `_version`. Supersets
     * [[changesSince]] (which remains the insert-only feed the streaming
     * connector serves); same O(delta-directories) plan, same
-    * `vacuum(keepLast)` lag bound. Bare-commit REWRITES record nothing
-    * and stay invisible — use [[nonFeedMutationsSince]] to detect them
-    * (compactions are content-neutral and intentionally absent). */
+    * `vacuum(keepLast)` lag bound. REWRITE versions (INSERT OVERWRITE /
+    * bare commits) recorded no images, but — same-schema rewrites only —
+    * their images are SYNTHESIZED from the retained snapshots: the whole
+    * pre-rewrite snapshot as 'delete' rows and the new snapshot as
+    * 'insert' rows at the rewrite's version, O(old + new) read and zero
+    * storage amplification. Folding the feed is then exact across
+    * overwrites. Schema-CHANGING rewrites stay out (resubscribe) —
+    * [[nonFeedMutationsSince]] detects every rewrite either way, so a
+    * consumer preferring one recompute over folding old+new images (a
+    * maintained aggregate: recompute reads only NEW bytes) can branch.
+    * Compactions are content-neutral and intentionally absent. */
   def changeFeedSince(table: String, sinceVersion: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val inserts = changesSince(table, sinceVersion)
@@ -2813,7 +2821,25 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       .flatMap(v => deletedRowsAt(table, v)
         .map(_.withColumn("_version", lit(v))
           .withColumn("_change_type", lit("delete"))))
-    deletes.foldLeft(inserts)(
+    def sameSchema(a: Long, b: Long): Boolean = {
+      val (sa, sb) = (snapshotSchema(table, Some(a)), snapshotSchema(table, Some(b)))
+      sa.length == sb.length && sa.fields.zip(sb.fields).forall { case (x, y) =>
+        x.name.equalsIgnoreCase(y.name) && x.dataType == y.dataType }
+    }
+    val rewriteImages = nonFeedMutationsSince(table, sinceVersion).flatMap { v =>
+      history(table).filter(_ < v).lastOption match {
+        case Some(p) if sameSchema(p, v) => Seq(
+          readAt(table, p).withColumn("_version", lit(v))
+            .withColumn("_change_type", lit("delete")),
+          readAt(table, v).withColumn("_version", lit(v))
+            .withColumn("_change_type", lit("insert")))
+        case None => Seq( // a rewrite with no predecessor: pure inserts
+          readAt(table, v).withColumn("_version", lit(v))
+            .withColumn("_change_type", lit("insert")))
+        case _ => Nil // schema-changing rewrite: resubscribe
+      }
+    }
+    (deletes ++ rewriteImages).foldLeft(inserts)(
       _.unionByName(_, allowMissingColumns = true))
   }
 
@@ -2821,10 +2847,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * change feed: bare-commit rewrites — versions with no recorded change
     * set that are neither compactions (content-neutral layout changes,
     * tagged via commit props) nor deletes (whose removed rows ARE in the
-    * change-data feed). An incremental consumer folding
-    * [[changeFeedSince]] must treat any version returned here as "state
-    * unknown" and recompute from the snapshot; empty (the append/delete
-    * steady state) means folding is exact. */
+    * change-data feed). Since r15 the change-data feed SYNTHESIZES
+    * same-schema rewrites' before/after images, so folding
+    * [[changeFeedSince]] is exact across them too; this detector remains
+    * the branch point for consumers preferring one recompute over folding
+    * old+new images (a maintained aggregate: recompute reads only the NEW
+    * bytes), and the only signal for schema-CHANGING rewrites, which no
+    * feed serves. */
   def nonFeedMutationsSince(table: String, since: Long): Seq[Long] =
     history(table).filter(_ > since).filter { v =>
       !hasChanges(table, v) &&

@@ -494,9 +494,14 @@ final case class GraftVersionOffset(version: Long) extends Offset {
   * lets an incremental consumer FOLD the retraction
   * ([[graft.core.Incremental]]'s signed maintenance) and keep running
   * across deletes, sparse DV deletes, and updates (which appear as
-  * delete(pre) + insert(post) at one version, netting exactly). Rewrites
-  * (bare commits) record no images and remain invisible, as in the batch
-  * feed — `nonFeedMutationsSince` detects them. */
+  * delete(pre) + insert(post) at one version, netting exactly). REWRITES
+  * (INSERT OVERWRITE / bare commits) record no images, but their
+  * before/after snapshots are retained immutable versions, so the planner
+  * SYNTHESIZES them at read time — whole pre-rewrite snapshot as
+  * 'delete', whole new snapshot as 'insert', one version — and a
+  * long-running consumer survives an overwrite without resubscribe.
+  * Schema-CHANGING rewrites stay out (the pinned-schema evolution
+  * contract: resubscribe) — `nonFeedMutationsSince` detects those. */
 final class GraftCdfTable(root: String, table: String,
     tableSchema: StructType, startingVersion: Long)
   extends Table with SupportsRead {
@@ -529,9 +534,13 @@ object GraftCdfTable {
 
 /** One planned parquet partition of the CDF stream, tagged with the
   * version and image kind its rows carry — the reader appends the tags as
-  * constant trailing columns. */
+  * constant trailing columns. `factory`, when set, overrides the stream's
+  * default reader factory for this partition: SYNTHESIZED rewrite images
+  * plan through the full snapshot scan (tombstones, deletion vectors,
+  * manifests), whose reader factory is version-specific. */
 final case class GraftCdfInputPartition(inner: InputPartition,
-    changeType: String, version: Long) extends InputPartition {
+    changeType: String, version: Long,
+    factory: Option[PartitionReaderFactory] = None) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -562,23 +571,67 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
       ParquetTableShim.tableWithSchema(s"graft:$table@cdf", spark, Seq(dir),
         tableSchema)).planInputPartitions()
 
+  /** The snapshot schema of `v` binds positionally to the feed's declared
+    * schema: same names (case-insensitive), same types, same ORDER — the
+    * tagged reader appends columns by position, so anything else would
+    * silently mis-bind. Rewrites failing this stay OUTSIDE the feed
+    * (schema-changing overwrites remain "resubscribe", exactly like the
+    * pinned insert feed's evolution contract). */
+  private def schemaBinds(v: Long): Boolean = {
+    val s = store.snapshotSchema(table, Some(v))
+    s.length == tableSchema.length &&
+      s.fields.zip(tableSchema.fields).forall { case (a, b) =>
+        a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftVersionOffset].version
     val to = end.asInstanceOf[GraftVersionOffset].version
-    store.cdfVersions(table).filter(v => v > from && v <= to).flatMap { v =>
-      val inserts =
-        if (java.nio.file.Files.exists(
-            store.changesDirOf(table, v).resolve("_SUCCESS")))
-          planDir(store.changesDirOf(table, v).toString)
-            .map(GraftCdfInputPartition(_, "insert", v))
-        else Array.empty[GraftCdfInputPartition]
-      val deletes =
-        if (store.hasRemovedRows(table, v))
-          planDir(store.removedRowsDirOf(table, v).toString)
-            .map(GraftCdfInputPartition(_, "delete", v))
-        else Array.empty[GraftCdfInputPartition]
-      inserts ++ deletes
-    }.toArray
+    val recorded = store.cdfVersions(table).filter(v => v > from && v <= to)
+      .flatMap { v =>
+        val inserts =
+          if (java.nio.file.Files.exists(
+              store.changesDirOf(table, v).resolve("_SUCCESS")))
+            planDir(store.changesDirOf(table, v).toString)
+              .map(GraftCdfInputPartition(_, "insert", v))
+          else Array.empty[GraftCdfInputPartition]
+        val deletes =
+          if (store.hasRemovedRows(table, v))
+            planDir(store.removedRowsDirOf(table, v).toString)
+              .map(GraftCdfInputPartition(_, "delete", v))
+          else Array.empty[GraftCdfInputPartition]
+        inserts ++ deletes
+      }
+    // REWRITE-CLASS versions (INSERT OVERWRITE / bare commits) recorded no
+    // images, but both snapshots they connect are retained immutable
+    // versions — so their images are SYNTHESIZED at read time: the whole
+    // pre-rewrite snapshot as 'delete' rows and the whole new snapshot as
+    // 'insert' rows, tagged with the rewrite's version. O(old + new),
+    // zero storage amplification (Delta materializes change files for
+    // this; immutable versions make it a free read). A long-running
+    // feed=cdf consumer thus survives an overwrite exactly, without
+    // resubscribe. Planned through the full snapshot scan machinery
+    // (GraftTable.forSnapshot: tombstones, deletion vectors, manifests),
+    // each side carrying its version-specific reader factory.
+    // Schema-changing rewrites stay out (resubscribe; see schemaBinds).
+    val rewrites = store.nonFeedMutationsSince(table, from)
+      .filter { v =>
+        // BOTH snapshots must bind, or neither image is emitted — inserts
+        // without the matching deletes would corrupt consumer state
+        v <= to && schemaBinds(v) &&
+          store.history(table).filter(_ < v).lastOption.forall(schemaBinds)
+      }.flatMap { v =>
+        val prev = store.history(table).filter(_ < v).lastOption
+        def side(ver: Long, tag: String): Seq[GraftCdfInputPartition] = {
+          val batch = ParquetTableShim.unfilteredBatch(
+            GraftTable.forSnapshot(spark, store, table, Some(ver)))
+          val f = batch.createReaderFactory()
+          batch.planInputPartitions().toSeq
+            .map(GraftCdfInputPartition(_, tag, v, Some(f)))
+        }
+        prev.toSeq.flatMap(p => side(p, "delete")) ++ side(v, "insert")
+      }
+    (recorded ++ rewrites).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -108,6 +108,73 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(folded == snap, s"signed fold $folded must equal snapshot $snap")
   }
 
+  test("feed=cdf survives INSERT OVERWRITE: synthesized images, no resubscribe") {
+    // The r15 Delta-CDF parity point: a rewrite recorded no images, but
+    // both snapshots it connects are retained immutable versions, so the
+    // planner synthesizes whole-snapshot delete+insert images at the
+    // rewrite's version — a long-running consumer's signed fold stays
+    // exact across the overwrite with NO resubscribe and no snapshot
+    // re-read by the consumer.
+    import org.apache.spark.sql.functions.{col, count, sum, when}
+    val root = tmp("graft-cdf-ow")
+    val st = new SnapshotStore(spark, root)
+    val sink = tmp("graft-cdf-ow-out")
+    val ckpt = tmp("graft-cdf-ow-ck")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "t").option("feed", "cdf")
+        .load().writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    st.append("t", Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"))
+    st.delete("t", col("k") === "a" && col("v") === 2.0)
+    run() // consumer is live before the overwrite
+    // the OVERWRITE (same schema): replaces the table's content wholesale
+    st.commit("t", Seq(("b", 5.0), ("c", 9.0)).toDF("k", "v"))
+    st.append("t", Seq(("d", 3.0)).toDF("k", "v")) // feed continues after
+    run() // same checkpoint: NO resubscribe, NO fresh start
+    val out = spark.read.parquet(sink)
+    // the overwrite version carries full before(delete)/after(insert) images
+    val owVersion = st.history("t").filter(v =>
+      st.nonFeedMutationsSince("t", v - 1).contains(v)).head
+    val ow = out.where(col("_version") === owVersion)
+      .select("k", "v", "_change_type").as[(String, Double, String)]
+      .collect().groupBy(identity).view.mapValues(_.length).toMap
+    assert(ow == Map(
+      ("a", 1.0, "delete") -> 1, ("b", 5.0, "delete") -> 1, // pre-image
+      ("b", 5.0, "insert") -> 1, ("c", 9.0, "insert") -> 1), // post-image
+      ow.toString)
+    // signed fold over EVERYTHING streamed == the final snapshot exactly
+    val folded = out
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .where(col("n") =!= 0)
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    val snap = st.read("t").groupBy("k")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("total"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(folded == snap, s"signed fold $folded must equal snapshot $snap")
+    // the batch feed twin folds exactly too
+    val batchFolded = st.changeFeedSince("t", 0L)
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .where(col("n") =!= 0)
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(batchFolded == snap, s"batch fold $batchFolded vs $snap")
+    // a SCHEMA-CHANGING overwrite stays out of the feed (resubscribe):
+    // the detector flags it and no partial images leak
+    val pre = st.latestVersion("t").get
+    st.commit("t", Seq(("z", 1L)).toDF("k", "n2"))
+    assert(st.nonFeedMutationsSince("t", pre).nonEmpty)
+    assert(st.changeFeedSince("t", pre).where(col("_change_type") === "insert")
+      .count() == 0L, "schema-changing rewrite must not leak images")
+  }
+
   test("feed=cdf restart resumes from the version offset exactly-once") {
     import org.apache.spark.sql.functions.col
     val root = tmp("graft-cdf-rs")
