@@ -91,6 +91,49 @@ object SpjAudit {
       offs += (System.nanoTime() - t1) / 1e9
     }
 
+    // The r15 claim: the zero-exchange plan SURVIVES a sparse DV delete
+    // (a vector subtracts rows within files, never across buckets). A
+    // fresh co-bucketed pair under its own root takes one sparse delete
+    // on the fact side, then the same contrast: exchanges must stay at
+    // exchanges_on and the values must match the shuffled plan exactly.
+    val dvRoot = s"${System.getProperty("java.io.tmpdir")}/graft_spjdv_" +
+      Tables.fingerprint(sfDir, "orders") + s"_b$buckets"
+    val dvStore = new SnapshotStore(spark, dvRoot)
+    if (dvStore.latestVersion("orders_b").isEmpty) {
+      dvStore.commitBucketed("orders_b", Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        "o_orderkey", buckets)
+      dvStore.commitBucketed("lineitem_b", Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        "l_orderkey", buckets)
+      dvStore.delete("orders_b", col("o_orderkey") % 100000L === 7L)
+    }
+    val dvLive = dvStore.dvInChain("orders_b",
+      dvStore.latestVersion("orders_b").get).valuesIterator.map(_.size).sum
+    spark.conf.set("spark.sql.catalog.spjdv",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjdv.root", dvRoot)
+    val dvSql = sql.replace("spjaudit.", "spjdv.")
+    def runDv(bucketing: Boolean): DataFrame = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+        bucketing.toString)
+      spark.sql(dvSql)
+    }
+    val dvOnDf = runDv(true); val dvOnRow = dvOnDf.collect().head
+    val dvOnPlan = finalPlan(dvOnDf)
+    val dvOffRow = runDv(false).collect().head
+    require(dvOnRow == dvOffRow,
+      s"DV'd SPJ changed the answer: $dvOnRow vs $dvOffRow")
+    val dvExOn = "Exchange".r.findAllIn(dvOnPlan).size
+    val dvOns = scala.collection.mutable.ArrayBuffer[Double]()
+    val dvOffs = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime(); runDv(true).collect()
+      dvOns += (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); runDv(false).collect()
+      dvOffs += (System.nanoTime() - t1) / 1e9
+    }
+
     println(org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(org.json4s.JObject(List(
         "sf" -> org.json4s.JString(sfDir),
@@ -100,7 +143,12 @@ object SpjAudit {
         "shuffled_sec" -> org.json4s.JDouble(offs.min),
         "speedup" -> org.json4s.JDouble(offs.min / ons.min),
         "exchanges_on" -> org.json4s.JInt(exOn),
-        "exchanges_off" -> org.json4s.JInt(exOff))))))
+        "exchanges_off" -> org.json4s.JInt(exOff),
+        "dv_rows" -> org.json4s.JLong(dvLive),
+        "dv_rows_joined" -> org.json4s.JLong(dvOnRow.getLong(0)),
+        "dv_spj_sec" -> org.json4s.JDouble(dvOns.min),
+        "dv_shuffled_sec" -> org.json4s.JDouble(dvOffs.min),
+        "dv_exchanges_on" -> org.json4s.JInt(dvExOn))))))
     spark.stop()
   }
 }
