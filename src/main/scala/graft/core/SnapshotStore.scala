@@ -2763,6 +2763,30 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def changedVersions(table: String): Seq[Long] =
     history(table).filter(hasChanges(table, _))
 
+  /** Align a version-local frame (a change set, delete images, or an old
+    * snapshot) to the HEAD's column names by field ID: a metadata RENAME
+    * between `v` and the head leaves older recorded frames under the old
+    * names, and a feed consumer unioning across the rename would
+    * otherwise see two columns where the table has one. Identity for
+    * rename-free and legacy chains. */
+  private def alignedToHead(table: String, v: Long, df: DataFrame): DataFrame = {
+    val head = latestVersion(table).getOrElse(return df)
+    val headSchema = snapshotSchema(table, Some(head))
+    if (!SnapshotStore.schemaHasFieldIds(headSchema)) return df
+    val headById: Map[Long, String] = headSchema.fields
+      .flatMap(f => SnapshotStore.fieldIdOf(f).map(_ -> f.name)).toMap
+    val renames: Map[String, String] = snapshotSchema(table, Some(v)).fields
+      .flatMap(f => SnapshotStore.fieldIdOf(f).flatMap(headById.get)
+        .filterNot(_.equalsIgnoreCase(f.name))
+        .map(hn => f.name.toLowerCase -> hn)).toMap
+    if (renames.isEmpty) df
+    else df.select(df.columns.map(c =>
+      renames.get(c.toLowerCase) match {
+        case Some(hn) => df.col(s"`$c`").as(hn)
+        case None => df.col(s"`$c`")
+      }).toIndexedSeq: _*)
+  }
+
   /** Batch face of the change feed (Delta's `table_changes` idiom): every
     * change set with version > `sinceVersion`, tagged with a `_version`
     * column — what an incremental BATCH job reads to catch up, instead of
@@ -2773,14 +2797,16 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     import org.apache.spark.sql.functions.lit
     val all = changedVersions(table)
     val vs = all.filter(_ > sinceVersion)
-    vs.map(v => changesAt(table, v).get.withColumn("_version", lit(v)))
+    vs.map(v => alignedToHead(table, v, changesAt(table, v).get)
+        .withColumn("_version", lit(v)))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
         // Empty catch-up: derive the zero-row frame from the NEWEST change
         // set when one exists, so an incremental consumer stays strictly
         // delta-only (never touches the snapshot); fall back to the
         // snapshot only for a table that never recorded a change set.
-        val proto = all.lastOption.map(v => changesAt(table, v).get)
+        val proto = all.lastOption
+          .map(v => alignedToHead(table, v, changesAt(table, v).get))
           .getOrElse(read(table))
         proto.limit(0).withColumn("_version", lit(0L))
       }
@@ -2819,7 +2845,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       .withColumn("_change_type", lit("insert"))
     val deletes = history(table).filter(_ > sinceVersion)
       .flatMap(v => deletedRowsAt(table, v)
-        .map(_.withColumn("_version", lit(v))
+        .map(d => alignedToHead(table, v, d).withColumn("_version", lit(v))
           .withColumn("_change_type", lit("delete"))))
     def sameSchema(a: Long, b: Long): Boolean = {
       val (sa, sb) = (snapshotSchema(table, Some(a)), snapshotSchema(table, Some(b)))
@@ -2829,12 +2855,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val rewriteImages = nonFeedMutationsSince(table, sinceVersion).flatMap { v =>
       history(table).filter(_ < v).lastOption match {
         case Some(p) if sameSchema(p, v) => Seq(
-          readAt(table, p).withColumn("_version", lit(v))
+          alignedToHead(table, p, readAt(table, p)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("delete")),
-          readAt(table, v).withColumn("_version", lit(v))
+          alignedToHead(table, v, readAt(table, v)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("insert")))
         case None => Seq( // a rewrite with no predecessor: pure inserts
-          readAt(table, v).withColumn("_version", lit(v))
+          alignedToHead(table, v, readAt(table, v)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("insert")))
         case _ => Nil // schema-changing rewrite: resubscribe
       }

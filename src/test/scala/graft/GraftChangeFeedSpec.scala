@@ -175,6 +175,42 @@ class GraftChangeFeedSpec extends SparkSpec {
       .count() == 0L, "schema-changing rewrite must not leak images")
   }
 
+  test("the feed reads across a metadata RENAME: old deltas resolve by field ID") {
+    // A subscription resolves the table's LATEST schema; the history it
+    // replays spans the rename, so PRE-rename change sets — files written
+    // under the OLD name — must read their values under the NEW name.
+    // They do because the store's chains are field-ID'd from birth: the
+    // name changed, the ID didn't, and the reader matches by ID. (This is
+    // exactly the hazard that forbids mid-lineage ID adoption: an ID-less
+    // old delta under an ID'd subscriber schema fails loudly instead.)
+    val root = tmp("graft-cdf-ren")
+    val st = new SnapshotStore(spark, root)
+    val sink = tmp("graft-cdf-ren-out")
+    st.append("t", Seq(("a", 1.0)).toDF("k", "v")) // OLD-name delta
+    st.renameColumns("t", Map("v" -> "weight")) // data-less, content-neutral
+    assert(st.commitProps("t", st.latestVersion("t").get)
+      .get(graft.core.SnapshotStore.OpProp).contains("rename-columns-metadata"))
+    st.append("t", Seq(("b", 7.0)).toDF("k", "weight")) // NEW-name delta
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "t").option("feed", "cdf")
+      .load().writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-cdf-ren-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(sink)
+    assert(out.columns.toSeq == Seq("k", "weight", "_change_type", "_version"),
+      "a subscription speaks the table's current names")
+    val rows = out.select("k", "weight", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(rows == Set(("a", 1.0, "insert"), ("b", 7.0, "insert")),
+      s"the pre-rename delta's VALUES must resolve under the new name: $rows")
+    // the batch twin reads the same history identically
+    val batch = st.changeFeedSince("t", 0L).select("k", "weight", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(batch == rows, s"batch feed drifted: $batch")
+  }
+
   test("feed=cdf restart resumes from the version offset exactly-once") {
     import org.apache.spark.sql.functions.col
     val root = tmp("graft-cdf-rs")
