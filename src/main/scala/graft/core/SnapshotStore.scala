@@ -1271,6 +1271,48 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     attempt(maxRetries)
   }
 
+  /** UPGRADE a legacy (pre-field-ID) table to field-ID lineage: ONE
+    * self-contained rewrite whose files are ID-stamped under freshly
+    * minted IDs — after it, RENAME COLUMN is a metadata commit, the
+    * resurrection guard relaxes (dead bytes unreachable by ID), and
+    * feeds resolve across renames by ID. No-op (current version
+    * returned) when the chain is already ID'd. CAS-committed like
+    * `compact`; standing metadata (constraints, user props) carries;
+    * bucket claims drop like any rewrite (re-bucket after). Tagged
+    * content-neutral: row content is identical, so feeds skip it —
+    * pre-adoption history stays readable to feed consumers by NAME (the
+    * planners fall back to name resolution for ID-less versions). */
+  def adoptFieldIds(table: String, maxRetries: Int = 5): Long = {
+    @tailrec def attempt(retriesLeft: Int): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val schema = snapshotSchema(table, Some(v))
+      if (SnapshotStore.schemaHasFieldIds(schema)) v
+      else {
+        val df = readAt(table, v)
+        val cand = commitWith(table, Some(df), changeSet = None, base = None,
+          snapshot = withFieldIds(ParquetTableShim.asNullable(schema), None),
+          advance = false,
+          props = resolvedProps(table, v) -
+            SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+            SnapshotStore.DroppedColsProp +
+            (SnapshotStore.OpProp -> "adopt-field-ids"))
+        SnapshotStore.testRaceHook()
+        if (casAdvance(table, cand, Some(v))) cand
+        else {
+          val w = Files.walk(versionDir(table, cand))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally w.close()
+          if (retriesLeft > 0) attempt(retriesLeft - 1)
+          else throw new IllegalStateException(
+            s"adoptFieldIds($table) lost the commit race $maxRetries times " +
+              "— retry later or widen maxRetries")
+        }
+      }
+    }
+    attempt(maxRetries)
+  }
+
   /** Lowercased top-level column names each active constraint (CHECK
     * predicate attributes + key-constraint columns) references — what
     * column drop/rename must refuse to touch (the stored predicate SQL
@@ -3327,9 +3369,9 @@ object SnapshotStore {
     * [[SnapshotStore.nonFeedMutationsSince]] must not flag them. */
   val ContentNeutralOps: Set[String] =
     Set("compact", "compact-dv", "add-columns", "drop-columns",
-      "rename-columns-metadata", "set-properties", "unset-properties",
-      "add-constraint", "drop-constraint", "add-key-constraint",
-      "drop-key-constraint")
+      "rename-columns-metadata", "adopt-field-ids", "set-properties",
+      "unset-properties", "add-constraint", "drop-constraint",
+      "add-key-constraint", "drop-key-constraint")
 
   /** Commit-props key prefix of ANSI CHECK constraints
     * (`graft.check.<name>` -> predicate SQL; empty value = drop marker).

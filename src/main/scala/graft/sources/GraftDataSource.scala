@@ -571,6 +571,41 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
       ParquetTableShim.tableWithSchema(s"graft:$table@cdf", spark, Seq(dir),
         tableSchema)).planInputPartitions()
 
+  /** The subscriber schema with field-ID metadata STRIPPED — what a
+    * PRE-ADOPTION (ID-less) version's recorded files are read under:
+    * their footers carry no IDs, so an ID'd read schema would fail
+    * loudly; name resolution is those files' native (legacy) contract,
+    * and the field ORDER is the subscriber's, so positional tag
+    * composition is unchanged. */
+  private lazy val strippedSchema: StructType =
+    StructType(tableSchema.fields.map(f => f.copy(
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(graft.core.SnapshotStore.FieldIdKey).build())))
+
+  /** `v` predates the table's field-ID adoption while the subscriber
+    * schema is ID'd — read that version's recorded files by NAME. */
+  private def legacyVersion(v: Long): Boolean =
+    graft.core.SnapshotStore.schemaHasFieldIds(tableSchema) &&
+      !graft.core.SnapshotStore.schemaHasFieldIds(
+        store.snapshotSchema(table, Some(v)))
+
+  /** Plan a legacy version's directory under the stripped schema, with
+    * the matching reader factory carried per partition. Refuses LOUDLY
+    * when the legacy version carries a column name the subscriber schema
+    * does not know (renamed or dropped since adoption): with no IDs in
+    * those files, name resolution would silently read the renamed
+    * column as NULL — never silent, so resubscribe instead. */
+  private def planLegacyDir(dir: String, tag: String, v: Long)
+      : Array[GraftCdfInputPartition] = {
+    GraftFeedLegacy.requireNamesBind(store, table, v, tableSchema)
+    val batch = ParquetTableShim.unfilteredBatch(
+      ParquetTableShim.tableWithSchema(s"graft:$table@cdf", spark, Seq(dir),
+        strippedSchema))
+    val f = batch.createReaderFactory()
+    batch.planInputPartitions().map(GraftCdfInputPartition(_, tag, v, Some(f)))
+  }
+
   /** The snapshot schema of `v` binds positionally to the feed's declared
     * schema: same names (case-insensitive), same types, same ORDER — the
     * tagged reader appends columns by position, so anything else would
@@ -589,16 +624,18 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
     val to = end.asInstanceOf[GraftVersionOffset].version
     val recorded = store.cdfVersions(table).filter(v => v > from && v <= to)
       .flatMap { v =>
+        val legacy = legacyVersion(v)
+        def plan(dir: String, tag: String): Array[GraftCdfInputPartition] =
+          if (legacy) planLegacyDir(dir, tag, v)
+          else planDir(dir).map(GraftCdfInputPartition(_, tag, v))
         val inserts =
           if (java.nio.file.Files.exists(
               store.changesDirOf(table, v).resolve("_SUCCESS")))
-            planDir(store.changesDirOf(table, v).toString)
-              .map(GraftCdfInputPartition(_, "insert", v))
+            plan(store.changesDirOf(table, v).toString, "insert")
           else Array.empty[GraftCdfInputPartition]
         val deletes =
           if (store.hasRemovedRows(table, v))
-            planDir(store.removedRowsDirOf(table, v).toString)
-              .map(GraftCdfInputPartition(_, "delete", v))
+            plan(store.removedRowsDirOf(table, v).toString, "delete")
           else Array.empty[GraftCdfInputPartition]
         inserts ++ deletes
       }
@@ -652,7 +689,10 @@ final class GraftCdfReaderFactory(
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = {
     val cp = p.asInstanceOf[GraftCdfInputPartition]
-    val innerReader = inner.createReader(cp.inner)
+    // a partition carrying its own factory (synthesized rewrite images,
+    // pre-adoption legacy versions) reads through it; everything else
+    // through the stream's default
+    val innerReader = cp.factory.getOrElse(inner).createReader(cp.inner)
     val tags = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(cp.changeType),
         cp.version))
@@ -689,26 +729,108 @@ final class GraftMicroBatchStream(root: String, table: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private def changeDirs(from: Long, to: Long): Seq[String] =
-    store.changedVersions(table)
-      .filter(v => v > from && v <= to)
-      .map(v => store.changesDirOf(table, v).toString)
+  private def changeVersions(from: Long, to: Long): Seq[Long] =
+    store.changedVersions(table).filter(v => v > from && v <= to)
+
+  /** PRE-ADOPTION (ID-less) versions under an ID'd subscriber schema read
+    * by NAME: their files carry no footer IDs, so the ID'd schema would
+    * fail loudly. Stripping only the ID metadata keeps the subscriber's
+    * field order, so positional row binding is unchanged. */
+  private lazy val strippedSchema: StructType =
+    StructType(tableSchema.fields.map(f => f.copy(
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(graft.core.SnapshotStore.FieldIdKey).build())))
+
+  private def legacyVersion(v: Long): Boolean =
+    graft.core.SnapshotStore.schemaHasFieldIds(tableSchema) &&
+      !graft.core.SnapshotStore.schemaHasFieldIds(
+        store.snapshotSchema(table, Some(v)))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val dirs = changeDirs(
+    val vs = changeVersions(
       start.asInstanceOf[GraftVersionOffset].version,
       end.asInstanceOf[GraftVersionOffset].version)
-    if (dirs.isEmpty) Array.empty
-    else ParquetTableShim.unfilteredBatch(
-      ParquetTableShim.tableWithSchema(s"graft:$table@changes", spark, dirs,
-        tableSchema)).planInputPartitions()
+    if (vs.isEmpty) return Array.empty
+    val (legacy, idd) = vs.partition(legacyVersion)
+    val iddParts: Array[InputPartition] =
+      if (idd.isEmpty) Array.empty
+      else ParquetTableShim.unfilteredBatch(
+        ParquetTableShim.tableWithSchema(s"graft:$table@changes", spark,
+          idd.map(v => store.changesDirOf(table, v).toString),
+          tableSchema)).planInputPartitions()
+    val legacyParts: Array[InputPartition] =
+      if (legacy.isEmpty) Array.empty
+      else {
+        legacy.foreach(v =>
+          GraftFeedLegacy.requireNamesBind(store, table, v, tableSchema))
+        val batch = ParquetTableShim.unfilteredBatch(
+          ParquetTableShim.tableWithSchema(s"graft:$table@changes", spark,
+            legacy.map(v => store.changesDirOf(table, v).toString),
+            strippedSchema))
+        val f = batch.createReaderFactory()
+        batch.planInputPartitions()
+          .map(GraftFeedInputPartition(_, f): InputPartition)
+      }
+    iddParts ++ legacyParts
   }
 
   /** File-set-agnostic by construction: the parquet reader factory is built
     * from schema + conf, and every planned partition carries its own files,
-    * so one factory serves any batch of this stream. */
+    * so one factory serves any batch of this stream — except legacy
+    * (pre-adoption) partitions, which carry their own name-resolving
+    * factory and are dispatched by the wrapper. */
   override def createReaderFactory(): PartitionReaderFactory =
-    ParquetTableShim.unfilteredBatch(
+    new GraftFeedReaderFactory(ParquetTableShim.unfilteredBatch(
       ParquetTableShim.tableWithSchema(s"graft:$table@changes", spark,
-        Seq.empty, tableSchema)).createReaderFactory()
+        Seq.empty, tableSchema)).createReaderFactory())
+}
+
+object GraftFeedLegacy {
+  /** Pre-adoption (ID-less) versions are read by NAME under the
+    * subscriber's id-stripped schema; that is only sound when every
+    * column the legacy version carried still exists under the same name.
+    * A name the subscriber no longer knows means a rename (or drop)
+    * happened since — with no footer IDs to follow, the renamed column
+    * would silently read NULL, so the feed refuses loudly instead. */
+  def requireNamesBind(store: SnapshotStore, table: String, v: Long,
+      subscriber: StructType): Unit = {
+    val vNames = store.snapshotSchema(table, Some(v))
+      .fieldNames.map(_.toLowerCase).toSet
+    val subNames = subscriber.fieldNames.map(_.toLowerCase).toSet
+    val unknown = vNames -- subNames
+    require(unknown.isEmpty,
+      s"feed over $table: pre-adoption version $v carries column(s) " +
+        s"${unknown.toSeq.sorted.mkString(", ")} the subscriber schema no " +
+        "longer names (renamed or dropped after field-ID adoption) — name " +
+        "resolution would silently null the renamed data; resubscribe " +
+        "with startingVersion at or past the adoption version")
+  }
+}
+
+/** An insert-feed partition carrying its own reader factory (legacy
+  * pre-adoption versions read by name). */
+final case class GraftFeedInputPartition(inner: InputPartition,
+    factory: PartitionReaderFactory) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Dispatches wrapped partitions to their carried factory; everything
+  * else — including the columnar fast path — delegates to the default. */
+final class GraftFeedReaderFactory(default: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GraftFeedInputPartition => false
+    case other => default.supportColumnarReads(other)
+  }
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = p match {
+    case f: GraftFeedInputPartition => f.factory.createReader(f.inner)
+    case other => default.createReader(other)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    default.createColumnarReader(p)
 }

@@ -173,6 +173,24 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(st.nonFeedMutationsSince("t", pre).nonEmpty)
     assert(st.changeFeedSince("t", pre).where(col("_change_type") === "insert")
       .count() == 0L, "schema-changing rewrite must not leak images")
+    // a DV-CARRYING pre-image synthesizes through the DV-filtering scan:
+    // vectored (already-deleted) rows must NOT reappear as delete images
+    val root2 = tmp("graft-cdf-ow-dv")
+    val st2 = new SnapshotStore(spark, root2)
+    st2.commit("t", spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") * 2).as("v")))
+    st2.delete("t", col("k").isin(3L, 777L)) // sparse -> deletion vector
+    assert(st2.dvInChain("t", st2.latestVersion("t").get).nonEmpty,
+      "precondition: the delete vectored")
+    val since = st2.latestVersion("t").get
+    st2.commit("t", spark.range(5000, 5003)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))) // overwrite
+    val ow2 = st2.changeFeedSince("t", since)
+    assert(ow2.where(col("_change_type") === "delete").count() == 1998L,
+      "the synthesized pre-image must exclude vectored rows")
+    assert(ow2.where(col("_change_type") === "delete" &&
+      col("k").isin(3L, 777L)).count() == 0L)
+    assert(ow2.where(col("_change_type") === "insert").count() == 3L)
   }
 
   test("the feed reads across a metadata RENAME: old deltas resolve by field ID") {
@@ -209,6 +227,78 @@ class GraftChangeFeedSpec extends SparkSpec {
     val batch = st.changeFeedSince("t", 0L).select("k", "weight", "_change_type")
       .as[(String, Double, String)].collect().toSet
     assert(batch == rows, s"batch feed drifted: $batch")
+  }
+
+  test("adoptFieldIds upgrades a legacy table; feeds span the adoption boundary") {
+    import scala.jdk.CollectionConverters._
+    val root = tmp("graft-adopt")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(("a", 1.0)).toDF("k", "v"))
+    // simulate a pre-field-id store: strip the id metadata from every
+    // pinned schema (data files keep whatever footers they have; the
+    // SCHEMA governs resolution)
+    val dir = java.nio.file.Paths.get(root, "t")
+    val s0 = java.nio.file.Files.list(dir)
+    try s0.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("v=")).foreach { vd =>
+        val f = vd.resolve("_snapshot_schema.json")
+        if (java.nio.file.Files.exists(f)) {
+          val sch = org.apache.spark.sql.types.DataType.fromJson(
+            java.nio.file.Files.readString(f))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          java.nio.file.Files.writeString(f,
+            org.apache.spark.sql.types.StructType(sch.fields.map(x =>
+              x.copy(metadata = org.apache.spark.sql.types.Metadata.empty))).json)
+        }
+      }
+    finally s0.close()
+    graft.core.SnapshotStore.dropCachesForTests()
+    st.append("t", Seq(("b", 2.0)).toDF("k", "v")) // legacy delta
+    assert(!graft.core.SnapshotStore.schemaHasFieldIds(st.snapshotSchema("t")))
+    // ADOPT: one rewrite; content-neutral to feeds; chain becomes ID'd
+    val adoptV = st.adoptFieldIds("t")
+    assert(graft.core.SnapshotStore.schemaHasFieldIds(st.snapshotSchema("t")))
+    assert(st.adoptFieldIds("t") == adoptV, "idempotent no-op once ID'd")
+    assert(st.nonFeedMutationsSince("t", adoptV - 1).isEmpty,
+      "adoption is content-neutral: feeds must not resubscribe")
+    st.append("t", Seq(("c", 3.0)).toDF("k", "v")) // post-adoption delta
+    // a feed replay from 0 spans the boundary: legacy deltas read by
+    // NAME, post-adoption by ID — values exact throughout
+    val sink = tmp("graft-adopt-out")
+    def run(startingVersion: Long, sinkDir: String): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "t").option("feed", "cdf")
+        .option("startingVersion", startingVersion.toString)
+        .load().writeStream
+        .format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", tmp("graft-adopt-ck"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(0L, sink)
+    val rows = spark.read.parquet(sink).select("k", "v", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(rows == Set(("a", 1.0, "insert"), ("b", 2.0, "insert"),
+      ("c", 3.0, "insert")), rows.toString)
+    // post-adoption the rename is a metadata commit
+    st.renameColumns("t", Map("v" -> "weight"))
+    assert(st.commitProps("t", st.latestVersion("t").get)
+      .get(graft.core.SnapshotStore.OpProp).contains("rename-columns-metadata"))
+    st.append("t", Seq(("d", 4.0)).toDF("k", "weight"))
+    // a NEW subscriber from 0 now spans rename + adoption: the legacy
+    // prefix carries a name the subscriber no longer knows — REFUSE
+    // loudly (silent nulls are not an option), naming the remedy
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val bad = intercept[Exception](run(0L, tmp("graft-adopt-bad")))
+    assert(messages(bad).exists(_.contains("resubscribe")), bad.toString)
+    // ...and the remedy works: startingVersion at the adoption version
+    val sink2 = tmp("graft-adopt-out2")
+    run(adoptV - 1, sink2)
+    val rows2 = spark.read.parquet(sink2).select("k", "weight", "_change_type")
+      .as[(String, Double, String)].collect().toSet
+    assert(rows2 == Set(("c", 3.0, "insert"), ("d", 4.0, "insert")),
+      rows2.toString)
   }
 
   test("feed=cdf restart resumes from the version offset exactly-once") {
