@@ -98,4 +98,96 @@ object Sinks {
     df.join(broadcast(remap), df(fkCol) === remap("old_id"), "left")
       .withColumn(fkCol, coalesce(col("new_id"), col(fkCol)))
       .drop("old_id", "new_id")
+
+  /** STORE-level backup: the content snapshot of each table (its pinned
+    * head, read through tombstones and deletion vectors) PLUS its
+    * STANDING METADATA — CHECK constraints, informational key
+    * constraints, user table properties, and the bucket layout claim —
+    * as a `_store_meta.json` sidecar. The content-only [[backup]] is the
+    * reference's shape (backup_streaming.py: rows per table); a store
+    * whose tables carry write contracts must not silently shed them
+    * across a backup/restore cycle. Returns the manifest. */
+  def backupStore(spark: SparkSession, store: graft.core.SnapshotStore,
+      tables: Seq[String], outDir: String): DataFrame = {
+    import org.json4s._
+    val meta = JObject(tables.sorted.toList.map { t =>
+      val v = store.latestVersion(t).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $t"))
+      t -> JObject(List(
+        "version" -> JLong(v),
+        "checks" -> JObject(store.checkConstraintsOf(t, v).toList.sortBy(_._1)
+          .map { case (n, sql) => n -> (JString(sql): JValue) }),
+        "keycons" -> JObject(store.keyConstraintsOf(t, v).toList.sortBy(_._1)
+          .map { case (n, kc) => n -> (JObject(List(
+            "kind" -> JString(kc.kind),
+            "columns" -> JArray(kc.columns.toList.map(JString(_))),
+            "rely" -> JBool(kc.rely)) ++
+            kc.refTable.map(r => "refTable" -> (JString(r): JValue)).toList ++
+            (if (kc.refColumns.nonEmpty)
+              List("refColumns" -> JArray(kc.refColumns.toList.map(JString(_))))
+            else Nil)): JValue) }),
+        "props" -> JObject(store.tablePropertiesOf(t, v).toList.sortBy(_._1)
+          .map { case (k, value) => k -> (JString(value): JValue) }),
+        "bucket" -> store.bucketSpecOf(t, v).map { case (c, n) =>
+          JObject(List("col" -> JString(c), "n" -> JInt(n))): JValue
+        }.getOrElse(JNull)))
+    })
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_store_meta.json"),
+      jackson.JsonMethods.compact(jackson.JsonMethods.render(meta)))
+    backup(spark, tables.map(t => t -> store.read(t)).toMap, outDir,
+      epoch = tables.flatMap(store.latestVersion(_)).foldLeft(0L)(math.max))
+  }
+
+  /** Restore a [[backupStore]] into a (typically fresh) store: content
+    * committed — re-BUCKETED when the backup's head held a layout claim,
+    * so storage-partitioned joins survive the cycle — then the standing
+    * metadata re-applied (CHECK constraints validate against the restored
+    * rows, per ANSI ADD; key constraints and user props re-pin). Refuses
+    * tables that already exist, like CREATE. */
+  def restoreStore(spark: SparkSession, store: graft.core.SnapshotStore,
+      inDir: String): Seq[String] = {
+    import org.json4s._
+    val meta = jackson.JsonMethods.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(inDir, "_store_meta.json")))
+      .asInstanceOf[JObject].obj
+    meta.map { case (t, m) =>
+      require(store.latestVersion(t).isEmpty,
+        s"restore target table $t already exists — restore into a fresh " +
+          "store or drop it first")
+      val df = spark.read.parquet(s"$inDir/$t")
+      m \ "bucket" match {
+        case JObject(b) =>
+          val c = b.collectFirst { case ("col", JString(x)) => x }.get
+          val n = b.collectFirst { case ("n", JInt(x)) => x.toInt }.get
+          store.commitBucketed(t, df, c, n)
+        case _ => store.commit(t, df)
+      }
+      (m \ "checks").asInstanceOf[JObject].obj.foreach {
+        case (name, JString(sql)) => store.addCheckConstraint(t, name, sql)
+        case _ => ()
+      }
+      (m \ "keycons").asInstanceOf[JObject].obj.foreach {
+        case (name, kc: JObject) =>
+          def strs(f: String): Seq[String] = kc \ f match {
+            case JArray(xs) => xs.collect { case JString(x) => x }
+            case _ => Nil
+          }
+          store.addKeyConstraint(t, name,
+            kind = (kc \ "kind") match { case JString(k) => k; case _ => "" },
+            columns = strs("columns"),
+            refTable = (kc \ "refTable") match {
+              case JString(r) => Some(r); case _ => None },
+            refColumns = strs("refColumns"),
+            rely = (kc \ "rely") match { case JBool(b) => b; case _ => false })
+        case _ => ()
+      }
+      val props = (m \ "props").asInstanceOf[JObject].obj.collect {
+        case (k, JString(value)) => k -> value
+      }.toMap
+      if (props.nonEmpty) store.setTableProperties(t, props)
+      t
+    }
+  }
 }

@@ -211,6 +211,45 @@ class SinksSpec extends SparkSpec {
     assert(q(0)._2 == 1L && q(1)._2 == 0L)
   }
 
+  test("store backup/restore round-trips standing metadata and the bucket layout") {
+    import org.apache.spark.sql.functions._
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-bk-src").toString
+    val src = new graft.core.SnapshotStore(spark, srcRoot)
+    src.commitBucketed("f", spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v")), "k", 4)
+    src.addCheckConstraint("f", "v_pos", "v >= 0")
+    src.addKeyConstraint("f", "f_pk", "primary", Seq("k"), rely = true)
+    src.setTableProperties("f", Map("owner.team" -> "graft"))
+    src.commit("d", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    src.delete("d", col("id") === 2L)
+    val out = java.nio.file.Files.createTempDirectory("graft-bk-out").toString
+    Sinks.backupStore(spark, src, Seq("f", "d"), out)
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-bk-dst").toString
+    val dst = new graft.core.SnapshotStore(spark, dstRoot)
+    assert(Sinks.restoreStore(spark, dst, out).toSet == Set("f", "d"))
+    // content exact: the delete's effect was materialized in the snapshot
+    assert(dst.read("d").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(dst.read("f").count() == 1000L)
+    // standing metadata survived the cycle
+    val v = dst.latestVersion("f").get
+    assert(dst.checkConstraintsOf("f", v) == Map("v_pos" -> "v >= 0"))
+    val kc = dst.keyConstraintsOf("f", v)("f_pk")
+    assert(kc.kind == "primary" && kc.columns == Seq("k") && kc.rely)
+    assert(dst.tablePropertiesOf("f", v).get("owner.team").contains("graft"))
+    // the bucket layout claim survived: SPJ-eligible on the restored store
+    assert(dst.bucketSpecOf("f", v).contains(("k", 4)),
+      "restore must re-bucket a layout-claimed table")
+    // constraints are LIVE post-restore, not just displayed
+    val bad = intercept[Exception](
+      dst.append("f", Seq((5000L, -1L)).toDF("k", "v")))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(bad).exists(_.contains("v_pos")), bad.toString)
+    // refusing to clobber an existing table
+    val dup = intercept[Exception](Sinks.restoreStore(spark, dst, out))
+    assert(messages(dup).exists(_.contains("already exists")), dup.toString)
+  }
+
   test("dedup kernels are SQL-callable after registration (2.13)") {
     GraftExtensions.register(spark)
     val j = spark.sql(
