@@ -480,6 +480,37 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def maxVersionDir(table: String): Long =
     versionDirs(table).foldLeft(0L)(math.max)
 
+  /** RE-NUMBER an unexposed candidate directory to a freshly-claimed
+    * version: claim the number with atomic `createDirectory` (exactly the
+    * allocation protocol every commit uses — the claim either succeeds
+    * exclusively or steps past), then move the candidate's CONTENTS into
+    * the owned directory and drop the husk. The old shape — renaming the
+    * WHOLE directory onto the next free number — was not claim-safe on
+    * POSIX: rename(2) onto a sibling's existing claim throws
+    * ENOTEMPTY once the sibling wrote anything (caught live by the
+    * concurrent fuzz), and SILENTLY REPLACES the claim while it is still
+    * empty, putting two writers in one version. A crash mid-move leaves
+    * both directories marker-less (the caller drops `_SUCCESS` first) —
+    * invisible orphans, reclaimed by `vacuum(dropOrphans)`, the same
+    * crash contract as any unexposed candidate. */
+  private def renumberCandidate(table: String, oldVersion: Long): Long = {
+    var next = math.max(latestVersion(table).getOrElse(0L),
+      maxVersionDir(table)) + 1L
+    var claimed = false
+    while (!claimed) {
+      try { Files.createDirectory(versionDir(table, next)); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => next += 1L }
+    }
+    val from = versionDir(table, oldVersion)
+    val to = versionDir(table, next)
+    val s = Files.list(from)
+    try s.iterator().asScala.toSeq.foreach(p =>
+      Files.move(p, to.resolve(p.getFileName.toString)))
+    finally s.close()
+    Files.delete(from)
+    next
+  }
+
   /** Append rows as a new CHAIN-LINK version: the directory holds only this
     * delta, `_base` points at the snapshot it extends, and reads assemble
     * the chain — O(delta) written per append regardless of table size (the
@@ -725,18 +756,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       }
     }
     Files.deleteIfExists(versionDir(table, oldVersion).resolve("_SUCCESS"))
-    var next = math.max(latestVersion(table).getOrElse(0L),
-      maxVersionDir(table)) + 1L
-    var moved = false
-    while (!moved) {
-      try {
-        Files.move(versionDir(table, oldVersion), versionDir(table, next),
-          StandardCopyOption.ATOMIC_MOVE)
-        moved = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => next += 1L
-      }
-    }
+    val next = renumberCandidate(table, oldVersion)
     Files.writeString(baseFile(table, next), newBase.toString)
     Files.writeString(schemaFile(table, next), merged.json)
     Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")
@@ -2166,17 +2186,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       // narrower files read under the wider pinned schema exactly like
       // any evolved chain).
       Files.deleteIfExists(dir.resolve("_SUCCESS"))
-      var next = math.max(latestVersion(table).getOrElse(0L),
-        maxVersionDir(table)) + 1L
-      var moved = false
-      while (!moved) {
-        try {
-          Files.move(dir, versionDir(table, next), StandardCopyOption.ATOMIC_MOVE)
-          moved = true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => next += 1L
-        }
-      }
+      val next = renumberCandidate(table, cand)
       Files.writeString(baseFile(table, next), head.toString)
       Files.writeString(schemaFile(table, next), schemaH.json)
       Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")

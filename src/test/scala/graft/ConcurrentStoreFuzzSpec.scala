@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.SnapshotStore
+
+import scala.util.Random
+
+/** CONCURRENT fuzz of the store's OCC surface: several writer threads on
+  * ONE root racing appends, row deletes, and schema DDL for real — no
+  * testRaceHook choreography — with end-state INVARIANTS instead of a
+  * step-by-step model (concurrency has no single model order):
+  *
+  *   - row conservation: every appended row survives exactly once unless
+  *     its owner deleted it (writers only ever delete their OWN key
+  *     range, so the expected final multiset is exact);
+  *   - schema convergence: every concurrently-added column is present
+  *     exactly once (the relink RESTAMP path: same-name adds from racing
+  *     writers mint different field IDs and must re-wire, not null out);
+  *   - history integrity: every committed version stays readable, the
+  *     chain strictly ascends, and reads never throw mid-race.
+  *
+  * What the deterministic specs pin one interleaving at a time, this
+  * exercises under genuine scheduling: CAS storms, relinks over relinks,
+  * rebases over pure appends, and the ID-divergence restamp. Thread
+  * count and op counts are small enough to finish in seconds; every
+  * operation retries through the store's own liveness machinery. */
+class ConcurrentStoreFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("racing writers: row conservation, schema convergence, readable history") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz").toString
+    val store = new SnapshotStore(spark, root)
+    store.commit("t", Seq((0L, 0L)).toDF("k", "v")) // seed (writer keys are >0)
+
+    val writers = 3
+    val opsPerWriter = 8
+    // expected end state per writer, built as each thread's ops COMPLETE
+    // (an op that returned has committed — OCC guarantees it)
+    val appended = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long])
+    val deleted = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long])
+    val addedCols = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            // each writer its own store INSTANCE (cross-instance, same
+            // root — the cross-JVM shape minus the process boundary)
+            val st = new SnapshotStore(spark, root)
+            val rnd = new Random(9000L + w)
+            var nextKey = (w + 1) * 1000000L
+            (1 to opsPerWriter).foreach { i =>
+              rnd.nextInt(4) match {
+                case 0 | 1 => // append a batch of OWN unique keys
+                  val ks = (0 until 1 + rnd.nextInt(3)).map { _ =>
+                    nextKey += 1; nextKey }
+                  st.append("t", ks.map(k => (k, k * 2)).toDF("k", "v"))
+                  appended(w).synchronized { appended(w) ++= ks }
+                case 2 => // delete one of OWN already-committed keys
+                  val mine = appended(w).synchronized {
+                    (appended(w) -- deleted(w)).toSeq }
+                  if (mine.nonEmpty) {
+                    val k = mine(rnd.nextInt(mine.size))
+                    st.delete("t", col("k") === k, maxRetries = 25)
+                    deleted(w).synchronized { deleted(w) += k }
+                  }
+                case 3 => // add a column; HALF the time a SHARED name, so
+                  // two writers race the same add from the same base and
+                  // the loser exercises retype-check or relink-restamp
+                  val name =
+                    if (rnd.nextBoolean()) s"shared_c$i"
+                    else s"w${w}_c$i"
+                  try {
+                    st.addColumns("t", org.apache.spark.sql.types.StructType(
+                      Seq(org.apache.spark.sql.types.StructField(name,
+                        org.apache.spark.sql.types.LongType))))
+                    addedCols.add(name)
+                  } catch {
+                    // the SHARED name may legitimately already exist
+                    // (sibling won) — anything else is a real failure
+                    case e: IllegalArgumentException
+                        if e.getMessage != null &&
+                          e.getMessage.contains("already exist") =>
+                      addedCols.add(name)
+                  }
+              }
+              // interleaved read: must never throw and must see a
+              // consistent committed snapshot
+              assert(st.read("t").count() >= 1L)
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"writer failed: $f")
+    }
+
+    // row conservation: exactly the surviving owned keys, plus the seed
+    val expected = (0 until writers)
+      .flatMap(w => appended(w) -- deleted(w)).toSet + 0L
+    val got = store.read("t").select("k").as[Long].collect()
+    assert(got.length == got.toSet.size, "no row may appear twice")
+    assert(got.toSet == expected,
+      s"lost=${expected -- got.toSet} phantom=${got.toSet -- expected}")
+    // value integrity: the restamp path must never cross-wire columns
+    val badV = store.read("t").where(col("k") > 0L &&
+      col("v") =!= col("k") * 2).count()
+    assert(badV == 0L, "v must stay k*2 for every surviving row")
+    // schema convergence: every add present exactly once, no dup names
+    val cols = store.read("t").columns.toSeq
+    assert(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    addedCols.forEach(c => assert(cols.contains(c), s"lost column $c"))
+    // history integrity: strictly ascending, every version readable
+    val h = store.history("t")
+    assert(h == h.sorted && h.distinct == h)
+    h.foreach(v => store.readAt("t", v).count())
+  }
+}
