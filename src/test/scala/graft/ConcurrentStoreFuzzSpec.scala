@@ -53,8 +53,9 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
             val st = new SnapshotStore(spark, root)
             val rnd = new Random(9000L + w)
             var nextKey = (w + 1) * 1000000L
+            var myCols = List.empty[String] // this writer's added columns
             (1 to opsPerWriter).foreach { i =>
-              rnd.nextInt(4) match {
+              rnd.nextInt(6) match {
                 case 0 | 1 => // append a batch of OWN unique keys
                   val ks = (0 until 1 + rnd.nextInt(3)).map { _ =>
                     nextKey += 1; nextKey }
@@ -79,6 +80,7 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
                       Seq(org.apache.spark.sql.types.StructField(name,
                         org.apache.spark.sql.types.LongType))))
                     addedCols.add(name)
+                    if (name.startsWith(s"w${w}_")) myCols ::= name
                   } catch {
                     // the SHARED name may legitimately already exist
                     // (sibling won) — anything else is a real failure
@@ -87,6 +89,24 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
                           e.getMessage.contains("already exist") =>
                       addedCols.add(name)
                   }
+                case 4 => // metadata RENAME of one of this writer's OWN
+                  // added columns (fresh target) — CAS-until-won racing
+                  // every other writer's commits; deletes/appends racing
+                  // it recompute/relink through the store's machinery
+                  myCols match {
+                    case c :: rest =>
+                      val to = s"${c}_r$i"
+                      st.renameColumns("t", Map(c -> to))
+                      addedCols.remove(c); addedCols.add(to)
+                      myCols = to :: rest
+                    case Nil => ()
+                  }
+                case 5 => // compact under fire (generous retry budget —
+                  // a continuously-hot table legitimately exhausts a
+                  // small one; exhaustion is a loud refusal, not data
+                  // loss, but here we want the fold to land)
+                  if (w == 0 && i == opsPerWriter / 2)
+                    st.compact("t", maxRetries = 50)
               }
               // interleaved read: must never throw and must see a
               // consistent committed snapshot
