@@ -40,6 +40,9 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
       scala.collection.mutable.Set.empty[Long])
     val deleted = Array.fill(writers)(
       scala.collection.mutable.Set.empty[Long])
+    val updated = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long])
+    val constraintUp = new java.util.concurrent.atomic.AtomicBoolean(false)
     val addedCols = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
 
@@ -55,7 +58,7 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
             var nextKey = (w + 1) * 1000000L
             var myCols = List.empty[String] // this writer's added columns
             (1 to opsPerWriter).foreach { i =>
-              rnd.nextInt(6) match {
+              rnd.nextInt(8) match {
                 case 0 | 1 => // append a batch of OWN unique keys
                   val ks = (0 until 1 + rnd.nextInt(3)).map { _ =>
                     nextKey += 1; nextKey }
@@ -107,6 +110,36 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
                   // loss, but here we want the fold to land)
                   if (w == 0 && i == opsPerWriter / 2)
                     st.compact("t", maxRetries = 50)
+                case 6 => // UPDATE one of OWN keys: v -> v + 1 (the DV /
+                  // post-image path racing everyone else's commits);
+                  // v-integrity accounting moves the key to the updated set
+                  val mine = appended(w).synchronized {
+                    (appended(w) -- deleted(w) -- updated(w)).toSeq }
+                  if (mine.nonEmpty) {
+                    val k = mine(rnd.nextInt(mine.size))
+                    st.update("t", col("k") === k,
+                      Map("v" -> (col("v") + lit(1L))), maxRetries = 25)
+                    updated(w).synchronized { updated(w) += k }
+                  }
+                case 7 => // one writer lands a CHECK constraint mid-run;
+                  // afterwards a VIOLATING append must refuse everywhere
+                  // (incl. through the relink re-validation when the
+                  // appender raced the constraint's CAS)
+                  if (w == writers - 1 && !constraintUp.get()) {
+                    st.addCheckConstraint("t", "k_nonneg", "k >= 0")
+                    constraintUp.set(true)
+                  } else if (constraintUp.get()) {
+                    val bad = try {
+                      st.append("t", Seq((-1L * (w * 100 + i), 0L)).toDF("k", "v"))
+                      false
+                    } catch {
+                      case e: IllegalArgumentException
+                          if e.getMessage != null &&
+                            e.getMessage.contains("k_nonneg") => true
+                    }
+                    assert(bad, "a violating append must refuse once the " +
+                      "constraint is committed")
+                  }
               }
               // interleaved read: must never throw and must see a
               // consistent committed snapshot
@@ -130,10 +163,15 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     assert(got.length == got.toSet.size, "no row may appear twice")
     assert(got.toSet == expected,
       s"lost=${expected -- got.toSet} phantom=${got.toSet -- expected}")
-    // value integrity: the restamp path must never cross-wire columns
-    val badV = store.read("t").where(col("k") > 0L &&
-      col("v") =!= col("k") * 2).count()
-    assert(badV == 0L, "v must stay k*2 for every surviving row")
+    // value integrity: the restamp path must never cross-wire columns;
+    // each writer updates a key AT MOST once, so v is exactly k*2 (+1
+    // iff its owner updated it)
+    val updatedKeys = (0 until writers).flatMap(w => updated(w)).toSet
+    val rows = store.read("t").select("k", "v").as[(Long, Long)].collect()
+    rows.filter(_._1 > 0L).foreach { case (k, v) =>
+      val want = k * 2 + (if (updatedKeys.contains(k)) 1L else 0L)
+      assert(v == want, s"k=$k v=$v want=$want")
+    }
     // schema convergence: every add present exactly once, no dup names
     val cols = store.read("t").columns.toSeq
     assert(cols.distinct.size == cols.size, s"duplicate columns: $cols")
