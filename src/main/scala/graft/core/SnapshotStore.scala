@@ -2847,6 +2847,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * far back a consumer can lag, exactly as for the streaming feed. */
   def changesSince(table: String, sinceVersion: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    requireFeedReach(table, sinceVersion)
     val all = changedVersions(table)
     val vs = all.filter(_ > sinceVersion)
     vs.map(v => alignedToHead(table, v, changesAt(table, v).get)
@@ -2893,6 +2894,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * Compactions are content-neutral and intentionally absent. */
   def changeFeedSince(table: String, sinceVersion: Long = 0L): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    requireFeedReach(table, sinceVersion)
     val inserts = changesSince(table, sinceVersion)
       .withColumn("_change_type", lit("insert"))
     val deletes = history(table).filter(_ > sinceVersion)
@@ -3307,11 +3309,49 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         .filterNot(committed.toSet)
         .filterNot(latestVersion(table).toSet)
         .filter(v => newestMtime(versionDir(table, v)) < cutoff)
-    (committed.filterNot(keep) ++ orphans).foreach { v =>
+    val reclaimedCommitted = committed.filterNot(keep)
+    (reclaimedCommitted ++ orphans).foreach { v =>
       val w = Files.walk(versionDir(table, v))
       try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally w.close()
     }
+    // RETENTION HORIZON: the highest COMMITTED version this table has
+    // ever reclaimed — what lets the feeds refuse a lagging consumer
+    // LOUDLY instead of silently skipping deltas whose versions no
+    // longer exist (reclaimed versions simply vanish from `history`,
+    // so without the marker a `changesSince(old)` would quietly emit a
+    // gapped stream). Monotonic max; orphans carry no exposed deltas
+    // and don't move it.
+    if (reclaimedCommitted.nonEmpty) {
+      val f = tableDir(table).resolve("_vacuum_horizon")
+      val prev =
+        if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+      val h = math.max(prev, reclaimedCommitted.max)
+      if (h > prev) Files.writeString(f, h.toString)
+    }
+  }
+
+  /** The highest committed version `vacuum` has ever reclaimed from
+    * `table` (0 when nothing was ever reclaimed): every change set at or
+    * below it is potentially GONE, so a feed consumer positioned before
+    * it cannot catch up incrementally and must resubscribe from the
+    * snapshot. The feeds enforce this via [[requireFeedReach]]. */
+  def vacuumHorizon(table: String): Long = {
+    val f = tableDir(table).resolve("_vacuum_horizon")
+    if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+  }
+
+  /** Refuse LOUDLY when a feed consumer positioned at `since` would read
+    * across vacuumed history: versions in (since, horizon] may have
+    * carried change sets that no longer exist, and a silently gapped
+    * delta stream is corruption for every incremental consumer. */
+  private[graft] def requireFeedReach(table: String, since: Long): Unit = {
+    val h = vacuumHorizon(table)
+    require(since >= h,
+      s"change feed over $table from version $since: history at or " +
+        s"below version $h was vacuumed and its change sets may be gone " +
+        "— an incremental catch-up would silently skip them; recompute " +
+        s"from the snapshot (or resubscribe with startingVersion >= $h)")
   }
 
   /** Newest modification time (ms) of a directory or anything under it —

@@ -622,6 +622,7 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftVersionOffset].version
     val to = end.asInstanceOf[GraftVersionOffset].version
+    store.requireFeedReach(table, from) // vacuumed history: refuse loudly
     val recorded = store.cdfVersions(table).filter(v => v > from && v <= to)
       .flatMap { v =>
         val legacy = legacyVersion(v)
@@ -748,8 +749,9 @@ final class GraftMicroBatchStream(root: String, table: String,
         store.snapshotSchema(table, Some(v)))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val vs = changeVersions(
-      start.asInstanceOf[GraftVersionOffset].version,
+    val from = start.asInstanceOf[GraftVersionOffset].version
+    store.requireFeedReach(table, from) // vacuumed history: refuse loudly
+    val vs = changeVersions(from,
       end.asInstanceOf[GraftVersionOffset].version)
     if (vs.isEmpty) return Array.empty
     val (legacy, idd) = vs.partition(legacyVersion)

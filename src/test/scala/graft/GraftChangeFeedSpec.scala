@@ -301,6 +301,56 @@ class GraftChangeFeedSpec extends SparkSpec {
       rows2.toString)
   }
 
+  test("vacuumed history refuses lagging feed consumers loudly, never gaps") {
+    // Reclaimed versions simply vanish from `history`, so before the
+    // retention horizon a lagging changesSince/changeFeedSince would
+    // silently emit a GAPPED delta stream — corruption for every
+    // incremental consumer. The horizon marker turns that into a loud
+    // refusal naming the remedy; consumers at or past it are untouched.
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft-vac-feed")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(1L).toDF("id"))
+    st.append("t", Seq(2L).toDF("id"))
+    st.compact("t") // self-contained head: ancestors become reclaimable
+    st.append("t", Seq(3L).toDF("id"))
+    val horizonPos = st.latestVersion("t").get
+    st.vacuum("t", keepLast = 2)
+    assert(st.vacuumHorizon("t") > 0L, "vacuum must record the horizon")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // batch feeds refuse from 0 (the reclaimed appends' deltas are gone)
+    val e1 = intercept[Exception](st.changesSince("t", 0L).count())
+    assert(messages(e1).exists(_.contains("vacuumed")), e1.toString)
+    val e2 = intercept[Exception](st.changeFeedSince("t", 0L).count())
+    assert(messages(e2).exists(_.contains("vacuumed")), e2.toString)
+    // ...but a consumer positioned at/past the horizon reads normally
+    assert(st.changesSince("t", st.vacuumHorizon("t")).count() >= 0L)
+    // the streaming twin refuses from 0 too — loudly, at planning
+    val bad = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "t").option("feed", "cdf")
+        .load().writeStream
+        .format("parquet").option("path", tmp("graft-vac-feed-out"))
+        .option("checkpointLocation", tmp("graft-vac-feed-ck"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(messages(bad).exists(_.contains("vacuumed")), bad.toString)
+    // and from the horizon it streams
+    val sink = tmp("graft-vac-feed-out2")
+    val q2 = spark.readStream.format("graft")
+      .option("root", root).option("table", "t").option("feed", "cdf")
+      .option("startingVersion", st.vacuumHorizon("t").toString)
+      .load().writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmp("graft-vac-feed-ck2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(sink).where(col("id") === 3L).count() == 1L)
+    val _ = horizonPos
+  }
+
   test("feed=cdf restart resumes from the version offset exactly-once") {
     import org.apache.spark.sql.functions.col
     val root = tmp("graft-cdf-rs")
