@@ -57,6 +57,47 @@ class GraftDataSkippingSpec extends SparkSpec {
     assert(scannedFiles(in).size < total, "IN list prunes to covering files")
   }
 
+  test("pruning survives a metadata RENAME: stats resolve under the physical name") {
+    // Pre-rename chain files' zone maps are keyed by the OLD column name.
+    // The scan's per-version logical→physical map (physicalNamesByVersion
+    // → GraftFileIndex) must (a) keep PRUNING those files on predicates
+    // over the new name, and (b) never infer absent-means-null from the
+    // new name's absence — the r15 bug class where a renamed column
+    // PRUNED files that matched.
+    val root = tmpRoot()
+    val store = new SnapshotStore(spark, root)
+    store.commitClustered("t",
+      spark.range(0, 300).select(col("id"), (col("id") * 2).as("v")),
+      clusterBy = Seq("v"))
+    store.appendClustered("t",
+      spark.range(300, 600).select(col("id"), (col("id") * 2).as("v")),
+      clusterBy = Seq("v"))
+    store.renameColumns("t", Map("v" -> "weight")) // data-less link
+    store.appendClustered("t", // post-rename link: stats under NEW name
+      spark.range(600, 900).select(col("id"), (col("id") * 2).as("weight")),
+      clusterBy = Seq("weight"))
+    val base = graftRead(root, "t")
+    val total = scannedFiles(base).size
+    assert(total >= 3)
+    // predicate over the NEW name hitting only a PRE-rename range: the
+    // old files' stats (keyed "v") must prune, and the matching file scan
+    val low = base.filter(col("weight") < 100)
+    assert(scannedFiles(low).size < total,
+      "pre-rename zone maps must keep pruning under the renamed column")
+    assert(low.count() === 50)
+    // a post-rename-only range: pre-rename files all pruned away
+    val high = base.filter(col("weight") >= 1200)
+    assert(high.count() === 300)
+    assert(scannedFiles(high).size < total)
+    // impossible predicate prunes EVERYTHING across both name eras
+    val none = base.filter(col("weight") > 100000)
+    assert(scannedFiles(none).isEmpty)
+    assert(none.count() === 0)
+    // and a mid-range spanning the rename reads exactly
+    assert(base.filter(col("weight") >= 590 && col("weight") <= 610)
+      .count() === 11)
+  }
+
   test("pruning never changes results vs the manifest-less read") {
     val root = tmpRoot()
     val store = new SnapshotStore(spark, root)
