@@ -2907,13 +2907,30 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         x.name.equalsIgnoreCase(y.name) && x.dataType == y.dataType }
     }
     val rewriteImages = nonFeedMutationsSince(table, sinceVersion).flatMap { v =>
+      // The synthesized before-image is sound only when the resolved
+      // predecessor is GUARANTEED the true one: with versions at or
+      // below the vacuum horizon reclaimed, the true predecessor may be
+      // gone and `history.filter(_ < v).lastOption` would resolve to an
+      // OLDER ancestor (or nothing) — emitting those images silently
+      // corrupts every fold. Refuse loudly instead, like any read
+      // across vacuumed history.
+      val h = vacuumHorizon(table)
       history(table).filter(_ < v).lastOption match {
+        case Some(p) if p <= h => throw new IllegalStateException(
+          s"change feed over $table: rewrite version $v's pre-image " +
+            s"snapshot was vacuumed (nearest retained predecessor $p is " +
+            s"at or below the retention horizon $h) — recompute from the " +
+            "snapshot or resubscribe past the rewrite")
+        case None if h > 0 => throw new IllegalStateException(
+          s"change feed over $table: rewrite version $v's pre-image " +
+            s"snapshot was vacuumed (no retained predecessor, horizon $h)" +
+            " — recompute from the snapshot or resubscribe past the rewrite")
         case Some(p) if sameSchema(p, v) => Seq(
           alignedToHead(table, p, readAt(table, p)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("delete")),
           alignedToHead(table, v, readAt(table, v)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("insert")))
-        case None => Seq( // a rewrite with no predecessor: pure inserts
+        case None => Seq( // a FIRST commit (nothing ever vacuumed): inserts
           alignedToHead(table, v, readAt(table, v)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("insert")))
         case _ => Nil // schema-changing rewrite: resubscribe

@@ -660,6 +660,15 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
           store.history(table).filter(_ < v).lastOption.forall(schemaBinds)
       }.flatMap { v =>
         val prev = store.history(table).filter(_ < v).lastOption
+        // predecessor-integrity under vacuum (see changeFeedSince): a
+        // reclaimed true predecessor would make the synthesized
+        // before-image silently WRONG — refuse loudly instead
+        val h = store.vacuumHorizon(table)
+        if (prev.exists(_ <= h) || (prev.isEmpty && h > 0))
+          throw new IllegalStateException(
+            s"feed=cdf over $table: rewrite version $v's pre-image " +
+              s"snapshot was vacuumed (retention horizon $h) — recompute " +
+              "from the snapshot or resubscribe past the rewrite")
         def side(ver: Long, tag: String): Seq[GraftCdfInputPartition] = {
           val batch = ParquetTableShim.unfilteredBatch(
             GraftTable.forSnapshot(spark, store, table, Some(ver)))

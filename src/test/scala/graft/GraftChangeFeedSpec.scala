@@ -349,6 +349,36 @@ class GraftChangeFeedSpec extends SparkSpec {
     q2.awaitTermination()
     assert(spark.read.parquet(sink).where(col("id") === 3L).count() == 1L)
     val _ = horizonPos
+    // REWRITE-image integrity under vacuum: when the rewrite's true
+    // predecessor snapshot was reclaimed, the synthesized before-image
+    // cannot be constructed — must refuse loudly, never emit images
+    // from an older ancestor (silent fold corruption)
+    val root2 = tmp("graft-vac-ow")
+    val st2 = new SnapshotStore(spark, root2)
+    st2.append("t", Seq(1L).toDF("id")) // v1
+    st2.append("t", Seq(2L).toDF("id")) // v2
+    st2.commit("t", Seq(9L).toDF("id")) // v3: rewrite over v2
+    st2.append("t", Seq(10L).toDF("id")) // v4
+    st2.vacuum("t", keepLast = 2) // reclaims v1, v2 — the pre-image
+    assert(st2.vacuumHorizon("t") >= 2L)
+    // a consumer AT the horizon still reaches the rewrite's version
+    // range, but its pre-image is gone: loud refusal on both twins
+    val e3 = intercept[Exception](
+      st2.changeFeedSince("t", st2.vacuumHorizon("t")).count())
+    assert(messages(e3).exists(_.contains("pre-image")), e3.toString)
+    val e4 = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("root", root2).option("table", "t").option("feed", "cdf")
+        .option("startingVersion", st2.vacuumHorizon("t").toString)
+        .load().writeStream
+        .format("parquet").option("path", tmp("graft-vac-ow-out"))
+        .option("checkpointLocation", tmp("graft-vac-ow-ck"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(messages(e4).exists(_.contains("pre-image")), e4.toString)
+    // past the rewrite, the feed serves normally again
+    assert(st2.changeFeedSince("t", 3L).where(col("id") === 10L).count() == 1L)
   }
 
   test("feed=cdf restart resumes from the version offset exactly-once") {
