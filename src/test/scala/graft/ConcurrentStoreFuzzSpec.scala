@@ -31,6 +31,7 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft-cfuzz").toString
     val store = new SnapshotStore(spark, root)
     store.commit("t", Seq((0L, 0L)).toDF("k", "v")) // seed (writer keys are >0)
+    store.commit("t2", Seq((0L, 0L)).toDF("k", "v")) // txn sibling table
 
     val writers = 3
     val opsPerWriter = 8
@@ -41,6 +42,8 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     val deleted = Array.fill(writers)(
       scala.collection.mutable.Set.empty[Long])
     val updated = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long])
+    val txnKeys = Array.fill(writers)(
       scala.collection.mutable.Set.empty[Long])
     val constraintUp = new java.util.concurrent.atomic.AtomicBoolean(false)
     val addedCols = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -58,12 +61,22 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
             var nextKey = (w + 1) * 1000000L
             var myCols = List.empty[String] // this writer's added columns
             (1 to opsPerWriter).foreach { i =>
-              rnd.nextInt(8) match {
+              rnd.nextInt(9) match {
                 case 0 | 1 => // append a batch of OWN unique keys
                   val ks = (0 until 1 + rnd.nextInt(3)).map { _ =>
                     nextKey += 1; nextKey }
                   st.append("t", ks.map(k => (k, k * 2)).toDF("k", "v"))
                   appended(w).synchronized { appended(w) ++= ks }
+                case 8 => // ATOMIC multi-table append racing everything:
+                  // the same keys land in t AND t2, or neither (appendAll's
+                  // write-ahead intent + multi-CAS with relink-on-stale)
+                  val ks = (0 until 1 + rnd.nextInt(2)).map { _ =>
+                    nextKey += 1; nextKey }
+                  st.appendAll(Map(
+                    "t" -> ks.map(k => (k, k * 2)).toDF("k", "v"),
+                    "t2" -> ks.map(k => (k, k * 2)).toDF("k", "v")))
+                  appended(w).synchronized { appended(w) ++= ks }
+                  txnKeys(w).synchronized { txnKeys(w) ++= ks }
                 case 2 => // delete one of OWN already-committed keys
                   val mine = appended(w).synchronized {
                     (appended(w) -- deleted(w)).toSeq }
@@ -176,9 +189,20 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     val cols = store.read("t").columns.toSeq
     assert(cols.distinct.size == cols.size, s"duplicate columns: $cols")
     addedCols.forEach(c => assert(cols.contains(c), s"lost column $c"))
+    // txn atomicity: every appendAll batch landed in BOTH tables — t2
+    // holds exactly the union of all writers' txn keys (t2 sees no
+    // deletes/updates), and every txn key reached t's appended set
+    val allTxn = (0 until writers).flatMap(w => txnKeys(w)).toSet
+    val t2Keys = store.read("t2").select("k").as[Long].collect().toSet - 0L
+    assert(t2Keys == allTxn,
+      s"txn halves diverged: onlyT2=${t2Keys -- allTxn} " +
+        s"missing=${allTxn -- t2Keys}")
     // history integrity: strictly ascending, every version readable
     val h = store.history("t")
     assert(h == h.sorted && h.distinct == h)
     h.foreach(v => store.readAt("t", v).count())
+    val h2 = store.history("t2")
+    assert(h2 == h2.sorted)
+    h2.foreach(v => store.readAt("t2", v).count())
   }
 }
