@@ -53,8 +53,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * ID. Random, not max+1: two OCC writers racing to add different
     * columns from the same base would both mint max+1 and collide — the
     * relink would then silently cross-wire the columns — while random
-    * 63-bit draws collide never in practice and the relink checks
-    * anyway. IDs are never reused within a schema lineage, so a new
+    * 31-bit draws from [2^20, Int.MaxValue) collide never in practice
+    * for the handful of concurrent adds a table ever sees, and the
+    * relink checks anyway. IDs are never reused within a schema
+    * lineage, so a new
     * column can never inherit a dead column's physical data (the
     * ID-level resurrection guarantee). Parquet field ids are 32-bit
     * (ParquetUtils.getFieldId refuses wider), so draws come from
@@ -76,10 +78,19 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       while (taken.contains(id))
       taken += id; id
     }
+    // IDs must be UNIQUE within the output schema: a DataFrame derived
+    // from a graft read with one column projected twice (CTAS
+    // `SELECT v AS x, v AS y` — Alias propagates field metadata) arrives
+    // with the same ID on two columns, and committing it verbatim would
+    // cross-wire every subsequent ID-matched read. First occurrence
+    // keeps the ID; repeats mint fresh.
+    val assigned = scala.collection.mutable.Set[Long]()
     StructType(schema.fields.map { f =>
       val id = SnapshotStore.fieldIdOf(f)
         .orElse(prevIds.get(f.name.toLowerCase))
+        .filterNot(assigned.contains)
         .getOrElse(mint())
+      assigned += id
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
         .putLong(SnapshotStore.FieldIdKey, id).build())
@@ -3327,24 +3338,31 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         .filterNot(latestVersion(table).toSet)
         .filter(v => newestMtime(versionDir(table, v)) < cutoff)
     val reclaimedCommitted = committed.filterNot(keep)
-    (reclaimedCommitted ++ orphans).foreach { v =>
-      val w = Files.walk(versionDir(table, v))
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
     // RETENTION HORIZON: the highest COMMITTED version this table has
     // ever reclaimed — what lets the feeds refuse a lagging consumer
     // LOUDLY instead of silently skipping deltas whose versions no
     // longer exist (reclaimed versions simply vanish from `history`,
     // so without the marker a `changesSince(old)` would quietly emit a
     // gapped stream). Monotonic max; orphans carry no exposed deltas
-    // and don't move it.
+    // and don't move it. Persisted BEFORE any committed directory is
+    // deleted: feed readers don't take the root lock, so a reader racing
+    // the window between reclamation and the marker would otherwise pass
+    // requireFeedReach against the stale horizon and emit a gapped
+    // stream — and a crash between delete and write would leave the
+    // guard absent forever. Raising the marker first errs toward
+    // over-refusal (a crash before any delete refuses feeds it didn't
+    // need to), never toward silent gaps.
     if (reclaimedCommitted.nonEmpty) {
       val f = tableDir(table).resolve("_vacuum_horizon")
       val prev =
         if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
       val h = math.max(prev, reclaimedCommitted.max)
       if (h > prev) Files.writeString(f, h.toString)
+    }
+    (reclaimedCommitted ++ orphans).foreach { v =>
+      val w = Files.walk(versionDir(table, v))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
   }
 

@@ -21,6 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *   cosine(qv, right)        -- NULL on zero scale / zero norm / len mismatch
   * }}}
   *
+  * Non-finite inputs included, and the composed form's behavior there is
+  * subtler than it looks: `array_max` orders NaN GREATEST (scale = NaN
+  * when any element is NaN), and Spark's `floor`/`ceil` on doubles
+  * return LONG — so a NaN quotient collapses to (long) NaN = 0, every
+  * element of the quantized image becomes 0, and the zero-norm cosine is
+  * NULL. The kernel replays both steps exactly (NaN-greatest max pass;
+  * (double)(long) on the rounded quotient), so NaN/Infinity rows yield
+  * NULL on both paths. Pinned by VectorOpsSpec's NaN/Infinity rows.
+  *
   * Why an Expression and not the HOF pipeline: the composed form runs
   * THREE interpreted higher-order passes per row (abs-transform,
   * array_max, quantize-transform), materializing two transient arrays per
@@ -76,20 +85,30 @@ case class QuantizedCosine(left: Expression, right: Expression)
 
   /** Quantize one element under `scale` — Math.floor/ceil half-away-from-
     * zero, EXACTLY the composed `when` chain's arithmetic on IEEE doubles
-    * (the oracle replays the same formula in SQL). */
+    * (the oracle replays the same formula in SQL). The (long) round-trip
+    * is Spark's own Floor/Ceil result type (LongType): identity on the
+    * finite quantized range (|d| ≤ 127), and what collapses a NaN
+    * quotient to 0 exactly like the composed form. */
   @inline private def quant(x: Double, scale: Double): Double = {
     val d = x / scale
-    if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)
+    (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong.toDouble
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    // pass 1: the row's max-|x| scale (q53's storage quantization)
+    // pass 1: the row's max-|x| scale (q53's storage quantization).
+    // NaN replays array_max's ordering (NaN greater than everything):
+    // a NaN element makes scale NaN, every quotient NaN, and quant's
+    // long collapse turns the image all-zero → NULL, as composed.
     var m = 0.0; var i = 0
-    while (i < n) { val v = math.abs(x.getDouble(i)); if (v > m) m = v; i += 1 }
+    while (i < n) {
+      val v = math.abs(x.getDouble(i))
+      if (java.lang.Double.isNaN(v) || v > m) m = v
+      i += 1
+    }
     val scale = m / 127.0
-    if (scale == 0.0 || java.lang.Double.isNaN(scale)) return null
+    if (scale == 0.0) return null
     foldedRight match {
       case Some((q, qn)) =>
         if (n != q.length) return null
@@ -131,21 +150,21 @@ case class QuantizedCosine(left: Expression, right: Expression)
          |double $m = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $av = java.lang.Math.abs($a.getDouble($i));
-         |  if ($av > $m) $m = $av;
+         |  if (Double.isNaN($av) || $av > $m) $m = $av;
          |}
          |final double $scale = $m / 127.0D;
        """.stripMargin
     def quantExpr(a: String): String =
       s"""final double $d = $a.getDouble($i) / $scale;
-         |    final double $qv = ($d >= 0) ? java.lang.Math.floor($d + 0.5D)
-         |                                 : java.lang.Math.ceil($d - 0.5D);""".stripMargin
+         |    final double $qv = (double)(long)(($d >= 0) ? java.lang.Math.floor($d + 0.5D)
+         |                                                : java.lang.Math.ceil($d - 0.5D));""".stripMargin
     foldedRight match {
       case Some((q, qn)) =>
         val qref = ctx.addReferenceObj("quantQuery", q, "double[]")
         nullSafeCodeGen(ctx, ev, (a, _) => {
           s"""
              |${scalePass(a)}
-             |if ($scale == 0.0D || Double.isNaN($scale) || $n != $qref.length) {
+             |if ($scale == 0.0D || $n != $qref.length) {
              |  ${ev.isNull} = true;
              |} else {
              |  double $dot = 0.0; double $nx = 0.0;
@@ -167,8 +186,7 @@ case class QuantizedCosine(left: Expression, right: Expression)
         nullSafeCodeGen(ctx, ev, (a, b) => {
           s"""
              |${scalePass(a)}
-             |if ($scale == 0.0D || Double.isNaN($scale) ||
-             |    $n != $b.numElements()) {
+             |if ($scale == 0.0D || $n != $b.numElements()) {
              |  ${ev.isNull} = true;
              |} else {
              |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;

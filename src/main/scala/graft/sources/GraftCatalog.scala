@@ -190,7 +190,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       // ENFORCED key kind) must not leave a half-created table with a
       // partial constraint set behind — roll the CREATE back and rethrow.
       try cons.foreach(addConstraint(ident.name(), _))
-      catch { case e: Throwable => store.dropTable(ident.name()); throw e }
+      catch {
+        case e: Throwable =>
+          // The cleanup itself may fail (concurrent access, IO) — never
+          // let that REPLACE the constraint failure the caller must see;
+          // attach it as suppressed and rethrow the original.
+          try store.dropTable(ident.name())
+          catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+          throw e
+      }
       loadTable(ident)
     }
   }

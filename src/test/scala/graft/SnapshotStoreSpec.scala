@@ -188,6 +188,27 @@ class SnapshotStoreSpec extends SparkSpec {
       Set((1L, "a"), (3L, "c")))
   }
 
+  test("CTAS projecting one column twice never commits duplicate field IDs") {
+    // Spark's Alias propagates field metadata, so `SELECT v AS x, v AS y`
+    // over a graft read arrives with the SAME parquet.field.id on both
+    // columns — committing it verbatim would cross-wire every subsequent
+    // ID-matched read of the new table. withFieldIds must keep the first
+    // occurrence and mint a fresh ID for the repeat.
+    val st = freshStore()
+    st.commit("a", Seq((1L, "hi")).toDF("k", "v"))
+    st.commit("b", st.read("a").select(
+      col("v").as("x"), col("v").as("y"), col("k")))
+    val ids = st.snapshotSchema("b").fields.toSeq
+      .map(_.metadata.getLong(SnapshotStore.FieldIdKey))
+    assert(ids.distinct.size == ids.size, s"duplicate field IDs: $ids")
+    // ID-matched reads resolve both twins to the source values
+    assert(st.read("b").select("x", "y", "k").as[(String, String, Long)]
+      .head() == (("hi", "hi", 1L)))
+    // and the deduped chain still supports the metadata-only rename
+    st.renameColumns("b", Map("y" -> "z"))
+    assert(st.read("b").select("z").as[String].head() == "hi")
+  }
+
   test("TIMESTAMP AS OF resolves non-monotonic stamps by max committed version") {
     // Two committed versions CAN carry inverted stamps: a committed-but-
     // superseded bare commit is stamped after the head that overtook it,

@@ -134,7 +134,16 @@ class VectorOpsSpec extends SparkSpec {
     } ++ Seq(
       (1001L, Seq.fill(16)(0.0)),          // zero scale -> NULL
       (1002L, Seq.fill(16)(-3.7)),         // all-negative
-      (1003L, Seq.tabulate(16)(j => if (j == 0) 127.5 else 0.25)))
+      (1003L, Seq.tabulate(16)(j => if (j == 0) 127.5 else 0.25)),
+      // non-finite rows: array_max orders NaN GREATEST (scale = NaN) and
+      // Spark's floor/ceil return LONG, collapsing NaN quotients to 0 —
+      // the quantized image goes all-zero and the cosine is NULL. The
+      // kernel must replay that collapse, not propagate the NaN.
+      (1004L, Seq.fill(16)(Double.NaN)),                              // all-NaN
+      (1005L, Seq.tabulate(16)(j => if (j == 3) Double.NaN else 0.0)), // NaN among zeros
+      (1006L, Seq.tabulate(16)(j => if (j == 7) Double.NaN else 2.5)), // NaN among finite
+      (1007L, Seq.tabulate(16)(j =>
+        if (j == 1) Double.PositiveInfinity else 1.0)))               // Inf scale
     val df = rows.toDF("id", "v")
     val qSeq = Seq.tabulate(16)(j => (j - 8).toDouble)
     val qLit = VectorOps.vecLit(qSeq)
@@ -146,6 +155,11 @@ class VectorOpsSpec extends SparkSpec {
     val viaHof = bits(composed($"v", qLit))
     assert(fused == viaHof, "fused kernel must replay the composed math exactly")
     assert(fused.exists(_.isEmpty), "zero-scale row must yield NULL")
+    val idToFused = df.select($"id").as[Long].collect().toSeq.zip(fused).toMap
+    Seq(1004L, 1005L, 1006L, 1007L).foreach { id =>
+      assert(idToFused(id).isEmpty,
+        s"row $id: non-finite input must collapse to NULL like the composed form")
+    }
     // Spark's OWN interpreted path (nullSafeEval), not a scratch
     // reimplementation — a codegen/eval divergence fails here
     val interpreted =
