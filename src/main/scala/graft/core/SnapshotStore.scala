@@ -900,23 +900,43 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private[graft] def compactOnce(table: String, scanVersion: Long,
       targetPartitions: Int = 0, clusterBy: Seq[String] = Nil): Option[Long] = {
     val snap = readAt(table, scanVersion)
-    val df =
-      if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
-      else if (targetPartitions > 0) snap.repartition(targetPartitions)
-      else snap
+    // A DEFAULT compaction of a bucketed chain preserves the bucket
+    // layout: the whole snapshot repartitions by the claimed spec, so the
+    // collapsed version's files are bucket-attributed (one file per
+    // bucket, part index = bucket id) and the zero-exchange join claim
+    // survives the chain collapse — small bucketed files merge WITHIN
+    // their buckets instead of losing the layout. An explicit
+    // targetPartitions or clusterBy is a request for a DIFFERENT layout
+    // and drops the claim as before (re-bucket with commitBucketed).
+    val bucketSpec =
+      if (clusterBy.isEmpty && targetPartitions == 0)
+        bucketSpecOf(table, scanVersion)
+      else None
+    val df = bucketSpec match {
+      case Some((c, n)) =>
+        snap.repartition(n, org.apache.spark.sql.functions.col(c))
+      case None =>
+        if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
+        else if (targetPartitions > 0) snap.repartition(targetPartitions)
+        else snap
+    }
     // Inherit the scanned chain's resolved properties (metadata pinned at
     // any ancestor — e.g. AnnIndex's centroids pairing — must survive the
     // chain collapsing to one self-contained version), plus the op tag
     // that tells feed consumers this version changed LAYOUT, not content.
-    // Bucket props are DROPPED: the compacted files are not bucket-
+    // Bucket props re-stamp only on the layout-preserving path above;
+    // otherwise they are DROPPED — the compacted files are not bucket-
     // attributed, and inheriting the claim would silently corrupt
-    // storage-partitioned joins — re-bucket with commitBucketed to get
-    // the layout back.
+    // storage-partitioned joins.
+    val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
+      case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+        SnapshotStore.BucketNProp -> n.toString)
+    }
     val cand = commitWith(table, Some(df), changeSet = None, base = None,
       snapshot = snapshotSchema(table, Some(scanVersion)), advance = false,
       props = resolvedProps(table, scanVersion) -
         SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
-        SnapshotStore.DroppedColsProp +
+        SnapshotStore.DroppedColsProp ++ bucketProps +
         (SnapshotStore.OpProp -> "compact"))
     if (casAdvance(table, cand, Some(scanVersion))) Some(cand)
     else {
@@ -957,12 +977,24 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         val survivors = scanWithDv(table, paths, schema, dvs)
           .select(schema.fieldNames
             .map(org.apache.spark.sql.functions.col(_)).toIndexedSeq: _*)
-        val cand = commitWith(table, Some(survivors), changeSet = None,
+        // Bucket-claim preservation, same contract as rowMutation: the
+        // vectored files' survivors repartition by the chain's bucket
+        // spec, so the fold's rewrite files are bucket-attributed and a
+        // bucketed fact table's zero-exchange joins survive the DV fold.
+        val bucketSpec = bucketSpecOf(table, v)
+        val survivorsOut = bucketSpec.fold(survivors) { case (c, n) =>
+          survivors.repartition(n, org.apache.spark.sql.functions.col(c))
+        }
+        val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
+          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+            SnapshotStore.BucketNProp -> n.toString)
+        }
+        val cand = commitWith(table, Some(survivorsOut), changeSet = None,
           base = Some(v), snapshot = schema, advance = false,
           removed = keys,
           props = resolvedProps(table, v) -
             SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
-            SnapshotStore.DroppedColsProp +
+            SnapshotStore.DroppedColsProp ++ bucketProps +
             (SnapshotStore.OpProp -> "compact-dv"))
         if (casAdvance(table, cand, Some(v))) cand
         else {
@@ -2161,8 +2193,24 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       if (extraKeys.nonEmpty) {
         val paths = extraKeys.map(k => tableDir(table).resolve(k).toString)
         val scan = spark.read.schema(schemaH).parquet(paths: _*)
-        stampedWithIds(rewrite(scan, schemaH), schemaH)
-          .write.mode("append").parquet(dir.toString)
+        // Bucket attribution of the rebase's extra rewrite files: when the
+        // candidate carries a claim AND the appends it re-bases over kept
+        // the chain claim-consistent (appendBucketed races), the extra
+        // survivors are repartitioned by the HEAD's resolved spec — same
+        // part-index-is-bucket-id contract as the main commit — and the
+        // claim survives, re-stamped under the head's (possibly renamed)
+        // column name. A plain-append race already broke the chain claim
+        // (bucketSpecOf(head) = None): strip the candidate's, because its
+        // appended files here are not bucket-attributed.
+        val candProps = commitProps(table, cand)
+        val candClaims = candProps.contains(SnapshotStore.BucketColProp) ||
+          candProps.contains(SnapshotStore.BucketNProp)
+        val headSpec = if (candClaims) bucketSpecOf(table, head) else None
+        val extraRows = stampedWithIds(rewrite(scan, schemaH), schemaH)
+        (headSpec match {
+          case Some((c, n)) => extraRows.repartition(n, col(c))
+          case None => extraRows
+        }).write.mode("append").parquet(dir.toString)
         stampedWithIds(scan.where(hit), schemaH).write.mode("append")
           .parquet(dir.resolve("_changes_removed").toString)
         changeSetOf(scan, schemaH).foreach(c => stampedWithIds(c, schemaH)
@@ -2174,19 +2222,18 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         try FileStats.writeStatsFile(
           spark.sparkContext.hadoopConfiguration, dir)
         catch { case scala.util.control.NonFatal(_) => () }
-        // The rebase just added rewrite files + tombstones, so a bucket
-        // claim the candidate re-stamped as a pure-vector link no longer
-        // holds — strip it before the link is exposed (the new files are
-        // not bucket-attributed and would corrupt SPJ planning).
-        val props = commitProps(table, cand)
-        if (props.contains(SnapshotStore.BucketColProp) ||
-            props.contains(SnapshotStore.BucketNProp)) {
-          val stripped = props - SnapshotStore.BucketColProp -
-            SnapshotStore.BucketNProp
+        if (candClaims) {
+          val rewriteProps = headSpec match {
+            case Some((c, n)) =>
+              candProps + (SnapshotStore.BucketColProp -> c) +
+                (SnapshotStore.BucketNProp -> n.toString)
+            case None => candProps - SnapshotStore.BucketColProp -
+              SnapshotStore.BucketNProp
+          }
           Files.writeString(propsFile(table, cand),
             org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
-                stripped.toList.sortBy(_._1).map { case (k, v2) =>
+                rewriteProps.toList.sortBy(_._1).map { case (k, v2) =>
                   k -> org.json4s.JString(v2) }))))
         }
       }
@@ -2287,22 +2334,29 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
               .groupBy(_.getString(0))
               .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSeq.sorted })
             .getOrElse(Map.empty)
-          // A PURE-VECTOR link (no rewrite files, no tombstones, no
-          // post-image delta — the all-sparse delete) moves no row and
-          // adds no file, so the head's bucket layout claim remains
-          // exactly as valid and is re-stamped: a sparsely-mutated
-          // bucketed fact table keeps its zero-exchange joins
-          // (DvKeyGroupedParquetScan) instead of shuffling until compact.
-          // Anything that writes files (copy-on-write survivors, update
-          // post-images) is not bucket-attributed and must not claim.
-          val bucketProps =
-            if (data.isEmpty && cowKeys.isEmpty)
-              bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-                case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-                  SnapshotStore.BucketNProp -> n.toString)
-              }
-            else Map.empty[String, String]
-          val cand = commitWith(table, data,
+          // BUCKET-CLAIM PRESERVATION across the mutation. A pure-vector
+          // link (no rewrite files) moves no row, so the claim re-stamps
+          // trivially. A link that WRITES files (copy-on-write survivors,
+          // update post-images) keeps the claim too — by making the new
+          // files bucket-attributed: the written data is repartitioned by
+          // the head's bucket spec, so each part file holds only its
+          // bucket's rows and its part index IS the bucket id, exactly
+          // commitBucketed's layout contract. Delete survivors keep their
+          // key; an update that ASSIGNS the bucket column just lands its
+          // post-image in the new key's file — either way the layout rule
+          // ("bucket b's files hold only bucket-b rows") holds, and a
+          // mutation-heavy bucketed fact table keeps its zero-exchange
+          // joins without waiting for a re-bucket.
+          val bucketSpec = bucketSpecOf(table, v)
+          val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
+            case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+              SnapshotStore.BucketNProp -> n.toString)
+          }
+          val dataOut = (bucketSpec, data) match {
+            case (Some((c, n)), Some(d)) => Some(d.repartition(n, col(c)))
+            case _ => data
+          }
+          val cand = commitWith(table, dataOut,
             changeSet = changeSetOf(matchedRows, schema),
             base = Some(v), snapshot = schema, advance = false,
             removed = cowKeys,
@@ -2662,11 +2716,25 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           .reduceOption(_.unionByName(_))
         val changeSet = (postImages.toSeq ++ inserts.toSeq)
           .reduceOption(_.unionByName(_))
-        val cand = commitWith(table, data, changeSet = changeSet,
+        // Same bucket-claim preservation as rowMutation: survivors,
+        // post-images AND inserts repartition by the head's bucket spec,
+        // so every file this merge writes is bucket-attributed (part
+        // index = bucket id) and the upserted fact table keeps its
+        // zero-exchange storage-partitioned joins.
+        val bucketSpec = bucketSpecOf(table, v)
+        val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
+          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+            SnapshotStore.BucketNProp -> n.toString)
+        }
+        val dataOut = (bucketSpec, data) match {
+          case (Some((c, n)), Some(d)) => Some(d.repartition(n, col(c)))
+          case _ => data
+        }
+        val cand = commitWith(table, dataOut, changeSet = changeSet,
           base = Some(v), snapshot = schema, advance = false,
           removed = if (hasMatchedAction) cowKeys else Nil,
           removedRows = preImages, dv = dvRecord,
-          props = Map(SnapshotStore.OpProp -> "merge"))
+          props = bucketProps + (SnapshotStore.OpProp -> "merge"))
         SnapshotStore.testRaceHook()
         if (casAdvance(table, cand, Some(v))) cand
         else {

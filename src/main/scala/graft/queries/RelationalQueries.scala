@@ -469,6 +469,54 @@ object RelationalQueries {
         ORDER BY o_orderkey""")
     }),
 
+    // Storage-partitioned join UNDER MUTATION (the r16 claim): orders and
+    // lineitem co-bucketed on the order key, then a dense copy-on-write
+    // UPDATE re-statuses an order band and a copy-on-write DELETE drops
+    // heavy lineitems — both rewrites land bucket-attributed (survivors
+    // and post-images repartition by the claimed spec at write), so the
+    // fact⋈fact join STILL plans with no exchange on either side
+    // (StoragePartitionJoinSpec pins the shape; this entry pins VALUE
+    // fidelity: the mutated-bucketed write→scan→join→agg must equal
+    // DuckDB's replay of the same mutations over the original parquet).
+    // At 100 TB this is the difference between an upsert-heavy fact table
+    // keeping its zero-exchange joins and re-bucketing after every merge.
+    // Build idempotent like q97/q99.
+    "q109_spj_mutated" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q109_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders_m")
+      store.migrateLegacyTable("lineitem_m")
+      if (store.latestVersion("orders_m").isEmpty) {
+        store.commitBucketed("orders_m", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+          "o_orderkey", 8)
+        store.commitBucketed("lineitem_m", Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+          "l_orderkey", 8)
+        // dense copy-on-write mutations (dvMaxFraction = 0 pins the COW
+        // path at every scale, so the bench measures the same work at
+        // sf0.01 and sf10): re-status a key band; drop heavy items
+        store.update("orders_m", col("o_orderkey") < 2000L,
+          Map("o_orderstatus" -> lit("M")), dvMaxFraction = 0.0)
+        store.delete("lineitem_m", col("l_quantity") >= 45.0,
+          dvMaxFraction = 0.0)
+      }
+      val cat = s"q109_${Tables.fingerprint(dir, "orders")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"""
+        SELECT o_orderkey, o_orderstatus,
+          count(*) AS n_items,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM $cat.orders_m JOIN $cat.lineitem_m ON o_orderkey = l_orderkey
+        WHERE o_orderkey < 8000
+        GROUP BY o_orderkey, o_orderstatus
+        ORDER BY o_orderkey""")
+    }),
+
     // DROP COLUMN round trip: commit `orders` clustered, then drop every
     // column except three as a DATA-LESS schema link (dropColumns — the
     // fat-column amputation that costs one metadata commit at 100 TB, not
@@ -1120,6 +1168,21 @@ object RelationalQueries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_orderkey < 8000
         |GROUP BY o_orderkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The mutations replay in SQL over the original parquet: the UPDATE
+    // as a CASE over the status, the DELETE as a WHERE on quantity. The
+    // bucketed layout, COW rewrite, and zero-exchange join must all be
+    // value-invisible.
+    "q109_spj_mutated" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 2000 THEN 'M' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey < 8000 AND l_quantity < 45
+        |GROUP BY 1, 2
         |ORDER BY o_orderkey""".stripMargin,
 
     // The three survivors of the drop, straight off the original parquet:

@@ -138,21 +138,151 @@ class StoragePartitionJoinSpec extends SparkSpec {
       assert(j.where(col("k") === 4241L).select("va", "vb")
         .as[(Long, Long)].head() == ((8482L, 4248L)))
     }
-    // a DENSE delete copy-on-writes survivor files that are not
-    // bucket-attributed: the claim must drop (correctness over speed)
+    // a DENSE delete copy-on-writes survivor files — which since r16 are
+    // REPARTITIONED by the bucket spec at write (part index = bucket id),
+    // so the claim survives the rewrite and the join stays zero-exchange
     st.delete("da", col("k") < 5000L)
     val v2 = st.latestVersion("da").get
-    assert(st.bucketSpecOf("da", v2).isEmpty,
-      "a rewrite-bearing delete link must not re-stamp the claim")
+    assert(st.bucketSpecOf("da", v2).contains(("k", 8)),
+      "a COW delete's bucket-attributed survivors must keep the claim")
     withSQLConf(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val j = spark.sql(
         "SELECT a.k AS k, va, vb FROM spjdv.da a JOIN spjdv.db b ON a.k = b.k")
-      assert(finalPlan(j).contains("Exchange"),
-        "a non-bucket-attributed chain must not claim co-partitioning")
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"a COW-mutated bucketed chain must stay zero-exchange:\n$plan")
       assert(j.count() == 4999L, "survivors: 5000..9998, nothing below")
+      val shuffled = withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(
+          "SELECT a.k AS k, va, vb FROM spjdv.da a JOIN spjdv.db b ON a.k = b.k")
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(shuffled._1 == 4999L)
+      assert(j.agg(sum("va"), sum("vb")).head() == shuffled._2)
     }
+  }
+
+  test("UPDATE keeps the claim — even one that moves rows across buckets") {
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-upd").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("ua", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    st.commitBucketed("ub", spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") + 7).as("vb")), "k", 8)
+    spark.conf.set("spark.sql.catalog.spju", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spju.root", r)
+    // a value update (bucket key untouched): post-images repartition into
+    // their unchanged buckets
+    st.update("ua", col("k") < 3000L, Map("va" -> (col("va") + 1000000L)))
+    assert(st.bucketSpecOf("ua", st.latestVersion("ua").get)
+      .contains(("k", 8)),
+      "an UPDATE's bucket-attributed rewrite must keep the claim")
+    // a KEY update: rows physically move to their new key's bucket file —
+    // the layout rule (bucket b's files hold only bucket-b rows) must
+    // still hold, which only the write-side repartition guarantees
+    st.update("ua", col("k") >= 9000L && col("k") < 9100L,
+      Map("k" -> (col("k") + 10000L)))
+    val v = st.latestVersion("ua").get
+    assert(st.bucketSpecOf("ua", v).contains(("k", 8)),
+      "a bucket-column UPDATE must keep the claim (rows re-bucketed at write)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spju.ua a JOIN spju.ub b ON a.k = b.k")
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"an updated bucketed chain must stay zero-exchange:\n$plan")
+      val shuffled = withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(
+          "SELECT a.k AS k, va, vb FROM spju.ua a JOIN spju.ub b ON a.k = b.k")
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j.count() == shuffled._1)
+      assert(j.agg(sum("va"), sum("vb")).head() == shuffled._2)
+      // the moved keys joined under their NEW values: 9000 -> 19000
+      assert(j.where(col("k") === 19000L).select("va").as[Long].head() ==
+        18000L, "moved row must be found in its new bucket")
+      assert(j.where(col("k") === 9000L).count() == 0,
+        "the old key must be gone")
+      assert(j.agg(count(lit(1))).head().getLong(0) == 10000L)
+    }
+  }
+
+  test("MERGE keeps the claim: upserted fact joins zero-exchange, values exact") {
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-mrg").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("fa", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    st.commitBucketed("fb", spark.range(0, 12000)
+      .select(col("id").as("k"), (col("id") + 7).as("vb")), "k", 8)
+    spark.conf.set("spark.sql.catalog.spjmg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjmg.root", r)
+    // upsert: update a band, insert 2000 new keys
+    val src = spark.range(8000, 12000)
+      .select(col("id").as("k"), (col("id") * 100).as("va"))
+    st.merge("fa", src, col("target.k") === col("source.k"),
+      matchedUpdate = Some(Map("va" -> col("source.va"))))
+    assert(st.bucketSpecOf("fa", st.latestVersion("fa").get)
+      .contains(("k", 8)),
+      "a MERGE's bucket-attributed writes must keep the claim")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        "SELECT a.k AS k, va, vb FROM spjmg.fa a JOIN spjmg.fb b ON a.k = b.k")
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"a merged bucketed chain must stay zero-exchange:\n$plan")
+      assert(j.count() == 12000L, "10000 originals + 2000 inserts all match")
+      assert(j.where(col("k") === 9000L).select("va").as[Long].head() ==
+        900000L, "updated row must carry the post-image")
+      assert(j.where(col("k") === 11000L).select("va").as[Long].head() ==
+        1100000L, "inserted row must land in its key's bucket")
+      val shuffled = withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        spark.sql(
+          "SELECT a.k AS k, va, vb FROM spjmg.fa a JOIN spjmg.fb b ON a.k = b.k")
+          .agg(sum("va"), sum("vb")).head()
+      }
+      assert(j.agg(sum("va"), sum("vb")).head() == shuffled)
+    }
+  }
+
+  test("default compact and the DV fold preserve the layout; explicit layouts drop it") {
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-cpt").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("ca", spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    st.appendBucketed("ca", spark.range(10000, 12000)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 8)
+    // sparse delete -> deletion vector; the fold rewrites bucket-attributed
+    st.delete("ca", col("k").isin(5L, 10001L))
+    assert(st.dvInChain("ca", st.latestVersion("ca").get).nonEmpty)
+    st.compactVectored("ca")
+    val vf = st.latestVersion("ca").get
+    assert(st.dvInChain("ca", vf).isEmpty, "the fold must clear the vectors")
+    assert(st.bucketSpecOf("ca", vf).contains(("k", 8)),
+      "the DV fold must keep the bucket claim")
+    // default compact: chain collapses to ONE self-contained bucketed
+    // version — small per-link files merge WITHIN buckets
+    st.compact("ca")
+    val vc = st.latestVersion("ca").get
+    assert(st.bucketSpecOf("ca", vc).contains(("k", 8)),
+      "a default compact of a bucketed chain must keep the layout")
+    val snap = spark.read.format("graft")
+      .option("root", r).option("table", "ca").load()
+    assert(snap.count() == 11998L)
+    assert(snap.where(col("k") === 11000L).select("va").as[Long].head()
+      == 22000L)
+    // an explicit layout request is a request to CHANGE layout: claim drops
+    st.compact("ca", targetPartitions = 3)
+    assert(st.bucketSpecOf("ca", st.latestVersion("ca").get).isEmpty,
+      "an explicit targetPartitions compact must drop the claim")
   }
 
   test("groupBy on the bucket column aggregates without a shuffle") {
