@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   * REWRITES record nothing; `refresh` detects them
   * (`nonFeedMutationsSince`) and falls back to ONE full recompute from
   * the current snapshot rather than silently staling (compactions are
-  * content-neutral and ignored). The view table is written only by this
+  * content-neutral and ignored). A view lagging BELOW the source's
+  * vacuum horizon (its deltas reclaimed) BOOTSTRAPS: refolds the oldest
+  * retained snapshot + retained deltas from empty
+  * (`SnapshotStore.changeFeedBootstrap`) instead of refusing — bounded
+  * by the retained bytes. The view table is written only by this
   * maintainer.
   */
 object MaterializedView {
@@ -65,16 +69,47 @@ object MaterializedView {
       keyCol: String, valCol: String): Option[Long] = {
     val h = horizon(store, viewTable)
     val since = h.getOrElse(0L)
-    val rewrites = store.nonFeedMutationsSince(srcTable, since)
-    if (rewrites.nonEmpty) {
-      // A rewrite's effect is not in any feed: recompute ONCE from the
-      // current snapshot, horizon = the snapshot's version (later change
-      // sets have strictly greater versions).
+    def recomputeFromSnapshot(): Option[Long] = {
       val v = store.latestVersion(srcTable).getOrElse(return h)
       val full = Incremental.recompute(store.read(srcTable), keyCol, valCol)
       store.commit(viewTable, full.withColumn("_up_to_version", lit(v)),
         None, Map(HorizonProp -> v.toString))
       Some(v)
+    }
+    if (since < store.vacuumHorizon(srcTable)) {
+      // The view lags BELOW the source's vacuum horizon: deltas in
+      // (since, horizon] are gone, so the maintained state's overlap with
+      // retained history is unknowable and the state itself is unusable
+      // — that information was vacuumed. BOOTSTRAP instead of refusing:
+      // refold the source's oldest retained snapshot (emitted as insert
+      // images) + every retained delta FROM EMPTY, landing exactly on
+      // the maintained aggregate at the head — bounded by the retained
+      // bytes, and the same signed-fold code path as a normal refresh.
+      // (Bare rewrites among retained history still prefer the one
+      // recompute — it reads only the NEW bytes; and schema-changing
+      // rewrites have no feed images at all.)
+      val b = store.oldestFeedVersion(srcTable)
+      if (store.nonFeedMutationsSince(srcTable, b).nonEmpty)
+        recomputeFromSnapshot()
+      else {
+        val delta = store.changeFeedBootstrap(srcTable)
+          .withColumn("_sign",
+            when(col("_change_type") === "delete", lit(-1)).otherwise(lit(1)))
+        val advanced = Incremental.advanceSigned(None, delta, keyCol, valCol,
+          "_version", "_sign")
+        if (advanced.upToEpoch == Long.MinValue) h
+        else {
+          store.commit(viewTable,
+            advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)),
+            None, Map(HorizonProp -> advanced.upToEpoch.toString))
+          Some(advanced.upToEpoch)
+        }
+      }
+    } else if (store.nonFeedMutationsSince(srcTable, since).nonEmpty) {
+      // A rewrite's effect is not in any feed: recompute ONCE from the
+      // current snapshot, horizon = the snapshot's version (later change
+      // sets have strictly greater versions).
+      recomputeFromSnapshot()
     } else {
       val delta = store.changeFeedSince(srcTable, since)
         .withColumn("_sign",

@@ -3019,6 +3019,47 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       _.unionByName(_, allowMissingColumns = true))
   }
 
+  /** The oldest committed version an incremental feed consumer can catch
+    * up FROM: the smallest version STRICTLY ABOVE the vacuum horizon.
+    * Every change set after it is retained (vacuum only ever reclaims
+    * versions at or below the horizon it persists), and its own snapshot
+    * is readable (a committed version's whole base chain survives
+    * vacuum's chain-closure keep rule) — so `(snapshot at this version) +
+    * (deltas after it)` is always a complete, gap-free reconstruction.
+    * Exists whenever the table has a committed version: the head is
+    * never reclaimed, so at least one version sits above the horizon. */
+  def oldestFeedVersion(table: String): Long = {
+    val h = vacuumHorizon(table)
+    history(table).find(_ > h).getOrElse(throw new IllegalArgumentException(
+      s"no committed version of $table above the vacuum horizon $h"))
+  }
+
+  /** BOOTSTRAP face of the change-data feed — the catch-up path for a
+    * consumer positioned BELOW the vacuum horizon (Delta's "initial
+    * snapshot + deltas" idiom for starting a CDF consumer on an already-
+    * vacuumed table). [[changeFeedSince]] refuses such a consumer loudly
+    * (its deltas are gone; an incremental fold would silently gap); this
+    * emits the OLDEST RETAINED snapshot wholesale as 'insert' images
+    * stamped at its version, followed by the true change-data feed from
+    * that version on — a complete reconstruction whose cost is bounded by
+    * O(oldest retained snapshot + retained deltas), never dependent on
+    * the vacuumed history. A lagging [[MaterializedView]] refolds this
+    * frame FROM EMPTY (its pre-horizon state's unknown overlap with the
+    * bootstrap snapshot makes the old state unusable — that information
+    * was vacuumed) and lands exactly on the maintained aggregate.
+    *
+    * Schema-CHANGING rewrites after the bootstrap version still mean
+    * resubscribe, exactly as for [[changeFeedSince]] — detect them with
+    * `nonFeedMutationsSince(table, oldestFeedVersion(table))`. */
+  def changeFeedBootstrap(table: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val b = oldestFeedVersion(table)
+    val snap = alignedToHead(table, b, readAt(table, b))
+      .withColumn("_version", lit(b))
+      .withColumn("_change_type", lit("insert"))
+    snap.unionByName(changeFeedSince(table, b), allowMissingColumns = true)
+  }
+
   /** Committed versions > `since` that mutated the table OUTSIDE the
     * change feed: bare-commit rewrites — versions with no recorded change
     * set that are neither compactions (content-neutral layout changes,

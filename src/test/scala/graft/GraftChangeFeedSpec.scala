@@ -381,6 +381,45 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(st2.changeFeedSince("t", 3L).where(col("id") === 10L).count() == 1L)
   }
 
+  test("changeFeedBootstrap reconstructs below the horizon: snapshot-as-inserts + deltas") {
+    // The remedy the refusal above names: a consumer below the horizon
+    // restarts from the oldest RETAINED snapshot emitted as insert
+    // images at its version, then true deltas — a complete, gap-free
+    // reconstruction bounded by retained bytes, whatever was vacuumed.
+    import org.apache.spark.sql.functions.{col, sum, when, lit}
+    val root = tmp("graft-feed-boot")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")) // v1
+    st.append("t", Seq((1L, 1.0), (3L, 30.0)).toDF("k", "v"))  // v2
+    st.delete("t", col("k") === 2L)                            // v3
+    st.compact("t")                                            // v4
+    st.append("t", Seq((4L, 4.0)).toDF("k", "v"))              // v5
+    st.delete("t", col("k") === 3L)                            // v6
+    st.vacuum("t", keepLast = 3)
+    assert(st.vacuumHorizon("t") >= 3L)
+    val b = st.oldestFeedVersion("t")
+    assert(b > st.vacuumHorizon("t"))
+    val feed = st.changeFeedBootstrap("t")
+    // the bootstrap's floor: all images stamped AT or AFTER the oldest
+    // retained version — nothing pretends to be vacuumed history
+    assert(feed.agg(org.apache.spark.sql.functions.min(col("_version")))
+      .head().getLong(0) == b)
+    // a signed fold of the bootstrap equals the head snapshot exactly
+    val folded = feed
+      .withColumn("_s", when(col("_change_type") === "delete", lit(-1.0))
+        .otherwise(lit(1.0)))
+      .groupBy(col("k")).agg(sum(col("v") * col("_s")).as("tv"),
+        sum(col("_s")).as("n"))
+      .where(col("n") > 0)
+      .select(col("k"), col("tv"), col("n"))
+      .as[(Long, Double, Double)].collect().toSet
+    val snap = st.read("t").groupBy(col("k"))
+      .agg(sum(col("v")).as("tv"),
+        org.apache.spark.sql.functions.count(lit(1)).cast("double").as("n"))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(folded == snap, s"bootstrap fold $folded != snapshot $snap")
+  }
+
   test("feed=cdf restart resumes from the version offset exactly-once") {
     import org.apache.spark.sql.functions.col
     val root = tmp("graft-cdf-rs")

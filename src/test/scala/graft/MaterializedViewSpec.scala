@@ -141,4 +141,43 @@ class MaterializedViewSpec extends SparkSpec {
     assert(rows(MaterializedView.read(st, "view"))
       == rows(Incremental.recompute(st.read("src"), "k", "v")))
   }
+
+  test("a view vacuumed past BOOTSTRAPS: bounded refold, exact vs recompute") {
+    import org.apache.spark.sql.functions.col
+    val st = fresh()
+    st.append("src", Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")) // v1
+    st.append("src", Seq(("a", 5.0), ("c", 3.0)).toDF("k", "v")) // v2
+    MaterializedView.refresh(st, "src", "view", "k", "v") // horizon 2
+    // history the view will MISS: a delete, a compaction, an append
+    st.delete("src", col("k") === "b")                           // v3
+    st.compact("src")                                            // v4
+    st.append("src", Seq(("d", 7.0)).toDF("k", "v"))             // v5
+    st.vacuum("src", keepLast = 2) // reclaims v1-v3: view horizon 2 < h 3
+    assert(st.vacuumHorizon("src") >= 3L, "precondition: horizon raised")
+    assert(MaterializedView.horizon(st, "view").get <
+      st.vacuumHorizon("src"), "precondition: the view lags below it")
+    // the plain feed refuses this consumer (its deltas are gone)...
+    val e = intercept[Exception](st.changeFeedSince("src", 2L).count())
+    assert(e.getMessage.contains("vacuumed"))
+    // ...but refresh BOOTSTRAPS: oldest retained snapshot + retained
+    // deltas refolded from empty, landing exactly on the recompute
+    val newH = MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(newH == Some(st.latestVersion("src").get))
+    assert(rows(MaterializedView.read(st, "view"))
+      == rows(Incremental.recompute(st.read("src"), "k", "v")))
+    assert(rows(MaterializedView.read(st, "view")) == Set(
+      ("a", 2L, BigDecimal("6.0000")), ("c", 1L, BigDecimal("3.0000")),
+      ("d", 1L, BigDecimal("7.0000"))))
+    // and incremental folding RESUMES after the bootstrap
+    st.append("src", Seq(("d", 1.0)).toDF("k", "v"))
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(rows(MaterializedView.read(st, "view"))
+      == rows(Incremental.recompute(st.read("src"), "k", "v")))
+    // a FIRST refresh against an already-vacuumed source bootstraps too
+    // (changeFeedSince(0) would refuse; a new consumer must still be able
+    // to subscribe without a side-channel recompute)
+    MaterializedView.refresh(st, "src", "view2", "k", "v")
+    assert(rows(MaterializedView.read(st, "view2"))
+      == rows(Incremental.recompute(st.read("src"), "k", "v")))
+  }
 }
