@@ -35,10 +35,164 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => CosineArgumentReorder)
+    ext.injectOptimizerRule(_ => RelyKeyOptimization)
     // ANSI UPDATE over graft catalog tables — planned straight onto
     // SnapshotStore.update (graft.plans.GraftUpdateStrategy).
     ext.injectPlannerStrategy(_ => graft.plans.GraftUpdateStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
+  }
+}
+
+/** Optimizer rule cashing in RELY'd key constraints (the POINT of
+  * accepting `PRIMARY KEY … NOT ENFORCED RELY` metadata): when a graft
+  * table declares a RELY'd PK/UNIQUE key, a `DISTINCT`/`dropDuplicates`
+  * whose keys cover it is an identity — the rows are already unique — and
+  * a `COUNT(DISTINCT key…)` is a plain `COUNT`. Both rewrites delete a
+  * whole hash-aggregate EXCHANGE from the plan, which at 100 TB is the
+  * difference between a metadata decision and re-shuffling the table.
+  *
+  * Soundness rails:
+  *   - Keys resolve through a UNIQUENESS-PRESERVING operator chain only
+  *     (Project/Filter/Sort/Limit/SubqueryAlias down to the V2 relation);
+  *     any join/explode/union in between drops the claim.
+  *   - Distinct/dedup elimination requires a NULL-SAFE key: a RELY'd
+  *     PRIMARY KEY (not-null by declaration), or a RELY'd UNIQUE whose
+  *     columns are non-nullable in the schema — SQL UNIQUE tolerates
+  *     duplicate NULLs, and GROUP BY would merge them where the scan
+  *     keeps both rows.
+  *   - `COUNT(DISTINCT …)` → `COUNT(…)` needs no null-safety: COUNT
+  *     skips any-null argument tuples on both sides, and the non-null
+  *     tuples are exactly the ones the key promises distinct.
+  *   - RELY is the user's explicit opt-in (Delta's semantic): the store
+  *     never validates these keys; without RELY nothing rewrites.
+  *
+  * Reference contract analog: the reference's schema declares concept/
+  * source PKs the AGE planner exploits implicitly (the schema SQL dump);
+  * here the claim is explicit, opt-in, surfaced via Table.constraints(). */
+object RelyKeyOptimization
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.expressions.aggregate._
+  import org.apache.spark.sql.execution.datasources.v2.{
+    DataSourceV2Relation, DataSourceV2ScanRelation}
+  import org.apache.spark.sql.connector.catalog.constraints.{
+    PrimaryKey, Unique}
+
+  /** A RELY'd key: the exprIds its columns resolve to at the current
+    * plan level, plus whether NULL duplicates are impossible (PK, or
+    * every column non-nullable). */
+  private final case class RelyKey(ids: Set[ExprId], nullSafe: Boolean)
+
+  private def tableKeys(t: org.apache.spark.sql.connector.catalog.Table,
+      output: Seq[Attribute]): Seq[RelyKey] = {
+    val byName = output.map(a => a.name.toLowerCase -> a).toMap
+    def resolve(cols: Array[
+        org.apache.spark.sql.connector.expressions.NamedReference])
+        : Option[Seq[Attribute]] = {
+      val attrs = cols.toSeq.map(c =>
+        if (c.fieldNames().length == 1) byName.get(c.fieldNames().head.toLowerCase)
+        else None)
+      if (attrs.forall(_.isDefined)) Some(attrs.map(_.get)) else None
+    }
+    try t.constraints().toSeq.flatMap {
+      case pk: PrimaryKey if pk.rely() =>
+        resolve(pk.columns()).map(as =>
+          RelyKey(as.map(_.exprId).toSet, nullSafe = true))
+      case u: Unique if u.rely() =>
+        resolve(u.columns()).map(as =>
+          RelyKey(as.map(_.exprId).toSet, nullSafe = as.forall(!_.nullable)))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** RELY'd keys visible at `plan`'s output, walked down through
+    * uniqueness-preserving operators only. A Project re-maps ids through
+    * identity/alias entries; a key any column of which is projected away
+    * is dropped. Everything else (joins, generators, unions, aggregates)
+    * conservatively ends the walk. */
+  private def uniqueKeys(plan: LogicalPlan): Seq[RelyKey] = plan match {
+    case SubqueryAlias(_, c) => uniqueKeys(c)
+    case Filter(_, c) => uniqueKeys(c)
+    case Sort(_, _, c, _) => uniqueKeys(c)
+    case GlobalLimit(_, c) => uniqueKeys(c)
+    case LocalLimit(_, c) => uniqueKeys(c)
+    case Project(pl, c) =>
+      val below = uniqueKeys(c)
+      if (below.isEmpty) Nil
+      else {
+        val mapped: Map[ExprId, ExprId] = pl.collect {
+          case a: AttributeReference => a.exprId -> a.exprId
+          case al @ Alias(ar: AttributeReference, _) => ar.exprId -> al.exprId
+        }.toMap
+        below.flatMap(k =>
+          if (k.ids.forall(mapped.contains)) Some(k.copy(ids = k.ids.map(mapped)))
+          else None)
+      }
+    case r: DataSourceV2Relation => tableKeys(r.table, r.output)
+    case r: DataSourceV2ScanRelation => tableKeys(r.relation.table, r.output)
+    case _ => Nil
+  }
+
+  /** An aggregate output a ONE-ROW group can project directly: a grouping
+    * attribute, or First/Last/Min/Max over the single row (all four are
+    * type- and value-preserving there; Sum/Avg/Count change type or
+    * value). FILTER clauses disqualify (a filtered-out singleton yields
+    * NULL, not the value). */
+  private def singleRowProjection(ne: NamedExpression,
+      groupIds: Set[ExprId]): Option[NamedExpression] = ne match {
+    case ar: AttributeReference if groupIds.contains(ar.exprId) => Some(ar)
+    case al @ Alias(e, name) => (e match {
+      case AggregateExpression(First(x, _), _, _, None, _) => Some(x)
+      case AggregateExpression(Last(x, _), _, _, None, _) => Some(x)
+      case AggregateExpression(Min(x), _, _, None, _) => Some(x)
+      case AggregateExpression(Max(x), _, _, None, _) => Some(x)
+      case ar: AttributeReference if groupIds.contains(ar.exprId) => Some(ar)
+      case _ => None
+    }).map(x => Alias(x, name)(exprId = al.exprId, qualifier = al.qualifier,
+      explicitMetadata = al.explicitMetadata))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // dropDuplicates over a covered null-safe key: identity
+    case Deduplicate(keys, child)
+        if uniqueKeys(child).exists(k =>
+          k.nullSafe && k.ids.subsetOf(keys.map(_.exprId).toSet)) =>
+      child
+    case a @ Aggregate(groups, aggs, child, _) =>
+      lazy val keys = uniqueKeys(child)
+      val groupAttrs = groups.collect { case ar: AttributeReference => ar }
+      val groupIds = groupAttrs.map(_.exprId).toSet
+      val groupsCoverKey = groups.nonEmpty &&
+        groups.length == groupAttrs.length &&
+        keys.exists(k => k.nullSafe && k.ids.subsetOf(groupIds))
+      val projected =
+        if (!groupsCoverKey) None
+        else {
+          val ps = aggs.map(singleRowProjection(_, groupIds))
+          if (ps.forall(_.isDefined)) Some(ps.map(_.get)) else None
+        }
+      projected match {
+        // DISTINCT / GROUP-BY-key over a covered null-safe key: every
+        // group is one row — the aggregate (and its exchange) deletes
+        case Some(pl) => Project(pl, child)
+        case None =>
+          // COUNT(DISTINCT key…) → COUNT(key…): no exchange for the
+          // distinct expansion; null tuples skip on both sides
+          var changed = false
+          val rewritten = aggs.map(_.transform {
+            case ae @ AggregateExpression(Count(args), _, true, None, _)
+                if args.nonEmpty &&
+                  args.forall(_.isInstanceOf[AttributeReference]) &&
+                  keys.exists(_.ids.subsetOf(
+                    args.map(_.asInstanceOf[AttributeReference].exprId).toSet)) =>
+              changed = true
+              ae.copy(isDistinct = false)
+          }.asInstanceOf[NamedExpression])
+          if (changed) a.copy(aggregateExpressions = rewritten) else a
+      }
   }
 }
 
@@ -49,10 +203,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * vector first gets the same specialized codegen as the canonical V1
   * shape, the same way Catalyst's own rules canonicalize commutative
   * arithmetic. Registered via `injectOptimizerRule` (the §2.13 extension
-  * surface); `GraftExtensions.register` cannot add optimizer rules to an
-  * already-built session, so Column-API users on a plain session simply
-  * keep the generic path — the rule is an optimization, never a
-  * correctness requirement. */
+  * surface), and post-hoc onto already-built sessions through
+  * `spark.experimental.extraOptimizations` (`GraftExtensions.register`);
+  * a plain session with neither simply keeps the generic path — the rule
+  * is an optimization, never a correctness requirement. */
 object CosineArgumentReorder
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
@@ -387,5 +541,13 @@ object GraftExtensions {
     if (missing.nonEmpty)
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies ++ missing
+    // Optimizer rules have the same post-hoc hook: extraOptimizations
+    // (extension-built sessions get them via injectOptimizerRule above).
+    val rules = Seq(CosineArgumentReorder, RelyKeyOptimization)
+    val missingRules = rules.filterNot(
+      spark.experimental.extraOptimizations.contains(_))
+    if (missingRules.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missingRules
   }
 }

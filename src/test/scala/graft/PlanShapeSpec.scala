@@ -285,4 +285,76 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanRows(df.filter(col("id").between(0L, 999L))) == BigInt(997),
       "surviving file's vector rows are subtracted")
   }
+
+  test("RELY'd keys delete redundant distinct/dedup aggregates; without RELY they stay") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("relykeys").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    val src = spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+    store.commit("pk_t", src)
+    store.addKeyConstraint("pk_t", "pk", "primary", Seq("k"), rely = true)
+    store.commit("plain_t", src) // identical data, NO constraint
+    // a UNIQUE on a NULLABLE column: null duplicates are legal, so only
+    // the count-distinct rewrite (null-skipping on both sides) may fire
+    store.commit("uq_t", src.select(
+      when(col("k") < 4999L, col("k")).as("k"), col("v")))
+    store.addKeyConstraint("uq_t", "uq", "unique", Seq("k"), rely = true)
+    def readT(t: String) = spark.read.format("graft")
+      .option("root", root).option("table", t).load()
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def aggs(df: org.apache.spark.sql.DataFrame): Int =
+      "Aggregate".r.findAllIn(plan(df)).size
+
+    // DISTINCT over the RELY'd PK: the whole aggregate (and its
+    // exchange) deletes; the unconstrained twin keeps it
+    val dRely = readT("pk_t").select(col("k"), col("v")).distinct()
+    val dPlain = readT("plain_t").select(col("k"), col("v")).distinct()
+    assert(aggs(dRely) == 0 && !plan(dRely).contains("Exchange"),
+      s"RELY'd PK distinct must be a scan:\n${plan(dRely)}")
+    assert(aggs(dPlain) > 0,
+      "without RELY the distinct must keep its aggregate")
+    assert(dRely.count() == 5000L && dPlain.count() == 5000L)
+
+    // dropDuplicates(pk ⊆ keys): identity — and VALUES equal the twin's
+    val ddRely = readT("pk_t").dropDuplicates("k")
+    assert(aggs(ddRely) == 0,
+      s"dropDuplicates over the RELY'd PK must delete:\n${plan(ddRely)}")
+    assert(ddRely.agg(sum("k"), sum("v")).head() ==
+      readT("plain_t").dropDuplicates("k").agg(sum("k"), sum("v")).head())
+
+    // COUNT(DISTINCT pk): one exchange (plain global agg), not the
+    // distinct expansion's two
+    val cdRely = readT("pk_t").agg(countDistinct(col("k")).as("c"))
+    val cdPlain = readT("plain_t").agg(countDistinct(col("k")).as("c"))
+    val exRely = "Exchange".r.findAllIn(plan(cdRely)).size
+    val exPlain = "Exchange".r.findAllIn(plan(cdPlain)).size
+    assert(exRely < exPlain,
+      s"count-distinct over a RELY'd key must drop the distinct " +
+        s"exchange ($exRely vs $exPlain):\n${plan(cdRely)}")
+    assert(cdRely.head().getLong(0) == 5000L)
+    assert(cdPlain.head().getLong(0) == 5000L)
+
+    // NULLABLE UNIQUE: distinct KEEPS its aggregate (null duplicates are
+    // legal)…
+    val dUq = readT("uq_t").select(col("k"), col("v")).distinct()
+    assert(aggs(dUq) > 0,
+      "a nullable UNIQUE key must not eliminate a distinct")
+    // …but count-distinct still rewrites (COUNT skips nulls both sides),
+    // values exact vs the un-rewritten twin semantics
+    val cdUq = readT("uq_t").agg(countDistinct(col("k")).as("c"))
+    assert("Exchange".r.findAllIn(plan(cdUq)).size < exPlain,
+      s"nullable UNIQUE count-distinct must still rewrite:\n${plan(cdUq)}")
+    assert(cdUq.head().getLong(0) == 4999L, "the null key row drops")
+
+    // a JOIN between the key and the aggregate breaks the uniqueness
+    // walk: no rewrite, even with RELY
+    val joined = readT("pk_t").as("a")
+      .join(readT("pk_t").as("b"), col("a.v") === col("b.v"))
+      .select(col("a.k").as("k")).distinct()
+    assert(aggs(joined) > 0,
+      "a join must conservatively end the uniqueness claim")
+  }
 }
