@@ -2276,7 +2276,47 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         // the chain's vectors, so this branch cannot re-trigger.
         compactVectored(table)
         attempt(retriesLeft)
-      } else {
+      } else mutationCandidate(table, v, predicate, op, dvMaxFraction)(
+        rewrite, changeSetOf, dvReplacement) match {
+        case None => v
+        case Some(cand) =>
+          SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+          casLoop(cand, v) match {
+            case Some(won) => won
+            case None if retriesLeft > 0 =>
+              // Non-append conflict (sibling delete/update/compact/
+              // rewrite): recompute against the new head after a short
+              // backoff so racing mutators interleave instead of
+              // lock-stepping.
+              Thread.sleep(math.min(25L << (maxRetries - retriesLeft), 400L))
+              attempt(retriesLeft - 1)
+            case None => throw new IllegalStateException(
+              s"$op($table) lost the commit race to conflicting rewrites " +
+                s"$maxRetries times — retry later or widen maxRetries " +
+                "(pure-append contention re-bases and cannot starve this)")
+          }
+      }
+    }
+    attempt(maxRetries)
+  }
+
+  /** One UNEXPOSED mutation candidate against snapshot `v` — the shared
+    * write step of [[rowMutation]] and [[deleteAll]]: matched-file scan,
+    * DV policy split, rewrite/post-image data (bucket-attributed when the
+    * chain claims a layout), tombstones, change images — committed with
+    * `advance = false`, pointer untouched. None when nothing matched. */
+  private def mutationCandidate(table: String, v: Long,
+      predicate: org.apache.spark.sql.Column, op: String,
+      dvMaxFraction: Double)(
+      rewrite: (DataFrame, StructType) => DataFrame,
+      changeSetOf: (DataFrame, StructType) => Option[DataFrame],
+      dvReplacement: (DataFrame, StructType) => Option[DataFrame])
+      : Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val hit = coalesce(predicate, lit(false))
+    val live = liveDataFiles(table, v)
+    if (live.isEmpty) None
+    else {
         val schema = snapshotSchema(table, Some(v))
         val selSchema = schema.fieldNames.map(col(_)).toIndexedSeq
         val chainDv = dvInChain(table, v)
@@ -2288,7 +2328,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           .where(predicate).groupBy(col("__file_key")).count()
           .collect().map(r => r.getString(0) -> r.getLong(1))
           .toSeq.sortBy(_._1)
-        if (matchedCounts.isEmpty) v
+        if (matchedCounts.isEmpty) None
         else {
           // DV policy split: a file goes row-granular when the manifest
           // knows its LIVE row count (total minus accumulated DV) and the
@@ -2356,31 +2396,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
             case (Some((c, n)), Some(d)) => Some(d.repartition(n, col(c)))
             case _ => data
           }
-          val cand = commitWith(table, dataOut,
+          Some(commitWith(table, dataOut,
             changeSet = changeSetOf(matchedRows, schema),
             base = Some(v), snapshot = schema, advance = false,
             removed = cowKeys,
             removedRows = Some(matchedRows.select(selSchema: _*)),
-            dv = dvRecord, props = bucketProps + (SnapshotStore.OpProp -> op))
-          SnapshotStore.testRaceHook() // spec seam: force a sibling commit
-          casLoop(cand, v) match {
-            case Some(won) => won
-            case None if retriesLeft > 0 =>
-              // Non-append conflict (sibling delete/update/compact/
-              // rewrite): recompute against the new head after a short
-              // backoff so racing mutators interleave instead of
-              // lock-stepping.
-              Thread.sleep(math.min(25L << (maxRetries - retriesLeft), 400L))
-              attempt(retriesLeft - 1)
-            case None => throw new IllegalStateException(
-              s"$op($table) lost the commit race to conflicting rewrites " +
-                s"$maxRetries times — retry later or widen maxRetries " +
-                "(pure-append contention re-bases and cannot starve this)")
-          }
+            dv = dvRecord, props = bucketProps + (SnapshotStore.OpProp -> op)))
         }
-      }
     }
-    attempt(maxRetries)
   }
 
   /** Row-level UPDATE at O(matched files) write cost — `delete`'s
@@ -3230,6 +3253,104 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     appendAllCommit(appendAllPrepare(rows), rows)
   }
 
+  /** ATOMIC MULTI-TABLE DELETE — the reference's CASCADE-delete shape
+    * (learned-concept delete removes the concept row AND its owned
+    * edges/instances in one tx, api/app/lib/age_client/query.py:277-483):
+    * every table's predicate-delete commits together or not at all, so no
+    * reader can ever observe the dangling half of a cascade (an edge
+    * whose concept is gone, or a concept whose edges outlived it).
+    *
+    * Mechanics: each table's delete prepares EXACTLY like [[delete]] —
+    * matched-file scan, DV policy split, bucket-attributed survivors,
+    * tombstones, delete images — as an unexposed candidate
+    * ([[mutationCandidate]]); the commit point is [[appendAll]]'s
+    * write-ahead intent protocol: under the sorted pointer locks every
+    * table's base is re-validated, the `_txn/` intent lands (the
+    * roll-forward point — a crash after it completes the WHOLE cascade
+    * via [[recoverPendingTxns]]), sentinels stamp, pointers move, intent
+    * deleted. Tables whose predicate matched nothing participate in the
+    * validation (the cascade serializes against them too) but commit no
+    * version.
+    *
+    * UNLIKE appendAll, a stale base cannot relink: deletes do not commute
+    * with sibling commits — the matched-file set itself is stale — so ALL
+    * candidates are discarded and the transaction re-prepares against the
+    * new heads, bounded by `maxRetries` with backoff (merge's
+    * recompute-on-conflict posture, extended to the transaction). */
+  def deleteAll(predicates: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 5,
+      dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction)
+      : Map[String, Long] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    require(predicates.nonEmpty, "deleteAll requires at least one table")
+    recoverPendingTxns()
+    val tables = predicates.keys.toSeq.sorted
+    def discard(t: String, cand: Long): Unit = {
+      val w = Files.walk(versionDir(t, cand))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    @tailrec def attempt(retriesLeft: Int): Map[String, Long] = {
+      // per-table chain-vector backstop, like any mutation (committed
+      // separately BEFORE the transaction: the fold is content-neutral)
+      tables.foreach { t =>
+        latestVersion(t).foreach { v =>
+          if (dvInChain(t, v).valuesIterator.map(_.size.toLong).sum >
+              dvChainFoldRows) compactVectored(t)
+        }
+      }
+      val bases: Map[String, Long] = tables.map { t =>
+        t -> latestVersion(t).getOrElse(throw new IllegalArgumentException(
+          s"no committed version of $t"))
+      }.toMap
+      val cands: Map[String, Option[Long]] = tables.map { t =>
+        val hit = coalesce(predicates(t), lit(false))
+        t -> mutationCandidate(t, bases(t), predicates(t), "delete",
+          dvMaxFraction)(
+          rewrite = (matchedScan, _) => matchedScan.where(not(hit)),
+          changeSetOf = (_, _) => None,
+          dvReplacement = (_, _) => None)
+      }.toMap
+      val withCand = tables.filter(cands(_).isDefined)
+      if (withCand.isEmpty) bases // nothing matched anywhere: no-op tx
+      else {
+        SnapshotStore.testRaceHook() // spec seam: force a sibling commit
+        val committed = underPointerLocks(tables) {
+          // EVERY table re-validates, matched or not: the cascade's
+          // serialization point must see all its tables at the prepared
+          // bases (a sibling landing on a no-match table could have
+          // added rows the predicate would now match).
+          val stale = tables.filter(t => !latestVersion(t).contains(bases(t)))
+          if (stale.nonEmpty) None
+          else {
+            val intent = writeTxnIntent(
+              withCand.map(t => t -> cands(t).get).toMap)
+            SnapshotStore.testTxnIntentHook() // spec seam: crash after intent
+            withCand.foreach { t =>
+              val v = cands(t).get
+              stampCommitted(t, v)
+              if (latestVersion(t).forall(_ < v)) movePointer(t, v)
+            }
+            Files.deleteIfExists(intent)
+            Some(tables.map(t => t -> cands(t).getOrElse(bases(t))).toMap)
+          }
+        }
+        committed match {
+          case Some(r) => r
+          case None =>
+            withCand.foreach(t => discard(t, cands(t).get))
+            if (retriesLeft > 0) {
+              Thread.sleep(math.min(25L << (maxRetries - retriesLeft), 400L))
+              attempt(retriesLeft - 1)
+            } else throw new IllegalStateException(
+              s"deleteAll(${tables.mkString(", ")}) lost the commit race " +
+                s"$maxRetries times — retry later or widen maxRetries")
+        }
+      }
+    }
+    attempt(maxRetries)
+  }
+
   /** Steps 2-4 of [[appendAll]] (multi-CAS with relink-on-stale), exposed
     * so a spec can force a sibling commit between prepare and commit. */
   private[graft] def appendAllCommit(cands0: Map[String, (Long, Option[Long])],
@@ -3643,6 +3764,11 @@ object SnapshotStore {
     * recompute paths are otherwise only reachable by lucky scheduling).
     * A no-op outside specs. */
   private[graft] var testRaceHook: () => Unit = () => ()
+
+  /** Spec seam: fires right after a multi-table txn INTENT lands (the
+    * roll-forward point) and before any pointer moves — a throw here
+    * simulates the crash recoverPendingTxns must complete forward. */
+  private[graft] var testTxnIntentHook: () => Unit = () => ()
 
   /** Test hook: drop memoized schemas/manifests. Specs tamper with
     * committed version directories to simulate legacy or corrupted stores,

@@ -205,4 +205,95 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     assert(h2 == h2.sorted)
     h2.foreach(v => store.readAt("t2", v).count())
   }
+
+  test("cascade deletes race atomic appends: no reader ever observes a dangling edge") {
+    // The reference's cascade shape under free-running schedules: each
+    // ingest lands (concept + its edges) via appendAll, each retirement
+    // removes (concept + its edges) via deleteAll. Invariants:
+    //   - END STATE: edges reference exactly the surviving concepts —
+    //     never an edge whose concept is gone nor a concept that kept a
+    //     retired edge;
+    //   - MID-RACE: the E1→C→E2 read protocol. Two reads are two pointer
+    //     resolutions, so pure read-skew can show an edge in E1 whose
+    //     concept a cascade removed before C — but then the SAME cascade
+    //     already removed its edges, so the dangler must be gone from a
+    //     RE-read E2. A half-committed cascade (concept gone, edges
+    //     still there across both reads) fails this; atomic commits
+    //     cannot.
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz2").toString
+    val store = new SnapshotStore(spark, root)
+    store.commit("concepts", Seq((0L, 0L)).toDF("cid", "gen"))
+    store.commit("edges", Seq((0L, 0L)).toDF("eid", "cid"))
+
+    val writers = 3
+    val opsPerWriter = 7
+    val ingested = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long]) // concept ids
+    val retired = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long])
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            val rnd = new Random(7100L + w)
+            var nextCid = (w + 1) * 1000000L
+            (1 to opsPerWriter).foreach { _ =>
+              rnd.nextInt(3) match {
+                case 0 | 1 => // atomic ingest: concept + 2 owned edges
+                  nextCid += 1
+                  val cid = nextCid
+                  st.appendAll(Map(
+                    "concepts" -> Seq((cid, w.toLong)).toDF("cid", "gen"),
+                    "edges" -> Seq((cid * 10, cid), (cid * 10 + 1, cid))
+                      .toDF("eid", "cid")))
+                  ingested(w).synchronized { ingested(w) += cid }
+                case 2 => // atomic cascade retirement of an OWN concept
+                  val mine = ingested(w).synchronized {
+                    (ingested(w) -- retired(w)).toSeq }
+                  if (mine.nonEmpty) {
+                    val cid = mine(rnd.nextInt(mine.size))
+                    st.deleteAll(Map(
+                      "concepts" -> (col("cid") === cid),
+                      "edges" -> (col("cid") === cid)), maxRetries = 25)
+                    retired(w).synchronized { retired(w) += cid }
+                  }
+              }
+              // the E1→C→E2 dangling probe, every iteration, mid-race
+              val e1 = st.read("edges").select("cid").as[Long].collect().toSet
+              val c = st.read("concepts").select("cid").as[Long].collect().toSet
+              val danglers = e1 -- c
+              if (danglers.nonEmpty) {
+                val e2 = st.read("edges").select("cid").as[Long].collect().toSet
+                assert((danglers & e2).isEmpty,
+                  s"HALF-COMMITTED cascade visible: edges of ${danglers & e2} " +
+                    "survived two reads with their concepts gone")
+              }
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"writer failed: $f")
+    }
+    // end state: survivors exactly, on both tables, edge set derived
+    val survivors = (0 until writers)
+      .flatMap(w => ingested(w) -- retired(w)).toSet + 0L
+    val cids = store.read("concepts").select("cid").as[Long].collect()
+    assert(cids.length == cids.toSet.size)
+    assert(cids.toSet == survivors,
+      s"lost=${survivors -- cids.toSet} phantom=${cids.toSet -- survivors}")
+    val edgeCids = store.read("edges").select("cid").as[Long].collect().toSet
+    assert(edgeCids == survivors,
+      s"dangling=${edgeCids -- survivors} orphanedConcepts=${survivors -- edgeCids}")
+    val eids = store.read("edges").select("eid").as[Long].collect()
+    assert(eids.length == eids.toSet.size, "no edge may appear twice")
+    assert(eids.toSet == survivors.flatMap(c =>
+      if (c == 0L) Set(0L) else Set(c * 10, c * 10 + 1)))
+  }
 }

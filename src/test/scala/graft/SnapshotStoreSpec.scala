@@ -1015,6 +1015,95 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(hist == hist.sorted && hist.distinct == hist)
   }
 
+  test("deleteAll: a cascade delete is one commit point across tables") {
+    val st = freshStore()
+    st.commit("concepts", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("eid", "cid"))
+    st.commit("other", Seq((99L, 9L)).toDF("eid", "cid"))
+    val vOther = st.latestVersion("other").get
+    // cascade: concept 1 and its owned edges go together; `other` has no
+    // match and participates only in the serialization point
+    val r = st.deleteAll(Map(
+      "concepts" -> (col("cid") === 1L),
+      "edges" -> (col("cid") === 1L),
+      "other" -> (col("cid") === 1L)))
+    assert(st.read("concepts").select("cid").as[Long].collect().toSet ==
+      Set(2L, 3L))
+    assert(st.read("edges").select("eid").as[Long].collect().toSet ==
+      Set(12L))
+    assert(r("other") == vOther && st.latestVersion("other").get == vOther,
+      "a no-match table commits NO version")
+    assert(r("concepts") == st.latestVersion("concepts").get)
+    // delete images recorded per table (the feeds see the cascade)
+    assert(st.deletedRowsAt("concepts", r("concepts")).get.count() == 1L)
+    assert(st.deletedRowsAt("edges", r("edges")).get.count() == 2L)
+    // nothing matched anywhere: a clean no-op, no versions committed
+    val before = (st.latestVersion("concepts").get, st.latestVersion("edges").get)
+    st.deleteAll(Map("concepts" -> (col("cid") === 777L),
+      "edges" -> (col("cid") === 777L)))
+    assert((st.latestVersion("concepts").get,
+      st.latestVersion("edges").get) == before)
+  }
+
+  test("deleteAll: a sibling landing mid-prepare forces a full re-prepare") {
+    val st = freshStore()
+    st.commit("concepts", Seq((1L, "a"), (2L, "b")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L), (12L, 2L)).toDF("eid", "cid"))
+    val sibling = new SnapshotStore(spark, st.root)
+    var fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true
+      // the sibling adds an EDGE OF THE DOOMED CONCEPT after the
+      // candidates were prepared — the stale base must discard the whole
+      // tx and re-prepare, or the new edge would dangle
+      sibling.append("edges", Seq((13L, 1L)).toDF("eid", "cid"))
+    }
+    try st.deleteAll(Map(
+      "concepts" -> (col("cid") === 1L), "edges" -> (col("cid") === 1L)))
+    finally SnapshotStore.testRaceHook = () => ()
+    assert(fired)
+    assert(st.read("concepts").select("cid").as[Long].collect().toSet == Set(2L))
+    assert(st.read("edges").select("eid").as[Long].collect().toSet == Set(12L),
+      "the re-prepared cascade must catch the racing edge 13")
+  }
+
+  test("deleteAll: a crash after the intent rolls the WHOLE cascade forward") {
+    val st = freshStore()
+    st.commit("concepts", Seq((1L, "a"), (2L, "b")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L), (12L, 2L)).toDF("eid", "cid"))
+    val (vc, ve) = (st.latestVersion("concepts").get, st.latestVersion("edges").get)
+    SnapshotStore.testTxnIntentHook =
+      () => throw new RuntimeException("simulated crash after intent")
+    val e = intercept[RuntimeException](st.deleteAll(Map(
+      "concepts" -> (col("cid") === 1L), "edges" -> (col("cid") === 1L))))
+    SnapshotStore.testTxnIntentHook = () => ()
+    assert(e.getMessage.contains("simulated crash"))
+    // nothing exposed yet — the crash happened before any pointer moved
+    assert(st.latestVersion("concepts").get == vc)
+    assert(st.latestVersion("edges").get == ve)
+    // the NEXT resolution rolls the intent forward: both halves land
+    st.recoverPendingTxns()
+    assert(st.read("concepts").select("cid").as[Long].collect().toSet == Set(2L))
+    assert(st.read("edges").select("eid").as[Long].collect().toSet == Set(12L))
+  }
+
+  test("deleteAll: a crash BEFORE the intent exposes nothing (all-or-none)") {
+    val st = freshStore()
+    st.commit("concepts", Seq((1L, "a")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L)).toDF("eid", "cid"))
+    var fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true; throw new RuntimeException("simulated crash before intent")
+    }
+    val e = intercept[RuntimeException](st.deleteAll(Map(
+      "concepts" -> (col("cid") === 1L), "edges" -> (col("cid") === 1L))))
+    SnapshotStore.testRaceHook = () => ()
+    assert(e.getMessage.contains("simulated crash"))
+    st.recoverPendingTxns() // nothing to roll forward
+    assert(st.read("concepts").count() == 1L, "no half-cascade exposed")
+    assert(st.read("edges").count() == 1L)
+  }
+
   test("epoch clock integration: committed version drives Freshness") {
     val st = freshStore()
     st.commit("events", Seq(1L).toDF("event_id"))
