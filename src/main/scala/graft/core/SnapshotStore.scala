@@ -2984,12 +2984,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * [[changesSince]] (which remains the insert-only feed the streaming
     * connector serves); same O(delta-directories) plan, same
     * `vacuum(keepLast)` lag bound. REWRITE versions (INSERT OVERWRITE /
-    * bare commits) recorded no images, but — same-schema rewrites only —
-    * their images are SYNTHESIZED from the retained snapshots: the whole
-    * pre-rewrite snapshot as 'delete' rows and the new snapshot as
-    * 'insert' rows at the rewrite's version, O(old + new) read and zero
-    * storage amplification. Folding the feed is then exact across
-    * overwrites. Schema-CHANGING rewrites stay out (resubscribe) —
+    * bare commits) recorded no images, but — same-schema AND
+    * LOSSLESS-WIDEN rewrites (every pre-rewrite column survives with its
+    * type; the rewrite only ADDS columns) — their images are SYNTHESIZED
+    * from the retained snapshots: the whole pre-rewrite snapshot as
+    * 'delete' rows (new columns null-padded by the union) and the new
+    * snapshot as 'insert' rows at the rewrite's version, O(old + new)
+    * read and zero storage amplification. Folding the feed is then exact
+    * across overwrites, including add-column overwrites. Drop/retype
+    * rewrites stay out (resubscribe) —
     * [[nonFeedMutationsSince]] detects every rewrite either way, so a
     * consumer preferring one recompute over folding old+new images (a
     * maintained aggregate: recompute reads only NEW bytes) can branch.
@@ -3003,10 +3006,23 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       .flatMap(v => deletedRowsAt(table, v)
         .map(d => alignedToHead(table, v, d).withColumn("_version", lit(v))
           .withColumn("_change_type", lit("delete"))))
-    def sameSchema(a: Long, b: Long): Boolean = {
+    // `b` widens `a` losslessly: every column of `a` survives in `b`
+    // with its exact type — matched by field ID where both carry IDs
+    // (rename-safe), by case-insensitive name otherwise — so `b` at most
+    // ADDS columns (or reorders). Then the old snapshot's delete images
+    // union into the feed frame with the new columns null-padded, and a
+    // fold over any pre-rewrite column is exact. A DROP or RETYPE fails
+    // this and stays resubscribe.
+    def widensTo(a: Long, b: Long): Boolean = {
       val (sa, sb) = (snapshotSchema(table, Some(a)), snapshotSchema(table, Some(b)))
-      sa.length == sb.length && sa.fields.zip(sb.fields).forall { case (x, y) =>
-        x.name.equalsIgnoreCase(y.name) && x.dataType == y.dataType }
+      val byId: Map[Long, org.apache.spark.sql.types.StructField] =
+        sb.fields.flatMap(f => SnapshotStore.fieldIdOf(f).map(_ -> f)).toMap
+      val byName = sb.fields.map(f => f.name.toLowerCase -> f).toMap
+      sa.fields.forall { f =>
+        SnapshotStore.fieldIdOf(f).flatMap(byId.get)
+          .orElse(byName.get(f.name.toLowerCase))
+          .exists(_.dataType == f.dataType)
+      }
     }
     val rewriteImages = nonFeedMutationsSince(table, sinceVersion).flatMap { v =>
       // The synthesized before-image is sound only when the resolved
@@ -3027,7 +3043,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           s"change feed over $table: rewrite version $v's pre-image " +
             s"snapshot was vacuumed (no retained predecessor, horizon $h)" +
             " — recompute from the snapshot or resubscribe past the rewrite")
-        case Some(p) if sameSchema(p, v) => Seq(
+        case Some(p) if widensTo(p, v) => Seq(
           alignedToHead(table, p, readAt(table, p)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("delete")),
           alignedToHead(table, v, readAt(table, v)).withColumn("_version", lit(v))
@@ -3035,7 +3051,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         case None => Seq( // a FIRST commit (nothing ever vacuumed): inserts
           alignedToHead(table, v, readAt(table, v)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("insert")))
-        case _ => Nil // schema-changing rewrite: resubscribe
+        case _ => Nil // drop/retype rewrite: resubscribe
       }
     }
     (deletes ++ rewriteImages).foldLeft(inserts)(

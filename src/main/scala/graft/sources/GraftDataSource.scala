@@ -540,7 +540,8 @@ object GraftCdfTable {
   * manifests), whose reader factory is version-specific. */
 final case class GraftCdfInputPartition(inner: InputPartition,
     changeType: String, version: Long,
-    factory: Option[PartitionReaderFactory] = None) extends InputPartition {
+    factory: Option[PartitionReaderFactory] = None,
+    padNulls: Int = 0) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -619,6 +620,34 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
         a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
   }
 
+  /** LOSSLESS-WIDEN bind of version `v` to the subscriber schema, both
+    * directions of the add-column overwrite:
+    *   - `v` WIDER than the subscriber (a pinned narrow consumer reads
+    *     the post-widen snapshot): the extra columns are PRUNED away —
+    *     the insert feed's "added columns drop from a pinned feed"
+    *     contract, extended to synthesized images;
+    *   - `v` NARROWER (a consumer restarted after the widen reads the
+    *     pre-widen snapshot): the subscriber's trailing added columns
+    *     NULL-pad — sound because an add-column rewrite's old rows hold
+    *     exactly null there, and positional because adds append at the
+    *     schema's end (a missing column that is NOT a trailing suffix —
+    *     a drop, retype, or rename — fails the bind and stays
+    *     resubscribe).
+    * Returns (the pruned read schema, how many trailing subscriber
+    * columns the reader must null-pad). */
+  private def schemaWidens(v: Long)
+      : Option[(StructType, Int)] = {
+    val s = store.snapshotSchema(table, Some(v))
+    val picked = tableSchema.fields.map(b =>
+      s.fields.find(a => a.name.equalsIgnoreCase(b.name) &&
+        a.dataType == b.dataType))
+    val missing = picked.zipWithIndex.collect { case (None, i) => i }.toSeq
+    val suffixStart = tableSchema.length - missing.length
+    if (missing == (suffixStart until tableSchema.length))
+      Some((StructType(picked.flatten.toSeq), missing.length))
+    else None
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftVersionOffset].version
     val to = end.asInstanceOf[GraftVersionOffset].version
@@ -651,13 +680,16 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
     // resubscribe. Planned through the full snapshot scan machinery
     // (GraftTable.forSnapshot: tombstones, deletion vectors, manifests),
     // each side carrying its version-specific reader factory.
-    // Schema-changing rewrites stay out (resubscribe; see schemaBinds).
+    // Drop/retype rewrites stay out (resubscribe); LOSSLESS-WIDEN ones
+    // (add-column overwrites) serve under the subscriber's pinned schema
+    // via column pruning — see schemaWidens.
     val rewrites = store.nonFeedMutationsSince(table, from)
       .filter { v =>
         // BOTH snapshots must bind, or neither image is emitted — inserts
         // without the matching deletes would corrupt consumer state
-        v <= to && schemaBinds(v) &&
-          store.history(table).filter(_ < v).lastOption.forall(schemaBinds)
+        v <= to && schemaWidens(v).isDefined &&
+          store.history(table).filter(_ < v).lastOption
+            .forall(schemaWidens(_).isDefined)
       }.flatMap { v =>
         val prev = store.history(table).filter(_ < v).lastOption
         // predecessor-integrity under vacuum (see changeFeedSince): a
@@ -670,11 +702,14 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
               s"snapshot was vacuumed (retention horizon $h) — recompute " +
               "from the snapshot or resubscribe past the rewrite")
         def side(ver: Long, tag: String): Seq[GraftCdfInputPartition] = {
-          val batch = ParquetTableShim.unfilteredBatch(
-            GraftTable.forSnapshot(spark, store, table, Some(ver)))
+          val (proj, pad) = schemaWidens(ver).getOrElse(
+            throw new IllegalStateException(
+              s"feed=cdf over $table: version $ver stopped binding mid-plan"))
+          val batch = ParquetTableShim.projectedBatch(
+            GraftTable.forSnapshot(spark, store, table, Some(ver)), proj)
           val f = batch.createReaderFactory()
           batch.planInputPartitions().toSeq
-            .map(GraftCdfInputPartition(_, tag, v, Some(f)))
+            .map(GraftCdfInputPartition(_, tag, v, Some(f), pad))
         }
         prev.toSeq.flatMap(p => side(p, "delete")) ++ side(v, "insert")
       }
@@ -703,9 +738,13 @@ final class GraftCdfReaderFactory(
     // pre-adoption legacy versions) reads through it; everything else
     // through the stream's default
     val innerReader = cp.factory.getOrElse(inner).createReader(cp.inner)
+    // padNulls: trailing subscriber columns absent from this partition's
+    // snapshot (a pre-widen image read by a post-widen subscriber) —
+    // null-filled ahead of the constant tags, positions intact
     val tags = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(cp.changeType),
-        cp.version))
+      Array.fill[Any](cp.padNulls)(null) ++
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(cp.changeType),
+          cp.version))
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {

@@ -109,6 +109,24 @@ object ParquetTableShim {
   def unfilteredBatch(t: Table): org.apache.spark.sql.connector.read.Batch =
     t.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+
+  /** [[unfilteredBatch]] with the output PRUNED to `required` (standard
+    * column pushdown, so the reader emits exactly `required`'s columns in
+    * its order) — what lets a pinned feed subscriber read a WIDER
+    * snapshot (a lossless-widen rewrite) under its own subscription
+    * schema, positional binding intact. */
+  def projectedBatch(t: Table,
+      required: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.connector.read.Batch = {
+    val sb = t.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(required)
+      case _ => ()
+    }
+    sb.build().toBatch
+  }
 }
 
 /** [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]]

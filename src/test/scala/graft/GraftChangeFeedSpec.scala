@@ -193,6 +193,75 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(ow2.where(col("_change_type") === "insert").count() == 3L)
   }
 
+  test("feed=cdf survives an ADD-COLUMN overwrite: widened images, no resubscribe") {
+    // The lossless-widen CDF parity point: a rewrite that only ADDS
+    // columns keeps both feed twins exact — the batch feed null-pads the
+    // pre-image's new columns (unionByName), the streaming feed serves
+    // both directions of the schema skew (a pinned narrow subscriber
+    // prunes the post-image; a restarted wide subscriber null-pads the
+    // pre-image's trailing adds). Drop/retype keeps the refusal.
+    import org.apache.spark.sql.functions.{col, count, sum, when}
+    val root = tmp("graft-cdf-wide")
+    val st = new SnapshotStore(spark, root)
+    val sink = tmp("graft-cdf-wide-out")
+    val ckpt = tmp("graft-cdf-wide-ck")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "t").option("feed", "cdf")
+        .load().writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    st.append("t", Seq(("a", 1.0), ("b", 5.0)).toDF("k", "v"))
+    run() // consumer live BEFORE the widen, at schema (k, v)
+    // the ADD-COLUMN overwrite: k and v survive with their types; w is new
+    st.commit("t", Seq(("b", 5.0, 10L), ("c", 9.0, 20L)).toDF("k", "v", "w"))
+    st.append("t", Seq(("d", 3.0, 30L)).toDF("k", "v", "w"))
+    run() // restart AFTER the widen: the re-resolved (k,v,w) subscriber
+          // reads the narrow pre-image with w null-padded — no resubscribe
+    val out = spark.read.option("mergeSchema", "true").parquet(sink)
+    val owVersion = st.history("t").filter(v =>
+      st.nonFeedMutationsSince("t", v - 1).contains(v)).head
+    val ow = out.where(col("_version") === owVersion)
+      .select("k", "v", "w", "_change_type")
+      .as[(String, Double, Option[Long], String)]
+      .collect().groupBy(identity).view.mapValues(_.length).toMap
+    assert(ow == Map(
+      ("a", 1.0, None, "delete") -> 1, ("b", 5.0, None, "delete") -> 1,
+      ("b", 5.0, Some(10L), "insert") -> 1,
+      ("c", 9.0, Some(20L), "insert") -> 1), ow.toString)
+    // signed fold over the shared columns == the head snapshot exactly
+    val folded = out
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .where(col("n") =!= 0)
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    val snap = st.read("t").groupBy("k")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("total"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(folded == snap, s"signed fold $folded must equal snapshot $snap")
+    // the batch twin folds exactly too, pre-images null-padded on w
+    val batch = st.changeFeedSince("t", 0L)
+    assert(batch.where(col("_version") === owVersion &&
+      col("_change_type") === "delete" && col("w").isNull).count() == 2L)
+    val batchFolded = batch
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .where(col("n") =!= 0)
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(batchFolded == snap, s"batch fold $batchFolded vs $snap")
+    // a DROP-column overwrite is NOT lossless: both twins keep the refusal
+    val pre = st.latestVersion("t").get
+    st.commit("t", Seq(("z", 2.0)).toDF("k", "v")) // w dropped
+    assert(st.nonFeedMutationsSince("t", pre).nonEmpty)
+    assert(st.changeFeedSince("t", pre).where(col("_change_type") === "insert")
+      .count() == 0L, "a narrowing rewrite must not leak images")
+  }
+
   test("the feed reads across a metadata RENAME: old deltas resolve by field ID") {
     // A subscription resolves the table's LATEST schema; the history it
     // replays spans the rename, so PRE-rename change sets — files written
