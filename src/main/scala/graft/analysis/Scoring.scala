@@ -133,25 +133,51 @@ object Scoring {
     * pair stream itself never shuffles, exactly like the former
     * join+groupBy but without the two membership exchanges feeding it.
     * Per-concept state is its ontology SET — bounded by the ontology
-    * count, which is dims-scale by definition (same k² emission bound as
-    * the self-join had; a concept in k ontologies contributes k² either
-    * way). Input need not be pre-deduped. */
+    * count, which is dims-scale by definition. Input need not be
+    * pre-deduped.
+    *
+    * r16: the pair emission is HALVED — shared counts are symmetric, so
+    * each concept emits only its ordered (i < j) pairs from the SORTED
+    * ontology array (posexplode + tail slice: k(k-1)/2 + k rows instead
+    * of the double explode's k²), and the missing orientation is MIRRORED
+    * after aggregation, on the tiny (ont_a, ont_b) group table instead of
+    * the fact-scale pair stream. Same output, same order-insensitivity;
+    * measured ~5-10% off q43's sf10 wall (BenchOne min-of-2: 7.45 →
+    * 6.8-7.1 s) — the query's floor is the 60M-row membership scan +
+    * collect_set aggregation, which the halving cannot touch. A raised
+    * objectHashAggregate fallback threshold was ALSO tried and measured
+    * 2.5× WORSE (17.9 s): the sort-based fallback beats a 100k-entry
+    * object hash map here, so the default stays. */
   def ontologyAffinityAll(membership: DataFrame): DataFrame = {
     // Referenced twice (pairs + totals): materialize the grouped view
     // once, LAZILY. Post-grouping it's one row per concept with a small
     // array — entities-scale, not fact-scale.
+    // sort_array is CORRECTNESS, not cosmetics: the half-pair emission
+    // keys each unordered pair by (min, max), so two concepts sharing the
+    // same pair always land on the SAME group key — without the canonical
+    // order the count would split across (x,y) and (y,x) and the mirror
+    // would emit duplicate keys.
     val perConcept = membership
       .groupBy(col("concept_id"))
-      .agg(collect_set(col("ontology")).as("__onts"))
+      .agg(sort_array(collect_set(col("ontology"))).as("__onts"))
       .localCheckpoint(false)
     val totals = perConcept.select(explode(col("__onts")).as("ont_b"))
       .groupBy("ont_b").agg(count(lit(1)).as("target_total"))
-    val shared = perConcept
-      .select(col("__onts"), explode(col("__onts")).as("ont_a"))
-      .select(col("ont_a"), explode(col("__onts")).as("ont_b"))
-      .where(col("ont_a") =!= col("ont_b"))
+    // i < j pairs only: for each position, pair with the strictly-later
+    // tail of the sorted set — the slice's generate emits exactly the
+    // half-pair stream, no self rows, no post-filter
+    val half = perConcept
+      .select(col("__onts"),
+        posexplode(col("__onts")).as(Seq("__i", "ont_a")))
+      .select(col("ont_a"),
+        explode(expr("slice(__onts, __i + 2, size(__onts))")).as("ont_b"))
       .groupBy("ont_a", "ont_b")
       .agg(count(lit(1)).as("shared_concepts"))
+    // mirror the aggregated pairs (ontology² rows — dims-scale) to
+    // restore the full ordered table consumers expect
+    val shared = half.unionAll(half.select(
+      col("ont_b").as("ont_a"), col("ont_a").as("ont_b"),
+      col("shared_concepts")))
     shared.join(broadcast(totals), "ont_b")
       .withColumn("affinity", col("shared_concepts") / col("target_total").cast("double"))
       .select(col("ont_a"), col("ont_b"), col("shared_concepts"),
