@@ -677,17 +677,22 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // own id, or an append raced a metadata rename whose winning link
     // owns the name under the original id — the already-written files
     // would read NULL under the new pinned schema (id matching, not
-    // name). The candidate directory is UNEXPOSED, so the delta's data
-    // and change-set files are lawfully rewritten restamped: O(delta),
-    // only on the racing path, never in steady state (existing columns'
-    // ids are lineage-stable).
+    // name). A delta with NO stamped id at all diverges the same way: a
+    // LEGACY append racing a winning adoptFieldIds relinks ID-less
+    // parquet under an ID'd pinned schema, and Spark's ID-matched reader
+    // then REFUSES the whole file ("read schema expects field Ids") —
+    // found by the adoption-race fuzz, so absent ids count as divergent
+    // and restamp too. The candidate directory is UNEXPOSED, so the
+    // delta's data and change-set files are lawfully rewritten
+    // restamped: O(delta), only on the racing path, never in steady
+    // state (existing columns' ids are lineage-stable).
     if (SnapshotStore.schemaHasFieldIds(merged)) {
       val mergedIds = merged.fields
         .flatMap(f => SnapshotStore.fieldIdOf(f).map(f.name.toLowerCase -> _))
         .toMap
       val divergent = writtenDelta.fields.exists(f =>
-        SnapshotStore.fieldIdOf(f).exists(id =>
-          mergedIds.get(f.name.toLowerCase).exists(_ != id)))
+        mergedIds.get(f.name.toLowerCase).exists(mid =>
+          !SnapshotStore.fieldIdOf(f).contains(mid)))
       if (divergent) {
         val target = StructType(writtenDelta.fields.map { f =>
           merged.fields.find(_.name.equalsIgnoreCase(f.name))

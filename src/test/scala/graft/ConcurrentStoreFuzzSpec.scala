@@ -296,4 +296,193 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     assert(eids.toSet == survivors.flatMap(c =>
       if (c == 0L) Set(0L) else Set(c * 10, c * 10 + 1)))
   }
+
+  test("adoptFieldIds races appends and DDL: no lost rows, no cross-wired columns") {
+    // The r15 upgrade path under genuine scheduling: a legacy (ID-less)
+    // table being appended to and column-DDL'd by two writers while a
+    // third fires the adoption rewrite. Invariants: every append survives
+    // exactly once with its own value (a cross-wired ID would swap
+    // values), adoption lands exactly once with DISTINCT ids, renames
+    // resolve (legacy renames rewrite, post-adoption renames restamp),
+    // and reads never throw mid-race.
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz-adopt").toString
+    val store = new SnapshotStore(spark, root)
+    store.append("t", Seq((0L, 0L)).toDF("k", "v"))
+    // strip the minted IDs from every pinned schema: the pre-r15 store
+    locally {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(root, "t")
+      val s0 = java.nio.file.Files.list(dir)
+      try s0.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("v=")).foreach { vd =>
+          val f = vd.resolve("_snapshot_schema.json")
+          if (java.nio.file.Files.exists(f)) {
+            val sch = org.apache.spark.sql.types.DataType.fromJson(
+              java.nio.file.Files.readString(f))
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            java.nio.file.Files.writeString(f,
+              org.apache.spark.sql.types.StructType(sch.fields.map(x =>
+                x.copy(metadata = org.apache.spark.sql.types.Metadata.empty))).json)
+          }
+        }
+      finally s0.close()
+    }
+    SnapshotStore.dropCachesForTests()
+    assert(!SnapshotStore.schemaHasFieldIds(store.snapshotSchema("t")),
+      "precondition: the fixture is legacy")
+
+    val writers = 3
+    val opsPerWriter = 7
+    val appended = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long])
+    val renamed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            val rnd = new Random(8200L + w)
+            var nextKey = (w + 1) * 1000000L
+            var myCol: Option[String] = None
+            (1 to opsPerWriter).foreach { i =>
+              rnd.nextInt(4) match {
+                case 0 | 1 => // append own keys — races the O(table)
+                  // adoption rewrite's CAS
+                  val ks = (0 until 1 + rnd.nextInt(2)).map { _ =>
+                    nextKey += 1; nextKey }
+                  st.append("t", ks.map(k => (k, k * 2)).toDF("k", "v"))
+                  appended(w).synchronized { appended(w) ++= ks }
+                case 2 => // the adoption — every writer may fire it;
+                  // exactly-once semantics come from the ID'd no-op
+                  if (i >= 3) st.adoptFieldIds("t", maxRetries = 50)
+                case 3 => // column DDL across the adoption boundary:
+                  // add once, rename it on a later turn (legacy rename
+                  // rewrites; post-adoption rename restamps by ID —
+                  // either path must keep values intact)
+                  myCol match {
+                    case None =>
+                      val name = s"w${w}_c"
+                      st.addColumns("t", org.apache.spark.sql.types.StructType(
+                        Seq(org.apache.spark.sql.types.StructField(name,
+                          org.apache.spark.sql.types.LongType))))
+                      myCol = Some(name)
+                      renamed.add(name)
+                    case Some(c) =>
+                      val to = s"${c}_r$i"
+                      st.renameColumns("t", Map(c -> to))
+                      renamed.remove(c); renamed.add(to)
+                      myCol = Some(to)
+                  }
+              }
+              assert(st.read("t").count() >= 1L) // reads never throw
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"writer failed: $f")
+    }
+    store.adoptFieldIds("t", maxRetries = 50) // quiesced: must land or no-op
+    val schema = store.snapshotSchema("t")
+    assert(SnapshotStore.schemaHasFieldIds(schema), "adoption must stick")
+    val ids = schema.fields.toSeq
+      .filter(_.metadata.contains(SnapshotStore.FieldIdKey))
+      .map(_.metadata.getLong(SnapshotStore.FieldIdKey))
+    assert(ids.size == schema.length && ids.distinct.size == ids.size,
+      s"every column exactly one distinct id: $ids")
+    // row + value conservation across the adoption rewrite
+    val expected = (0 until writers).flatMap(w => appended(w)).toSet + 0L
+    val rows = store.read("t").select("k", "v").as[(Long, Long)].collect()
+    assert(rows.map(_._1).toSet == expected,
+      s"lost=${expected -- rows.map(_._1).toSet}")
+    rows.filter(_._1 > 0).foreach { case (k, v) =>
+      assert(v == k * 2, s"cross-wired value: k=$k v=$v") }
+    // every surviving rename resolves, exactly once
+    val cols = store.read("t").columns.toSeq
+    assert(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    renamed.forEach(c => assert(cols.contains(c), s"lost column $c"))
+  }
+
+  test("vacuum races feed readers: refusals are loud, folds never gap") {
+    // The r16 horizon-before-delete ordering plus the bootstrap, under
+    // free-running schedules: a writer appends one unique key per
+    // version and periodically compacts + vacuums (horizon climbs);
+    // readers fold changesSince increments, and on a horizon refusal
+    // catch up through changeFeedBootstrap. Invariant: a reader's folded
+    // key set is EXACTLY the table's final keys — a silently gapped
+    // stream (the pre-r16 delete-then-mark window) loses keys forever
+    // and fails the reconciliation; transient read errors from files
+    // reclaimed mid-scan are LOUD and just retried.
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz-vac").toString
+    val store = new SnapshotStore(spark, root)
+    store.append("t", Seq(0L).toDF("k"))
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = 2
+    val folded = Array.fill(readers)(
+      scala.collection.mutable.Set.empty[Long])
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(readers + 1)
+    try {
+      val writer = pool.submit(new Runnable {
+        def run(): Unit = try {
+          val st = new SnapshotStore(spark, root)
+          (1 to 12).foreach { i =>
+            st.append("t", Seq(i.toLong).toDF("k"))
+            if (i % 4 == 0) {
+              st.compact("t", maxRetries = 50)
+              st.vacuum("t", keepLast = 1)
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+        finally done.set(true)
+      })
+      val rtasks = (0 until readers).map { r =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            var lastSeen = 0L
+            def catchUp(): Unit =
+              try {
+                val batch = st.changesSince("t", lastSeen)
+                  .select(col("k"), col("_version")).as[(Long, Long)].collect()
+                folded(r).synchronized { folded(r) ++= batch.map(_._1) }
+                if (batch.nonEmpty)
+                  lastSeen = math.max(lastSeen, batch.map(_._2).max)
+              } catch {
+                case e: Exception
+                    if Option(e.getMessage).exists(_.contains("vacuumed")) =>
+                  // LOUD horizon refusal → the bootstrap remedy: refold
+                  // from the oldest retained snapshot + deltas
+                  val boot = st.changeFeedBootstrap("t")
+                    .where(col("_change_type") === "insert")
+                    .select(col("k"), col("_version")).as[(Long, Long)].collect()
+                  folded(r).synchronized {
+                    folded(r).clear(); folded(r) ++= boot.map(_._1) }
+                  lastSeen = boot.map(_._2).max
+                case _: Exception => () // reclaimed mid-scan: retry later
+              }
+            while (!done.get()) catchUp()
+            catchUp() // quiesced final catch-up must land everything
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      (rtasks :+ writer).foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"participant failed: $f")
+    }
+    val finalKeys = store.read("t").select("k").as[Long].collect().toSet
+    assert(finalKeys == (0L to 12L).toSet)
+    (0 until readers).foreach { r =>
+      assert(folded(r) == finalKeys,
+        s"reader $r gapped: missing=${finalKeys -- folded(r)} " +
+          s"phantom=${folded(r) -- finalKeys}")
+    }
+  }
 }

@@ -1104,6 +1104,46 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("edges").count() == 1L)
   }
 
+  test("a legacy append relinking over a winning adoptFieldIds restamps its files") {
+    // The adoption-race corner the concurrent fuzz caught: an append
+    // WRITTEN against the legacy (ID-less) base relinks over a winning
+    // adoptFieldIds — its parquet carries no field ids, the new pinned
+    // schema demands them, and Spark's ID-matched reader refuses the
+    // whole file. The relink restamp must treat ABSENT ids as divergent
+    // and rewrite the unexposed delta stamped.
+    val st = freshStore()
+    st.append("t", Seq((1L, 2L)).toDF("k", "v"))
+    locally { // strip minted ids: the pre-field-id store
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(st.root, "t")
+      val s0 = java.nio.file.Files.list(dir)
+      try s0.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("v=")).foreach { vd =>
+          val f = vd.resolve("_snapshot_schema.json")
+          if (java.nio.file.Files.exists(f)) {
+            val sch = org.apache.spark.sql.types.DataType.fromJson(
+              java.nio.file.Files.readString(f))
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            java.nio.file.Files.writeString(f,
+              org.apache.spark.sql.types.StructType(sch.fields.map(x =>
+                x.copy(metadata = org.apache.spark.sql.types.Metadata.empty))).json)
+          }
+        }
+      finally s0.close()
+    }
+    SnapshotStore.dropCachesForTests()
+    assert(!SnapshotStore.schemaHasFieldIds(st.snapshotSchema("t")))
+    val legacyBase = st.latestVersion("t")
+    st.adoptFieldIds("t") // the adoption wins first
+    // the racing legacy append: resolved base predates the adoption
+    st.appendFrom("t", Seq((2L, 4L)).toDF("k", "v"), legacyBase)
+    assert(SnapshotStore.schemaHasFieldIds(st.snapshotSchema("t")),
+      "the relinked chain stays ID'd")
+    // the read would throw FAILED_READ_FILE without the restamp
+    assert(st.read("t").select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 4L)))
+  }
+
   test("epoch clock integration: committed version drives Freshness") {
     val st = freshStore()
     st.commit("events", Seq(1L).toDF("event_id"))
