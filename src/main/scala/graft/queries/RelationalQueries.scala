@@ -517,6 +517,44 @@ object RelationalQueries {
         ORDER BY o_orderkey""")
     }),
 
+    // RELY'd key constraint driving the optimizer (the r16 rule): orders
+    // committed to the store with PRIMARY KEY (o_orderkey) NOT ENFORCED
+    // RELY, then a grouped COUNT(DISTINCT o_orderkey) through the SQL
+    // catalog — RelyKeyOptimization rewrites it to a plain COUNT, deleting
+    // the distinct expansion's extra exchange (plan pinned in
+    // PlanShapeSpec; this entry pins VALUE fidelity: the rewrite must be
+    // value-invisible vs DuckDB computing the REAL count-distinct over
+    // the original parquet — which only holds because the key actually IS
+    // unique, exactly the promise RELY lets the user make). At 100 TB the
+    // rewrite is the difference between one shuffle of partial counts and
+    // shuffling the expanded (status, orderkey) stream twice. Build
+    // idempotent like q97/q99.
+    "q110_rely_agg" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q110_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders_r")
+      if (store.latestVersion("orders_r").isEmpty) {
+        store.commitClustered("orders_r", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+          clusterBy = Seq("o_orderkey"))
+        store.addKeyConstraint("orders_r", "pk_orders", "primary",
+          Seq("o_orderkey"), rely = true)
+      }
+      val cat = s"q110_${Tables.fingerprint(dir, "orders")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""
+        SELECT o_orderstatus,
+          count(DISTINCT o_orderkey) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM $cat.orders_r
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }),
+
     // DROP COLUMN round trip: commit `orders` clustered, then drop every
     // column except three as a DATA-LESS schema link (dropColumns — the
     // fat-column amputation that costs one metadata commit at 100 TB, not
@@ -1169,6 +1207,17 @@ object RelationalQueries {
         |WHERE o_orderkey < 8000
         |GROUP BY o_orderkey, o_orderstatus
         |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB computes the REAL count-distinct over the original parquet;
+    // the RELY-driven COUNT rewrite must be value-invisible (sound only
+    // because the key is genuinely unique — RELY's contract).
+    "q110_rely_agg" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // The mutations replay in SQL over the original parquet: the UPDATE
     // as a CASE over the status, the DELETE as a WHERE on quantity. The

@@ -356,5 +356,14 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("a.k").as("k")).distinct()
     assert(aggs(joined) > 0,
       "a join must conservatively end the uniqueness claim")
+
+    // and the registered q110 exercises the rewrite end-to-end: the
+    // grouped count-distinct plans WITHOUT the distinct expansion — two
+    // exchanges (partial-count group-by + output sort), never three
+    val q110 = SparkEntry.queries("q110_rely_agg")(spark, sf0001)
+    val p110 = plan(q110)
+    assert("Exchange".r.findAllIn(p110).size <= 2,
+      s"q110 must lose the distinct expansion's exchange:\n$p110")
+    assert(q110.count() == 3L)
   }
 }
