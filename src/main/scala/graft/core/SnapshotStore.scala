@@ -2447,6 +2447,19 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       assignments: Map[String, org.apache.spark.sql.Column],
       maxRetries: Int = 5,
       dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction): Long = {
+    val (rw, cs, dv) = updateFns(predicate, assignments)
+    rowMutation(table, predicate, "update", maxRetries, dvMaxFraction)(
+      rewrite = rw, changeSetOf = cs, dvReplacement = dv)
+  }
+
+  /** The rewrite / change-set / DV-replacement functions of a predicate
+    * UPDATE with `assignments` — [[update]]'s machinery factored out so
+    * [[mutateAll]]'s per-table candidates reuse it verbatim. */
+  private def updateFns(predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column])
+      : ((DataFrame, StructType) => DataFrame,
+         (DataFrame, StructType) => Option[DataFrame],
+         (DataFrame, StructType) => Option[DataFrame]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update requires at least one assignment")
     val hit = coalesce(predicate, lit(false))
@@ -2485,8 +2498,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           .getOrElse(col(f.name))
       }.toIndexedSeq: _*)
     }
-    rowMutation(table, predicate, "update", maxRetries, dvMaxFraction)(
-      rewrite = (matchedScan, schema) => {
+    (
+      (matchedScan, schema) => {
         validate(schema)
         matchedScan.select(schema.fields.map { f =>
           assigned(schema, f.name) match {
@@ -2496,12 +2509,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           }
         }.toIndexedSeq: _*)
       },
-      changeSetOf = (matchedScan, schema) =>
+      (matchedScan, schema) =>
         Some(postImage(matchedScan.where(hit), schema)),
       // A sparse update's DV'd rows are REPLACED by their post-images,
       // written as ordinary version data — delete(old row via vector) +
       // insert(new row in the delta) in one commit, O(matched rows).
-      dvReplacement = (dvMatched, schema) => Some(postImage(dvMatched, schema)))
+      (dvMatched, schema) => Some(postImage(dvMatched, schema)))
   }
 
   /** MERGE — the ANSI upsert over the snapshot store (the reference's
@@ -3301,11 +3314,34 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def deleteAll(predicates: Map[String, org.apache.spark.sql.Column],
       maxRetries: Int = 5,
       dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction)
+      : Map[String, Long] =
+    mutateAll(deletes = predicates, maxRetries = maxRetries,
+      dvMaxFraction = dvMaxFraction)
+
+  /** [[deleteAll]] generalized to a MIXED atomic transaction: per-table
+    * predicate DELETEs and predicate UPDATEs committing at one point —
+    * the reference's reassign-then-dissolve shape (move an ontology's
+    * members, update, AND retire the ontology row, delete, in one tx:
+    * ontology_scoring.py:447-731) with exactly [[deleteAll]]'s intent
+    * protocol, crash contract, and stale-base re-prepare. A table may
+    * appear in `deletes` or `updates`, not both (one mutation per table
+    * per tx — split the predicate instead). */
+  def mutateAll(
+      deletes: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      updates: Map[String, (org.apache.spark.sql.Column,
+        Map[String, org.apache.spark.sql.Column])] = Map.empty,
+      maxRetries: Int = 5,
+      dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction)
       : Map[String, Long] = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    require(predicates.nonEmpty, "deleteAll requires at least one table")
+    require(deletes.nonEmpty || updates.nonEmpty,
+      "mutateAll requires at least one table")
+    val both = deletes.keySet & updates.keySet
+    require(both.isEmpty,
+      s"mutateAll: table(s) ${both.mkString(", ")} appear in deletes AND " +
+        "updates — one mutation per table per transaction")
     recoverPendingTxns()
-    val tables = predicates.keys.toSeq.sorted
+    val tables = (deletes.keySet ++ updates.keySet).toSeq.sorted
     def discard(t: String, cand: Long): Unit = {
       val w = Files.walk(versionDir(t, cand))
       try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -3325,12 +3361,21 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           s"no committed version of $t"))
       }.toMap
       val cands: Map[String, Option[Long]] = tables.map { t =>
-        val hit = coalesce(predicates(t), lit(false))
-        t -> mutationCandidate(t, bases(t), predicates(t), "delete",
-          dvMaxFraction)(
-          rewrite = (matchedScan, _) => matchedScan.where(not(hit)),
-          changeSetOf = (_, _) => None,
-          dvReplacement = (_, _) => None)
+        deletes.get(t) match {
+          case Some(pred) =>
+            val hit = coalesce(pred, lit(false))
+            t -> mutationCandidate(t, bases(t), pred, "delete",
+              dvMaxFraction)(
+              rewrite = (matchedScan, _) => matchedScan.where(not(hit)),
+              changeSetOf = (_, _) => None,
+              dvReplacement = (_, _) => None)
+          case None =>
+            val (pred, assignments) = updates(t)
+            val (rw, cs, dv) = updateFns(pred, assignments)
+            t -> mutationCandidate(t, bases(t), pred, "update",
+              dvMaxFraction)(rewrite = rw, changeSetOf = cs,
+              dvReplacement = dv)
+        }
       }.toMap
       val withCand = tables.filter(cands(_).isDefined)
       if (withCand.isEmpty) bases // nothing matched anywhere: no-op tx
@@ -3364,7 +3409,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
               Thread.sleep(math.min(25L << (maxRetries - retriesLeft), 400L))
               attempt(retriesLeft - 1)
             } else throw new IllegalStateException(
-              s"deleteAll(${tables.mkString(", ")}) lost the commit race " +
+              s"mutateAll(${tables.mkString(", ")}) lost the commit race " +
                 s"$maxRetries times — retry later or widen maxRetries")
         }
       }

@@ -1067,6 +1067,53 @@ class SnapshotStoreSpec extends SparkSpec {
       "the re-prepared cascade must catch the racing edge 13")
   }
 
+  test("mutateAll: reassign-then-dissolve is one commit point (update + delete)") {
+    // The reference's M6 shape: move ontology A's members to B (UPDATE on
+    // membership) and retire A (DELETE on ontologies) — atomically, so no
+    // reader sees members still on A after A is gone, or vice versa.
+    val st = freshStore()
+    st.commit("ontologies", Seq(("A", 1L), ("B", 2L)).toDF("ont", "meta"))
+    st.commit("membership",
+      Seq(("A", 10L), ("A", 11L), ("B", 20L)).toDF("ont", "cid"))
+    val r = st.mutateAll(
+      deletes = Map("ontologies" -> (col("ont") === "A")),
+      updates = Map("membership" ->
+        ((col("ont") === "A", Map("ont" -> lit("B"))))))
+    assert(st.read("ontologies").select("ont").as[String].collect().toSet
+      == Set("B"))
+    assert(st.read("membership").select("ont", "cid").as[(String, Long)]
+      .collect().toSet == Set(("B", 10L), ("B", 11L), ("B", 20L)))
+    assert(r.keySet == Set("ontologies", "membership"))
+    // the update recorded CDF images (delete pre + insert post) like any
+    // single-table update — the feeds see the reassignment
+    assert(st.deletedRowsAt("membership", r("membership")).get.count() == 2L)
+    assert(st.changesAt("membership", r("membership")).get.count() == 2L)
+    // same table in both halves refuses loudly
+    val e = intercept[IllegalArgumentException](st.mutateAll(
+      deletes = Map("membership" -> (col("cid") === 0L)),
+      updates = Map("membership" ->
+        ((col("cid") === 1L, Map("cid" -> lit(2L)))))))
+    assert(e.getMessage.contains("one mutation per table"))
+  }
+
+  test("mutateAll: crash after intent completes the mixed tx forward") {
+    val st = freshStore()
+    st.commit("ontologies", Seq(("A", 1L), ("B", 2L)).toDF("ont", "meta"))
+    st.commit("membership", Seq(("A", 10L), ("B", 20L)).toDF("ont", "cid"))
+    SnapshotStore.testTxnIntentHook =
+      () => throw new RuntimeException("simulated crash after intent")
+    intercept[RuntimeException](st.mutateAll(
+      deletes = Map("ontologies" -> (col("ont") === "A")),
+      updates = Map("membership" ->
+        ((col("ont") === "A", Map("ont" -> lit("B")))))))
+    SnapshotStore.testTxnIntentHook = () => ()
+    st.recoverPendingTxns()
+    assert(st.read("ontologies").select("ont").as[String].collect().toSet
+      == Set("B"))
+    assert(st.read("membership").select("ont").as[String].collect().toSet
+      == Set("B"))
+  }
+
   test("deleteAll: a crash after the intent rolls the WHOLE cascade forward") {
     val st = freshStore()
     st.commit("concepts", Seq((1L, "a"), (2L, "b")).toDF("cid", "label"))
