@@ -231,6 +231,8 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
       scala.collection.mutable.Set.empty[Long]) // concept ids
     val retired = Array.fill(writers)(
       scala.collection.mutable.Set.empty[Long])
+    val trimmed = Array.fill(writers)(
+      scala.collection.mutable.Set.empty[Long])
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
     try {
@@ -241,7 +243,7 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
             val rnd = new Random(7100L + w)
             var nextCid = (w + 1) * 1000000L
             (1 to opsPerWriter).foreach { _ =>
-              rnd.nextInt(3) match {
+              rnd.nextInt(4) match {
                 case 0 | 1 => // atomic ingest: concept + 2 owned edges
                   nextCid += 1
                   val cid = nextCid
@@ -259,6 +261,21 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
                       "concepts" -> (col("cid") === cid),
                       "edges" -> (col("cid") === cid)), maxRetries = 25)
                     retired(w).synchronized { retired(w) += cid }
+                  }
+                case 3 => // atomic TRIM: the MIXED update+delete tx
+                  // (mutateAll) — stamp the concept's gen AND drop one of
+                  // its edges at one commit point, racing everything else
+                  val mine = ingested(w).synchronized {
+                    (ingested(w) -- retired(w) -- trimmed(w)).toSeq }
+                  if (mine.nonEmpty) {
+                    val cid = mine(rnd.nextInt(mine.size))
+                    st.mutateAll(
+                      updates = Map("concepts" -> ((col("cid") === cid,
+                        Map("gen" -> (col("gen") + lit(100L)))))),
+                      deletes = Map("edges" ->
+                        (col("eid") === cid * 10 + 1)),
+                      maxRetries = 25)
+                    trimmed(w).synchronized { trimmed(w) += cid }
                   }
               }
               // the E1→C→E2 dangling probe, every iteration, mid-race
@@ -281,20 +298,34 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
       val f = failures.peek(); f.printStackTrace()
       fail(s"writer failed: $f")
     }
-    // end state: survivors exactly, on both tables, edge set derived
+    // end state: survivors exactly, on both tables, edge set derived —
+    // trimmed survivors lost exactly edge cid*10+1 AND carry gen+100
+    // (the mixed tx's two halves land together or not at all)
     val survivors = (0 until writers)
       .flatMap(w => ingested(w) -- retired(w)).toSet + 0L
-    val cids = store.read("concepts").select("cid").as[Long].collect()
-    assert(cids.length == cids.toSet.size)
-    assert(cids.toSet == survivors,
-      s"lost=${survivors -- cids.toSet} phantom=${cids.toSet -- survivors}")
+    val trimmedAll = (0 until writers).flatMap(w => trimmed(w)).toSet
+    val cids = store.read("concepts").select("cid", "gen")
+      .as[(Long, Long)].collect()
+    assert(cids.length == cids.map(_._1).toSet.size)
+    assert(cids.map(_._1).toSet == survivors,
+      s"lost=${survivors -- cids.map(_._1).toSet} " +
+        s"phantom=${cids.map(_._1).toSet -- survivors}")
+    val owner = (0 until writers).flatMap(w =>
+      ingested(w).map(_ -> w.toLong)).toMap
+    cids.filter(_._1 > 0L).foreach { case (c, g) =>
+      val want = owner(c) + (if (trimmedAll.contains(c)) 100L else 0L)
+      assert(g == want, s"cid=$c gen=$g want=$want — the trim tx's " +
+        "update half diverged from its delete half")
+    }
     val edgeCids = store.read("edges").select("cid").as[Long].collect().toSet
     assert(edgeCids == survivors,
       s"dangling=${edgeCids -- survivors} orphanedConcepts=${survivors -- edgeCids}")
     val eids = store.read("edges").select("eid").as[Long].collect()
     assert(eids.length == eids.toSet.size, "no edge may appear twice")
     assert(eids.toSet == survivors.flatMap(c =>
-      if (c == 0L) Set(0L) else Set(c * 10, c * 10 + 1)))
+      if (c == 0L) Set(0L)
+      else if (trimmedAll.contains(c)) Set(c * 10)
+      else Set(c * 10, c * 10 + 1)))
   }
 
   test("adoptFieldIds races appends and DDL: no lost rows, no cross-wired columns") {
