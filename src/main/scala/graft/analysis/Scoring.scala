@@ -103,9 +103,14 @@ object Scoring {
 
   /** A7: cross-ontology affinity — shared concepts / total concepts in
     * target, per ontology pair, top-N (ontology_scoring.py:213-265).
-    * membership: (ontology, concept_id). */
-  def ontologyAffinity(membership: DataFrame, topN: Int): DataFrame =
-    ontologyAffinityAll(membership)
+    * membership: (ontology, concept_id). `domain`: the known ontology
+    * universe, when the caller has it from a DIMENSION (q43's brands come
+    * off the part dim — never scan the fact stream to learn it); ≤62
+    * values switch the per-concept set aggregation to the codegen
+    * bitmask path (see [[ontologyAffinityAll]]). */
+  def ontologyAffinity(membership: DataFrame, topN: Int,
+      domain: Option[Seq[String]] = None): DataFrame =
+    ontologyAffinityAll(membership, domain)
       // order on the UNROUNDED ratio (the oracle's sort key) — the stored
       // `affinity` column is 6dp-rounded and could tie where the ratio
       // doesn't, shifting the top-N cut
@@ -142,13 +147,16 @@ object Scoring {
     * of the double explode's k²), and the missing orientation is MIRRORED
     * after aggregation, on the tiny (ont_a, ont_b) group table instead of
     * the fact-scale pair stream. Same output, same order-insensitivity;
-    * measured ~5-10% off q43's sf10 wall (BenchOne min-of-2: 7.45 →
-    * 6.8-7.1 s) — the query's floor is the 60M-row membership scan +
-    * collect_set aggregation, which the halving cannot touch. A raised
-    * objectHashAggregate fallback threshold was ALSO tried and measured
-    * 2.5× WORSE (17.9 s): the sort-based fallback beats a 100k-entry
-    * object hash map here, so the default stays. */
-  def ontologyAffinityAll(membership: DataFrame): DataFrame = {
+    * ~5-10% off q43's sf10 wall on its own (BenchOne min-of-2: 7.45 →
+    * 6.8-7.1 s). The bigger r16 lever is the BITMASK fast path below —
+    * with the domain hint, q43's sf10 min-of-2 lands at 5.0-5.3 s
+    * (~30% off) because the fact-stream set aggregation leaves the
+    * object-aggregation regime entirely. A raised objectHashAggregate
+    * fallback threshold was ALSO tried and measured 2.5× WORSE (17.9 s):
+    * the sort-based fallback beats a 100k-entry object hash map, so the
+    * default stays. */
+  def ontologyAffinityAll(membership: DataFrame,
+      domain: Option[Seq[String]] = None): DataFrame = {
     // Referenced twice (pairs + totals): materialize the grouped view
     // once, LAZILY. Post-grouping it's one row per concept with a small
     // array — entities-scale, not fact-scale.
@@ -157,10 +165,49 @@ object Scoring {
     // same pair always land on the SAME group key — without the canonical
     // order the count would split across (x,y) and (y,x) and the mirror
     // would emit duplicate keys.
-    val perConcept = membership
-      .groupBy(col("concept_id"))
-      .agg(sort_array(collect_set(col("ontology"))).as("__onts"))
-      .localCheckpoint(false)
+    //
+    // BITMASK fast path (r16): with a caller-supplied ontology DOMAIN of
+    // ≤62 values (dims-scale by definition; q43's brands come off the
+    // part dimension), the per-concept set aggregation becomes
+    // `bit_or(1L << domain_index)` — a fixed-width LongType buffer inside
+    // whole-stage-codegen HashAggregate, where collect_set is a
+    // TypedImperativeAggregate that falls to sort-based object
+    // aggregation at fact-stream cardinality. The mask decodes to the
+    // SORTED ontology array at entities scale (filter HOF over the
+    // domain), after which the half-pair tail is identical. An ontology
+    // OUTSIDE the declared domain fails loudly (bit_or's null-skip would
+    // otherwise silently drop it from every pair).
+    val perConcept = domain.map(_.distinct.sorted) match {
+      case Some(d) if d.nonEmpty && d.size <= 62 =>
+        val idx = map(d.zipWithIndex.flatMap { case (o, i) =>
+          Seq(lit(o), lit(i)) }: _*)
+        // checkpoint FIRST, validate on the checkpointed frame: the
+        // domain check is the materializing action, so the fact-stream
+        // aggregation runs exactly once for check + downstream both
+        val cp = membership
+          .withColumn("__i", element_at(idx, col("ontology")))
+          .groupBy(col("concept_id"))
+          .agg(expr("bit_or(shiftleft(1L, __i))").as("__mask"),
+            max(col("__i").isNull.cast("int")).as("__unknown"))
+          .withColumn("__dom", array(d.map(lit): _*))
+          .withColumn("__onts",
+            expr("filter(__dom, (x, i) -> (shiftright(__mask, i) & 1) = 1)"))
+          .select(col("concept_id"), col("__onts"), col("__unknown"))
+          .localCheckpoint(false)
+        val bad = cp.agg(max(col("__unknown"))).head()
+        if (!bad.isNullAt(0) && bad.getInt(0) > 0)
+          throw new IllegalArgumentException(
+            "ontologyAffinityAll: membership carries ontologies outside " +
+              s"the declared ${d.size}-value domain — the bitmask " +
+              "aggregation would silently drop them; fix the domain or " +
+              "omit it")
+        cp.select(col("concept_id"), col("__onts"))
+      case _ =>
+        membership
+          .groupBy(col("concept_id"))
+          .agg(sort_array(collect_set(col("ontology"))).as("__onts"))
+          .localCheckpoint(false)
+    }
     val totals = perConcept.select(explode(col("__onts")).as("ont_b"))
       .groupBy("ont_b").agg(count(lit(1)).as("target_total"))
     // i < j pairs only: for each position, pair with the strictly-later

@@ -38,9 +38,15 @@ object ScoringQueries {
 
   val queries: Map[String, Q] = Map(
     // A7: cross-ontology affinity — shared members / target size, top-30
-    // (ontology_scoring.py:213-265).
+    // (ontology_scoring.py:213-265). The ontology DOMAIN (25 brands)
+    // comes off the part DIMENSION — dims-scale, never a fact scan — and
+    // unlocks the bitmask set aggregation (codegen bit_or instead of the
+    // fact-stream collect_set object aggregation; Scoring scaladoc).
     "q43_affinity" -> ((s, dir) => {
-      Scoring.ontologyAffinity(membership(s, dir), topN = 30)
+      val brands = Tables.part(s, dir).select(col("p_brand"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      Scoring.ontologyAffinity(membership(s, dir), topN = 30,
+        domain = Some(brands))
     }),
 
     // V7: polarity projection of every embedding onto the label-0 ↔

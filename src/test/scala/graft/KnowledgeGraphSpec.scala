@@ -289,4 +289,41 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(out.columns.toSet == Set("id", "p0", "p1", "p2", "cluster"))
     assert(out.count() == 4)
   }
+
+  test("affinity bitmask path ≡ collect_set path; out-of-domain refuses (A7)") {
+    // The r16 domain-hinted fast path (codegen bit_or over ≤62 ontology
+    // indexes) must be value-identical to the generic collect_set path on
+    // a randomized membership, including concepts in 1..k ontologies and
+    // duplicate membership rows (both paths dedup).
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(4242)
+    val onts = (0 until 20).map(i => f"ONT#$i%02d")
+    val rows = (0 until 200).flatMap { c =>
+      val k = 1 + rnd.nextInt(6)
+      val mine = rnd.shuffle(onts).take(k)
+      // duplicates on purpose: membership input need not be pre-deduped
+      (mine ++ mine.take(1)).map(o => (o, c.toLong))
+    }
+    val m = spark.createDataFrame(rows).toDF("ontology", "concept_id")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("ont_a", "ont_b", "shared_concepts", "target_total", "affinity")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    val generic = rowsOf(graft.analysis.Scoring.ontologyAffinityAll(m))
+    val bitmask = rowsOf(graft.analysis.Scoring.ontologyAffinityAll(
+      m, Some(onts)))
+    assert(bitmask == generic,
+      s"paths diverge: onlyBitmask=${(bitmask -- generic).take(3)} " +
+        s"onlyGeneric=${(generic -- bitmask).take(3)}")
+    // a membership row OUTSIDE the declared domain refuses loudly — the
+    // bitmask's null-skip would otherwise silently drop it from pairs
+    val e = intercept[IllegalArgumentException](
+      graft.analysis.Scoring.ontologyAffinityAll(
+        m, Some(onts.drop(1))).collect())
+    assert(e.getMessage.contains("outside"))
+    // an oversized domain (>62) just falls back to the generic path
+    val wide = onts ++ (0 until 60).map(i => s"PAD$i")
+    assert(rowsOf(graft.analysis.Scoring.ontologyAffinityAll(
+      m, Some(wide))) == generic)
+  }
 }
