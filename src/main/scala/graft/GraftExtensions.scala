@@ -503,11 +503,26 @@ object GraftExtensions {
     Bridge.analyzedPlan(store.changeFeedSince(table, since))
   }
 
+  // Bootstrap face of the change-data feed: the catch-up a consumer
+  // below the vacuum horizon runs instead of being refused — the oldest
+  // RETAINED snapshot as 'insert' images at its version + the true feed
+  // after it (SnapshotStore.changeFeedBootstrap). A SQL consumer folds
+  // this exactly like graft_change_feed, from empty.
+  private val feedBootstrapTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2, "graft_feed_bootstrap(root, table)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    Bridge.analyzedPlan(
+      store.changeFeedBootstrap(constString(children(1), "table")))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
     "graft_changes" -> changesTvf,
     "graft_change_feed" -> changeFeedTvf,
+    "graft_feed_bootstrap" -> feedBootstrapTvf,
     "graft_exact_dedup" -> exactDedupTvf,
     "graft_near_dups" -> nearDupsTvf,
     "graft_quality" -> qualityTvf,

@@ -242,9 +242,15 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     case None => java.util.Collections.emptyMap[String, String]()
     case Some(root) =>
       val m = new java.util.HashMap[String, String]()
-      new graft.core.SnapshotStore(spark, root)
-        .resolvedProps(tableName, snapshotVersion)
+      val store = new graft.core.SnapshotStore(spark, root)
+      store.resolvedProps(tableName, snapshotVersion)
         .foreach { case (k, v) => if (v.nonEmpty) m.put(k, v) }
+      // Ops visibility: the retention horizon (highest vacuumed committed
+      // version) — the line below which feed consumers must bootstrap
+      // (`graft_feed_bootstrap`) instead of catching up incrementally.
+      // Synthetic (state, not a commit prop), so SET/UNSET can't touch it.
+      val h = store.vacuumHorizon(tableName)
+      if (h > 0L) m.put("graft.vacuum.horizon", h.toString)
       m
   }
 

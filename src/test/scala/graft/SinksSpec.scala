@@ -177,6 +177,32 @@ class SinksSpec extends SparkSpec {
       == Seq((2L, "delete")))
   }
 
+  test("graft_feed_bootstrap: the below-horizon SQL catch-up folds exactly (2.13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("boot-tvf").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    store.append("t", Seq(1L, 2L).toDF("id"))
+    store.delete("t", col("id") === 2L)
+    store.compact("t")
+    store.append("t", Seq(3L).toDF("id"))
+    store.vacuum("t", keepLast = 2)
+    assert(store.vacuumHorizon("t") > 0L)
+    // the plain feed TVF refuses a from-zero consumer (deltas vacuumed)…
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_change_feed('$root', 't')").collect())
+    assert(e.getMessage.contains("vacuumed"))
+    // …the bootstrap TVF is its remedy: a from-empty signed fold over it
+    // equals the head snapshot exactly
+    val folded = spark.sql(
+      s"""SELECT id FROM graft_feed_bootstrap('$root', 't')
+         |GROUP BY id
+         |HAVING sum(CASE WHEN _change_type = 'delete' THEN -1 ELSE 1 END) > 0
+         |ORDER BY id""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(folded == Seq(1L, 3L))
+  }
+
   test("pipeline TVFs run dedup and quality from SQL (2.13)") {
     import spark.implicits._
     GraftExtensions.register(spark)
