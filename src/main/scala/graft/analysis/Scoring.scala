@@ -183,8 +183,13 @@ object Scoring {
           Seq(lit(o), lit(i)) }: _*)
         // checkpoint FIRST, validate on the checkpointed frame: the
         // domain check is the materializing action, so the fact-stream
-        // aggregation runs exactly once for check + downstream both
+        // aggregation runs exactly once for check + downstream both.
+        // NULL ontologies drop BEFORE the aggregation — collect_set
+        // skips nulls, so the generic path tolerates them and the
+        // bitmask path must too (without the filter they'd trip the
+        // out-of-domain refusal with a misleading diagnosis).
         val cp = membership
+          .where(col("ontology").isNotNull)
           .withColumn("__i", element_at(idx, col("ontology")))
           .groupBy(col("concept_id"))
           .agg(expr("bit_or(shiftleft(1L, __i))").as("__mask"),

@@ -97,7 +97,14 @@ object MaterializedView {
             when(col("_change_type") === "delete", lit(-1)).otherwise(lit(1)))
         val advanced = Incremental.advanceSigned(None, delta, keyCol, valCol,
           "_version", "_sign")
-        if (advanced.upToEpoch == Long.MinValue) h
+        // An EMPTY bootstrap frame is NOT "nothing changed" (the normal
+        // branch's meaning): here the old state is unusable by
+        // construction, so an empty frame means the table IS empty at
+        // the head (empty oldest-retained snapshot, no deltas) — a view
+        // still serving its pre-horizon aggregate would be permanently
+        // stale. Recompute from the (empty) snapshot, which commits the
+        // empty aggregate under the head horizon.
+        if (advanced.upToEpoch == Long.MinValue) recomputeFromSnapshot()
         else {
           store.commit(viewTable,
             advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)),

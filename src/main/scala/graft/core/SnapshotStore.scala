@@ -913,18 +913,15 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // their buckets instead of losing the layout. An explicit
     // targetPartitions or clusterBy is a request for a DIFFERENT layout
     // and drops the claim as before (re-bucket with commitBucketed).
-    val bucketSpec =
+    val (bucketProps, bucketed) =
       if (clusterBy.isEmpty && targetPartitions == 0)
-        bucketSpecOf(table, scanVersion)
-      else None
-    val df = bucketSpec match {
-      case Some((c, n)) =>
-        snap.repartition(n, org.apache.spark.sql.functions.col(c))
-      case None =>
-        if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
-        else if (targetPartitions > 0) snap.repartition(targetPartitions)
-        else snap
-    }
+        bucketClaimOf(table, scanVersion)
+      else (Map.empty[String, String], identity[DataFrame] _)
+    val df =
+      if (bucketProps.nonEmpty) bucketed(snap)
+      else if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
+      else if (targetPartitions > 0) snap.repartition(targetPartitions)
+      else snap
     // Inherit the scanned chain's resolved properties (metadata pinned at
     // any ancestor — e.g. AnnIndex's centroids pairing — must survive the
     // chain collapsing to one self-contained version), plus the op tag
@@ -933,10 +930,6 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // otherwise they are DROPPED — the compacted files are not bucket-
     // attributed, and inheriting the claim would silently corrupt
     // storage-partitioned joins.
-    val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
-      case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-        SnapshotStore.BucketNProp -> n.toString)
-    }
     val cand = commitWith(table, Some(df), changeSet = None, base = None,
       snapshot = snapshotSchema(table, Some(scanVersion)), advance = false,
       props = resolvedProps(table, scanVersion) -
@@ -986,15 +979,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         // vectored files' survivors repartition by the chain's bucket
         // spec, so the fold's rewrite files are bucket-attributed and a
         // bucketed fact table's zero-exchange joins survive the DV fold.
-        val bucketSpec = bucketSpecOf(table, v)
-        val survivorsOut = bucketSpec.fold(survivors) { case (c, n) =>
-          survivors.repartition(n, org.apache.spark.sql.functions.col(c))
-        }
-        val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
-          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-            SnapshotStore.BucketNProp -> n.toString)
-        }
-        val cand = commitWith(table, Some(survivorsOut), changeSet = None,
+        val (bucketProps, bucketed) = bucketClaimOf(table, v)
+        val cand = commitWith(table, Some(bucketed(survivors)), changeSet = None,
           base = Some(v), snapshot = schema, advance = false,
           removed = keys,
           props = resolvedProps(table, v) -
@@ -1849,6 +1835,23 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * data whatever the column is called), so a rename link — which
     * re-stamps the claim under the new name — agrees with the pre-rename
     * links it extends. */
+  /** The chain's bucket claim at `v`, as the pair every claim-preserving
+    * write path needs: the RE-STAMPABLE props and the BUCKET-ATTRIBUTING
+    * transform for data the commit writes (repartition by the claimed
+    * spec — part index = bucket id, commitBucketed's own layout
+    * contract). (empty, identity) on unclaimed chains. ONE definition so
+    * the part-index-is-bucket-id contract can't drift across the
+    * mutation/merge/compact/rebase sites. */
+  private def bucketClaimOf(table: String, v: Long)
+      : (Map[String, String], DataFrame => DataFrame) =
+    bucketSpecOf(table, v) match {
+      case Some((c, n)) =>
+        (Map(SnapshotStore.BucketColProp -> c,
+          SnapshotStore.BucketNProp -> n.toString),
+          df => df.repartition(n, org.apache.spark.sql.functions.col(c)))
+      case None => (Map.empty[String, String], identity[DataFrame] _)
+    }
+
   def bucketSpecOf(table: String, v: Long): Option[(String, Int)] = {
     val pinned = snapshotSchema(table, Some(v))
     val headById: Option[Map[Long, String]] =
@@ -2210,12 +2213,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         val candProps = commitProps(table, cand)
         val candClaims = candProps.contains(SnapshotStore.BucketColProp) ||
           candProps.contains(SnapshotStore.BucketNProp)
-        val headSpec = if (candClaims) bucketSpecOf(table, head) else None
-        val extraRows = stampedWithIds(rewrite(scan, schemaH), schemaH)
-        (headSpec match {
-          case Some((c, n)) => extraRows.repartition(n, col(c))
-          case None => extraRows
-        }).write.mode("append").parquet(dir.toString)
+        val (headClaim, headBucketed) =
+          if (candClaims) bucketClaimOf(table, head)
+          else (Map.empty[String, String], identity[DataFrame] _)
+        headBucketed(stampedWithIds(rewrite(scan, schemaH), schemaH))
+          .write.mode("append").parquet(dir.toString)
         stampedWithIds(scan.where(hit), schemaH).write.mode("append")
           .parquet(dir.resolve("_changes_removed").toString)
         changeSetOf(scan, schemaH).foreach(c => stampedWithIds(c, schemaH)
@@ -2228,13 +2230,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           spark.sparkContext.hadoopConfiguration, dir)
         catch { case scala.util.control.NonFatal(_) => () }
         if (candClaims) {
-          val rewriteProps = headSpec match {
-            case Some((c, n)) =>
-              candProps + (SnapshotStore.BucketColProp -> c) +
-                (SnapshotStore.BucketNProp -> n.toString)
-            case None => candProps - SnapshotStore.BucketColProp -
+          val rewriteProps =
+            if (headClaim.nonEmpty) candProps ++ headClaim
+            else candProps - SnapshotStore.BucketColProp -
               SnapshotStore.BucketNProp
-          }
           Files.writeString(propsFile(table, cand),
             org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
@@ -2392,15 +2391,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           // ("bucket b's files hold only bucket-b rows") holds, and a
           // mutation-heavy bucketed fact table keeps its zero-exchange
           // joins without waiting for a re-bucket.
-          val bucketSpec = bucketSpecOf(table, v)
-          val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
-            case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-              SnapshotStore.BucketNProp -> n.toString)
-          }
-          val dataOut = (bucketSpec, data) match {
-            case (Some((c, n)), Some(d)) => Some(d.repartition(n, col(c)))
-            case _ => data
-          }
+          val (bucketProps, bucketed) = bucketClaimOf(table, v)
+          val dataOut = data.map(bucketed)
           Some(commitWith(table, dataOut,
             changeSet = changeSetOf(matchedRows, schema),
             base = Some(v), snapshot = schema, advance = false,
@@ -2762,15 +2754,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         // so every file this merge writes is bucket-attributed (part
         // index = bucket id) and the upserted fact table keeps its
         // zero-exchange storage-partitioned joins.
-        val bucketSpec = bucketSpecOf(table, v)
-        val bucketProps = bucketSpec.fold(Map.empty[String, String]) {
-          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-            SnapshotStore.BucketNProp -> n.toString)
-        }
-        val dataOut = (bucketSpec, data) match {
-          case (Some((c, n)), Some(d)) => Some(d.repartition(n, col(c)))
-          case _ => data
-        }
+        val (bucketProps, bucketed) = bucketClaimOf(table, v)
+        val dataOut = data.map(bucketed)
         val cand = commitWith(table, dataOut, changeSet = changeSet,
           base = Some(v), snapshot = schema, advance = false,
           removed = if (hasMatchedAction) cowKeys else Nil,
@@ -3306,11 +3291,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * validation (the cascade serializes against them too) but commit no
     * version.
     *
-    * UNLIKE appendAll, a stale base cannot relink: deletes do not commute
-    * with sibling commits — the matched-file set itself is stale — so ALL
-    * candidates are discarded and the transaction re-prepares against the
-    * new heads, bounded by `maxRetries` with backoff (merge's
-    * recompute-on-conflict posture, extended to the transaction). */
+    * UNLIKE appendAll, a stale base cannot relink: the transaction
+    * discards ALL candidates and re-prepares against the new heads,
+    * bounded by `maxRetries` with backoff (merge's recompute-on-conflict
+    * posture, extended to the transaction). KNOWN LIVENESS LIMIT: this
+    * is stricter than single-table [[delete]], which re-bases over
+    * pure-APPEND conflicts in O(delta) — extending that rebase to the
+    * transaction (per-table rebaseOnto under the multi-CAS) is sound for
+    * appends but not yet implemented, so a sustained appender on any
+    * participating table can exhaust `maxRetries` (a LOUD
+    * IllegalStateException, never a partial cascade); widen `maxRetries`
+    * or quiesce ingest around cascades under heavy contention. */
   def deleteAll(predicates: Map[String, org.apache.spark.sql.Column],
       maxRetries: Int = 5,
       dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction)

@@ -195,6 +195,15 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     * consumers, never checked by the store. */
   override def constraints()
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    cachedConstraints
+
+  // Computed ONCE per (immutable) snapshot table instance: the optimizer
+  // calls constraints() per Aggregate/Deduplicate node per fixed-point
+  // iteration (RelyKeyOptimization's uniqueness walk), and re-reading
+  // chain props from disk on every call would multiply metadata IO into
+  // planning latency.
+  private lazy val cachedConstraints
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     storeRoot match {
       case None => Array.empty
       case Some(root) =>
@@ -613,45 +622,81 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
     batch.planInputPartitions().map(GraftCdfInputPartition(_, tag, v, Some(f)))
   }
 
-  /** The snapshot schema of `v` binds positionally to the feed's declared
-    * schema: same names (case-insensitive), same types, same ORDER — the
-    * tagged reader appends columns by position, so anything else would
-    * silently mis-bind. Rewrites failing this stay OUTSIDE the feed
-    * (schema-changing overwrites remain "resubscribe", exactly like the
-    * pinned insert feed's evolution contract). */
-  private def schemaBinds(v: Long): Boolean = {
-    val s = store.snapshotSchema(table, Some(v))
-    s.length == tableSchema.length &&
-      s.fields.zip(tableSchema.fields).forall { case (a, b) =>
-        a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
-  }
-
-  /** LOSSLESS-WIDEN bind of version `v` to the subscriber schema, both
-    * directions of the add-column overwrite:
-    *   - `v` WIDER than the subscriber (a pinned narrow consumer reads
-    *     the post-widen snapshot): the extra columns are PRUNED away —
-    *     the insert feed's "added columns drop from a pinned feed"
-    *     contract, extended to synthesized images;
-    *   - `v` NARROWER (a consumer restarted after the widen reads the
-    *     pre-widen snapshot): the subscriber's trailing added columns
-    *     NULL-pad — sound because an add-column rewrite's old rows hold
-    *     exactly null there, and positional because adds append at the
-    *     schema's end (a missing column that is NOT a trailing suffix —
-    *     a drop, retype, or rename — fails the bind and stays
-    *     resubscribe).
-    * Returns (the pruned read schema, how many trailing subscriber
-    * columns the reader must null-pad). */
-  private def schemaWidens(v: Long)
-      : Option[(StructType, Int)] = {
-    val s = store.snapshotSchema(table, Some(v))
-    val picked = tableSchema.fields.map(b =>
-      s.fields.find(a => a.name.equalsIgnoreCase(b.name) &&
-        a.dataType == b.dataType))
-    val missing = picked.zipWithIndex.collect { case (None, i) => i }.toSeq
-    val suffixStart = tableSchema.length - missing.length
-    if (missing == (suffixStart until tableSchema.length))
-      Some((StructType(picked.flatten.toSeq), missing.length))
-    else None
+  /** LOSSLESS-WIDEN bind of a rewrite's (prev, v) snapshot PAIR to the
+    * subscriber schema — the only sound unit of decision: a subscriber
+    * column absent from ONE side is benign exactly when its absence
+    * means "not added yet" (pad NULL — the value a direct read of those
+    * rows under the subscriber schema gives), and a silent corruption
+    * when it means "dropped by this rewrite" (present in prev, gone in
+    * v: the post-images would null a column whose data the rewrite
+    * destroyed, while the batch twin refuses — the twins must agree).
+    * Per subscriber column, matched by FIELD ID where both sides carry
+    * them (rename-safe, and the fresh-ID re-add guarantee makes
+    * absence-by-ID provably "this data never existed for this column"),
+    * by case-insensitive name on legacy chains:
+    *   - found on a side with the EXACT type → read there (pruned);
+    *   - found with a different type → retype → None (resubscribe);
+    *   - absent from v but present in prev → DROPPED → None;
+    *   - absent from a side otherwise → pad NULL on that side, required
+    *     to be a TRAILING suffix (the reader pads positionally after
+    *     the present columns — adds append at the schema's end).
+    * Returns per-side (pruned read schema, trailing pad count). */
+  private def rewriteBinding(prevOpt: Option[Long], v: Long)
+      : Option[(Option[(StructType, Int)], (StructType, Int))] = {
+    import org.apache.spark.sql.types.StructField
+    val sv = store.snapshotSchema(table, Some(v))
+    val sp = prevOpt.map(p => store.snapshotSchema(table, Some(p)))
+    def idOf(f: StructField): Option[Long] =
+      if (f.metadata.contains(graft.core.SnapshotStore.FieldIdKey))
+        Some(f.metadata.getLong(graft.core.SnapshotStore.FieldIdKey))
+      else None
+    // Matched = Some(field); type-mismatch = poison (None short-circuit
+    // via a sentinel); absent = Some-less. Encode: Right(field) found,
+    // Left(()) type conflict, encoded as Option[Option[StructField]].
+    def find(side: StructType, b: StructField): Option[Option[StructField]] = {
+      val byId = idOf(b).flatMap(id =>
+        side.fields.find(f => idOf(f).contains(id)))
+      val m = byId.orElse(
+        // name fallback only when ID matching can't apply on this pair
+        if (idOf(b).isEmpty || side.fields.forall(idOf(_).isEmpty))
+          side.fields.find(_.name.equalsIgnoreCase(b.name))
+        else None)
+      m match {
+        case Some(f) if f.dataType == b.dataType => Some(Some(f))
+        case Some(_) => None // retype: poison the whole bind
+        case None => Some(None) // genuinely absent on this side
+      }
+    }
+    val perCol: Array[Option[(Option[StructField], Option[Option[StructField]])]] =
+      tableSchema.fields.map { b =>
+        find(sv, b) match {
+          case None => None
+          case Some(inV) =>
+            val inPrev = sp.map(find(_, b)) match {
+              case Some(None) => return None // retype on the prev side
+              case Some(Some(x)) => Some(x)
+              case None => None // no predecessor at all
+            }
+            // DROPPED AT THIS REWRITE: prev had it, v lost it — refuse
+            if (inV.isEmpty && inPrev.exists(_.isDefined)) return None
+            Some((inV, inPrev))
+        }
+      }
+    if (perCol.exists(_.isEmpty)) return None
+    def sideOf(pick: Array[Option[StructField]]): Option[(StructType, Int)] = {
+      val missing = pick.zipWithIndex.collect { case (None, i) => i }.toSeq
+      val suffixStart = tableSchema.length - missing.length
+      if (missing == (suffixStart until tableSchema.length))
+        Some((StructType(pick.flatten.toSeq), missing.length))
+      else None
+    }
+    val vSide = sideOf(perCol.map(_.get._1))
+    val pSide = sp.map(_ => sideOf(perCol.map(_.get._2.flatten)))
+    (vSide, pSide) match {
+      case (Some(vb), None) => Some((None, vb))
+      case (Some(vb), Some(Some(pb))) => Some((Some(pb), vb))
+      case _ => None
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -686,38 +731,42 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
     // resubscribe. Planned through the full snapshot scan machinery
     // (GraftTable.forSnapshot: tombstones, deletion vectors, manifests),
     // each side carrying its version-specific reader factory.
-    // Drop/retype rewrites stay out (resubscribe); LOSSLESS-WIDEN ones
-    // (add-column overwrites) serve under the subscriber's pinned schema
-    // via column pruning — see schemaWidens.
+    // Drop/retype/rename-breaking rewrites stay out (resubscribe);
+    // LOSSLESS-WIDEN ones (add-column overwrites) serve under the
+    // subscriber's pinned schema via column pruning + trailing null-pads
+    // — decided per (prev, v) PAIR, so a column this rewrite DROPPED is
+    // distinguishable from one not yet added (see rewriteBinding).
     val rewrites = store.nonFeedMutationsSince(table, from)
-      .filter { v =>
-        // BOTH snapshots must bind, or neither image is emitted — inserts
-        // without the matching deletes would corrupt consumer state
-        v <= to && schemaWidens(v).isDefined &&
-          store.history(table).filter(_ < v).lastOption
-            .forall(schemaWidens(_).isDefined)
-      }.flatMap { v =>
+      .filter(_ <= to)
+      .flatMap { v =>
         val prev = store.history(table).filter(_ < v).lastOption
-        // predecessor-integrity under vacuum (see changeFeedSince): a
-        // reclaimed true predecessor would make the synthesized
-        // before-image silently WRONG — refuse loudly instead
-        val h = store.vacuumHorizon(table)
-        if (prev.exists(_ <= h) || (prev.isEmpty && h > 0))
-          throw new IllegalStateException(
-            s"feed=cdf over $table: rewrite version $v's pre-image " +
-              s"snapshot was vacuumed (retention horizon $h) — recompute " +
-              "from the snapshot or resubscribe past the rewrite")
-        def side(ver: Long, tag: String): Seq[GraftCdfInputPartition] = {
-          val (proj, pad) = schemaWidens(ver).getOrElse(
-            throw new IllegalStateException(
-              s"feed=cdf over $table: version $ver stopped binding mid-plan"))
-          val batch = ParquetTableShim.projectedBatch(
-            GraftTable.forSnapshot(spark, store, table, Some(ver)), proj)
-          val f = batch.createReaderFactory()
-          batch.planInputPartitions().toSeq
-            .map(GraftCdfInputPartition(_, tag, v, Some(f), pad))
+        rewriteBinding(prev, v) match {
+          case None => Nil // not losslessly bindable: resubscribe
+          case Some((prevBind, vBind)) =>
+            // predecessor-integrity under vacuum (see changeFeedSince): a
+            // reclaimed true predecessor would make the synthesized
+            // before-image silently WRONG — refuse loudly instead
+            val h = store.vacuumHorizon(table)
+            if (prev.exists(_ <= h) || (prev.isEmpty && h > 0))
+              throw new IllegalStateException(
+                s"feed=cdf over $table: rewrite version $v's pre-image " +
+                  s"snapshot was vacuumed (retention horizon $h) — recompute " +
+                  "from the snapshot or resubscribe past the rewrite")
+            def side(ver: Long, tag: String,
+                bind: (StructType, Int)): Seq[GraftCdfInputPartition] = {
+              val (proj, pad) = bind
+              val batch = ParquetTableShim.projectedBatch(
+                GraftTable.forSnapshot(spark, store, table, Some(ver)), proj)
+              val f = batch.createReaderFactory()
+              batch.planInputPartitions().toSeq
+                .map(GraftCdfInputPartition(_, tag, v, Some(f), pad))
+            }
+            prev.toSeq.flatMap(p =>
+              side(p, "delete", prevBind.getOrElse(
+                throw new IllegalStateException(
+                  s"feed=cdf over $table: predecessor bind missing for $v")))) ++
+              side(v, "insert", vBind)
         }
-        prev.toSeq.flatMap(p => side(p, "delete")) ++ side(v, "insert")
       }
     (recorded ++ rewrites).toArray
   }

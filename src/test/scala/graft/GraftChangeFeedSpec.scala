@@ -260,6 +260,39 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(st.nonFeedMutationsSince("t", pre).nonEmpty)
     assert(st.changeFeedSince("t", pre).where(col("_change_type") === "insert")
       .count() == 0L, "a narrowing rewrite must not leak images")
+    // The STREAMING twin's behavior at the drop splits by SUBSCRIBER
+    // schema — the point of the (prev, v) PAIR binding:
+    val dropV = st.history("t").max
+    //  (a) a consumer still holding the WIDE (k,v,w) schema must get NO
+    //      images for the drop rewrite: w is its TRAILING column, so a
+    //      naive per-side bind would null-pad the post-drop snapshot and
+    //      the fold would silently null a column the rewrite destroyed;
+    //      the pair binding sees (prev has w, v lost w) = DROP → refuse
+    val wideStream = new graft.sources.GraftCdfMicroBatchStream(
+      root, "t", st.readAt("t", owVersion).schema, pre)
+    assert(wideStream.planInputPartitions(
+      graft.sources.GraftVersionOffset(pre),
+      graft.sources.GraftVersionOffset(dropV)).isEmpty,
+      "a wide subscriber must receive NO images for a drop rewrite")
+    //  (b) a consumer (re)subscribed AFTER the drop holds the narrow
+    //      (k,v) schema; every one of ITS columns survives with its type,
+    //      so the rewrite serves PRUNED images and its fold stays exact —
+    //      the drop is invisible in this projection
+    run()
+    val post = spark.read.option("mergeSchema", "true").parquet(sink)
+      .where(col("_version") === dropV)
+    assert(post.count() == 4L, "pruned pre(3 deletes) + post(1 insert)")
+    val foldedPost = spark.read.option("mergeSchema", "true").parquet(sink)
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .where(col("n") =!= 0)
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    val snapPost = st.read("t").groupBy("k")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("total"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(foldedPost == snapPost,
+      s"narrow fold across the drop $foldedPost must equal $snapPost")
   }
 
   test("the feed reads across a metadata RENAME: old deltas resolve by field ID") {

@@ -303,7 +303,10 @@ class KnowledgeGraphSpec extends SparkSpec {
       val mine = rnd.shuffle(onts).take(k)
       // duplicates on purpose: membership input need not be pre-deduped
       (mine ++ mine.take(1)).map(o => (o, c.toLong))
-    }
+    } ++ Seq((null.asInstanceOf[String], 7L), (null.asInstanceOf[String], 999L))
+    // NULL ontologies (dirty data): collect_set skips them, so the
+    // bitmask path must too — including concept 999 whose ONLY row is
+    // null (absent from pairs and totals on both paths)
     val m = spark.createDataFrame(rows).toDF("ontology", "concept_id")
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
       df.select("ont_a", "ont_b", "shared_concepts", "target_total", "affinity")

@@ -180,4 +180,24 @@ class MaterializedViewSpec extends SparkSpec {
     assert(rows(MaterializedView.read(st, "view2"))
       == rows(Incremental.recompute(st.read("src"), "k", "v")))
   }
+
+  test("an EMPTY bootstrap frame means the table is empty — the view must follow") {
+    import org.apache.spark.sql.functions.col
+    val st = fresh()
+    st.append("src", Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    MaterializedView.refresh(st, "src", "view", "k", "v") // non-empty agg
+    assert(rows(MaterializedView.read(st, "view")).nonEmpty)
+    // empty the table, collapse, vacuum the view's deltas away: the
+    // bootstrap frame is EMPTY (empty oldest snapshot, no deltas) —
+    // which is NOT "nothing changed"; the old aggregate is obsolete
+    st.delete("src", col("k").isNotNull)
+    st.compact("src")
+    st.vacuum("src", keepLast = 1)
+    assert(MaterializedView.horizon(st, "view").get <
+      st.vacuumHorizon("src"), "precondition: the view lags the horizon")
+    MaterializedView.refresh(st, "src", "view", "k", "v")
+    assert(rows(MaterializedView.read(st, "view")).isEmpty,
+      "a view of an emptied-then-vacuumed source must serve EMPTY, " +
+        "not its stale pre-horizon aggregate")
+  }
 }
