@@ -517,8 +517,28 @@ object GraftExtensions {
       store.changeFeedBootstrap(constString(children(1), "table")))
   }
 
+  // Consistent multi-table cut TVF: one transactionally consistent
+  // (table, version) vector — the SQL face of SnapshotStore.snapshotAll.
+  // A SQL consumer pins each table to the cut with
+  // `graft_snapshot(root, table, version)`, so a concept⋈edge query never
+  // straddles an appendAll/deleteAll cascade's commit point the way two
+  // independent graft_snapshot calls can.
+  private val snapshotAllTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size >= 2,
+      "graft_snapshot_all(root, table1[, table2, ...])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val tables = children.tail.zipWithIndex.map { case (c, i) =>
+      constString(c, s"table${i + 1}") }
+    Bridge.analyzedPlan(store.snapshotAll(tables).toSeq.sorted
+      .toDF("table_name", "version"))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
+    "graft_snapshot_all" -> snapshotAllTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
     "graft_changes" -> changesTvf,
     "graft_change_feed" -> changeFeedTvf,

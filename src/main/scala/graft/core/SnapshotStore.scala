@@ -1908,6 +1908,98 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       throw new IllegalArgumentException(s"no committed version of $table")))
   }
 
+  /** CONSISTENT MULTI-TABLE VERSION CUT — the READER half of the atomic
+    * transaction surface. [[appendAll]]/[[deleteAll]]/[[mutateAll]] expose
+    * a transaction's tables at one commit point (the `_txn/` intent), but
+    * two successive [[read]] calls still straddle it: a reader loading
+    * concepts at t1 and edges at t2 can observe a cascade's second half
+    * without its first — the torn-read twin of the dangling-write problem
+    * the intent protocol solved. The reference never faces this because
+    * Postgres MVCC hands every statement a cross-table snapshot for free
+    * (api/app/lib/age_client/query.py reads concept+edges inside one tx);
+    * on the pointer store the cut must be constructed.
+    *
+    * Fast path (lock-free, seqlock-style double collect): resolve every
+    * table's version (pending intents rolled forward first, exactly as
+    * [[read]] does), resolve again — identical vectors mean no pointer
+    * moved in the window, and since a transaction's pointer moves happen
+    * entirely inside [[underPointerLocks]] with the intent applied by any
+    * resolver that sees it, a stable vector is a transactionally
+    * consistent cut: every transaction is in it fully or not at all.
+    * Versions are monotonic, so ABA is impossible. Contended fallback
+    * (after `maxRetries` unstable pairs): take every table's pointer lock
+    * in sorted order — no writer can be mid-commit on any of these tables
+    * while we hold them — and read the vector directly; a pending intent
+    * from a CRASHED writer naming one of our tables sends us back out to
+    * roll it forward first (we cannot recover in place: the roll-forward
+    * re-acquires pointer FileLocks this thread already holds, which
+    * throws in-JVM rather than blocks).
+    *
+    * The cut is a version VECTOR, so it composes with every version-
+    * pinned surface: [[readAt]] ([[readAll]] is the one-call form),
+    * `changesSince`, incremental catalogs. At 100 TB this is what makes
+    * a multi-table consumer (the materialized concept↔edge views, a
+    * backup, a training-data export) see the graph the writer committed,
+    * not an interleaving of two of them. */
+  def snapshotAll(tables: Seq[String], maxRetries: Int = 64)
+      : Map[String, Long] = {
+    require(tables.nonEmpty, "snapshotAll requires at least one table")
+    val ts = tables.distinct.sorted
+    def collectVector(): Seq[Long] = {
+      recoverPendingTxns()
+      ts.map(t => latestVersion(t).getOrElse(throw new IllegalArgumentException(
+        s"snapshotAll: no committed version of $t")))
+    }
+    var prev = collectVector()
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = collectVector()
+      if (cur == prev) return ts.zip(cur).toMap
+      prev = cur
+      attempt += 1
+    }
+    // Sustained writer traffic kept the vector moving: stop chasing it and
+    // serialize one read against the commit locks. Bounded loop: each pass
+    // either returns, or found a crashed writer's pending intent — which
+    // recoverPendingTxns then removes; live writers cannot hold an intent
+    // naming our tables while we hold their locks.
+    while (true) {
+      recoverPendingTxns()
+      val cut = underPointerLocks(ts) {
+        if (pendingTxnTables().exists(ts.contains)) None
+        else Some(ts.map(t => t -> latestVersion(t).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshotAll: no committed version of $t"))).toMap)
+      }
+      cut match {
+        case Some(c) => return c
+        case None => // crashed intent on one of our tables: recover, retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[snapshotAll]] + [[readAt]] in one call: every returned DataFrame is
+    * pinned to the same transactionally consistent cut. */
+  def readAll(tables: Seq[String]): Map[String, DataFrame] =
+    snapshotAll(tables).map { case (t, v) => t -> readAt(t, v) }
+
+  /** Tables named by any pending `_txn/` intent (crashed-writer debris the
+    * locked [[snapshotAll]] fallback must route back through recovery). */
+  private def pendingTxnTables(): Set[String] = {
+    if (!Files.exists(txnDir)) return Set.empty
+    val s = Files.list(txnDir)
+    val intents =
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json")).toSeq
+      finally s.close()
+    intents.flatMap { f =>
+      try org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
+        case org.json4s.JObject(fields) => fields.map(_._1)
+        case _ => Nil
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }.toSet
+  }
+
   /** Time travel: read a specific version — the multi-directory parquet
     * scan of its base chain under the pinned snapshot schema. Refuses a
     * version whose write never completed (no `_SUCCESS` marker) — an

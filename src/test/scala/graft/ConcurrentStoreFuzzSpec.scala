@@ -288,6 +288,28 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
                   s"HALF-COMMITTED cascade visible: edges of ${danglers & e2} " +
                     "survived two reads with their concepts gone")
               }
+              // the CONSISTENT-CUT probe: snapshotAll pins ONE
+              // transactional cut, so the per-read skew the E1→C→E2
+              // protocol must tolerate is structurally gone — at ANY cut,
+              // edge cids equal concept cids EXACTLY (ingest and cascade
+              // move both tables at one commit point), and the trim tx's
+              // halves agree (gen bumped ⟺ second edge gone), an
+              // invariant no pair of independent reads could assert
+              val cut = st.readAll(Seq("concepts", "edges"))
+              val cutC = cut("concepts").select("cid", "gen")
+                .as[(Long, Long)].collect()
+              val cutE = cut("edges").select("eid", "cid")
+                .as[(Long, Long)].collect()
+              assert(cutE.map(_._2).toSet == cutC.map(_._1).toSet,
+                s"TORN CUT: edge cids ${cutE.map(_._2).toSet} != " +
+                  s"concept cids ${cutC.map(_._1).toSet}")
+              cutC.filter(_._1 > 0L).foreach { case (cid2, g) =>
+                val eids = cutE.filter(_._2 == cid2).map(_._1).toSet
+                val want = if (g >= 100L) Set(cid2 * 10)
+                  else Set(cid2 * 10, cid2 * 10 + 1)
+                assert(eids == want, s"TORN TRIM at cid=$cid2: gen=$g " +
+                  s"but edges=$eids — the mixed tx's halves split across the cut")
+              }
             }
           } catch { case t: Throwable => failures.add(t) }
         })

@@ -203,6 +203,32 @@ class SinksSpec extends SparkSpec {
     assert(folded == Seq(1L, 3L))
   }
 
+  test("graft_snapshot_all: one consistent cut, pinnable from SQL (2.13)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("cut-tvf").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    store.commit("concepts", Seq((1L, "a")).toDF("cid", "label"))
+    store.commit("edges", Seq((10L, 1L)).toDF("eid", "cid"))
+    store.appendAll(Map(
+      "concepts" -> Seq((2L, "b")).toDF("cid", "label"),
+      "edges" -> Seq((20L, 2L)).toDF("eid", "cid")))
+    val cut = spark.sql(
+      s"SELECT table_name, version FROM graft_snapshot_all('$root', " +
+        "'concepts', 'edges') ORDER BY table_name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cut == Seq(("concepts", 2L), ("edges", 2L)))
+    // the cut's versions pin graft_snapshot reads — the SQL consumer's
+    // protocol for a concept⋈edge query that cannot straddle a cascade
+    val joined = spark.sql(
+      s"""SELECT c.label, e.eid
+         |FROM graft_snapshot('$root', 'concepts', ${cut.head._2}) c
+         |JOIN graft_snapshot('$root', 'edges', ${cut(1)._2}) e
+         |  ON c.cid = e.cid ORDER BY e.eid""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(joined == Seq(("a", 10L), ("b", 20L)))
+  }
+
   test("pipeline TVFs run dedup and quality from SQL (2.13)") {
     import spark.implicits._
     GraftExtensions.register(spark)

@@ -1203,4 +1203,57 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(fresh.get("totals").head().getLong(0) == 2L)
     assert(computes == 2) // clock advanced → recompute
   }
+
+  test("snapshotAll: a consistent cut; readAll pins every table to it") {
+    val st = freshStore()
+    st.commit("concepts", Seq((1L, "a")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L)).toDF("eid", "cid"))
+    val cut = st.snapshotAll(Seq("edges", "concepts", "edges"))
+    assert(cut == Map("concepts" -> st.latestVersion("concepts").get,
+      "edges" -> st.latestVersion("edges").get))
+    val dfs = st.readAll(Seq("concepts", "edges"))
+    // mutate AFTER the cut: the pinned frames still read the cut's rows
+    st.appendAll(Map(
+      "concepts" -> Seq((2L, "b")).toDF("cid", "label"),
+      "edges" -> Seq((20L, 2L)).toDF("eid", "cid")))
+    assert(dfs("concepts").select("cid").as[Long].collect().toSet == Set(1L))
+    assert(dfs("edges").select("eid").as[Long].collect().toSet == Set(10L))
+    val e = intercept[IllegalArgumentException](
+      st.snapshotAll(Seq("concepts", "nope")))
+    assert(e.getMessage.contains("no committed version"))
+  }
+
+  test("snapshotAll rolls a crashed txn intent forward: never the torn cut") {
+    val st = freshStore()
+    st.commit("concepts", Seq((1L, "a")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L)).toDF("eid", "cid"))
+    SnapshotStore.testTxnIntentHook =
+      () => throw new RuntimeException("simulated crash after intent")
+    intercept[RuntimeException](st.deleteAll(Map(
+      "concepts" -> (col("cid") === 1L), "edges" -> (col("cid") === 1L))))
+    SnapshotStore.testTxnIntentHook = () => ()
+    // the FIRST call after the crash (no explicit recovery) must include
+    // the intent's versions on BOTH tables — all of the txn, not half
+    val cut = st.snapshotAll(Seq("concepts", "edges"))
+    assert(st.readAt("concepts", cut("concepts")).count() == 0L)
+    assert(st.readAt("edges", cut("edges")).count() == 0L)
+  }
+
+  test("snapshotAll locked fallback (maxRetries=0) returns the same cut") {
+    val st = freshStore()
+    st.commit("concepts", Seq((1L, "a")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L)).toDF("eid", "cid"))
+    assert(st.snapshotAll(Seq("concepts", "edges"), maxRetries = 0)
+      == st.snapshotAll(Seq("concepts", "edges")))
+    // fallback under a crashed intent: routes back through recovery, then
+    // returns the rolled-forward cut
+    SnapshotStore.testTxnIntentHook =
+      () => throw new RuntimeException("simulated crash after intent")
+    intercept[RuntimeException](st.deleteAll(Map(
+      "concepts" -> (col("cid") === 1L), "edges" -> (col("cid") === 1L))))
+    SnapshotStore.testTxnIntentHook = () => ()
+    val cut = st.snapshotAll(Seq("concepts", "edges"), maxRetries = 0)
+    assert(st.readAt("concepts", cut("concepts")).count() == 0L)
+    assert(st.readAt("edges", cut("edges")).count() == 0L)
+  }
 }
