@@ -66,6 +66,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *   - RELY is the user's explicit opt-in (Delta's semantic): the store
   *     never validates these keys; without RELY nothing rewrites.
   *
+  * JOIN ELIMINATION (the other half of exploiting RELY'd keys — what
+  * Oracle/Snowflake do with RELY constraints): when no column of the
+  * joined side survives above the join, the join itself can be a
+  * metadata decision:
+  *   - LEFT OUTER to a covered RELY'd unique key: every left row
+  *     survives a left join regardless of matching, and uniqueness
+  *     bounds matches at one — so with no right column referenced above,
+  *     the join changes nothing. Dropped. Extra non-equi conjuncts only
+  *     shrink the match set, so they are allowed; null left keys never
+  *     match under EqualTo, so UNIQUE's duplicate-NULL tolerance is
+  *     harmless (only EqualTo conjuncts count toward key coverage).
+  *   - INNER on a RELY'd FOREIGN KEY to its (whole, unfiltered) parent
+  *     whose join keys also cover a RELY'd unique key of the parent:
+  *     the FK promises ≥1 match for every non-null key, uniqueness
+  *     promises ≤1 — exactly one. The join reduces to the child, plus
+  *     an IS NOT NULL filter on any nullable FK column (inner join
+  *     drops null-keyed rows; non-nullable FK columns need nothing).
+  *     The parent must resolve to the FULL table — a filtered/limited
+  *     parent could lose promised matches — and both sides must live in
+  *     the SAME store (FK names a table, not a root). The join's
+  *     condition must be exactly the FK equi-pairs (a subset is fine if
+  *     uniqueness still covers; an EXTRA conjunct could fail a row).
+  *   At 100 TB either rewrite deletes a dimension scan AND the join
+  *   exchange — the difference between touching one table and two.
+  *
   * Reference contract analog: the reference's schema declares concept/
   * source PKs the AGE planner exploits implicitly (the schema SQL dump);
   * here the claim is explicit, opt-in, surfaced via Table.constraints(). */
@@ -135,6 +160,160 @@ object RelyKeyOptimization
     case _ => Nil
   }
 
+  /** A plan's base graft table plus the map from its OUTPUT exprIds back
+    * to base column names — what FK matching needs on both join sides.
+    * `wholeTable` demands the unfiltered relation (Project/alias only):
+    * the FK parent's promised match must not have been filtered or
+    * limited away — EXCEPT pure `IsNotNull` conjuncts, which Catalyst's
+    * own InferFiltersFromConstraints plants on every inner-join key;
+    * those are recorded in `nullChecked` (base column names) for the
+    * caller to prove harmless (a null-check on a join-key column cannot
+    * remove the match promised to a non-null-keyed child row). With
+    * `wholeTable = false`, Filter/Sort/Limit are value-preserving per
+    * surviving row, which is all the FK child needs (the promise is
+    * per-row, not per-table). */
+  private final case class BaseTable(table: graft.sources.GraftTable,
+      colOf: Map[ExprId, String], nullChecked: Set[String])
+  private def baseTable(plan: LogicalPlan, wholeTable: Boolean)
+      : Option[BaseTable] = plan match {
+    case SubqueryAlias(_, c) => baseTable(c, wholeTable)
+    case Filter(cond, c) =>
+      if (!wholeTable) baseTable(c, wholeTable)
+      else {
+        val checks = splitConjunctivePredicates(cond).map {
+          case IsNotNull(a: AttributeReference) => Some(a.name.toLowerCase)
+          case _ => None
+        }
+        if (checks.forall(_.isDefined))
+          baseTable(c, wholeTable).map(b =>
+            b.copy(nullChecked = b.nullChecked ++ checks.flatten))
+        else None
+      }
+    case Sort(_, _, c, _) if !wholeTable => baseTable(c, wholeTable)
+    case GlobalLimit(_, c) if !wholeTable => baseTable(c, wholeTable)
+    case LocalLimit(_, c) if !wholeTable => baseTable(c, wholeTable)
+    case Project(pl, c) => baseTable(c, wholeTable).map { b =>
+      b.copy(colOf = pl.collect {
+        case a: AttributeReference if b.colOf.contains(a.exprId) =>
+          a.exprId -> b.colOf(a.exprId)
+        case al @ Alias(ar: AttributeReference, _)
+            if b.colOf.contains(ar.exprId) =>
+          al.exprId -> b.colOf(ar.exprId)
+      }.toMap)
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case gt: graft.sources.GraftTable => Some(BaseTable(gt,
+        r.output.map(a => a.exprId -> a.name.toLowerCase).toMap, Set.empty))
+      case _ => None
+    }
+    case r: DataSourceV2ScanRelation => r.relation.table match {
+      case gt: graft.sources.GraftTable => Some(BaseTable(gt,
+        r.output.map(a => a.exprId -> a.name.toLowerCase).toMap, Set.empty))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The RELY'd FOREIGN KEYs declared on `t`, as (referenced table name,
+    * child-column → parent-column name pairs), lowercase. */
+  private def relyForeignKeys(t: graft.sources.GraftTable)
+      : Seq[(String, Seq[(String, String)])] = {
+    import org.apache.spark.sql.connector.catalog.constraints.ForeignKey
+    try t.constraints().toSeq.collect {
+      case fk: ForeignKey if fk.rely() &&
+          fk.columns().forall(_.fieldNames().length == 1) &&
+          fk.referencedColumns().forall(_.fieldNames().length == 1) =>
+        (fk.referencedTable().name().toLowerCase,
+          fk.columns().map(_.fieldNames().head.toLowerCase).toSeq
+            .zip(fk.referencedColumns().map(_.fieldNames().head.toLowerCase)
+              .toSeq))
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Split a join condition into (left-attr, right-attr) EqualTo pairs
+    * and the remaining conjuncts. */
+  private def equiPairs(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): (Seq[(Attribute, Attribute)], Seq[Expression]) = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (eqs, rest) = conjuncts.partition {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+          (left.outputSet.contains(b) && right.outputSet.contains(a))
+      case _ => false
+    }
+    (eqs.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (left.outputSet.contains(a)) (a: Attribute, b: Attribute)
+        else (b: Attribute, a: Attribute)
+    }, rest)
+  }
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+
+  /** LEFT OUTER elimination: no right column above, equi-keys cover a
+    * RELY'd unique key of the right side → the join is an identity on
+    * the left. Returns the replacement child. */
+  private def eliminableLeftOuter(j: Join,
+      refsAbove: AttributeSet): Option[LogicalPlan] = j match {
+    case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftOuter, Some(cond), _)
+        if refsAbove.subsetOf(l.outputSet) =>
+      val (pairs, _) = equiPairs(cond, l, r)
+      val rightIds = pairs.map(_._2.exprId).toSet
+      if (pairs.nonEmpty &&
+          uniqueKeys(r).exists(_.ids.subsetOf(rightIds))) Some(l) else None
+    case _ => None
+  }
+
+  /** INNER FK elimination: the condition is exactly equi-pairs that (a)
+    * all belong to one RELY'd FK from the left base table to the right
+    * base table in the SAME store, with the right side the WHOLE table,
+    * and (b) cover a RELY'd unique key of the right side. Exactly one
+    * match per non-null-keyed left row → the join reduces to the left
+    * child behind an IS NOT NULL filter on its nullable key columns. */
+  private def eliminableInnerFk(j: Join,
+      refsAbove: AttributeSet): Option[LogicalPlan] = j match {
+    case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _)
+        if refsAbove.subsetOf(l.outputSet) =>
+      val (pairs, rest) = equiPairs(cond, l, r)
+      if (pairs.isEmpty || rest.nonEmpty) None
+      else {
+        val rightIds = pairs.map(_._2.exprId).toSet
+        val covered = uniqueKeys(r).exists(_.ids.subsetOf(rightIds))
+        if (!covered) None
+        else (baseTable(l, wholeTable = false),
+            baseTable(r, wholeTable = true)) match {
+          case (Some(lb), Some(rb))
+              if lb.table.storeRoot.isDefined &&
+                lb.table.storeRoot == rb.table.storeRoot =>
+            val namePairs = pairs.flatMap { case (a, b) =>
+              for (la <- lb.colOf.get(a.exprId); rc <- rb.colOf.get(b.exprId))
+                yield (la, rc)
+            }
+            val fkCovers = namePairs.length == pairs.length &&
+              relyForeignKeys(lb.table).exists { case (refName, fkPairs) =>
+                refName == rb.table.tableName.toLowerCase &&
+                  namePairs.forall(fkPairs.contains)
+              } &&
+              // any parent-side null checks must sit on join-key columns
+              // only — there they cannot remove a promised match
+              rb.nullChecked.subsetOf(namePairs.map(_._2).toSet)
+            if (!fkCovers) None
+            else {
+              val nullableKeys = pairs.map(_._1).filter(_.nullable).distinct
+              Some(if (nullableKeys.isEmpty) l
+              else Filter(nullableKeys.map(IsNotNull(_): Expression)
+                .reduce(And), l))
+            }
+          case _ => None
+        }
+      }
+    case _ => None
+  }
+
   /** An aggregate output a ONE-ROW group can project directly: a grouping
     * attribute, or First/Last/Min/Max over the single row (all four are
     * type- and value-preserving there; Sum/Avg/Count change type or
@@ -161,6 +340,22 @@ object RelyKeyOptimization
         if uniqueKeys(child).exists(k =>
           k.nullSafe && k.ids.subsetOf(keys.map(_.exprId).toSet)) =>
       child
+    // join elimination under a Project that keeps only left columns
+    case p @ Project(pl, j: Join) =>
+      val refs = AttributeSet(pl.flatMap(_.references))
+      eliminableLeftOuter(j, refs).orElse(eliminableInnerFk(j, refs)) match {
+        case Some(replacement) => p.copy(child = replacement)
+        case None => p
+      }
+    // …and under an Aggregate whose references are all left columns (the
+    // shape a grouped query leaves when nothing above needs a Project);
+    // the general Aggregate case below gets its turn on the next
+    // fixed-point iteration over the simplified child
+    case a @ Aggregate(_, _, j: Join, _)
+        if eliminableLeftOuter(j, a.references)
+          .orElse(eliminableInnerFk(j, a.references)).isDefined =>
+      a.copy(child = eliminableLeftOuter(j, a.references)
+        .orElse(eliminableInnerFk(j, a.references)).get)
     case a @ Aggregate(groups, aggs, child, _) =>
       lazy val keys = uniqueKeys(child)
       val groupAttrs = groups.collect { case ar: AttributeReference => ar }

@@ -555,6 +555,51 @@ object RelationalQueries {
         ORDER BY o_orderstatus""")
     }),
 
+    // RELY'd FK JOIN ELIMINATION (the r16 rule's second half): lineitem
+    // committed with FOREIGN KEY (l_orderkey) REFERENCES orders_j RELY,
+    // orders_j with its RELY'd PK — an inner join that groups only fact
+    // columns then needs NO join at all: RelyKeyOptimization reduces it
+    // to the fact scan (+ an IS NOT NULL on the key), deleting the
+    // dimension scan AND the join exchange (plan pinned in
+    // PlanShapeSpec; this entry pins VALUE fidelity: DuckDB executes the
+    // REAL join over the original parquet, and the rewrite is only
+    // value-invisible because referential integrity genuinely holds —
+    // exactly the promise RELY lets the user make). At 100 TB the
+    // eliminated join is the difference between touching one table and
+    // two. Build idempotent like q97/q99.
+    "q111_rely_join" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q111_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders_j")
+      store.migrateLegacyTable("lineitem_j")
+      if (store.latestVersion("orders_j").isEmpty) {
+        store.commitClustered("orders_j", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+          clusterBy = Seq("o_orderkey"))
+        store.addKeyConstraint("orders_j", "pk_orders_j", "primary",
+          Seq("o_orderkey"), rely = true)
+        store.commitClustered("lineitem_j", Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+          clusterBy = Seq("l_orderkey"))
+        store.addKeyConstraint("lineitem_j", "fk_lineitem_orders", "foreign",
+          Seq("l_orderkey"), refTable = Some("orders_j"),
+          refColumns = Seq("o_orderkey"), rely = true)
+      }
+      val cat = s"q111_${Tables.fingerprint(dir, "orders")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""
+        SELECT CAST(l_quantity AS BIGINT) AS qty_band,
+          count(*) AS n_items,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM $cat.lineitem_j JOIN $cat.orders_j ON l_orderkey = o_orderkey
+        GROUP BY 1
+        ORDER BY qty_band""")
+    }),
+
     // DROP COLUMN round trip: commit `orders` clustered, then drop every
     // column except three as a DATA-LESS schema link (dropColumns — the
     // fat-column amputation that costs one metadata commit at 100 TB, not
@@ -1218,6 +1263,18 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // DuckDB executes the REAL inner join over the original parquet; the
+    // FK-driven join elimination must be value-invisible (sound only
+    // because every l_orderkey genuinely exists in orders — RELY's
+    // referential-integrity contract).
+    "q111_rely_join" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS qty_band,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY qty_band""".stripMargin,
 
     // The mutations replay in SQL over the original parquet: the UPDATE
     // as a CASE over the status, the DELETE as a WHERE on quantity. The

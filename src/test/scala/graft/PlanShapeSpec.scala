@@ -366,4 +366,87 @@ class PlanShapeSpec extends SparkSpec {
       s"q110 must lose the distinct expansion's exchange:\n$p110")
     assert(q110.count() == 3L)
   }
+
+  test("RELY'd keys eliminate joins: LEFT OUTER to a unique key, INNER on a FK") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("relyjoins").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    val dimSrc = spark.range(0, 100)
+      .select(col("id").as("dk"), (col("id") % 5).as("dattr"))
+    store.commit("dim", dimSrc)
+    store.addKeyConstraint("dim", "dim_pk", "primary", Seq("dk"), rely = true)
+    store.commit("dim_plain", dimSrc) // identical data, NO constraint
+    store.commit("fact", spark.range(0, 1000).select(
+      col("id").as("fid"),
+      (col("id") % 100).as("fk"), // non-nullable FK
+      when(col("id") % 10 =!= 0, col("id") % 100).as("nfk"), // nullable FK
+      (col("id") % 3).as("m")))
+    store.addKeyConstraint("fact", "fk_dim", "foreign", Seq("fk"),
+      refTable = Some("dim"), refColumns = Seq("dk"), rely = true)
+    store.addKeyConstraint("fact", "nfk_dim", "foreign", Seq("nfk"),
+      refTable = Some("dim"), refColumns = Seq("dk"), rely = true)
+    def readT(t: String) = spark.read.format("graft")
+      .option("root", root).option("table", t).load()
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "Join".r.findAllIn(plan(df)).size
+    val factCols = Seq(col("fid"), col("m"))
+    val fact = readT("fact")
+    val dim = readT("dim")
+    val dimPlain = readT("dim_plain")
+
+    // LEFT OUTER to the RELY'd PK with only fact columns above: deleted —
+    // and the values equal the unconstrained twin's, row for row
+    val lo = fact.join(dim, fact("fk") === dim("dk"), "left")
+      .select(factCols: _*)
+    assert(joins(lo) == 0, s"left outer to RELY'd PK must delete:\n${plan(lo)}")
+    val loPlain = fact.join(dimPlain, fact("fk") === dimPlain("dk"), "left")
+      .select(factCols: _*)
+    assert(joins(loPlain) > 0, "without RELY the left join must stay")
+    assert(lo.agg(sum("fid"), sum("m")).head() ==
+      loPlain.agg(sum("fid"), sum("m")).head())
+    assert(lo.count() == 1000L)
+
+    // a dim column above the join keeps it, even with RELY
+    val loKeep = fact.join(dim, fact("fk") === dim("dk"), "left")
+      .select(col("fid"), col("dattr"))
+    assert(joins(loKeep) > 0, "a referenced dim column must keep the join")
+
+    // INNER on the non-nullable RELY'd FK: join and dim scan both delete,
+    // nothing filtered (every fk row is promised a unique match)
+    val in = fact.join(dim, fact("fk") === dim("dk")).select(factCols: _*)
+    assert(joins(in) == 0, s"inner FK join must delete:\n${plan(in)}")
+    assert(in.count() == 1000L)
+
+    // INNER on the NULLABLE FK: join deletes but the null-keyed rows
+    // must still drop — an IS NOT NULL filter replaces the join
+    val inN = fact.join(dim, fact("nfk") === dim("dk")).select(factCols: _*)
+    assert(joins(inN) == 0, s"nullable inner FK join must delete:\n${plan(inN)}")
+    assert(inN.count() == 900L, "null FK rows drop exactly as the join would")
+
+    // soundness guards: a FILTERED parent may have lost the promised
+    // match; an EXTRA conjunct may fail a row; no FK (dim_plain) proves
+    // nothing — all three keep the join
+    val dimF = dim.where(col("dk") < 50)
+    val inFiltered = fact.join(dimF, fact("fk") === dimF("dk"))
+      .select(factCols: _*)
+    assert(joins(inFiltered) > 0, "a filtered FK parent must keep the join")
+    assert(inFiltered.count() == 500L)
+    val inExtra = fact.join(dim,
+      fact("fk") === dim("dk") && dim("dattr") === lit(1))
+      .select(factCols: _*)
+    assert(joins(inExtra) > 0, "an extra conjunct must keep the join")
+    val inPlain = fact.join(dimPlain, fact("fk") === dimPlain("dk"))
+      .select(factCols: _*)
+    assert(joins(inPlain) > 0, "no RELY'd FK → the inner join must stay")
+
+    // and the registered q111 exercises it end-to-end: the grouped
+    // fact⋈dim SQL query plans with NO join operator at all
+    val q111 = SparkEntry.queries("q111_rely_join")(spark, sf0001)
+    assert(joins(q111) == 0,
+      s"q111's FK join must eliminate:\n${plan(q111)}")
+    assert(q111.count() > 0)
+  }
 }
