@@ -2214,6 +2214,146 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       dvReplacement = (_, _) => None)
   }
 
+  /** Every commit between `base` and `head` is a pure APPEND — `base`
+    * is still in `head`'s chain and no link above it tombstoned
+    * anything (delete/update links always carry tombstones; compactions
+    * and rewrites are self-contained, which breaks the chain). Exactly
+    * the conflicts whose effect is "files were added", against which
+    * the candidate's survivors + tombstones remain valid as-is.
+    * Class-level so [[mutateAll]]'s transaction retry can classify
+    * per-table conflicts the same way [[rowMutation]] does. */
+  private def pureAppendsBetween(table: String, base: Long, head: Long)
+      : Boolean = {
+      val chain = chainOf(table, head)
+      val i = chain.indexOf(base)
+      i >= 0 && chain.drop(i + 1).forall(l =>
+        removedAt(table, l).isEmpty && dvAt(table, l).isEmpty)
+    }
+
+  /** Re-base an unexposed mutation candidate over pure-append conflicts
+    * (the liveness path): scan ONLY the newly-appended files for
+    * additional matches, fold their replacement rows / tombstones /
+    * change images into the candidate's own directory, then relink it
+    * above the new head — O(delta-since-base) work however hot the
+    * appender. The mutation serializes AFTER the appends it scanned,
+    * same as a recompute. Shared by [[rowMutation]]'s CAS loop and
+    * [[mutateAll]]'s transaction retry (which re-bases each stale
+    * table's candidate instead of discarding the whole cascade when
+    * every conflict is a pure append). */
+  private def rebaseMutationCandidate(table: String, cand: Long, base: Long,
+      head: Long, predicate: org.apache.spark.sql.Column, op: String,
+      rewrite: (DataFrame, StructType) => DataFrame,
+      changeSetOf: (DataFrame, StructType) => Option[DataFrame]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val hit = coalesce(predicate, lit(false))
+    def discardCand(): Unit = {
+      val w = Files.walk(versionDir(table, cand))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+      val newLinks = { val c = chainOf(table, head); c.drop(c.indexOf(base) + 1) }
+      val schemaH = snapshotSchema(table, Some(head))
+      val newFiles = newLinks.flatMap(dataFilesOf(table, _))
+      val dir = versionDir(table, cand)
+      val extraKeys =
+        if (newFiles.isEmpty) Seq.empty[String]
+        else spark.read.schema(schemaH).parquet(newFiles.map(_.toString): _*)
+          .where(predicate).select(col("_metadata.file_path")).distinct()
+          .collect().map(r => uriFileKey(r.getString(0))).toSeq.sorted
+      if (extraKeys.nonEmpty) {
+        val paths = extraKeys.map(k => tableDir(table).resolve(k).toString)
+        val scan = spark.read.schema(schemaH).parquet(paths: _*)
+        // Bucket attribution of the rebase's extra rewrite files: when the
+        // candidate carries a claim AND the appends it re-bases over kept
+        // the chain claim-consistent (appendBucketed races), the extra
+        // survivors are repartitioned by the HEAD's resolved spec — same
+        // part-index-is-bucket-id contract as the main commit — and the
+        // claim survives, re-stamped under the head's (possibly renamed)
+        // column name. A plain-append race already broke the chain claim
+        // (bucketSpecOf(head) = None): strip the candidate's, because its
+        // appended files here are not bucket-attributed.
+        val candProps = commitProps(table, cand)
+        val candClaims = candProps.contains(SnapshotStore.BucketColProp) ||
+          candProps.contains(SnapshotStore.BucketNProp)
+        val (headClaim, headBucketed) =
+          if (candClaims) bucketClaimOf(table, head)
+          else (Map.empty[String, String], identity[DataFrame] _)
+        headBucketed(stampedWithIds(rewrite(scan, schemaH), schemaH))
+          .write.mode("append").parquet(dir.toString)
+        stampedWithIds(scan.where(hit), schemaH).write.mode("append")
+          .parquet(dir.resolve("_changes_removed").toString)
+        changeSetOf(scan, schemaH).foreach(c => stampedWithIds(c, schemaH)
+          .write.mode("append").parquet(changesDir(table, cand).toString))
+        val allKeys = (removedAt(table, cand) ++ extraKeys).distinct.sorted
+        Files.writeString(removedFileOf(table, cand),
+          org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+            org.json4s.JArray(allKeys.map(org.json4s.JString(_)).toList))))
+        try FileStats.writeStatsFile(
+          spark.sparkContext.hadoopConfiguration, dir)
+        catch { case scala.util.control.NonFatal(_) => () }
+        if (candClaims) {
+          val rewriteProps =
+            if (headClaim.nonEmpty) candProps ++ headClaim
+            else candProps - SnapshotStore.BucketColProp -
+              SnapshotStore.BucketNProp
+          Files.writeString(propsFile(table, cand),
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+                rewriteProps.toList.sortBy(_._1).map { case (k, v2) =>
+                  k -> org.json4s.JString(v2) }))))
+        }
+      }
+      // CHECK-GROWTH RE-VALIDATION (the mutation twin of append-relink's,
+      // SnapshotStore.scala relink): an addCheckConstraint commit carries
+      // no tombstones and no DVs, so it classifies as a PURE-APPEND
+      // conflict — and this candidate's written rows (update post-images,
+      // rebase extras) were only ever validated against the WRITE-TIME
+      // base's predicate set. Grown/changed predicates re-run over the
+      // candidate's files, O(delta) with column pruning; a violation
+      // discards the candidate and refuses loudly — exactly what a fresh
+      // recompute against the new head would have done in commitWith.
+      // Delete survivors alone cannot violate (they are base rows the
+      // ADD-time validation already covered), so an empty candidate dir
+      // skips the scan.
+      val grownChecks = {
+        val oldChecks = checkConstraintsOf(table, base)
+        checkConstraintsOf(table, head).filter { case (n, sql) =>
+          !oldChecks.get(n).contains(sql) }
+      }
+      if (grownChecks.nonEmpty) {
+        val s0 = Files.list(dir)
+        val hasParts = try s0.iterator().asScala.exists(p =>
+          p.getFileName.toString.endsWith(".parquet")) finally s0.close()
+        if (hasParts) {
+          import org.apache.spark.sql.functions.expr
+          val written = spark.read.schema(schemaH).parquet(dir.toString)
+          grownChecks.find { case (_, sql) =>
+            written.where(coalesce(expr(sql).cast("boolean"), lit(true)) ===
+              lit(false)).head(1).nonEmpty
+          }.foreach { case (n, sql) =>
+            discardCand()
+            throw new IllegalArgumentException(
+              s"$op to $table violates CHECK constraint $n ($sql) added " +
+                "concurrently with the mutation — candidate discarded, " +
+                "table unchanged")
+          }
+        }
+      }
+      // Relink above the new head (append's rebase-by-rename machinery):
+      // marker dropped for the metadata rewrite, rename claims the fresh
+      // number, `_base` repointed, schema re-pinned to the head's (the
+      // appends may have added or widened columns — the candidate's own
+      // narrower files read under the wider pinned schema exactly like
+      // any evolved chain).
+      Files.deleteIfExists(dir.resolve("_SUCCESS"))
+      val next = renumberCandidate(table, cand)
+      Files.writeString(baseFile(table, next), head.toString)
+      Files.writeString(schemaFile(table, next), schemaH.json)
+      Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")
+      next
+    }
+
+
   /** The shared copy-on-write engine of [[delete]] and [[update]]:
     * find matched files (metadata-scale, predicate-pruned), write the
     * replacement rows `rewrite` produces as a chain-link candidate that
@@ -2265,87 +2405,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       finally w.close()
     }
 
-    /** Every commit between `base` and `head` is a pure APPEND — `base`
-      * is still in `head`'s chain and no link above it tombstoned
-      * anything (delete/update links always carry tombstones; compactions
-      * and rewrites are self-contained, which breaks the chain). Exactly
-      * the conflicts whose effect is "files were added", against which
-      * the candidate's survivors + tombstones remain valid as-is. */
-    def pureAppendsSince(base: Long, head: Long): Boolean = {
-      val chain = chainOf(table, head)
-      val i = chain.indexOf(base)
-      i >= 0 && chain.drop(i + 1).forall(l =>
-        removedAt(table, l).isEmpty && dvAt(table, l).isEmpty)
-    }
+    def pureAppendsSince(base: Long, head: Long): Boolean =
+      pureAppendsBetween(table, base, head)
 
-    /** Re-base the candidate over pure-append conflicts (the liveness
-      * path): scan ONLY the newly-appended files for additional matches,
-      * fold their replacement rows / tombstones / change images into the
-      * candidate's own directory, then relink it above the new head —
-      * O(delta-since-base) work however hot the appender. The mutation
-      * serializes AFTER the appends it scanned, same as a recompute. */
-    def rebaseOnto(cand: Long, base: Long, head: Long): Long = {
-      val newLinks = { val c = chainOf(table, head); c.drop(c.indexOf(base) + 1) }
-      val schemaH = snapshotSchema(table, Some(head))
-      val newFiles = newLinks.flatMap(dataFilesOf(table, _))
-      val dir = versionDir(table, cand)
-      val extraKeys = matchedKeysIn(newFiles, schemaH)
-      if (extraKeys.nonEmpty) {
-        val paths = extraKeys.map(k => tableDir(table).resolve(k).toString)
-        val scan = spark.read.schema(schemaH).parquet(paths: _*)
-        // Bucket attribution of the rebase's extra rewrite files: when the
-        // candidate carries a claim AND the appends it re-bases over kept
-        // the chain claim-consistent (appendBucketed races), the extra
-        // survivors are repartitioned by the HEAD's resolved spec — same
-        // part-index-is-bucket-id contract as the main commit — and the
-        // claim survives, re-stamped under the head's (possibly renamed)
-        // column name. A plain-append race already broke the chain claim
-        // (bucketSpecOf(head) = None): strip the candidate's, because its
-        // appended files here are not bucket-attributed.
-        val candProps = commitProps(table, cand)
-        val candClaims = candProps.contains(SnapshotStore.BucketColProp) ||
-          candProps.contains(SnapshotStore.BucketNProp)
-        val (headClaim, headBucketed) =
-          if (candClaims) bucketClaimOf(table, head)
-          else (Map.empty[String, String], identity[DataFrame] _)
-        headBucketed(stampedWithIds(rewrite(scan, schemaH), schemaH))
-          .write.mode("append").parquet(dir.toString)
-        stampedWithIds(scan.where(hit), schemaH).write.mode("append")
-          .parquet(dir.resolve("_changes_removed").toString)
-        changeSetOf(scan, schemaH).foreach(c => stampedWithIds(c, schemaH)
-          .write.mode("append").parquet(changesDir(table, cand).toString))
-        val allKeys = (removedAt(table, cand) ++ extraKeys).distinct.sorted
-        Files.writeString(removedFileOf(table, cand),
-          org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
-            org.json4s.JArray(allKeys.map(org.json4s.JString(_)).toList))))
-        try FileStats.writeStatsFile(
-          spark.sparkContext.hadoopConfiguration, dir)
-        catch { case scala.util.control.NonFatal(_) => () }
-        if (candClaims) {
-          val rewriteProps =
-            if (headClaim.nonEmpty) candProps ++ headClaim
-            else candProps - SnapshotStore.BucketColProp -
-              SnapshotStore.BucketNProp
-          Files.writeString(propsFile(table, cand),
-            org.json4s.jackson.JsonMethods.compact(
-              org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
-                rewriteProps.toList.sortBy(_._1).map { case (k, v2) =>
-                  k -> org.json4s.JString(v2) }))))
-        }
-      }
-      // Relink above the new head (append's rebase-by-rename machinery):
-      // marker dropped for the metadata rewrite, rename claims the fresh
-      // number, `_base` repointed, schema re-pinned to the head's (the
-      // appends may have added or widened columns — the candidate's own
-      // narrower files read under the wider pinned schema exactly like
-      // any evolved chain).
-      Files.deleteIfExists(dir.resolve("_SUCCESS"))
-      val next = renumberCandidate(table, cand)
-      Files.writeString(baseFile(table, next), head.toString)
-      Files.writeString(schemaFile(table, next), schemaH.json)
-      Files.writeString(versionDir(table, next).resolve("_SUCCESS"), "")
-      next
-    }
+    def rebaseOnto(cand: Long, base: Long, head: Long): Long =
+      rebaseMutationCandidate(table, cand, base, head, predicate, op,
+        rewrite, changeSetOf)
 
     /** CAS until won or a non-append conflict forces a recompute (None). */
     @tailrec def casLoop(cand: Long, base: Long): Option[Long] =
@@ -3383,17 +3448,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * validation (the cascade serializes against them too) but commit no
     * version.
     *
-    * UNLIKE appendAll, a stale base cannot relink: the transaction
-    * discards ALL candidates and re-prepares against the new heads,
-    * bounded by `maxRetries` with backoff (merge's recompute-on-conflict
-    * posture, extended to the transaction). KNOWN LIVENESS LIMIT: this
-    * is stricter than single-table [[delete]], which re-bases over
-    * pure-APPEND conflicts in O(delta) — extending that rebase to the
-    * transaction (per-table rebaseOnto under the multi-CAS) is sound for
-    * appends but not yet implemented, so a sustained appender on any
-    * participating table can exhaust `maxRetries` (a LOUD
-    * IllegalStateException, never a partial cascade); widen `maxRetries`
-    * or quiesce ingest around cascades under heavy contention. */
+    * CONTENTION posture (r16): when EVERY stale table's conflict is a
+    * pure APPEND, each candidate re-bases in place over the appended
+    * delta — single-table [[delete]]'s O(delta) liveness path, extended
+    * to the transaction — so a sustained appender on a participating
+    * table can no longer starve the cascade (rebase rounds are not
+    * counted against `maxRetries`; each serializes after appends some
+    * writer committed). Any NON-append conflict (sibling delete/update/
+    * compact/rewrite) still discards ALL candidates and re-prepares
+    * against the new heads, bounded by `maxRetries` with backoff
+    * (merge's recompute-on-conflict posture — rewrites don't commute
+    * with deletes). */
   def deleteAll(predicates: Map[String, org.apache.spark.sql.Column],
       maxRetries: Int = 5,
       dvMaxFraction: Double = SnapshotStore.DefaultDvMaxFraction)
@@ -3430,39 +3495,51 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally w.close()
     }
-    @tailrec def attempt(retriesLeft: Int): Map[String, Long] = {
-      // per-table chain-vector backstop, like any mutation (committed
-      // separately BEFORE the transaction: the fold is content-neutral)
-      tables.foreach { t =>
-        latestVersion(t).foreach { v =>
-          if (dvInChain(t, v).valuesIterator.map(_.size.toLong).sum >
-              dvChainFoldRows) compactVectored(t)
-        }
+    /** A table's transaction half: predicate, op tag, and the rewrite
+      * functions — needed both to PREPARE a candidate and to RE-BASE it
+      * over pure-append conflicts. */
+    def fnsOf(t: String): (org.apache.spark.sql.Column, String,
+        (DataFrame, StructType) => DataFrame,
+        (DataFrame, StructType) => Option[DataFrame],
+        (DataFrame, StructType) => Option[DataFrame]) =
+      deletes.get(t) match {
+        case Some(pred) =>
+          val hit = coalesce(pred, lit(false))
+          (pred, "delete",
+            (matchedScan: DataFrame, _: StructType) => matchedScan.where(not(hit)),
+            (_: DataFrame, _: StructType) => None,
+            (_: DataFrame, _: StructType) => None)
+        case None =>
+          val (pred, assignments) = updates(t)
+          val (rw, cs, dv) = updateFns(pred, assignments)
+          (pred, "update", rw, cs, dv)
       }
-      val bases: Map[String, Long] = tables.map { t =>
-        t -> latestVersion(t).getOrElse(throw new IllegalArgumentException(
-          s"no committed version of $t"))
-      }.toMap
-      val cands: Map[String, Option[Long]] = tables.map { t =>
-        deletes.get(t) match {
-          case Some(pred) =>
-            val hit = coalesce(pred, lit(false))
-            t -> mutationCandidate(t, bases(t), pred, "delete",
-              dvMaxFraction)(
-              rewrite = (matchedScan, _) => matchedScan.where(not(hit)),
-              changeSetOf = (_, _) => None,
-              dvReplacement = (_, _) => None)
-          case None =>
-            val (pred, assignments) = updates(t)
-            val (rw, cs, dv) = updateFns(pred, assignments)
-            t -> mutationCandidate(t, bases(t), pred, "update",
-              dvMaxFraction)(rewrite = rw, changeSetOf = cs,
-              dvReplacement = dv)
+    def attempt(maxRetries: Int): Map[String, Long] = {
+      var retriesLeft = maxRetries
+      def backstopAndBases(): Map[String, Long] = {
+        // per-table chain-vector backstop, like any mutation (committed
+        // separately BEFORE the transaction: the fold is content-neutral)
+        tables.foreach { t =>
+          latestVersion(t).foreach { v =>
+            if (dvInChain(t, v).valuesIterator.map(_.size.toLong).sum >
+                dvChainFoldRows) compactVectored(t)
+          }
         }
-      }.toMap
-      val withCand = tables.filter(cands(_).isDefined)
-      if (withCand.isEmpty) bases // nothing matched anywhere: no-op tx
-      else {
+        tables.map { t =>
+          t -> latestVersion(t).getOrElse(throw new IllegalArgumentException(
+            s"no committed version of $t"))
+        }.toMap
+      }
+      var bases: Map[String, Long] = backstopAndBases()
+      def prepare(t: String): Option[Long] = {
+        val (pred, op, rw, cs, dv) = fnsOf(t)
+        mutationCandidate(t, bases(t), pred, op, dvMaxFraction)(
+          rewrite = rw, changeSetOf = cs, dvReplacement = dv)
+      }
+      var cands: Map[String, Option[Long]] = tables.map(t => t -> prepare(t)).toMap
+      while (true) {
+        val withCand = tables.filter(cands(_).isDefined)
+        if (withCand.isEmpty) return bases // nothing matched anywhere: no-op tx
         SnapshotStore.testRaceHook() // spec seam: force a sibling commit
         val committed = underPointerLocks(tables) {
           // EVERY table re-validates, matched or not: the cascade's
@@ -3485,17 +3562,67 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           }
         }
         committed match {
-          case Some(r) => r
+          case Some(r) => return r
           case None =>
-            withCand.foreach(t => discard(t, cands(t).get))
-            if (retriesLeft > 0) {
+            val staleTables = tables.filter(t =>
+              !latestVersion(t).contains(bases(t)))
+            val heads = staleTables.map(t => t -> latestVersion(t).getOrElse(
+              throw new IllegalStateException(
+                s"pointer of $t vanished mid-transaction"))).toMap
+            if (staleTables.nonEmpty && staleTables.forall(t =>
+                pureAppendsBetween(t, bases(t), heads(t)))) {
+              // PURE-APPEND LIVENESS PATH (the single-table rebase,
+              // extended to the transaction): every stale table's
+              // conflict only ADDED files, so each candidate re-bases in
+              // place — the appended delta is scanned for new matches and
+              // folded in, O(delta-since-base) however hot the appenders —
+              // instead of the whole cascade discarding and re-preparing.
+              // A stale table whose predicate matched NOTHING at the old
+              // base re-prepares against the new head (the appends may
+              // have introduced matches). Not counted against maxRetries:
+              // like the single-table path, every rebase round serializes
+              // after appends some writer actually committed, so a
+              // sustained appender can no longer starve the cascade.
+              // A failure mid-rebase (e.g. the grown-CHECK refusal)
+              // discards every remaining candidate before rethrowing.
+              try staleTables.foreach { t =>
+                val (pred, op, rw, cs, _) = fnsOf(t)
+                val rebased = cands(t) match {
+                  case Some(c) =>
+                    val r = rebaseMutationCandidate(t, c, bases(t),
+                      heads(t), pred, op, rw, cs)
+                    bases += t -> heads(t)
+                    Some(r)
+                  case None =>
+                    bases += t -> heads(t)
+                    prepare(t)
+                }
+                cands += t -> rebased
+              } catch {
+                case e: Throwable =>
+                  tables.foreach(t => cands.getOrElse(t, None).foreach { c =>
+                    try discard(t, c)
+                    catch { case c2: Throwable => e.addSuppressed(c2) }
+                  })
+                  throw e
+              }
+            } else if (retriesLeft > 0) {
+              withCand.foreach(t => discard(t, cands(t).get))
               Thread.sleep(math.min(25L << (maxRetries - retriesLeft), 400L))
-              attempt(retriesLeft - 1)
-            } else throw new IllegalStateException(
-              s"mutateAll(${tables.mkString(", ")}) lost the commit race " +
-                s"$maxRetries times — retry later or widen maxRetries")
+              retriesLeft -= 1
+              bases = backstopAndBases()
+              cands = tables.map(t => t -> prepare(t)).toMap
+            } else {
+              withCand.foreach(t => discard(t, cands(t).get))
+              throw new IllegalStateException(
+                s"mutateAll(${tables.mkString(", ")}) lost the commit race " +
+                  s"to conflicting rewrites $maxRetries times — retry later " +
+                  "or widen maxRetries (pure-append contention re-bases " +
+                  "and cannot starve this)")
+            }
         }
       }
+      throw new IllegalStateException("unreachable")
     }
     attempt(maxRetries)
   }

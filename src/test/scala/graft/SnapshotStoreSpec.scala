@@ -1204,6 +1204,102 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(computes == 2) // clock advanced → recompute
   }
 
+  test("mutateAll re-bases over pure-append conflicts: appenders cannot starve a cascade") {
+    val root = java.nio.file.Files.createTempDirectory("graft-txreb").toString
+    val st = new SnapshotStore(spark, root)
+    st.commit("concepts", Seq((1L, "a"), (2L, "b")).toDF("cid", "label"))
+    st.commit("edges", Seq((10L, 1L), (12L, 2L)).toDF("eid", "cid"))
+    st.commit("marks", Seq(99L).toDF("cid")) // no match at base
+    var fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true // a sibling ingest lands BETWEEN prepare and commit:
+      // edge 13 belongs to the concept being cascaded (the rebase must
+      // scan the delta and catch it), and marks gains its FIRST match
+      // (the no-candidate table must re-prepare against the new head)
+      new SnapshotStore(spark, root).appendAll(Map(
+        "concepts" -> Seq((3L, "c")).toDF("cid", "label"),
+        "edges" -> Seq((13L, 1L), (30L, 3L)).toDF("eid", "cid"),
+        "marks" -> Seq(3L).toDF("cid")))
+    }
+    try {
+      // maxRetries = 0: the old discard-and-re-prepare posture THREW
+      // here; the pure-append rebase path must commit without a retry
+      val r = st.deleteAll(Map(
+        "concepts" -> (col("cid") === 1L),
+        "edges" -> (col("cid") === 1L),
+        "marks" -> (col("cid") === 3L)), maxRetries = 0)
+      assert(r.keySet == Set("concepts", "edges", "marks"))
+    } finally SnapshotStore.testRaceHook = () => ()
+    assert(st.read("concepts").select("cid").as[Long].collect().toSet
+      == Set(2L, 3L))
+    // BOTH edges of concept 1 are gone — 10 from the prepared candidate,
+    // 13 from the rebase's delta scan
+    assert(st.read("edges").select("eid").as[Long].collect().toSet
+      == Set(12L, 30L))
+    assert(st.read("marks").select("cid").as[Long].collect().toSet
+      == Set(99L), "the appended match on the no-candidate table deletes")
+  }
+
+  test("a mid-race CHECK refuses a transactional update's rebase loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-txck").toString
+    val st = new SnapshotStore(spark, root)
+    st.commit("ontologies", Seq(("A", 1L)).toDF("ont", "meta"))
+    st.commit("membership", Seq(("A", 10L)).toDF("ont", "cid"))
+    var fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true
+      new SnapshotStore(spark, root)
+        .addCheckConstraint("ontologies", "meta_small", "meta < 100")
+    }
+    try {
+      val e = intercept[IllegalArgumentException](st.mutateAll(
+        updates = Map("ontologies" -> ((col("ont") === "A",
+          Map("meta" -> org.apache.spark.sql.functions.lit(500L))))),
+        deletes = Map("membership" -> (col("cid") === 10L))))
+      assert(e.getMessage.contains("meta_small"))
+    } finally SnapshotStore.testRaceHook = () => ()
+    // NOTHING committed — the cascade's delete half must not survive its
+    // update half's refusal
+    assert(st.read("ontologies").select("meta").as[Long].collect().toSeq
+      == Seq(1L))
+    assert(st.read("membership").count() == 1L)
+  }
+
+  test("a CHECK landing mid-race cannot be bypassed by a mutation's rebase") {
+    // the mutation twin of the r14 append-relink hole: an
+    // addCheckConstraint commit carries no tombstones and no DVs, so the
+    // losing update classifies it as a PURE-APPEND conflict and re-bases
+    // — which must re-validate the post-images against the grown
+    // predicate, or the table reports an ENFORCED constraint its rows
+    // violate
+    val root = java.nio.file.Files.createTempDirectory("graft-ckrace").toString
+    val st = new SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, 5L), (2L, 7L)).toDF("id", "v"))
+    var fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true // set FIRST: addCheckConstraint fires the hook too
+      new SnapshotStore(spark, root).addCheckConstraint("t", "v_small", "v < 100")
+    }
+    try {
+      val e = intercept[IllegalArgumentException](
+        st.update("t", col("id") === 1L,
+          Map("v" -> org.apache.spark.sql.functions.lit(500L))))
+      assert(e.getMessage.contains("v_small"))
+    } finally SnapshotStore.testRaceHook = () => ()
+    // table unchanged; the constraint's promise holds
+    assert(st.read("t").select("v").as[Long].collect().toSet == Set(5L, 7L))
+    // …and a mid-race constraint the post-images SATISFY re-bases through
+    fired = false
+    SnapshotStore.testRaceHook = () => if (!fired) {
+      fired = true
+      new SnapshotStore(spark, root).addCheckConstraint("t", "v_pos", "v > 0")
+    }
+    try st.update("t", col("id") === 1L,
+      Map("v" -> org.apache.spark.sql.functions.lit(50L)))
+    finally SnapshotStore.testRaceHook = () => ()
+    assert(st.read("t").select("v").as[Long].collect().toSet == Set(50L, 7L))
+  }
+
   test("snapshotAll: a consistent cut; readAll pins every table to it") {
     val st = freshStore()
     st.commit("concepts", Seq((1L, "a")).toDF("cid", "label"))
