@@ -538,4 +538,76 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
           s"phantom=${folded(r) -- finalKeys}")
     }
   }
+
+  test("cascades with maxRetries=0 survive hot appenders: the rebase liveness claim") {
+    import scala.jdk.CollectionConverters._
+    // LIVENESS under free-running schedules: two appenders ingest
+    // (concept + edges) transactions as fast as they can while a third
+    // thread retires concepts via deleteAll with a ZERO retry budget —
+    // under the old discard-and-re-prepare posture a single mid-prepare
+    // append threw; the pure-append rebase must absorb every such
+    // conflict. Correctness rides along: a retired concept's edges are
+    // gone INCLUDING any the rebase had to discover in appended deltas.
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz3").toString
+    val store = new SnapshotStore(spark, root)
+    store.commit("concepts", Seq((0L, 0L)).toDF("cid", "gen"))
+    store.commit("edges", Seq((0L, 0L)).toDF("eid", "cid"))
+    val appenders = 2
+    val ingests = 8
+    val ingested = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val retired = scala.collection.mutable.Set.empty[Long]
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(appenders + 1)
+    try {
+      val atasks = (0 until appenders).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            var cid = (w + 1) * 1000000L
+            (1 to ingests).foreach { _ =>
+              cid += 1
+              st.appendAll(Map(
+                "concepts" -> Seq((cid, w.toLong)).toDF("cid", "gen"),
+                "edges" -> Seq((cid * 10, cid), (cid * 10 + 1, cid))
+                  .toDF("eid", "cid")))
+              ingested.add(cid)
+            }
+          } catch { case t: Throwable => failures.add(t) }
+          finally { done.incrementAndGet(); () }
+        })
+      }
+      val deleter = pool.submit(new Runnable {
+        def run(): Unit = try {
+          val st = new SnapshotStore(spark, root)
+          val rnd = new Random(7300L)
+          while (done.get() < appenders || {
+              val live = ingested.asScala.toSet -- retired; live.nonEmpty }) {
+            val live = (ingested.asScala.toSet -- retired).toSeq.sorted
+            if (live.isEmpty) Thread.sleep(20L)
+            else {
+              val cid = live(rnd.nextInt(live.size))
+              // maxRetries = 0: ANY append-conflict fallback to the
+              // discard path throws — only the rebase can save this
+              st.deleteAll(Map(
+                "concepts" -> (col("cid") === cid),
+                "edges" -> (col("cid") === cid)), maxRetries = 0)
+              retired += cid
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      (atasks :+ deleter).foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"participant failed: $f")
+    }
+    // every ingested concept was retired; nothing dangles anywhere
+    assert(retired == ingested.asScala.toSet)
+    assert(store.read("concepts").select("cid").as[Long].collect().toSet
+      == Set(0L))
+    assert(store.read("edges").select("eid").as[Long].collect().toSet
+      == Set(0L))
+  }
 }
