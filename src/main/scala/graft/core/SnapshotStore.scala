@@ -851,7 +851,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * reader performs the conversion natively when reading a `from`-typed
     * file under a `to`-typed read schema (probed on this Spark; pinned by
     * the GraftSourceSpec matrix). */
-  private def widensTo(from: DataType, to: DataType): Boolean = {
+  private[graft] def widensTo(from: DataType, to: DataType): Boolean = {
     import org.apache.spark.sql.types._
     (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
@@ -3167,13 +3167,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         .map(d => alignedToHead(table, v, d).withColumn("_version", lit(v))
           .withColumn("_change_type", lit("delete"))))
     // `b` widens `a` losslessly: every column of `a` survives in `b`
-    // with its exact type — matched by field ID where both carry IDs
-    // (rename-safe), by case-insensitive name otherwise — so `b` at most
-    // ADDS columns (or reorders). Then the old snapshot's delete images
-    // union into the feed frame with the new columns null-padded, and a
-    // fold over any pre-rewrite column is exact. A DROP or RETYPE fails
-    // this and stays resubscribe.
-    def widensTo(a: Long, b: Long): Boolean = {
+    // with its exact type OR a natively-widened one (the same probe-
+    // pinned int->long / float->double matrix the append path accepts —
+    // [[widensTo(DataType,DataType)]]) — matched by field ID where both
+    // carry IDs (rename-safe), by case-insensitive name otherwise — so
+    // `b` at most ADDS columns (or reorders, or widens). Then the old
+    // snapshot's delete images union into the feed frame with the new
+    // columns null-padded and the narrow columns coerced up (Union's own
+    // set-operation widening), and a fold over any pre-rewrite column is
+    // exact: the upcast is value-preserving by the matrix's definition.
+    // A DROP or LOSSY retype fails this and stays resubscribe.
+    def rewriteWidens(a: Long, b: Long): Boolean = {
       val (sa, sb) = (snapshotSchema(table, Some(a)), snapshotSchema(table, Some(b)))
       val byId: Map[Long, org.apache.spark.sql.types.StructField] =
         sb.fields.flatMap(f => SnapshotStore.fieldIdOf(f).map(_ -> f)).toMap
@@ -3181,7 +3185,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       sa.fields.forall { f =>
         SnapshotStore.fieldIdOf(f).flatMap(byId.get)
           .orElse(byName.get(f.name.toLowerCase))
-          .exists(_.dataType == f.dataType)
+          .exists(nf => nf.dataType == f.dataType ||
+            widensTo(f.dataType, nf.dataType))
       }
     }
     val rewriteImages = nonFeedMutationsSince(table, sinceVersion).flatMap { v =>
@@ -3203,7 +3208,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           s"change feed over $table: rewrite version $v's pre-image " +
             s"snapshot was vacuumed (no retained predecessor, horizon $h)" +
             " — recompute from the snapshot or resubscribe past the rewrite")
-        case Some(p) if widensTo(p, v) => Seq(
+        case Some(p) if rewriteWidens(p, v) => Seq(
           alignedToHead(table, p, readAt(table, p)).withColumn("_version", lit(v))
             .withColumn("_change_type", lit("delete")),
           alignedToHead(table, v, readAt(table, v)).withColumn("_version", lit(v))

@@ -635,7 +635,10 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
     * absence-by-ID provably "this data never existed for this column"),
     * by case-insensitive name on legacy chains:
     *   - found on a side with the EXACT type → read there (pruned);
-    *   - found with a different type → retype → None (resubscribe);
+    *   - found NARROWER than the subscriber's pinned type, natively
+    *     widenable (int→long, float→double…) → read under the wide type;
+    *   - found with any other type skew → lossy retype → None
+    *     (resubscribe);
     *   - absent from v but present in prev → DROPPED → None;
     *   - absent from a side otherwise → pad NULL on that side, required
     *     to be a TRAILING suffix (the reader pads positionally after
@@ -663,7 +666,16 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
         else None)
       m match {
         case Some(f) if f.dataType == b.dataType => Some(Some(f))
-        case Some(_) => None // retype: poison the whole bind
+        case Some(f) if store.widensTo(f.dataType, b.dataType) =>
+          // the version's file is NARROWER than the subscriber's pinned
+          // type (a retype-widen rewrite sits between them): read it
+          // UNDER the wide type — the same native vectorized int->long /
+          // float->double widen the store's append contract relies on —
+          // so the positional row binding carries the wide value. The
+          // reverse skew (file wider than the pinned type) has no
+          // lossless read and stays the resubscribe poison below.
+          Some(Some(f.copy(dataType = b.dataType)))
+        case Some(_) => None // lossy retype: poison the whole bind
         case None => Some(None) // genuinely absent on this side
       }
     }
@@ -731,9 +743,11 @@ final class GraftCdfMicroBatchStream(root: String, table: String,
     // resubscribe. Planned through the full snapshot scan machinery
     // (GraftTable.forSnapshot: tombstones, deletion vectors, manifests),
     // each side carrying its version-specific reader factory.
-    // Drop/retype/rename-breaking rewrites stay out (resubscribe);
-    // LOSSLESS-WIDEN ones (add-column overwrites) serve under the
-    // subscriber's pinned schema via column pruning + trailing null-pads
+    // Drop/lossy-retype/rename-breaking rewrites stay out (resubscribe);
+    // LOSSLESS-WIDEN ones (add-column overwrites, and native
+    // retype-widens like int->long under a post-widen subscriber) serve
+    // under the subscriber's pinned schema via column pruning, trailing
+    // null-pads, and the vectorized reader's own numeric widening
     // — decided per (prev, v) PAIR, so a column this rewrite DROPPED is
     // distinguishable from one not yet added (see rewriteBinding).
     val rewrites = store.nonFeedMutationsSince(table, from)

@@ -193,6 +193,85 @@ class GraftChangeFeedSpec extends SparkSpec {
     assert(ow2.where(col("_change_type") === "insert").count() == 3L)
   }
 
+  test("feed=cdf survives a RETYPE-WIDEN overwrite (int -> long): both twins exact") {
+    // The retype half of the lossless-widen parity point: an overwrite
+    // that only WIDENS a column natively (the store's own probe-pinned
+    // int->long / float->double read matrix) keeps both feed twins
+    // exact — the batch feed's synthesized narrow pre-images coerce up
+    // in the union, the streaming feed reads narrow history under a
+    // post-widen subscriber's wide type via the vectorized reader's
+    // native widening. The REVERSE skew (pinned narrow subscriber over
+    // widened data) has no lossless read and keeps the refusal, as does
+    // a lossy narrowing rewrite.
+    import org.apache.spark.sql.functions.{col, count, sum, when}
+    val root = tmp("graft-cdf-rtw")
+    val st = new SnapshotStore(spark, root)
+    st.append("t", Seq(("a", 1), ("b", 5)).toDF("k", "v")) // v: INT
+    val preSchema = st.readAt("t", 1L).schema
+    st.commit("t", Seq(("b", 5L), ("c", 9L)).toDF("k", "v")) // retype-widen
+    st.append("t", Seq(("d", 3L)).toDF("k", "v"))
+    val owVersion = 2L
+    assert(st.nonFeedMutationsSince("t", 1L).contains(owVersion))
+
+    // batch twin: the retype-widen synthesizes images (narrow pre-image
+    // as deletes, wide post-image as inserts) and the fold is exact
+    val batch = st.changeFeedSince("t", 0L)
+    val ow = batch.where(col("_version") === owVersion)
+      .select("k", "v", "_change_type")
+      .as[(String, Long, String)]
+      .collect().groupBy(identity).view.mapValues(_.length).toMap
+    assert(ow == Map(
+      ("a", 1L, "delete") -> 1, ("b", 5L, "delete") -> 1,
+      ("b", 5L, "insert") -> 1, ("c", 9L, "insert") -> 1), ow.toString)
+    val snap = st.read("t").groupBy("k")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("total"))
+      .as[(String, Long, Long)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    val batchFolded = batch
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .where(col("n") =!= 0)
+      .as[(String, Long, Long)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(batchFolded == snap, s"batch fold $batchFolded vs $snap")
+
+    // streaming twin: a subscriber (re)started AFTER the widen holds the
+    // wide schema and spans the retype from version 0 — narrow history
+    // reads under the wide type, fold exact
+    val sink = tmp("graft-cdf-rtw-out")
+    val ckpt = tmp("graft-cdf-rtw-ck")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "t").option("feed", "cdf")
+      .load().writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val folded = spark.read.parquet(sink)
+      .withColumn("sign", when(col("_change_type") === "insert", 1).otherwise(-1))
+      .groupBy("k")
+      .agg(sum(col("sign")).as("n"), sum(col("v") * col("sign")).as("total"))
+      .where(col("n") =!= 0)
+      .as[(String, Long, Long)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(folded == snap, s"streaming fold $folded must equal snapshot $snap")
+
+    // the REVERSE skew: a subscriber still pinned to the NARROW (int)
+    // schema cannot read widened data losslessly — the retype rewrite
+    // yields it NO images (resubscribe), never silently-downcast ones
+    val narrowStream = new graft.sources.GraftCdfMicroBatchStream(
+      root, "t", preSchema, 1L)
+    assert(narrowStream.planInputPartitions(
+      graft.sources.GraftVersionOffset(1L),
+      graft.sources.GraftVersionOffset(owVersion)).isEmpty,
+      "a pinned narrow subscriber must receive NO images for a retype-widen")
+
+    // a LOSSY narrowing rewrite (long -> int) keeps the refusal
+    val pre = st.latestVersion("t").get
+    st.commit("t", Seq(("z", 2)).toDF("k", "v"))
+    assert(st.nonFeedMutationsSince("t", pre).nonEmpty)
+    assert(st.changeFeedSince("t", pre).where(col("_change_type") === "insert")
+      .count() == 0L, "a narrowing rewrite must not leak images")
+  }
+
   test("feed=cdf survives an ADD-COLUMN overwrite: widened images, no resubscribe") {
     // The lossless-widen CDF parity point: a rewrite that only ADDS
     // columns keeps both feed twins exact — the batch feed null-pads the
