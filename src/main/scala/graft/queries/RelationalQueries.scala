@@ -600,6 +600,51 @@ object RelationalQueries {
         ORDER BY qty_band""")
     }),
 
+    // INCREMENTALLY MAINTAINED JOIN VIEW (r16): a revenue-by-status
+    // rollup over lineitem ⋈ orders, maintained by JoinMaterializedView's
+    // delta algebra — Δ(L⋈R) = ΔL⋈R@new + L@old⋈ΔR, the old term read
+    // from the versioned store via time travel, the cut taken with
+    // snapshotAll — through an incremental schedule: half the facts, a
+    // refresh (the recompute), the other half appended, the dimension
+    // UPDATEd (order band re-statused), a fact DELETE, refreshes folding
+    // only the deltas. The oracle replays the *final state* in SQL over
+    // the original parquet: any double-fold, half-fold, or torn cut in
+    // the maintenance surfaces as a value mismatch. At 100 TB a
+    // maintained joined rollup trickles O(delta ⋈ dims) per refresh
+    // instead of re-joining the corpus. Build idempotent like q97/q99.
+    "q112_join_view" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q112_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders_v")
+      store.migrateLegacyTable("lineitem_v")
+      if (store.latestVersion("orders_v").isEmpty) {
+        store.commit("orders_v", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus")))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"))
+        store.commit("lineitem_v", li.where(col("l_linenumber") <= 3))
+        graft.core.JoinMaterializedView.refresh(store, "lineitem_v",
+          "orders_v", "l_orderkey", "o_orderkey", "o_orderstatus",
+          "l_extendedprice", "rev_by_status")
+        store.append("lineitem_v", li.where(col("l_linenumber") > 3))
+        store.update("orders_v", col("o_orderkey") < 2000L,
+          Map("o_orderstatus" -> lit("M")))
+        graft.core.JoinMaterializedView.refresh(store, "lineitem_v",
+          "orders_v", "l_orderkey", "o_orderkey", "o_orderstatus",
+          "l_extendedprice", "rev_by_status")
+        store.delete("lineitem_v", col("l_quantity") >= 48.0)
+      }
+      graft.core.JoinMaterializedView.refresh(store, "lineitem_v",
+        "orders_v", "l_orderkey", "o_orderkey", "o_orderstatus",
+        "l_extendedprice", "rev_by_status")
+      graft.core.JoinMaterializedView.read(store, "rev_by_status")
+        .select(col("o_orderstatus"), col("n").as("n_items"),
+          col("total").cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // DROP COLUMN round trip: commit `orders` clustered, then drop every
     // column except three as a DATA-LESS schema link (dropColumns — the
     // fat-column amputation that costs one metadata commit at 100 TB, not
@@ -1275,6 +1320,21 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1
         |ORDER BY qty_band""".stripMargin,
+
+    // DuckDB replays the maintained join view's FINAL state over the
+    // original parquet: the UPDATE as a CASE on the status band, the
+    // DELETE as a WHERE on quantity. The incremental folds (half the
+    // facts, then deltas on both sides) must land exactly here — a
+    // double-fold, half-fold, or torn cut is a value mismatch.
+    "q112_join_view" ->
+      """SELECT CASE WHEN o_orderkey < 2000 THEN 'M' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity < 48
+        |GROUP BY 1
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // The mutations replay in SQL over the original parquet: the UPDATE
     // as a CASE over the status, the DELETE as a WHERE on quantity. The
