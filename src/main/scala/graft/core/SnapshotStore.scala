@@ -3646,6 +3646,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         if (stale.nonEmpty) Left(stale)
         else {
           val intent = writeTxnIntent(cands.map { case (t, (v, _)) => t -> v })
+          SnapshotStore.testTxnIntentHook() // spec seam: crash after intent
           tables.foreach { t =>
             val v = cands(t)._1
             stampCommitted(t, v)

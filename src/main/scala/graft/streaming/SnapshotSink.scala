@@ -74,4 +74,52 @@ object SnapshotSink {
         ()
       }
       .start()
+
+  /** MULTI-TABLE exactly-once: one micro-batch split into several tables'
+    * deltas, committed at ONE point via [[SnapshotStore.appendAll]]'s
+    * write-ahead intent — the streaming twin of the reference's
+    * ingestion transaction (concepts + instances + sources land together,
+    * ingestion.py:31-152). The `_batch_id` evidence therefore lands in
+    * EVERY participating table atomically: a crash between the intent
+    * and the pointer moves rolls the whole batch forward on recovery, a
+    * crash before it exposes nothing, and the replay check (ANY table's
+    * last id ≥ this id — tables whose split was empty for a batch carry
+    * no evidence for it) can never see half a batch. Returns true iff
+    * the batch was new. */
+  def appendAllBatch(store: SnapshotStore, split: Map[String, DataFrame],
+      batchId: Long): Boolean = {
+    require(split.nonEmpty, "appendAllBatch requires at least one table")
+    // Pending-txn roll-forward BEFORE the replay check: a crash after the
+    // intent means the batch IS committed (recovery completes it), but
+    // the pointers may not have moved yet — a stale check here would
+    // re-append a committed batch, exactly the double the sink exists to
+    // prevent.
+    store.recoverPendingTxns()
+    val replay = split.keys.exists(t =>
+      lastBatchId(store, t).exists(_ >= batchId))
+    if (!replay) {
+      val nonEmpty = split.toSeq.map { case (t, df) =>
+        t -> df.withColumn("_batch_id", lit(batchId)).localCheckpoint(true)
+      }.filter { case (_, b) => !b.isEmpty }.toMap
+      if (nonEmpty.nonEmpty) store.appendAll(nonEmpty)
+    }
+    !replay
+  }
+
+  /** Run a stream into several tables exactly-once: `split` projects each
+    * micro-batch into per-table deltas (e.g. an extraction batch into
+    * concepts + edges), all committed at one transactional point. */
+  def startAll(stream: DataFrame, store: SnapshotStore,
+      split: DataFrame => Map[String, DataFrame],
+      checkpointLocation: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        // checkpoint the parent ONCE: every per-table projection then
+        // reads stable state however many times appendAll evaluates it
+        appendAllBatch(store, split(batch.toDF().localCheckpoint(true)), id)
+        ()
+      }
+      .start()
 }

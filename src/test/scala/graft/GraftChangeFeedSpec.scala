@@ -758,6 +758,67 @@ class GraftChangeFeedSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("multi-table exactly-once sink: one batch splits atomically, replays skip") {
+    import graft.streaming.SnapshotSink
+    import org.apache.spark.sql.functions.col
+    val root = tmp("graft-sinkall")
+    val st = new SnapshotStore(spark, root)
+    val src = tmp("graft-sinkall-src")
+    def write(part: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "kind").write.parquet(s"$src/$part")
+    write("p1", Seq((1L, "c"), (10L, "e"), (11L, "e")))
+    val ckpt = tmp("graft-sinkall-ck")
+    def split(b: org.apache.spark.sql.DataFrame) = Map(
+      "concepts" -> b.where(col("kind") === "c").select("id"),
+      "edges" -> b.where(col("kind") === "e").select("id"))
+    def run(): Unit = {
+      val q = SnapshotSink.startAll(
+        spark.readStream.schema("id LONG, kind STRING").parquet(s"$src/*"),
+        st, split, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    write("p2", Seq((2L, "c"), (20L, "e")))
+    run() // checkpointed restart: p1's batch must not re-append anywhere
+    assert(st.read("concepts").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    assert(st.read("edges").select("id").as[Long].collect().sorted.toSeq
+      == Seq(10L, 11L, 20L))
+
+    // direct replay of a committed id: nothing commits on EITHER table
+    val id = SnapshotSink.lastBatchId(st, "concepts").get
+    val before = (st.history("concepts").size, st.history("edges").size)
+    assert(!SnapshotSink.appendAllBatch(st, Map(
+      "concepts" -> Seq(99L).toDF("id"), "edges" -> Seq(99L).toDF("id")), id))
+    assert((st.history("concepts").size, st.history("edges").size) == before)
+
+    // a batch whose split is EMPTY for one table: the other table's
+    // evidence alone must make the replay check skip it next time
+    assert(SnapshotSink.appendAllBatch(st, Map(
+      "concepts" -> Seq.empty[Long].toDF("id"),
+      "edges" -> Seq(30L).toDF("id")), id + 1))
+    assert(!SnapshotSink.appendAllBatch(st, Map(
+      "concepts" -> Seq(3L).toDF("id"), "edges" -> Seq(31L).toDF("id")), id + 1))
+    assert(st.read("edges").select("id").as[Long].collect().sorted.toSeq
+      == Seq(10L, 11L, 20L, 30L))
+
+    // crash AFTER the txn intent: recovery completes the WHOLE batch on
+    // both tables, and the replayed foreachBatch call then skips it —
+    // exactly-once survives the worst-placed crash
+    SnapshotStore.testTxnIntentHook =
+      () => throw new RuntimeException("simulated crash after intent")
+    intercept[RuntimeException](SnapshotSink.appendAllBatch(st, Map(
+      "concepts" -> Seq(4L).toDF("id"), "edges" -> Seq(40L).toDF("id")), id + 2))
+    SnapshotStore.testTxnIntentHook = () => ()
+    assert(!SnapshotSink.appendAllBatch(st, Map(
+      "concepts" -> Seq(4L).toDF("id"), "edges" -> Seq(40L).toDF("id")), id + 2),
+      "the rolled-forward batch must read as committed on replay")
+    assert(st.read("concepts").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 4L)) // 3 was only ever in a SKIPPED replay
+    assert(st.read("edges").select("id").as[Long].collect().sorted.toSeq
+      == Seq(10L, 11L, 20L, 30L, 40L)) // 31 likewise
+  }
+
   test("schema evolution: added columns drop from a pinned feed; retypes are refused") {
     val root = tmp("graft-cf-evolve")
     val st = new SnapshotStore(spark, root)
