@@ -314,6 +314,48 @@ object RelyKeyOptimization
     case _ => None
   }
 
+  /** LEFT SEMI / LEFT ANTI against a RELY'd FK's WHOLE parent: the FK
+    * promises every non-null key a match, so the semi join ("EXISTS") is
+    * an IS NOT NULL filter and the anti join ("NOT EXISTS") its
+    * complement — no uniqueness needed (semi/anti never duplicate), no
+    * Project wrapper needed (their output IS the left side). Emitted as
+    * the Filter form even for non-nullable keys: Catalyst's own
+    * NullPropagation folds IsNotNull(non-nullable) to true and
+    * PruneFilters deletes it (or collapses the anti to empty). */
+  private def eliminableSemiAnti(j: Join): Option[LogicalPlan] = {
+    val (l, r, negate, cond) = j match {
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftSemi,
+          Some(c), _) => (l, r, false, c)
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.LeftAnti,
+          Some(c), _) => (l, r, true, c)
+      case _ => return None
+    }
+    val (pairs, rest) = equiPairs(cond, l, r)
+    if (pairs.isEmpty || rest.nonEmpty) return None
+    (baseTable(l, wholeTable = false), baseTable(r, wholeTable = true)) match {
+      case (Some(lb), Some(rb))
+          if lb.table.storeRoot.isDefined &&
+            lb.table.storeRoot == rb.table.storeRoot =>
+        val namePairs = pairs.flatMap { case (a, b) =>
+          for (la <- lb.colOf.get(a.exprId); rc <- rb.colOf.get(b.exprId))
+            yield (la, rc)
+        }
+        val fkCovers = namePairs.length == pairs.length &&
+          relyForeignKeys(lb.table).exists { case (refName, fkPairs) =>
+            refName == rb.table.tableName.toLowerCase &&
+              namePairs.forall(fkPairs.contains)
+          } &&
+          rb.nullChecked.subsetOf(namePairs.map(_._2).toSet)
+        if (!fkCovers) None
+        else {
+          val allNotNull = pairs.map(_._1).distinct
+            .map(IsNotNull(_): Expression).reduce(And)
+          Some(Filter(if (negate) Not(allNotNull) else allNotNull, l))
+        }
+      case _ => None
+    }
+  }
+
   /** An aggregate output a ONE-ROW group can project directly: a grouping
     * attribute, or First/Last/Min/Max over the single row (all four are
     * type- and value-preserving there; Sum/Avg/Count change type or
@@ -356,6 +398,9 @@ object RelyKeyOptimization
           .orElse(eliminableInnerFk(j, a.references)).isDefined =>
       a.copy(child = eliminableLeftOuter(j, a.references)
         .orElse(eliminableInnerFk(j, a.references)).get)
+    // semi/anti output IS the left side — no wrapper needed
+    case j: Join if eliminableSemiAnti(j).isDefined =>
+      eliminableSemiAnti(j).get
     case a @ Aggregate(groups, aggs, child, _) =>
       lazy val keys = uniqueKeys(child)
       val groupAttrs = groups.collect { case ar: AttributeReference => ar }

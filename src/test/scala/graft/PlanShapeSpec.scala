@@ -448,5 +448,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins(q111) == 0,
       s"q111's FK join must eliminate:\n${plan(q111)}")
     assert(q111.count() > 0)
+
+    // SEMI ("EXISTS") on the RELY'd FK: an IS NOT NULL filter, no join —
+    // uniqueness not required, so it fires even against a keyless parent
+    val semi = fact.join(dim, fact("nfk") === dim("dk"), "left_semi")
+    assert(joins(semi) == 0, s"FK semi join must delete:\n${plan(semi)}")
+    assert(semi.count() == 900L)
+    // ANTI ("NOT EXISTS"): exactly the null-keyed rows
+    val anti = fact.join(dim, fact("nfk") === dim("dk"), "left_anti")
+    assert(joins(anti) == 0, s"FK anti join must delete:\n${plan(anti)}")
+    assert(anti.count() == 100L)
+    // values equal the unconstrained twins', row for row
+    assert(semi.agg(sum("fid")).head() ==
+      fact.join(dimPlain, fact("nfk") === dimPlain("dk"), "left_semi")
+        .agg(sum("fid")).head())
+    assert(anti.agg(sum("fid")).head() ==
+      fact.join(dimPlain, fact("nfk") === dimPlain("dk"), "left_anti")
+        .agg(sum("fid")).head())
+    // a filtered parent keeps both (the match may have been filtered away)
+    val semiF = fact.join(dimF, fact("nfk") === dimF("dk"), "left_semi")
+    assert(joins(semiF) > 0, "a filtered FK parent must keep the semi join")
   }
 }
