@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
   * Fallbacks mirror MaterializedView's posture: a rewrite on either
   * source, or a horizon below either source's vacuum line, triggers ONE
   * full recompute at the current cut (reads only current bytes), after
-  * which folding resumes.
+  * which folding resumes. And the same single-maintainer contract: the
+  * view table is written only by this maintainer — two concurrent
+  * refreshers could commit horizons out of order (last writer wins the
+  * pointer), which a crash-REPLAYED refresh cannot do (it reads the
+  * committed horizon first; the double-fold spec pins this).
   *
   * Reference analog: the reference recomputes concept↔edge rollups from
   * scratch per epoch (grounding.py:55-68, ontology_scoring.py) — at
