@@ -25,6 +25,17 @@ object IngestPipeline {
       matchedCount: Long,    // candidates resolved to existing concepts
       createdCount: Long)    // newly created concepts
 
+  /** One batch's DELTAS against the existing tables — what a store-backed
+    * ingest commits atomically ([[ingestBatchToStore]]); [[ingestBatch]]
+    * composes the full updated tables from the same frames. */
+  final case class IngestDeltas(
+      newConcepts: DataFrame,
+      newInstances: DataFrame,
+      newEdges: DataFrame,
+      epochRecord: DataFrame,
+      matchedCount: Long,
+      createdCount: Long)
+
   /** V3 two-tier matching: a candidate matches an existing concept when
     * top-similarity ≥ 0.85, or ≥ 0.75 with normalized-label equality or
     * containment; otherwise it becomes a new concept
@@ -72,6 +83,24 @@ object IngestPipeline {
       existingEdges: DataFrame,
       epochLog: DataFrame,
       batchEpoch: Long): IngestResult = {
+    val d = ingestDeltas(spark, docs, existingConcepts, existingInstances,
+      existingEdges, batchEpoch)
+    IngestResult(
+      existingConcepts.unionByName(d.newConcepts, allowMissingColumns = true),
+      existingInstances.unionByName(d.newInstances, allowMissingColumns = true),
+      existingEdges.unionByName(d.newEdges, allowMissingColumns = true),
+      epochLog.unionByName(d.epochRecord, allowMissingColumns = true),
+      d.matchedCount, d.createdCount)
+  }
+
+  /** The batch's computation, delta-shaped (see [[IngestDeltas]]). */
+  def ingestDeltas(
+      spark: SparkSession,
+      docs: DataFrame, // (doc_id: string, text: string)
+      existingConcepts: DataFrame,
+      existingInstances: DataFrame,
+      existingEdges: DataFrame,
+      batchEpoch: Long): IngestDeltas = {
     import spark.implicits._
 
     // S2 chunk + S4 extract, fanned out in executors
@@ -120,7 +149,6 @@ object IngestPipeline {
     val newConcepts = resolved.where(!$"matched" && $"concept_id" === $"resolved_id")
       .select($"resolved_id".as("concept_id"), $"label", $"embedding")
       .withColumn("created_at_epoch", lit(batchEpoch))
-    val concepts = existingConcepts.unionByName(newConcepts, allowMissingColumns = true)
 
     // M3: instance dedup by (quote, concept)
     val candInstances = extractions.where($"kind" === "instance")
@@ -132,7 +160,6 @@ object IngestPipeline {
       .join(existingInstances.select("concept_id", "quote"),
         Seq("concept_id", "quote"), "left_anti")
       .withColumn("created_at_event_id", lit(batchEpoch))
-    val instances = existingInstances.unionByName(newInstances, allowMissingColumns = true)
 
     // M2: relationship append through the resolved-id map (both endpoints)
     val fromMap = idMap.toDF("orig_from", "src")
@@ -143,8 +170,7 @@ object IngestPipeline {
       .join(fromMap, "orig_from").join(toMap, "orig_to")
       .select($"src", $"dst", $"rel_type", $"confidence")
       .dropDuplicates("src", "dst", "rel_type")
-    val edges = existingEdges.unionByName(
-      newEdges.withColumn("created_at", lit(batchEpoch)), allowMissingColumns = true)
+      .withColumn("created_at", lit(batchEpoch))
 
     // M8: epoch record
     val matchedCount = resolved.where($"matched").count()
@@ -152,11 +178,99 @@ object IngestPipeline {
     val record = Seq((batchEpoch, "ingestion", "graft",
         matchedCount, createdCount)).toDF(
       "event_id", "kind", "actor", "matched_concepts", "created_concepts")
-    val newLog = epochLog.unionByName(record, allowMissingColumns = true)
 
     extractions.unpersist()
-    IngestResult(concepts, instances, edges, newLog, matchedCount, createdCount)
+    IngestDeltas(newConcepts, newInstances, newEdges, record,
+      matchedCount, createdCount)
   }
+
+  /** Empty frames with the ingest tables' birth schemas — what a first
+    * batch reads as "existing" before the store tables exist. */
+  private def emptyState(spark: SparkSession): Map[String, DataFrame] = {
+    import spark.implicits._
+    Map(
+      "concepts" -> Seq.empty[(String, String, Array[Float], Long)]
+        .toDF("concept_id", "label", "embedding", "created_at_epoch"),
+      "instances" -> Seq.empty[(String, String, Long)]
+        .toDF("concept_id", "quote", "created_at_event_id"),
+      "edges" -> Seq.empty[(String, String, String, Double, Long)]
+        .toDF("src", "dst", "rel_type", "confidence", "created_at"),
+      "epoch_log" -> Seq.empty[(Long, String, String, Long, Long)]
+        .toDF("event_id", "kind", "actor", "matched_concepts",
+          "created_concepts"))
+  }
+
+  /** The four ingest tables at ONE transactionally consistent cut
+    * ([[graft.core.SnapshotStore.snapshotAll]]); tables that do not exist
+    * yet read as their empty birth schema. */
+  private def storeState(spark: SparkSession, store: graft.core.SnapshotStore,
+      prefix: String): Map[String, DataFrame] = {
+    val empties = emptyState(spark)
+    val names = empties.keys.map(t => prefix + t).toSeq
+    val present = names.filter(t => store.latestVersion(t).isDefined)
+    val cut =
+      if (present.isEmpty) Map.empty[String, Long]
+      else store.snapshotAll(present)
+    empties.map { case (role, empty) =>
+      role -> cut.get(prefix + role).map(v => store.readAt(prefix + role, v))
+        .getOrElse(empty)
+    }
+  }
+
+  /** STORE-BACKED ATOMIC INGEST — the reference's ingestion transaction
+    * end to end (concepts + instances + sources + epoch written in ONE
+    * Postgres tx, api/app/lib/age_client/ingestion.py:31-152): the
+    * existing state is ONE consistent multi-table cut (`snapshotAll` —
+    * matching never races half a sibling ingest), and the batch's four
+    * deltas commit at ONE `appendAll` intent point — a reader can never
+    * observe this batch's edges without its concepts, whatever crashes.
+    * Returns the committed version per table (empty deltas commit
+    * nothing; the epoch record always commits). */
+  def ingestBatchToStore(spark: SparkSession, store: graft.core.SnapshotStore,
+      docs: DataFrame, batchEpoch: Long, tablePrefix: String = "")
+      : Map[String, Long] = {
+    val st = storeState(spark, store, tablePrefix)
+    val d = ingestDeltas(spark, docs, st("concepts"), st("instances"),
+      st("edges"), batchEpoch)
+    val deltas = Map(
+      tablePrefix + "concepts" -> d.newConcepts,
+      tablePrefix + "instances" -> d.newInstances,
+      tablePrefix + "edges" -> d.newEdges,
+      tablePrefix + "epoch_log" -> d.epochRecord)
+      // localCheckpoint: appendAll evaluates each delta twice (data +
+      // change set) — the extraction plan must not recompute against
+      // moved state between the two
+      .map { case (t, df) => t -> df.localCheckpoint(true) }
+      .filter { case (_, df) => !df.isEmpty }
+    if (deltas.isEmpty) Map.empty else store.appendAll(deltas)
+  }
+
+  /** Streaming store-backed ingest, EXACTLY-ONCE: each micro-batch runs
+    * [[ingestDeltas]] against the consistent cut and commits through
+    * [[graft.streaming.SnapshotSink.appendAllBatch]] — the `_batch_id`
+    * evidence lands in every touched table atomically, so an engine
+    * replay after the worst-placed crash re-derives the deltas and then
+    * SKIPS the commit. The store-transactional twin of [[StreamingIngest]]
+    * (which maintains in-memory state for callers without a store). */
+  def startStoreIngest(spark: SparkSession, store: graft.core.SnapshotStore,
+      docsStream: DataFrame, checkpointLocation: String,
+      tablePrefix: String = ""): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val st = storeState(spark, store, tablePrefix)
+        val d = ingestDeltas(spark, batch.toDF().localCheckpoint(true),
+          st("concepts"), st("instances"), st("edges"),
+          batchEpoch = batchId + 1)
+        graft.streaming.SnapshotSink.appendAllBatch(store, Map(
+          tablePrefix + "concepts" -> d.newConcepts,
+          tablePrefix + "instances" -> d.newInstances,
+          tablePrefix + "edges" -> d.newEdges,
+          tablePrefix + "epoch_log" -> d.epochRecord), batchId)
+        ()
+      }
+      .start()
 
   /** Structured-Streaming ingest (§2.12): each micro-batch of documents
     * runs the same [[ingestBatch]] via foreachBatch against mutable table

@@ -93,4 +93,83 @@ class IngestSpec extends SparkSpec {
       assert(c >= 0.0 && c <= 1.0)
     }
   }
+
+  test("store-backed ingest: consistent cut in, one atomic commit out") {
+    import graft.core.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-ing-store").toString
+    val st = new SnapshotStore(spark, root)
+    val r1 = IngestPipeline.ingestBatchToStore(spark, st, docs, batchEpoch = 1L)
+    assert(r1.keySet == Set("concepts", "instances", "edges", "epoch_log"))
+    // equals the functional twin on the same input
+    val f1 = IngestPipeline.ingestBatch(spark, docs, emptyConcepts
+        .withColumn("created_at_epoch", lit(1L)).where(lit(false)),
+      emptyInstances, emptyEdges, emptyLog, batchEpoch = 1L)
+    assert(st.read("concepts").select("concept_id").as[String].collect().toSet
+      == f1.concepts.select("concept_id").as[String].collect().toSet)
+    assert(st.read("edges").count() == f1.edges.count())
+    // second batch with overlapping content MATCHES against the committed
+    // cut instead of re-creating (the store IS the matcher's state now)
+    val docs2 = Seq(
+      ("d3", "alpha observations support new theory building today again")
+    ).toDF("doc_id", "text")
+    IngestPipeline.ingestBatchToStore(spark, st, docs2, batchEpoch = 2L)
+    val log = st.read("epoch_log")
+      .select("event_id", "matched_concepts", "created_concepts")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(log.length == 2)
+    assert(log(1)._2 > 0, "batch 2 must match existing concepts")
+    // every edge endpoint exists in concepts: the dangling probe across
+    // BOTH batches (each batch was one commit point)
+    val cids = st.read("concepts").select("concept_id").as[String].collect().toSet
+    val eps = st.read("edges").select("src", "dst").as[(String, String)].collect()
+    eps.foreach { case (s0, d0) =>
+      assert(cids.contains(s0) && cids.contains(d0)) }
+    // re-ingest of already-seen docs is MERGE-idempotent: no new concepts
+    val before = st.read("concepts").count()
+    IngestPipeline.ingestBatchToStore(spark, st, docs, batchEpoch = 3L)
+    assert(st.read("concepts").count() == before)
+
+    // crash AFTER the txn intent: recovery exposes the WHOLE batch —
+    // never edges without their concepts
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ing-crash").toString
+    val st2 = new SnapshotStore(spark, root2)
+    SnapshotStore.testTxnIntentHook =
+      () => throw new RuntimeException("simulated crash after intent")
+    intercept[RuntimeException](
+      IngestPipeline.ingestBatchToStore(spark, st2, docs, batchEpoch = 1L))
+    SnapshotStore.testTxnIntentHook = () => ()
+    st2.recoverPendingTxns()
+    val cids2 = st2.read("concepts").select("concept_id").as[String].collect().toSet
+    assert(cids2.nonEmpty)
+    st2.read("edges").select("src", "dst").as[(String, String)].collect()
+      .foreach { case (s0, d0) =>
+        assert(cids2.contains(s0) && cids2.contains(d0)) }
+  }
+
+  test("streaming store ingest is exactly-once across checkpointed restarts") {
+    import graft.core.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-ing-str").toString
+    val st = new SnapshotStore(spark, root)
+    val src = java.nio.file.Files.createTempDirectory("graft-ing-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ing-ck").toString
+    def run(): Unit = {
+      val q = IngestPipeline.startStoreIngest(spark, st,
+        spark.readStream.schema("doc_id STRING, text STRING")
+          .parquet(s"$src/*"), ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    docs.write.parquet(s"$src/p1")
+    run()
+    val afterP1 = st.read("concepts").count()
+    assert(afterP1 > 0)
+    Seq(("d9", "entirely novel tokens manifest distinct semantic payloads here"))
+      .toDF("doc_id", "text").write.parquet(s"$src/p2")
+    run() // restart from the checkpoint: p1's batch must NOT re-ingest
+    assert(st.read("epoch_log").count() == 2L,
+      "exactly one epoch record per micro-batch, replays skipped")
+    val cids = st.read("concepts").select("concept_id").as[String].collect().toSet
+    st.read("edges").select("src", "dst").as[(String, String)].collect()
+      .foreach { case (s0, d0) =>
+        assert(cids.contains(s0) && cids.contains(d0)) }
+  }
 }
