@@ -400,4 +400,39 @@ object KnowledgeGraph {
         .select(col("src").as("concept_id"), col("dst").as("source_id")),
       instances = t("instances"), vocab = t("vocab"))
   }
+
+  /** Load a KG from the snapshot store at ONE transactionally consistent
+    * cut ([[graft.core.SnapshotStore.snapshotAll]]): every facade query —
+    * search, BFS, hydration, subgraphs — sees concepts and edges the way
+    * some atomic ingest/cascade committed them, never an interleaving
+    * (the Postgres-MVCC read the reference's facade gets implicitly,
+    * api/app/lib/graph_facade.py). Vocab is optional (tables the store
+    * does not hold read as empty-shaped frames); the returned KG is
+    * pinned — later commits never mutate it. */
+  def fromStore(spark: SparkSession, store: graft.core.SnapshotStore,
+      tablePrefix: String = ""): KnowledgeGraph = {
+    import spark.implicits._
+    val wanted = Seq("concepts", "edges", "instances", "vocab")
+      .map(tablePrefix + _)
+    val present = wanted.filter(t => store.latestVersion(t).isDefined)
+    val cut = if (present.isEmpty) Map.empty[String, Long]
+      else store.snapshotAll(present)
+    def tbl(role: String, empty: => DataFrame): DataFrame =
+      cut.get(tablePrefix + role)
+        .map(v => store.readAt(tablePrefix + role, v)).getOrElse(empty)
+    val edges = tbl("edges", Seq.empty[(String, String, String, Double)]
+      .toDF("src", "dst", "rel_type", "confidence"))
+    KnowledgeGraph(spark,
+      concepts = tbl("concepts", Seq.empty[(String, String, Array[Float])]
+        .toDF("concept_id", "label", "embedding")),
+      edges = edges,
+      evidence = edges.where(col("rel_type") === "APPEARS")
+        .select(col("src").as("concept_id"), col("dst").as("source_id")),
+      instances = tbl("instances", Seq.empty[(String, String)]
+        .toDF("concept_id", "quote")),
+      vocab = tbl("vocab",
+        Seq.empty[(String, String, Int, Boolean, Array[String], Array[Float], String)]
+          .toDF("relationship_type", "category", "usage_count", "is_active",
+            "synonyms", "embedding", "epistemic_status")))
+  }
 }

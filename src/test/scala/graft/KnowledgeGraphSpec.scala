@@ -329,4 +329,30 @@ class KnowledgeGraphSpec extends SparkSpec {
     assert(rowsOf(graft.analysis.Scoring.ontologyAffinityAll(
       m, Some(wide))) == generic)
   }
+
+  test("fromStore pins the facade to one consistent cut") {
+    import graft.core.SnapshotStore
+    import graft.ingest.IngestPipeline
+    val root = java.nio.file.Files.createTempDirectory("graft-kg-store").toString
+    val st = new SnapshotStore(spark, root)
+    val docs = Seq(
+      ("d1", "alpha observations support theory building across experiments today"),
+      ("d2", "theory building requires alpha observations and careful experiments"))
+      .toDF("doc_id", "text")
+    IngestPipeline.ingestBatchToStore(spark, st, docs, batchEpoch = 1L)
+    val kg = KnowledgeGraph.fromStore(spark, st)
+    val n0 = kg.concepts.count()
+    assert(n0 > 0)
+    // facade queries run over the cut; edges all resolve (the atomic
+    // ingest means the cut can never hold an edge without its concept)
+    val cids = kg.concepts.select("concept_id").as[String].collect().toSet
+    kg.edges.select("src", "dst").as[(String, String)].collect()
+      .foreach { case (a, b) => assert(cids.contains(a) && cids.contains(b)) }
+    // a commit AFTER fromStore is invisible to the pinned facade
+    IngestPipeline.ingestBatchToStore(spark, st,
+      Seq(("d9", "entirely novel tokens manifest distinct semantic payloads here"))
+        .toDF("doc_id", "text"), batchEpoch = 2L)
+    assert(kg.concepts.count() == n0, "the facade must stay pinned to its cut")
+    assert(KnowledgeGraph.fromStore(spark, st).concepts.count() > n0)
+  }
 }
