@@ -300,6 +300,17 @@ object RelationalQueries {
       val sup = Tables.supplier(s, dir)
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
+      // NEGATIVE RESULT (r16, do not re-try): pre-aggregating the fact
+      // stream to (orderkey, region) partial sums before the fact⋈fact
+      // join measured STRICTLY WORSE at sf10 — composite-key groupBy +
+      // orderkey join exchange the 60M-row side twice (7.2-8.2 s vs
+      // 5.1-5.5 s), and forcing one shared exchange via
+      // repartition(l_orderkey) still lost (6.3-13 s, erratic: the
+      // explicit exchange defeats AQE and the in-partition rollup's hash
+      // map costs more than the ~3.5× sort shrink saves at a ~4-rows/
+      // order collapse factor). The straight join chain below IS the
+      // best measured plan: one exchange per fact side, partial
+      // aggregation where Spark's own SMJ+agg pipeline puts it.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
