@@ -776,9 +776,45 @@ object GraftExtensions {
       .toDF("table_name", "version"))
   }
 
+  // Maintained-view refresh TVFs (side-effecting, like graft_accel_load):
+  // the SQL faces of MaterializedView.refresh and
+  // JoinMaterializedView.refresh — fold unseen deltas, return the new
+  // horizon(s). Idempotent: nothing new → the standing horizon returns
+  // and no view version commits.
+  private val refreshViewTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 5,
+      "graft_refresh_view(root, src_table, view_table, key_col, val_col)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val h = graft.core.MaterializedView.refresh(store,
+      constString(children(1), "src_table"), constString(children(2), "view_table"),
+      constString(children(3), "key_col"), constString(children(4), "val_col"))
+    Bridge.analyzedPlan(Seq(h.getOrElse(0L)).toDF("up_to_version"))
+  }
+  private val refreshJoinViewTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 8,
+      "graft_refresh_join_view(root, left, right, left_key, right_key, " +
+        "key_col, val_col, view_table)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val h = graft.core.JoinMaterializedView.refresh(store,
+      constString(children(1), "left"), constString(children(2), "right"),
+      constString(children(3), "left_key"), constString(children(4), "right_key"),
+      constString(children(5), "key_col"), constString(children(6), "val_col"),
+      constString(children(7), "view_table"))
+    Bridge.analyzedPlan(Seq(h.getOrElse((0L, 0L)))
+      .toDF("left_version", "right_version"))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
     "graft_snapshot_all" -> snapshotAllTvf,
+    "graft_refresh_view" -> refreshViewTvf,
+    "graft_refresh_join_view" -> refreshJoinViewTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
     "graft_changes" -> changesTvf,
     "graft_change_feed" -> changeFeedTvf,

@@ -229,6 +229,36 @@ class SinksSpec extends SparkSpec {
     assert(joined == Seq(("a", 10L), ("b", 20L)))
   }
 
+  test("view-refresh TVFs maintain aggregates from SQL (2.13)") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("refresh-tvf").toString
+    val store = new graft.core.SnapshotStore(spark, root)
+    store.append("src", Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    assert(spark.sql(
+      s"SELECT up_to_version FROM graft_refresh_view('$root', 'src', 'view', 'k', 'v')")
+      .head().getLong(0) == 1L)
+    store.append("src", Seq(("a", 10.0)).toDF("k", "v"))
+    assert(spark.sql(
+      s"SELECT up_to_version FROM graft_refresh_view('$root', 'src', 'view', 'k', 'v')")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT k, n FROM graft_snapshot('$root', 'view') ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("a", 2L), ("b", 1L)))
+    // the join-view twin: the maintained rollup lands the joined values
+    store.commit("concepts", Seq((1L, 7L)).toDF("cid2", "gen"))
+    store.commit("edges", Seq((10L, 1L, 2.5), (11L, 1L, 1.5)).toDF("eid", "cid", "w"))
+    val cut = spark.sql(
+      s"""SELECT left_version, right_version FROM graft_refresh_join_view(
+         |'$root', 'edges', 'concepts', 'cid', 'cid2', 'gen', 'w', 'jview')"""
+        .stripMargin).head()
+    assert((cut.getLong(0), cut.getLong(1)) == (1L, 1L))
+    assert(spark.sql(
+      s"SELECT gen, n, CAST(total AS DOUBLE) FROM graft_snapshot('$root', 'jview')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq((7L, 2L, 4.0)))
+  }
+
   test("pipeline TVFs run dedup and quality from SQL (2.13)") {
     import spark.implicits._
     GraftExtensions.register(spark)
