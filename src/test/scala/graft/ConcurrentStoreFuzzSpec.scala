@@ -610,4 +610,81 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     assert(store.read("edges").select("eid").as[Long].collect().toSet
       == Set(0L))
   }
+
+  test("racing store-backed ingesters: every batch lands whole, nothing dangles") {
+    // The realistic write pattern end-to-end: two ingest pipelines (full
+    // chunk→extract→match→commit) race on ONE store root with DISJOINT
+    // document streams. Each batch reads its matcher state at a
+    // snapshotAll cut and commits four deltas at one appendAll intent —
+    // relink-on-stale serializes the racers. Invariants: every doc's
+    // concepts exist at the end, every edge endpoint resolves, one epoch
+    // record per committed batch, and a MID-RACE readAll cut never shows
+    // an edge without its concept.
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz4").toString
+    val store = new SnapshotStore(spark, root)
+    val writers = 2
+    val batchesPerWriter = 3
+    // disjoint vocabularies (all words length >=5 — MockExtractor's
+    // concept-token floor) so the racers never contend on match-or-create
+    // semantics, only on the commit protocol (cross-writer matching is
+    // IngestSpec's subject, sequentially)
+    val words = Array(
+      Array("amber", "basalt", "cirrus", "delta", "ember", "flint"),
+      Array("granite", "harbor", "indigo", "jasper", "kelpbed", "lumen"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 1)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            (1 to batchesPerWriter).foreach { b =>
+              val text = (0 until 30).map(i => words(w)(i % 6)).mkString(" ")
+              val docs = Seq((s"w${w}b$b", text)).toDF("doc_id", "text")
+              graft.ingest.IngestPipeline.ingestBatchToStore(spark, st, docs,
+                batchEpoch = w * 100L + b)
+              committed.incrementAndGet()
+            }
+          } catch { case t: Throwable => failures.add(t) }
+          finally { done.incrementAndGet(); () }
+        })
+      }
+      val probe = pool.submit(new Runnable {
+        def run(): Unit = try {
+          val st = new SnapshotStore(spark, root)
+          while (done.get() < writers) {
+            if (st.latestVersion("concepts").isDefined &&
+                st.latestVersion("edges").isDefined) {
+              val cut = st.readAll(Seq("concepts", "edges"))
+              val ids = cut("concepts").select("concept_id")
+                .as[String].collect().toSet
+              cut("edges").select("src", "dst").as[(String, String)]
+                .collect().foreach { case (a, b2) =>
+                  assert(ids.contains(a) && ids.contains(b2),
+                    s"TORN INGEST at cut: edge $a->$b2 without its concept")
+                }
+            }
+            Thread.sleep(50L)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      (tasks :+ probe).foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"participant failed: $f")
+    }
+    assert(committed.get() == writers * batchesPerWriter)
+    assert(store.read("epoch_log").count() == writers * batchesPerWriter)
+    val cids = store.read("concepts").select("concept_id").as[String].collect()
+    assert(cids.length == cids.toSet.size, "no duplicate concepts")
+    val ids = cids.toSet
+    store.read("edges").select("src", "dst").as[(String, String)].collect()
+      .foreach { case (a, b) => assert(ids.contains(a) && ids.contains(b)) }
+    // both writers' vocabularies are present
+    val labels = store.read("concepts").select("label").as[String].collect().toSet
+    assert(words(0).toSet.subsetOf(labels) && words(1).toSet.subsetOf(labels))
+  }
 }
