@@ -84,10 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   *     an IS NOT NULL filter on any nullable FK column (inner join
   *     drops null-keyed rows; non-nullable FK columns need nothing).
   *     The parent must resolve to the FULL table — a filtered/limited
-  *     parent could lose promised matches — and both sides must live in
-  *     the SAME store (FK names a table, not a root). The join's
-  *     condition must be exactly the FK equi-pairs (a subset is fine if
-  *     uniqueness still covers; an EXTRA conjunct could fail a row).
+  *     parent could lose promised matches — both sides must live in the
+  *     SAME store at their CURRENT snapshots (VERSION AS OF on either
+  *     side breaks cross-table alignment), and the join's condition
+  *     must be EXACTLY the FK's column set: a strict subset carries no
+  *     promise (MATCH SIMPLE imposes nothing when any FK column is
+  *     NULL), and an extra conjunct could fail a row. Semi/anti follow
+  *     the same promise without the uniqueness requirement.
   *   At 100 TB either rewrite deletes a dimension scan AND the join
   *   exchange — the difference between touching one table and two.
   *
@@ -268,6 +271,41 @@ object RelyKeyOptimization
     case _ => None
   }
 
+  /** The FK-promise check shared by the inner and semi/anti
+    * eliminations. Holds when: both sides resolve to base tables of the
+    * SAME store at their CURRENT snapshots (an explicit
+    * VERSION/TIMESTAMP AS OF pin on either side breaks cross-table
+    * alignment — the RELY warrant is about the live tables, not an old
+    * child against a new parent); the equi-pairs are EXACTLY the column
+    * set of one RELY'd FK from left to right — a strict SUBSET carries
+    * no promise, because MATCH SIMPLE semantics impose nothing when any
+    * FK column is NULL, so a row matching on the subset may still have
+    * no parent; and any parent-side null checks sit on join-key columns
+    * only (inferred IsNotNull, harmless there). Returns the left
+    * join-key attributes on success — the columns whose conjoined
+    * IS NOT NULL reproduces the FK's match condition exactly. */
+  private def fkPromise(l: LogicalPlan, r: LogicalPlan,
+      pairs: Seq[(Attribute, Attribute)]): Option[Seq[Attribute]] =
+    (baseTable(l, wholeTable = false), baseTable(r, wholeTable = true)) match {
+      case (Some(lb), Some(rb))
+          if lb.table.storeRoot.isDefined &&
+            lb.table.storeRoot == rb.table.storeRoot &&
+            !lb.table.versionPinned && !rb.table.versionPinned =>
+        val namePairs = pairs.flatMap { case (a, b) =>
+          for (la <- lb.colOf.get(a.exprId); rc <- rb.colOf.get(b.exprId))
+            yield (la, rc)
+        }
+        val ok = namePairs.length == pairs.length &&
+          relyForeignKeys(lb.table).exists { case (refName, fkPairs) =>
+            refName == rb.table.tableName.toLowerCase &&
+              namePairs.forall(fkPairs.contains) &&
+              fkPairs.forall(namePairs.contains)
+          } &&
+          rb.nullChecked.subsetOf(namePairs.map(_._2).toSet)
+        if (ok) Some(pairs.map(_._1)) else None
+      case _ => None
+    }
+
   /** INNER FK elimination: the condition is exactly equi-pairs that (a)
     * all belong to one RELY'd FK from the left base table to the right
     * base table in the SAME store, with the right side the WHOLE table,
@@ -284,31 +322,11 @@ object RelyKeyOptimization
         val rightIds = pairs.map(_._2.exprId).toSet
         val covered = uniqueKeys(r).exists(_.ids.subsetOf(rightIds))
         if (!covered) None
-        else (baseTable(l, wholeTable = false),
-            baseTable(r, wholeTable = true)) match {
-          case (Some(lb), Some(rb))
-              if lb.table.storeRoot.isDefined &&
-                lb.table.storeRoot == rb.table.storeRoot =>
-            val namePairs = pairs.flatMap { case (a, b) =>
-              for (la <- lb.colOf.get(a.exprId); rc <- rb.colOf.get(b.exprId))
-                yield (la, rc)
-            }
-            val fkCovers = namePairs.length == pairs.length &&
-              relyForeignKeys(lb.table).exists { case (refName, fkPairs) =>
-                refName == rb.table.tableName.toLowerCase &&
-                  namePairs.forall(fkPairs.contains)
-              } &&
-              // any parent-side null checks must sit on join-key columns
-              // only — there they cannot remove a promised match
-              rb.nullChecked.subsetOf(namePairs.map(_._2).toSet)
-            if (!fkCovers) None
-            else {
-              val nullableKeys = pairs.map(_._1).filter(_.nullable).distinct
-              Some(if (nullableKeys.isEmpty) l
-              else Filter(nullableKeys.map(IsNotNull(_): Expression)
-                .reduce(And), l))
-            }
-          case _ => None
+        else fkPromise(l, r, pairs).map { leftKeys =>
+          val nullableKeys = leftKeys.filter(_.nullable).distinct
+          if (nullableKeys.isEmpty) l
+          else Filter(nullableKeys.map(IsNotNull(_): Expression)
+            .reduce(And), l)
         }
       }
     case _ => None
@@ -332,27 +350,10 @@ object RelyKeyOptimization
     }
     val (pairs, rest) = equiPairs(cond, l, r)
     if (pairs.isEmpty || rest.nonEmpty) return None
-    (baseTable(l, wholeTable = false), baseTable(r, wholeTable = true)) match {
-      case (Some(lb), Some(rb))
-          if lb.table.storeRoot.isDefined &&
-            lb.table.storeRoot == rb.table.storeRoot =>
-        val namePairs = pairs.flatMap { case (a, b) =>
-          for (la <- lb.colOf.get(a.exprId); rc <- rb.colOf.get(b.exprId))
-            yield (la, rc)
-        }
-        val fkCovers = namePairs.length == pairs.length &&
-          relyForeignKeys(lb.table).exists { case (refName, fkPairs) =>
-            refName == rb.table.tableName.toLowerCase &&
-              namePairs.forall(fkPairs.contains)
-          } &&
-          rb.nullChecked.subsetOf(namePairs.map(_._2).toSet)
-        if (!fkCovers) None
-        else {
-          val allNotNull = pairs.map(_._1).distinct
-            .map(IsNotNull(_): Expression).reduce(And)
-          Some(Filter(if (negate) Not(allNotNull) else allNotNull, l))
-        }
-      case _ => None
+    fkPromise(l, r, pairs).map { leftKeys =>
+      val allNotNull = leftKeys.distinct
+        .map(IsNotNull(_): Expression).reduce(And)
+      Filter(if (negate) Not(allNotNull) else allNotNull, l)
     }
   }
 
@@ -389,19 +390,20 @@ object RelyKeyOptimization
         case Some(replacement) => p.copy(child = replacement)
         case None => p
       }
-    // …and under an Aggregate whose references are all left columns (the
-    // shape a grouped query leaves when nothing above needs a Project);
-    // the general Aggregate case below gets its turn on the next
-    // fixed-point iteration over the simplified child
-    case a @ Aggregate(_, _, j: Join, _)
-        if eliminableLeftOuter(j, a.references)
-          .orElse(eliminableInnerFk(j, a.references)).isDefined =>
-      a.copy(child = eliminableLeftOuter(j, a.references)
-        .orElse(eliminableInnerFk(j, a.references)).get)
-    // semi/anti output IS the left side — no wrapper needed
-    case j: Join if eliminableSemiAnti(j).isDefined =>
-      eliminableSemiAnti(j).get
-    case a @ Aggregate(groups, aggs, child, _) =>
+    // semi/anti output IS the left side — no wrapper needed (returning
+    // the node unchanged is a no-op for transformUp)
+    case j: Join => eliminableSemiAnti(j).getOrElse(j)
+    case a0 @ Aggregate(groups, aggs, child0, _) =>
+      // join elimination first when the aggregate sits DIRECTLY on an
+      // eliminable join (the shape a grouped query leaves when nothing
+      // above needs a Project); the rest of the case then works over
+      // the simplified child in the same pass
+      val child = child0 match {
+        case j: Join => eliminableLeftOuter(j, a0.references)
+          .orElse(eliminableInnerFk(j, a0.references)).getOrElse(child0)
+        case _ => child0
+      }
+      val a = if (child eq child0) a0 else a0.copy(child = child)
       lazy val keys = uniqueKeys(child)
       val groupAttrs = groups.collect { case ar: AttributeReference => ar }
       val groupIds = groupAttrs.map(_.exprId).toSet

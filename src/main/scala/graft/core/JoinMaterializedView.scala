@@ -126,14 +126,23 @@ object JoinMaterializedView {
           val term2 = joined(store.readAt(left, vL0),
             dR.withColumnRenamed("_sign", "_rsign"))
             .withColumn("_sign", col("_rsign"))
+          // localCheckpoint: the delta job runs ONCE — the isEmpty probe
+          // and the merge both read the materialized blocks
           val delta = term1.select(col(keyCol), col(valCol), col("_sign"))
             .unionByName(term2.select(col(keyCol), col(valCol), col("_sign")))
             .groupBy(col(keyCol))
             .agg(sum(col("_sign")).as("n"),
               sum((col(valCol) * col("_sign")).cast("decimal(28,4)"))
                 .as("total"))
-          if (delta.isEmpty) commitView(read(store, viewTable))
-          else {
+            .localCheckpoint(true)
+          if (delta.isEmpty) {
+            // versions moved but nothing folded (e.g. a compaction on a
+            // source): advance the horizon as one DATA-LESS props link —
+            // never a full copy of the view's rows
+            store.commitMaintainerProps(viewTable,
+              Map(HorizonProp -> s"$vL1,$vR1"))
+            Some((vL1, vR1))
+          } else {
             val merged = read(store, viewTable).unionByName(delta)
               .groupBy(col(keyCol))
               .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))

@@ -398,6 +398,45 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Apply any pending `_txn` intent's entry for `table` — the caller
+    * HOLDS `table`'s pointer lock. The intent is the transaction's
+    * commit point: a sibling that commits between a crashed writer's
+    * intent and its recovery would otherwise base itself on the
+    * PRE-transaction head, and the later roll-forward — which moves the
+    * pointer on version order alone — would orphan the sibling's commit
+    * (pointer moved to a chain that does not contain it; with several
+    * tables, a torn cascade). Applying the intent's pointer move FIRST
+    * makes the sibling's own CAS see the post-transaction head and
+    * re-base/relink like any lost race. The intent FILE stays in place
+    * for [[recoverPendingTxns]] to finish its other tables and delete;
+    * both applications are idempotent. A concurrent recovery may delete
+    * an intent between the listing and the read — by then it is fully
+    * applied, so the read failure is skipped. */
+  private def applyPendingIntentsFor(table: String): Unit = {
+    if (!Files.exists(txnDir)) return
+    val s = Files.list(txnDir)
+    val intents =
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    intents.foreach { f =>
+      val versions =
+        try org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
+          case org.json4s.JObject(fields) => fields.collect {
+            case (t, org.json4s.JLong(v)) => t -> v
+            case (t, org.json4s.JInt(v))  => t -> v.toLong
+          }
+          case _ => Nil
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      versions.collect { case (t, v) if t == table => v }.foreach { v =>
+        if (hasSuccessMarker(table, v)) {
+          stampCommitted(table, v)
+          if (latestVersion(table).forall(_ < v)) movePointer(table, v)
+        }
+      }
+    }
+  }
+
   /** Move the pointer to `next` unless an already-committed version is newer.
     * Forward-only is enforced under a cross-process FILE LOCK (plus a
     * per-root JVM monitor — overlapping FileLocks in one JVM throw rather
@@ -407,6 +446,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * a commit log, exactly as Delta/Iceberg do. */
   private def advancePointer(table: String, next: Long): Unit =
     underPointerLock(table) {
+      applyPendingIntentsFor(table) // crashed-txn intents first (see doc)
       // The COMMITTED sentinel is written here — inside the lock, before
       // any pointer move — never by the data write itself: `_SUCCESS`
       // alone only proves the candidate's FILES are complete, and a CAS
@@ -449,6 +489,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def casAdvance(table: String, next: Long,
       expectedBase: Option[Long]): Boolean =
     underPointerLock(table) {
+      // crashed-txn intents apply BEFORE the CAS reads the pointer (see
+      // applyPendingIntentsFor) — a stale read here would let this commit
+      // be orphaned by the later roll-forward
+      applyPendingIntentsFor(table)
       val latest = latestVersion(table)
       if (latest == expectedBase && latest.forall(_ < next)) {
         // Sentinel strictly before the pointer move: a reader that sees
@@ -1663,6 +1707,39 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         finally w.close()
         require(latestVersion(table).exists(_ != v),
           s"setTableProperties CAS to $table failed with unmoved pointer $v")
+        attempt()
+      }
+    }
+    attempt()
+  }
+
+  /** Data-less chain link carrying MAINTAINER-owned props — the
+    * materialized views' horizon carriers, which are `graft.*` keys the
+    * user-facing [[setTableProperties]] rightly refuses. Lets a view
+    * refresh that folded NOTHING advance its horizon in one metadata
+    * commit instead of rewriting the whole view's rows. Same
+    * CAS-until-won liveness as [[setTableProperties]]. */
+  private[graft] def commitMaintainerProps(table: String,
+      props: Map[String, String]): Long = {
+    require(props.nonEmpty, "commitMaintainerProps requires at least one pair")
+    @tailrec def attempt(): Long = {
+      val v = latestVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version of $table"))
+      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
+        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+          SnapshotStore.BucketNProp -> n.toString)
+      }
+      val cand = commitWith(table, None, None, base = Some(v),
+        snapshot = snapshotSchema(table, Some(v)), advance = false,
+        props = props ++ bucketProps +
+          (SnapshotStore.OpProp -> "set-properties"))
+      if (casAdvance(table, cand, Some(v))) cand
+      else {
+        val w = Files.walk(versionDir(table, cand))
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally w.close()
+        require(latestVersion(table).exists(_ != v),
+          s"commitMaintainerProps CAS to $table failed with unmoved pointer $v")
         attempt()
       }
     }
@@ -3547,6 +3624,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         if (withCand.isEmpty) return bases // nothing matched anywhere: no-op tx
         SnapshotStore.testRaceHook() // spec seam: force a sibling commit
         val committed = underPointerLocks(tables) {
+          tables.foreach(applyPendingIntentsFor) // crashed-txn intents first
           // EVERY table re-validates, matched or not: the cascade's
           // serialization point must see all its tables at the prepared
           // bases (a sibling landing on a no-match table could have
@@ -3642,6 +3720,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     var done = false
     while (!done) {
       val staleOrDone = underPointerLocks(tables) {
+        tables.foreach(applyPendingIntentsFor) // crashed-txn intents first
         val stale = tables.filter(t => latestVersion(t) != cands(t)._2)
         if (stale.nonEmpty) Left(stale)
         else {

@@ -202,19 +202,29 @@ object IngestPipeline {
 
   /** The four ingest tables at ONE transactionally consistent cut
     * ([[graft.core.SnapshotStore.snapshotAll]]); tables that do not exist
-    * yet read as their empty birth schema. */
+    * yet read as their empty birth schema. The absent set is re-checked
+    * AFTER the cut and the cut retried if it grew: a transaction can
+    * CREATE an absent table and append to present ones atomically, and
+    * reading the post-transaction cut of the present tables with the
+    * new table as empty would be exactly the torn view the cut exists
+    * to prevent. */
   private def storeState(spark: SparkSession, store: graft.core.SnapshotStore,
       prefix: String): Map[String, DataFrame] = {
     val empties = emptyState(spark)
     val names = empties.keys.map(t => prefix + t).toSeq
-    val present = names.filter(t => store.latestVersion(t).isDefined)
-    val cut =
-      if (present.isEmpty) Map.empty[String, Long]
-      else store.snapshotAll(present)
-    empties.map { case (role, empty) =>
-      role -> cut.get(prefix + role).map(v => store.readAt(prefix + role, v))
-        .getOrElse(empty)
+    while (true) {
+      val present = names.filter(t => store.latestVersion(t).isDefined)
+      val cut =
+        if (present.isEmpty) Map.empty[String, Long]
+        else store.snapshotAll(present)
+      val nowPresent = names.filter(t => store.latestVersion(t).isDefined)
+      if (nowPresent.toSet == present.toSet)
+        return empties.map { case (role, empty) =>
+          role -> cut.get(prefix + role)
+            .map(v => store.readAt(prefix + role, v)).getOrElse(empty)
+        }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** STORE-BACKED ATOMIC INGEST — the reference's ingestion transaction

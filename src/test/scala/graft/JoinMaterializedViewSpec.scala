@@ -111,6 +111,14 @@ class JoinMaterializedViewSpec extends SparkSpec {
       "edges" -> Seq((20L, 2L, 5.0)).toDF("eid", "cid", "w")))
     refreshAndCheck(st)
     assert(viewRows(st) == Set((7L, 1L, BigDecimal("5.0000"))))
+    // a source compaction moves versions but folds nothing: the horizon
+    // advances as one DATA-LESS props link, never a rewrite of the view
+    st.compact("edges")
+    refreshAndCheck(st)
+    assert(st.commitProps("view", st.latestVersion("view").get)
+      .get(graft.core.SnapshotStore.OpProp).contains("set-properties"),
+      "an empty-delta refresh must advance the horizon data-lessly")
+    assert(viewRows(st) == Set((7L, 1L, BigDecimal("5.0000"))))
   }
 
   test("a rewrite on either side triggers ONE recompute, then folding resumes") {

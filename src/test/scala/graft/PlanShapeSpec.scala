@@ -442,6 +442,38 @@ class PlanShapeSpec extends SparkSpec {
       .select(factCols: _*)
     assert(joins(inPlain) > 0, "no RELY'd FK → the inner join must stay")
 
+    // a COMPOSITE FK joined on a SUBSET of its columns carries NO
+    // promise (MATCH SIMPLE: a row with a partially-null key may have
+    // no parent) — inner AND semi keep the join; the FULL column set
+    // eliminates
+    store.commit("dim2", spark.range(0, 50)
+      .select(col("id").as("x"), (col("id") % 5).as("y")))
+    store.addKeyConstraint("dim2", "dim2_uq", "unique", Seq("x"), rely = true)
+    store.commit("factc", spark.range(0, 200).select(col("id").as("cfid"),
+      (col("id") % 50).as("a"), (col("id") % 50 % 5).as("b")))
+    store.addKeyConstraint("factc", "fk_comp", "foreign", Seq("a", "b"),
+      refTable = Some("dim2"), refColumns = Seq("x", "y"), rely = true)
+    val fc = readT("factc")
+    val d2 = readT("dim2")
+    assert(joins(fc.join(d2, fc("a") === d2("x")).select(col("cfid"))) > 0,
+      "a composite-FK SUBSET join must keep the join")
+    assert(joins(fc.join(d2, fc("a") === d2("x"), "left_semi")) > 0,
+      "a composite-FK SUBSET semi join must keep the join")
+    val fullFk = fc.join(d2, fc("a") === d2("x") && fc("b") === d2("y"))
+      .select(col("cfid"))
+    assert(joins(fullFk) == 0,
+      s"the FULL composite FK condition must eliminate:\n${plan(fullFk)}")
+    assert(fullFk.count() == 200L)
+
+    // an explicitly version-pinned side breaks cross-table alignment:
+    // the FK warrant is about the CURRENT snapshots — join stays
+    val dimPinned = spark.read.format("graft").option("root", root)
+      .option("table", "dim").option("version",
+        store.latestVersion("dim").get.toString).load()
+    assert(joins(fact.join(dimPinned, fact("fk") === dimPinned("dk"))
+      .select(factCols: _*)) > 0,
+      "a version-pinned FK parent must keep the join")
+
     // and the registered q111 exercises it end-to-end: the grouped
     // fact⋈dim SQL query plans with NO join operator at all
     val q111 = SparkEntry.queries("q111_rely_join")(spark, sf0001)

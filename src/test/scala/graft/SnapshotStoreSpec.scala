@@ -1300,6 +1300,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").select("v").as[Long].collect().toSet == Set(50L, 7L))
   }
 
+  test("a commit between a crashed txn intent and recovery re-bases onto it") {
+    // The intent IS the commit point — but pointers move later. A
+    // sibling committing in that window must see the POST-transaction
+    // head (its CAS applies the pending intent first), or the eventual
+    // roll-forward would move the pointer past the sibling's version to
+    // a chain that does not contain it: a silently LOST commit, and
+    // with two tables a torn cascade.
+    val st = freshStore()
+    st.commit("t", Seq(1L).toDF("k"))
+    st.commit("u", Seq(10L).toDF("k"))
+    SnapshotStore.testTxnIntentHook =
+      () => throw new RuntimeException("simulated crash after intent")
+    intercept[RuntimeException](st.appendAll(Map(
+      "t" -> Seq(2L).toDF("k"), "u" -> Seq(20L).toDF("k"))))
+    SnapshotStore.testTxnIntentHook = () => ()
+    // the sibling lands BEFORE any recovery ran
+    st.append("t", Seq(3L).toDF("k"))
+    st.recoverPendingTxns()
+    assert(st.read("t").select("k").as[Long].collect().toSet
+      == Set(1L, 2L, 3L), "the sibling's append must survive the roll-forward")
+    assert(st.read("u").select("k").as[Long].collect().toSet
+      == Set(10L, 20L))
+  }
+
   test("snapshotAll: a consistent cut; readAll pins every table to it") {
     val st = freshStore()
     st.commit("concepts", Seq((1L, "a")).toDF("cid", "label"))
