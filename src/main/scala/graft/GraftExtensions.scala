@@ -283,7 +283,22 @@ object RelyKeyOptimization
     * no parent; and any parent-side null checks sit on join-key columns
     * only (inferred IsNotNull, harmless there). Returns the left
     * join-key attributes on success — the columns whose conjoined
-    * IS NOT NULL reproduces the FK's match condition exactly. */
+    * IS NOT NULL reproduces the FK's match condition exactly.
+    *
+    * TRUST-SURFACE NOTE (torn-cut window): "current snapshots" is
+    * checked per side (`!versionPinned`), but the two scans RESOLVE at
+    * different instants — a child resolved after a transaction with its
+    * parent resolved before it sees FK rows whose parents the physical
+    * join would (transiently) miss, so the rewrite keeps rows the
+    * un-rewritten plan would drop until both resolutions catch up. This
+    * is within RELY's declared trust surface: RELY constraints are the
+    * user's unverified warrant ABOUT THE LIVE TABLES, and the same
+    * window exists for any two independent current-head reads (the
+    * store's general read contract) — a reader needing one cut resolves
+    * both sides through [[graft.core.SnapshotStore.snapshotAll]] /
+    * `graft_snapshot_all` and pins, at which point this rewrite stands
+    * down (`versionPinned`) and the physical join runs on the
+    * consistent pair. */
   private def fkPromise(l: LogicalPlan, r: LogicalPlan,
       pairs: Seq[(Attribute, Attribute)]): Option[Seq[Attribute]] =
     (baseTable(l, wholeTable = false), baseTable(r, wholeTable = true)) match {

@@ -102,9 +102,19 @@ object JoinMaterializedView {
         // horizon at or below either vacuum line also recomputes: the
         // old-snapshot term (readAt at vL0/vR0) and the deltas after it
         // are no longer guaranteed retained.
+        //
+        // Checked against the HEAD, not just <= the cut: changeFeedSince
+        // below constructs the feed over the full current head and only
+        // then filters _version <= v1, so a lossy rewrite (or a rewrite
+        // whose pre-image was vacuumed) committed AFTER the cut — version
+        // > vL1/vR1 — would make the feed CONSTRUCTION throw even though
+        // every delta inside the horizon is intact. Recompute at the cut
+        // instead: readAt(vL1)/readAt(vR1) are pinned retained snapshots,
+        // so the refresh stays exact without waiting for the next cut to
+        // self-heal past the rewrite.
         val needRecompute =
-          store.nonFeedMutationsSince(left, vL0).exists(_ <= vL1) ||
-          store.nonFeedMutationsSince(right, vR0).exists(_ <= vR1) ||
+          store.nonFeedMutationsSince(left, vL0).nonEmpty ||
+          store.nonFeedMutationsSince(right, vR0).nonEmpty ||
           vL0 <= store.vacuumHorizon(left) ||
           vR0 <= store.vacuumHorizon(right)
         if (needRecompute) recomputeAtCut()

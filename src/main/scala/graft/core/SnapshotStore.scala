@@ -3793,13 +3793,21 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           .toSeq.sortBy(_.getFileName.toString)
         finally s.close()
       intents.foreach { f =>
-        val versions = org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
-          case org.json4s.JObject(fields) => fields.collect {
-            case (t, org.json4s.JLong(v)) => t -> v
-            case (t, org.json4s.JInt(v))  => t -> v.toLong
-          }
-          case _ => Nil
-        }
+        // rootLock is JVM-only mutual exclusion: a live writer or sibling
+        // recovery in ANOTHER process can delete this intent between the
+        // listing and the read — by then it is fully applied, so a
+        // vanished (or torn) intent reads as Nil and is skipped, exactly
+        // as applyPendingIntentsFor guards the same race. This path is
+        // hot (snapshotAll runs it per cut, appendAllBatch per
+        // micro-batch), so the race is routine, not exotic.
+        val versions =
+          try org.json4s.jackson.JsonMethods.parse(Files.readString(f)) match {
+            case org.json4s.JObject(fields) => fields.collect {
+              case (t, org.json4s.JLong(v)) => t -> v
+              case (t, org.json4s.JInt(v))  => t -> v.toLong
+            }
+            case _ => Nil
+          } catch { case scala.util.control.NonFatal(_) => Nil }
         versions.sortBy(_._1).foreach { case (t, v) =>
           if (hasSuccessMarker(t, v)) underPointerLock(t) {
             stampCommitted(t, v)

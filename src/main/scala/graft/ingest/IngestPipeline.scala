@@ -235,7 +235,20 @@ object IngestPipeline {
     * deltas commit at ONE `appendAll` intent point — a reader can never
     * observe this batch's edges without its concepts, whatever crashes.
     * Returns the committed version per table (empty deltas commit
-    * nothing; the epoch record always commits). */
+    * nothing; the epoch record always commits).
+    *
+    * ATOMIC BUT NOT SERIALIZABLE — single-ingester-per-content-domain
+    * contract: `appendAll` validates no READ set, so two concurrent
+    * ingesters whose batches overlap in content can both read a cut
+    * lacking a concept and both create it — a duplicate the two-tier
+    * match exists to prevent (the reference serializes this in one
+    * Postgres transaction; the store's OCC serializes WRITES, not the
+    * match-or-create read). Run ONE ingester per content domain (the
+    * fuzz uses disjoint vocabularies for exactly this reason), the same
+    * externally-enforced exclusivity [[graft.core.JoinMaterializedView]]
+    * documents for its maintainer. Violations are not silent data loss —
+    * they surface as duplicate concepts the consolidation pass
+    * ([[graft.analysis.Consolidation]]) can merge after the fact. */
   def ingestBatchToStore(spark: SparkSession, store: graft.core.SnapshotStore,
       docs: DataFrame, batchEpoch: Long, tablePrefix: String = "")
       : Map[String, Long] = {

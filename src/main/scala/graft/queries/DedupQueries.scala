@@ -7,9 +7,11 @@ import graft.sources.Tables
 
 /** Deduplication ladder over `documents` (SURVEY §2 pipeline extensions):
   * exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
-  * embedding-cosine near-dup. The hash-based variants (MinHash/SimHash) use
-  * engine-specific hash functions, so they get rows-only driver checks; the
-  * set-arithmetic variants are fully oracle-checked.
+  * embedding-cosine near-dup. ALL variants are fully hash-oracle-checked:
+  * MinHash rides the portable md5-affine permutation family and SimHash a
+  * portable md5 bit mixer (graft.dedup.Dedup), both of which DuckDB
+  * reproduces exactly in SQL — q36/q37 match rows+schema+hash, not just
+  * row counts.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -70,6 +70,49 @@ object DataSkipping {
 
   private object Op extends Enumeration { val Eq, Lt, Le, Gt, Ge = Value }
 
+  /** Public face of [[toStatVal]] for the runtime-filter path: a V2
+    * LiteralValue's (internal value, dataType) into the manifest's
+    * comparable domain. None for NULL (which never satisfies IN) and for
+    * types the manifest has no bounds domain for. */
+  def statValOf(value: Any, dt: DataType): Option[StatVal] = toStatVal(value, dt)
+
+  /** Runtime `col IN (vals)` zone-map check with `vals` SORTED ascending
+    * (one shared domain — all values of one IN list carry one literal
+    * type): binary-search the smallest value ≥ the file's min and test it
+    * against the file's max, O(log V) per file instead of O(V). The
+    * one-sided contract is [[mayMatch]]'s: false PROVES no row of the
+    * file equals any value (IN over an all-null or absent column is never
+    * true; a cross-domain comparison keeps the file). An EMPTY `vals`
+    * matches nothing — the empty-build-side dynamic filter prunes every
+    * file. */
+  def mayMatchIn(fs: FileStat, colLower: String, sortedVals: Array[StatVal],
+      resolve: Map[String, String] = Map.empty): Boolean = {
+    if (fs.rows == 0L) return false
+    if (sortedVals.isEmpty) return false
+    implicit val rs: Map[String, String] = resolve
+    val a = AttributeReference(colLower, NullType)() // name-only lookup key
+    stateOf(fs, a) match {
+      case AllNull => false
+      case Unknown => true
+      case Bounded(cs) =>
+        (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            // comparability probe: one cross-domain pair keeps the file
+            if (FileStats.compareOpt(sortedVals(0), mn).isEmpty ||
+                FileStats.compareOpt(sortedVals(0), mx).isEmpty) return true
+            var lo = 0
+            var hi = sortedVals.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (FileStats.compare(sortedVals(mid), mn) < 0) lo = mid + 1
+              else hi = mid
+            }
+            lo < sortedVals.length && FileStats.compare(sortedVals(lo), mx) <= 0
+          case _ => true // bounds withheld: no proof, keep
+        }
+    }
+  }
+
   /** Catalyst literal internal value → the manifest's comparable domain.
     * Timestamp/date literals are already epoch micros / days internally, so
     * this is representation alignment, not a conversion. */

@@ -119,6 +119,30 @@ final class GraftFileIndex(
       s"${st.getPath.getParent.getName}/${st.getPath.getName}").toSet
   }
 
+  /** Store-relative keys of manifest files that MAY hold any of
+    * `sortedVals` in `colLower` — the RUNTIME-filter twin of
+    * [[prunedKeys]], evaluated against a dynamic `IN` list (a broadcast
+    * join's build-side keys) instead of static pushed predicates. Only
+    * manifest-backed files appear (unlisted-dir files have no stats and
+    * are never runtime-pruned); the per-file check is
+    * [[DataSkipping.mayMatchIn]]'s O(log V) bound search, so a
+    * 100k-key dynamic filter over a 10k-file chain costs ~10⁵
+    * comparisons on the driver, not 10⁹. */
+  def runtimeInKeys(colLower: String,
+      sortedVals: Array[graft.core.FileStats.StatVal]): Set[String] =
+    knownFiles.collect {
+      case (st, fs) if DataSkipping.mayMatchIn(fs, colLower, sortedVals,
+        resolveFor(st)) =>
+        s"${st.getPath.getParent.getName}/${st.getPath.getName}"
+    }.toSet
+
+  /** Keys of ALL manifest-backed files — the universe [[runtimeInKeys]]
+    * prunes within (a file outside it has no stats and must survive any
+    * runtime filter). */
+  def allManifestKeys: Set[String] =
+    knownFiles.map(st =>
+      s"${st._1.getPath.getParent.getName}/${st._1.getPath.getName}").toSet
+
   override def refresh(): Unit = dirIndex.foreach(_.refresh())
 
   override def sizeInBytes: Long =

@@ -194,6 +194,167 @@ private[graftbridge] final class ManifestStatsScanBuilder(
   }
 }
 
+/** DSv2 RUNTIME filtering ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]])
+  * over the manifest zone maps — the hook that lets Spark's dynamic
+  * partition pruning prune snapshot-store FILES from a dim-side join
+  * predicate AT RUNTIME, with nothing for the user to call (the explicit
+  * twin, `operators.RuntimeFilter.bloomPrunedJoin`, stays for non-store
+  * sources). Reference analog: the accelerator's pruned load
+  * (api/app/lib/graph_facade.py:1041-1069) prunes its graph at load time
+  * behind a filter the query supplies; here the filter ARRIVES from the
+  * optimizer — Catalyst's PartitionPruning rule sees a selective
+  * broadcast-able dim side joined on a declared filter attribute, plants
+  * a DynamicPruningSubquery, and BatchScanExec feeds the materialized
+  * build-side keys into [[filter]] before re-planning partitions.
+  *
+  * What 100 TB buys: a star join whose dim filter passes 2% of keys
+  * scans ~2% of a Z-ordered fact chain's FILES — the static zone-map
+  * pruner can't see the dim predicate, and without this hook the scan
+  * reads the full fact chain and lets the join discard 98% of it.
+  *
+  * Mechanics:
+  *   - [[filterAttributes]] declares every top-level column: zone maps
+  *     exist for all stats-bearing columns, and an undeclared column
+  *     would stop PartitionPruning from even considering the join key.
+  *   - [[filter]] receives conjunctive V2 predicates — DPP sends
+  *     `IN(col, v…)` (`DataSourceV2Strategy.translateRuntimeFilterV2`) —
+  *     and intersects two prune sets: surviving manifest KEYS (per-file
+  *     zone-map check, O(log V) per file via the sorted-values bound
+  *     search) and, on a bucket-consistent chain, surviving BUCKET IDS
+  *     (`pmod(murmur3(v, 42), n)` over the arriving keys — prunes even
+  *     columns with useless min/max, because the bucket id is exact).
+  *   - `partitions` overrides drop non-surviving files. KEYED scans keep
+  *     all `n` partitions (a pruned bucket plans empty), so the
+  *     KeyGroupedPartitioning claim — and the zero-exchange join riding
+  *     on it — survives runtime filtering, which BatchScanExec verifies
+  *     (filtered partition values must stay within the original set).
+  *
+  * Dropping a file is sound for exactly the reason DPP is: the dynamic
+  * filter is implied by the join the query will apply afterward, so rows
+  * of a pruned file could never survive it. Every conservative keep of
+  * the static pruner is preserved: unlisted-dir files (no stats) and
+  * cross-domain comparisons always survive; an unknown column name means
+  * the predicate is not provable here and nothing is pruned. */
+trait GraftRuntimeFiltering
+  extends org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.execution.datasources.PartitionedFile
+
+  /** The manifest-backed index whose zone maps answer the runtime check. */
+  protected def rfIndex: GraftFileIndex
+  /** Top-level data-schema fields (declared filter attributes). */
+  protected def rfFields: Array[org.apache.spark.sql.types.StructField]
+  /** Bucket layout claim, when the chain carries one. */
+  protected def rfBucketSpec: Option[(String, Int)] = None
+
+  // Surviving manifest keys / bucket ids; null = no runtime filter yet.
+  // Written once by BatchScanExec before partition re-planning (volatile
+  // + intersect keeps a hypothetical second filter call sound).
+  @volatile private var rfKept: Set[String] = null
+  @volatile private var rfBuckets: Set[Int] = null
+  private lazy val rfAll: Set[String] = rfIndex.allManifestKeys
+
+  override def filterAttributes(): Array[NamedReference] =
+    rfFields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  /** `IN(col, lits…)` / `=`-as-single-IN over a TOP-LEVEL column;
+    * anything else is not provable against the manifest and is ignored
+    * (runtime filters are best-effort row-superset reductions). */
+  private def parseIn(p: Predicate): Option[(String, Seq[LiteralValue[_]])] = {
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty =>
+        kids.head match {
+          case r: NamedReference if r.fieldNames().length == 1 &&
+              kids.tail.forall(_.isInstanceOf[LiteralValue[_]]) =>
+            Some((r.fieldNames()(0),
+              kids.tail.toSeq.map(_.asInstanceOf[LiteralValue[_]])))
+          case _ => None
+        }
+      case "=" if kids.length == 2 =>
+        (kids(0), kids(1)) match {
+          case (r: NamedReference, l: LiteralValue[_])
+              if r.fieldNames().length == 1 => Some((r.fieldNames()(0), Seq(l)))
+          case (l: LiteralValue[_], r: NamedReference)
+              if r.fieldNames().length == 1 => Some((r.fieldNames()(0), Seq(l)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      parseIn(p).foreach { case (colName, lits) =>
+        // unknown column: nothing provable (and an absent-column lookup
+        // would wrongly read as all-null and prune everything)
+        val field = rfFields.find(_.name.equalsIgnoreCase(colName))
+        if (field.isDefined) {
+          val colLower = colName.toLowerCase(java.util.Locale.ROOT)
+          // NULL literals never satisfy IN — drop them; a NON-null value
+          // outside the stats domain makes the list unprovable: skip.
+          val nonNull = lits.filter(_.value != null)
+          val vals = nonNull.flatMap(lv =>
+            graft.sources.DataSkipping.statValOf(lv.value, lv.dataType))
+          if (vals.length == nonNull.length) {
+            val sorted = vals.toArray
+            java.util.Arrays.sort(sorted,
+              (a: graft.core.FileStats.StatVal, b: graft.core.FileStats.StatVal) =>
+                graft.core.FileStats.compare(a, b))
+            val keys = rfIndex.runtimeInKeys(colLower, sorted)
+            synchronized {
+              rfKept = if (rfKept == null) keys else rfKept.intersect(keys)
+            }
+          }
+          rfBucketSpec.foreach { case (c, n) =>
+            // bucket-id pruning is EXACT (not a bound check) but demands
+            // the literal type equal the column type — murmur3 of an int
+            // and of the same value as a long differ
+            if (colLower == c.toLowerCase(java.util.Locale.ROOT) &&
+                nonNull.forall(_.dataType == field.get.dataType)) {
+              val ids = nonNull.map(lv =>
+                GraftBucketFunction.bucketId(lv.value, lv.dataType, n)).toSet
+              synchronized {
+                rfBuckets = if (rfBuckets == null) ids else rfBuckets.intersect(ids)
+              }
+            }
+          }
+        }
+      }
+    }
+
+  /** Does `f` survive the runtime filter? (True before any arrived.) */
+  protected def runtimeKeeps(f: PartitionedFile): Boolean = {
+    val kept = rfKept; val bs = rfBuckets
+    if (kept == null && bs == null) true
+    else {
+      val p = f.toPath
+      val name = p.getName
+      val bucketOk = bs == null || rfBucketSpec.forall { case (_, n) =>
+        bs.contains(KeyGroupedParquetScan.bucketOf(name, n))
+      }
+      if (!bucketOk) false
+      else if (kept == null) true
+      else {
+        val key = s"${p.getParent.getName}/$name"
+        !rfAll.contains(key) || kept.contains(key)
+      }
+    }
+  }
+
+  /** (total manifest files, surviving) once a zone-map runtime filter
+    * arrived; None before — the spec/audit observability hook. */
+  def runtimeFilterReport: Option[(Int, Int)] =
+    Option(rfKept).map(k => (rfAll.size, k.size))
+
+  /** Bucket ids surviving runtime bucket pruning; None = no bucket
+    * filter arrived. */
+  def runtimeBucketReport: Option[Set[Int]] = Option(rfBuckets)
+}
+
 /** One bucket's files as a planned partition CARRYING ITS KEY — what lets
   * `DataSourceV2ScanExecBase` group a keyed scan's partitions and
   * EnsureRequirements match them across the two sides of a storage-
@@ -235,9 +396,17 @@ private[graftbridge] final class KeyGroupedParquetScan(
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
     base.options, base.pushedAggregate, base.partitionFilters,
     base.dataFilters, base.pushedVariantExtractions)
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with GraftRuntimeFiltering {
 
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  override protected def rfIndex: GraftFileIndex =
+    base.fileIndex.asInstanceOf[GraftFileIndex]
+  override protected def rfFields: Array[org.apache.spark.sql.types.StructField] =
+    base.readDataSchema.fields // scan OUTPUT columns: runtime refs resolve against the pruned relation
+  override protected def rfBucketSpec: Option[(String, Int)] =
+    Some((bucketCol, numBuckets))
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -246,12 +415,16 @@ private[graftbridge] final class KeyGroupedParquetScan(
         .bucket(numBuckets, bucketCol)),
       numBuckets)
 
+  // Runtime-pruned files drop out of their bucket; every bucket still
+  // PLANS (possibly empty), so the partition count and key set — the
+  // KeyGroupedPartitioning claim — are invariant under runtime filtering.
   override def partitions: Seq[FilePartition] = {
     val byBucket = Array.fill(numBuckets)(
       scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
     super.partitions.foreach(_.files.foreach { f =>
-      byBucket(KeyGroupedParquetScan.bucketOf(
-        f.toPath.getName, numBuckets)) += f
+      if (runtimeKeeps(f))
+        byBucket(KeyGroupedParquetScan.bucketOf(
+          f.toPath.getName, numBuckets)) += f
     })
     (0 until numBuckets).map { b =>
       new KeyedFilePartition(b, byBucket(b).toArray,
@@ -319,7 +492,25 @@ private[graftbridge] final class ManifestStatsParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
     base.options, base.pushedAggregate, base.partitionFilters,
-    base.dataFilters, base.pushedVariantExtractions) {
+    base.dataFilters, base.pushedVariantExtractions)
+  with GraftRuntimeFiltering {
+
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override protected def rfIndex: GraftFileIndex =
+    base.fileIndex.asInstanceOf[GraftFileIndex]
+  override protected def rfFields: Array[org.apache.spark.sql.types.StructField] =
+    base.readDataSchema.fields // scan OUTPUT columns: runtime refs resolve against the pruned relation
+
+  // Re-planned by BatchScanExec after a runtime filter lands: surviving
+  // files keep the parent's packing; emptied partitions drop, the rest
+  // reindex densely (unkeyed scans make no partition-count claim).
+  override def partitions: Seq[FilePartition] =
+    if (runtimeFilterReport.isEmpty) super.partitions
+    else super.partitions
+      .map(p => p.files.filter(runtimeKeeps))
+      .filter(_.nonEmpty)
+      .zipWithIndex.map { case (fs, i) => FilePartition(i, fs) }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val stock = super.estimateStatistics()
@@ -375,9 +566,15 @@ private[graftbridge] final class DvParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
     base.options, base.pushedAggregate, base.partitionFilters,
-    base.dataFilters, base.pushedVariantExtractions) {
+    base.dataFilters, base.pushedVariantExtractions)
+  with GraftRuntimeFiltering {
 
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  override protected def rfIndex: GraftFileIndex =
+    base.fileIndex.asInstanceOf[GraftFileIndex]
+  override protected def rfFields: Array[org.apache.spark.sql.types.StructField] =
+    base.readDataSchema.fields // scan OUTPUT columns: runtime refs resolve against the pruned relation
 
   /** The twin scan whose readers append the per-file row index as a
     * trailing long column. Its declared schema never reaches a plan —
@@ -398,8 +595,10 @@ private[graftbridge] final class DvParquetScan(
   override def partitions: Seq[FilePartition] = {
     val out = scala.collection.mutable.ArrayBuffer[Array[PartitionedFile]]()
     super.partitions.foreach { p =>
-      val (vectored, clean) =
-        p.files.partition(f => dv.contains(DvParquetScan.keyOf(f)))
+      // runtime-pruned files drop whole (their vectors with them — a
+      // pruned file's rows could never survive the downstream join)
+      val (vectored, clean) = p.files.filter(runtimeKeeps)
+        .partition(f => dv.contains(DvParquetScan.keyOf(f)))
       if (clean.nonEmpty) out += clean
       vectored.foreach(f => out += Array(f)) // own partition: unambiguous file
     }
@@ -472,9 +671,17 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
     base.options, base.pushedAggregate, base.partitionFilters,
     base.dataFilters, base.pushedVariantExtractions)
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with GraftRuntimeFiltering {
 
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+  override protected def rfIndex: GraftFileIndex =
+    base.fileIndex.asInstanceOf[GraftFileIndex]
+  override protected def rfFields: Array[org.apache.spark.sql.types.StructField] =
+    base.readDataSchema.fields // scan OUTPUT columns: runtime refs resolve against the pruned relation
+  override protected def rfBucketSpec: Option[(String, Int)] =
+    Some((bucketCol, numBuckets))
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -483,12 +690,15 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
         .bucket(numBuckets, bucketCol)),
       numBuckets)
 
+  // As in KeyGroupedParquetScan: runtime-pruned files drop out of their
+  // bucket, every bucket still plans, the layout claim is invariant.
   override def partitions: Seq[FilePartition] = {
     val byBucket = Array.fill(numBuckets)(
       scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
     super.partitions.foreach(_.files.foreach { f =>
-      byBucket(KeyGroupedParquetScan.bucketOf(
-        f.toPath.getName, numBuckets)) += f
+      if (runtimeKeeps(f))
+        byBucket(KeyGroupedParquetScan.bucketOf(
+          f.toPath.getName, numBuckets)) += f
     })
     (0 until numBuckets).map { b =>
       new KeyedFilePartition(b, byBucket(b).toArray,
