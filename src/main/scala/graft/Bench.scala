@@ -170,54 +170,68 @@ object Bench {
   /** The suite-level canary gate (r12 lesson: the per-block min-merged
     * retries bound a SPIKE, but a sustained noise window inflates every
     * retry too, and the r12 artifact published a max_ratio-9.4 sf10 block
-    * as the round's official number). A run whose canary evidence blows
-    * past [[SuiteBar]] — or never settles ("contended") — is not
-    * published as-is: the whole suite runs ONCE more after a settle
-    * pause, per-query times min-merge (both runs measured the same plans;
-    * noise only ever inflates), and the cleaner run's canary evidence is
-    * what the artifact carries. `"valid"` in the canary JSON says whether
-    * the published block is trustworthy for round-over-round comparison;
-    * `"suite_reruns"` how many full re-runs the gate spent. */
+    * as the round's official number; the r16 artifact went out
+    * `sf10_valid:false` because ONE re-run still landed inside the same
+    * ambient-load window). A run whose canary evidence blows past
+    * [[SuiteBar]] — or never settles ("contended") — is re-run until it
+    * validates, up to SPARK_GRAFT_SUITE_RETRIES times (default 3) with a
+    * GROWING settle pause between attempts, so the official artifact
+    * stops depending on the driver's scheduling luck. Per-query times
+    * min-merge across ALL attempts (every attempt measured the same
+    * plans; noise only ever inflates), and the CLEANEST attempt's canary
+    * evidence is what the artifact carries. `"valid"` in the canary JSON
+    * says whether the published block is trustworthy for round-over-round
+    * comparison; `"suite_reruns"` how many full re-runs the gate spent. */
   private def adjudicatedSuite(spark: SparkSession, sfDir: String)
       : (Seq[(String, Double)], Seq[(String, String)], String) = {
-    val first = runSuite(spark, sfDir)
-    val (best, reruns) =
-      if (first.maxRatio >= 0 && first.maxRatio <= SuiteBar && !first.contended)
-        (first, 0)
-      else {
-        System.err.println(f"[bench] suite canary blew out at $sfDir " +
-          f"(max_ratio ${first.maxRatio}%.2f, contended=${first.contended}) " +
-          "- re-running the whole suite once")
-        // Drop the first pass's litter before rerunning IN THE SAME JVM:
-        // localCheckpoint queries (q86-style) leave their blocks persisted
-        // for the JVM's life, so a second full pass starts with the heap
-        // half-full and OOMs where a fresh run wouldn't (observed: GCLocker
-        // retry death in the sf10 rerun at -Xmx8g). Store/cache state is
-        // on disk; dropping persisted RDDs only trades recompute, and the
-        // rerun re-times every query from its own scans anyway.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        spark.sharedState.cacheManager.clearCache()
-        Thread.sleep(5000)
-        val second = runSuite(spark, sfDir)
-        val firstByName = first.results.toMap
-        val mergedTimes = second.results.map { case (k, t2) =>
-          val t1 = firstByName.getOrElse(k, t2)
-          // min of the two clean timings; if either run failed the query,
-          // prefer the run that succeeded (max picks the non-negative)
-          k -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
-        }
-        val stillFailed = mergedTimes.filter(_._2 < 0).map(_._1).toSet
-        val mergedFailures = (second.failures ++ first.failures)
-          .filter { case (k, _) => stillFailed.contains(k) }.distinct
-        val cleaner =
-          if (second.maxRatio >= 0 &&
-            (first.maxRatio < 0 || second.maxRatio <= first.maxRatio)) second
-          else first
-        (cleaner.copy(results = mergedTimes, failures = mergedFailures), 1)
-      }
-    val valid = best.maxRatio >= 0 && best.maxRatio <= SuiteBar && !best.contended
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_SUITE_RETRIES", "3").toInt
+    def isClean(r: SuiteRun): Boolean =
+      r.maxRatio >= 0 && r.maxRatio <= SuiteBar && !r.contended
+    var runs: List[SuiteRun] = List(runSuite(spark, sfDir))
+    var reruns = 0
+    while (!isClean(runs.head) && reruns < maxReruns) {
+      System.err.println(f"[bench] suite canary blew out at $sfDir " +
+        f"(max_ratio ${runs.head.maxRatio}%.2f, contended=" +
+        f"${runs.head.contended}) - re-running (${reruns + 1}/$maxReruns)")
+      // Drop the prior pass's litter before rerunning IN THE SAME JVM:
+      // localCheckpoint queries (q86-style) leave their blocks persisted
+      // for the JVM's life, so a second full pass starts with the heap
+      // half-full and OOMs where a fresh run wouldn't (observed: GCLocker
+      // retry death in the sf10 rerun at -Xmx8g). Store/cache state is
+      // on disk; dropping persisted RDDs only trades recompute, and the
+      // rerun re-times every query from its own scans anyway.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.sharedState.cacheManager.clearCache()
+      Thread.sleep(5000L * (reruns + 1)) // let the ambient window pass
+      runs = runSuite(spark, sfDir) :: runs
+      reruns += 1
+    }
+    // min-merge per query across every attempt; a query that failed in
+    // one attempt takes any attempt's successful timing (max picks the
+    // non-negative of two; fold keeps the best seen)
+    val names = runs.last.results.map(_._1) // first attempt's sorted order
+    val byName: Map[String, Seq[Double]] =
+      runs.flatMap(_.results).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val mergedTimes = names.map { k =>
+      val ts = byName.getOrElse(k, Seq(-1.0))
+      val ok = ts.filter(_ >= 0)
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
+    val stillFailed = mergedTimes.filter(_._2 < 0).map(_._1).toSet
+    val mergedFailures = runs.flatMap(_.failures)
+      .filter { case (k, _) => stillFailed.contains(k) }.distinct
+    val best = {
+      val clean = runs.filter(isClean)
+      val pick =
+        if (clean.nonEmpty) clean.minBy(_.maxRatio)
+        else runs.minBy(r =>
+          if (r.maxRatio < 0) Double.MaxValue else r.maxRatio)
+      pick.copy(results = mergedTimes, failures = mergedFailures)
+    }
+    val valid = isClean(best)
     if (!valid) System.err.println(f"[bench] $sfDir block is NOT canary-clean " +
-      f"after re-run (max_ratio ${best.maxRatio}%.2f) - marked \"valid\":false")
+      f"after $reruns re-runs (max_ratio ${best.maxRatio}%.2f) - marked " +
+      "\"valid\":false")
     val canaryJson = {
       val samples = best.samples.map(s => f"$s%.4f").mkString("[", ",", "]")
       s"""{"baseline_sec":${f"${best.baseline}%.4f"},"samples":$samples,""" +

@@ -528,6 +528,59 @@ object RelationalQueries {
         ORDER BY o_orderkey""")
     }),
 
+    // q18's star join with the FACT⋈FACT leg routed through the store:
+    // orders and lineitem co-bucketed on the order key (32 buckets — one
+    // per local core; a cluster sizes this to its executor count), so the
+    // headline join's dominant cost — the two 60M-row exchanges feeding
+    // the lineitem⋈orders SMJ — disappears into a storage-partitioned
+    // join, while the dim chain (customer, supplier, nation, region)
+    // stays broadcast exactly as in q18. The q18 plan itself is proven
+    // optimal FOR A SINGLE-TABLE LAYOUT (pinned negative result above);
+    // this is the structural headroom that note pointed at: co-locating
+    // the two fact tables at WRITE time, which only a storage layer can
+    // do. Same aggregate, same oracle as q18 — the bucketed layout must
+    // be value-invisible. Build idempotent like q97/q99.
+    "q113_star_join_spj" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q113_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders_s")
+      store.migrateLegacyTable("lineitem_s")
+      if (store.latestVersion("orders_s").isEmpty) {
+        store.commitBucketed("orders_s", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+          "o_orderkey", 32)
+        store.commitBucketed("lineitem_s", Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount")),
+          "l_orderkey", 32)
+      }
+      val cat = s"q113_${Tables.fingerprint(dir, "orders")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.table(s"$cat.lineitem_s")
+        .join(s.table(s"$cat.orders_s"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          dsum(when(col("o_orderstatus") === "F", col("l_extendedprice")).otherwise(lit(0.0)))
+            .as("f_revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("r_name"))
+    }),
+
     // RELY'd key constraint driving the optimizer (the r16 rule): orders
     // committed to the store with PRIMARY KEY (o_orderkey) NOT ENFORCED
     // RELY, then a grouped COUNT(DISTINCT o_orderkey) through the SQL
@@ -1256,6 +1309,23 @@ object RelationalQueries {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q18_star_join" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN l_extendedprice ELSE 0.0 END
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS f_revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // Same oracle as q18: the co-bucketed store layout must be
+    // value-invisible — only the plan shape (zero fact⋈fact exchange)
+    // differs.
+    "q113_star_join_spj" ->
       """SELECT r_name,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN l_extendedprice ELSE 0.0 END
