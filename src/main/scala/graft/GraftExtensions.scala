@@ -546,6 +546,15 @@ object GraftExtensions {
         s"$what: expected a 32-bit integer literal, got $other")
     }
   }
+  private def constLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$what: expected an integer literal, got $other")
+    }
+  }
   // The TVF builders return the traversal's own plan: the iterative
   // engines materialize per-hop checkpoints while CONSTRUCTING the
   // DataFrame (the eager part, exactly like the reference's Rust BFS
@@ -827,11 +836,78 @@ object GraftExtensions {
       .toDF("left_version", "right_version"))
   }
 
+  // Maintenance TVFs (side-effecting, like the refresh TVFs above): the
+  // SQL faces of retention and layout upkeep, so a SQL-first operator —
+  // the reference's job-queue workers (api/app/services/job_queue.py) —
+  // can run the store's lifecycle without a Scala entry point.
+  //   graft_vacuum(root, table, keep_last)        → horizon + retained
+  //   graft_vacuum_older_than(root, table, ts_ms) → horizon + retained
+  //   graft_compact(root, table)                  → compacted version
+  //   graft_adopt_field_ids(root, table)          → adopted version
+  // All inherit the Scala APIs' safety rails unchanged: vacuum keeps the
+  // pointer + chain closures and advances the feed horizon (below which
+  // graft_change_feed refuses and graft_feed_bootstrap catches up);
+  // compact/adopt are CAS commits that retry under hot appenders.
+  private val vacuumTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2 || children.size == 3,
+      "graft_vacuum(root, table[, keep_last])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val table = constString(children(1), "table")
+    val keep = if (children.size == 3) constInt(children(2), "keep_last") else 1
+    store.vacuum(table, keepLast = keep)
+    Bridge.analyzedPlan(Seq((store.vacuumHorizon(table),
+      store.history(table).size.toLong))
+      .toDF("vacuum_horizon", "retained_versions"))
+  }
+  private val vacuumOlderThanTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 3,
+      "graft_vacuum_older_than(root, table, ts_millis)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val table = constString(children(1), "table")
+    store.vacuumOlderThan(table, constLong(children(2), "ts_millis"))
+    Bridge.analyzedPlan(Seq((store.vacuumHorizon(table),
+      store.history(table).size.toLong))
+      .toDF("vacuum_horizon", "retained_versions"))
+  }
+  private val compactTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2 || children.size == 3,
+      "graft_compact(root, table[, target_partitions])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val target =
+      if (children.size == 3) constInt(children(2), "target_partitions") else 0
+    Bridge.analyzedPlan(
+      Seq(store.compact(constString(children(1), "table"), target))
+        .toDF("version"))
+  }
+  private val adoptFieldIdsTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2, "graft_adopt_field_ids(root, table)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    Bridge.analyzedPlan(
+      Seq(store.adoptFieldIds(constString(children(1), "table")))
+        .toDF("version"))
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
     "graft_snapshot_all" -> snapshotAllTvf,
     "graft_refresh_view" -> refreshViewTvf,
     "graft_refresh_join_view" -> refreshJoinViewTvf,
+    "graft_vacuum" -> vacuumTvf,
+    "graft_vacuum_older_than" -> vacuumOlderThanTvf,
+    "graft_compact" -> compactTvf,
+    "graft_adopt_field_ids" -> adoptFieldIdsTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
     "graft_changes" -> changesTvf,
     "graft_change_feed" -> changeFeedTvf,

@@ -67,12 +67,23 @@ object JoinMaterializedView {
     * maintained aggregate; returns the new horizon. `keyCol`/`valCol`
     * name columns of the JOINED frame (either side; names must not
     * collide across the sides except the join keys). No-op when neither
-    * source moved. */
+    * source moved.
+    *
+    * SINGLE-MAINTAINER ENFORCED, exactly as [[MaterializedView.refresh]]:
+    * the view head is captured once, the horizon derives from that
+    * version, and every commit — the fold, the recompute, and the
+    * data-less horizon advance — is CAS-conditioned on the head being
+    * unmoved ([[SnapshotStore.commitIfHead]] /
+    * [[SnapshotStore.commitMaintainerPropsIf]]). A racing refresher
+    * loses the CAS and throws
+    * [[MaterializedView.ConcurrentMaintainerException]]: exactly one
+    * maintainer wins per horizon, folds stay exact. */
   def refresh(store: SnapshotStore, left: String, right: String,
       leftKey: String, rightKey: String, keyCol: String, valCol: String,
       viewTable: String): Option[(Long, Long)] = {
     val cut = store.snapshotAll(Seq(left, right))
     val (vL1, vR1) = (cut(left), cut(right))
+    val viewHead = store.latestVersion(viewTable)
 
     def joined(l: DataFrame, r: DataFrame): DataFrame =
       l.join(r, l(leftKey) === r(rightKey), "inner")
@@ -81,17 +92,27 @@ object JoinMaterializedView {
       .agg(count(lit(1)).as("n"),
         sum(col(valCol).cast("decimal(28,4)")).as("total"))
 
-    def commitView(rows: DataFrame): Option[(Long, Long)] = {
-      store.commit(viewTable, rows, None,
-        Map(HorizonProp -> s"$vL1,$vR1"))
-      Some((vL1, vR1))
-    }
+    def raced(): Nothing = throw new MaterializedView.ConcurrentMaintainerException(
+      s"join view $viewTable moved past ${viewHead.getOrElse(0L)} during " +
+        "refresh — a concurrent maintainer committed; re-run refresh " +
+        "from the new horizon")
+
+    def commitView(rows: DataFrame): Option[(Long, Long)] =
+      store.commitIfHead(viewTable, rows, viewHead,
+        Map(HorizonProp -> s"$vL1,$vR1")) match {
+        case Some(_) => Some((vL1, vR1))
+        case None => raced()
+      }
 
     def recomputeAtCut(): Option[(Long, Long)] =
       commitView(aggOf(joined(store.readAt(left, vL1),
         store.readAt(right, vR1))))
 
-    horizon(store, viewTable) match {
+    viewHead.map(v =>
+      store.commitProps(viewTable, v).get(HorizonProp).map { s =>
+        val Array(a, b) = s.split(",", 2)
+        (a.trim.toLong, b.trim.toLong)
+      }.getOrElse(return recomputeAtCut())) match {
       case None => recomputeAtCut()
       case Some((vL0, vR0)) if vL0 == vL1 && vR0 == vR1 =>
         Some((vL0, vR0)) // nothing moved: idempotent no-op
@@ -148,9 +169,13 @@ object JoinMaterializedView {
           if (delta.isEmpty) {
             // versions moved but nothing folded (e.g. a compaction on a
             // source): advance the horizon as one DATA-LESS props link —
-            // never a full copy of the view's rows
-            store.commitMaintainerProps(viewTable,
-              Map(HorizonProp -> s"$vL1,$vR1"))
+            // never a full copy of the view's rows. Same CAS condition.
+            store.commitMaintainerPropsIf(viewTable,
+              Map(HorizonProp -> s"$vL1,$vR1"),
+              viewHead.getOrElse(raced())) match {
+              case Some(_) => ()
+              case None => raced()
+            }
             Some((vL1, vR1))
           } else {
             val merged = read(store, viewTable).unionByName(delta)

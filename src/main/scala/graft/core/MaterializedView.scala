@@ -50,6 +50,23 @@ object MaterializedView {
   def read(store: SnapshotStore, viewTable: String): DataFrame =
     store.read(viewTable).drop("_up_to_version")
 
+  /** A refresh lost the head CAS to a concurrent maintainer: its fold is
+    * stale by construction. Re-run the refresh; never retry the commit. */
+  final class ConcurrentMaintainerException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** [[horizon]] pinned to an explicit view version — what the guarded
+    * refresh derives its fold from, so horizon and CAS expectation are
+    * one consistent read. */
+  private[core] def horizonAt(store: SnapshotStore, viewTable: String,
+      v: Long): Long =
+    store.commitProps(viewTable, v).get(HorizonProp) match {
+      case Some(s) => s.toLong
+      case None =>
+        store.readAt(viewTable, v).agg(max(col("_up_to_version")))
+          .head().getLong(0)
+    }
+
   /** Source version the view has folded through (None = never refreshed).
     * Reads the commit-props carrier; pre-r12 views fall back to the row
     * carrier (those can't be empty — the unsigned fold never retracted). */
@@ -64,17 +81,35 @@ object MaterializedView {
 
   /** Fold all unseen change sets of `srcTable` into the view; returns the
     * new horizon. No-op (no new version committed) when the source has
-    * recorded nothing past the current horizon — refresh is idempotent. */
+    * recorded nothing past the current horizon — refresh is idempotent.
+    *
+    * SINGLE-MAINTAINER ENFORCED (not convention): the refresh captures
+    * the view's head version once, derives its horizon from exactly that
+    * version, and commits through [[SnapshotStore.commitIfHead]] — a CAS
+    * conditioned on the head being UNMOVED. Two racing refreshers both
+    * fold from horizon H; exactly one wins per horizon, the loser's
+    * candidate is discarded unexposed and it throws
+    * [[ConcurrentMaintainerException]] (its whole fold was computed from
+    * a now-superseded view state — retrying the REFRESH is the caller's
+    * correct recovery, retrying the commit is not). */
   def refresh(store: SnapshotStore, srcTable: String, viewTable: String,
       keyCol: String, valCol: String): Option[Long] = {
-    val h = horizon(store, viewTable)
+    val viewHead = store.latestVersion(viewTable)
+    val h = viewHead.map(horizonAt(store, viewTable, _))
     val since = h.getOrElse(0L)
+    def commitView(rows: DataFrame, newHorizon: Long): Option[Long] =
+      store.commitIfHead(viewTable, rows, viewHead,
+        Map(HorizonProp -> newHorizon.toString)) match {
+        case Some(_) => Some(newHorizon)
+        case None => throw new ConcurrentMaintainerException(
+          s"view $viewTable moved past ${viewHead.getOrElse(0L)} during " +
+            "refresh — a concurrent maintainer committed; re-run refresh " +
+            "from the new horizon")
+      }
     def recomputeFromSnapshot(): Option[Long] = {
       val v = store.latestVersion(srcTable).getOrElse(return h)
       val full = Incremental.recompute(store.read(srcTable), keyCol, valCol)
-      store.commit(viewTable, full.withColumn("_up_to_version", lit(v)),
-        None, Map(HorizonProp -> v.toString))
-      Some(v)
+      commitView(full.withColumn("_up_to_version", lit(v)), v)
     }
     if (since < store.vacuumHorizon(srcTable)) {
       // The view lags BELOW the source's vacuum horizon: deltas in
@@ -105,12 +140,9 @@ object MaterializedView {
         // stale. Recompute from the (empty) snapshot, which commits the
         // empty aggregate under the head horizon.
         if (advanced.upToEpoch == Long.MinValue) recomputeFromSnapshot()
-        else {
-          store.commit(viewTable,
-            advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)),
-            None, Map(HorizonProp -> advanced.upToEpoch.toString))
-          Some(advanced.upToEpoch)
-        }
+        else commitView(
+          advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)),
+          advanced.upToEpoch)
       }
     } else if (store.nonFeedMutationsSince(srcTable, since).nonEmpty) {
       // A rewrite's effect is not in any feed: recompute ONCE from the
@@ -128,12 +160,9 @@ object MaterializedView {
       // yet): keep the current version — never commit an empty horizonless
       // view. Long.MinValue is Incremental's "no rows folded" sentinel.
       if (h.contains(advanced.upToEpoch) || advanced.upToEpoch == Long.MinValue) h
-      else {
-        store.commit(viewTable,
-          advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)),
-          None, Map(HorizonProp -> advanced.upToEpoch.toString))
-        Some(advanced.upToEpoch)
-      }
+      else commitView(
+        advanced.agg.withColumn("_up_to_version", lit(advanced.upToEpoch)),
+        advanced.upToEpoch)
     }
   }
 }

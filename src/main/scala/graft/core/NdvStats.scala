@@ -1,0 +1,148 @@
+package graft.core
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Base64
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Per-column DISTINCT-COUNT sketches for a snapshot-store version — the
+  * third statistic (after `_stats.json`'s min/max/null-counts) Spark's
+  * cost-based optimizer needs to estimate equi-join cardinalities
+  * (|A⋈B| ≈ |A|·|B| / max(ndv)) and therefore to REORDER multi-table
+  * store joins (reference analog: Postgres ANALYZE n_distinct feeding its
+  * planner, which the reference leans on implicitly for every
+  * api/app query; schema/00_baseline.sql's btree'd keys).
+  *
+  * Computed with ZERO extra passes: the commit's write job carries an
+  * [[org.apache.spark.sql.Observation]] whose metrics are
+  * `hll_sketch_agg` per eligible column (Spark's DataSketches HLL, the
+  * same family Iceberg stores in its puffin stat files), so the sketch
+  * rides the write's own scan. Serialized sketches land in `_ndv.json`
+  * (column → base64), strictly best-effort like `_stats.json`: a crash
+  * here leaves a valid, merely CBO-blind version.
+  *
+  * CHAIN reads union the links' sketches (HLL unions are lossless, the
+  * whole point of sketching over exact sets): an append chain's NDV is
+  * the union estimate, never a naive sum. Tombstoned/DV'd rows stay in
+  * their link's sketch, so a delete-heavy chain over-estimates NDV until
+  * compact rewrites it — the conservative direction for join sizing
+  * (an over-estimated NDV under-estimates join fan-out, matching the
+  * no-stats default rather than inventing selectivity). */
+object NdvStats {
+
+  val NdvFileName = "_ndv.json"
+
+  /** Spark's hll_sketch_agg default lgConfigK. */
+  private val LgK = 12
+
+  /** The sketchable column expression, or None when the type has no
+    * 1:1 cheap encoding (hll_sketch_agg accepts int/long/string/binary;
+    * every encoding below preserves distinct-count exactly). */
+  private def sketchExpr(f: StructField): Option[org.apache.spark.sql.Column] = {
+    val c = col(s"`${f.name}`")
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(c.cast(LongType))
+      case StringType => Some(c)
+      case BinaryType => Some(c)
+      // date/timestamp are integer days/micros internally, but SQL casts
+      // to long are disallowed — string form is 1:1 per distinct value
+      case DateType | TimestampType | TimestampNTZType => Some(c.cast(StringType))
+      // float/double: canonical toString is 1:1 per distinct bit pattern
+      // (NaN collapses — irrelevant at estimate precision)
+      case FloatType | DoubleType => Some(c.cast(StringType))
+      case _: DecimalType => Some(c.cast(StringType))
+      case BooleanType => Some(c.cast(LongType))
+      case _ => None // nested/array/map: no NDV
+    }
+  }
+
+  /** Wrap a to-be-written frame with an NDV observation: returns the
+    * wrapped frame and the harvest handle (None when no column is
+    * sketchable — the observe node is not free, don't add it for
+    * nothing). Metrics come from the FRAME's own columns, not the merged
+    * snapshot schema: an append delta legitimately lacks columns a later
+    * link added (they read as NULL there — zero distinct values — which
+    * is exactly how [[chainNdv]] treats the missing sketch). */
+  def observed(df: DataFrame)
+      : (DataFrame, Option[(Observation, Seq[String])]) = {
+    val metrics = df.schema.fields.toSeq.flatMap { f =>
+      sketchExpr(f).map(e =>
+        f.name.toLowerCase -> hll_sketch_agg(e, lit(LgK)).as(f.name.toLowerCase))
+    }
+    if (metrics.isEmpty) (df, None)
+    else {
+      val obs = Observation("graft_ndv_" + java.util.UUID.randomUUID())
+      (df.observe(obs, metrics.head._2, metrics.tail.map(_._2): _*),
+        Some((obs, metrics.map(_._1))))
+    }
+  }
+
+  /** Harvest the observation (the write action has completed, so `get`
+    * returns immediately) and write `_ndv.json` into the version dir —
+    * temp + atomic rename like every store sidecar. Best-effort by
+    * contract: callers swallow failures. */
+  def write(versionDir: Path, harvest: (Observation, Seq[String])): Unit = {
+    val (obs, names) = harvest
+    val got = obs.get
+    val entries = names.flatMap { n =>
+      got.get(n) match {
+        case Some(bytes: Array[Byte]) if bytes.nonEmpty =>
+          Some(n -> Base64.getEncoder.encodeToString(bytes))
+        case _ => None // column all-null in this delta, or metric missing
+      }
+    }
+    if (entries.isEmpty) return
+    val tmp = versionDir.resolve(NdvFileName + ".tmp")
+    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(
+      JObject(entries.sortBy(_._1).map { case (k, v) =>
+        k -> JString(v) }.toList))))
+    Files.move(tmp, versionDir.resolve(NdvFileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One version directory's sketches (column → serialized HLL), empty
+    * when the sidecar is absent or unreadable (pre-NDV versions). */
+  def read(versionDir: Path): Map[String, Array[Byte]] = {
+    val f = versionDir.resolve(NdvFileName)
+    if (!Files.exists(f)) Map.empty
+    else try JsonMethods.parse(Files.readString(f)) match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> Base64.getDecoder.decode(v)
+      }.toMap
+      case _ => Map.empty
+    } catch { case NonFatal(_) => Map.empty }
+  }
+
+  /** Union the chain's per-link sketches into per-column NDV estimates.
+    * A link with NO `_ndv.json` at all is a PRE-NDV commit — unknown
+    * rows, so it gates every estimate (a partial union would understate
+    * NDV and overstate join selectivity, the dangerous direction). A
+    * link WITH a sidecar that merely lacks one column wrote that column
+    * absent or all-null — zero distinct values there, so it contributes
+    * nothing to that column's union. `linkHasData` marks which dirs
+    * carried data files at all: data-less links (pure-DV commits,
+    * props-only links) don't gate. */
+  def chainNdv(dirs: Seq[Path], linkHasData: Path => Boolean)
+      : Map[String, Long] = {
+    val dataDirs = dirs.filter(linkHasData)
+    if (dataDirs.isEmpty) return Map.empty
+    val perLink = dataDirs.map(read)
+    if (perLink.exists(_.isEmpty)) return Map.empty // a blind link gates all
+    val cols = perLink.map(_.keySet).reduce(_ union _)
+    cols.iterator.flatMap { c =>
+      try {
+        val u = new org.apache.datasketches.hll.Union(LgK)
+        perLink.foreach(_.get(c).foreach(bytes =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))))
+        Some(c -> math.max(1L, math.round(u.getResult.getEstimate)))
+      } catch { case NonFatal(_) => None } // corrupt sketch: no estimate
+    }.toMap
+  }
+}

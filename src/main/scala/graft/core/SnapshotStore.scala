@@ -193,6 +193,65 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       props = props)
   }
 
+  /** CONDITIONAL self-contained commit — [[commit]] whose pointer move
+    * succeeds ONLY if the table's head is still `expectedHead` at the CAS
+    * (None = no committed version yet). The OCC primitive maintained
+    * views enforce their single-maintainer contract with: two racing
+    * refreshers both read horizon H; both compute; exactly ONE wins the
+    * CAS and commits H', the loser's candidate is discarded UNEXPOSED and
+    * it learns it raced (returns None) instead of overwriting the
+    * winner's fold with a same-horizon twin — or worse, landing an older
+    * horizon above a newer one (the last-writer-wins hazard the old
+    * convention-only contract documented). Unlike the retry-until-won
+    * writers, a lost race here must NOT retry internally: the caller's
+    * whole fold is stale (it read the pre-race view state), so staleness
+    * has to surface at the fold layer. */
+  private[graft] def commitIfHead(table: String, df: DataFrame,
+      expectedHead: Option[Long],
+      props: Map[String, String] = Map.empty): Option[Long] = {
+    val prev = latestVersion(table).map(v => snapshotSchema(table, Some(v)))
+    val s = ParquetTableShim.asNullable(df.schema)
+    val snap = prev match {
+      case None => withFieldIds(s, None)
+      case Some(p) if SnapshotStore.schemaHasFieldIds(p) => withFieldIds(s, Some(p))
+      case Some(_) => s
+    }
+    val cand = commitWith(table, Some(df), None, base = None,
+      snapshot = snap, props = props, advance = false)
+    if (casAdvance(table, cand, expectedHead)) Some(cand)
+    else {
+      val w = Files.walk(versionDir(table, cand))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+      None
+    }
+  }
+
+  /** [[commitMaintainerProps]] made CONDITIONAL on the head (the same CAS
+    * contract as [[commitIfHead]], for the data-less horizon-advance
+    * links): None on a lost race — never the silent retry-until-won a
+    * maintainer's stale horizon must not get. */
+  private[graft] def commitMaintainerPropsIf(table: String,
+      props: Map[String, String], expectedHead: Long): Option[Long] = {
+    require(props.nonEmpty, "commitMaintainerPropsIf requires at least one pair")
+    val bucketProps = bucketSpecOf(table, expectedHead)
+      .fold(Map.empty[String, String]) {
+        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
+          SnapshotStore.BucketNProp -> n.toString)
+      }
+    val cand = commitWith(table, None, None, base = Some(expectedHead),
+      snapshot = snapshotSchema(table, Some(expectedHead)), advance = false,
+      props = props ++ bucketProps +
+        (SnapshotStore.OpProp -> "set-properties"))
+    if (casAdvance(table, cand, Some(expectedHead))) Some(cand)
+    else {
+      val w = Files.walk(versionDir(table, cand))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+      None
+    }
+  }
+
   /** The shared commit machinery: claim a version directory, pin its chain
     * link + snapshot schema, write data + change set, verify the
     * committed-write marker, advance the pointer. `base = Some(v)` makes
@@ -283,9 +342,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // allocation to pointer move. (Allocation never reuses an existing
     // directory, so append semantics can never mix two commits.)
     def stamped(d: DataFrame): DataFrame = stampedWithIds(d, snapshot)
+    // NDV sketches ride the write job itself (Observation — zero extra
+    // passes); the sidecar write below is best-effort like `_stats.json`.
+    var ndvHarvest: Option[(org.apache.spark.sql.Observation, Seq[String])] = None
     df match {
       case Some(d) =>
-        stamped(d).write.mode("append").parquet(versionDir(table, next).toString)
+        val (observedDf, harvest) = NdvStats.observed(stamped(d))
+        ndvHarvest = harvest
+        observedDf.write.mode("append").parquet(versionDir(table, next).toString)
       case None =>
         // A data-less version (a pure deletion-vector commit): nothing to
         // write, so the committer never runs — stamp the completed-write
@@ -315,6 +379,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // merely unpruned version), so failures are swallowed.
     try FileStats.writeStatsFile(
       spark.sparkContext.hadoopConfiguration, versionDir(table, next))
+    catch { case scala.util.control.NonFatal(_) => () }
+    // NDV sidecar (`_ndv.json`): harvest the write job's observation —
+    // same best-effort contract as the stats manifest above.
+    try ndvHarvest.foreach(NdvStats.write(versionDir(table, next), _))
     catch { case scala.util.control.NonFatal(_) => () }
     // ANSI CHECK enforcement — ONE choke point for every data-carrying
     // write path (append, commit/overwrite, update/merge survivors, the
@@ -372,6 +440,32 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val r = FileStats.readStatsFile(versionDir(table, version))
       if (r.isDefined || latestVersion(table).exists(version <= _))
         SnapshotStore.statsCache.putIfAbsent((root, table, version), r)
+      r
+    }
+
+  /** The chain's per-column NDV estimates at `version`: the union of the
+    * links' `_ndv.json` sketches ([[NdvStats.chainNdv]] — HLL unions are
+    * lossless, so an append chain's NDV is the true union estimate).
+    * Memoized per immutable version with [[fileStats]]'s discipline: an
+    * empty result is cached only at or below the pointer (the sidecar
+    * lands after `_SUCCESS`, before the pointer move). Empty when any
+    * data-carrying link predates NDV sketching — a partial union would
+    * UNDERSTATE NDV and overstate join selectivity. */
+  def chainNdv(table: String, version: Long): Map[String, Long] =
+    SnapshotStore.ndvCache.get((root, table, version)).getOrElse {
+      val (_, dirs) = resolveVersionPaths(table, Some(version))
+      val r = NdvStats.chainNdv(dirs, d => {
+        val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
+        fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
+          val s = Files.list(d)
+          try s.iterator().asScala.exists(p =>
+            p.getFileName.toString.endsWith(".parquet") &&
+              Files.isRegularFile(p))
+          finally s.close()
+        }
+      })
+      if (r.nonEmpty || latestVersion(table).exists(version <= _))
+        SnapshotStore.ndvCache.putIfAbsent((root, table, version), r)
       r
     }
 
@@ -1825,6 +1919,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       SnapshotStore.schemaCache.filterInPlace {
         case ((r, t, _), _) => !(r == root && t == table) }
       SnapshotStore.statsCache.filterInPlace {
+        case ((r, t, _), _) => !(r == root && t == table) }
+      SnapshotStore.ndvCache.filterInPlace {
         case ((r, t, _), _) => !(r == root && t == table) }
       true
     }
@@ -4127,6 +4223,12 @@ object SnapshotStore {
     scala.collection.concurrent.TrieMap.empty[(String, String, Long),
       Option[Map[String, FileStats.FileStat]]]
 
+  /** Memoized chain NDV estimates ([[SnapshotStore.chainNdv]]), same
+    * immutability argument as the stats manifests. */
+  private[core] val ndvCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long),
+      Map[String, Long]]
+
   /** Test seam: runs between a row-mutation's candidate write and its
     * pointer CAS, so a spec can force the exact candidate-written /
     * sibling-committed interleaving deterministically (the rebase and
@@ -4143,7 +4245,7 @@ object SnapshotStore {
     * committed version directories to simulate legacy or corrupted stores,
     * which violates the immutability assumption the caches rest on. */
   private[graft] def dropCachesForTests(): Unit = {
-    schemaCache.clear(); statsCache.clear()
+    schemaCache.clear(); statsCache.clear(); ndvCache.clear()
   }
 
   /** One monitor per PHYSICAL root (symlinks resolved): serializes pointer

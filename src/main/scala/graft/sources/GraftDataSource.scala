@@ -157,7 +157,8 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     val versionPinned: Boolean = false,
     dv: Map[String, Array[Long]] = Map.empty,
     bucket: Option[(String, Int)] = None,
-    physNames: Map[String, Map[String, String]] = Map.empty)
+    physNames: Map[String, Map[String, String]] = Map.empty,
+    ndv: Map[String, Long] = Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -176,7 +177,7 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
       pinnedSchema, passThrough,
       new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known,
         unlisted, physNames),
-      dv, bucket)
+      dv, bucket, ndv)
   }
 
   override def name(): String = s"graft:$tableName@v$snapshotVersion"
@@ -423,10 +424,15 @@ object GraftTable {
       .filter(_ => units.forall(u => u.stat.isDefined &&
         org.apache.spark.sql.graftbridge.KeyGroupedParquetScan.isPartNamed(
           new org.apache.hadoop.fs.Path(u.path).getName)))
+    // Chain NDV estimates for CBO column statistics — best-effort (empty
+    // for pre-NDV chains), memoized per immutable version in the store.
+    val ndv =
+      try store.chainNdv(table, v)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
     new GraftTable(table, v, spark, units,
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
       versionPinned = version.isDefined, dv = dv, bucket = bucket,
-      physNames = store.physicalNamesByVersion(table, v))
+      physNames = store.physicalNamesByVersion(table, v), ndv = ndv)
   }
 
   /** V1 source Filter → Column, for the DELETE translation. None marks a

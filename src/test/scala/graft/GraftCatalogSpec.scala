@@ -745,4 +745,50 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT * FROM kgcat.nope"))
     assert(e.getMessage.contains("nope"), e.toString)
   }
+
+  test("maintenance TVFs: vacuum/compact/adopt run the full lifecycle through SQL") {
+    import org.apache.spark.sql.functions.col
+    graft.GraftExtensions.register(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft-maint-tvf").toString
+    val st = new graft.core.SnapshotStore(spark, r)
+    st.commit("m", spark.range(0, 100).select(col("id").as("k")))
+    st.append("m", spark.range(100, 200).select(col("id").as("k")))
+    st.append("m", spark.range(200, 300).select(col("id").as("k")))
+
+    // compact through SQL: one new version, values intact
+    val cv = spark.sql(s"SELECT * FROM graft_compact('$r', 'm')")
+      .head().getLong(0)
+    assert(cv == 4L, s"compact commits the next version, got $cv")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$r', 'm')")
+      .head().getLong(0) == 300L)
+
+    // adopt field IDs through SQL: fresh commits are already ID'd, so
+    // the call is the documented idempotent no-op (current head returns;
+    // the REWRITE path is pinned in SnapshotStoreSpec's legacy fixtures)
+    val av = spark.sql(s"SELECT * FROM graft_adopt_field_ids('$r', 'm')")
+      .head().getLong(0)
+    assert(av == cv, s"already-ID'd chain is a no-op at the head: $av")
+
+    // vacuum through SQL: retention drops pre-compact history and the
+    // HORIZON GUARD then fires through SQL — a feed subscribed below the
+    // horizon refuses loudly, and the bootstrap face catches up instead
+    val row = spark.sql(s"SELECT * FROM graft_vacuum('$r', 'm', 1)").head()
+    assert(row.getLong(0) == 3L,
+      s"horizon = highest reclaimed version (v4 survives): ${row.getLong(0)}")
+    assert(row.getLong(1) >= 1L)
+    val refused = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_change_feed('$r', 'm', 1)").collect())
+    assert(refused.getMessage.toLowerCase.contains("vacuum") ||
+      refused.getMessage.toLowerCase.contains("bootstrap"),
+      s"below-horizon feed must refuse with the guard's message: " +
+        refused.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM graft_feed_bootstrap('$r', 'm')")
+      .head().getLong(0) == 300L,
+      "bootstrap serves the oldest retained snapshot as insert images")
+
+    // time-based retention face parses and keeps the newest version
+    val vo = spark.sql(
+      s"SELECT * FROM graft_vacuum_older_than('$r', 'm', 0)").head()
+    assert(vo.getLong(1) >= 1L)
+  }
 }
