@@ -1971,11 +1971,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     require(numBuckets > 0, "commitBucketed requires numBuckets > 0")
     require(df.columns.exists(_.equalsIgnoreCase(bucketBy)),
       s"bucket column $bucketBy is not in ${df.columns.mkString(", ")}")
+    // sortWithinPartitions: each bucket file lands SORTED by the bucket
+    // key, so a single-file-per-bucket scan can also report per-partition
+    // ORDERING — an SMJ over two such tables then skips BOTH sorts on top
+    // of skipping both exchanges (sort once at write, not per query).
     commit(table,
-      df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy)),
+      df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col(bucketBy)),
       changeSet,
       props = Map(SnapshotStore.BucketColProp -> bucketBy,
-        SnapshotStore.BucketNProp -> numBuckets.toString))
+        SnapshotStore.BucketNProp -> numBuckets.toString,
+        SnapshotStore.BucketSortedProp -> "true"))
   }
 
   /** Bucketed APPEND: the delta is bucketed exactly like the head (same
@@ -1993,10 +1999,12 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           "— mixed layouts would silently break co-partitioned joins")
     }
     appendFrom(table,
-      rows.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy)),
+      rows.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy))
+        .sortWithinPartitions(org.apache.spark.sql.functions.col(bucketBy)),
       latestVersion(table),
       props = Map(SnapshotStore.BucketColProp -> bucketBy,
-        SnapshotStore.BucketNProp -> numBuckets.toString))
+        SnapshotStore.BucketNProp -> numBuckets.toString,
+        SnapshotStore.BucketSortedProp -> "true"))
   }
 
   /** The snapshot's bucket layout, iff EVERY chain link carries the same
@@ -2048,6 +2056,22 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       case _ => None
     }
   }
+
+  /** Every data-carrying chain link wrote its buckets SORTED by the
+    * bucket column ([[SnapshotStore.BucketSortedProp]]) — the writer half
+    * of the scan's per-partition ordering claim. The READ half (each
+    * bucket holds at most one file, else the partition is a concat of
+    * sorted runs, not a sorted run) is the connector's to check against
+    * the actual file set. Data-less links (set-properties, pure-DV)
+    * contribute no files and don't gate. */
+  def bucketSortedOf(table: String, v: Long): Boolean =
+    chainOf(table, v).forall { l =>
+      commitProps(table, l).get(SnapshotStore.BucketSortedProp)
+        .contains("true") ||
+        // provably data-less (manifest present and empty): can't unsort.
+        // A manifest-LESS link is unknown and gates.
+        fileStats(table, l).exists(_.isEmpty)
+    }
 
   /** `commit` with MULTI-COLUMN write clustering on a Z-order curve
     * ([[ZOrder]]): where `commitClustered(Seq(a, b))` sorts lexically and
@@ -4136,6 +4160,15 @@ object SnapshotStore {
     * carries the same pair (`bucketSpecOf`). */
   val BucketColProp: String = "graft.bucket.col"
   val BucketNProp: String = "graft.bucket.n"
+
+  /** Per-link claim that the link's files are SORTED by the bucket column
+    * within each bucket ([[SnapshotStore.commitBucketed]]/
+    * [[SnapshotStore.appendBucketed]] write `sortWithinPartitions`) — the
+    * half of the scan's ordering report the writer supplies. Mutation
+    * rewrites re-stamp only the bucket claim (repartition, unsorted), so
+    * their links lack this and the ordering claim drops while the
+    * zero-exchange claim survives. */
+  val BucketSortedProp: String = "graft.bucket.sorted"
 
   /** Commit-props key tagging the OPERATION that produced a version
     * ("compact", "delete") — read via `commitProps` (per-version), NOT

@@ -158,7 +158,8 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     dv: Map[String, Array[Long]] = Map.empty,
     bucket: Option[(String, Int)] = None,
     physNames: Map[String, Map[String, String]] = Map.empty,
-    ndv: Map[String, Long] = Map.empty)
+    ndv: Map[String, Long] = Map.empty,
+    bucketSorted: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -177,7 +178,7 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
       pinnedSchema, passThrough,
       new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known,
         unlisted, physNames),
-      dv, bucket, ndv)
+      dv, bucket, ndv, bucketSorted)
   }
 
   override def name(): String = s"graft:$tableName@v$snapshotVersion"
@@ -429,10 +430,30 @@ object GraftTable {
     val ndv =
       try store.chainNdv(table, v)
       catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+    // Per-partition ORDERING claim (sorted buckets → SMJ skips its
+    // sorts): every chain link wrote sortWithinPartitions(bucketCol)
+    // (BucketSortedProp), every bucket holds AT MOST ONE file (two
+    // sorted files concatenate to runs, not a sorted partition — so any
+    // append drops the claim until compact re-buckets), and the chain
+    // carries no deletion vectors (the DV'd keyed reader chains file
+    // groups out of order). Purely additive: when it drops, the join
+    // just sorts as before.
+    val bucketSorted = bucket.exists { case (_, n) =>
+      dv.isEmpty && store.bucketSortedOf(table, v) && {
+        val counts = new Array[Int](n)
+        units.forall { u =>
+          val b = org.apache.spark.sql.graftbridge.KeyGroupedParquetScan
+            .bucketOf(new org.apache.hadoop.fs.Path(u.path).getName, n)
+          counts(b) += 1
+          counts(b) <= 1
+        }
+      }
+    }
     new GraftTable(table, v, spark, units,
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
       versionPinned = version.isDefined, dv = dv, bucket = bucket,
-      physNames = store.physicalNamesByVersion(table, v), ndv = ndv)
+      physNames = store.physicalNamesByVersion(table, v), ndv = ndv,
+      bucketSorted = bucketSorted)
   }
 
   /** V1 source Filter → Column, for the DELETE translation. None marks a

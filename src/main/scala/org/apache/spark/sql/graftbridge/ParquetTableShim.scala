@@ -61,7 +61,8 @@ object ParquetTableShim {
       index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
       dv: Map[String, Array[Long]] = Map.empty,
       bucket: Option[(String, Int)] = None,
-      ndv: Map[String, Long] = Map.empty)
+      ndv: Map[String, Long] = Map.empty,
+      bucketSorted: Boolean = false)
       : Table = {
     require(dv.isEmpty ||
       index.isInstanceOf[GraftFileIndex],
@@ -88,7 +89,7 @@ object ParquetTableShim {
         index match {
           case g: GraftFileIndex =>
             new ManifestStatsScanBuilder(spark, g, this.schema, dataSchema,
-              opts, dv, bucket, ndv)
+              opts, dv, bucket, ndv, bucketSorted)
           case _ => super.newScanBuilder(opts)
         }
     }
@@ -142,7 +143,8 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     options: CaseInsensitiveStringMap,
     dv: Map[String, Array[Long]] = Map.empty,
     bucket: Option[(String, Int)] = None,
-    ndv: Map[String, Long] = Map.empty)
+    ndv: Map[String, Long] = Map.empty,
+    bucketSorted: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
     spark, index, schema, dataSchema, options) {
 
@@ -188,7 +190,7 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     else if (built.pushedAggregate.nonEmpty) built
     else (bucket, index.prunedStats(built.dataFilters)) match {
       case (Some((c, n)), stats) =>
-        new KeyGroupedParquetScan(built, c, n, stats, ndv)
+        new KeyGroupedParquetScan(built, c, n, stats, ndv, bucketSorted)
       case (None, Some((rows, bytes, total))) =>
         new ManifestStatsParquetScan(built, rows, bytes, total, ndv)
       case (None, None) => built
@@ -482,13 +484,15 @@ private[graftbridge] final class KeyGroupedParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     bucketCol: String, numBuckets: Int,
     manifestStats: Option[(Long, Long, Long)],
-    ndv: Map[String, Long] = Map.empty)
+    ndv: Map[String, Long] = Map.empty,
+    bucketSorted: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
     base.options, base.pushedAggregate, base.partitionFilters,
     base.dataFilters, base.pushedVariantExtractions)
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with GraftRuntimeFiltering {
 
   import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
@@ -506,6 +510,27 @@ private[graftbridge] final class KeyGroupedParquetScan(
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .bucket(numBuckets, bucketCol)),
       numBuckets)
+
+  /** PER-PARTITION ordering claim (SupportsReportOrdering): each bucket's
+    * single file was written `sortWithinPartitions(bucketCol)` ASC
+    * NULLS FIRST (Spark's ascending default), so an SMJ over two such
+    * tables skips BOTH sorts on top of both exchanges — the data was
+    * sorted ONCE at write, not per query. The caller (forSnapshot) only
+    * sets `bucketSorted` when every chain link wrote sorted AND every
+    * bucket holds at most one file (two sorted files concatenate to runs,
+    * not a sorted partition) AND no deletion vectors (the DV'd keyed
+    * reader chains file GROUPS, reordering rows). Runtime filtering only
+    * drops whole files and never reorders, so the claim survives it. The
+    * claim is withheld when the bucket column was pruned from the output
+    * (an ordering over a non-output column cannot resolve). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (bucketSorted &&
+        base.readDataSchema.fields.exists(_.name.equalsIgnoreCase(bucketCol)))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(bucketCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   // Runtime-pruned files drop out of their bucket; every bucket still
   // PLANS (possibly empty), so the partition count and key set — the

@@ -419,6 +419,47 @@ class StoragePartitionJoinSpec extends SparkSpec {
       .contains(("k", 8)))
   }
 
+  test("sorted buckets: SMJ skips its sorts too; an append drops only the ordering claim") {
+    // commitBucketed writes each bucket sortWithinPartitions(key), and a
+    // single-file-per-bucket chain reports per-partition ORDERING on top
+    // of the KeyGroupedPartitioning — so the co-bucketed join runs with
+    // neither exchanges NOR sorts (sorted once at write, not per query).
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-sort").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("sa", spark.range(0, 10000)
+      .select((col("id") * 7919 % 10000).as("k"), (col("id") * 2).as("va")), "k", 8)
+    st.commitBucketed("sb", spark.range(0, 10000)
+      .select((col("id") * 104729 % 10000).as("k"), (col("id") + 7).as("vb")), "k", 8)
+    spark.conf.set("spark.sql.catalog.spjs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjs.root", r)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = "SELECT a.k AS k, va, vb FROM spjs.sa a JOIN spjs.sb b ON a.k = b.k"
+      val j = spark.sql(q)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"), s"still zero-exchange:\n$plan")
+      assert(!plan.contains("Sort "), s"sorted buckets must skip SMJ sorts:\n$plan")
+      // values exact vs the claim-free shuffled join
+      val base = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(q)
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j.count() == base._1)
+      assert(j.agg(sum("va"), sum("vb")).head() == base._2)
+      // an append makes buckets two-file: the ORDERING claim must drop
+      // (concat of sorted runs is not sorted) while the layout claim stays
+      st.appendBucketed("sa", Seq((20000L, 1L)).toDF("k", "va"), "k", 8)
+      val j2 = spark.sql(q)
+      val plan2 = finalPlan(j2)
+      assert(!plan2.contains("Exchange"),
+        s"bucketed append keeps the zero-exchange claim:\n$plan2")
+      assert(plan2.contains("Sort "),
+        s"two-file buckets must sort again (claim dropped):\n$plan2")
+      assert(j2.count() == base._1, "the appended key has no sb match")
+    }
+  }
+
   test("q113 shape: star join's fact⋈fact leg zero-exchange under dim chain + agg") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
