@@ -184,7 +184,11 @@ object Bench {
     * comparison; `"suite_reruns"` how many full re-runs the gate spent. */
   private def adjudicatedSuite(spark: SparkSession, sfDir: String)
       : (Seq[(String, Double)], Seq[(String, String)], String) = {
-    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_SUITE_RETRIES", "3").toInt
+    // Robust parse: a malformed env value must not kill an hours-long
+    // bench after the fact — fall back to the default, floor at 0.
+    val maxReruns = sys.env.get("SPARK_GRAFT_SUITE_RETRIES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .map(math.max(_, 0)).getOrElse(3)
     def isClean(r: SuiteRun): Boolean =
       r.maxRatio >= 0 && r.maxRatio <= SuiteBar && !r.contended
     var runs: List[SuiteRun] = List(runSuite(spark, sfDir))

@@ -56,6 +56,16 @@ object FileStats {
   final case class ColStats(min: Option[StatVal], max: Option[StatVal],
       nullCount: Option[Long])
 
+  /** -0.0 and +0.0 are EQUAL under SQL comparison semantics (catalyst
+    * compares doubles with primitive ==/<, where -0.0 == 0.0, and hash
+    * partitioning normalizes the zero) but DISTINCT under
+    * java.lang.Double.compare — a footer bound of -0.0 against a pruning
+    * literal of +0.0 would "prove" a false non-overlap and silently drop
+    * matching rows. Every StatVal construction canonicalizes the zero so
+    * bound comparisons agree with SQL equality. (NaN bounds are withheld
+    * entirely, as before.) */
+  def canonDouble(d: Double): Double = if (d == 0.0d) 0.0d else d
+
   /** One data file's manifest entry. `leaves` is the set of top-level
     * column names physically present in the file (lower-cased) — a chain
     * file written before a column was appended LACKS it, reads it as NULL,
@@ -163,10 +173,10 @@ object FileStats {
         }
       case (PrimitiveTypeName.FLOAT, _) =>
         val d = v.asInstanceOf[java.lang.Float].doubleValue
-        if (d.isNaN) None else Some(DoubleVal(d))
+        if (d.isNaN) None else Some(DoubleVal(canonDouble(d)))
       case (PrimitiveTypeName.DOUBLE, _) =>
         val d = v.asInstanceOf[java.lang.Double].doubleValue
-        if (d.isNaN) None else Some(DoubleVal(d))
+        if (d.isNaN) None else Some(DoubleVal(canonDouble(d)))
       case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
         val s = v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
         // Parquet orders UTF8 bounds by unsigned bytes; Java Strings by
@@ -249,7 +259,8 @@ object FileStats {
   private def valFrom(j: JValue): Option[StatVal] = j match {
     case JObject(List(("l", JLong(x)))) => Some(LongVal(x))
     case JObject(List(("l", JInt(x)))) => Some(LongVal(x.toLong))
-    case JObject(List(("d", JString(x)))) => Some(DoubleVal(x.toDouble))
+    case JObject(List(("d", JString(x)))) =>
+      Some(DoubleVal(canonDouble(x.toDouble))) // old manifests may carry -0.0
     case JObject(List(("s", JString(x)))) => Some(StringVal(x))
     case JObject(List(("b", JBool(x)))) => Some(BoolVal(x))
     case _ => None

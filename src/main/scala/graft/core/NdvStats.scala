@@ -73,8 +73,10 @@ object NdvStats {
   def observed(df: DataFrame)
       : (DataFrame, Option[(Observation, Seq[String])]) = {
     val metrics = df.schema.fields.toSeq.flatMap { f =>
-      sketchExpr(f).map(e =>
-        f.name.toLowerCase -> hll_sketch_agg(e, lit(LgK)).as(f.name.toLowerCase))
+      // Locale.ROOT like every reader: the default locale would key "ID"
+      // as dotless-i under Turkish locales and lose the sketch silently
+      val n = f.name.toLowerCase(java.util.Locale.ROOT)
+      sketchExpr(f).map(e => n -> hll_sketch_agg(e, lit(LgK)).as(n))
     }
     if (metrics.isEmpty) (df, None)
     else {
@@ -129,11 +131,21 @@ object NdvStats {
     * nothing to that column's union. `linkHasData` marks which dirs
     * carried data files at all: data-less links (pure-DV commits,
     * props-only links) don't gate. */
-  def chainNdv(dirs: Seq[Path], linkHasData: Path => Boolean)
+  def chainNdv(dirs: Seq[Path], linkHasData: Path => Boolean,
+      resolve: Path => Map[String, String] = _ => Map.empty)
       : Map[String, Long] = {
     val dataDirs = dirs.filter(linkHasData)
     if (dataDirs.isEmpty) return Map.empty
-    val perLink = dataDirs.map(read)
+    // Per-link sketches keyed by the column's LOGICAL name at the head:
+    // pre-rename links' sidecars carry the OLD (physical) name, so the
+    // union must follow the same logical→physical maps the zone-map
+    // pruner uses, or a renamed column's NDV would count only
+    // post-rename links — understated NDV, overstated join selectivity,
+    // exactly the dangerous direction.
+    val perLink: Seq[Map[String, Array[Byte]]] = dataDirs.map { d =>
+      val physToLogical = resolve(d).map(_.swap) // logical→physical, inverted
+      read(d).map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+    }
     if (perLink.exists(_.isEmpty)) return Map.empty // a blind link gates all
     val cols = perLink.map(_.keySet).reduce(_ union _)
     cols.iterator.flatMap { c =>

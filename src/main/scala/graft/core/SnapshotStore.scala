@@ -454,6 +454,9 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def chainNdv(table: String, version: Long): Map[String, Long] =
     SnapshotStore.ndvCache.get((root, table, version)).getOrElse {
       val (_, dirs) = resolveVersionPaths(table, Some(version))
+      // rename-aware: pre-rename links' sidecars key the OLD name, the
+      // same logical→physical maps the zone-map pruner follows
+      val physNames = physicalNamesByVersion(table, version)
       val r = NdvStats.chainNdv(dirs, d => {
         val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
         fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
@@ -463,7 +466,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
               Files.isRegularFile(p))
           finally s.close()
         }
-      })
+      }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
       if (r.nonEmpty || latestVersion(table).exists(version <= _))
         SnapshotStore.ndvCache.putIfAbsent((root, table, version), r)
       r
@@ -1815,26 +1818,18 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * CAS-until-won liveness as [[setTableProperties]]. */
   private[graft] def commitMaintainerProps(table: String,
       props: Map[String, String]): Long = {
-    require(props.nonEmpty, "commitMaintainerProps requires at least one pair")
+    // The retry-until-won face of [[commitMaintainerPropsIf]] — ONE
+    // commit recipe (bucket-prop carry, set-properties link, candidate
+    // discard), two liveness policies.
     @tailrec def attempt(): Long = {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
-      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-          SnapshotStore.BucketNProp -> n.toString)
-      }
-      val cand = commitWith(table, None, None, base = Some(v),
-        snapshot = snapshotSchema(table, Some(v)), advance = false,
-        props = props ++ bucketProps +
-          (SnapshotStore.OpProp -> "set-properties"))
-      if (casAdvance(table, cand, Some(v))) cand
-      else {
-        val w = Files.walk(versionDir(table, cand))
-        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally w.close()
-        require(latestVersion(table).exists(_ != v),
-          s"commitMaintainerProps CAS to $table failed with unmoved pointer $v")
-        attempt()
+      commitMaintainerPropsIf(table, props, v) match {
+        case Some(cand) => cand
+        case None =>
+          require(latestVersion(table).exists(_ != v),
+            s"commitMaintainerProps CAS to $table failed with unmoved pointer $v")
+          attempt()
       }
     }
     attempt()

@@ -125,10 +125,12 @@ object DataSkipping {
       case LongType => Some(LongVal(value.asInstanceOf[Long]))
       case FloatType => // exact widening — the manifest widened floats the same way
         val f = value.asInstanceOf[Float]
-        if (f.isNaN) None else Some(DoubleVal(f.toDouble))
+        if (f.isNaN) None
+        else Some(DoubleVal(FileStats.canonDouble(f.toDouble)))
       case DoubleType =>
         val d = value.asInstanceOf[Double]
-        if (d.isNaN) None else Some(DoubleVal(d))
+        if (d.isNaN) None
+        else Some(DoubleVal(FileStats.canonDouble(d))) // -0.0 == 0.0 in SQL
       case StringType => Some(StringVal(value.asInstanceOf[UTF8String].toString))
       case BooleanType => Some(BoolVal(value.asInstanceOf[Boolean]))
       case DateType => Some(LongVal(value.asInstanceOf[Int].toLong))

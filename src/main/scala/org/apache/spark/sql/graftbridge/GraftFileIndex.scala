@@ -151,17 +151,29 @@ final class GraftFileIndex(
     * estimation; a column physically ABSENT from a file is all-NULL
     * there (contributes its row count to nullCount, nothing to bounds).
     * Empty when any unlisted directory contributes unknown files. */
-  def chainColStats(colsLower: Seq[String])
+  def chainColStats(colsLower: Seq[String],
+      keep: Option[Set[String]] = None)
       : Map[String, (Option[graft.core.FileStats.StatVal],
         Option[graft.core.FileStats.StatVal], Option[Long])] = {
     import graft.core.FileStats
     if (unlistedDirs.nonEmpty) return Map.empty
+    // `keep` restricts the fold to the files SURVIVING the scan's pushed
+    // data filters, so the reported column stats describe the same row
+    // set as the scan's pruned numRows — mixing pruned rowCount with
+    // chain-wide nullCounts hands CBO nullCount > rowCount and negative
+    // selectivities.
+    val scoped = keep match {
+      case None => knownFiles
+      case Some(ks) => knownFiles.filter { case (st, _) =>
+        ks.contains(s"${st.getPath.getParent.getName}/${st.getPath.getName}")
+      }
+    }
     colsLower.map { cl =>
       var mn: Option[FileStats.StatVal] = None
       var mx: Option[FileStats.StatVal] = None
       var minKnown = true; var maxKnown = true
       var nulls = 0L; var nullsKnown = true
-      knownFiles.foreach { case (st, fs) =>
+      scoped.foreach { case (st, fs) =>
         val phys = resolveFor(st).getOrElse(cl, cl)
         fs.cols.get(phys) match {
           case Some(cs) =>

@@ -238,15 +238,29 @@ private[graftbridge] object GraftStatistics {
 
   def apply(stock: V2Statistics, manifest: Option[(Long, Long, Long)],
       index: GraftFileIndex, fields: Array[StructField],
-      ndv: Map[String, Long]): V2Statistics = {
-    val colStats: java.util.Map[NamedReference, ColumnStatistics] = {
+      ndv: Map[String, Long],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+      : V2Statistics = {
+    // LAZY: estimateStatistics is called on every store-backed plan for
+    // numRows/sizeInBytes (broadcast sizing) even with CBO off (the
+    // default), when columnStats() is never read — the O(files × cols)
+    // fold must not run then.
+    lazy val colStats: java.util.Map[NamedReference, ColumnStatistics] = {
       val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
+      // Scope the fold to the files SURVIVING the pushed data filters so
+      // min/max/nullCount describe the same rows as the pruned numRows.
+      val keep =
+        if (dataFilters.isEmpty) None else Some(index.prunedKeys(dataFilters))
       val merged = index.chainColStats(
-        fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq)
+        fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq, keep)
+      // NDV sketches are chain-level (per-link, not per-file) and cannot
+      // be file-scoped: cap at the pruned row count instead (NDV can
+      // never exceed the rows it describes).
+      val rowCap = manifest.map(_._1)
       fields.foreach { f =>
         val cl = f.name.toLowerCase(java.util.Locale.ROOT)
         val (mn, mx, nulls) = merged.getOrElse(cl, (None, None, None))
-        val d = ndv.get(cl)
+        val d = ndv.get(cl).map(n => rowCap.fold(n)(math.min(n, _)))
         val minV = mn.flatMap(internal(_, f.dataType))
         val maxV = mx.flatMap(internal(_, f.dataType))
         if (d.isDefined || minV.isDefined || maxV.isDefined || nulls.isDefined)
@@ -552,7 +566,7 @@ private[graftbridge] final class KeyGroupedParquetScan(
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftStatistics(super.estimateStatistics(), manifestStats, rfIndex,
-      rfFields, ndv)
+      rfFields, ndv, base.dataFilters)
 }
 
 object KeyGroupedParquetScan {
@@ -615,7 +629,8 @@ private[graftbridge] final class ManifestStatsParquetScan(
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftStatistics(super.estimateStatistics(),
-      Some((rows, prunedBytes, totalBytes)), rfIndex, rfFields, ndv)
+      Some((rows, prunedBytes, totalBytes)), rfIndex, rfFields, ndv,
+      base.dataFilters)
 }
 
 /** The finished parquet scan of a snapshot that carries DELETION VECTORS
@@ -701,7 +716,7 @@ private[graftbridge] final class DvParquetScan(
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftStatistics(super.estimateStatistics(), manifestStats, rfIndex,
-      rfFields, ndv)
+      rfFields, ndv, base.dataFilters)
 }
 
 private[graftbridge] object DvParquetScan {
@@ -801,7 +816,7 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftStatistics(super.estimateStatistics(), manifestStats, rfIndex,
-      rfFields, ndv)
+      rfFields, ndv, base.dataFilters)
 }
 
 /** Reader factory of the DV'd KEYED scan: a partition's splits are

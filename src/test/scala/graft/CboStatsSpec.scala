@@ -99,4 +99,21 @@ class CboStatsSpec extends SparkSpec {
       s"CBO with column stats must reorder the join (mid⋈small is 25 rows, " +
         s"big⋈mid is 5000): still $reordered")
   }
+
+  test("chain NDV follows renames: pre-rename sketches count under the new name") {
+    // Pre-rename links' _ndv.json sidecars key the OLD column name; the
+    // chain union must resolve them through the same logical→physical
+    // maps the zone-map pruner uses, or a renamed column's NDV counts
+    // only post-rename links (understated NDV → overstated selectivity).
+    val r = java.nio.file.Files.createTempDirectory("graft-ndv-ren").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("t", spark.range(0, 1000)
+      .select(col("id").as("a"), (col("id") % 7).as("c")))
+    st.renameColumns("t", Map("a" -> "b"))
+    st.append("t", spark.range(1000, 1010)
+      .select(col("id").as("b"), (col("id") % 7).as("c")))
+    val ndv = st.chainNdv("t", st.latestVersion("t").get)
+    assert(ndv.get("b").exists(n => n > 900 && n < 1100),
+      s"b's NDV must union the pre-rename link's 1000 keys: $ndv")
+  }
 }

@@ -757,6 +757,21 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
       .map { case (g, n, t) => g -> ((n, t)) }.toMap
     assert(got == want, s"fold drifted: got=$got want=$want")
-    assert(lostRaces.get() >= 0) // losers are loud, never silent
+    // Free-running schedules may or may not collide (lostRaces is
+    // incidental evidence, logged for the curious) — so pin the CAS
+    // refusal DETERMINISTICALLY: a commit conditioned on a stale head
+    // must return None, commit nothing, and leave the head unmoved.
+    info(s"racing refreshers lost ${lostRaces.get()} CAS races")
+    val head = store.latestVersion("v")
+    assert(head.isDefined)
+    val stale = head.map(_ - 1L)
+    assert(store.commitIfHead("v", store.read("v"), stale,
+      Map(MaterializedView.HorizonProp -> "999")).isEmpty,
+      "a stale expected head must lose the CAS")
+    assert(store.latestVersion("v") == head,
+      "a lost CAS must leave the head unmoved")
+    assert(store.commitProps("v", head.get)
+      .get(MaterializedView.HorizonProp).forall(_ != "999"),
+      "the loser's horizon must never land")
   }
 }

@@ -375,4 +375,51 @@ class GraftDataSkippingSpec extends SparkSpec {
     val df = graftRead(root, "t").filter(col("id") === 5)
     assert(df.count() === 1)
   }
+
+  test("signed zeros: runtime join-key pruning never drops -0.0 rows for a 0.0 key") {
+    // SQL joins compare doubles with -0.0 == 0.0 TRUE, and join keys are
+    // never pushed into parquet row-group filters — so a fact file whose
+    // bounds are [-0.0, -0.0] MUST survive a runtime IN(0.0) filter to
+    // meet the join, or rows silently vanish vs the DPP-off plan.
+    // FileStats.canonDouble canonicalizes every StatVal zero; this pins
+    // the unit comparison and the end-to-end join.
+    // (The STATIC-filter path is different and stock-Spark-dominated:
+    // parquet's own row-group eq() uses Double.compare and drops -0.0
+    // rows for a 0.0 literal even via plain spark.read.parquet — our
+    // zone map agreeing with SQL there changes nothing observable.)
+    import graft.core.FileStats
+    import graft.sources.DataSkipping
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.DoubleType
+    // unit: an OLD manifest carrying the raw "-0.0" string canonicalizes
+    // at parse, so the eq-vs-bounds check agrees with SQL equality
+    val json = """{"files":{"f.parquet":{"rows":2,"bytes":10,"mtime":1,""" +
+      """"leaves":["x"],"cols":{"x":{"min":{"d":"-0.0"},"max":{"d":"-0.0"},"nulls":0}}}}}"""
+    val stats = FileStats.fromJson(json)
+    val fs = stats("f.parquet")
+    val x = AttributeReference("x", DoubleType)()
+    assert(DataSkipping.mayMatch(EqualTo(x, Literal(0.0d)), fs),
+      "-0.0 bounds overlap a +0.0 literal under SQL equality")
+    assert(DataSkipping.mayMatchIn(fs, "x",
+      DataSkipping.statValOf(0.0d, DoubleType).toArray),
+      "runtime IN(0.0) must keep the -0.0 file")
+    // end-to-end: runtime-filtered join equals the DPP-off join
+    val root = tmpRoot()
+    val store = new SnapshotStore(spark, root)
+    import spark.implicits._
+    store.commit("zf", (Seq((1L, -0.0d), (2L, -0.0d)) ++
+      (10L to 2000L).map(i => (i, i.toDouble))).toDF("id", "x")
+      .repartitionByRange(4, col("x")))
+    store.commit("zd", Seq((0.0d, "zero")).toDF("dx", "tag"))
+    val q = graftRead(root, "zf")
+      .join(graftRead(root, "zd"), col("x") === col("dx"))
+    val n = q.count()
+    val off = withSQLConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+      graftRead(root, "zf")
+        .join(graftRead(root, "zd"), col("x") === col("dx")).count()
+    }
+    assert(n == off, s"runtime pruning changed the join: $n vs $off")
+    assert(n == 2L, "-0.0 rows match the 0.0 dim key")
+  }
 }
