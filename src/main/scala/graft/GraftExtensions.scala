@@ -888,6 +888,57 @@ object GraftExtensions {
       Seq(store.compact(constString(children(1), "table"), target))
         .toDF("version"))
   }
+  // Table-statistics TVF (the reference's /database stats endpoints):
+  // one row per column with EXACTLY what the optimizer sees — the scan's
+  // own estimateStatistics/columnStats (chain-unioned NDV sketches,
+  // zone-map-folded bounds and null counts) — plus the scan-level
+  // rows/bytes. An operator checks "does CBO have stats for this join
+  // key" with one SELECT instead of reading sidecar JSON.
+  private val tableStatsTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 2 || children.size == 3,
+      "graft_table_stats(root, table[, version])")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val store = new graft.core.SnapshotStore(
+      spark, constString(children.head, "root"))
+    val table = constString(children(1), "table")
+    val version =
+      if (children.size == 3) Some(constLong(children(2), "version")) else None
+    val t = graft.sources.GraftTable.forSnapshot(spark, store, table, version)
+    val scan = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val stats = scan match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => null
+    }
+    val rows =
+      if (stats != null && stats.numRows.isPresent) stats.numRows.getAsLong
+      else -1L
+    val bytes =
+      if (stats != null && stats.sizeInBytes.isPresent) stats.sizeInBytes.getAsLong
+      else -1L
+    val byCol = if (stats == null) Map.empty[String, (Option[Long],
+        Option[String], Option[String], Option[Long])]
+      else {
+        import scala.jdk.CollectionConverters._
+        stats.columnStats().asScala.map { case (ref, cs) =>
+          ref.fieldNames().mkString(".") -> ((
+            if (cs.distinctCount.isPresent) Some(cs.distinctCount.getAsLong) else None,
+            if (cs.min.isPresent) Some(String.valueOf(cs.min.get)) else None,
+            if (cs.max.isPresent) Some(String.valueOf(cs.max.get)) else None,
+            if (cs.nullCount.isPresent) Some(cs.nullCount.getAsLong) else None))
+        }.toMap
+      }
+    val out = t.schema().fields.toSeq.map { f =>
+      val (ndv, mn, mx, nulls) =
+        byCol.getOrElse(f.name, (None, None, None, None))
+      (f.name, f.dataType.simpleString, ndv, mn, mx, nulls, rows, bytes)
+    }
+    Bridge.analyzedPlan(out.toDF("column", "type", "ndv", "min", "max",
+      "null_count", "table_rows", "table_bytes"))
+  }
+
   private val adoptFieldIdsTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 2, "graft_adopt_field_ids(root, table)")
     val spark = org.apache.spark.sql.SparkSession.active
@@ -908,6 +959,7 @@ object GraftExtensions {
     "graft_vacuum_older_than" -> vacuumOlderThanTvf,
     "graft_compact" -> compactTvf,
     "graft_adopt_field_ids" -> adoptFieldIdsTvf,
+    "graft_table_stats" -> tableStatsTvf,
     "graft_snapshot_history" -> snapshotHistoryTvf,
     "graft_changes" -> changesTvf,
     "graft_change_feed" -> changeFeedTvf,

@@ -791,4 +791,26 @@ class GraftCatalogSpec extends SparkSpec {
       s"SELECT * FROM graft_vacuum_older_than('$r', 'm', 0)").head()
     assert(vo.getLong(1) >= 1L)
   }
+
+  test("graft_table_stats surfaces exactly what CBO sees, per column") {
+    import org.apache.spark.sql.functions.col
+    graft.GraftExtensions.register(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft-stats-tvf").toString
+    val st = new graft.core.SnapshotStore(spark, r)
+    st.commit("s", spark.range(0, 5000)
+      .select(col("id").as("k"), (col("id") % 40).as("c")))
+    val rows = spark.sql(s"SELECT * FROM graft_table_stats('$r', 's')")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(rows.keySet == Set("k", "c"))
+    val k = rows("k"); val c = rows("c")
+    assert(k.getString(1) == "bigint")
+    assert(!k.isNullAt(2) && k.getLong(2) > 4500 && k.getLong(2) < 5500,
+      s"k NDV ~5000: ${k.getLong(2)}")
+    assert(k.getString(3) == "0" && k.getString(4) == "4999",
+      s"k bounds: ${k.getString(3)}..${k.getString(4)}")
+    assert(k.getLong(5) == 0L, "no nulls")
+    assert(k.getLong(6) == 5000L, "table rows")
+    assert(!c.isNullAt(2) && c.getLong(2) >= 38 && c.getLong(2) <= 42,
+      s"c NDV ~40: ${c.getLong(2)}")
+  }
 }
