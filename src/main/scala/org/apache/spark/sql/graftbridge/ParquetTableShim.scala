@@ -259,8 +259,13 @@ private[graftbridge] object GraftStatistics {
       val rowCap = manifest.map(_._1)
       fields.foreach { f =>
         val cl = f.name.toLowerCase(java.util.Locale.ROOT)
-        val (mn, mx, nulls) = merged.getOrElse(cl, (None, None, None))
+        val (mn, mx, nulls0) = merged.getOrElse(cl, (None, None, None))
+        // cap at numRows: NDV sketches are chain-level and nullCounts are
+        // pre-deletion-vector, so either can exceed a DV-reduced row
+        // count — and nullCount > rowCount hands FilterEstimation a
+        // negative selectivity
         val d = ndv.get(cl).map(n => rowCap.fold(n)(math.min(n, _)))
+        val nulls = nulls0.map(n => rowCap.fold(n)(math.min(n, _)))
         val minV = mn.flatMap(internal(_, f.dataType))
         val maxV = mx.flatMap(internal(_, f.dataType))
         if (d.isDefined || minV.isDefined || maxV.isDefined || nulls.isDefined)
