@@ -422,4 +422,141 @@ class GraftDataSkippingSpec extends SparkSpec {
     assert(n == off, s"runtime pruning changed the join: $n vs $off")
     assert(n == 2L, "-0.0 rows match the 0.0 dim key")
   }
+
+  test("pruner soundness fuzz: mayMatch/mayMatchIn never prune a satisfiable file") {
+    // The one-sided contract under seeded random workloads: for every
+    // (random file, random predicate), if ANY row satisfies the predicate
+    // under SQL semantics, the zone map must answer true. False positives
+    // are allowed (pruning is best-effort); a single false NEGATIVE is
+    // silent row loss. Covers the full predicate zoo — comparisons both
+    // orientations, IN / runtime-IN, null checks, prefix — over longs,
+    // doubles (signed zeros, extremes), and ASCII strings with nulls.
+    import graft.sources.DataSkipping
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+      In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val rnd = new scala.util.Random(4217)
+    val root = tmpRoot()
+    val store = new SnapshotStore(spark, root)
+    val la = AttributeReference("l", LongType)()
+    val da = AttributeReference("d", DoubleType)()
+    val sa = AttributeReference("s", StringType)()
+
+    def randLong(): java.lang.Long = rnd.nextInt(5) match {
+      case 0 => null
+      case 1 => Long.box(rnd.nextInt(10).toLong)
+      case _ => Long.box(rnd.nextInt(2000).toLong - 1000L)
+    }
+    def randDouble(): java.lang.Double = rnd.nextInt(8) match {
+      case 0 => null
+      case 1 => Double.box(-0.0d)
+      case 2 => Double.box(0.0d)
+      case 3 => Double.box(rnd.nextInt(5).toDouble)
+      case _ => Double.box((rnd.nextInt(2000) - 1000) / 7.0)
+    }
+    def randString(): String = rnd.nextInt(6) match {
+      case 0 => null
+      case 1 => ""
+      case _ => (0 until (1 + rnd.nextInt(4)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+
+    (1 to 12).foreach { batch =>
+      val rows = (1 to (1 + rnd.nextInt(40)))
+        .map(_ => (randLong(), randDouble(), randString()))
+      store.commit("fz", rows.toDF("l", "d", "s").repartition(1))
+      val stats = store.fileStats("fz", store.latestVersion("fz").get).get
+      assert(stats.size == 1, "one file per batch")
+      val fs = stats.values.head
+
+      // local SQL-semantics evaluation (null comparisons never satisfy;
+      // -0.0 == 0.0 true via primitive comparison)
+      def anyRow(p: ((java.lang.Long, java.lang.Double, String)) => Boolean) =
+        rows.exists(p)
+      def cmpL(v: Long, op: Int => Boolean) =
+        anyRow { case (l, _, _) => l != null && op(java.lang.Long.compare(l, v)) }
+      def cmpD(v: Double, op: Int => Boolean) =
+        anyRow { case (_, d, _) => d != null &&
+          op(if (d.doubleValue == v) 0 else if (d.doubleValue < v) -1 else 1) }
+      def cmpS(v: String, op: Int => Boolean) =
+        anyRow { case (_, _, x) => x != null && op(x.compareTo(v)) }
+
+      def checkExpr(e: Expression, satisfiable: Boolean, what: String): Unit =
+        if (satisfiable)
+          assert(DataSkipping.mayMatch(e, fs),
+            s"batch $batch: pruned a satisfiable file: $what ($e) rows=$rows")
+
+      (1 to 60).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 =>
+            val v = rnd.nextInt(2200) - 1100L
+            checkExpr(EqualTo(la, Literal(v)), cmpL(v, _ == 0), s"l = $v")
+          case 1 =>
+            val v = rnd.nextInt(2200) - 1100L
+            checkExpr(LessThan(la, Literal(v)), cmpL(v, _ < 0), s"l < $v")
+            checkExpr(GreaterThanOrEqual(la, Literal(v)), cmpL(v, _ >= 0), s"l >= $v")
+          case 2 =>
+            val v = randDouble()
+            if (v != null) {
+              checkExpr(EqualTo(da, Literal(v.doubleValue)),
+                cmpD(v.doubleValue, _ == 0), s"d = $v")
+              checkExpr(LessThanOrEqual(Literal(v.doubleValue), da),
+                cmpD(v.doubleValue, _ >= 0), s"$v <= d")
+            }
+          case 3 =>
+            val v = randString()
+            if (v != null) {
+              checkExpr(EqualTo(sa, Literal(UTF8String.fromString(v), StringType)),
+                cmpS(v, _ == 0), s"s = '$v'")
+              checkExpr(GreaterThan(sa, Literal(UTF8String.fromString(v), StringType)),
+                cmpS(v, _ > 0), s"s > '$v'")
+            }
+          case 4 =>
+            checkExpr(IsNull(la), anyRow(_._1 == null), "l IS NULL")
+            checkExpr(IsNotNull(da), anyRow(_._2 != null), "d IS NOT NULL")
+          case 5 =>
+            val pfx = randString()
+            if (pfx != null)
+              checkExpr(StartsWith(sa, Literal(UTF8String.fromString(pfx), StringType)),
+                anyRow { case (_, _, x) => x != null && x.startsWith(pfx) },
+                s"s LIKE '$pfx%'")
+          case 6 =>
+            val vs = (1 to 1 + rnd.nextInt(5)).map(_ => rnd.nextInt(2200) - 1100L)
+            checkExpr(In(la, vs.map(Literal(_))),
+              vs.exists(v => cmpL(v, _ == 0)), s"l IN $vs")
+          case 7 => // runtime-IN twin over longs
+            val vs = (1 to 1 + rnd.nextInt(6)).map(_ => rnd.nextInt(2200) - 1100L)
+            val sat = vs.exists(v => cmpL(v, _ == 0))
+            val sv = vs.flatMap(v => DataSkipping.statValOf(v, LongType))
+              .sortWith(FileStats.compare(_, _) < 0).toArray
+            if (sat) assert(DataSkipping.mayMatchIn(fs, "l", sv),
+              s"batch $batch: runtime IN pruned a satisfiable file: $vs rows=$rows")
+          case 8 => // runtime-IN over doubles (signed zeros in range)
+            val vs = (1 to 1 + rnd.nextInt(4)).map(_ => randDouble())
+              .filter(_ != null).map(_.doubleValue)
+            if (vs.nonEmpty) {
+              val sat = vs.exists(v => cmpD(v, _ == 0))
+              val sv = vs.flatMap(v => DataSkipping.statValOf(v, DoubleType))
+                .sortWith(FileStats.compare(_, _) < 0).toArray
+              if (sat) assert(DataSkipping.mayMatchIn(fs, "d", sv),
+                s"batch $batch: runtime IN pruned a satisfiable d-file: $vs rows=$rows")
+            }
+          case _ => // runtime-IN over strings
+            val vs = (1 to 1 + rnd.nextInt(4)).map(_ => randString())
+              .filter(_ != null)
+            if (vs.nonEmpty) {
+              val sat = vs.exists(v => cmpS(v, _ == 0))
+              val sv = vs.flatMap(v =>
+                DataSkipping.statValOf(UTF8String.fromString(v), StringType))
+                .sortWith(FileStats.compare(_, _) < 0).toArray
+              if (sat) assert(DataSkipping.mayMatchIn(fs, "s", sv),
+                s"batch $batch: runtime IN pruned a satisfiable s-file: $vs rows=$rows")
+            }
+        }
+      }
+    }
+  }
 }
