@@ -581,6 +581,51 @@ object RelationalQueries {
         .orderBy(col("r_name"))
     }),
 
+    // RUNTIME-pruned hydration (the r17 SupportsRuntimeV2Filtering layer,
+    // end to end at the query level): "fetch every lineitem of customer
+    // 37's orders" — the reference's batch-hydration-by-id-list shape
+    // (J3, api/app routes hydrating edges for a concept batch). THREE
+    // store layers compose, none needing a hint:
+    //   1. the DIM (orders clustered by o_custkey) zone-map-prunes the
+    //      custkey point filter to ~one file, and the manifest-true scan
+    //      statistics report the few surviving rows, so Catalyst
+    //      auto-broadcasts the dim;
+    //   2. the broadcast build side's 8 order keys feed the fact scan's
+    //      RUNTIME filter (DPP — the keys are unknowable statically: the
+    //      predicate is on o_custkey, not the join key, so no static
+    //      inference reaches lineitem);
+    //   3. the FACT (lineitem clustered by l_orderkey, 64 files) drops
+    //      every file whose key range provably misses all 8 keys —
+    //      ~8/64 files read instead of all.
+    // At 100 TB this is the difference between a full fact-chain scan
+    // and reading only the files behind the hydration batch. Values are
+    // oracle-exact vs DuckDB's plain join. Build idempotent like q97.
+    "q114_runtime_hydration" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q114_" +
+        Tables.fingerprint(dir, "orders")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("orders_c")
+      store.migrateLegacyTable("lineitem_h")
+      if (store.latestVersion("orders_c").isEmpty) {
+        store.commitClustered("orders_c", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+          clusterBy = Seq("o_custkey"))
+        store.commitClustered("lineitem_h", Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice")),
+          clusterBy = Seq("l_orderkey"), targetPartitions = 64)
+      }
+      val li = s.read.format("graft").option("root", root)
+        .option("table", "lineitem_h").load()
+      val o = s.read.format("graft").option("root", root)
+        .option("table", "orders_c").load()
+        .where(col("o_custkey") === 37L)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // RELY'd key constraint driving the optimizer (the r16 rule): orders
     // committed to the store with PRIMARY KEY (o_orderkey) NOT ENFORCED
     // RELY, then a grouped COUNT(DISTINCT o_orderkey) through the SQL
@@ -1338,6 +1383,15 @@ object RelationalQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // The clustered layouts and the runtime pruning must be
+    // value-invisible: a plain join over the original parquet.
+    "q114_runtime_hydration" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus,
+        |  l_quantity, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 37
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q97_store_pointread" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
