@@ -912,21 +912,44 @@ object GraftExtensions {
         s.estimateStatistics()
       case _ => null
     }
-    val rows =
-      if (stats != null && stats.numRows.isPresent) stats.numRows.getAsLong
-      else -1L
-    val bytes =
-      if (stats != null && stats.sizeInBytes.isPresent) stats.sizeInBytes.getAsLong
-      else -1L
+    // absence is NULL uniformly (no -1 sentinels a consumer could
+    // mistake for data)
+    val rows: Option[Long] =
+      if (stats != null && stats.numRows.isPresent) Some(stats.numRows.getAsLong)
+      else None
+    val bytes: Option[Long] =
+      if (stats != null && stats.sizeInBytes.isPresent)
+        Some(stats.sizeInBytes.getAsLong)
+      else None
+    // bounds arrive as CATALYST-INTERNAL values; render date/timestamp
+    // through their external forms (an operator reading "9204" for a
+    // DATE column defeats the TVF's purpose)
+    def render(v: Any, dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      import org.apache.spark.sql.types._
+      (v, dt) match {
+        case (d: java.lang.Integer, DateType) =>
+          DateTimeUtils.toJavaDate(d.intValue).toString
+        case (t: java.lang.Long, TimestampType) =>
+          DateTimeUtils.toJavaTimestamp(t.longValue).toInstant.toString
+        case (t: java.lang.Long, TimestampNTZType) =>
+          DateTimeUtils.microsToLocalDateTime(t.longValue).toString
+        case _ => String.valueOf(v)
+      }
+    }
+    val byType = t.schema().fields.map(f => f.name -> f.dataType).toMap
     val byCol = if (stats == null) Map.empty[String, (Option[Long],
         Option[String], Option[String], Option[Long])]
       else {
         import scala.jdk.CollectionConverters._
         stats.columnStats().asScala.map { case (ref, cs) =>
-          ref.fieldNames().mkString(".") -> ((
+          val name = ref.fieldNames().mkString(".")
+          val dt = byType.getOrElse(name,
+            org.apache.spark.sql.types.StringType)
+          name -> ((
             if (cs.distinctCount.isPresent) Some(cs.distinctCount.getAsLong) else None,
-            if (cs.min.isPresent) Some(String.valueOf(cs.min.get)) else None,
-            if (cs.max.isPresent) Some(String.valueOf(cs.max.get)) else None,
+            if (cs.min.isPresent) Some(render(cs.min.get, dt)) else None,
+            if (cs.max.isPresent) Some(render(cs.max.get, dt)) else None,
             if (cs.nullCount.isPresent) Some(cs.nullCount.getAsLong) else None))
         }.toMap
       }

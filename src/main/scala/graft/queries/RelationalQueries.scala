@@ -369,7 +369,9 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       // fixture caches persist across builds: stamp pre-sentinel stores
       store.migrateLegacyTable("orders")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v3 (commit + two stacked deletes): a crash between
+      // them re-runs the whole block (overwrite commit self-heals)
+      if (store.latestVersion("orders").forall(_ < 3L)) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
         store.delete("orders", col("o_orderkey").between(500L, 1499L))
@@ -395,7 +397,8 @@ object RelationalQueries {
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v2 (commit + DV delete): torn builds re-run whole
+      if (store.latestVersion("orders").forall(_ < 2L)) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
         val d = store.delete("orders", col("o_orderkey") % 97 === 0)
@@ -421,7 +424,8 @@ object RelationalQueries {
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v2 (commit + delete): torn builds re-run whole
+      if (store.latestVersion("orders").forall(_ < 2L)) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
         store.delete("orders", col("o_orderkey") < 2000L)
@@ -451,7 +455,11 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders_b")
       store.migrateLegacyTable("lineitem_b")
-      if (store.latestVersion("orders_b").isEmpty) {
+      // Guarded on the LAST build step's observable state: a crash mid-
+      // build (between the two commits, or before the mutations) then
+      // re-runs the WHOLE block — every commit is an overwrite, so a
+      // torn fixture self-heals instead of wedging until tmp is wiped.
+      if (store.latestVersion("lineitem_b").isEmpty) {
         store.commitBucketed("orders_b", Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
           "o_orderkey", 8)
@@ -498,7 +506,11 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders_m")
       store.migrateLegacyTable("lineitem_m")
-      if (store.latestVersion("orders_m").isEmpty) {
+      // Guarded on the LAST build step's observable state: a crash mid-
+      // build (between the two commits, or before the mutations) then
+      // re-runs the WHOLE block — every commit is an overwrite, so a
+      // torn fixture self-heals instead of wedging until tmp is wiped.
+      if (store.latestVersion("lineitem_m").forall(_ < 2L)) {
         store.commitBucketed("orders_m", Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
           "o_orderkey", 8)
@@ -546,7 +558,11 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders_s")
       store.migrateLegacyTable("lineitem_s")
-      if (store.latestVersion("orders_s").isEmpty) {
+      // Guarded on the LAST build step's observable state: a crash mid-
+      // build (between the two commits, or before the mutations) then
+      // re-runs the WHOLE block — every commit is an overwrite, so a
+      // torn fixture self-heals instead of wedging until tmp is wiped.
+      if (store.latestVersion("lineitem_s").isEmpty) {
         store.commitBucketed("orders_s", Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
           "o_orderkey", 32)
@@ -606,7 +622,11 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders_c")
       store.migrateLegacyTable("lineitem_h")
-      if (store.latestVersion("orders_c").isEmpty) {
+      // Guarded on the LAST build step's observable state: a crash mid-
+      // build (between the two commits, or before the mutations) then
+      // re-runs the WHOLE block — every commit is an overwrite, so a
+      // torn fixture self-heals instead of wedging until tmp is wiped.
+      if (store.latestVersion("lineitem_h").isEmpty) {
         store.commitClustered("orders_c", Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
           clusterBy = Seq("o_custkey"))
@@ -644,7 +664,8 @@ object RelationalQueries {
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders_r")
-      if (store.latestVersion("orders_r").isEmpty) {
+      // final head is v2 (commit + RELY constraint link): torn builds re-run
+      if (store.latestVersion("orders_r").forall(_ < 2L)) {
         store.commitClustered("orders_r", Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
           clusterBy = Seq("o_orderkey"))
@@ -768,7 +789,9 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders")
       val keep = Set("o_orderkey", "o_orderstatus", "o_totalprice")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v2: a torn build (crash between steps) re-runs
+      // the whole block — the overwrite commit self-heals it
+      if (store.latestVersion("orders").forall(_ < 2L)) {
         val src = Tables.orders(s, dir)
         store.commitClustered("orders", src, clusterBy = Seq("o_orderkey"))
         store.dropColumns("orders",
@@ -799,7 +822,13 @@ object RelationalQueries {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v2: a torn build (crash between CTAS and INSERT)
+      // re-runs the whole block — unlike the overwrite-commit fixtures,
+      // CTAS refuses an existing table, so the heal DROPs the torn half
+      // first (CREATE's contract; never reached on a complete fixture)
+      if (store.latestVersion("orders").forall(_ < 2L)) {
+        if (store.latestVersion("orders").isDefined)
+          s.sql(s"DROP TABLE $cat.orders")
         Tables.orders(s, dir).createOrReplaceTempView("q107_src")
         s.sql(s"""CREATE TABLE $cat.orders AS
           SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -824,7 +853,9 @@ object RelationalQueries {
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v3: a torn build (crash between steps) re-runs
+      // the whole block — the overwrite commit self-heals it
+      if (store.latestVersion("orders").forall(_ < 3L)) {
         val src = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         store.commitClustered("orders",
@@ -861,7 +892,9 @@ object RelationalQueries {
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v2: a torn build (crash between steps) re-runs
+      // the whole block — the overwrite commit self-heals it
+      if (store.latestVersion("orders").forall(_ < 2L)) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
         store.renameColumns("orders",
@@ -887,7 +920,9 @@ object RelationalQueries {
         Tables.fingerprint(dir, "orders")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("orders")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v2: a torn build (crash between steps) re-runs
+      // the whole block — the overwrite commit self-heals it
+      if (store.latestVersion("orders").forall(_ < 2L)) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
         val o = Tables.orders(s, dir)
@@ -922,7 +957,9 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       // fixture caches persist across builds: stamp pre-sentinel stores
       store.migrateLegacyTable("orders")
-      if (store.latestVersion("orders").isEmpty) {
+      // final head is v2: a torn build (crash between steps) re-runs
+      // the whole block — the overwrite commit self-heals it
+      if (store.latestVersion("orders").forall(_ < 2L)) {
         store.commitClustered("orders", Tables.orders(s, dir),
           clusterBy = Seq("o_orderkey"))
         store.update("orders",

@@ -812,5 +812,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(k.getLong(6) == 5000L, "table rows")
     assert(!c.isNullAt(2) && c.getLong(2) >= 38 && c.getLong(2) <= 42,
       s"c NDV ~40: ${c.getLong(2)}")
+    // date/timestamp bounds render as readable externals, not raw epochs
+    st.commit("ts", spark.sql(
+      "SELECT timestamp'2024-03-05 00:00:00Z' AS t, date'2024-03-05' AS d"))
+    val tsRows = spark.sql(s"SELECT * FROM graft_table_stats('$r', 'ts')")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(tsRows("t").getString(3).startsWith("2024-03-05"),
+      s"timestamp min renders readable: ${tsRows("t").getString(3)}")
+    assert(tsRows("d").getString(3) == "2024-03-05",
+      s"date min renders readable: ${tsRows("d").getString(3)}")
   }
 }
