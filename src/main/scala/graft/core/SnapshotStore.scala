@@ -1054,12 +1054,24 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     // their buckets instead of losing the layout. An explicit
     // targetPartitions or clusterBy is a request for a DIFFERENT layout
     // and drops the claim as before (re-bucket with commitBucketed).
-    val (bucketProps, bucketed) =
+    val (bucketProps0, bucketed) =
       if (clusterBy.isEmpty && targetPartitions == 0)
         bucketClaimOf(table, scanVersion)
       else (Map.empty[String, String], identity[DataFrame] _)
+    // The layout-preserving compact also RESTORES the sorted-bucket
+    // claim: the collapse yields one file per bucket, so sorting within
+    // partitions here makes the whole chain ordering-eligible again
+    // (appends/mutations dropped it) — and the claim is stamped only
+    // because the sort actually ran, never inherited (see below).
+    val bucketProps =
+      if (bucketProps0.nonEmpty)
+        bucketProps0 + (SnapshotStore.BucketSortedProp -> "true")
+      else bucketProps0
     val df =
-      if (bucketProps.nonEmpty) bucketed(snap)
+      if (bucketProps0.nonEmpty)
+        bucketed(snap).sortWithinPartitions(
+          org.apache.spark.sql.functions.col(
+            bucketProps0(SnapshotStore.BucketColProp)))
       else if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
       else if (targetPartitions > 0) snap.repartition(targetPartitions)
       else snap
@@ -1075,6 +1087,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       snapshot = snapshotSchema(table, Some(scanVersion)), advance = false,
       props = resolvedProps(table, scanVersion) -
         SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+        SnapshotStore.BucketSortedProp - // re-stamped above ONLY if sorted
         SnapshotStore.DroppedColsProp ++ bucketProps +
         (SnapshotStore.OpProp -> "compact"))
     if (casAdvance(table, cand, Some(scanVersion))) Some(cand)
@@ -1126,6 +1139,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           removed = keys,
           props = resolvedProps(table, v) -
             SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+            SnapshotStore.BucketSortedProp - // per-link claim: never inherited
             SnapshotStore.DroppedColsProp ++ bucketProps +
             (SnapshotStore.OpProp -> "compact-dv"))
         if (casAdvance(table, cand, Some(v))) cand
@@ -1448,6 +1462,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         advance = false,
         props = resolvedProps(table, v) -
           SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+          SnapshotStore.BucketSortedProp - // per-link claim: never inherited
           SnapshotStore.DroppedColsProp +
           (SnapshotStore.OpProp -> "rename-columns"))
       SnapshotStore.testRaceHook() // spec seam: force a sibling commit
@@ -1490,6 +1505,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           advance = false,
           props = resolvedProps(table, v) -
             SnapshotStore.BucketColProp - SnapshotStore.BucketNProp -
+            SnapshotStore.BucketSortedProp - // per-link claim: never inherited
             SnapshotStore.DroppedColsProp +
             (SnapshotStore.OpProp -> "adopt-field-ids"))
         SnapshotStore.testRaceHook()

@@ -460,6 +460,55 @@ class StoragePartitionJoinSpec extends SparkSpec {
     }
   }
 
+  test("sorted claim is per-link truth: folds never inherit it, compact restores it") {
+    // The inheritance hole: compact/compact-dv carry the chain's
+    // resolvedProps forward, and graft.bucket.sorted riding that
+    // inheritance onto UNSORTED rewrite files would let the scan claim
+    // per-partition ordering the data doesn't have — an SMJ skipping its
+    // sorts over unsorted buckets silently mis-joins. The prop is
+    // per-link truth now: subtracted from every inheritance, re-stamped
+    // only by a write that actually sorted.
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-inh").toString
+    val st = new SnapshotStore(spark, r)
+    // keys deliberately NOT in file order after the DV fold's survivor
+    // rewrite would matter; sorted at commit
+    st.commitBucketed("ia", spark.range(0, 4000)
+      .select((col("id") * 2654435761L % 4096).as("k"), col("id").as("va")), "k", 4)
+    st.commitBucketed("ib", spark.range(0, 4000)
+      .select((col("id") * 2654435761L % 4096).as("k"), col("id").as("vb")), "k", 4)
+    spark.conf.set("spark.sql.catalog.spji", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spji.root", r)
+    assert(st.bucketSortedOf("ia", st.latestVersion("ia").get))
+    // sparse delete vectors a few rows, then fold the vectors: the fold's
+    // survivor rewrite does NOT sort — the sorted claim must not survive
+    st.delete("ia", col("va").isin(3L, 777L, 2048L))
+    st.compactVectored("ia")
+    assert(!st.bucketSortedOf("ia", st.latestVersion("ia").get),
+      "a compact-dv survivor rewrite must not inherit the sorted claim")
+    val q = "SELECT a.k AS k, va, vb FROM spji.ia a JOIN spji.ib b ON a.k = b.k"
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val base = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(q); (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      val j1 = spark.sql(q)
+      assert(j1.count() == base._1 &&
+        j1.agg(sum("va"), sum("vb")).head() == base._2,
+        "post-fold join values must be exact (no false ordering claim)")
+      // a DEFAULT compact re-buckets AND re-sorts: the claim is restored
+      st.compact("ia")
+      assert(st.bucketSortedOf("ia", st.latestVersion("ia").get),
+        "the layout-preserving compact restores the sorted claim")
+      val j2 = spark.sql(q)
+      val plan2 = finalPlan(j2)
+      assert(!plan2.contains("Exchange") && !plan2.contains("Sort "),
+        s"post-compact co-bucketed join runs sortless again:\n$plan2")
+      assert(j2.count() == base._1 &&
+        j2.agg(sum("va"), sum("vb")).head() == base._2)
+    }
+  }
+
   test("q113 shape: star join's fact⋈fact leg zero-exchange under dim chain + agg") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
