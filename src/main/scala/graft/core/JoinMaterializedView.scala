@@ -56,11 +56,17 @@ object JoinMaterializedView {
   /** Source versions the view has folded through (None = never
     * refreshed). */
   def horizon(store: SnapshotStore, viewTable: String): Option[(Long, Long)] =
-    store.latestVersion(viewTable).flatMap { v =>
-      store.commitProps(viewTable, v).get(HorizonProp).map { s =>
-        val Array(a, b) = s.split(",", 2)
-        (a.trim.toLong, b.trim.toLong)
-      }
+    store.latestVersion(viewTable).flatMap(horizonAt(store, viewTable, _))
+
+  /** [[horizon]] pinned to an explicit view version — ONE parse of the
+    * "vL,vR" wire format, shared by the public face and the guarded
+    * refresh (which must derive its horizon from exactly the version its
+    * CAS expectation names). */
+  private def horizonAt(store: SnapshotStore, viewTable: String,
+      v: Long): Option[(Long, Long)] =
+    store.commitProps(viewTable, v).get(HorizonProp).map { s =>
+      val Array(a, b) = s.split(",", 2)
+      (a.trim.toLong, b.trim.toLong)
     }
 
   /** Fold everything committed past the view's (vL, vR) horizon into the
@@ -108,11 +114,9 @@ object JoinMaterializedView {
       commitView(aggOf(joined(store.readAt(left, vL1),
         store.readAt(right, vR1))))
 
-    viewHead.map(v =>
-      store.commitProps(viewTable, v).get(HorizonProp).map { s =>
-        val Array(a, b) = s.split(",", 2)
-        (a.trim.toLong, b.trim.toLong)
-      }.getOrElse(return recomputeAtCut())) match {
+    // a view head WITHOUT a horizon prop (pre-protocol views) recomputes
+    // like a never-refreshed one
+    viewHead.flatMap(horizonAt(store, viewTable, _)) match {
       case None => recomputeAtCut()
       case Some((vL0, vR0)) if vL0 == vL1 && vR0 == vR1 =>
         Some((vL0, vR0)) // nothing moved: idempotent no-op

@@ -51,9 +51,13 @@ object NdvStats {
         Some(c.cast(LongType))
       case StringType => Some(c)
       case BinaryType => Some(c)
-      // date/timestamp are integer days/micros internally, but SQL casts
-      // to long are disallowed — string form is 1:1 per distinct value
-      case DateType | TimestampType | TimestampNTZType => Some(c.cast(StringType))
+      // timestamps sketch their exact micros: a string cast renders
+      // SESSION-LOCAL time without offset, so two distinct instants in a
+      // DST fall-back hour collide — an UNDER-counted NDV, the dangerous
+      // direction. unix_micros is the 1:1 internal value.
+      case TimestampType => Some(unix_micros(c))
+      // date (no DST in epoch days) and NTZ (no zone at all) render 1:1
+      case DateType | TimestampNTZType => Some(c.cast(StringType))
       // float/double: canonical toString is 1:1 per distinct bit pattern
       // (NaN collapses — irrelevant at estimate precision)
       case FloatType | DoubleType => Some(c.cast(StringType))

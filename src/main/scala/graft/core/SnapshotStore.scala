@@ -172,25 +172,39 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * written before the pointer moves, so every version the pointer exposes
     * has its delta complete on disk. */
   def commit(table: String, df: DataFrame, changeSet: Option[DataFrame],
-      props: Map[String, String] = Map.empty): Long = {
-    // Field IDs are a TABLE-BIRTH property: a new table's columns get
-    // never-used IDs; an ID'd table's overwrite keeps name-matching
-    // columns' IDs and mints fresh ones for new columns; a LEGACY
-    // (ID-less) table stays legacy forever — mid-lineage upgrades are
-    // deliberately refused because cross-version readers (the change
-    // feed reads every version's deltas under the LATEST schema) would
-    // then mix an ID'd read schema with pre-upgrade ID-less files, which
-    // fails loudly rather than resolving. Legacy tables keep the
-    // rename-as-rewrite path; recreate (or export/import) to adopt IDs.
+      props: Map[String, String] = Map.empty): Long =
+    commitWith(table, Some(df), changeSet, base = None,
+      snapshot = rewriteSnapshotSchema(table, df), props = props)
+
+  /** The self-contained-rewrite snapshot schema — field IDs as a
+    * TABLE-BIRTH property: a new table's columns get never-used IDs; an
+    * ID'd table's overwrite keeps name-matching columns' IDs and mints
+    * fresh ones for new columns; a LEGACY (ID-less) table stays legacy
+    * forever — mid-lineage upgrades are deliberately refused because
+    * cross-version readers (the change feed reads every version's deltas
+    * under the LATEST schema) would then mix an ID'd read schema with
+    * pre-upgrade ID-less files, which fails loudly rather than
+    * resolving. Legacy tables keep the rename-as-rewrite path; recreate
+    * (or export/import) to adopt IDs. ONE definition shared by every
+    * rewrite-commit face ([[commit]], [[commitIfHead]]) so the
+    * ID-adoption policy can never diverge between them. */
+  private def rewriteSnapshotSchema(table: String, df: DataFrame)
+      : StructType = {
     val prev = latestVersion(table).map(v => snapshotSchema(table, Some(v)))
     val s = ParquetTableShim.asNullable(df.schema)
-    val snap = prev match {
+    prev match {
       case None => withFieldIds(s, None)
       case Some(p) if SnapshotStore.schemaHasFieldIds(p) => withFieldIds(s, Some(p))
       case Some(_) => s
     }
-    commitWith(table, Some(df), changeSet, base = None, snapshot = snap,
-      props = props)
+  }
+
+  /** Delete a never-exposed (sentinel-less) candidate directory — the
+    * CAS-loser cleanup every conditional commit shares. */
+  private def discardCandidate(table: String, cand: Long): Unit = {
+    val w = Files.walk(versionDir(table, cand))
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally w.close()
   }
 
   /** CONDITIONAL self-contained commit — [[commit]] whose pointer move
@@ -209,22 +223,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private[graft] def commitIfHead(table: String, df: DataFrame,
       expectedHead: Option[Long],
       props: Map[String, String] = Map.empty): Option[Long] = {
-    val prev = latestVersion(table).map(v => snapshotSchema(table, Some(v)))
-    val s = ParquetTableShim.asNullable(df.schema)
-    val snap = prev match {
-      case None => withFieldIds(s, None)
-      case Some(p) if SnapshotStore.schemaHasFieldIds(p) => withFieldIds(s, Some(p))
-      case Some(_) => s
-    }
     val cand = commitWith(table, Some(df), None, base = None,
-      snapshot = snap, props = props, advance = false)
+      snapshot = rewriteSnapshotSchema(table, df), props = props,
+      advance = false)
     if (casAdvance(table, cand, expectedHead)) Some(cand)
-    else {
-      val w = Files.walk(versionDir(table, cand))
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-      None
-    }
+    else { discardCandidate(table, cand); None }
   }
 
   /** [[commitMaintainerProps]] made CONDITIONAL on the head (the same CAS
@@ -244,12 +247,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       props = props ++ bucketProps +
         (SnapshotStore.OpProp -> "set-properties"))
     if (casAdvance(table, cand, Some(expectedHead))) Some(cand)
-    else {
-      val w = Files.walk(versionDir(table, cand))
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-      None
-    }
+    else { discardCandidate(table, cand); None }
   }
 
   /** The shared commit machinery: claim a version directory, pin its chain

@@ -158,7 +158,7 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     dv: Map[String, Array[Long]] = Map.empty,
     bucket: Option[(String, Int)] = None,
     physNames: Map[String, Map[String, String]] = Map.empty,
-    ndv: Map[String, Long] = Map.empty,
+    ndv: () => Map[String, Long] = () => Map.empty,
     bucketSorted: Boolean = false)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -426,9 +426,13 @@ object GraftTable {
         org.apache.spark.sql.graftbridge.KeyGroupedParquetScan.isPartNamed(
           new org.apache.hadoop.fs.Path(u.path).getName)))
     // Chain NDV estimates for CBO column statistics — best-effort (empty
-    // for pre-NDV chains), memoized per immutable version in the store.
-    val ndv =
-      try store.chainNdv(table, v)
+    // for pre-NDV chains), memoized per immutable version in the store,
+    // and LAZY: the sidecar reads + HLL unions run only when the
+    // optimizer actually asks for columnStats() (cbo on), never on the
+    // default planning path.
+    val storeRootStr = store.root
+    val ndv: () => Map[String, Long] = () =>
+      try new graft.core.SnapshotStore(spark, storeRootStr).chainNdv(table, v)
       catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
     // Per-partition ORDERING claim (sorted buckets → SMJ skips its
     // sorts): every chain link wrote sortWithinPartitions(bucketCol)

@@ -61,7 +61,7 @@ object ParquetTableShim {
       index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
       dv: Map[String, Array[Long]] = Map.empty,
       bucket: Option[(String, Int)] = None,
-      ndv: Map[String, Long] = Map.empty,
+      ndv: () => Map[String, Long] = () => Map.empty,
       bucketSorted: Boolean = false)
       : Table = {
     require(dv.isEmpty ||
@@ -143,7 +143,7 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     options: CaseInsensitiveStringMap,
     dv: Map[String, Array[Long]] = Map.empty,
     bucket: Option[(String, Int)] = None,
-    ndv: Map[String, Long] = Map.empty,
+    ndv: () => Map[String, Long] = () => Map.empty,
     bucketSorted: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
     spark, index, schema, dataSchema, options) {
@@ -238,7 +238,7 @@ private[graftbridge] object GraftStatistics {
 
   def apply(stock: V2Statistics, manifest: Option[(Long, Long, Long)],
       index: GraftFileIndex, fields: Array[StructField],
-      ndv: Map[String, Long],
+      ndvThunk: () => Map[String, Long],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
       : V2Statistics = {
     // LAZY: estimateStatistics is called on every store-backed plan for
@@ -255,7 +255,10 @@ private[graftbridge] object GraftStatistics {
         fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSeq, keep)
       // NDV sketches are chain-level (per-link, not per-file) and cannot
       // be file-scoped: cap at the pruned row count instead (NDV can
-      // never exceed the rows it describes).
+      // never exceed the rows it describes). The sidecar read + HLL
+      // union runs HERE, inside the lazy map — never on the default
+      // cbo=off planning path.
+      val ndv = ndvThunk()
       val rowCap = manifest.map(_._1)
       fields.foreach { f =>
         val cl = f.name.toLowerCase(java.util.Locale.ROOT)
@@ -503,7 +506,7 @@ private[graftbridge] final class KeyGroupedParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     bucketCol: String, numBuckets: Int,
     manifestStats: Option[(Long, Long, Long)],
-    ndv: Map[String, Long] = Map.empty,
+    ndv: () => Map[String, Long] = () => Map.empty,
     bucketSorted: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
@@ -607,7 +610,7 @@ object KeyGroupedParquetScan {
 private[graftbridge] final class ManifestStatsParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     rows: Long, prunedBytes: Long, totalBytes: Long,
-    ndv: Map[String, Long] = Map.empty)
+    ndv: () => Map[String, Long] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -670,7 +673,7 @@ private[graftbridge] final class DvParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     dv: Map[String, Array[Long]],
     manifestStats: Option[(Long, Long, Long)],
-    ndv: Map[String, Long] = Map.empty)
+    ndv: () => Map[String, Long] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -758,7 +761,7 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
     dv: Map[String, Array[Long]],
     bucketCol: String, numBuckets: Int,
     manifestStats: Option[(Long, Long, Long)],
-    ndv: Map[String, Long] = Map.empty)
+    ndv: () => Map[String, Long] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,

@@ -76,4 +76,22 @@ class PartitioningSpec extends SparkSpec {
     val hop = edges.join(broadcast(frontier), $"src" === $"f")
     assert(hop.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("bucketId normalizes signed zeros like Spark's hash partitioning") {
+    // Reviewed-and-refuted hazard, pinned durably: a -0.0 join key must
+    // land in (and runtime-prune to) the SAME bucket as +0.0, or a
+    // bucketed float/double key would silently lose rows under DPP.
+    // Spark's Murmur3HashFunction normalizes the zero (SPARK-32110), so
+    // writer repartition, the V2 bucket function, and runtime bucket
+    // pruning all agree by construction — this pin fails if a Spark
+    // upgrade ever changes that.
+    import org.apache.spark.sql.graftbridge.GraftBucketFunction
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    (2 to 64).foreach { n =>
+      assert(GraftBucketFunction.bucketId(-0.0d, DoubleType, n) ==
+        GraftBucketFunction.bucketId(0.0d, DoubleType, n))
+      assert(GraftBucketFunction.bucketId(-0.0f, FloatType, n) ==
+        GraftBucketFunction.bucketId(0.0f, FloatType, n))
+    }
+  }
 }
