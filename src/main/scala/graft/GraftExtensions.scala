@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SnapshotStore.update (graft.plans.GraftUpdateStrategy).
     ext.injectPlannerStrategy(_ => graft.plans.GraftUpdateStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
+    // Deferred-side-effect TVFs (maintenance: vacuum/compact/adopt).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftDeferredActionStrategy)
   }
 }
 
@@ -836,10 +838,10 @@ object GraftExtensions {
       .toDF("left_version", "right_version"))
   }
 
-  // Maintenance TVFs (side-effecting, like the refresh TVFs above): the
-  // SQL faces of retention and layout upkeep, so a SQL-first operator —
-  // the reference's job-queue workers (api/app/services/job_queue.py) —
-  // can run the store's lifecycle without a Scala entry point.
+  // Maintenance TVFs: the SQL faces of retention and layout upkeep, so a
+  // SQL-first operator — the reference's job-queue workers
+  // (api/app/services/job_queue.py) — can run the store's lifecycle
+  // without a Scala entry point.
   //   graft_vacuum(root, table, keep_last)        → horizon + retained
   //   graft_vacuum_older_than(root, table, ts_ms) → horizon + retained
   //   graft_compact(root, table)                  → compacted version
@@ -848,45 +850,64 @@ object GraftExtensions {
   // pointer + chain closures and advances the feed horizon (below which
   // graft_change_feed refuses and graft_feed_bootstrap catches up);
   // compact/adopt are CAS commits that retry under hot appenders.
+  // UNLIKE the refresh TVFs, the store call is DEFERRED to execution
+  // through GraftDeferredAction: vacuum is irreversible, so EXPLAIN or
+  // any dry-run resolution of a query naming these must not fire it
+  // (argument validation still fails at analysis, where it belongs).
+  private def deferredTvf(label: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)])(
+      thunk: () => Seq[Seq[Any]]): LogicalPlan =
+    graft.plans.GraftDeferredAction(label,
+      cols.map { case (n, dt) =>
+        org.apache.spark.sql.catalyst.expressions
+          .AttributeReference(n, dt, nullable = false)()
+      },
+      thunk)
+
+  private val horizonCols = Seq(
+    "vacuum_horizon" -> org.apache.spark.sql.types.LongType,
+    "retained_versions" -> org.apache.spark.sql.types.LongType)
+  private val versionCols = Seq(
+    "version" -> org.apache.spark.sql.types.LongType)
+
   private val vacuumTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 2 || children.size == 3,
       "graft_vacuum(root, table[, keep_last])")
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    val store = new graft.core.SnapshotStore(
-      spark, constString(children.head, "root"))
+    val root = constString(children.head, "root")
     val table = constString(children(1), "table")
     val keep = if (children.size == 3) constInt(children(2), "keep_last") else 1
-    store.vacuum(table, keepLast = keep)
-    Bridge.analyzedPlan(Seq((store.vacuumHorizon(table),
-      store.history(table).size.toLong))
-      .toDF("vacuum_horizon", "retained_versions"))
+    deferredTvf("graft_vacuum", horizonCols) { () =>
+      val store = new graft.core.SnapshotStore(
+        org.apache.spark.sql.SparkSession.active, root)
+      store.vacuum(table, keepLast = keep)
+      Seq(Seq(store.vacuumHorizon(table), store.history(table).size.toLong))
+    }
   }
   private val vacuumOlderThanTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 3,
       "graft_vacuum_older_than(root, table, ts_millis)")
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    val store = new graft.core.SnapshotStore(
-      spark, constString(children.head, "root"))
+    val root = constString(children.head, "root")
     val table = constString(children(1), "table")
-    store.vacuumOlderThan(table, constLong(children(2), "ts_millis"))
-    Bridge.analyzedPlan(Seq((store.vacuumHorizon(table),
-      store.history(table).size.toLong))
-      .toDF("vacuum_horizon", "retained_versions"))
+    val ts = constLong(children(2), "ts_millis")
+    deferredTvf("graft_vacuum_older_than", horizonCols) { () =>
+      val store = new graft.core.SnapshotStore(
+        org.apache.spark.sql.SparkSession.active, root)
+      store.vacuumOlderThan(table, ts)
+      Seq(Seq(store.vacuumHorizon(table), store.history(table).size.toLong))
+    }
   }
   private val compactTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 2 || children.size == 3,
       "graft_compact(root, table[, target_partitions])")
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    val store = new graft.core.SnapshotStore(
-      spark, constString(children.head, "root"))
+    val root = constString(children.head, "root")
+    val table = constString(children(1), "table")
     val target =
       if (children.size == 3) constInt(children(2), "target_partitions") else 0
-    Bridge.analyzedPlan(
-      Seq(store.compact(constString(children(1), "table"), target))
-        .toDF("version"))
+    deferredTvf("graft_compact", versionCols) { () =>
+      val store = new graft.core.SnapshotStore(
+        org.apache.spark.sql.SparkSession.active, root)
+      Seq(Seq(store.compact(table, target)))
+    }
   }
   // Table-statistics TVF (the reference's /database stats endpoints):
   // one row per column with EXACTLY what the optimizer sees — the scan's
@@ -964,13 +985,12 @@ object GraftExtensions {
 
   private val adoptFieldIdsTvf: Seq[Expression] => LogicalPlan = { children =>
     require(children.size == 2, "graft_adopt_field_ids(root, table)")
-    val spark = org.apache.spark.sql.SparkSession.active
-    import spark.implicits._
-    val store = new graft.core.SnapshotStore(
-      spark, constString(children.head, "root"))
-    Bridge.analyzedPlan(
-      Seq(store.adoptFieldIds(constString(children(1), "table")))
-        .toDF("version"))
+    val root = constString(children.head, "root")
+    val table = constString(children(1), "table")
+    deferredTvf("graft_adopt_field_ids", versionCols) { () =>
+      Seq(Seq(new graft.core.SnapshotStore(
+        org.apache.spark.sql.SparkSession.active, root).adoptFieldIds(table)))
+    }
   }
 
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
@@ -1014,7 +1034,7 @@ object GraftExtensions {
     // the sanctioned post-hoc path (a session built with
     // spark.sql.extensions=graft.GraftExtensions gets it via apply above).
     val mutationStrategies = Seq(graft.plans.GraftUpdateStrategy,
-      graft.plans.GraftMergeStrategy)
+      graft.plans.GraftMergeStrategy, graft.plans.GraftDeferredActionStrategy)
     val missing = mutationStrategies.filterNot(
       spark.experimental.extraStrategies.contains(_))
     if (missing.nonEmpty)

@@ -82,6 +82,12 @@ object NdvStats {
       val n = f.name.toLowerCase(java.util.Locale.ROOT)
       sketchExpr(f).map(e => n -> hll_sketch_agg(e, lit(LgK)).as(n))
     }
+      // Case-sensitive-mode frames can carry "ID" and "id" as distinct
+      // columns; their metric names collide after lowercasing and the
+      // duplicate alias fails the observe ANALYSIS — which would fail the
+      // whole commit, not just this best-effort sidecar. Keep the first
+      // (the reader keys by lowercase anyway; the union is an estimate).
+      .distinctBy(_._1)
     if (metrics.isEmpty) (df, None)
     else {
       val obs = Observation("graft_ndv_" + java.util.UUID.randomUUID())

@@ -345,8 +345,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     var ndvHarvest: Option[(org.apache.spark.sql.Observation, Seq[String])] = None
     df match {
       case Some(d) =>
-        val (observedDf, harvest) = NdvStats.observed(stamped(d))
-        ndvHarvest = harvest
+        // observe CONSTRUCTION is best-effort too: an analysis failure
+        // adding the metrics (exotic column types, duplicate-alias edge
+        // cases the dedup misses) must cost the NDV sidecar, never the
+        // commit — fall back to writing the unobserved frame.
+        val toWrite = stamped(d)
+        val observedDf =
+          try {
+            val (o, harvest) = NdvStats.observed(toWrite)
+            ndvHarvest = harvest
+            o
+          } catch { case scala.util.control.NonFatal(_) => toWrite }
         observedDf.write.mode("append").parquet(versionDir(table, next).toString)
       case None =>
         // A data-less version (a pure deletion-vector commit): nothing to

@@ -557,6 +557,14 @@ private[graftbridge] final class KeyGroupedParquetScan(
   // Runtime-pruned files drop out of their bucket; every bucket still
   // PLANS (possibly empty), so the partition count and key set — the
   // KeyGroupedPartitioning claim — are invariant under runtime filtering.
+  // Each bucket's splits are re-sorted by (path, start offset): a file
+  // larger than maxPartitionBytes arrives as MULTIPLE PartitionedFiles,
+  // and FileScan.partitions packs them length-descending — encounter
+  // order is NOT offset order. The readers consume a partition's array
+  // sequentially, so under the bucketSorted ordering claim an unsorted
+  // split sequence would hand the sort-skipping SMJ out-of-order rows —
+  // silent wrong joins. The explicit sort makes offset order a guarantee
+  // instead of an accident of Spark's current packing.
   override def partitions: Seq[FilePartition] = {
     val byBucket = Array.fill(numBuckets)(
       scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
@@ -566,7 +574,8 @@ private[graftbridge] final class KeyGroupedParquetScan(
           f.toPath.getName, numBuckets)) += f
     })
     (0 until numBuckets).map { b =>
-      new KeyedFilePartition(b, byBucket(b).toArray,
+      new KeyedFilePartition(b,
+        KeyGroupedParquetScan.offsetOrdered(byBucket(b).toArray),
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](b)))
     }
@@ -599,6 +608,17 @@ object KeyGroupedParquetScan {
     * eligibility probe. */
   def isPartNamed(fileName: String): Boolean =
     PartIndex.findPrefixMatchOf(fileName).isDefined
+
+  /** A bucket's splits in (path, start offset) order — the order the
+    * per-partition ordering claim is made over. One file's splits
+    * concatenate back to the file's own (sorted) row order; across files
+    * the path tiebreak is deterministic (and the claim only rides
+    * multi-file buckets through the merge reader, which re-orders rows
+    * itself). */
+  def offsetOrdered(
+      fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile])
+      : Array[org.apache.spark.sql.execution.datasources.PartitionedFile] =
+    fs.sortBy(f => (f.filePath.toString, f.start))
 }
 
 /** The built scan with [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
@@ -788,6 +808,9 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
 
   // As in KeyGroupedParquetScan: runtime-pruned files drop out of their
   // bucket, every bucket still plans, the layout claim is invariant.
+  // Splits re-sorted to (path, offset) order for deterministic reader
+  // grouping (no ordering claim here, but encounter order shouldn't
+  // depend on FileScan's packing either).
   override def partitions: Seq[FilePartition] = {
     val byBucket = Array.fill(numBuckets)(
       scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
@@ -797,7 +820,8 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
           f.toPath.getName, numBuckets)) += f
     })
     (0 until numBuckets).map { b =>
-      new KeyedFilePartition(b, byBucket(b).toArray,
+      new KeyedFilePartition(b,
+        KeyGroupedParquetScan.offsetOrdered(byBucket(b).toArray),
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](b)))
     }

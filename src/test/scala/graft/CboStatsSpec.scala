@@ -116,4 +116,25 @@ class CboStatsSpec extends SparkSpec {
     assert(ndv.get("b").exists(n => n > 900 && n < 1100),
       s"b's NDV must union the pre-rename link's 1000 keys: $ndv")
   }
+
+  test("NDV observation is best-effort under case-colliding column names") {
+    // caseSensitive frames can carry "K" and "k" as distinct columns;
+    // their observe metric names collide after Locale.ROOT lowercasing —
+    // a duplicate alias would fail the observe ANALYSIS and with it the
+    // whole commit. The dedup keeps the first; the commit must succeed.
+    withSQLConf("spark.sql.caseSensitive" -> "true") {
+      val df = spark.range(0, 100).selectExpr(
+        "id AS K", "id % 3 AS k", "id * 2 AS v")
+      val (observed, harvest) = graft.core.NdvStats.observed(df)
+      val names = harvest.map(_._2).getOrElse(Nil)
+      assert(names == names.distinct, s"metric names must be unique: $names")
+      assert(names.count(_ == "k") == 1)
+      observed.collect() // the observe node analyzes and runs
+      // and the full commit path stays green on such a frame
+      val r = java.nio.file.Files.createTempDirectory("graft-ndv-case").toString
+      val st = new SnapshotStore(spark, r)
+      st.commit("cc", df)
+      assert(st.read("cc").count() == 100)
+    }
+  }
 }

@@ -822,4 +822,39 @@ class GraftCatalogSpec extends SparkSpec {
     assert(tsRows("d").getString(3) == "2024-03-05",
       s"date min renders readable: ${tsRows("d").getString(3)}")
   }
+
+  test("maintenance TVFs defer the side effect to execution: EXPLAIN never vacuums") {
+    import org.apache.spark.sql.functions.col
+    graft.GraftExtensions.register(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft-defer-tvf").toString
+    val st = new graft.core.SnapshotStore(spark, r)
+    // SELF-CONTAINED commits (appends would chain to v1/v2, whose chain
+    // closure vacuum rightly keeps — nothing would be reclaimable and
+    // the EXPLAIN assertions would pass vacuously)
+    st.commit("m", spark.range(0, 100).select(col("id").as("k")))
+    st.commit("m", spark.range(0, 200).select(col("id").as("k")))
+    st.commit("m", spark.range(0, 300).select(col("id").as("k")))
+    assert(st.history("m").size == 3)
+
+    // EXPLAIN resolves + plans the TVF — the irreversible action must NOT
+    // fire (this was the r17 hazard: the builder ran vacuum at analysis)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_vacuum('$r', 'm', 1)").collect()
+    assert(st.history("m").size == 3,
+      "EXPLAIN on graft_vacuum must not reclaim versions")
+    spark.sql(s"EXPLAIN SELECT * FROM graft_compact('$r', 'm')").collect()
+    assert(st.latestVersion("m").contains(3L),
+      "EXPLAIN on graft_compact must not commit")
+
+    // analysis alone (building the DataFrame, no action) is equally safe,
+    // but argument errors still surface there, where SQL users expect them
+    val pending = spark.sql(s"SELECT * FROM graft_vacuum('$r', 'm', 1)")
+    assert(st.history("m").size == 3, "analysis must not vacuum")
+    intercept[Exception](spark.sql(s"SELECT * FROM graft_vacuum('$r')"))
+
+    // execution fires it, and the returned row reports the post-state
+    val row = pending.head()
+    assert(st.history("m").size == 1, "executing the TVF vacuums")
+    assert(row.getLong(0) == 2L && row.getLong(1) == 1L,
+      s"horizon/retained from the executed action: $row")
+  }
 }

@@ -557,4 +557,80 @@ class StoragePartitionJoinSpec extends SparkSpec {
       assert(q.count() == 5)
     }
   }
+
+  test("ordering claim survives FILE SPLITS: multi-split bucket files read in offset order") {
+    // A bucket file larger than maxPartitionBytes arrives as multiple
+    // PartitionedFiles; FileScan packs splits length-descending, so
+    // encounter order is not guaranteed to be offset order. The keyed
+    // scan re-sorts each bucket's splits by (path, start) — under the
+    // bucketSorted claim, anything else would hand the sort-skipping SMJ
+    // out-of-order rows (silent wrong joins on any Spark packing change).
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-split").toString
+    val st = new SnapshotStore(spark, r)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val savedBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", "32768") // many row groups per bucket file
+    try {
+      st.commitBucketed("xa", spark.range(0, 100000)
+        .select((col("id") * 7919 % 100000).as("k"), (col("id") * 2).as("va")),
+        "k", 2)
+      st.commitBucketed("xb", spark.range(0, 100000)
+        .select((col("id") * 104729 % 100000).as("k"), (col("id") + 7).as("vb")),
+        "k", 2)
+    } finally savedBlock match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
+    }
+    spark.conf.set("spark.sql.catalog.spjx", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjx.root", r)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.files.maxPartitionBytes" -> "65536", // force splits
+      "spark.sql.files.openCostInBytes" -> "0") {
+      val q = "SELECT a.k AS k, va, vb FROM spjx.xa a JOIN spjx.xb b ON a.k = b.k"
+      val j = spark.sql(q)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange") && !plan.contains("Sort "),
+        s"split files keep the sortless SPJ:\n$plan")
+      // the planned keyed partitions must (a) actually contain multi-split
+      // files — or the test exercises nothing — and (b) be offset-ordered
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.SparkPlan
+      def all(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(all)
+      }
+      val parts = all(j.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[
+              org.apache.spark.sql.graftbridge.GraftRuntimeFiltering] =>
+          b.inputPartitions
+      }.flatten.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+      }
+      assert(parts.nonEmpty, "keyed graft scans must plan FilePartitions")
+      val splitCounts = parts.flatMap(_.files.groupBy(_.filePath.toString)
+        .values.map(_.length))
+      assert(splitCounts.exists(_ > 1),
+        s"fixture must produce multi-split files (got $splitCounts) — " +
+          "shrink maxPartitionBytes if parquet sizing changed")
+      parts.foreach { fp =>
+        val keys = fp.files.map(f => (f.filePath.toString, f.start)).toSeq
+        assert(keys == keys.sorted,
+          s"bucket partition splits must be (path, offset)-ordered: $keys")
+      }
+      // values exact vs the claim-free shuffled join
+      val base = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(q)
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j.count() == base._1)
+      assert(j.agg(sum("va"), sum("vb")).head() == base._2)
+    }
+  }
 }
