@@ -237,11 +237,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private[graft] def commitMaintainerPropsIf(table: String,
       props: Map[String, String], expectedHead: Long): Option[Long] = {
     require(props.nonEmpty, "commitMaintainerPropsIf requires at least one pair")
-    val bucketProps = bucketSpecOf(table, expectedHead)
-      .fold(Map.empty[String, String]) {
-        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-          SnapshotStore.BucketNProp -> n.toString)
-      }
+    val bucketProps = bucketPropsAt(table, expectedHead)
     val cand = commitWith(table, None, None, base = Some(expectedHead),
       snapshot = snapshotSchema(table, Some(expectedHead)), advance = false,
       props = props ++ bucketProps +
@@ -1077,8 +1073,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     val df =
       if (bucketProps0.nonEmpty)
         bucketed(snap).sortWithinPartitions(
-          org.apache.spark.sql.functions.col(
-            bucketProps0(SnapshotStore.BucketColProp)))
+          SnapshotStore.bucketColsOf(bucketProps0(SnapshotStore.BucketColProp))
+            .map(org.apache.spark.sql.functions.col): _*)
       else if (clusterBy.nonEmpty) clustered(snap, clusterBy, targetPartitions)
       else if (targetPartitions > 0) snap.repartition(targetPartitions)
       else snap
@@ -1248,10 +1244,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         else merged0)
       // Carry the bucket claim forward iff the head holds one: files are
       // untouched, so the layout is exactly as valid after the link.
-      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-          SnapshotStore.BucketNProp -> n.toString)
-      }
+      val bucketProps = bucketPropsAt(table, v)
       val cand = commitWith(table, None, None, base = Some(v),
         snapshot = merged, advance = false,
         props = bucketProps + (SnapshotStore.OpProp -> "add-columns"))
@@ -1320,11 +1313,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         s"dropColumns from $table: CHECK constraint(s) " +
           s"${blocked.keys.toSeq.sorted.mkString(", ")} reference the " +
           "column(s) — drop the constraint(s) first")
-      val bucketProps = bucketSpecOf(table, v)
-        .filterNot { case (c, _) => dropSet.contains(c.toLowerCase) }
-        .fold(Map.empty[String, String]) { case (c, n) =>
-          Map(SnapshotStore.BucketColProp -> c,
-            SnapshotStore.BucketNProp -> n.toString)
+      val bucketProps = bucketLayoutOf(table, v)
+        // dropping ANY column of a (possibly composite) bucket key kills
+        // the claim — the remaining columns no longer determine the hash
+        .filterNot { case (cols, _) =>
+          cols.exists(s => dropSet.contains(s.toLowerCase)) }
+        .fold(Map.empty[String, String]) { case (cols, dims) =>
+          SnapshotStore.bucketLayoutProps(cols, dims)
         }
       val cand = commitWith(table, None, None, base = Some(v),
         snapshot = narrowed, advance = false,
@@ -1434,10 +1429,9 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         // no row changed.
         val renamedSchema = ParquetTableShim.asNullable(StructType(
           base.fields.map(f => f.copy(name = renamed(f.name)))))
-        val bucketProps = bucketSpecOf(table, v)
-          .fold(Map.empty[String, String]) { case (c, n) =>
-            Map(SnapshotStore.BucketColProp -> renamed(c),
-              SnapshotStore.BucketNProp -> n.toString)
+        val bucketProps = bucketLayoutOf(table, v)
+          .fold(Map.empty[String, String]) { case (cols, dims) =>
+            SnapshotStore.bucketLayoutProps(cols.map(renamed), dims)
           }
         val cand = commitWith(table, None, None, base = Some(v),
           snapshot = renamedSchema, advance = false,
@@ -1591,10 +1585,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       require(violating.head(1).isEmpty,
         s"cannot add CHECK constraint $name to $table: existing rows " +
           s"violate ($predicateSql)")
-      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-          SnapshotStore.BucketNProp -> n.toString)
-      }
+      val bucketProps = bucketPropsAt(table, v)
       val cand = commitWith(table, None, None, base = Some(v),
         snapshot = snapshotSchema(table, Some(v)), advance = false,
         props = bucketProps +
@@ -1626,10 +1617,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         require(ifExists, s"no CHECK constraint $name on $table")
         v
       } else {
-        val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-            SnapshotStore.BucketNProp -> n.toString)
-        }
+        val bucketProps = bucketPropsAt(table, v)
         val cand = commitWith(table, None, None, base = Some(v),
           snapshot = snapshotSchema(table, Some(v)), advance = false,
           props = bucketProps +
@@ -1694,10 +1682,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       require(missing.isEmpty,
         s"key constraint $name on $table: no such column(s) " +
           missing.mkString(", "))
-      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-          SnapshotStore.BucketNProp -> n.toString)
-      }
+      val bucketProps = bucketPropsAt(table, v)
       import org.json4s._
       val json = jackson.JsonMethods.compact(jackson.JsonMethods.render(JObject(
         List("kind" -> JString(kind),
@@ -1737,10 +1722,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         require(ifExists, s"no key constraint $name on $table")
         v
       } else {
-        val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-            SnapshotStore.BucketNProp -> n.toString)
-        }
+        val bucketProps = bucketPropsAt(table, v)
         val cand = commitWith(table, None, None, base = Some(v),
           snapshot = snapshotSchema(table, Some(v)), advance = false,
           props = bucketProps +
@@ -1811,10 +1793,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val v = latestVersion(table).getOrElse(
         throw new IllegalArgumentException(s"no committed version of $table"))
       // Re-stamp a bucket claim like addColumns: no file moved.
-      val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-        case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-          SnapshotStore.BucketNProp -> n.toString)
-      }
+      val bucketProps = bucketPropsAt(table, v)
       val cand = commitWith(table, None, None, base = Some(v),
         snapshot = snapshotSchema(table, Some(v)), advance = false,
         props = props ++ bucketProps +
@@ -1888,10 +1867,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       val present = keys.filter(live.contains)
       if (present.isEmpty) v
       else {
-        val bucketProps = bucketSpecOf(table, v).fold(Map.empty[String, String]) {
-          case (c, n) => Map(SnapshotStore.BucketColProp -> c,
-            SnapshotStore.BucketNProp -> n.toString)
-        }
+        val bucketProps = bucketPropsAt(table, v)
         val cand = commitWith(table, None, None, base = Some(v),
           snapshot = snapshotSchema(table, Some(v)), advance = false,
           props = present.map(_ -> "").toMap ++ bucketProps +
@@ -1985,44 +1961,116 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * `spark.sql.sources.v2.bucketing.enabled=true` and resolution through
     * the SQL catalog (the bucket transform binds via FunctionCatalog). */
   def commitBucketed(table: String, df: DataFrame, bucketBy: String,
-      numBuckets: Int, changeSet: Option[DataFrame] = None): Long = {
-    require(numBuckets > 0, "commitBucketed requires numBuckets > 0")
-    require(df.columns.exists(_.equalsIgnoreCase(bucketBy)),
-      s"bucket column $bucketBy is not in ${df.columns.mkString(", ")}")
+      numBuckets: Int, changeSet: Option[DataFrame] = None): Long =
+    commitBucketed(table, df, Seq(bucketBy), numBuckets, changeSet)
+
+  /** COMPOSITE-key form: `numBuckets` buckets PER COLUMN, so a k-column
+    * key writes `numBuckets^k` files — partition index in mixed radix
+    * over the per-column ids `bᵢ = pmod(murmur3(colᵢ, 42), n)`
+    * ([[org.apache.spark.sql.graftbridge.BucketLayout]]). Each column
+    * hashes INDEPENDENTLY because Spark's storage-partitioned joins
+    * require single-reference partition transforms — the scan reports one
+    * `bucket(n, colᵢ)` per column, and a multi-column equality join
+    * covering the tuple plans with NO exchange on either side. */
+  def commitBucketed(table: String, df: DataFrame, bucketBy: Seq[String],
+      numBuckets: Int, changeSet: Option[DataFrame]): Long = {
+    val dims = Seq.fill(bucketBy.length)(numBuckets)
+    validateBucketArgs(df.columns.toSeq, bucketBy, dims)
     // sortWithinPartitions: each bucket file lands SORTED by the bucket
-    // key, so a single-file-per-bucket scan can also report per-partition
-    // ORDERING — an SMJ over two such tables then skips BOTH sorts on top
-    // of skipping both exchanges (sort once at write, not per query).
+    // key tuple, so a single-file-per-bucket scan can also report
+    // per-partition ORDERING — an SMJ over two such tables then skips
+    // BOTH sorts on top of skipping both exchanges (sort once at write,
+    // not per query).
+    val cols = bucketBy.map(org.apache.spark.sql.functions.col)
     commit(table,
-      df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy))
-        .sortWithinPartitions(org.apache.spark.sql.functions.col(bucketBy)),
+      bucketRoute(df, bucketBy, dims).sortWithinPartitions(cols: _*),
       changeSet,
-      props = Map(SnapshotStore.BucketColProp -> bucketBy,
-        SnapshotStore.BucketNProp -> numBuckets.toString,
-        SnapshotStore.BucketSortedProp -> "true"))
+      props = SnapshotStore.bucketLayoutProps(bucketBy, dims) +
+        (SnapshotStore.BucketSortedProp -> "true"))
   }
 
+  def commitBucketed(table: String, df: DataFrame, bucketBy: Seq[String],
+      numBuckets: Int): Long =
+    commitBucketed(table, df, bucketBy, numBuckets, None)
+
   /** Bucketed APPEND: the delta is bucketed exactly like the head (same
-    * column, same count — validated), so the chain STAYS storage-
+    * column(s), same counts — validated), so the chain STAYS storage-
     * partitioned-join eligible: bucket b of the snapshot is the union of
     * every link's bucket-b files, all holding only bucket-b rows. */
   def appendBucketed(table: String, rows: DataFrame, bucketBy: String,
+      numBuckets: Int): Long =
+    appendBucketed(table, rows, Seq(bucketBy), numBuckets)
+
+  def appendBucketed(table: String, rows: DataFrame, bucketBy: Seq[String],
       numBuckets: Int): Long = {
+    val dims = Seq.fill(bucketBy.length)(numBuckets)
+    validateBucketArgs(rows.columns.toSeq, bucketBy, dims)
     latestVersion(table).foreach { v =>
-      val spec = bucketSpecOf(table, v)
-      require(spec.exists { case (c, n) =>
-        c.equalsIgnoreCase(bucketBy) && n == numBuckets },
-        s"appendBucketed($bucketBy, $numBuckets) onto $table whose head " +
-          s"is ${spec.fold("unbucketed")(s => s"bucketed ${s._1}/${s._2}")} " +
+      val layout = bucketLayoutOf(table, v)
+      require(layout.exists { case (head, headDims) =>
+        headDims == dims && head.length == bucketBy.length &&
+          head.lazyZip(bucketBy).forall(_.equalsIgnoreCase(_))
+      },
+        s"appendBucketed(${bucketBy.mkString(",")}, $numBuckets) onto " +
+          s"$table whose head is ${layout.fold("unbucketed")(l =>
+            s"bucketed ${l._1.mkString(",")}/${l._2.mkString("x")}")} " +
           "— mixed layouts would silently break co-partitioned joins")
     }
+    val cols = bucketBy.map(org.apache.spark.sql.functions.col)
     appendFrom(table,
-      rows.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketBy))
-        .sortWithinPartitions(org.apache.spark.sql.functions.col(bucketBy)),
+      bucketRoute(rows, bucketBy, dims).sortWithinPartitions(cols: _*),
       latestVersion(table),
-      props = Map(SnapshotStore.BucketColProp -> bucketBy,
-        SnapshotStore.BucketNProp -> numBuckets.toString,
-        SnapshotStore.BucketSortedProp -> "true"))
+      props = SnapshotStore.bucketLayoutProps(bucketBy, dims) +
+        (SnapshotStore.BucketSortedProp -> "true"))
+  }
+
+  private def validateBucketArgs(frameCols: Seq[String], bucketBy: Seq[String],
+      dims: Seq[Int]): Unit = {
+    require(dims.forall(_ > 0), "bucketed writes require numBuckets > 0")
+    require(bucketBy.nonEmpty, "bucketed writes require at least one column")
+    require(dims.map(_.toLong).product <= (1L << 20),
+      s"bucket layout ${dims.mkString("x")} exceeds 2^20 total buckets")
+    require(bucketBy.forall(!_.contains(",")),
+      s"bucket column names cannot contain ',' (the composite-spec " +
+        s"separator): ${bucketBy.mkString("; ")}")
+    require(bucketBy.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      .length == bucketBy.length,
+      s"bucket columns must be distinct: ${bucketBy.mkString(",")}")
+    bucketBy.foreach(b => require(frameCols.exists(_.equalsIgnoreCase(b)),
+      s"bucket column $b is not in ${frameCols.mkString(", ")}"))
+  }
+
+  /** Route every row to EXACTLY the partition index its bucket layout
+    * demands. Single-key: plain `repartition(n, col)` — the task index
+    * already equals `pmod(murmur3(col, 42), n)`. Composite: compute the
+    * mixed-radix index from the per-column hashes (`hash()` IS murmur3
+    * seed 42), look up its ROUTING TOKEN — a precomputed int whose own
+    * hash lands on that index — and repartition by the token
+    * ([[org.apache.spark.sql.graftbridge.GraftBucketRouting]]). The token
+    * column is dropped right after the exchange (Project preserves the
+    * partitioning), so nothing extra lands in the files. */
+  private def bucketRoute(df: DataFrame, bucketBy: Seq[String],
+      dims: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (bucketBy.length == 1)
+      df.repartition(dims.head, col(bucketBy.head))
+    else {
+      val total = dims.product
+      val route = "__graft_bucket_route"
+      require(!df.columns.exists(_.equalsIgnoreCase(route)),
+        s"column name $route is reserved by composite bucketing")
+      val comps = bucketBy.lazyZip(dims).map { (c, n) =>
+        val h = hash(col(c)) // Murmur3Hash(Seq(col), seed = 42)
+        ((h % n) + n) % n
+      }
+      val idx = comps.tail.zip(dims.tail)
+        .foldLeft(comps.head) { case (acc, (b, n)) => acc * n + b }
+      val tokens = org.apache.spark.sql.graftbridge.GraftBucketRouting
+        .tokens(total)
+      df.withColumn(route, element_at(lit(tokens), idx + 1))
+        .repartition(total, col(route))
+        .drop(route)
+    }
   }
 
   /** The snapshot's bucket layout, iff EVERY chain link carries the same
@@ -2043,15 +2091,40 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * mutation/merge/compact/rebase sites. */
   private def bucketClaimOf(table: String, v: Long)
       : (Map[String, String], DataFrame => DataFrame) =
-    bucketSpecOf(table, v) match {
-      case Some((c, n)) =>
-        (Map(SnapshotStore.BucketColProp -> c,
-          SnapshotStore.BucketNProp -> n.toString),
-          df => df.repartition(n, org.apache.spark.sql.functions.col(c)))
+    bucketLayoutOf(table, v) match {
+      case Some((cols, dims)) =>
+        (bucketPropsAt(table, v), df => bucketRoute(df, cols, dims))
       case None => (Map.empty[String, String], identity[DataFrame] _)
     }
 
-  def bucketSpecOf(table: String, v: Long): Option[(String, Int)] = {
+  /** The chain's RE-STAMPABLE bucket props at `v` (col/n/dims, names
+    * rename-resolved to the head) — what every claim-preserving write
+    * path copies onto its link. Empty on unclaimed chains. */
+  private def bucketPropsAt(table: String, v: Long): Map[String, String] =
+    bucketLayoutOf(table, v).fold(Map.empty[String, String]) {
+      case (cols, dims) => SnapshotStore.bucketLayoutProps(cols, dims)
+    }
+
+  /** The spec's String is the [[SnapshotStore.BucketColProp]] encoding —
+    * comma-joined for composite keys (split with
+    * [[SnapshotStore.bucketColsOf]]); the Int is the TOTAL partition
+    * count (the per-column dims live in [[bucketLayoutOf]]). */
+  def bucketSpecOf(table: String, v: Long): Option[(String, Int)] =
+    bucketLayoutOf(table, v).map { case (cols, dims) =>
+      (cols.mkString(","), dims.product)
+    }
+
+  /** The snapshot's full bucket layout — (key columns, per-column bucket
+    * counts) — iff EVERY chain link carries the same one (a plain
+    * append, mutation, or compaction link breaks the claim — its files
+    * are not bucket-attributed, so the scan must not report
+    * co-partitioning). None for unbucketed or mixed chains. On an ID'd
+    * chain each link's claimed columns resolve through any later
+    * metadata RENAME to their names AT THE HEAD (the hash is over the
+    * same physical data whatever the column is called), so a rename link
+    * — which re-stamps the claim under the new names — agrees with the
+    * pre-rename links it extends. */
+  def bucketLayoutOf(table: String, v: Long): Option[(Seq[String], Seq[Int])] = {
     val pinned = snapshotSchema(table, Some(v))
     val headById: Option[Map[Long, String]] =
       if (!SnapshotStore.schemaHasFieldIds(pinned)) None
@@ -2059,18 +2132,27 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         SnapshotStore.fieldIdOf(f).map(_ -> f.name)).toMap)
     val specs = chainOf(table, v).map { l =>
       val p = commitProps(table, l)
-      val col = p.get(SnapshotStore.BucketColProp).map { c =>
-        headById.flatMap { byId =>
-          snapshotSchema(table, Some(l)).fields
-            .find(_.name.equalsIgnoreCase(c))
-            .flatMap(SnapshotStore.fieldIdOf).flatMap(byId.get)
-        }.getOrElse(c)
-      }
-      (col, p.get(SnapshotStore.BucketNProp))
+      val col = p.get(SnapshotStore.BucketColProp).map(spec =>
+        SnapshotStore.bucketColsOf(spec).map { c =>
+          headById.flatMap { byId =>
+            snapshotSchema(table, Some(l)).fields
+              .find(_.name.equalsIgnoreCase(c))
+              .flatMap(SnapshotStore.fieldIdOf).flatMap(byId.get)
+          }.getOrElse(c)
+        }.mkString(","))
+      (col, p.get(SnapshotStore.BucketNProp), p.get(SnapshotStore.BucketDimsProp))
     }
     specs.head match {
-      case (Some(c), Some(n)) if specs.forall(_ == (Some(c), Some(n))) =>
-        Some((c, n.toInt))
+      case (Some(c), Some(n), dims)
+          if specs.forall(_ == (Some(c), Some(n), dims)) =>
+        val cols = SnapshotStore.bucketColsOf(c)
+        val parsedDims = dims.map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(n.toInt))
+        // a corrupt/mismatched dims prop must break the claim, not plan
+        // a partition count the files don't have
+        if (parsedDims.length == cols.length && parsedDims.product == n.toInt)
+          Some((cols, parsedDims))
+        else None
       case _ => None
     }
   }
@@ -4173,11 +4255,30 @@ object SnapshotStore {
   val DvMaxChainRows: Long = 1L << 22
 
   /** Commit-props keys of the BUCKET layout (`commitBucketed`): the hash
-    * column and bucket count under which every file of the version was
+    * column(s) and bucket count under which every file of the version was
     * written. A chain is storage-partitioned-join eligible iff every link
-    * carries the same pair (`bucketSpecOf`). */
+    * carries the same pair (`bucketSpecOf`). COMPOSITE keys encode as a
+    * comma-joined column list (column names with commas are refused at
+    * write); [[bucketColsOf]] is the one splitter. */
   val BucketColProp: String = "graft.bucket.col"
   val BucketNProp: String = "graft.bucket.n"
+
+  /** The column list a [[BucketColProp]] value encodes. */
+  def bucketColsOf(spec: String): Seq[String] =
+    spec.split(",").toSeq.filter(_.nonEmpty)
+
+  /** COMPOSITE layouts only: the per-column bucket counts, comma-joined
+    * ("8,8"); [[BucketNProp]] stays the TOTAL (their product) so every
+    * count consumer is composite-agnostic. Absent on single-key chains. */
+  val BucketDimsProp: String = "graft.bucket.dims"
+
+  /** The claim props a bucket layout stamps on its commit. */
+  def bucketLayoutProps(cols: Seq[String], dims: Seq[Int]): Map[String, String] = {
+    val base = Map(BucketColProp -> cols.mkString(","),
+      BucketNProp -> dims.product.toString)
+    if (dims.length > 1) base + (BucketDimsProp -> dims.mkString(","))
+    else base
+  }
 
   /** Per-link claim that the link's files are SORTED by the bucket column
     * within each bucket ([[SnapshotStore.commitBucketed]]/

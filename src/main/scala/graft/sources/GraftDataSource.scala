@@ -156,7 +156,7 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     val storeRoot: Option[String] = None,
     val versionPinned: Boolean = false,
     dv: Map[String, Array[Long]] = Map.empty,
-    bucket: Option[(String, Int)] = None,
+    bucket: Option[org.apache.spark.sql.graftbridge.BucketLayout] = None,
     physNames: Map[String, Map[String, String]] = Map.empty,
     ndv: () => Map[String, Long] = () => Map.empty,
     bucketSorted: Boolean = false)
@@ -421,7 +421,9 @@ object GraftTable {
     // for any link that WROTE non-bucket-attributed files (copy-on-write
     // survivors, update post-images); only pure-vector links re-stamp it.
     // Anything else: no claim, plain scan, joins just shuffle as before.
-    val bucket = store.bucketSpecOf(table, v)
+    val bucket = store.bucketLayoutOf(table, v)
+      .map { case (cols, dims) =>
+        org.apache.spark.sql.graftbridge.BucketLayout(cols, dims) }
       .filter(_ => units.forall(u => u.stat.isDefined &&
         org.apache.spark.sql.graftbridge.KeyGroupedParquetScan.isPartNamed(
           new org.apache.hadoop.fs.Path(u.path).getName)))
@@ -442,12 +444,13 @@ object GraftTable {
     // carries no deletion vectors (the DV'd keyed reader chains file
     // groups out of order). Purely additive: when it drops, the join
     // just sorts as before.
-    val bucketSorted = bucket.exists { case (_, n) =>
+    val bucketSorted = bucket.exists { layout =>
       dv.isEmpty && store.bucketSortedOf(table, v) && {
-        val counts = new Array[Int](n)
+        val counts = new Array[Int](layout.total)
         units.forall { u =>
           val b = org.apache.spark.sql.graftbridge.KeyGroupedParquetScan
-            .bucketOf(new org.apache.hadoop.fs.Path(u.path).getName, n)
+            .bucketOf(new org.apache.hadoop.fs.Path(u.path).getName,
+              layout.total)
           counts(b) += 1
           counts(b) <= 1
         }

@@ -60,7 +60,7 @@ object ParquetTableShim {
       options: java.util.Map[String, String],
       index: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex,
       dv: Map[String, Array[Long]] = Map.empty,
-      bucket: Option[(String, Int)] = None,
+      bucket: Option[BucketLayout] = None,
       ndv: () => Map[String, Long] = () => Map.empty,
       bucketSorted: Boolean = false)
       : Table = {
@@ -142,7 +142,7 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     dataSchema: org.apache.spark.sql.types.StructType,
     options: CaseInsensitiveStringMap,
     dv: Map[String, Array[Long]] = Map.empty,
-    bucket: Option[(String, Int)] = None,
+    bucket: Option[BucketLayout] = None,
     ndv: () => Map[String, Long] = () => Map.empty,
     bucketSorted: Boolean = false)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
@@ -179,7 +179,7 @@ private[graftbridge] final class ManifestStatsScanBuilder(
         // zero-exchange join stays sound while the readers pay the
         // row-based DV trade (the r14 gap: any vector used to drop the
         // claim until compact).
-        case Some((c, n)) => new DvKeyGroupedParquetScan(built, dv, c, n, stats, ndv)
+        case Some(layout) => new DvKeyGroupedParquetScan(built, dv, layout, stats, ndv)
         case None => new DvParquetScan(built, dv, stats, ndv)
       }
     }
@@ -189,8 +189,8 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     // into the aggregated output).
     else if (built.pushedAggregate.nonEmpty) built
     else (bucket, index.prunedStats(built.dataFilters)) match {
-      case (Some((c, n)), stats) =>
-        new KeyGroupedParquetScan(built, c, n, stats, ndv, bucketSorted)
+      case (Some(layout), stats) =>
+        new KeyGroupedParquetScan(built, layout, stats, ndv, bucketSorted)
       case (None, Some((rows, bytes, total))) =>
         new ManifestStatsParquetScan(built, rows, bytes, total, ndv)
       case (None, None) => built
@@ -362,13 +362,16 @@ trait GraftRuntimeFiltering
   /** Top-level data-schema fields (declared filter attributes). */
   protected def rfFields: Array[org.apache.spark.sql.types.StructField]
   /** Bucket layout claim, when the chain carries one. */
-  protected def rfBucketSpec: Option[(String, Int)] = None
+  protected def rfBucketSpec: Option[BucketLayout] = None
 
-  // Surviving manifest keys / bucket ids; null = no runtime filter yet.
-  // Written once by BatchScanExec before partition re-planning (volatile
-  // + intersect keeps a hypothetical second filter call sound).
+  // Surviving manifest keys / per-key-column surviving COMPONENT ids
+  // (composite layouts prune per column independently — an IN on k1
+  // constrains component 1 whatever k2's ids are); null = no runtime
+  // filter yet. Written once by BatchScanExec before partition
+  // re-planning (volatile + intersect keeps a hypothetical second filter
+  // call sound).
   @volatile private var rfKept: Set[String] = null
-  @volatile private var rfBuckets: Set[Int] = null
+  @volatile private var rfComp: Array[Set[Int]] = null
   private lazy val rfAll: Set[String] = rfIndex.allManifestKeys
 
   override def filterAttributes(): Array[NamedReference] =
@@ -424,16 +427,23 @@ trait GraftRuntimeFiltering
               rfKept = if (rfKept == null) keys else rfKept.intersect(keys)
             }
           }
-          rfBucketSpec.foreach { case (c, n) =>
+          rfBucketSpec.foreach { layout =>
             // bucket-id pruning is EXACT (not a bound check) but demands
             // the literal type equal the column type — murmur3 of an int
-            // and of the same value as a long differ
-            if (colLower == c.toLowerCase(java.util.Locale.ROOT) &&
-                nonNull.forall(_.dataType == field.get.dataType)) {
-              val ids = nonNull.map(lv =>
-                GraftBucketFunction.bucketId(lv.value, lv.dataType, n)).toSet
-              synchronized {
-                rfBuckets = if (rfBuckets == null) ids else rfBuckets.intersect(ids)
+            // and of the same value as a long differ. Composite layouts
+            // prune the matched column's COMPONENT id — each key column
+            // hashes independently, so one column's IN constrains its
+            // own mixed-radix digit.
+            layout.posOf(colLower).foreach { pos =>
+              if (nonNull.forall(_.dataType == field.get.dataType)) {
+                val ids = nonNull.map(lv => GraftBucketFunction.bucketId(
+                  lv.value, lv.dataType, layout.dims(pos))).toSet
+                synchronized {
+                  if (rfComp == null)
+                    rfComp = Array.fill[Set[Int]](layout.cols.length)(null)
+                  rfComp(pos) =
+                    if (rfComp(pos) == null) ids else rfComp(pos).intersect(ids)
+                }
               }
             }
           }
@@ -443,13 +453,16 @@ trait GraftRuntimeFiltering
 
   /** Does `f` survive the runtime filter? (True before any arrived.) */
   protected def runtimeKeeps(f: PartitionedFile): Boolean = {
-    val kept = rfKept; val bs = rfBuckets
-    if (kept == null && bs == null) true
+    val kept = rfKept; val comp = rfComp
+    if (kept == null && comp == null) true
     else {
       val p = f.toPath
       val name = p.getName
-      val bucketOk = bs == null || rfBucketSpec.forall { case (_, n) =>
-        bs.contains(KeyGroupedParquetScan.bucketOf(name, n))
+      val bucketOk = comp == null || rfBucketSpec.forall { layout =>
+        val parts = layout.decode(
+          KeyGroupedParquetScan.bucketOf(name, layout.total))
+        comp.indices.forall(i =>
+          comp(i) == null || comp(i).contains(parts(i)))
       }
       if (!bucketOk) false
       else if (kept == null) true
@@ -465,9 +478,19 @@ trait GraftRuntimeFiltering
   def runtimeFilterReport: Option[(Int, Int)] =
     Option(rfKept).map(k => (rfAll.size, k.size))
 
-  /** Bucket ids surviving runtime bucket pruning; None = no bucket
-    * filter arrived. */
-  def runtimeBucketReport: Option[Set[Int]] = Option(rfBuckets)
+  /** Bucket (partition) ids surviving runtime bucket pruning — on
+    * composite layouts, the indices whose every constrained component
+    * id survives; None = no bucket filter arrived. */
+  def runtimeBucketReport: Option[Set[Int]] =
+    (Option(rfComp), rfBucketSpec) match {
+      case (Some(comp), Some(layout)) =>
+        Some((0 until layout.total).filter { idx =>
+          val parts = layout.decode(idx)
+          comp.indices.forall(i =>
+            comp(i) == null || comp(i).contains(parts(i)))
+        }.toSet)
+      case _ => None
+    }
 }
 
 /** One bucket's files as a planned partition CARRYING ITS KEY — what lets
@@ -504,7 +527,7 @@ private[graftbridge] final class KeyedFilePartition(
   * — before the claim is made here. */
 private[graftbridge] final class KeyGroupedParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    bucketCol: String, numBuckets: Int,
+    layout: BucketLayout,
     manifestStats: Option[(Long, Long, Long)],
     ndv: () => Map[String, Long] = () => Map.empty,
     bucketSorted: Boolean = false)
@@ -523,18 +546,23 @@ private[graftbridge] final class KeyGroupedParquetScan(
     base.fileIndex.asInstanceOf[GraftFileIndex]
   override protected def rfFields: Array[org.apache.spark.sql.types.StructField] =
     base.readDataSchema.fields // scan OUTPUT columns: runtime refs resolve against the pruned relation
-  override protected def rfBucketSpec: Option[(String, Int)] =
-    Some((bucketCol, numBuckets))
+  override protected def rfBucketSpec: Option[BucketLayout] = Some(layout)
 
+  // ONE single-reference bucket(n_i, col_i) transform PER key column
+  // (multi-reference transforms never satisfy ClusteredDistribution);
+  // the partition key is the per-column component-id tuple, the
+  // partition count the dims product.
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(numBuckets, bucketCol)),
-      numBuckets)
+      layout.cols.lazyZip(layout.dims).map { (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+          : org.apache.spark.sql.connector.expressions.Transform
+      }.toArray,
+      layout.total)
 
   /** PER-PARTITION ordering claim (SupportsReportOrdering): each bucket's
-    * single file was written `sortWithinPartitions(bucketCol)` ASC
+    * single file was written `sortWithinPartitions(bucketCols…)` ASC
     * NULLS FIRST (Spark's ascending default), so an SMJ over two such
     * tables skips BOTH sorts on top of both exchanges — the data was
     * sorted ONCE at write, not per query. The caller (forSnapshot) only
@@ -543,15 +571,17 @@ private[graftbridge] final class KeyGroupedParquetScan(
     * not a sorted partition) AND no deletion vectors (the DV'd keyed
     * reader chains file GROUPS, reordering rows). Runtime filtering only
     * drops whole files and never reorders, so the claim survives it. The
-    * claim is withheld when the bucket column was pruned from the output
+    * claim is withheld when any bucket column was pruned from the output
     * (an ordering over a non-output column cannot resolve). */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (bucketSorted &&
-        base.readDataSchema.fields.exists(_.name.equalsIgnoreCase(bucketCol)))
-      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column(bucketCol),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    if (bucketSorted && layout.cols.forall(c =>
+        base.readDataSchema.fields.exists(_.name.equalsIgnoreCase(c))))
+      layout.cols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
     else Array.empty
 
   // Runtime-pruned files drop out of their bucket; every bucket still
@@ -566,18 +596,18 @@ private[graftbridge] final class KeyGroupedParquetScan(
   // silent wrong joins. The explicit sort makes offset order a guarantee
   // instead of an accident of Spark's current packing.
   override def partitions: Seq[FilePartition] = {
-    val byBucket = Array.fill(numBuckets)(
+    val byBucket = Array.fill(layout.total)(
       scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
     super.partitions.foreach(_.files.foreach { f =>
       if (runtimeKeeps(f))
         byBucket(KeyGroupedParquetScan.bucketOf(
-          f.toPath.getName, numBuckets)) += f
+          f.toPath.getName, layout.total)) += f
     })
-    (0 until numBuckets).map { b =>
+    (0 until layout.total).map { b =>
       new KeyedFilePartition(b,
         KeyGroupedParquetScan.offsetOrdered(byBucket(b).toArray),
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](b)))
+          layout.decode(b).map(x => x: Any)))
     }
   }
 
@@ -779,7 +809,7 @@ private[graftbridge] object DvParquetScan {
 private[graftbridge] final class DvKeyGroupedParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     dv: Map[String, Array[Long]],
-    bucketCol: String, numBuckets: Int,
+    layout: BucketLayout,
     manifestStats: Option[(Long, Long, Long)],
     ndv: () => Map[String, Long] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
@@ -796,15 +826,16 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
     base.fileIndex.asInstanceOf[GraftFileIndex]
   override protected def rfFields: Array[org.apache.spark.sql.types.StructField] =
     base.readDataSchema.fields // scan OUTPUT columns: runtime refs resolve against the pruned relation
-  override protected def rfBucketSpec: Option[(String, Int)] =
-    Some((bucketCol, numBuckets))
+  override protected def rfBucketSpec: Option[BucketLayout] = Some(layout)
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(numBuckets, bucketCol)),
-      numBuckets)
+      layout.cols.lazyZip(layout.dims).map { (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+          : org.apache.spark.sql.connector.expressions.Transform
+      }.toArray,
+      layout.total)
 
   // As in KeyGroupedParquetScan: runtime-pruned files drop out of their
   // bucket, every bucket still plans, the layout claim is invariant.
@@ -812,18 +843,18 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
   // grouping (no ordering claim here, but encounter order shouldn't
   // depend on FileScan's packing either).
   override def partitions: Seq[FilePartition] = {
-    val byBucket = Array.fill(numBuckets)(
+    val byBucket = Array.fill(layout.total)(
       scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
     super.partitions.foreach(_.files.foreach { f =>
       if (runtimeKeeps(f))
         byBucket(KeyGroupedParquetScan.bucketOf(
-          f.toPath.getName, numBuckets)) += f
+          f.toPath.getName, layout.total)) += f
     })
-    (0 until numBuckets).map { b =>
+    (0 until layout.total).map { b =>
       new KeyedFilePartition(b,
         KeyGroupedParquetScan.offsetOrdered(byBucket(b).toArray),
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](b)))
+          layout.decode(b).map(x => x: Any)))
     }
   }
 

@@ -558,6 +558,75 @@ class StoragePartitionJoinSpec extends SparkSpec {
     }
   }
 
+  test("COMPOSITE bucket keys: two-column co-bucketed join plans zero-exchange, sortless, exact") {
+    // bucket(n, k1, k2) — ONE transform over the key tuple, hash =
+    // murmur3 folded over both columns (HashPartitioning's own id). A
+    // fact⋈fact join on the compound key then needs no exchange AND no
+    // sort on either side; a single-key layout can't serve this join.
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-comp").toString
+    val st = new SnapshotStore(spark, r)
+    // integer keys: a float/double join key gets wrapped in Spark's
+    // NaN/zero normalization, which never matches a transform's raw
+    // column reference — floats shuffle regardless of layout
+    def mk(vcol: String, off: Int) = spark.range(0, 20000)
+      .select((col("id") % 500).as("k1"), expr("id DIV 500").as("k2"),
+        (col("id") + off).as(vcol))
+    st.commitBucketed("pa", mk("va", 0), Seq("k1", "k2"), 8)
+    st.commitBucketed("pb", mk("vb", 7), Seq("k1", "k2"), 8)
+    spark.conf.set("spark.sql.catalog.spjc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjc.root", r)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = """SELECT a.k1 AS k1, a.k2 AS k2, va, vb
+                |FROM spjc.pa a JOIN spjc.pb b
+                |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin
+      val j = spark.sql(q)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"composite co-bucketed join must not shuffle either side:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"tuple-sorted single-file buckets skip the SMJ sorts too:\n$plan")
+      val base = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(q)
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j.count() == base._1 && base._1 == 20000L)
+      assert(j.agg(sum("va"), sum("vb")).head() == base._2)
+      // a bucketed append under the SAME composite spec keeps the layout
+      st.appendBucketed("pa", Seq((9999L, 9999L, 1L)).toDF("k1", "k2", "va"),
+        Seq("k1", "k2"), 8)
+      val j2 = spark.sql(q)
+      assert(!finalPlan(j2).contains("Exchange"),
+        "composite bucketed append keeps the zero-exchange claim")
+      assert(j2.count() == base._1, "the appended key has no pb match")
+      // column-order mismatch is a DIFFERENT layout: refused loudly
+      val bad = intercept[IllegalArgumentException](
+        st.appendBucketed("pa", Seq((1L, 1L, 1L)).toDF("k1", "k2", "va"),
+          Seq("k2", "k1"), 8))
+      assert(bad.getMessage.contains("mixed layouts"))
+      // a JOIN ON ONE column of the tuple cannot use the layout (the
+      // hash needs both): it must still be CORRECT, just shuffled
+      val partial = spark.sql(
+        "SELECT count(*) AS n FROM spjc.pa a JOIN spjc.pb b ON a.k1 = b.k1")
+      val partialBase = withSQLConf(
+        "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        spark.sql(
+          "SELECT count(*) AS n FROM spjc.pa a JOIN spjc.pb b ON a.k1 = b.k1")
+          .head().getLong(0)
+      }
+      assert(partial.head().getLong(0) == partialBase,
+        "partial-key join must stay exact (claim unusable, never wrong)")
+      // a sparse DV delete rides the composite claim (a vector only
+      // subtracts rows within a file): join stays zero-exchange, exact
+      st.delete("pa", col("va") === 42L)
+      val j3 = spark.sql(q)
+      assert(!finalPlan(j3).contains("Exchange"),
+        "a DV delete keeps the composite zero-exchange claim")
+      assert(j3.count() == base._1 - 1)
+    }
+  }
+
   test("ordering claim survives FILE SPLITS: multi-split bucket files read in offset order") {
     // A bucket file larger than maxPartitionBytes arrives as multiple
     // PartitionedFiles; FileScan packs splits length-descending, so
