@@ -437,25 +437,16 @@ object GraftTable {
       try new graft.core.SnapshotStore(spark, storeRootStr).chainNdv(table, v)
       catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
     // Per-partition ORDERING claim (sorted buckets → SMJ skips its
-    // sorts): every chain link wrote sortWithinPartitions(bucketCol)
-    // (BucketSortedProp), every bucket holds AT MOST ONE file (two
-    // sorted files concatenate to runs, not a sorted partition — so any
-    // append drops the claim until compact re-buckets), and the chain
+    // sorts): every chain link wrote sortWithinPartitions(bucketCols)
+    // (BucketSortedProp) — each file is one sorted RUN — and the chain
     // carries no deletion vectors (the DV'd keyed reader chains file
-    // groups out of order). Purely additive: when it drops, the join
-    // just sorts as before.
-    val bucketSorted = bucket.exists { layout =>
-      dv.isEmpty && store.bucketSortedOf(table, v) && {
-        val counts = new Array[Int](layout.total)
-        units.forall { u =>
-          val b = org.apache.spark.sql.graftbridge.KeyGroupedParquetScan
-            .bucketOf(new org.apache.hadoop.fs.Path(u.path).getName,
-              layout.total)
-          counts(b) += 1
-          counts(b) <= 1
-        }
-      }
-    }
+    // groups out of order). Multi-file buckets (append chains) keep the
+    // claim: the scan's reader k-way MERGES the per-file runs back to a
+    // sorted partition (MergeSortedKeyedReaderFactory), so the sortless
+    // SMJ survives appends instead of waiting for a compact. Purely
+    // additive: when it drops, the join just sorts as before.
+    val bucketSorted = bucket.isDefined &&
+      dv.isEmpty && store.bucketSortedOf(table, v)
     new GraftTable(table, v, spark, units,
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
       versionPinned = version.isDefined, dv = dv, bucket = bucket,

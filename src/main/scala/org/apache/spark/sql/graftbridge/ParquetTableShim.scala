@@ -561,28 +561,58 @@ private[graftbridge] final class KeyGroupedParquetScan(
       }.toArray,
       layout.total)
 
-  /** PER-PARTITION ordering claim (SupportsReportOrdering): each bucket's
-    * single file was written `sortWithinPartitions(bucketCols…)` ASC
-    * NULLS FIRST (Spark's ascending default), so an SMJ over two such
-    * tables skips BOTH sorts on top of both exchanges — the data was
-    * sorted ONCE at write, not per query. The caller (forSnapshot) only
-    * sets `bucketSorted` when every chain link wrote sorted AND every
-    * bucket holds at most one file (two sorted files concatenate to runs,
-    * not a sorted partition) AND no deletion vectors (the DV'd keyed
-    * reader chains file GROUPS, reordering rows). Runtime filtering only
-    * drops whole files and never reorders, so the claim survives it. The
-    * claim is withheld when any bucket column was pruned from the output
-    * (an ordering over a non-output column cannot resolve). */
+  /** PER-PARTITION ordering claim (SupportsReportOrdering): every chain
+    * link wrote its buckets `sortWithinPartitions(bucketCols…)` ASC
+    * NULLS FIRST (Spark's ascending default), so each FILE is one sorted
+    * run — single-file buckets read sorted as-is, and multi-file buckets
+    * (append chains, the common 100 TB state) are restored to a sorted
+    * stream by the reader factory's k-way MERGE over the per-file runs
+    * at O(rows)·O(log k) cost ([[MergeSortedKeyedReaderFactory]]), so an
+    * SMJ over two such tables skips BOTH sorts on top of both exchanges
+    * whatever the append count — sorted once at write, merged at read,
+    * never re-sorted per query. The caller (forSnapshot) only sets
+    * `bucketSorted` when every chain link wrote sorted AND no deletion
+    * vectors (the DV'd keyed reader chains file GROUPS without merging).
+    * Runtime filtering only drops whole files — whole RUNS — and never
+    * reorders, so the claim survives it. The claim is withheld when any
+    * bucket column was pruned from the output (an ordering over a
+    * non-output column cannot resolve), and the merge engages under
+    * exactly the same condition the claim is reported under. */
+  private def orderingClaimed: Boolean =
+    bucketSorted && layout.cols.forall(c =>
+      base.readDataSchema.fields.exists(_.name.equalsIgnoreCase(c)))
+
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (bucketSorted && layout.cols.forall(c =>
-        base.readDataSchema.fields.exists(_.name.equalsIgnoreCase(c))))
+    if (orderingClaimed)
       layout.cols.map(c =>
         org.apache.spark.sql.connector.expressions.Expressions.sort(
           org.apache.spark.sql.connector.expressions.Expressions.column(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
         .toArray
     else Array.empty
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val inner = super.createReaderFactory()
+    // Merge only when some bucket actually holds MULTIPLE files — a
+    // compacted (single-file-per-bucket) chain keeps the fully columnar
+    // passthrough. The answer must be uniform across partitions
+    // (BatchScanExec refuses mixed row/columnar), so ONE multi-file
+    // bucket flips the whole scan to row-based merging; runtime
+    // filtering only removes files, so the pre-filter decision is
+    // conservative and stays consistent with re-planned partitions.
+    val anyMultiRun = partitions.exists(p =>
+      p.files.iterator.map(_.filePath.toString).toSet.size > 1)
+    if (!orderingClaimed || !anyMultiRun) inner
+    else {
+      val keyCols = layout.cols.map { c =>
+        val i = readDataSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+        (i, readDataSchema.fields(i).dataType)
+      }
+      new MergeSortedKeyedReaderFactory(inner, keyCols)
+    }
+  }
 
   // Runtime-pruned files drop out of their bucket; every bucket still
   // PLANS (possibly empty), so the partition count and key set — the
@@ -649,6 +679,123 @@ object KeyGroupedParquetScan {
       fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile])
       : Array[org.apache.spark.sql.execution.datasources.PartitionedFile] =
     fs.sortBy(f => (f.filePath.toString, f.start))
+}
+
+/** Restores per-partition ORDER over multi-file buckets: each file of a
+  * sorted bucketed chain is one sorted RUN (its splits concatenate in
+  * offset order), so the partition's sorted stream is the k-way MERGE of
+  * its per-file runs — O(rows · log k), no per-query sort, no spill.
+  * This is what keeps the sortless SMJ through APPEND chains: before it,
+  * any second file in a bucket dropped the ordering claim until compact.
+  *
+  * Single-run partitions (one file, however many splits) pass through
+  * untouched — including COLUMNAR reads, so a compacted chain keeps full
+  * vectorization; the scan only degrades to row-based merging exactly
+  * where a merge is needed. Rows returned by the winning run stay valid
+  * until that run's next advance (each inner reader reuses only its own
+  * row buffer), which is the PartitionReader contract downstream relies
+  * on. */
+private[graftbridge] final class MergeSortedKeyedReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    keyCols: Seq[(Int, org.apache.spark.sql.types.DataType)])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  /** The partition's sorted runs: its files grouped by path, each group's
+    * splits already in offset order (KeyGroupedParquetScan.partitions). */
+  private def runsOf(p: org.apache.spark.sql.connector.read.InputPartition)
+      : Seq[FilePartition] = {
+    val files = p.asInstanceOf[FilePartition].files
+    // groupBy would scramble; files are (path, start)-sorted, so runs are
+    // contiguous — split on path change, order preserved
+    val runs = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    files.foreach { f =>
+      if (runs.isEmpty ||
+          runs.last.head.filePath.toString != f.filePath.toString)
+        runs += scala.collection.mutable.ArrayBuffer(f)
+      else runs.last += f
+    }
+    runs.toSeq.zipWithIndex.map { case (fs, i) => FilePartition(i, fs.toArray) }
+  }
+
+  // Uniform row-based answer: the wrapping scan only installs this
+  // factory when some bucket needs a merge, and BatchScanExec refuses
+  // mixed row/columnar partition sets.
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val runs = runsOf(p)
+    if (runs.length <= 1) inner.createReader(p)
+    else {
+      // ASC NULLS FIRST on the key tuple — exactly the ordering the scan
+      // reports and the writer's sortWithinPartitions produced
+      val ordering = new org.apache.spark.sql.catalyst.expressions
+        .InterpretedOrdering(keyCols.map { case (i, dt) =>
+          org.apache.spark.sql.catalyst.expressions.SortOrder(
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, dt, nullable = true),
+            org.apache.spark.sql.catalyst.expressions.Ascending)
+        })
+      new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+        // ONE FRESH FACTORY PER RUN: ParquetPartitionReaderFactory holds a
+        // per-instance mutable ParquetReaderCallback whose advanceFile
+        // CLOSES the previously-opened file reader whenever any reader
+        // from the same instance opens a new file — correct for the
+        // sequential reads a stock partition does, fatal for k readers
+        // held open concurrently (the closed reader's column vectors
+        // read back zeros: silently corrupt rows, not an error). A
+        // serialization round-trip yields an independent clone — own
+        // callback, shared broadcast conf — per run.
+        private val readers = runs.map { r =>
+          org.apache.spark.util.Utils.deserialize[
+            org.apache.spark.sql.connector.read.PartitionReaderFactory](
+            org.apache.spark.util.Utils.serialize(inner),
+            Thread.currentThread().getContextClassLoader).createReader(r)
+        }.toArray
+        // each run's CURRENT row, copied on advance: inner readers hand
+        // out views over reused buffers with per-reader validity windows
+        // the heap's deferred comparisons can't honor — a copy per
+        // merged row buys an airtight contract
+        private val rows = new Array[InternalRow](readers.length)
+        private val heap = new java.util.PriorityQueue[Integer](
+          readers.length,
+          (a: Integer, b: Integer) =>
+            ordering.compare(rows(a.intValue), rows(b.intValue)))
+        private def advance(i: Int): Boolean =
+          if (readers(i).next()) { rows(i) = readers(i).get().copy(); true }
+          else false
+        private var primed = false
+        private var current = -1
+        private def prime(): Unit = {
+          var i = 0
+          while (i < readers.length) {
+            if (advance(i)) heap.add(Integer.valueOf(i))
+            i += 1
+          }
+          primed = true
+        }
+        override def next(): Boolean = {
+          if (!primed) prime()
+          else if (current >= 0) {
+            // advance the run whose run was just consumed, re-seat it
+            if (advance(current)) heap.add(Integer.valueOf(current))
+            current = -1
+          }
+          val head = heap.poll()
+          if (head == null) false
+          else { current = head.intValue; true }
+        }
+        override def get(): InternalRow = rows(current)
+        override def close(): Unit = readers.foreach(_.close())
+      }
+    }
+  }
 }
 
 /** The built scan with [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]

@@ -447,16 +447,38 @@ class StoragePartitionJoinSpec extends SparkSpec {
       }
       assert(j.count() == base._1)
       assert(j.agg(sum("va"), sum("vb")).head() == base._2)
-      // an append makes buckets two-file: the ORDERING claim must drop
-      // (concat of sorted runs is not sorted) while the layout claim stays
-      st.appendBucketed("sa", Seq((20000L, 1L)).toDF("k", "va"), "k", 8)
+      // an append makes buckets multi-file: each file is still one sorted
+      // RUN, so the reader MERGES runs and the ordering claim SURVIVES —
+      // the sortless SMJ holds through append chains (r17 dropped it
+      // until compact). Values must be exact through the merge.
+      st.appendBucketed("sa", spark.range(20000, 22000)
+        .select((col("id") % 10000).as("k"), (col("id") * 3).as("va")), "k", 8)
       val j2 = spark.sql(q)
       val plan2 = finalPlan(j2)
       assert(!plan2.contains("Exchange"),
         s"bucketed append keeps the zero-exchange claim:\n$plan2")
-      assert(plan2.contains("Sort "),
-        s"two-file buckets must sort again (claim dropped):\n$plan2")
-      assert(j2.count() == base._1, "the appended key has no sb match")
+      assert(!plan2.contains("Sort "),
+        s"sorted-run buckets MERGE at read — append keeps the sortless SMJ:\n$plan2")
+      val base2 = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(q)
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j2.count() == base2._1 && j2.agg(sum("va"), sum("vb")).head() == base2._2,
+        "merged-run join values must be exact vs the shuffled baseline")
+      // several more appends: deeper merges, still exact and sortless
+      st.appendBucketed("sa", spark.range(30000, 31000)
+        .select((col("id") % 10000).as("k"), (col("id") * 5).as("va")), "k", 8)
+      st.appendBucketed("sb", spark.range(40000, 41000)
+        .select((col("id") % 10000).as("k"), (col("id") * 7).as("vb")), "k", 8)
+      val j3 = spark.sql(q)
+      assert(!finalPlan(j3).contains("Sort "), "3-run merge stays sortless")
+      val base3 = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(q)
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j3.count() == base3._1 &&
+        j3.agg(sum("va"), sum("vb")).head() == base3._2,
+        "multi-append merged join values must be exact")
     }
   }
 
