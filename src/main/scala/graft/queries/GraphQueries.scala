@@ -181,8 +181,40 @@ object GraphQueries {
         .limit(50)
     }),
 
-    "q87_adamic_adar" -> ((s, dir) => {
-      val e = edges(s, dir)
+    "q87_adamic_adar" -> ((s, dir) => adamicAdarPipeline(edges(s, dir))),
+
+    // q87's Adamic-Adar with the postings side routed through the STORE:
+    // the deduped edge table lives bucketed on dst — the shared-neighbor
+    // key — so the three edge-stream shuffles q87 pays every run (degree
+    // aggregation, degree join, postings collect, all keyed on dst) run
+    // ZERO-EXCHANGE over the storage layout; only the supplier-pair
+    // aggregate (a different key by nature) still shuffles, and it
+    // shuffles pair rows, not the edge stream. Reference analog: the
+    // accelerator's adjacency lists (graph-accel/core/src/graph.rs:77-140)
+    // exist to make exactly these neighbor-set operations cheap — here
+    // the adjacency layout lives in the table format instead of a
+    // sidecar process. Same pipeline, same oracle as q87 — the layout
+    // must be value-invisible. Build idempotent like q113.
+    "q115_adamic_adar_store" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q115_" +
+        Tables.fingerprint(dir, "lineitem")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("edges_aa")
+      if (store.latestVersion("edges_aa").isEmpty)
+        store.commitBucketed("edges_aa", edges(s, dir), "dst", 32)
+      val cat = s"q115_${Tables.fingerprint(dir, "lineitem")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      adamicAdarPipeline(s.table(s"$cat.edges_aa"))
+    }),
+  )
+
+  /** The Adamic-Adar pipeline over a deduped (src, dst) edge frame —
+    * shared by q87 (raw parquet edges) and q115 (dst-bucketed store
+    * edges, where every dst-keyed stage below plans zero-exchange). */
+  private def adamicAdarPipeline(e: DataFrame): DataFrame = {
       val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
       // Hub ceiling: a power-law hub with 10M in-neighbors would become one
       // multi-hundred-MB collect_list row in one task. Neighbors above the
@@ -236,8 +268,7 @@ object GraphQueries {
           col("aa_score"), col("common_parts"))
         .orderBy(col("aa_score").desc, col("a_id").asc, col("b_id").asc)
         .limit(100)
-    }),
-  )
+  }
 
   /** SQL replay of GraphOps.weightedShortestPaths' Bellman-Ford rounds:
     * the same weighted undirected view, the same per-round
@@ -358,6 +389,25 @@ object GraphQueries {
        |ORDER BY path_rank""".stripMargin
   }
 
+  private val adamicAdarOracleSql: String =
+    s"""WITH $edgeCte,
+       |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY dst),
+       |pairs AS (
+       |  SELECT a.src AS a_id, b.src AS b_id,
+       |    round(1.0 / ln(d.deg), 6) AS w
+       |  FROM edges a
+       |  JOIN edges b ON a.dst = b.dst
+       |    AND CAST(substr(a.src, 2) AS BIGINT) < CAST(substr(b.src, 2) AS BIGINT)
+       |  JOIN deg d ON d.dst = a.dst
+       |  WHERE d.deg >= 2 AND d.deg <= $AdamicAdarDegreeCeiling)
+       |SELECT a_id, b_id,
+       |  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS aa_score,
+       |  CAST(count(*) AS BIGINT) AS common_parts
+       |FROM pairs GROUP BY a_id, b_id
+       |ORDER BY aa_score DESC, a_id ASC, b_id ASC
+       |LIMIT 100""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q88_clustering_coeff" ->
       """WITH e0 AS (
@@ -384,24 +434,10 @@ object GraphQueries {
         |ORDER BY cc DESC, d.node ASC
         |LIMIT 50""".stripMargin,
 
-    "q87_adamic_adar" ->
-      s"""WITH $edgeCte,
-         |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
-         |        FROM edges GROUP BY dst),
-         |pairs AS (
-         |  SELECT a.src AS a_id, b.src AS b_id,
-         |    round(1.0 / ln(d.deg), 6) AS w
-         |  FROM edges a
-         |  JOIN edges b ON a.dst = b.dst
-         |    AND CAST(substr(a.src, 2) AS BIGINT) < CAST(substr(b.src, 2) AS BIGINT)
-         |  JOIN deg d ON d.dst = a.dst
-         |  WHERE d.deg >= 2 AND d.deg <= $AdamicAdarDegreeCeiling)
-         |SELECT a_id, b_id,
-         |  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS aa_score,
-         |  CAST(count(*) AS BIGINT) AS common_parts
-         |FROM pairs GROUP BY a_id, b_id
-         |ORDER BY aa_score DESC, a_id ASC, b_id ASC
-         |LIMIT 100""".stripMargin,
+    "q87_adamic_adar" -> adamicAdarOracleSql,
+    // the store-bucketed twin computes the same feature over the same
+    // edges — one oracle, two layouts (the layout must be value-invisible)
+    "q115_adamic_adar_store" -> adamicAdarOracleSql,
     "q71_triangles" ->
       """WITH e0 AS (
         |  SELECT l_suppkey % 100 AS a, l_partkey % 100 AS b

@@ -597,6 +597,54 @@ object RelationalQueries {
         .orderBy(col("r_name"))
     }),
 
+    // COMPOSITE-key storage-partitioned join (the r18 multi-column bucket
+    // layout, end to end at the query level): lineitem and its per-
+    // (partkey, suppkey) aggregate twin co-bucketed on the COMPOUND key —
+    // partsupp's natural key — with 8 buckets PER COLUMN (64 partitions),
+    // so the fact⋈fact equality join covering the tuple plans with no
+    // exchange and no sort on either side. What the composite layout buys
+    // over bucketing on partkey alone: the distribution keys on the full
+    // tuple, so a hot part spreads across its supplier sub-buckets
+    // instead of landing one giant partition — the skew profile of the
+    // layout follows the COMPOUND key's cardinality, which is the key
+    // real compound-keyed facts actually join on. Values oracle-exact vs
+    // DuckDB computing the same derivation over the raw parquet. Build
+    // idempotent like q113.
+    "q116_composite_spj" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q116_" +
+        Tables.fingerprint(dir, "lineitem")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("li_ps")
+      store.migrateLegacyTable("ps_agg")
+      if (store.latestVersion("ps_agg").isEmpty) {
+        store.commitBucketed("li_ps", Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice")),
+          Seq("l_partkey", "l_suppkey"), 8)
+        store.commitBucketed("ps_agg", Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(count(lit(1)).as("ps_lines"),
+            dsum(col("l_quantity")).as("ps_qty")),
+          Seq("ps_partkey", "ps_suppkey"), 8)
+      }
+      val cat = s"q116_${Tables.fingerprint(dir, "lineitem")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.table(s"$cat.li_ps")
+        .join(s.table(s"$cat.ps_agg"),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .groupBy((col("l_suppkey") % 10).as("sgrp"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("revenue"),
+          sum(col("ps_lines")).as("line_weight"),
+          dsum(col("ps_qty")).as("qty_weight"))
+        .orderBy(col("sgrp"))
+    }),
+
     // RUNTIME-pruned hydration (the r17 SupportsRuntimeV2Filtering layer,
     // end to end at the query level): "fetch every lineitem of customer
     // 37's orders" — the reference's batch-hydration-by-id-list shape
@@ -1420,6 +1468,23 @@ object RelationalQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // the composite bucket layout must be value-invisible: the same
+    // derivation over the raw parquet
+    "q116_composite_spj" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(count(*) AS BIGINT) AS ps_lines,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS ps_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(l_suppkey % 10 AS BIGINT) AS sgrp,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(sum(ps_lines) AS BIGINT) AS line_weight,
+        |  CAST(sum(CAST(ps_qty AS DECIMAL(18,4))) AS DOUBLE) AS qty_weight
+        |FROM lineitem l
+        |JOIN ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+        |GROUP BY 1 ORDER BY sgrp""".stripMargin,
 
     // The clustered layouts and the runtime pruning must be
     // value-invisible: a plain join over the original parquet.

@@ -649,6 +649,68 @@ class StoragePartitionJoinSpec extends SparkSpec {
     }
   }
 
+  test("q115 shape: edge-store Adamic-Adar keeps ONE exchange (the pair aggregate)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(all)
+    }
+    def exchanges(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect()
+      all(q.queryExecution.executedPlan).count(_.isInstanceOf[Exchange])
+    }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // the store twin: degree agg, degree join, postings collect all ride
+      // the dst bucket layout — only the supplier-pair aggregate (a
+      // different key by nature) may shuffle
+      val store = exchanges(
+        SparkEntry.queries("q115_adamic_adar_store")(spark, sf0001))
+      assert(store == 1,
+        s"store-bucketed Adamic-Adar must shuffle ONLY the pair stream, got $store exchanges")
+      // the raw-parquet original pays the edge-stream shuffles the layout deletes
+      val raw = exchanges(SparkEntry.queries("q87_adamic_adar")(spark, sf0001))
+      assert(raw > store, s"q87 over raw parquet shuffles more ($raw) than the store twin ($store)")
+      // value parity between the two layouts
+      val a = SparkEntry.queries("q115_adamic_adar_store")(spark, sf0001).collect()
+      val b = SparkEntry.queries("q87_adamic_adar")(spark, sf0001).collect()
+      assert(a.toSeq == b.toSeq, "the two layouts must agree row for row")
+    }
+  }
+
+  test("q116 shape: composite-key fact join leg is exchange-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(all)
+    }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = SparkEntry.queries("q116_composite_spj")(spark, sf0001)
+      q.collect()
+      val nodes = all(q.queryExecution.executedPlan)
+      val factJoin = nodes.collectFirst {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(factJoin.nonEmpty, s"no fact join found:\n${q.queryExecution}")
+      val inside = all(factJoin.get).collect { case e: Exchange => e }
+      assert(inside.isEmpty,
+        s"composite-key fact join must be zero-exchange:\n${factJoin.get}")
+    }
+  }
+
   test("ordering claim survives FILE SPLITS: multi-split bucket files read in offset order") {
     // A bucket file larger than maxPartitionBytes arrives as multiple
     // PartitionedFiles; FileScan packs splits length-descending, so
