@@ -1019,6 +1019,19 @@ object GraftExtensions {
     "graft_accel_status" -> statusTvf,
     "graft_accel_invalidate" -> invalidateTvf)
 
+  /** Arm Spark's cost-based optimizer for snapshot-store work in ONE
+    * call: the graft scans always REPORT per-column statistics (chain-
+    * unioned NDV sketches, zone-map-folded min/max/nullCount, and — on
+    * compacted chains — equi-height histograms), but Catalyst only
+    * CONSUMES them for filter selectivity and multi-table join
+    * REORDERING behind these two flags. Session-wide by nature (they
+    * change plans for every table), hence explicit: call this, or set
+    * `spark.sql.catalog.<name>.cbo=true` on a graft catalog. */
+  def enableCbo(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
+
   /** Register on an already-built session (tests, REPL). Note data
     * skipping needs no registration at all — it lives in the connector's
     * FileIndex, below the extension surface. */

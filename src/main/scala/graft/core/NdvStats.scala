@@ -38,8 +38,38 @@ object NdvStats {
 
   val NdvFileName = "_ndv.json"
 
+  /** Equi-height histogram sidecar: column → k+1 quantile boundaries
+    * (doubles), from `percentile_approx` riding the same write-job
+    * Observation as the NDV sketches. Read back as CBO histograms
+    * ([[graft.sources.GraftTable]] → connector ColumnStatistics →
+    * Catalyst's FilterEstimation), where they turn skewed-value
+    * selectivities from 1/ndv guesses into bin-resolution estimates. */
+  val HistFileName = "_hist.json"
+
+  /** Equi-height bin count. 64 resolves a hot key down to ~1.6% of rows
+    * while keeping the sidecar at 65 doubles per column (ANALYZE's
+    * default 254 buys little at estimate precision). */
+  val HistBins = 32
+
   /** Spark's hll_sketch_agg default lgConfigK. */
   private val LgK = 12
+
+  /** Histogram metric prefix inside the shared Observation (the NDV
+    * metrics are keyed by bare lowercased column name). */
+  private val HistPrefix = "__graft_hist__"
+
+  /** Histogram-eligible column expression: NUMERIC domains only — the
+    * Catalyst histogram bins are doubles, and numeric casts are the 1:1
+    * path. (Dates/timestamps have internal numeric forms but ANALYZE-
+    * grade fidelity there isn't worth the cast subtleties; they keep
+    * min/max + NDV.) */
+  private def histExpr(f: StructField): Option[org.apache.spark.sql.Column] =
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        Some(col(s"`${f.name}`").cast(DoubleType))
+      case _ => None
+    }
 
   /** The sketchable column expression, or None when the type has no
     * 1:1 cheap encoding (hll_sketch_agg accepts int/long/string/binary;
@@ -76,12 +106,21 @@ object NdvStats {
     * is exactly how [[chainNdv]] treats the missing sketch). */
   def observed(df: DataFrame)
       : (DataFrame, Option[(Observation, Seq[String])]) = {
-    val metrics = df.schema.fields.toSeq.flatMap { f =>
+    val ndvMetrics = df.schema.fields.toSeq.flatMap { f =>
       // Locale.ROOT like every reader: the default locale would key "ID"
       // as dotless-i under Turkish locales and lose the sketch silently
       val n = f.name.toLowerCase(java.util.Locale.ROOT)
       sketchExpr(f).map(e => n -> hll_sketch_agg(e, lit(LgK)).as(n))
     }
+    // equi-height boundaries ride the SAME observation — still one pass
+    val histMetrics = df.schema.fields.toSeq.flatMap { f =>
+      val n = HistPrefix + f.name.toLowerCase(java.util.Locale.ROOT)
+      val pcts = array((0 to HistBins).map(i =>
+        lit(i.toDouble / HistBins)): _*)
+      histExpr(f).map(e =>
+        n -> percentile_approx(e, pcts, lit(10000)).as(n))
+    }
+    val metrics = (ndvMetrics ++ histMetrics)
       // Case-sensitive-mode frames can carry "ID" and "id" as distinct
       // columns; their metric names collide after lowercasing and the
       // duplicate alias fails the observe ANALYSIS — which would fail the
@@ -103,20 +142,76 @@ object NdvStats {
   def write(versionDir: Path, harvest: (Observation, Seq[String])): Unit = {
     val (obs, names) = harvest
     val got = obs.get
-    val entries = names.flatMap { n =>
+    val entries = names.filterNot(_.startsWith(HistPrefix)).flatMap { n =>
       got.get(n) match {
         case Some(bytes: Array[Byte]) if bytes.nonEmpty =>
           Some(n -> Base64.getEncoder.encodeToString(bytes))
         case _ => None // column all-null in this delta, or metric missing
       }
     }
-    if (entries.isEmpty) return
-    val tmp = versionDir.resolve(NdvFileName + ".tmp")
-    Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(
-      JObject(entries.sortBy(_._1).map { case (k, v) =>
-        k -> JString(v) }.toList))))
-    Files.move(tmp, versionDir.resolve(NdvFileName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (entries.nonEmpty) {
+      val tmp = versionDir.resolve(NdvFileName + ".tmp")
+      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(
+        JObject(entries.sortBy(_._1).map { case (k, v) =>
+          k -> JString(v) }.toList))))
+      Files.move(tmp, versionDir.resolve(NdvFileName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    // histogram boundaries → _hist.json (same temp+rename, best-effort)
+    val hists = names.filter(_.startsWith(HistPrefix)).flatMap { n =>
+      got.get(n) match {
+        case Some(bs: scala.collection.Seq[_]) if bs.nonEmpty =>
+          val ds = bs.flatMap {
+            case null => None
+            case x: Number => Some(x.doubleValue)
+            case _ => None
+          }
+          // all-null columns yield an empty/degenerate array: no histogram
+          if (ds.length == HistBins + 1)
+            Some(n.stripPrefix(HistPrefix) ->
+              JArray(ds.toList.map(JDouble(_))))
+          else None
+        case _ => None
+      }
+    }
+    if (hists.nonEmpty) {
+      val tmp = versionDir.resolve(HistFileName + ".tmp")
+      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(
+        JObject(hists.sortBy(_._1).toList))))
+      Files.move(tmp, versionDir.resolve(HistFileName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** One version directory's histogram boundaries (column → k+1 sorted
+    * quantiles), empty when absent/unreadable. */
+  def readHist(versionDir: Path): Map[String, Array[Double]] = {
+    val f = versionDir.resolve(HistFileName)
+    if (!Files.exists(f)) Map.empty
+    else try JsonMethods.parse(Files.readString(f)) match {
+      case JObject(fields) => fields.collect {
+        case (k, JArray(vs)) => k -> vs.collect {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+        }.toArray
+      }.toMap
+      case _ => Map.empty
+    } catch { case NonFatal(_) => Map.empty }
+  }
+
+  /** The chain's histograms: reported ONLY when exactly one data-carrying
+    * link exists (a self-contained commit or a compact) — equi-height
+    * histograms don't union losslessly across links, and a misleading
+    * histogram is worse for CBO than none. Appends drop them; the next
+    * compact restores them. */
+  def chainHist(dirs: Seq[Path], linkHasData: Path => Boolean,
+      resolve: Path => Map[String, String] = _ => Map.empty)
+      : Map[String, Array[Double]] = {
+    val dataDirs = dirs.filter(linkHasData)
+    if (dataDirs.length != 1) return Map.empty
+    val d = dataDirs.head
+    val physToLogical = resolve(d).map(_.swap)
+    readHist(d).map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
   }
 
   /** One version directory's sketches (column → serialized HLL), empty

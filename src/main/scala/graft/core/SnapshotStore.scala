@@ -475,6 +475,24 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       r
     }
 
+  /** The snapshot's per-column equi-height histogram boundaries —
+    * non-empty only on single-data-link chains (see
+    * [[NdvStats.chainHist]]; a compact restores them after appends). */
+  def chainHistograms(table: String, version: Long): Map[String, Array[Double]] = {
+    val (_, dirs) = resolveVersionPaths(table, Some(version))
+    val physNames = physicalNamesByVersion(table, version)
+    NdvStats.chainHist(dirs, d => {
+      val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
+      fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
+        val s = Files.list(d)
+        try s.iterator().asScala.exists(p =>
+          p.getFileName.toString.endsWith(".parquet") &&
+            Files.isRegularFile(p))
+        finally s.close()
+      }
+    }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
+  }
+
   /** [[commitProps]] with CHAIN INHERITANCE: a chain-link version (append)
     * inherits its base's properties, later links overriding earlier keys —
     * so metadata pinned at a rewrite (e.g. AnnIndex's centroids pairing)

@@ -113,6 +113,44 @@ object DataSkipping {
     }
   }
 
+  /** Runtime RANGE zone-map check: may any row of the file fall in
+    * (lower, upper)? Bounds are optional and each carries its
+    * inclusivity. Same one-sided contract as [[mayMatchIn]]: false PROVES
+    * the file's [min, max] misses the range entirely (a range predicate
+    * over an all-null or absent column is never true); cross-domain
+    * comparisons and withheld bounds keep the file. */
+  def mayMatchRange(fs: FileStat, colLower: String,
+      lower: Option[(StatVal, Boolean)], upper: Option[(StatVal, Boolean)],
+      resolve: Map[String, String] = Map.empty): Boolean = {
+    if (fs.rows == 0L) return false
+    implicit val rs: Map[String, String] = resolve
+    val a = AttributeReference(colLower, NullType)() // name-only lookup key
+    stateOf(fs, a) match {
+      case AllNull => false
+      case Unknown => true
+      case Bounded(cs) =>
+        // lower bound vs file MAX: the file holds a qualifying row only
+        // if its max reaches the lower bound; dually for upper vs min.
+        val lowerOk = (lower, cs.max) match {
+          case (Some((lo, incl)), Some(mx)) =>
+            FileStats.compareOpt(mx, lo) match {
+              case Some(c) => if (incl) c >= 0 else c > 0
+              case None => true // cross-domain: no proof
+            }
+          case _ => true
+        }
+        val upperOk = (upper, cs.min) match {
+          case (Some((hi, incl)), Some(mn)) =>
+            FileStats.compareOpt(mn, hi) match {
+              case Some(c) => if (incl) c <= 0 else c < 0
+              case None => true
+            }
+          case _ => true
+        }
+        lowerOk && upperOk
+    }
+  }
+
   /** Catalyst literal internal value → the manifest's comparable domain.
     * Timestamp/date literals are already epoch micros / days internally, so
     * this is representation alignment, not a conversion. */

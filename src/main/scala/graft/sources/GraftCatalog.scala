@@ -43,6 +43,15 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     catalogName = name
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"graft catalog '$name' requires spark.sql.catalog.$name.root"))
+    // Opt-in CBO arming (spark.sql.catalog.<name>.cbo = true): the scans
+    // always REPORT column statistics (NDV sketches, zone-map bounds,
+    // equi-height histograms); these session flags make Catalyst CONSUME
+    // them for selectivity + join reordering. An explicit catalog option
+    // — not a silent default — because it changes plans session-wide
+    // (graft.GraftExtensions.enableCbo is the code-first face).
+    if (Option(options.get("cbo")).exists(_.equalsIgnoreCase("true")))
+      graft.GraftExtensions.enableCbo(
+        org.apache.spark.sql.SparkSession.active)
   }
 
   override def name(): String = catalogName

@@ -159,7 +159,8 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
     bucket: Option[org.apache.spark.sql.graftbridge.BucketLayout] = None,
     physNames: Map[String, Map[String, String]] = Map.empty,
     ndv: () => Map[String, Long] = () => Map.empty,
-    bucketSorted: Boolean = false)
+    bucketSorted: Boolean = false,
+    hist: () => Map[String, Array[Double]] = () => Map.empty)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -178,7 +179,7 @@ final class GraftTable(val tableName: String, val snapshotVersion: Long,
       pinnedSchema, passThrough,
       new org.apache.spark.sql.graftbridge.GraftFileIndex(spark, known,
         unlisted, physNames),
-      dv, bucket, ndv, bucketSorted)
+      dv, bucket, ndv, bucketSorted, hist)
   }
 
   override def name(): String = s"graft:$tableName@v$snapshotVersion"
@@ -436,6 +437,17 @@ object GraftTable {
     val ndv: () => Map[String, Long] = () =>
       try new graft.core.SnapshotStore(spark, storeRootStr).chainNdv(table, v)
       catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+    // CBO histograms — lazy like NDV; withheld under deletion vectors
+    // (the boundaries describe pre-delete rows; a stale histogram can
+    // flip a join side the wrong way, absence just falls back to
+    // ndv-uniform estimation). Compact folds the vectors and restores.
+    val hist: () => Map[String, Array[Double]] =
+      if (dv.nonEmpty) () => Map.empty
+      else () =>
+        try new graft.core.SnapshotStore(spark, storeRootStr)
+          .chainHistograms(table, v)
+        catch { case scala.util.control.NonFatal(_) =>
+          Map.empty[String, Array[Double]] }
     // Per-partition ORDERING claim (sorted buckets → SMJ skips its
     // sorts): every chain link wrote sortWithinPartitions(bucketCols)
     // (BucketSortedProp) — each file is one sorted RUN — and the chain
@@ -451,7 +463,7 @@ object GraftTable {
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
       versionPinned = version.isDefined, dv = dv, bucket = bucket,
       physNames = store.physicalNamesByVersion(table, v), ndv = ndv,
-      bucketSorted = bucketSorted)
+      bucketSorted = bucketSorted, hist = hist)
   }
 
   /** V1 source Filter → Column, for the DELETE translation. None marks a

@@ -34,4 +34,11 @@ object Bridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
+
+  /** A DSv2 literal expression — `LiteralValue`'s companion is
+    * `private[sql]`, so code outside org.apache.spark.sql (specs driving
+    * SupportsRuntimeV2Filtering directly) builds literals through here. */
+  def v2Literal(value: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Expression =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dt)
 }

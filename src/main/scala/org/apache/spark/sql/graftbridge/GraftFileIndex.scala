@@ -136,6 +136,19 @@ final class GraftFileIndex(
         s"${st.getPath.getParent.getName}/${st.getPath.getName}"
     }.toSet
 
+  /** Store-relative keys of manifest files whose [min, max] MAY intersect
+    * the (lower, upper) range — [[runtimeInKeys]]'s RANGE twin, for
+    * non-equi dynamic filters (band joins): each bound optional, each
+    * carrying its inclusivity. */
+  def runtimeRangeKeys(colLower: String,
+      lower: Option[(graft.core.FileStats.StatVal, Boolean)],
+      upper: Option[(graft.core.FileStats.StatVal, Boolean)]): Set[String] =
+    knownFiles.collect {
+      case (st, fs) if DataSkipping.mayMatchRange(fs, colLower, lower, upper,
+        resolveFor(st)) =>
+        s"${st.getPath.getParent.getName}/${st.getPath.getName}"
+    }.toSet
+
   /** Keys of ALL manifest-backed files — the universe [[runtimeInKeys]]
     * prunes within (a file outside it has no stats and must survive any
     * runtime filter). */

@@ -62,7 +62,8 @@ object ParquetTableShim {
       dv: Map[String, Array[Long]] = Map.empty,
       bucket: Option[BucketLayout] = None,
       ndv: () => Map[String, Long] = () => Map.empty,
-      bucketSorted: Boolean = false)
+      bucketSorted: Boolean = false,
+      hist: () => Map[String, Array[Double]] = () => Map.empty)
       : Table = {
     require(dv.isEmpty ||
       index.isInstanceOf[GraftFileIndex],
@@ -89,7 +90,7 @@ object ParquetTableShim {
         index match {
           case g: GraftFileIndex =>
             new ManifestStatsScanBuilder(spark, g, this.schema, dataSchema,
-              opts, dv, bucket, ndv, bucketSorted)
+              opts, dv, bucket, ndv, bucketSorted, hist)
           case _ => super.newScanBuilder(opts)
         }
     }
@@ -144,7 +145,8 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     dv: Map[String, Array[Long]] = Map.empty,
     bucket: Option[BucketLayout] = None,
     ndv: () => Map[String, Long] = () => Map.empty,
-    bucketSorted: Boolean = false)
+    bucketSorted: Boolean = false,
+    hist: () => Map[String, Array[Double]] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
     spark, index, schema, dataSchema, options) {
 
@@ -179,8 +181,8 @@ private[graftbridge] final class ManifestStatsScanBuilder(
         // zero-exchange join stays sound while the readers pay the
         // row-based DV trade (the r14 gap: any vector used to drop the
         // claim until compact).
-        case Some(layout) => new DvKeyGroupedParquetScan(built, dv, layout, stats, ndv)
-        case None => new DvParquetScan(built, dv, stats, ndv)
+        case Some(layout) => new DvKeyGroupedParquetScan(built, dv, layout, stats, ndv, hist)
+        case None => new DvParquetScan(built, dv, stats, ndv, hist)
       }
     }
     // A pushed aggregate rewrites the scan output (rows become per-group);
@@ -190,9 +192,9 @@ private[graftbridge] final class ManifestStatsScanBuilder(
     else if (built.pushedAggregate.nonEmpty) built
     else (bucket, index.prunedStats(built.dataFilters)) match {
       case (Some(layout), stats) =>
-        new KeyGroupedParquetScan(built, layout, stats, ndv, bucketSorted)
+        new KeyGroupedParquetScan(built, layout, stats, ndv, bucketSorted, hist)
       case (None, Some((rows, bytes, total))) =>
-        new ManifestStatsParquetScan(built, rows, bytes, total, ndv)
+        new ManifestStatsParquetScan(built, rows, bytes, total, ndv, hist)
       case (None, None) => built
     }
   }
@@ -222,6 +224,37 @@ private[graftbridge] object GraftStatistics {
   import org.apache.spark.sql.types._
   import graft.core.FileStats.{DoubleVal, LongVal, StatVal}
 
+  /** Equi-height histogram from stored quantile boundaries: height =
+    * non-null rows / bins; per-bin NDV is DERIVED (exact per-bin distinct
+    * counts would need a second pass) — a singleton bin (lo == hi, a hot
+    * value occupying whole equi-height bins) has NDV 1, which is the case
+    * that matters for skewed-equality selectivity; spread bins share the
+    * chain NDV evenly. Estimates feeding an estimator — documented
+    * approximation, never answers. */
+  private def equiHeightHistogram(bounds: Array[Double], ndv: Option[Long],
+      rows: Option[Long], nulls: Option[Long])
+      : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+    import org.apache.spark.sql.connector.read.colstats.{Histogram, HistogramBin}
+    if (bounds.length < 2 || rows.isEmpty) return None
+    val nBins = bounds.length - 1
+    val nonNull = math.max(0L, rows.get - nulls.getOrElse(0L))
+    if (nonNull == 0L) return None
+    val binHeight = nonNull.toDouble / nBins
+    val spreadNdv = ndv.map(n => math.max(1L, n / nBins)).getOrElse(1L)
+    val binArr: Array[HistogramBin] = (0 until nBins).map { i =>
+      val binLo = bounds(i); val binHi = bounds(i + 1)
+      new HistogramBin {
+        override def lo(): Double = binLo
+        override def hi(): Double = binHi
+        override def ndv(): Long = if (binLo == binHi) 1L else spreadNdv
+      }
+    }.toArray
+    Some(new Histogram {
+      override def height(): Double = binHeight
+      override def bins(): Array[HistogramBin] = binArr
+    })
+  }
+
   /** Manifest StatVal → the catalyst-internal boxed value of `dt`. */
   private def internal(v: StatVal, dt: DataType): Option[Object] = (v, dt) match {
     case (LongVal(x), ByteType) => Some(java.lang.Byte.valueOf(x.toByte))
@@ -239,7 +272,8 @@ private[graftbridge] object GraftStatistics {
   def apply(stock: V2Statistics, manifest: Option[(Long, Long, Long)],
       index: GraftFileIndex, fields: Array[StructField],
       ndvThunk: () => Map[String, Long],
-      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+      histThunk: () => Map[String, Array[Double]] = () => Map.empty)
       : V2Statistics = {
     // LAZY: estimateStatistics is called on every store-backed plan for
     // numRows/sizeInBytes (broadcast sizing) even with CBO off (the
@@ -260,6 +294,15 @@ private[graftbridge] object GraftStatistics {
       // cbo=off planning path.
       val ndv = ndvThunk()
       val rowCap = manifest.map(_._1)
+      // histograms describe the WHOLE chain while numRows is file-pruned:
+      // FilterEstimation derives a selectivity FRACTION from the bins and
+      // applies it to the pruned row count, so the bins being chain-global
+      // skews the fraction only to the degree pruning reshaped the
+      // distribution — an approximation feeding an estimator, strictly
+      // better than the 1/ndv uniform guess it replaces (and the main
+      // consumer, a skewed-equality predicate, is exactly the filter zone
+      // maps CANNOT prune on).
+      val hists = histThunk()
       fields.foreach { f =>
         val cl = f.name.toLowerCase(java.util.Locale.ROOT)
         val (mn, mx, nulls0) = merged.getOrElse(cl, (None, None, None))
@@ -271,7 +314,10 @@ private[graftbridge] object GraftStatistics {
         val nulls = nulls0.map(n => rowCap.fold(n)(math.min(n, _)))
         val minV = mn.flatMap(internal(_, f.dataType))
         val maxV = mx.flatMap(internal(_, f.dataType))
-        if (d.isDefined || minV.isDefined || maxV.isDefined || nulls.isDefined)
+        val histo = hists.get(cl).flatMap(b =>
+          equiHeightHistogram(b, d, rowCap, nulls))
+        if (d.isDefined || minV.isDefined || maxV.isDefined ||
+            nulls.isDefined || histo.isDefined)
           m.put(org.apache.spark.sql.connector.expressions.Expressions
             .column(f.name),
             new ColumnStatistics {
@@ -283,6 +329,11 @@ private[graftbridge] object GraftStatistics {
                 maxV.map(Optional.of[Object]).getOrElse(Optional.empty[Object]())
               override def nullCount(): OptionalLong =
                 nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def histogram()
+                  : Optional[org.apache.spark.sql.connector.read.colstats.Histogram] =
+                histo.map(Optional.of[
+                  org.apache.spark.sql.connector.read.colstats.Histogram])
+                  .getOrElse(Optional.empty())
             })
       }
       m
@@ -378,6 +429,38 @@ trait GraftRuntimeFiltering
     rfFields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
+  /** A predicate's conjuncts: AND flattens (a band filter arrives as
+    * `lo <= col AND col <= hi`), everything else is one conjunct. */
+  private def conjunctsOf(p: Predicate): Seq[Predicate] = p.name() match {
+    case "AND" =>
+      p.children().toSeq.collect { case q: Predicate => conjunctsOf(q) }.flatten
+    case _ => Seq(p)
+  }
+
+  /** `col <op> lit` / `lit <op> col` (op flipped) for the four range
+    * comparators, as (column, bound-value, isLower, inclusive). */
+  private def parseRange(p: Predicate)
+      : Option[(String, LiteralValue[_], Boolean, Boolean)] = {
+    val kids = p.children()
+    def shaped: Option[(String, LiteralValue[_], Boolean)] =
+      if (kids.length != 2) None
+      else (kids(0), kids(1)) match {
+        case (r: NamedReference, l: LiteralValue[_])
+            if r.fieldNames().length == 1 => Some((r.fieldNames()(0), l, false))
+        case (l: LiteralValue[_], r: NamedReference)
+            if r.fieldNames().length == 1 => Some((r.fieldNames()(0), l, true))
+        case _ => None
+      }
+    p.name() match {
+      // flipped = literal on the left, so `lit > col` is an UPPER bound
+      case ">" => shaped.map { case (c, l, flip) => (c, l, !flip, false) }
+      case ">=" => shaped.map { case (c, l, flip) => (c, l, !flip, true) }
+      case "<" => shaped.map { case (c, l, flip) => (c, l, flip, false) }
+      case "<=" => shaped.map { case (c, l, flip) => (c, l, flip, true) }
+      case _ => None
+    }
+  }
+
   /** `IN(col, lits…)` / `=`-as-single-IN over a TOP-LEVEL column;
     * anything else is not provable against the manifest and is ignored
     * (runtime filters are best-effort row-superset reductions). */
@@ -405,7 +488,31 @@ trait GraftRuntimeFiltering
   }
 
   override def filter(predicates: Array[Predicate]): Unit =
-    predicates.foreach { p =>
+    predicates.flatMap(conjunctsOf).foreach { p =>
+      // RANGE conjuncts (band-join dynamic filters): each bound prunes
+      // independently against the zone maps — `lo <= col` drops files
+      // whose max provably misses it, `col <= hi` files whose min does.
+      parseRange(p).foreach { case (colName, lit, isLower, inclusive) =>
+        val field = rfFields.find(_.name.equalsIgnoreCase(colName))
+        // a NULL bound never compares true: the predicate matches no row,
+        // but proving that here is gratuitous — skip (best-effort)
+        if (field.isDefined && lit.value != null) {
+          val colLower = colName.toLowerCase(java.util.Locale.ROOT)
+          graft.sources.DataSkipping.statValOf(lit.value, lit.dataType)
+            .foreach { bound =>
+              val keys =
+                if (isLower)
+                  rfIndex.runtimeRangeKeys(colLower,
+                    Some((bound, inclusive)), None)
+                else
+                  rfIndex.runtimeRangeKeys(colLower, None,
+                    Some((bound, inclusive)))
+              synchronized {
+                rfKept = if (rfKept == null) keys else rfKept.intersect(keys)
+              }
+            }
+        }
+      }
       parseIn(p).foreach { case (colName, lits) =>
         // unknown column: nothing provable (and an absent-column lookup
         // would wrongly read as all-null and prune everything)
@@ -530,7 +637,8 @@ private[graftbridge] final class KeyGroupedParquetScan(
     layout: BucketLayout,
     manifestStats: Option[(Long, Long, Long)],
     ndv: () => Map[String, Long] = () => Map.empty,
-    bucketSorted: Boolean = false)
+    bucketSorted: Boolean = false,
+    hist: () => Map[String, Array[Double]] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -643,7 +751,7 @@ private[graftbridge] final class KeyGroupedParquetScan(
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftStatistics(super.estimateStatistics(), manifestStats, rfIndex,
-      rfFields, ndv, base.dataFilters)
+      rfFields, ndv, base.dataFilters, hist)
 }
 
 object KeyGroupedParquetScan {
@@ -807,7 +915,8 @@ private[graftbridge] final class MergeSortedKeyedReaderFactory(
 private[graftbridge] final class ManifestStatsParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     rows: Long, prunedBytes: Long, totalBytes: Long,
-    ndv: () => Map[String, Long] = () => Map.empty)
+    ndv: () => Map[String, Long] = () => Map.empty,
+    hist: () => Map[String, Array[Double]] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -835,7 +944,7 @@ private[graftbridge] final class ManifestStatsParquetScan(
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     GraftStatistics(super.estimateStatistics(),
       Some((rows, prunedBytes, totalBytes)), rfIndex, rfFields, ndv,
-      base.dataFilters)
+      base.dataFilters, hist)
 }
 
 /** The finished parquet scan of a snapshot that carries DELETION VECTORS
@@ -870,7 +979,8 @@ private[graftbridge] final class DvParquetScan(
     base: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     dv: Map[String, Array[Long]],
     manifestStats: Option[(Long, Long, Long)],
-    ndv: () => Map[String, Long] = () => Map.empty)
+    ndv: () => Map[String, Long] = () => Map.empty,
+    hist: () => Map[String, Array[Double]] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,
@@ -958,7 +1068,8 @@ private[graftbridge] final class DvKeyGroupedParquetScan(
     dv: Map[String, Array[Long]],
     layout: BucketLayout,
     manifestStats: Option[(Long, Long, Long)],
-    ndv: () => Map[String, Long] = () => Map.empty)
+    ndv: () => Map[String, Long] = () => Map.empty,
+    hist: () => Map[String, Array[Double]] = () => Map.empty)
   extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
     base.sparkSession, base.hadoopConf, base.fileIndex, base.dataSchema,
     base.readDataSchema, base.readPartitionSchema, base.pushedFilters,

@@ -117,6 +117,81 @@ class CboStatsSpec extends SparkSpec {
       s"b's NDV must union the pre-rename link's 1000 keys: $ndv")
   }
 
+  test("equi-height histograms: skewed-equality estimates become bin counts; append drops, compact restores") {
+    val r = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    val st = new SnapshotStore(spark, r)
+    // 90% of rows carry c = 0; the rest are distinct — the shape where
+    // the 1/ndv uniform guess is off by three orders of magnitude
+    st.commit("skew", spark.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("c"),
+        col("id").as("payload")))
+    spark.conf.set("spark.sql.catalog.hist", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.hist.root", r)
+    withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      def estimate(): Option[BigInt] = {
+        val q = spark.table("hist.skew").where(col("c") === 0L)
+        q.queryExecution.optimizedPlan.stats.rowCount
+      }
+      val withHist = estimate()
+      assert(withHist.exists(_ >= BigInt(10000)),
+        s"histogram must estimate the hot key near its true 18000 rows: $withHist")
+      // an append makes the chain multi-link: the histogram is withheld
+      // (it doesn't union losslessly) and the estimate falls back to
+      // the uniform 1/ndv guess
+      st.append("skew", spark.range(1)
+        .select(lit(7L).as("c"), lit(99999L).as("payload")))
+      val without = estimate()
+      assert(without.exists(_ < BigInt(2000)),
+        s"without a histogram the uniform guess is ~rows/ndv: $without")
+      // compact collapses to one data link: histogram restored
+      st.compact("skew")
+      val restored = estimate()
+      assert(restored.exists(_ >= BigInt(10000)),
+        s"compact re-observes and restores the histogram: $restored")
+    }
+  }
+
+  test("histograms pick the RIGHT broadcast side of a skew-filtered join") {
+    val r = java.nio.file.Files.createTempDirectory("graft-hist-join").toString
+    val st = new SnapshotStore(spark, r)
+    st.commit("skewj", spark.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("c"),
+        (col("id") % 100).as("jk"), col("id").as("payload")))
+    st.commit("mid", spark.range(0, 100)
+      .select(col("id").as("jk"), (col("id") * 2).as("mv")))
+    spark.conf.set("spark.sql.catalog.hj", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.hj.root", r)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(all)
+    }
+    // with the histogram, the filtered skew side estimates ~18000 rows —
+    // far over a tight broadcast threshold — so the planner must
+    // broadcast MID, never the filtered fact
+    withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "65536") {
+      val q = spark.table("hj.skewj").where(col("c") === 0L)
+        .join(spark.table("hj.mid"), "jk")
+      q.collect()
+      val bcast = all(q.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcast.nonEmpty, "tight threshold still broadcasts the true small side")
+      val bcastCols = bcast.get.output.map(_.name).toSet
+      assert(bcastCols.contains("mv") && !bcastCols.contains("payload"),
+        s"histogram says the filtered fact is BIG — mid must broadcast, got $bcastCols")
+    }
+  }
+
   test("NDV observation is best-effort under case-colliding column names") {
     // caseSensitive frames can carry "K" and "k" as distinct columns;
     // their observe metric names collide after Locale.ROOT lowercasing —

@@ -124,4 +124,53 @@ class RuntimeFilteringSpec extends SparkSpec {
     }
     assert(withDpp == without)
   }
+
+  test("runtime RANGE predicates prune files against the zone maps, never over-prune") {
+    // DPP sends IN lists today, but SupportsRuntimeV2Filtering's contract
+    // admits arbitrary V2 predicates — a band-join build side arrives as
+    // `lo <= col AND col < hi` conjuncts. Drive the scan's filter()
+    // directly with the predicates BatchScanExec would pass.
+    root
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.graftbridge.Bridge.{v2Literal => vlit}
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Predicate => VPredicate}
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val st = new SnapshotStore(spark, root)
+    val t = graft.sources.GraftTable.forSnapshot(spark, st, "fact", None)
+    def freshScan() = t.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val scan = freshScan()
+    val rf = scan.asInstanceOf[GraftRuntimeFiltering]
+    // fact: 40k rows range-partitioned into 8 files with DISJOINT ~5k key
+    // ranges; [10000, 15000) covers at most 2 files' ranges
+    rf.filter(Array(new VAnd(
+      new VPredicate(">=", Array(Expressions.column("k"),
+        vlit(10000L, LongType))),
+      new VPredicate("<", Array(Expressions.column("k"),
+        vlit(15000L, LongType))))))
+    val (total, kept) = rf.runtimeFilterReport.get
+    assert(total == 8 && kept >= 1 && kept <= 2,
+      s"band [10000, 15000) must keep 1-2 of 8 disjoint-range files: $kept/$total")
+    // never over-prunes: the surviving files hold EVERY in-range row
+    val survivors = scan.toBatch.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+    }.distinct
+    val inRange = spark.read.parquet(survivors: _*)
+      .where(col("k") >= 10000L && col("k") < 15000L).count()
+    assert(inRange == 5000L, s"surviving files must hold all 5000 in-range rows: $inRange")
+    // a flipped literal-on-the-left bound parses too (lit > col = upper)
+    val scan2 = freshScan()
+    val rf2 = scan2.asInstanceOf[GraftRuntimeFiltering]
+    rf2.filter(Array(new VPredicate(">", Array(
+      vlit(4000L, LongType), Expressions.column("k")))))
+    val (_, kept2) = rf2.runtimeFilterReport.get
+    assert(kept2 == 1, s"k < 4000 keeps exactly the first file: $kept2")
+    // a null bound proves nothing and prunes nothing (best-effort skip)
+    val scan3 = freshScan()
+    val rf3 = scan3.asInstanceOf[GraftRuntimeFiltering]
+    rf3.filter(Array(new VPredicate(">=", Array(Expressions.column("k"),
+      vlit(null, LongType)))))
+    assert(rf3.runtimeFilterReport.isEmpty, "null bound must not prune")
+  }
 }
