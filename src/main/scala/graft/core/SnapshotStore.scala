@@ -135,6 +135,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     versionDir(table, v).resolve("_dv.json")
   private def pointer(table: String): Path = tableDir(table).resolve("_latest")
 
+  /** The head-pointer backend ([[HeadStore]]): POSIX rename by default;
+    * tests/deployments swap [[SnapshotStore.headStoreFactory]] for a
+    * conditional-put backend (object stores). */
+  private val heads: HeadStore = SnapshotStore.headStoreFactory()
+
   /** Commit `df` as the next version of `table`; returns the new version.
     *
     * Version numbers are ALLOCATED by atomic `Files.createDirectory` on the
@@ -549,7 +554,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       versions.collect { case (t, v) if t == table => v }.foreach { v =>
         if (hasSuccessMarker(table, v)) {
           stampCommitted(table, v)
-          if (latestVersion(table).forall(_ < v)) movePointer(table, v)
+          forwardPointer(table, v)
         }
       }
     }
@@ -562,8 +567,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * interleave reads and regress the pointer. Local-filesystem design,
     * like the store itself; an object-store deployment swaps this layer for
     * a commit log, exactly as Delta/Iceberg do. */
-  private def advancePointer(table: String, next: Long): Unit =
-    underPointerLock(table) {
+  private def advancePointer(table: String, next: Long): Unit = {
+    def body(): Unit = {
       applyPendingIntentsFor(table) // crashed-txn intents first (see doc)
       // The COMMITTED sentinel is written here — inside the lock, before
       // any pointer move — never by the data write itself: `_SUCCESS`
@@ -578,8 +583,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       // the sentinel lands unconditionally; only the pointer move is
       // forward-gated.
       stampCommitted(table, next)
-      if (latestVersion(table).forall(_ < next)) movePointer(table, next)
+      forwardPointer(table, next)
     }
+    if (heads.conditional) body() else underPointerLock(table)(body())
+  }
 
   /** Write the committed sentinel CARRYING the expose-time wall clock
     * (epoch ms as the file's content) — what `TIMESTAMP AS OF` resolves
@@ -596,6 +603,13 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       math.max(System.currentTimeMillis(), floor + 1L).toString)
   }
 
+  /** Remove a candidate's committed sentinel — the rollback a LOST
+    * conditional put needs (the optimistic stamp made the candidate
+    * transiently committed-looking; losing the head race un-publishes
+    * it before the caller rebases or discards). */
+  private def unstampCommitted(table: String, v: Long): Unit =
+    Files.deleteIfExists(committedMarker(table, v))
+
   /** Compare-and-swap pointer move — the optimistic-concurrency commit
     * step for read-modify-write operations (`append`, `compact`): under
     * the same cross-process lock as [[advancePointer]], move the pointer
@@ -605,30 +619,42 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * retries, Delta/Iceberg's commit-log protocol reduced to a pointer
     * file. */
   private def casAdvance(table: String, next: Long,
-      expectedBase: Option[Long]): Boolean =
-    underPointerLock(table) {
+      expectedBase: Option[Long]): Boolean = {
+    def attempt(): Boolean = {
       // crashed-txn intents apply BEFORE the CAS reads the pointer (see
       // applyPendingIntentsFor) — a stale read here would let this commit
       // be orphaned by the later roll-forward
       applyPendingIntentsFor(table)
-      val latest = latestVersion(table)
-      if (latest == expectedBase && latest.forall(_ < next)) {
+      val cur = heads.read(root, table)
+      if (cur.map(_.version) == expectedBase && cur.forall(_.version < next)) {
         // Sentinel strictly before the pointer move: a reader that sees
-        // the new pointer must find the version already committed. A CAS
-        // LOSER never reaches this line, so its candidate stays
-        // sentinel-less (invisible to history/readAt/feeds) until the
-        // caller relinks or discards it — vacuum sees it only as an
-        // orphan candidate under the mtime grace window.
+        // the new pointer must find the version already committed. Under
+        // the POSIX lock a CAS loser never reaches this line; under a
+        // CONDITIONAL-PUT backend both racers stamp and the lost put
+        // unstamps below — the loser's candidate is then sentinel-less
+        // again (invisible to history/readAt/feeds) until its caller
+        // relinks or discards it.
         stampCommitted(table, next)
-        movePointer(table, next); true
+        if (heads.compareAndPut(root, table, cur, next)) true
+        else { unstampCommitted(table, next); false }
       } else false
     }
+    // A true conditional put IS the arbitration — run lock-free, the
+    // object-store deployment's whole point (rename/locks don't exist
+    // there). POSIX rename needs the read→put window locked.
+    if (heads.conditional) attempt() else underPointerLock(table)(attempt())
+  }
 
-  private def movePointer(table: String, next: Long): Unit = {
-    val tmp = pointer(table).resolveSibling(s"_latest.$next.tmp")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  /** Forward-only publish: loop the conditional put until `v` is the
+    * head or a newer head exists. POSIX callers hold the pointer lock,
+    * so the loop runs exactly once there. */
+  private def forwardPointer(table: String, v: Long): Unit = {
+    var done = false
+    while (!done) {
+      val cur = heads.read(root, table)
+      if (cur.exists(_.version >= v)) done = true
+      else done = heads.compareAndPut(root, table, cur, v)
+    }
   }
 
   /** Pointer-move mutual exclusion: a cross-process FILE LOCK (plus the
@@ -2208,10 +2234,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       zorderBy: Seq[String], targetPartitions: Int = 0): Long =
     append(table, ZOrder.clustered(rows, zorderBy, targetPartitions))
 
-  def latestVersion(table: String): Option[Long] = {
-    val p = pointer(table)
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
-  }
+  def latestVersion(table: String): Option[Long] =
+    heads.read(root, table).map(_.version)
 
   /** Read the current snapshot: the pointer is resolved NOW, after which
     * the returned DataFrame is bound to an immutable directory set. */
@@ -3749,6 +3773,80 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     appendAllCommit(appendAllPrepare(rows), rows)
   }
 
+  /** [[appendAll]] with READ-SET VALIDATION — the SERIALIZABLE commit a
+    * match-or-create pipeline needs: `readSet` names the (table →
+    * version) cut the caller DERIVED its deltas from, and the commit
+    * succeeds only if every guarded table's head still equals that cut
+    * at the transaction point — otherwise None, NOTHING committed, and
+    * the caller re-reads, re-matches, and retries. Where plain
+    * `appendAll` relinks a stale candidate over the sibling's appends
+    * (sound for content-independent deltas), that rebase is exactly the
+    * write-skew hole for match-or-create: the sibling may have CREATED
+    * the concept this batch also creates, and blind rebase lands the
+    * duplicate. Guarded tables need not carry writes (an empty delta
+    * still validates the read), and un-guarded write tables (the epoch
+    * log) relink as usual. The reference gets this from Postgres
+    * serializable transactions (ingestion.py:31-152); here it is OCC
+    * read-set validation over the pointer protocol. */
+  def appendAllSerialized(rows: Map[String, DataFrame],
+      readSet: Map[String, Option[Long]]): Option[Map[String, Long]] = {
+    require(rows.nonEmpty, "appendAllSerialized requires at least one table")
+    recoverPendingTxns()
+    // cheap pre-check before paying the candidate writes
+    if (readSet.exists { case (t, v) => latestVersion(t) != v }) return None
+    val cands = appendAllPrepare(rows)
+    // a guarded WRITE table's candidate must be based on the read cut —
+    // a head moved between the pre-check and prepare shows up here
+    if (readSet.exists { case (t, v) =>
+        cands.get(t).exists(_._2 != v) }) {
+      cands.foreach { case (t, (c, _)) => discardCandidate(t, c) }
+      return None
+    }
+    val writeTables = rows.keys.toSeq
+    val lockTables = (writeTables ++ readSet.keys).distinct.sorted
+    var cands2 = cands
+    var result = Option.empty[Map[String, Long]]
+    var done = false
+    while (!done) {
+      val outcome = underPointerLocks(lockTables) {
+        lockTables.foreach(applyPendingIntentsFor)
+        // serialization conflict: any guarded head moved past the cut
+        if (readSet.exists { case (t, v) => latestVersion(t) != v }) Left(None)
+        else {
+          val stale = writeTables
+            .filter(t => latestVersion(t) != cands2(t)._2)
+          if (stale.nonEmpty) Left(Some(stale))
+          else {
+            val intent = writeTxnIntent(cands2.map { case (t, (v, _)) => t -> v })
+            writeTables.sorted.foreach { t =>
+              val v = cands2(t)._1
+              stampCommitted(t, v)
+              forwardPointer(t, v)
+            }
+            Files.deleteIfExists(intent)
+            Right(cands2.map { case (t, (v, _)) => t -> v })
+          }
+        }
+      }
+      outcome match {
+        case Right(r) => result = Some(r); done = true
+        case Left(None) => // guarded head moved: abort whole, nothing visible
+          cands2.foreach { case (t, (c, _)) => discardCandidate(t, c) }
+          result = None; done = true
+        case Left(Some(stale)) =>
+          // only UN-guarded tables can be stale here (guarded staleness
+          // aborted above): relink them over the sibling, like appendAll
+          stale.foreach { t =>
+            val head = latestVersion(t).getOrElse(throw new IllegalStateException(
+              s"pointer of $t vanished during appendAllSerialized"))
+            val relinked = relink(t, cands2(t)._1, head, rows(t).schema)
+            cands2 += t -> ((relinked, Some(head)))
+          }
+      }
+    }
+    result
+  }
+
   /** ATOMIC MULTI-TABLE DELETE — the reference's CASCADE-delete shape
     * (learned-concept delete removes the concept row AND its owned
     * edges/instances in one tx, api/app/lib/age_client/query.py:277-483):
@@ -3876,7 +3974,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
             withCand.foreach { t =>
               val v = cands(t).get
               stampCommitted(t, v)
-              if (latestVersion(t).forall(_ < v)) movePointer(t, v)
+              forwardPointer(t, v)
             }
             Files.deleteIfExists(intent)
             Some(tables.map(t => t -> cands(t).getOrElse(bases(t))).toMap)
@@ -3967,7 +4065,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
           tables.foreach { t =>
             val v = cands(t)._1
             stampCommitted(t, v)
-            if (latestVersion(t).forall(_ < v)) movePointer(t, v)
+            forwardPointer(t, v)
           }
           Files.deleteIfExists(intent)
           Right(cands.map { case (t, (v, _)) => t -> v })
@@ -4049,7 +4147,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         versions.sortBy(_._1).foreach { case (t, v) =>
           if (hasSuccessMarker(t, v)) underPointerLock(t) {
             stampCommitted(t, v)
-            if (latestVersion(t).forall(_ < v)) movePointer(t, v)
+            forwardPointer(t, v)
           }
         }
         Files.deleteIfExists(f)
@@ -4405,6 +4503,11 @@ object SnapshotStore {
     * recompute paths are otherwise only reachable by lucky scheduling).
     * A no-op outside specs. */
   private[graft] var testRaceHook: () => Unit = () => ()
+
+  /** Head-pointer backend factory — POSIX rename by default; swapped for
+    * [[MockObjectHeadStore]] to run the conditional-put protocol (fuzz
+    * suites; an object-store deployment installs its real client here). */
+  @volatile var headStoreFactory: () => HeadStore = () => new PosixHeadStore
 
   /** Spec seam: fires right after a multi-table txn INTENT lands (the
     * roll-forward point) and before any pointer moves — a throw here

@@ -209,7 +209,14 @@ object IngestPipeline {
     * new table as empty would be exactly the torn view the cut exists
     * to prevent. */
   private def storeState(spark: SparkSession, store: graft.core.SnapshotStore,
-      prefix: String): Map[String, DataFrame] = {
+      prefix: String): Map[String, DataFrame] =
+    storeStateWithCut(spark, store, prefix)._1
+
+  /** The matcher state AND the cut it was read at — (table → version,
+    * None = table absent), the READ SET the serialized commit validates. */
+  private def storeStateWithCut(spark: SparkSession,
+      store: graft.core.SnapshotStore, prefix: String)
+      : (Map[String, DataFrame], Map[String, Option[Long]]) = {
     val empties = emptyState(spark)
     val names = empties.keys.map(t => prefix + t).toSeq
     while (true) {
@@ -218,11 +225,13 @@ object IngestPipeline {
         if (present.isEmpty) Map.empty[String, Long]
         else store.snapshotAll(present)
       val nowPresent = names.filter(t => store.latestVersion(t).isDefined)
-      if (nowPresent.toSet == present.toSet)
-        return empties.map { case (role, empty) =>
+      if (nowPresent.toSet == present.toSet) {
+        val state = empties.map { case (role, empty) =>
           role -> cut.get(prefix + role)
             .map(v => store.readAt(prefix + role, v)).getOrElse(empty)
         }
+        return (state, names.map(t => t -> cut.get(t)).toMap)
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -266,6 +275,46 @@ object IngestPipeline {
       .map { case (t, df) => t -> df.localCheckpoint(true) }
       .filter { case (_, df) => !df.isEmpty }
     if (deltas.isEmpty) Map.empty else store.appendAll(deltas)
+  }
+
+  /** [[ingestBatchToStore]] under SERIALIZABLE match-or-create — closes
+    * the single-ingester contract above for ingesters whose content
+    * domains OVERLAP: the commit validates the READ SET (the concepts/
+    * instances/edges cut the match ran against) through
+    * [[graft.core.SnapshotStore.appendAllSerialized]]; a sibling commit
+    * to any matched table between read and commit aborts the whole
+    * batch, which then RE-READS the new cut, RE-MATCHES (now seeing the
+    * sibling's concepts — match instead of create), and retries. Two
+    * racers can no longer both create the same concept; the cost is one
+    * re-extraction per lost race (the reference pays the same inside
+    * Postgres serializable retries, ingestion.py:31-152). The epoch log
+    * stays un-guarded — append-only bookkeeping relinks freely. */
+  def ingestBatchToStoreSerialized(spark: SparkSession,
+      store: graft.core.SnapshotStore, docs: DataFrame, batchEpoch: Long,
+      tablePrefix: String = "", maxRetries: Int = 16): Map[String, Long] = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (st, readSet0) = storeStateWithCut(spark, store, tablePrefix)
+      val d = ingestDeltas(spark, docs, st("concepts"), st("instances"),
+        st("edges"), batchEpoch)
+      val deltas = Map(
+        tablePrefix + "concepts" -> d.newConcepts,
+        tablePrefix + "instances" -> d.newInstances,
+        tablePrefix + "edges" -> d.newEdges,
+        tablePrefix + "epoch_log" -> d.epochRecord)
+        .map { case (t, df) => t -> df.localCheckpoint(true) }
+        .filter { case (_, df) => !df.isEmpty }
+      if (deltas.isEmpty) return Map.empty
+      store.appendAllSerialized(deltas,
+        readSet0 - (tablePrefix + "epoch_log")) match {
+        case Some(r) => return r
+        case None => attempt += 1 // cut moved: re-read, re-match, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"serialized ingest lost $maxRetries consecutive read-set " +
+        "validations — pathological contention; raise maxRetries or " +
+        "shard ingesters by content domain")
   }
 
   /** Streaming store-backed ingest, EXACTLY-ONCE: each micro-batch runs

@@ -688,6 +688,62 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     assert(words(0).toSet.subsetOf(labels) && words(1).toSet.subsetOf(labels))
   }
 
+  test("SERIALIZED ingesters with OVERLAPPING vocabularies: no duplicate concepts, all complete") {
+    // The write-skew hole the plain atomic ingest documents away
+    // (single-ingester-per-content-domain): two racers matching the same
+    // cut can both miss a concept and both create it. The serialized
+    // mode validates the match's READ SET at commit — a lost validation
+    // re-reads and re-MATCHES, so the second racer sees the winner's
+    // concept and matches instead of creating. Invariants: both
+    // ingesters complete every batch, every label resolves to EXACTLY
+    // one concept, edges dangle nowhere.
+    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz-ser").toString
+    val store = new SnapshotStore(spark, root)
+    val writers = 2
+    val batchesPerWriter = 3
+    // ONE shared vocabulary: maximal match-or-create contention
+    val words = Array("amber", "basalt", "cirrus", "delta", "ember", "flint")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            (1 to batchesPerWriter).foreach { b =>
+              // same words, writer-specific rotation: every batch touches
+              // the whole shared vocabulary
+              val text = (0 until 30).map(i => words((i + w) % 6)).mkString(" ")
+              val docs = Seq((s"w${w}b$b", text)).toDF("doc_id", "text")
+              graft.ingest.IngestPipeline.ingestBatchToStoreSerialized(
+                spark, st, docs, batchEpoch = w * 100L + b)
+              committed.incrementAndGet()
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    if (!failures.isEmpty) {
+      val f = failures.peek(); f.printStackTrace()
+      fail(s"serialized ingester failed: $f")
+    }
+    assert(committed.get() == writers * batchesPerWriter, "both complete")
+    // THE invariant: one concept per label — the duplicate the
+    // unserialized mode admits under overlap must not exist
+    val labels = store.read("concepts").select("label").as[String].collect()
+    assert(labels.length == labels.toSet.size,
+      s"duplicate concepts created under overlap: ${labels.sorted.toSeq}")
+    assert(words.toSet.subsetOf(labels.toSet), "the shared vocabulary landed")
+    val cids = store.read("concepts").select("concept_id").as[String].collect()
+    assert(cids.length == cids.toSet.size)
+    val ids = cids.toSet
+    store.read("edges").select("src", "dst").as[(String, String)].collect()
+      .foreach { case (a, b) => assert(ids.contains(a) && ids.contains(b)) }
+    assert(store.read("epoch_log").count() == writers * batchesPerWriter)
+  }
+
   test("racing view refreshers: exactly one wins per horizon, fold exact") {
     // The r17 enforcement (VERDICT r16 #6): the single-maintainer
     // contract is now the store's OCC, not convention. N threads all
@@ -773,5 +829,62 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     assert(store.commitProps("v", head.get)
       .get(MaterializedView.HorizonProp).forall(_ != "999"),
       "the loser's horizon must never land")
+  }
+
+  test("conditional-put head (object-store protocol): racing appends lose no commits") {
+    // The POSIX deployment arbitrates the head swap with a file lock +
+    // atomic rename; S3-class stores have neither. MockObjectHeadStore
+    // is the put-if-match reference: casAdvance runs LOCK-FREE, both
+    // racers stamp their candidate, the conditional put picks one
+    // winner, the loser unstamps and rebases through the store's own
+    // retry machinery. Invariants: every append that returned is in the
+    // final snapshot exactly once (zero lost commits), history strictly
+    // ascends and stays fully readable, and no sentinel-less orphan
+    // reads as committed.
+    val prior = SnapshotStore.headStoreFactory
+    SnapshotStore.headStoreFactory = () => new graft.core.MockObjectHeadStore
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-cput").toString
+      val store = new SnapshotStore(spark, root)
+      store.commit("t", Seq((0L, 0L)).toDF("k", "v"))
+      val writers = 4
+      val opsPerWriter = 6
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      try {
+        val tasks = (0 until writers).map { w =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                val st = new SnapshotStore(spark, root) // own instance, shared head
+                (1 to opsPerWriter).foreach { i =>
+                  val k = (w + 1) * 1000L + i
+                  st.append("t", Seq((k, k * 2)).toDF("k", "v"))
+                }
+              } catch { case t: Throwable => failures.add(t) }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      if (!failures.isEmpty) {
+        val f = failures.peek(); f.printStackTrace()
+        fail(s"writer failed under the conditional-put head: $f")
+      }
+      // zero lost commits: every returned append is present exactly once
+      val rows = store.read("t").as[(Long, Long)].collect().toSeq
+      val expected = (for {
+        w <- 0 until writers; i <- 1 to opsPerWriter
+      } yield ((w + 1) * 1000L + i, ((w + 1) * 1000L + i) * 2)) :+ ((0L, 0L))
+      assert(rows.sorted == expected.sorted,
+        s"lost/duplicated commits: got ${rows.length} rows, expected ${expected.length}")
+      // history ascends strictly, every version readable, head = max
+      val hist = store.history("t")
+      assert(hist == hist.sorted && hist.distinct == hist)
+      assert(store.latestVersion("t").contains(hist.last))
+      hist.foreach(v => store.readAt("t", v).count())
+      // the head count equals the committed chain: 1 seed + 24 appends
+      assert(hist.length == 1 + writers * opsPerWriter,
+        s"every append must land as exactly one committed version: $hist")
+    } finally SnapshotStore.headStoreFactory = prior
   }
 }
