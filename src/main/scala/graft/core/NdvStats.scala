@@ -46,8 +46,8 @@ object NdvStats {
     * selectivities from 1/ndv guesses into bin-resolution estimates. */
   val HistFileName = "_hist.json"
 
-  /** Equi-height bin count. 64 resolves a hot key down to ~1.6% of rows
-    * while keeping the sidecar at 65 doubles per column (ANALYZE's
+  /** Equi-height bin count. 32 resolves a hot key down to ~3% of rows
+    * while keeping the sidecar at 33 doubles per column (ANALYZE's
     * default 254 buys little at estimate precision). */
   val HistBins = 32
 

@@ -133,8 +133,6 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     versionDir(table, v).resolve("_removed.json")
   private def dvFileOf(table: String, v: Long): Path =
     versionDir(table, v).resolve("_dv.json")
-  private def pointer(table: String): Path = tableDir(table).resolve("_latest")
-
   /** The head-pointer backend ([[HeadStore]]): POSIX rename by default;
     * tests/deployments swap [[SnapshotStore.headStoreFactory]] for a
     * conditional-put backend (object stores). */
@@ -483,20 +481,25 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   /** The snapshot's per-column equi-height histogram boundaries —
     * non-empty only on single-data-link chains (see
     * [[NdvStats.chainHist]]; a compact restores them after appends). */
-  def chainHistograms(table: String, version: Long): Map[String, Array[Double]] = {
-    val (_, dirs) = resolveVersionPaths(table, Some(version))
-    val physNames = physicalNamesByVersion(table, version)
-    NdvStats.chainHist(dirs, d => {
-      val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
-      fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
-        val s = Files.list(d)
-        try s.iterator().asScala.exists(p =>
-          p.getFileName.toString.endsWith(".parquet") &&
-            Files.isRegularFile(p))
-        finally s.close()
-      }
-    }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
-  }
+  def chainHistograms(table: String, version: Long): Map[String, Array[Double]] =
+    SnapshotStore.histCache.get((root, table, version)).getOrElse {
+      val (_, dirs) = resolveVersionPaths(table, Some(version))
+      val physNames = physicalNamesByVersion(table, version)
+      val r = NdvStats.chainHist(dirs, d => {
+        val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
+        fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
+          val s = Files.list(d)
+          try s.iterator().asScala.exists(p =>
+            p.getFileName.toString.endsWith(".parquet") &&
+              Files.isRegularFile(p))
+          finally s.close()
+        }
+      }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
+      // cache committed-version results only (same rule as chainNdv)
+      if (r.nonEmpty || latestVersion(table).exists(version <= _))
+        SnapshotStore.histCache.putIfAbsent((root, table, version), r)
+      r
+    }
 
   /** [[commitProps]] with CHAIN INHERITANCE: a chain-link version (append)
     * inherits its base's properties, later links overriding earlier keys —
@@ -585,7 +588,16 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       stampCommitted(table, next)
       forwardPointer(table, next)
     }
-    if (heads.conditional) body() else underPointerLock(table)(body())
+    // Conditional backends have no pointer FILE lock; the JVM root
+    // monitor still serializes bare commits' sentinel stamps in-process
+    // so commit-timestamp order can't invert version order here (two
+    // unconditioned advancePointer racers would otherwise both read the
+    // same floor). Cross-PROCESS bare commits on an object store need
+    // the deployment's lock service — the same scope note as the txn
+    // intents (HeadStore doc); base-conditioned commits (append/mutate)
+    // don't need it: the CAS itself serializes their stamps.
+    if (heads.conditional) SnapshotStore.rootLock(root)(body())
+    else underPointerLock(table)(body())
   }
 
   /** Write the committed sentinel CARRYING the expose-time wall clock
@@ -595,7 +607,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * lands strictly later, so timestamp order always equals commit
     * order. Clamped monotonic against the current head's stamp, so a
     * wall-clock step backwards (NTP) can never make two versions resolve
-    * out of order. Callers hold the pointer lock. */
+    * out of order. Monotonicity needs the floor-read and write to be
+    * exclusive per table: POSIX callers hold the pointer lock;
+    * conditional-put callers are serialized by the CAS itself
+    * (base-conditioned commits — a loser unstamps) or by the JVM root
+    * monitor (bare commits, see advancePointer). */
   private def stampCommitted(table: String, v: Long): Unit = {
     val floor = latestVersion(table)
       .flatMap(commitTimeOf(table, _)).getOrElse(0L)
@@ -1959,6 +1975,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       SnapshotStore.statsCache.filterInPlace {
         case ((r, t, _), _) => !(r == root && t == table) }
       SnapshotStore.ndvCache.filterInPlace {
+        case ((r, t, _), _) => !(r == root && t == table) }
+      SnapshotStore.histCache.filterInPlace {
         case ((r, t, _), _) => !(r == root && t == table) }
       true
     }
@@ -4497,6 +4515,13 @@ object SnapshotStore {
     scala.collection.concurrent.TrieMap.empty[(String, String, Long),
       Map[String, Long]]
 
+  /** Memoized chain histograms ([[SnapshotStore.chainHistograms]]) —
+    * estimateStatistics runs per store-backed plan, and the sidecar
+    * read + per-link schema resolution must not run per query. */
+  private[core] val histCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long),
+      Map[String, Array[Double]]]
+
   /** Test seam: runs between a row-mutation's candidate write and its
     * pointer CAS, so a spec can force the exact candidate-written /
     * sibling-committed interleaving deterministically (the rebase and
@@ -4518,7 +4543,7 @@ object SnapshotStore {
     * committed version directories to simulate legacy or corrupted stores,
     * which violates the immutability assumption the caches rest on. */
   private[graft] def dropCachesForTests(): Unit = {
-    schemaCache.clear(); statsCache.clear(); ndvCache.clear()
+    schemaCache.clear(); statsCache.clear(); ndvCache.clear(); histCache.clear()
   }
 
   /** One monitor per PHYSICAL root (symlinks resolved): serializes pointer

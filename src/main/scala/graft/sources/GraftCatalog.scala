@@ -103,9 +103,14 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (namespace.nonEmpty) return Array.empty
     val dir = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(dir)) return Array.empty
+    // existence = the HEAD BACKEND reports a version, not the POSIX
+    // pointer file (a conditional-put HeadStore never writes one) — the
+    // directory listing only proposes candidates
+    val st = store
     val s = java.nio.file.Files.list(dir)
     try s.iterator().asScala
-      .filter(p => java.nio.file.Files.exists(p.resolve("_latest")))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        st.latestVersion(p.getFileName.toString).isDefined)
       .map(p => Identifier.of(Array.empty, p.getFileName.toString))
       .toArray
     finally s.close()

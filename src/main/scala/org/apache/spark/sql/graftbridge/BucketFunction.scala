@@ -8,38 +8,41 @@ import org.apache.spark.sql.types._
 /** The store's BUCKET transform as a DSv2 catalog function — the piece
   * that makes storage-partitioned joins resolvable.
   *
-  * `SnapshotStore.commitBucketed(t, df, cols, n)` writes each file so that
-  * every row in it satisfies `bucketId(cols) = pmod(murmur3(cols, seed=42),
-  * n)` (it IS Spark's own `HashPartitioning.partitionIdExpression` — the
-  * writer just calls `df.repartition(n, cols…)` and the task partition
+  * `SnapshotStore.commitBucketed(t, df, c, n)` writes each file so that
+  * every row in it satisfies `bucketId(c) = pmod(murmur3(c, seed=42), n)`
+  * (it IS Spark's own `HashPartitioning.partitionIdExpression` — the
+  * writer just calls `df.repartition(n, col(c))` and the task partition
   * index, which names the file, is exactly that expression). The graft
-  * scan then reports `KeyGroupedPartitioning(bucket(n, cols…), n)`;
+  * scan then reports `KeyGroupedPartitioning(bucket(n, c), n)`;
   * Catalyst's V2ScanPartitioningAndOrdering resolves the `bucket`
   * transform against the table's catalog AS A FUNCTION CATALOG
   * (GraftCatalog.loadFunction), and EnsureRequirements can plan two
   * co-bucketed graft tables' join with NO exchange on either side —
   * Iceberg/Delta's storage-partitioned join, on the snapshot store.
-  * COMPOSITE keys ride the same machinery: `bucket(n, a, b)` is one
-  * transform whose murmur3 folds over the key tuple, exactly like
-  * `HashPartitioning(Seq(a, b), n)` does — so a two-column fact⋈fact
-  * equality join gets the zero-exchange plan too.
+  * COMPOSITE keys do NOT use a multi-argument form of this function:
+  * Spark's SPJ machinery requires single-reference partition
+  * transforms, so a composite layout reports one `bucket(nᵢ, colᵢ)` per
+  * key column and composes the per-column ids into a MIXED-RADIX
+  * partition index ([[BucketLayout]]) — `bind` refuses extra arguments
+  * so no consumer can compute a tuple-fold id that matches no file.
   *
   * [[GraftBucketFunction.bucketId]] is the single definition of the hash
   * both the writer and this function's `produceResult` (used when Spark
   * shuffles a NON-bucketed side to match, `…bucketing.shuffle.enabled`)
-  * must agree on — it replicates `Murmur3Hash(children, 42)` + `Pmod`
-  * exactly: the running hash seeds each column's murmur3 in order, and a
-  * null column folds the running seed through unchanged, like the
-  * HashExpression. */
+  * must agree on — it replicates `Murmur3Hash(Seq(col), 42)` + `Pmod`
+  * exactly, nulls hashing to the untouched seed like the expression. */
 object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
-    "bucket(numBuckets, col...): pmod(murmur3(cols, 42), numBuckets) — " +
-      "the graft store's write-time bucket id"
+    "bucket(numBuckets, col): pmod(murmur3(col, 42), numBuckets) — the " +
+      "graft store's write-time bucket id (one per column on composite keys)"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.length >= 2,
-      s"bucket takes (numBuckets, col...), got ${inputType.simpleString}")
+    // exactly ONE key column: composite layouts are per-column
+    // transforms over mixed-radix indices, never a tuple fold — a
+    // multi-arg bind would let a consumer compute ids no file carries
+    require(inputType.length == 2,
+      s"bucket takes (numBuckets, col), got ${inputType.simpleString}")
     require(inputType.head.dataType == IntegerType,
       s"bucket's first argument is the int bucket count, got " +
         inputType.head.dataType.simpleString)
@@ -49,16 +52,10 @@ object GraftBucketFunction extends UnboundFunction {
   /** Spark's `HashPartitioning.partitionIdExpression` for one expression:
     * `pmod(Murmur3Hash(Seq(e), seed = 42), n)`. Null folds the seed
     * through unchanged, exactly like the HashExpression. */
-  def bucketId(value: Any, valueType: DataType, numBuckets: Int): Int =
-    bucketIdOf(Seq((value, valueType)), numBuckets)
-
-  /** The COMPOSITE form: `pmod(Murmur3Hash(values, 42), n)` — the fold
-    * `HashExpression.eval` runs, each column's hash seeding the next. */
-  def bucketIdOf(values: Seq[(Any, DataType)], numBuckets: Int): Int = {
-    var h = 42
-    values.foreach { case (v, t) =>
-      if (v != null) h = Murmur3HashFunction.hash(v, t, h.toLong).toInt
-    }
+  def bucketId(value: Any, valueType: DataType, numBuckets: Int): Int = {
+    val h =
+      if (value == null) 42
+      else Murmur3HashFunction.hash(value, valueType, 42L).toInt
     ((h % numBuckets) + numBuckets) % numBuckets
   }
 }
@@ -76,9 +73,8 @@ final case class BoundBucket(valueTypes: Seq[DataType])
   override def resultType(): DataType = IntegerType
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): Integer =
-    GraftBucketFunction.bucketIdOf(
-      valueTypes.zipWithIndex.map { case (t, i) => (input.get(i + 1, t), t) },
-      input.getInt(0))
+    GraftBucketFunction.bucketId(
+      input.get(1, valueTypes.head), valueTypes.head, input.getInt(0))
 }
 
 object BoundBucket {

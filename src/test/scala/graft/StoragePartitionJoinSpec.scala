@@ -646,6 +646,19 @@ class StoragePartitionJoinSpec extends SparkSpec {
       assert(!finalPlan(j3).contains("Exchange"),
         "a DV delete keeps the composite zero-exchange claim")
       assert(j3.count() == base._1 - 1)
+      // a KEY-moving UPDATE re-routes survivors through the composite
+      // router (bucketClaimOf → mixed-radix token): the claim survives
+      // only if the rewrite re-attributes rows to their NEW tuple bucket
+      st.update("pa", col("k1") === 7L && col("k2") === 0L,
+        Map("k1" -> lit(123456L)))
+      assert(st.bucketLayoutOf("pa", st.latestVersion("pa").get)
+        .contains((Seq("k1", "k2"), Seq(8, 8))),
+        "a composite-key UPDATE must keep the full layout claim")
+      val j4 = spark.sql(q)
+      assert(!finalPlan(j4).contains("Exchange"),
+        "composite claim survives the key-moving UPDATE")
+      // the moved key has no pb match; the DV'd row stays gone
+      assert(j4.count() == base._1 - 2)
     }
   }
 

@@ -19,6 +19,14 @@ import sys
 def main() -> None:
     out_path, run_paths = sys.argv[1], sys.argv[2:]
     runs = [json.load(open(p)) for p in run_paths]
+    # incomparable inputs poison the min: refuse mixed scales outright
+    # and refuse canary-invalid runs (the exact comparability bug the
+    # r17 adjudication traced — pass only valid runs of ONE scale)
+    sfs = {r.get("sf") for r in runs}
+    assert len(sfs) == 1, f"runs span multiple scale factors: {sfs}"
+    invalid = [p for p, r in zip(run_paths, runs)
+               if r.get("canary", {}).get("valid") is False]
+    assert not invalid, f"canary-invalid runs passed in: {invalid}"
     per_query: dict[str, list[float]] = {}
     totals: list[float] = []
     for r in runs:
