@@ -128,8 +128,12 @@ object Sinks {
             else Nil)): JValue) }),
         "props" -> JObject(store.tablePropertiesOf(t, v).toList.sortBy(_._1)
           .map { case (k, value) => k -> (JString(value): JValue) }),
-        "bucket" -> store.bucketSpecOf(t, v).map { case (c, n) =>
-          JObject(List("col" -> JString(c), "n" -> JInt(n))): JValue
+        "bucket" -> store.bucketLayoutOf(t, v).map { case (cols, dims) =>
+          JObject(List(
+            "col" -> JString(cols.mkString(",")),
+            "n" -> JInt(dims.product),
+            // per-column counts: what composite restores re-bucket by
+            "dims" -> JArray(dims.toList.map(JInt(_))))): JValue
         }.getOrElse(JNull)))
     })
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
@@ -159,9 +163,17 @@ object Sinks {
       val df = spark.read.parquet(s"$inDir/$t")
       m \ "bucket" match {
         case JObject(b) =>
-          val c = b.collectFirst { case ("col", JString(x)) => x }.get
+          val cols = graft.core.SnapshotStore.bucketColsOf(
+            b.collectFirst { case ("col", JString(x)) => x }.get)
           val n = b.collectFirst { case ("n", JInt(x)) => x.toInt }.get
-          store.commitBucketed(t, df, c, n)
+          val dims = b.collectFirst { case ("dims", JArray(xs)) =>
+            xs.collect { case JInt(x) => x.toInt }
+          }.getOrElse(List(n))
+          // the write API buckets uniformly per column; a backup written
+          // by it always satisfies this — refuse loudly otherwise
+          require(dims.distinct.length == 1 && dims.length == cols.length,
+            s"restore of $t: unsupported non-uniform bucket dims $dims")
+          store.commitBucketed(t, df, cols, dims.head)
         case _ => store.commit(t, df)
       }
       (m \ "checks").asInstanceOf[JObject].obj.foreach {

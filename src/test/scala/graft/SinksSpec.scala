@@ -304,11 +304,17 @@ class SinksSpec extends SparkSpec {
     src.setTableProperties("f", Map("owner.team" -> "graft"))
     src.commit("d", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     src.delete("d", col("id") === 2L)
+    // COMPOSITE layout: the meta must carry per-column dims, and the
+    // restore must re-bucket through the Seq API (the joined column
+    // string is not a column name)
+    src.commitBucketed("fc", spark.range(0, 1000)
+      .select((col("id") % 10).as("a"), (col("id") % 7).as("b"),
+        col("id").as("v")), Seq("a", "b"), 4)
     val out = java.nio.file.Files.createTempDirectory("graft-bk-out").toString
-    Sinks.backupStore(spark, src, Seq("f", "d"), out)
+    Sinks.backupStore(spark, src, Seq("f", "d", "fc"), out)
     val dstRoot = java.nio.file.Files.createTempDirectory("graft-bk-dst").toString
     val dst = new graft.core.SnapshotStore(spark, dstRoot)
-    assert(Sinks.restoreStore(spark, dst, out).toSet == Set("f", "d"))
+    assert(Sinks.restoreStore(spark, dst, out).toSet == Set("f", "d", "fc"))
     // content exact: the delete's effect was materialized in the snapshot
     assert(dst.read("d").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
     assert(dst.read("f").count() == 1000L)
@@ -321,6 +327,10 @@ class SinksSpec extends SparkSpec {
     // the bucket layout claim survived: SPJ-eligible on the restored store
     assert(dst.bucketSpecOf("f", v).contains(("k", 4)),
       "restore must re-bucket a layout-claimed table")
+    assert(dst.bucketLayoutOf("fc", dst.latestVersion("fc").get)
+      .contains((Seq("a", "b"), Seq(4, 4))),
+      "restore must re-bucket a COMPOSITE layout with its per-column dims")
+    assert(dst.read("fc").count() == 1000L)
     // constraints are LIVE post-restore, not just displayed
     val bad = intercept[Exception](
       dst.append("f", Seq((5000L, -1L)).toDF("k", "v")))
