@@ -960,7 +960,7 @@ object GraftExtensions {
     }
     val byType = t.schema().fields.map(f => f.name -> f.dataType).toMap
     val byCol = if (stats == null) Map.empty[String, (Option[Long],
-        Option[String], Option[String], Option[Long])]
+        Option[String], Option[String], Option[Long], Option[Long])]
       else {
         import scala.jdk.CollectionConverters._
         stats.columnStats().asScala.map { case (ref, cs) =>
@@ -971,16 +971,22 @@ object GraftExtensions {
             if (cs.distinctCount.isPresent) Some(cs.distinctCount.getAsLong) else None,
             if (cs.min.isPresent) Some(render(cs.min.get, dt)) else None,
             if (cs.max.isPresent) Some(render(cs.max.get, dt)) else None,
-            if (cs.nullCount.isPresent) Some(cs.nullCount.getAsLong) else None))
+            if (cs.nullCount.isPresent) Some(cs.nullCount.getAsLong) else None,
+            // histogram READINESS: bin count when the scan reports one
+            // (single-data-link DV-free chains — compact restores)
+            if (cs.histogram.isPresent)
+              Some(cs.histogram.get.bins().length.toLong)
+            else None))
         }.toMap
       }
     val out = t.schema().fields.toSeq.map { f =>
-      val (ndv, mn, mx, nulls) =
-        byCol.getOrElse(f.name, (None, None, None, None))
-      (f.name, f.dataType.simpleString, ndv, mn, mx, nulls, rows, bytes)
+      val (ndv, mn, mx, nulls, histBins) =
+        byCol.getOrElse(f.name, (None, None, None, None, None))
+      (f.name, f.dataType.simpleString, ndv, mn, mx, nulls, histBins,
+        rows, bytes)
     }
     Bridge.analyzedPlan(out.toDF("column", "type", "ndv", "min", "max",
-      "null_count", "table_rows", "table_bytes"))
+      "null_count", "histogram_bins", "table_rows", "table_bytes"))
   }
 
   private val adoptFieldIdsTvf: Seq[Expression] => LogicalPlan = { children =>

@@ -809,7 +809,9 @@ class GraftCatalogSpec extends SparkSpec {
     assert(k.getString(3) == "0" && k.getString(4) == "4999",
       s"k bounds: ${k.getString(3)}..${k.getString(4)}")
     assert(k.getLong(5) == 0L, "no nulls")
-    assert(k.getLong(6) == 5000L, "table rows")
+    assert(!k.isNullAt(6) && k.getLong(6) > 0L,
+      "numeric column on a single-link chain reports histogram bins")
+    assert(k.getLong(7) == 5000L, "table rows")
     assert(!c.isNullAt(2) && c.getLong(2) >= 38 && c.getLong(2) <= 42,
       s"c NDV ~40: ${c.getLong(2)}")
     // date/timestamp bounds render as readable externals, not raw epochs

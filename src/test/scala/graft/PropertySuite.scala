@@ -184,4 +184,34 @@ object PropertySuite extends Properties("graft") {
         f(0.001) > f(spread) && f(spread) > f(3 * spread) &&
         f(0.001) > 0.9 && f(6 * spread) < 0.35
     }
+
+  // --- Composite bucket layout (graftbridge.BucketLayout + routing) ---
+
+  private val dimsGen: Gen[Seq[Int]] =
+    Gen.choose(1, 3).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(1, 9)).map(_.toSeq))
+
+  property("mixed-radix decode inverts the writer's encode for every index") =
+    Prop.forAll(dimsGen) { dims =>
+      val layout = org.apache.spark.sql.graftbridge
+        .BucketLayout(dims.indices.map(i => s"c$i"), dims)
+      (0 until layout.total).forall { idx =>
+        val parts = layout.decode(idx)
+        // row-major re-encode (the writer's fold) round-trips
+        val enc = parts.zip(dims).foldLeft(0) {
+          case (acc, (b, n)) => acc * n + b
+        }
+        enc == idx && parts.zip(dims).forall { case (b, n) => b >= 0 && b < n }
+      }
+    }
+
+  property("routing tokens hash to exactly their index for any total") =
+    Prop.forAll(Gen.choose(1, 200)) { total =>
+      val tokens = org.apache.spark.sql.graftbridge.GraftBucketRouting
+        .tokens(total)
+      tokens.length == total && tokens.indices.forall { r =>
+        org.apache.spark.sql.graftbridge.GraftBucketFunction.bucketId(
+          tokens(r), org.apache.spark.sql.types.IntegerType, total) == r
+      }
+    }
 }
