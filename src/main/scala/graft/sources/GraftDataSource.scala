@@ -366,6 +366,15 @@ private[sources] final class GraftWriteBuilder(root: String, table: String)
 }
 
 object GraftTable {
+  /** Merge fan-in cap for the sorted-bucket ordering claim: each run of
+    * a k-way merge holds an open parquet reader (row-group buffers, ~MBs
+    * per column chunk), so a chain appended hundreds of times would
+    * trade the per-query sort it saves for executor memory. 32 bounds
+    * the per-partition reader footprint at tens of MBs; beyond it the
+    * claim drops (SMJ sorts — strictly cheaper than an OOM) until a
+    * compact collapses the runs. */
+  val MaxSortedRunsPerBucket: Int = 32
+
   /** Resolve (pointer → immutable chain) and expand each chain directory
     * to file-grained scan units where its commit wrote a `_stats.json`
     * manifest. Manifest reads are memoized per immutable version, so this
@@ -455,10 +464,26 @@ object GraftTable {
     // groups out of order). Multi-file buckets (append chains) keep the
     // claim: the scan's reader k-way MERGES the per-file runs back to a
     // sorted partition (MergeSortedKeyedReaderFactory), so the sortless
-    // SMJ survives appends instead of waiting for a compact. Purely
-    // additive: when it drops, the join just sorts as before.
-    val bucketSorted = bucket.isDefined &&
-      dv.isEmpty && store.bucketSortedOf(table, v)
+    // SMJ survives appends instead of waiting for a compact — up to a
+    // FAN-IN CAP: the merge holds one open reader (row-group buffers)
+    // per run, so an unbounded append chain would trade a sort for
+    // executor memory; past the cap the claim drops and SMJ just sorts
+    // (cheaper than an OOM, and the next compact restores the sortless
+    // path). Purely additive: when it drops, the join sorts as before.
+    val bucketSorted = bucket.exists { layout =>
+      dv.isEmpty && store.bucketSortedOf(table, v) && {
+        val counts = new Array[Int](layout.total)
+        var maxRuns = 0
+        units.foreach { u =>
+          val b = org.apache.spark.sql.graftbridge.KeyGroupedParquetScan
+            .bucketOf(new org.apache.hadoop.fs.Path(u.path).getName,
+              layout.total)
+          counts(b) += 1
+          if (counts(b) > maxRuns) maxRuns = counts(b)
+        }
+        maxRuns <= GraftTable.MaxSortedRunsPerBucket
+      }
+    }
     new GraftTable(table, v, spark, units,
       store.snapshotSchema(table, Some(v)), passThrough, Some(store.root),
       versionPinned = version.isDefined, dv = dv, bucket = bucket,

@@ -662,6 +662,46 @@ class StoragePartitionJoinSpec extends SparkSpec {
     }
   }
 
+  test("merge fan-in cap: a chain past MaxSortedRunsPerBucket drops the claim, stays exact") {
+    // an unbounded append chain would hold one open reader per run in
+    // the merge — past the cap the ordering claim yields to a plain
+    // sort (cheaper than executor memory), the LAYOUT claim stays
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-cap").toString
+    val st = new SnapshotStore(spark, r)
+    st.commitBucketed("ca2", spark.range(0, 800)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 2)
+    st.commitBucketed("cb2", spark.range(0, 800)
+      .select(col("id").as("k"), (col("id") + 7).as("vb")), "k", 2)
+    // 800 keys over 2 buckets: every append lands runs in both buckets
+    (1 to graft.sources.GraftTable.MaxSortedRunsPerBucket).foreach { i =>
+      st.appendBucketed("ca2", spark.range(800L + i * 10, 810L + i * 10)
+        .select(col("id").as("k"), (col("id") * 3).as("va")), "k", 2)
+    }
+    spark.conf.set("spark.sql.catalog.spjcap", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjcap.root", r)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = "SELECT a.k AS k, va, vb FROM spjcap.ca2 a JOIN spjcap.cb2 b ON a.k = b.k"
+      val j = spark.sql(q)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"the LAYOUT claim survives any append count:\n$plan")
+      assert(plan.contains("Sort "),
+        s"past the fan-in cap the ordering claim must drop (SMJ sorts):\n$plan")
+      val base = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        spark.sql(q).count()
+      }
+      assert(j.count() == base)
+      // compact collapses the runs: the sortless path returns
+      st.compact("ca2")
+      val j2 = spark.sql(q)
+      assert(!finalPlan(j2).contains("Sort "),
+        "compact restores the sortless SMJ")
+      assert(j2.count() == base)
+    }
+  }
+
   test("q115 shape: edge-store Adamic-Adar keeps ONE exchange (the pair aggregate)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
