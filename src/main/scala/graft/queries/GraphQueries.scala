@@ -209,6 +209,41 @@ object GraphQueries {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       adamicAdarPipeline(s.table(s"$cat.edges_aa"))
     }),
+
+    // q21's degree centrality with the adjacency stream STORED: each
+    // directed edge lands twice — (src, out) and (dst, in) — in a store
+    // chain bucketed on the node key, so the degree aggregation (q21's
+    // one shuffle, of TWICE the edge stream after the explode) runs
+    // ZERO-EXCHANGE: partial sums per bucket, TakeOrdered on top,
+    // nothing moves. This is the accelerator's adjacency layout
+    // (graph-accel/core/src/graph.rs:77-140) serving the degree surface;
+    // same oracle as q21 — the layout is value-invisible. Build
+    // idempotent like q115.
+    "q117_degree_store" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q117_" +
+        Tables.fingerprint(dir, "lineitem")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("adj_aa")
+      if (store.latestVersion("adj_aa").isEmpty) {
+        val e = edges(s, dir)
+        store.commitBucketed("adj_aa",
+          e.select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
+            .unionByName(e.select(col("dst").as("node"), lit(0L).as("o"),
+              lit(1L).as("i"))),
+          "node", 32)
+      }
+      val cat = s"q117_${Tables.fingerprint(dir, "lineitem")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.table(s"$cat.adj_aa")
+        .groupBy(col("node"))
+        .agg(sum(col("o")).as("out_degree"), sum(col("i")).as("in_degree"))
+        .withColumn("total_degree", col("out_degree") + col("in_degree"))
+        .orderBy(col("total_degree").desc, col("node").asc)
+        .limit(50)
+    }),
   )
 
   /** The Adamic-Adar pipeline over a deduped (src, dst) edge frame —
@@ -389,6 +424,21 @@ object GraphQueries {
        |ORDER BY path_rank""".stripMargin
   }
 
+  private val degreeOracleSql: String =
+    s"""WITH $edgeCte,
+       |deg AS (
+       |  SELECT node,
+       |    CAST(sum(o) AS BIGINT) AS out_degree,
+       |    CAST(sum(i) AS BIGINT) AS in_degree
+       |  FROM (
+       |    SELECT src AS node, 1 AS o, 0 AS i FROM edges
+       |    UNION ALL SELECT dst AS node, 0 AS o, 1 AS i FROM edges) t
+       |  GROUP BY node)
+       |SELECT node, out_degree, in_degree,
+       |  out_degree + in_degree AS total_degree
+       |FROM deg
+       |ORDER BY total_degree DESC, node ASC LIMIT 50""".stripMargin
+
   private val adamicAdarOracleSql: String =
     s"""WITH $edgeCte,
        |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg
@@ -474,20 +524,10 @@ object GraphQueries {
          |FROM comp GROUP BY component
          |ORDER BY n_nodes DESC, component ASC LIMIT 20""".stripMargin,
 
-    "q21_degree" ->
-      s"""WITH $edgeCte,
-         |deg AS (
-         |  SELECT node,
-         |    CAST(sum(o) AS BIGINT) AS out_degree,
-         |    CAST(sum(i) AS BIGINT) AS in_degree
-         |  FROM (
-         |    SELECT src AS node, 1 AS o, 0 AS i FROM edges
-         |    UNION ALL SELECT dst AS node, 0 AS o, 1 AS i FROM edges) t
-         |  GROUP BY node)
-         |SELECT node, out_degree, in_degree,
-         |  out_degree + in_degree AS total_degree
-         |FROM deg
-         |ORDER BY total_degree DESC, node ASC LIMIT 50""".stripMargin,
+    "q21_degree" -> degreeOracleSql,
+    // the adjacency-store twin computes the same centrality over the
+    // same edges — one oracle, two layouts
+    "q117_degree_store" -> degreeOracleSql,
 
     "q22_bfs" ->
       s"""WITH RECURSIVE $edgeCte,

@@ -733,6 +733,14 @@ class StoragePartitionJoinSpec extends SparkSpec {
       val a = SparkEntry.queries("q115_adamic_adar_store")(spark, sf0001).collect()
       val b = SparkEntry.queries("q87_adamic_adar")(spark, sf0001).collect()
       assert(a.toSeq == b.toSeq, "the two layouts must agree row for row")
+      // q117: degree over the node-bucketed adjacency store — ZERO
+      // exchanges (partial sums per bucket, TakeOrdered on top)
+      val deg = exchanges(SparkEntry.queries("q117_degree_store")(spark, sf0001))
+      assert(deg == 0,
+        s"adjacency-store degree must aggregate with NO shuffle, got $deg")
+      val da = SparkEntry.queries("q117_degree_store")(spark, sf0001).collect()
+      val db = SparkEntry.queries("q21_degree")(spark, sf0001).collect()
+      assert(da.toSeq == db.toSeq, "degree layouts must agree row for row")
     }
   }
 
