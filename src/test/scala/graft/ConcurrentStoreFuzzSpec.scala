@@ -697,7 +697,25 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
     // concept and matches instead of creating. Invariants: both
     // ingesters complete every batch, every label resolves to EXACTLY
     // one concept, edges dangle nowhere.
-    val root = java.nio.file.Files.createTempDirectory("graft-cfuzz-ser").toString
+    serializedIngestFuzz(java.nio.file.Files
+      .createTempDirectory("graft-cfuzz-ser").toString)
+  }
+
+  test("SERIALIZED ingesters over the CONDITIONAL-PUT head: the two r18 protocols compose") {
+    // Same race, run with the object-store head backend: read-set
+    // validation (serialized ingest) over put-if-match pointer swaps
+    // (HeadStore) — the multi-table intent protocol still takes the
+    // file locks (its documented scope), while every pointer publish
+    // goes through the conditional put. Same invariants.
+    val prior = SnapshotStore.headStoreFactory
+    SnapshotStore.headStoreFactory = () => new graft.core.MockObjectHeadStore
+    try serializedIngestFuzz(java.nio.file.Files
+      .createTempDirectory("graft-cfuzz-sercp").toString)
+    finally SnapshotStore.headStoreFactory = prior
+  }
+
+  private def serializedIngestFuzz(root0: String): Unit = {
+    val root = root0
     val store = new SnapshotStore(spark, root)
     val writers = 2
     val batchesPerWriter = 3
