@@ -17,11 +17,24 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * winner, the loser unstamps and rebases. The fuzz suite races
   * committers through the mock to pin zero-lost-commit linearizability.
   *
-  * Scope note: the head swap is the only primitive abstracted here. The
-  * multi-table transaction intents (`_txn/`) additionally need mutual
-  * exclusion, which the POSIX deployment gets from the pointer file
-  * lock; an object-store deployment pairs this trait with a lock
-  * service (DynamoDB-style) for those, or runs single-writer. */
+  * MULTI-TABLE transactions additionally need mutual exclusion across
+  * the tables' publish windows (validate → intent → stamp+put per
+  * table): a single-table conditional put slipping between a txn's
+  * validation and its puts would orphan one side or the other. The
+  * POSIX deployment gets that exclusion from the pointer file locks;
+  * conditional backends get it from the trait's LEASE surface —
+  * [[tryLease]]/[[unlease]] grant a TTL'd per-table publish lease, and
+  * [[compareAndPut]] arbitrates puts against it in the SAME atomic
+  * conditional write (one-item condition expression: exactly what a
+  * DynamoDB lock-client row or a lease field in the pointer object
+  * gives a real deployment). A put by anyone else while a live lease is
+  * held FAILS (the caller backs off and retries — the head did not
+  * move); the holder's own puts carry its owner id and pass. Expired
+  * leases are broken by the next acquirer, and the broken owner is
+  * FENCED: its later puts fail permanently on that key, so a paused
+  * holder resuming after takeover can never corrupt the head
+  * (fencing-token discipline; the crashed txn's `_txn/` intent is the
+  * roll-forward point that completes its cascade). */
 trait HeadStore {
 
   /** Current head of `root`/`table`, with the backend's conditional
@@ -29,18 +42,46 @@ trait HeadStore {
   def read(root: String, table: String): Option[HeadStore.Head]
 
   /** Publish `next` as the head IFF the current head still equals
-    * `expected` (None = create-if-absent). Returns whether this call
-    * won. MUST be atomic with respect to concurrent calls when
+    * `expected` (None = create-if-absent) AND no OTHER owner's live
+    * lease covers the table (`owner` is the caller's lease identity;
+    * None = un-leased single-table committer). Returns whether this
+    * call won. MUST be atomic with respect to concurrent calls when
     * [[conditional]] is true; the POSIX impl instead relies on the
     * caller's pointer lock and merely re-checks. */
   def compareAndPut(root: String, table: String,
-      expected: Option[HeadStore.Head], next: Long): Boolean
+      expected: Option[HeadStore.Head], next: Long,
+      owner: Option[String]): Boolean
+
+  /** Un-leased form — the single-table committer's put. */
+  final def compareAndPut(root: String, table: String,
+      expected: Option[HeadStore.Head], next: Long): Boolean =
+    compareAndPut(root, table, expected, next, None)
 
   /** Whether [[compareAndPut]] ALONE arbitrates concurrent committers (a
     * true conditional put). False for POSIX rename — the store then
     * wraps the read→put window in its pointer lock; true lets the store
-    * run the head swap lock-free. */
+    * run the head swap lock-free and routes multi-table exclusion
+    * through the lease surface instead of file locks. */
   def conditional: Boolean
+
+  /** Acquire or renew the table's publish lease for `owner` with the
+    * given TTL. True when held after the call. An expired foreign lease
+    * is BROKEN (taken over) and its owner fenced; a live foreign lease
+    * returns false — the caller backs off and retries. POSIX default:
+    * always true (the pointer file locks are the exclusion). */
+  def tryLease(root: String, table: String, owner: String,
+      ttlMs: Long): Boolean = true
+
+  /** Release `owner`'s lease if it still holds one (no-op otherwise,
+    * including after a takeover — the usurper's lease is not touched). */
+  def unlease(root: String, table: String, owner: String): Unit = ()
+
+  /** Forget the table's head entirely — dropTable's half of the
+    * contract. POSIX: the pointer file (it dies with the tree anyway);
+    * conditional backends: the pointer object/row, which SURVIVES a
+    * directory-tree delete and would otherwise keep reporting a head
+    * for a dropped table. */
+  def delete(root: String, table: String): Unit
 }
 
 object HeadStore {
@@ -53,7 +94,7 @@ object HeadStore {
   * write + atomic rename. `compareAndPut` is NOT self-arbitrating
   * (rename is unconditional) — callers hold the store's pointer lock,
   * and the re-read inside the put keeps the conditional CONTRACT honest
-  * even so. */
+  * even so. Leases are no-ops: the file locks are the exclusion. */
 final class PosixHeadStore extends HeadStore {
   override def conditional: Boolean = false
 
@@ -69,7 +110,8 @@ final class PosixHeadStore extends HeadStore {
   }
 
   override def compareAndPut(root: String, table: String,
-      expected: Option[HeadStore.Head], next: Long): Boolean = {
+      expected: Option[HeadStore.Head], next: Long,
+      owner: Option[String]): Boolean = {
     if (read(root, table).map(_.version) != expected.map(_.version)) false
     else {
       val p = pointer(root, table)
@@ -80,43 +122,98 @@ final class PosixHeadStore extends HeadStore {
       true
     }
   }
+
+  override def delete(root: String, table: String): Unit =
+    Files.deleteIfExists(pointer(root, table))
 }
 
 /** In-memory OBJECT-STORE head reference: no rename, no lock — a
   * put-if-match on a per-key generation counter inside one atomic
   * compute is the entire arbitration, exactly the shape S3 `If-Match` /
-  * GCS `ifGenerationMatch` / DynamoDB conditional writes provide.
-  * Process-wide state (companion map) so every SnapshotStore instance
-  * in the JVM sees one consistent head namespace, like a real bucket. */
+  * GCS `ifGenerationMatch` / DynamoDB conditional writes provide. The
+  * LEASE state rides the same per-key entry, so the lease check and
+  * the tag check land in ONE conditional write (a DynamoDB condition
+  * expression over one item — no cross-key atomicity is assumed
+  * anywhere). Process-wide state (companion map) so every SnapshotStore
+  * instance in the JVM sees one consistent head namespace, like a real
+  * bucket. */
 final class MockObjectHeadStore extends HeadStore {
   import MockObjectHeadStore._
   override def conditional: Boolean = true
 
   override def read(root: String, table: String): Option[HeadStore.Head] =
-    Option(objects.get((root, table))).map { case (v, gen) =>
-      HeadStore.Head(v, gen)
+    Option(objects.get((root, table))).flatMap(_.head).map {
+      case (v, gen) => HeadStore.Head(v, gen)
     }
 
   override def compareAndPut(root: String, table: String,
-      expected: Option[HeadStore.Head], next: Long): Boolean = {
+      expected: Option[HeadStore.Head], next: Long,
+      owner: Option[String]): Boolean = {
     val key = (root, table)
+    val now = System.currentTimeMillis()
     var won = false
-    objects.compute(key, (_, cur) => {
-      val matches = (Option(cur), expected) match {
+    objects.compute(key, (_, cur0) => {
+      val cur = Option(cur0).getOrElse(Entry(None, None, Set.empty))
+      // a fenced owner lost its lease to a takeover: its puts fail
+      // FOREVER on this key (fencing-token discipline — a paused holder
+      // resuming after its TTL can never move the head)
+      val fenced = owner.exists(cur.fenced.contains)
+      // a LIVE lease blocks every put but the holder's own
+      val leaseBlocked = cur.lease.exists { case (o, until) =>
+        until > now && !owner.contains(o)
+      }
+      val tagMatches = (cur.head, expected) match {
         case (None, None) => true
         case (Some((_, gen)), Some(h)) => gen == h.tag
         case _ => false
       }
-      if (matches) { won = true; (next, generations.incrementAndGet()) }
-      else cur
+      if (!fenced && !leaseBlocked && tagMatches) {
+        won = true
+        cur.copy(head = Some((next, generations.incrementAndGet())))
+      } else cur0
     })
     won
+  }
+
+  override def tryLease(root: String, table: String, owner: String,
+      ttlMs: Long): Boolean = {
+    val key = (root, table)
+    val now = System.currentTimeMillis()
+    var held = false
+    objects.compute(key, (_, cur0) => {
+      val cur = Option(cur0).getOrElse(Entry(None, None, Set.empty))
+      cur.lease match {
+        case Some((o, until)) if until > now && o != owner => cur0 // foreign live
+        case Some((o, _)) if o == owner => // own (live or expired): renew
+          held = true; cur.copy(lease = Some((owner, now + ttlMs)))
+        case other => // absent or expired-foreign: take over, fence the loser
+          held = true
+          val fenced = other.fold(cur.fenced) { case (o, _) => cur.fenced + o }
+          cur.copy(lease = Some((owner, now + ttlMs)), fenced = fenced)
+      }
+    })
+    held
+  }
+
+  override def unlease(root: String, table: String, owner: String): Unit = {
+    objects.computeIfPresent((root, table), (_, cur) =>
+      if (cur.lease.exists(_._1 == owner)) cur.copy(lease = None) else cur)
+    ()
+  }
+
+  override def delete(root: String, table: String): Unit = {
+    objects.remove((root, table)); ()
   }
 }
 
 object MockObjectHeadStore {
+  /** One pointer object: the head (version, generation), the publish
+    * lease, and the fenced former holders. */
+  private final case class Entry(head: Option[(Long, Long)],
+      lease: Option[(String, Long)], fenced: Set[String])
+
   private val objects =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]()
   private val generations = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Test hygiene: forget every head under `root`. */

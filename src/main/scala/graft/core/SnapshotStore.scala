@@ -138,6 +138,51 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * conditional-put backend (object stores). */
   private val heads: HeadStore = SnapshotStore.headStoreFactory()
 
+  /** The publish-lease identity of the current thread's multi-table
+    * transaction, if one is open ([[underTableLeases]]) — every head put
+    * inside the leased window carries it, so the backend's one-item
+    * conditional write can admit the holder and refuse everyone else. */
+  private val leaseOwner = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  /** Every head put in the store routes here: the thread's lease
+    * identity (None outside a leased window) rides into the backend's
+    * conditional write. */
+  private def headPut(table: String, expected: Option[HeadStore.Head],
+      next: Long): Boolean =
+    heads.compareAndPut(root, table, expected, next, leaseOwner.get())
+
+  /** Multi-table mutual exclusion for CONDITIONAL head backends: a TTL'd
+    * publish lease per table, acquired in sorted order (deadlock-free),
+    * all puts inside `body` carrying the lease identity. The object-store
+    * replacement for [[underPointerLocks]]'s file locks — no JVM root
+    * monitor either, so in-process racers exercise the same protocol a
+    * multi-process deployment would. A live foreign lease backs off and
+    * retries (its holder's publish window is file-metadata ops — ms); an
+    * EXPIRED one is broken by the backend, which fences the loser so a
+    * paused holder resuming after takeover cannot move any head — its
+    * already-written `_txn/` intent is the roll-forward point that
+    * completes the cascade ([[recoverPendingTxns]]). */
+  private def underTableLeases[T](tables: Seq[String])(body: => T): T = {
+    val owner = java.util.UUID.randomUUID().toString
+    val sorted = tables.sorted
+    sorted.foreach { t =>
+      var backoff = 1L
+      while (!heads.tryLease(root, t, owner, SnapshotStore.LeaseTtlMs)) {
+        Thread.sleep(backoff)
+        backoff = math.min(backoff * 2, 16L)
+      }
+    }
+    val prev = leaseOwner.get()
+    leaseOwner.set(Some(owner))
+    try body
+    finally {
+      leaseOwner.set(prev)
+      sorted.foreach(t => heads.unlease(root, t, owner))
+    }
+  }
+
   /** Commit `df` as the next version of `table`; returns the new version.
     *
     * Version numbers are ALLOCATED by atomic `Files.createDirectory` on the
@@ -651,25 +696,57 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         // again (invisible to history/readAt/feeds) until its caller
         // relinks or discards it.
         stampCommitted(table, next)
-        if (heads.compareAndPut(root, table, cur, next)) true
+        if (headPut(table, cur, next)) true
         else { unstampCommitted(table, next); false }
       } else false
     }
     // A true conditional put IS the arbitration — run lock-free, the
     // object-store deployment's whole point (rename/locks don't exist
-    // there). POSIX rename needs the read→put window locked.
-    if (heads.conditional) attempt() else underPointerLock(table)(attempt())
+    // there). POSIX rename needs the read→put window locked. A put
+    // refused while the head is UNMOVED is a multi-table transaction's
+    // publish lease blocking us (never a version conflict — those move
+    // the head): back off and re-attempt, so the caller's contract stays
+    // "false means the pointer moved off the base".
+    if (heads.conditional) {
+      var out = Option.empty[Boolean]
+      var backoff = 1L
+      while (out.isEmpty) {
+        if (attempt()) out = Some(true)
+        else if (heads.read(root, table).map(_.version) != expectedBase)
+          out = Some(false)
+        else { Thread.sleep(backoff); backoff = math.min(backoff * 2, 16L) }
+      }
+      out.get
+    } else underPointerLock(table)(attempt())
   }
 
   /** Forward-only publish: loop the conditional put until `v` is the
     * head or a newer head exists. POSIX callers hold the pointer lock,
-    * so the loop runs exactly once there. */
+    * so the loop runs exactly once there. Under a conditional backend a
+    * put refused with the head UNMOVED is a foreign publish lease —
+    * back off until its (ms-scale) window closes; a FENCED put (this
+    * thread's own lease was broken by TTL takeover) fails loudly
+    * instead of spinning — the already-written `_txn/` intent is the
+    * roll-forward point, and recovery completes the cascade. */
   private def forwardPointer(table: String, v: Long): Unit = {
     var done = false
+    var backoff = 1L
+    var stalls = 0
     while (!done) {
       val cur = heads.read(root, table)
       if (cur.exists(_.version >= v)) done = true
-      else done = heads.compareAndPut(root, table, cur, v)
+      else {
+        done = headPut(table, cur, v)
+        if (!done && heads.read(root, table) == cur) {
+          stalls += 1
+          if (leaseOwner.get().isDefined &&
+              stalls * 16L > SnapshotStore.LeaseTtlMs)
+            throw new IllegalStateException(
+              s"publish lease on $table lost (TTL takeover) — the txn " +
+                "intent decides the outcome; recovery will complete it")
+          Thread.sleep(backoff); backoff = math.min(backoff * 2, 16L)
+        }
+      }
     }
   }
 
@@ -1966,7 +2043,14 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * new one's v=1. Returns false if the table does not exist. */
   def dropTable(table: String): Boolean = {
     if (!Files.isDirectory(tableDir(table))) false
-    else underPointerLock(table) {
+    else underPointerLocks(Seq(table)) {
+      // Head entry FIRST: on a conditional backend the pointer object
+      // lives OUTSIDE the directory tree and would survive its deletion
+      // — latestVersion would keep reporting a version, listTables would
+      // list the ghost, createTable would refuse, reads would crash on
+      // missing version dirs. Head-then-tree also makes the crash
+      // residue benign (an unreferenced tree, not a dangling pointer).
+      heads.delete(root, table)
       val w = Files.walk(tableDir(table))
       try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally w.close()
@@ -2035,8 +2119,26 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * `bucket(n, colᵢ)` per column, and a multi-column equality join
     * covering the tuple plans with NO exchange on either side. */
   def commitBucketed(table: String, df: DataFrame, bucketBy: Seq[String],
-      numBuckets: Int, changeSet: Option[DataFrame]): Long = {
-    val dims = Seq.fill(bucketBy.length)(numBuckets)
+      numBuckets: Int, changeSet: Option[DataFrame]): Long =
+    commitBucketed(table, df, bucketBy,
+      Seq.fill(bucketBy.length)(numBuckets), changeSet)
+
+  def commitBucketed(table: String, df: DataFrame, bucketBy: Seq[String],
+      numBuckets: Int): Long =
+    commitBucketed(table, df, bucketBy, numBuckets, None)
+
+  /** NON-UNIFORM composite form: explicit bucket count PER COLUMN —
+    * `dims(i)` buckets for `bucketBy(i)`, `dims.product` files total.
+    * The layout/decode/restore machinery always carried per-column dims
+    * (mixed-radix indices, [[org.apache.spark.sql.graftbridge.BucketLayout]]);
+    * this surfaces them so a hot leading column can get more buckets
+    * than its sub-key — e.g. (16, 4) where the first key dominates
+    * cardinality — instead of paying `n^k` uniform fan-out. */
+  def commitBucketed(table: String, df: DataFrame, bucketBy: Seq[String],
+      dims: Seq[Int], changeSet: Option[DataFrame]): Long = {
+    require(bucketBy.length == dims.length,
+      s"one bucket count per column: ${bucketBy.length} columns vs " +
+        s"${dims.length} dims")
     validateBucketArgs(df.columns.toSeq, bucketBy, dims)
     // sortWithinPartitions: each bucket file lands SORTED by the bucket
     // key tuple, so a single-file-per-bucket scan can also report
@@ -2051,10 +2153,6 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         (SnapshotStore.BucketSortedProp -> "true"))
   }
 
-  def commitBucketed(table: String, df: DataFrame, bucketBy: Seq[String],
-      numBuckets: Int): Long =
-    commitBucketed(table, df, bucketBy, numBuckets, None)
-
   /** Bucketed APPEND: the delta is bucketed exactly like the head (same
     * column(s), same counts — validated), so the chain STAYS storage-
     * partitioned-join eligible: bucket b of the snapshot is the union of
@@ -2064,8 +2162,16 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     appendBucketed(table, rows, Seq(bucketBy), numBuckets)
 
   def appendBucketed(table: String, rows: DataFrame, bucketBy: Seq[String],
-      numBuckets: Int): Long = {
-    val dims = Seq.fill(bucketBy.length)(numBuckets)
+      numBuckets: Int): Long =
+    appendBucketed(table, rows, bucketBy, Seq.fill(bucketBy.length)(numBuckets))
+
+  /** NON-UNIFORM composite append — per-column dims, validated against
+    * the head's claim exactly like the uniform form. */
+  def appendBucketed(table: String, rows: DataFrame, bucketBy: Seq[String],
+      dims: Seq[Int]): Long = {
+    require(bucketBy.length == dims.length,
+      s"one bucket count per column: ${bucketBy.length} columns vs " +
+        s"${dims.length} dims")
     validateBucketArgs(rows.columns.toSeq, bucketBy, dims)
     latestVersion(table).foreach { v =>
       val layout = bucketLayoutOf(table, v)
@@ -2073,7 +2179,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         headDims == dims && head.length == bucketBy.length &&
           head.lazyZip(bucketBy).forall(_.equalsIgnoreCase(_))
       },
-        s"appendBucketed(${bucketBy.mkString(",")}, $numBuckets) onto " +
+        s"appendBucketed(${bucketBy.mkString(",")}, ${dims.mkString("x")}) onto " +
           s"$table whose head is ${layout.fold("unbucketed")(l =>
             s"bucketed ${l._1.mkString(",")}/${l._2.mkString("x")}")} " +
           "— mixed layouts would silently break co-partitioned joins")
@@ -2129,7 +2235,18 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         .foldLeft(comps.head) { case (acc, (b, n)) => acc * n + b }
       val tokens = org.apache.spark.sql.graftbridge.GraftBucketRouting
         .tokens(total)
-      df.withColumn(route, element_at(lit(tokens), idx + 1))
+      // Small layouts inline the token table as a codegen'd array
+      // literal; large ones would bloat every composite write plan
+      // (2^20 buckets = a 4 MB literal serialized into plan AND
+      // closures), so past 4096 the lookup rides a broadcast — the
+      // executors fetch the array once, the plan carries a handle.
+      val tokenAt =
+        if (total <= 4096) element_at(lit(tokens), idx + 1)
+        else {
+          val bc = df.sparkSession.sparkContext.broadcast(tokens)
+          udf((i: Int) => bc.value(i)).apply(idx)
+        }
+      df.withColumn(route, tokenAt)
         .repartition(total, col(route))
         .drop(route)
     }
@@ -4173,11 +4290,18 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Every listed table's pointer file lock, acquired in sorted order
-    * (deadlock-free) inside the root monitor — the multi-table mutual
-    * exclusion [[appendAll]]'s commit step needs. */
+  /** Every listed table's publish exclusion, acquired in sorted order
+    * (deadlock-free) — the multi-table mutual exclusion [[appendAll]]'s
+    * commit step needs. POSIX backends: pointer FILE locks inside the
+    * root monitor. CONDITIONAL backends (object stores — no file locks
+    * cross-process): TTL'd publish LEASES in the head backend itself
+    * ([[underTableLeases]]), which every concurrent put is arbitrated
+    * against in the same one-item conditional write — so a single-table
+    * casAdvance can no longer slip between a transaction's validation
+    * and its pointer moves (the r18 ADVICE race). */
   private def underPointerLocks[T](tables: Seq[String])(body: => T): T =
-    SnapshotStore.rootLock(root) {
+    if (heads.conditional) underTableLeases(tables)(body)
+    else SnapshotStore.rootLock(root) {
       def loop(remaining: List[String]): T = remaining match {
         case Nil => body
         case t :: rest =>
@@ -4533,6 +4657,14 @@ object SnapshotStore {
     * [[MockObjectHeadStore]] to run the conditional-put protocol (fuzz
     * suites; an object-store deployment installs its real client here). */
   @volatile var headStoreFactory: () => HeadStore = () => new PosixHeadStore
+
+  /** TTL of a multi-table publish lease on conditional head backends
+    * ([[SnapshotStore.underTableLeases]]). The leased window is pure
+    * metadata work (validate, intent write, sentinel stamps, pointer
+    * puts — milliseconds), so 30 s only ever expires on a crashed or
+    * paused holder; the backend fences the loser and the `_txn/` intent
+    * rolls its cascade forward. */
+  @volatile var LeaseTtlMs: Long = 30000L
 
   /** Spec seam: fires right after a multi-table txn INTENT lands (the
     * roll-forward point) and before any pointer moves — a throw here

@@ -645,6 +645,52 @@ object RelationalQueries {
         .orderBy(col("sgrp"))
     }),
 
+    // NON-UNIFORM composite dims (r19): the per-column bucket counts
+    // follow the per-column CARDINALITY instead of paying n^k uniform
+    // fan-out — lineitem's natural compound key is (l_orderkey,
+    // l_linenumber) where orderkey carries ~all the cardinality and
+    // linenumber is 1..7, so the layout is (16, 4): 16 buckets for the
+    // hot leading column, 4 for the sub-key, 64 partitions total. Both
+    // sides of a line-level fact⋈fact join (charges vs tax/discount
+    // attributes, split column families) carry the same (16, 4) claim,
+    // so the compound-key join plans with no exchange and no sort on
+    // either side (pinned in StoragePartitionJoinSpec). Values
+    // oracle-exact vs DuckDB's self-join over the raw parquet. Build
+    // idempotent like q116.
+    "q118_composite_dims" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q118_" +
+        Tables.fingerprint(dir, "lineitem")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("li_ln")
+      store.migrateLegacyTable("li_tax")
+      if (store.latestVersion("li_tax").isEmpty) {
+        store.commitBucketed("li_ln", Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice")),
+          Seq("l_orderkey", "l_linenumber"), Seq(16, 4), None)
+        store.commitBucketed("li_tax", Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("t_orderkey"),
+            col("l_linenumber").as("t_linenumber"),
+            col("l_tax"), col("l_discount")),
+          Seq("t_orderkey", "t_linenumber"), Seq(16, 4), None)
+      }
+      val cat = s"q118_${Tables.fingerprint(dir, "lineitem")}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.table(s"$cat.li_ln")
+        .join(s.table(s"$cat.li_tax"),
+          col("l_orderkey") === col("t_orderkey") &&
+            col("l_linenumber") === col("t_linenumber"))
+        .groupBy(col("l_linenumber").as("ln"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("charged"))
+        .orderBy(col("ln"))
+    }),
+
     // RUNTIME-pruned hydration (the r17 SupportsRuntimeV2Filtering layer,
     // end to end at the query level): "fetch every lineitem of customer
     // 37's orders" — the reference's batch-hydration-by-id-list shape
@@ -1485,6 +1531,19 @@ object RelationalQueries {
         |FROM lineitem l
         |JOIN ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
         |GROUP BY 1 ORDER BY sgrp""".stripMargin,
+
+    // the non-uniform (16, 4) layout must be value-invisible: a plain
+    // self-join over the raw parquet on the same compound key
+    "q118_composite_dims" ->
+      """SELECT l.l_linenumber AS ln,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - t.l_discount) * (1.0 + t.l_tax)
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS charged
+        |FROM lineitem l
+        |JOIN lineitem t
+        |  ON l.l_orderkey = t.l_orderkey AND l.l_linenumber = t.l_linenumber
+        |GROUP BY 1 ORDER BY ln""".stripMargin,
 
     // The clustered layouts and the runtime pruning must be
     // value-invisible: a plain join over the original parquet.

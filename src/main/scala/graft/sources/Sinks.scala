@@ -169,11 +169,12 @@ object Sinks {
           val dims = b.collectFirst { case ("dims", JArray(xs)) =>
             xs.collect { case JInt(x) => x.toInt }
           }.getOrElse(List(n))
-          // the write API buckets uniformly per column; a backup written
-          // by it always satisfies this — refuse loudly otherwise
-          require(dims.distinct.length == 1 && dims.length == cols.length,
-            s"restore of $t: unsupported non-uniform bucket dims $dims")
-          store.commitBucketed(t, df, cols, dims.head)
+          require(dims.length == cols.length,
+            s"restore of $t: bucket dims $dims don't match columns $cols")
+          // per-column dims restore verbatim — non-uniform layouts
+          // ((16, 4): a hot leading column over a low-card sub-key) are
+          // first-class in the write API since r19
+          store.commitBucketed(t, df, cols, dims, None)
         case _ => store.commit(t, df)
       }
       (m \ "checks").asInstanceOf[JObject].obj.foreach {

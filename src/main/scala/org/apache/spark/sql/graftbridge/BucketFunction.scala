@@ -66,6 +66,11 @@ object GraftBucketFunction extends UnboundFunction {
   * keys on it plus the bucket count. */
 final case class BoundBucket(valueTypes: Seq[DataType])
     extends ScalarFunction[Integer] {
+  // bind refuses multi-argument input today; produceResult reads only
+  // the first value, so keep the invariant LOCAL — a future relaxation
+  // of bind must change this function, not silently hash one column.
+  require(valueTypes.length == 1,
+    s"bucket binds exactly one key column, got $valueTypes")
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.bucket"
   override def inputTypes(): Array[DataType] =
@@ -123,14 +128,21 @@ object GraftBucketRouting {
     * row on EXACTLY partition `r` (plain repartition hashes; only via a
     * preimage can the writer pick the index, and the part index IS the
     * file's bucket attribution). Driver-side, memoized per `total`;
-    * expected scan length ≈ total·ln(total). */
+    * expected scan length ≈ total·ln(total) (coupon collector over a
+    * uniform hash), so the bound below — 64·total + 4096 — is dozens of
+    * standard deviations out: hitting it means the hash is broken, and
+    * failing loudly beats spinning on non-negative ints forever. */
   def tokens(total: Int): Array[Int] =
     cache.computeIfAbsent(total, t => {
       val out = new Array[Int](t)
       val found = new Array[Boolean](t)
+      val bound = 64L * t + 4096L
       var remaining = t
       var i = 0
       while (remaining > 0) {
+        require(i < bound, s"bucket-routing preimage search for $t " +
+          s"buckets found only ${t - remaining} residues in $bound " +
+          "candidates — murmur3 residues are not behaving uniformly")
         val r = GraftBucketFunction.bucketId(i, IntegerType, t)
         if (!found(r)) { found(r) = true; out(r) = i; remaining -= 1 }
         i += 1

@@ -704,9 +704,10 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
   test("SERIALIZED ingesters over the CONDITIONAL-PUT head: the two r18 protocols compose") {
     // Same race, run with the object-store head backend: read-set
     // validation (serialized ingest) over put-if-match pointer swaps
-    // (HeadStore) — the multi-table intent protocol still takes the
-    // file locks (its documented scope), while every pointer publish
-    // goes through the conditional put. Same invariants.
+    // (HeadStore). Since r19 the multi-table intent protocol takes NO
+    // file locks here — its mutual exclusion is the TTL'd publish
+    // LEASE in the head backend itself, so this fuzz exercises the
+    // full object-store protocol end to end. Same invariants.
     val prior = SnapshotStore.headStoreFactory
     SnapshotStore.headStoreFactory = () => new graft.core.MockObjectHeadStore
     try serializedIngestFuzz(java.nio.file.Files
@@ -904,5 +905,165 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
       assert(hist.length == 1 + writers * opsPerWriter,
         s"every append must land as exactly one committed version: $hist")
     } finally SnapshotStore.headStoreFactory = prior
+  }
+
+  test("conditional-put head: lock-free CAS appenders RACING multi-table cascades — zero lost commits, zero torn cascades") {
+    // The r18 ADVICE race, closed by the r19 publish lease: under a
+    // conditional HeadStore the multi-table commit paths used to rely on
+    // POSIX file locks that a lock-free casAdvance never takes — a
+    // single-table append could land its put between a transaction's
+    // head validation and its forwardPointer, after which the txn either
+    // no-op'd (its own reported-committed candidate orphaned) or CAS'd
+    // over the racer (the racer's returned-true commit orphaned). Now
+    // every put is arbitrated against the per-table publish LEASE inside
+    // the backend's one-item conditional write, with NO file lock and NO
+    // JVM root monitor on this path — the in-process race below is the
+    // same protocol a multi-process object-store deployment runs.
+    // Invariants:
+    //   - every single-table append that returned is in the final
+    //     snapshot exactly once (zero lost commits, either side);
+    //   - every appendAll cascade's keys are in BOTH tables (atomic);
+    //   - consistent cuts taken mid-race never observe half a cascade.
+    val prior = SnapshotStore.headStoreFactory
+    SnapshotStore.headStoreFactory = () => new graft.core.MockObjectHeadStore
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-cput-txn").toString
+      val store = new SnapshotStore(spark, root)
+      store.commit("a", Seq((0L, "seed")).toDF("k", "src"))
+      store.commit("b", Seq((0L, "seed")).toDF("k", "src"))
+      val singles = 2; val cascaders = 2; val ops = 5
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(singles + cascaders + 1)
+      try {
+        val singleTasks = (0 until singles).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = try {
+              val st = new SnapshotStore(spark, root)
+              (1 to ops).foreach { i =>
+                val k = (w + 1) * 1000L + i
+                st.append("a", Seq((k, "single")).toDF("k", "src"))
+              }
+            } catch { case t: Throwable => failures.add(t) }
+            finally { done.incrementAndGet(); () }
+          })
+        }
+        val cascadeTasks = (0 until cascaders).map { c =>
+          pool.submit(new Runnable {
+            def run(): Unit = try {
+              val st = new SnapshotStore(spark, root)
+              (1 to ops).foreach { i =>
+                val k = (c + 1) * 100000L + i
+                st.appendAll(Map(
+                  "a" -> Seq((k, "cascade")).toDF("k", "src"),
+                  "b" -> Seq((k, "cascade")).toDF("k", "src")))
+              }
+            } catch { case t: Throwable => failures.add(t) }
+            finally { done.incrementAndGet(); () }
+          })
+        }
+        val probe = pool.submit(new Runnable {
+          def run(): Unit = try {
+            val st = new SnapshotStore(spark, root)
+            while (done.get() < singles + cascaders) {
+              val cut = st.readAll(Seq("a", "b"))
+              val inA = cut("a").where($"src" === "cascade")
+                .select("k").as[Long].collect().toSet
+              val inB = cut("b").where($"src" === "cascade")
+                .select("k").as[Long].collect().toSet
+              assert(inA == inB,
+                s"TORN CASCADE at a consistent cut: a=$inA b=$inB")
+              Thread.sleep(40L)
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+        (singleTasks ++ cascadeTasks :+ probe).foreach(_.get())
+      } finally pool.shutdown()
+      if (!failures.isEmpty) {
+        val f = failures.peek(); f.printStackTrace()
+        fail(s"participant failed under the leased conditional head: $f")
+      }
+      val expectedSingles = (for {
+        w <- 0 until singles; i <- 1 to ops
+      } yield (w + 1) * 1000L + i).toSet
+      val expectedCascades = (for {
+        c <- 0 until cascaders; i <- 1 to ops
+      } yield (c + 1) * 100000L + i).toSet
+      val a = store.read("a").as[(Long, String)].collect().toSeq
+      assert(a.length == a.toSet.size, "duplicated rows in a")
+      assert(a.collect { case (k, "single") => k }.toSet == expectedSingles,
+        "a single-table append that returned was lost")
+      assert(a.collect { case (k, "cascade") => k }.toSet == expectedCascades,
+        "a cascade's a-half was lost")
+      val b = store.read("b").as[(Long, String)].collect().toSeq
+      assert(b.collect { case (k, "cascade") => k }.toSet == expectedCascades,
+        "a cascade's b-half was lost")
+      // every committed version stays readable on both chains
+      store.history("a").foreach(v => store.readAt("a", v).count())
+      store.history("b").foreach(v => store.readAt("b", v).count())
+    } finally SnapshotStore.headStoreFactory = prior
+  }
+
+  test("conditional-put head: dropTable clears the head entry — no ghost table") {
+    // r18 ADVICE: the directory tree died but the pointer OBJECT
+    // survived on conditional backends — latestVersion kept reporting a
+    // version, createTable refused, reads crashed on missing dirs.
+    val prior = SnapshotStore.headStoreFactory
+    SnapshotStore.headStoreFactory = () => new graft.core.MockObjectHeadStore
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-cput-drop").toString
+      val store = new SnapshotStore(spark, root)
+      store.commit("ghost", Seq((1L, 2L)).toDF("k", "v"))
+      assert(store.latestVersion("ghost").isDefined)
+      assert(store.dropTable("ghost"))
+      assert(store.latestVersion("ghost").isEmpty,
+        "the head entry must die with the table")
+      // the name is immediately reusable and reads see only the new life
+      store.commit("ghost", Seq((9L, 9L)).toDF("k", "v"))
+      assert(store.read("ghost").as[(Long, Long)].collect().toSeq == Seq((9L, 9L)))
+    } finally SnapshotStore.headStoreFactory = prior
+  }
+
+  test("publish-lease semantics: live lease blocks foreign puts; TTL takeover fences the loser") {
+    // Unit pin of the backend contract the cascade fuzz rides:
+    //   1. while a live lease is held, an un-leased put FAILS with the
+    //      head unmoved (the single-table committer backs off);
+    //   2. the holder's own put (same owner) passes;
+    //   3. an expired lease is broken by the next acquirer and the old
+    //      holder is FENCED — its puts fail FOREVER on that key, so a
+    //      paused holder resuming after takeover can never move the head.
+    val hs = new graft.core.MockObjectHeadStore
+    val root = "/mock-lease-root"
+    try {
+      assert(hs.tryLease(root, "t", "txn1", 60000L), "fresh lease grants")
+      assert(!hs.compareAndPut(root, "t", None, 1L, None),
+        "an un-leased put must fail while a live foreign lease is held")
+      assert(hs.read(root, "t").isEmpty, "the refused put moved nothing")
+      assert(!hs.tryLease(root, "t", "txn2", 60000L),
+        "a live foreign lease must refuse acquisition")
+      assert(hs.compareAndPut(root, "t", None, 1L, Some("txn1")),
+        "the holder's own put passes")
+      hs.unlease(root, "t", "txn1")
+      val h1 = hs.read(root, "t")
+      assert(hs.compareAndPut(root, "t", h1, 2L, None),
+        "after release, un-leased puts flow again")
+      // TTL takeover + fencing
+      assert(hs.tryLease(root, "t", "slow", 1L))
+      Thread.sleep(10L)
+      assert(hs.tryLease(root, "t", "usurper", 60000L),
+        "an expired lease is broken by the next acquirer")
+      val h2 = hs.read(root, "t")
+      assert(!hs.compareAndPut(root, "t", h2, 3L, Some("slow")),
+        "the broken holder is fenced while the usurper holds")
+      hs.unlease(root, "t", "usurper")
+      assert(!hs.compareAndPut(root, "t", h2, 3L, Some("slow")),
+        "fencing is PERMANENT — a resumed holder can never put again")
+      assert(hs.compareAndPut(root, "t", h2, 3L, None),
+        "un-leased committers are unaffected after release")
+      // delete forgets everything, including fencing (a new table life)
+      hs.delete(root, "t")
+      assert(hs.read(root, "t").isEmpty)
+    } finally graft.core.MockObjectHeadStore.clear(root)
   }
 }

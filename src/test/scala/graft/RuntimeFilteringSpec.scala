@@ -104,6 +104,39 @@ class RuntimeFilteringSpec extends SparkSpec {
       s"3 runtime keys can hit at most 3 of 8 buckets, got ${buckets.head}")
   }
 
+  test("NON-UNIFORM composite layout prunes per DIGIT from runtime keys") {
+    // (16, 4) dims: a runtime IN on the SUB-key column constrains only
+    // its own mixed-radix digit — at most |values| of the 4 sub-buckets
+    // survive, each crossed with all 16 leading buckets. The leading
+    // column's digit is untouched (nothing provable about it), so the
+    // report shows ≤ 16·|values| of 64 — per-digit, never over-pruned.
+    val r2 = java.nio.file.Files.createTempDirectory("graft-rf-nu").toString
+    val st = new SnapshotStore(spark, r2)
+    st.commitBucketed("nufact", spark.range(0, 40000)
+      .select((col("id") % 2000).as("k1"),
+        expr("id DIV 4000").as("k2"), (col("id") % 97).as("v")),
+      Seq("k1", "k2"), Seq(16, 4), None)
+    st.commit("nudim", spark.range(0, 10)
+      .select(col("id").as("dk"), (col("id") % 3).as("cat")))
+    spark.conf.set("spark.sql.catalog.rfnu", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rfnu.root", r2)
+    val qd = "SELECT f.k1, f.v FROM rfnu.nufact f JOIN rfnu.nudim d " +
+      "ON f.k2 = d.dk WHERE d.dk IN (0, 1)"
+    val expected = withSQLConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+      spark.sql(qd).collect().map(_.toSeq).sortBy(_.toString)
+    }
+    val df = spark.sql(qd)
+    val got = df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == expected.toSeq, "digit pruning changed the answer")
+    val buckets = graftScans(df).flatMap(_.runtimeBucketReport)
+    assert(buckets.nonEmpty,
+      "composite graft scan received no runtime bucket filter")
+    assert(buckets.head.size <= 32,
+      s"2 sub-key values constrain digit 2 to ≤2 of 4 ids (≤32 of 64 " +
+        s"buckets), got ${buckets.head.size}")
+  }
+
   test("empty build side prunes everything; result empty and exact") {
     root
     val qe = "SELECT f.k FROM rf.fact f JOIN rf.dim d ON f.k = d.dk " +

@@ -581,10 +581,13 @@ class StoragePartitionJoinSpec extends SparkSpec {
   }
 
   test("COMPOSITE bucket keys: two-column co-bucketed join plans zero-exchange, sortless, exact") {
-    // bucket(n, k1, k2) — ONE transform over the key tuple, hash =
-    // murmur3 folded over both columns (HashPartitioning's own id). A
-    // fact⋈fact join on the compound key then needs no exchange AND no
-    // sort on either side; a single-key layout can't serve this join.
+    // The scan reports one single-reference bucket(n, colᵢ) transform
+    // PER COLUMN (Spark's SPJ machinery refuses multi-reference
+    // transforms), each column hashed INDEPENDENTLY with murmur3, and
+    // the per-column ids compose into a MIXED-RADIX partition index
+    // (BucketLayout — there is no tuple-fold hash on disk). A fact⋈fact
+    // join covering the compound key then needs no exchange AND no sort
+    // on either side; a single-key layout can't serve this join.
     val r = java.nio.file.Files.createTempDirectory("graft-spj-comp").toString
     val st = new SnapshotStore(spark, r)
     // integer keys: a float/double join key gets wrapped in Spark's
@@ -659,6 +662,70 @@ class StoragePartitionJoinSpec extends SparkSpec {
         "composite claim survives the key-moving UPDATE")
       // the moved key has no pb match; the DV'd row stays gone
       assert(j4.count() == base._1 - 2)
+    }
+  }
+
+  test("NON-UNIFORM composite dims (16, 4): zero-exchange sortless join, claim-guarded appends, restore keeps the layout") {
+    // r19: per-column bucket counts follow per-column CARDINALITY — the
+    // hot leading key gets 16 buckets, the low-card sub-key 4, instead
+    // of n^k uniform fan-out. Everything the uniform composite claim
+    // provides must hold unchanged: exchange-free sortless compound-key
+    // join, appends validated against the exact dims vector, and a
+    // backup/restore cycle that re-buckets with the same (16, 4).
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-nu").toString
+    val st = new SnapshotStore(spark, r)
+    // k1: ~2000 distinct (hot, 16 buckets); k2: 10 distinct (4 buckets)
+    def mk(vcol: String, off: Int) = spark.range(0, 20000)
+      .select((col("id") % 2000).as("k1"), expr("id DIV 2000").as("k2"),
+        (col("id") + off).as(vcol))
+    st.commitBucketed("nua", mk("va", 0), Seq("k1", "k2"), Seq(16, 4), None)
+    st.commitBucketed("nub", mk("vb", 7), Seq("k1", "k2"), Seq(16, 4), None)
+    assert(st.bucketLayoutOf("nua", st.latestVersion("nua").get)
+      .contains((Seq("k1", "k2"), Seq(16, 4))))
+    spark.conf.set("spark.sql.catalog.spjnu", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjnu.root", r)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = """SELECT a.k1 AS k1, a.k2 AS k2, va, vb
+                |FROM spjnu.nua a JOIN spjnu.nub b
+                |ON a.k1 = b.k1 AND a.k2 = b.k2""".stripMargin
+      val j = spark.sql(q)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"non-uniform co-bucketed join must not shuffle either side:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"tuple-sorted single-file buckets skip the SMJ sorts too:\n$plan")
+      val base = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val p = spark.sql(q)
+        (p.count(), p.agg(sum("va"), sum("vb")).head())
+      }
+      assert(j.count() == base._1 && base._1 == 20000L)
+      assert(j.agg(sum("va"), sum("vb")).head() == base._2)
+      // an append must match the exact DIMS VECTOR, not just the columns:
+      // uniform 16 on both columns is a DIFFERENT layout — refused
+      val bad = intercept[IllegalArgumentException](
+        st.appendBucketed("nua", Seq((1L, 1L, 1L)).toDF("k1", "k2", "va"),
+          Seq("k1", "k2"), 16))
+      assert(bad.getMessage.contains("mixed layouts"))
+      // the matching (16, 4) append keeps the claim
+      st.appendBucketed("nua", Seq((99999L, 0L, 1L)).toDF("k1", "k2", "va"),
+        Seq("k1", "k2"), Seq(16, 4))
+      val j2 = spark.sql(q)
+      assert(!finalPlan(j2).contains("Exchange"),
+        "non-uniform bucketed append keeps the zero-exchange claim")
+      assert(j2.count() == base._1, "the appended key has no nub match")
+      // backup → restore into a fresh store: the (16, 4) layout claim
+      // survives the cycle (r18 refused non-uniform dims at restore)
+      val out = java.nio.file.Files.createTempDirectory("graft-spj-nu-bk").toString
+      graft.sources.Sinks.backupStore(spark, st, Seq("nua"), out)
+      val dstRoot = java.nio.file.Files.createTempDirectory("graft-spj-nu-dst").toString
+      val dst = new SnapshotStore(spark, dstRoot)
+      graft.sources.Sinks.restoreStore(spark, dst, out)
+      assert(dst.bucketLayoutOf("nua", dst.latestVersion("nua").get)
+        .contains((Seq("k1", "k2"), Seq(16, 4))),
+        "restore must re-bucket with the same non-uniform dims")
+      assert(dst.read("nua").count() == 20001L)
     }
   }
 
