@@ -36,12 +36,166 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => CosineArgumentReorder)
     ext.injectOptimizerRule(_ => RelyKeyOptimization)
+    ext.injectOptimizerRule(_ => CmsJoinSizing)
     // ANSI UPDATE over graft catalog tables — planned straight onto
     // SnapshotStore.update (graft.plans.GraftUpdateStrategy).
     ext.injectPlannerStrategy(_ => graft.plans.GraftUpdateStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
     // Deferred-side-effect TVFs (maintenance: vacuum/compact/adopt).
     ext.injectPlannerStrategy(_ => graft.plans.GraftDeferredActionStrategy)
+  }
+}
+
+/** Join-sizing CORRECTION from count-min sketches — the string-skew
+  * analog of the numeric CBO histograms. Catalyst's FilterEstimation has
+  * no bin-resolution path for STRING equality (its histogram bins are
+  * doubles; `EstimationUtils.toDouble` never handles strings), so a hot
+  * categorical filter like `rel_type = 'supports'` over a power-law
+  * column estimates at the uniform 1/NDV — off by orders of magnitude in
+  * either direction (reference's skew case: `rel_type`, ~120 values,
+  * api/app/constants.py:22-87). The store's chain-merged `_cms.json`
+  * sketches ([[graft.core.NdvStats]]) answer exactly that point query at
+  * ±0.5%·rows, so this rule re-sizes the JOIN decision the mis-estimate
+  * corrupts: the broadcast build side.
+  *
+  * Shape matched: a join side that is a Project/alias chain over a
+  * Filter over a graft store relation whose conjuncts are ALL
+  * string-equality predicates on
+  * CMS-covered columns. The CMS estimate (product of per-conjunct
+  * frequencies over rows — the estimator's own independence assumption)
+  * then sizes the side, and the rule sets a join-strategy hint ONLY when
+  * it provably DISAGREES with the uniform guess AND the gap is decisive:
+  *   - naive ≤ threshold but CMS > 4×threshold → NO_BROADCAST_HASH (the
+  *     "hot value" case: 1/NDV says tiny, reality is most of the table —
+  *     without this the planner broadcasts a near-full fact and the
+  *     driver/executors eat it at 100 TB);
+  *   - naive > threshold but CMS ≤ threshold/2 → BROADCAST (the "absent
+  *     value" case: 1/NDV says too big, reality is ~nothing — without
+  *     this a shuffle join materializes both sides for a handful of
+  *     rows).
+  * User-provided hints are never overridden (orElse); the decisive-gap
+  * guards keep the rule dormant near the threshold, so plans only change
+  * where the uniform estimate is badly wrong. Fixed-point safe: a set
+  * hint blocks re-evaluation. CMS frequencies OVER-count by design
+  * (ε-error one-sided), which leans toward NO_BROADCAST — the safe
+  * direction for memory. */
+object CmsJoinSizing
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.execution.datasources.v2.{
+    DataSourceV2Relation, DataSourceV2ScanRelation}
+  import org.apache.spark.sql.types.StringType
+
+  /** The graft store coordinates behind a plan node, if it is a store-
+    * backed V2 relation (either side of the pushdown boundary). */
+  private def graftTableOf(p: LogicalPlan)
+      : Option[graft.sources.GraftTable] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.GraftTable if t.storeRoot.isDefined => Some(t)
+      case _ => None
+    }
+    case r: DataSourceV2ScanRelation => r.relation.table match {
+      case t: graft.sources.GraftTable if t.storeRoot.isDefined => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** CMS-estimated surviving BYTES of a join side, when every filter
+    * conjunct is a string-equality the chain sketches can answer. */
+  private def cmsEstimate(side: LogicalPlan): Option[(Long, Long)] = {
+    // strip aliases/projections (they don't change row counts)
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case Project(_, c) => strip(c)
+      case _ => p
+    }
+    strip(side) match {
+      case f @ Filter(cond, rel) =>
+        graftTableOf(strip(rel)).flatMap { t =>
+          def conj(e: Expression): Seq[Expression] = e match {
+            case And(a, b) => conj(a) ++ conj(b)
+            case other => Seq(other)
+          }
+          val conjuncts = conj(cond)
+          val eqs = conjuncts.map {
+            case EqualTo(a: AttributeReference, Literal(v, StringType))
+                if a.dataType == StringType && v != null =>
+              Some((a.name.toLowerCase(java.util.Locale.ROOT),
+                v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                  .getBytes))
+            case EqualTo(Literal(v, StringType), a: AttributeReference)
+                if a.dataType == StringType && v != null =>
+              Some((a.name.toLowerCase(java.util.Locale.ROOT),
+                v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                  .getBytes))
+            case _ => None
+          }
+          val eqCols = eqs.flatten.map(_._1).toSet
+          // IsNotNull conjuncts ride along at selectivity 1: the
+          // optimizer infers them from every equality and join key
+          // (InferFiltersFromConstraints), they can only SHRINK the row
+          // count, and both the CMS and the naive estimate ignore them
+          // identically — a consistent upper bound, which errs toward
+          // NO_BROADCAST, the memory-safe direction. Any OTHER residual
+          // conjunct: stay dormant rather than mis-size.
+          val residuals = conjuncts.zip(eqs).collect {
+            case (c, None) => c
+          }.filterNot(_.isInstanceOf[IsNotNull])
+          if (residuals.nonEmpty || eqCols.isEmpty) None
+          else {
+            val spark = org.apache.spark.sql.SparkSession.active
+            val store = new graft.core.SnapshotStore(spark, t.storeRoot.get)
+            val cms = store.chainCms(t.tableName, t.snapshotVersion)
+            val ndv = store.chainNdv(t.tableName, t.snapshotVersion)
+            val terms = eqs.flatten.map { case (c, bytes) =>
+              (cms.get(c), ndv.get(c), bytes)
+            }
+            if (terms.exists(x => x._1.isEmpty || x._2.isEmpty)) None
+            else {
+              val rows = terms.map(_._1.get.totalCount()).max
+              if (rows <= 0L) None
+              else {
+                val sel = terms.map { case (s, _, bytes) =>
+                  s.get.estimateCount(bytes).toDouble / rows
+                }.product
+                val naiveSel = terms.map(x =>
+                  1.0 / math.max(1L, x._2.get)).product
+                val rowBytes = (f.output.map(_.dataType.defaultSize).sum + 8)
+                  .toLong
+                Some(((sel * rows * rowBytes).toLong,
+                  (naiveSel * rows * rowBytes).toLong))
+              }
+            }
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** The corrective hint for one side, or None when the CMS agrees with
+    * the uniform guess (or nothing is provable). */
+  private def sizeHint(side: LogicalPlan): Option[HintInfo] = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) return None
+    cmsEstimate(side).flatMap { case (cmsBytes, naiveBytes) =>
+      if (naiveBytes <= threshold && cmsBytes > 4L * threshold)
+        Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
+      else if (naiveBytes > threshold && cmsBytes <= threshold / 2L)
+        Some(HintInfo(strategy = Some(BROADCAST)))
+      else None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, _, _, hint)
+        if hint.leftHint.isEmpty || hint.rightHint.isEmpty =>
+      val lh = hint.leftHint.orElse(sizeHint(left))
+      val rh = hint.rightHint.orElse(sizeHint(right))
+      if (lh == hint.leftHint && rh == hint.rightHint) j
+      else j.copy(hint = JoinHint(lh, rh))
   }
 }
 
@@ -1061,7 +1215,7 @@ object GraftExtensions {
         spark.experimental.extraStrategies ++ missing
     // Optimizer rules have the same post-hoc hook: extraOptimizations
     // (extension-built sessions get them via injectOptimizerRule above).
-    val rules = Seq(CosineArgumentReorder, RelyKeyOptimization)
+    val rules = Seq(CosineArgumentReorder, RelyKeyOptimization, CmsJoinSizing)
     val missingRules = rules.filterNot(
       spark.experimental.extraOptimizations.contains(_))
     if (missingRules.nonEmpty)

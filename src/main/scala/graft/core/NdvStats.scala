@@ -43,8 +43,35 @@ object NdvStats {
     * Observation as the NDV sketches. Read back as CBO histograms
     * ([[graft.sources.GraftTable]] → connector ColumnStatistics →
     * Catalyst's FilterEstimation), where they turn skewed-value
-    * selectivities from 1/ndv guesses into bin-resolution estimates. */
+    * selectivities from 1/ndv guesses into bin-resolution estimates.
+    * Since r19 the sidecar also carries per-column NON-NULL ROW WEIGHTS
+    * (`__weights__` entry, from a `count(col)` metric on the same
+    * Observation), which is what makes the per-link histograms
+    * MERGEABLE: an append chain's histogram is the weighted-CDF mix of
+    * its links' piecewise-uniform distributions, re-inverted at k
+    * equi-height boundaries ([[mergeEquiHeight]]) — the same
+    * union-across-links discipline as the HLL NDV sketches, so the
+    * append-heavy steady state keeps bin-resolution estimates instead
+    * of falling back to 1/NDV until compact. */
   val HistFileName = "_hist.json"
+
+  /** Count-min sketch sidecar: STRING column → base64 CMS, from
+    * `count_min_sketch` riding the same write-job Observation. Strings
+    * are the skew case Catalyst's double-binned histograms cannot
+    * describe (the reference's hot categorical key is `rel_type`, ~120
+    * power-law values — api/app/constants.py:22-87): the sketch answers
+    * point-frequency queries at ±eps·rows, and CMS merges are EXACT
+    * (counter-wise sums), so chains union losslessly like the NDV
+    * sketches. Consumed by the join-sizing rule
+    * ([[graft.GraftExtensions]]) to pick the right build side under a
+    * hot-string-equality filter. */
+  val CmsFileName = "_cms.json"
+
+  /** CMS shape: eps 0.5% of rows, 99% confidence → 400×7 longs ≈ 22 KB
+    * per string column per link. */
+  val CmsEps = 0.005
+  val CmsConfidence = 0.99
+  val CmsSeed = 42
 
   /** Equi-height bin count. 32 resolves a hot key down to ~3% of rows
     * while keeping the sidecar at 33 doubles per column (ANALYZE's
@@ -57,6 +84,15 @@ object NdvStats {
   /** Histogram metric prefix inside the shared Observation (the NDV
     * metrics are keyed by bare lowercased column name). */
   private val HistPrefix = "__graft_hist__"
+
+  /** Non-null row-count metric prefix (the histogram's merge weight). */
+  private val HistNPrefix = "__graft_histn__"
+
+  /** Count-min-sketch metric prefix (string columns). */
+  private val CmsPrefix = "__graft_cms__"
+
+  /** The `__weights__` key inside `_hist.json`. */
+  private val WeightsKey = "__weights__"
 
   /** Histogram-eligible column expression: NUMERIC domains only — the
     * Catalyst histogram bins are doubles, and numeric casts are the 1:1
@@ -112,15 +148,28 @@ object NdvStats {
       val n = f.name.toLowerCase(java.util.Locale.ROOT)
       sketchExpr(f).map(e => n -> hll_sketch_agg(e, lit(LgK)).as(n))
     }
-    // equi-height boundaries ride the SAME observation — still one pass
+    // equi-height boundaries ride the SAME observation — still one pass;
+    // each histogram column also gets its NON-NULL COUNT (the weight the
+    // chain merge mixes CDFs by) and string columns a count-min sketch
     val histMetrics = df.schema.fields.toSeq.flatMap { f =>
-      val n = HistPrefix + f.name.toLowerCase(java.util.Locale.ROOT)
+      val base = f.name.toLowerCase(java.util.Locale.ROOT)
+      val n = HistPrefix + base
       val pcts = array((0 to HistBins).map(i =>
         lit(i.toDouble / HistBins)): _*)
-      histExpr(f).map(e =>
-        n -> percentile_approx(e, pcts, lit(10000)).as(n))
+      histExpr(f).toSeq.flatMap(e => Seq(
+        n -> percentile_approx(e, pcts, lit(10000)).as(n),
+        (HistNPrefix + base) ->
+          count(col(s"`${f.name}`")).as(HistNPrefix + base)))
     }
-    val metrics = (ndvMetrics ++ histMetrics)
+    val cmsMetrics = df.schema.fields.toSeq.flatMap { f =>
+      val n = CmsPrefix + f.name.toLowerCase(java.util.Locale.ROOT)
+      f.dataType match {
+        case StringType => Some(n -> count_min_sketch(col(s"`${f.name}`"),
+          lit(CmsEps), lit(CmsConfidence), lit(CmsSeed)).as(n))
+        case _ => None
+      }
+    }
+    val metrics = (ndvMetrics ++ histMetrics ++ cmsMetrics)
       // Case-sensitive-mode frames can carry "ID" and "id" as distinct
       // columns; their metric names collide after lowercasing and the
       // duplicate alias fails the observe ANALYSIS — which would fail the
@@ -142,7 +191,8 @@ object NdvStats {
   def write(versionDir: Path, harvest: (Observation, Seq[String])): Unit = {
     val (obs, names) = harvest
     val got = obs.get
-    val entries = names.filterNot(_.startsWith(HistPrefix)).flatMap { n =>
+    val entries = names.filterNot(n => n.startsWith(HistPrefix) ||
+        n.startsWith(HistNPrefix) || n.startsWith(CmsPrefix)).flatMap { n =>
       got.get(n) match {
         case Some(bytes: Array[Byte]) if bytes.nonEmpty =>
           Some(n -> Base64.getEncoder.encodeToString(bytes))
@@ -157,7 +207,7 @@ object NdvStats {
       Files.move(tmp, versionDir.resolve(NdvFileName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
-    // histogram boundaries → _hist.json (same temp+rename, best-effort)
+    // histogram boundaries (+ their merge weights) → _hist.json
     val hists = names.filter(_.startsWith(HistPrefix)).flatMap { n =>
       got.get(n) match {
         case Some(bs: scala.collection.Seq[_]) if bs.nonEmpty =>
@@ -169,16 +219,46 @@ object NdvStats {
           // all-null columns yield an empty/degenerate array: no histogram
           if (ds.length == HistBins + 1)
             Some(n.stripPrefix(HistPrefix) ->
-              JArray(ds.toList.map(JDouble(_))))
+              (JArray(ds.toList.map(JDouble(_))): JValue))
           else None
         case _ => None
       }
     }
     if (hists.nonEmpty) {
+      val histCols = hists.map(_._1).toSet
+      val weights = names.filter(_.startsWith(HistNPrefix)).flatMap { n =>
+        val c = n.stripPrefix(HistNPrefix)
+        got.get(n) match {
+          case Some(x: Number) if histCols.contains(c) =>
+            Some(c -> (JLong(x.longValue): JValue))
+          case _ => None
+        }
+      }
+      val body = hists.sortBy(_._1) ++
+        (if (weights.nonEmpty)
+          Seq(WeightsKey -> (JObject(weights.sortBy(_._1).toList): JValue))
+        else Nil)
       val tmp = versionDir.resolve(HistFileName + ".tmp")
       Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(
-        JObject(hists.sortBy(_._1).toList))))
+        JObject(body.toList))))
       Files.move(tmp, versionDir.resolve(HistFileName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    // string count-min sketches → _cms.json (same temp+rename)
+    val sketches = names.filter(_.startsWith(CmsPrefix)).flatMap { n =>
+      got.get(n) match {
+        case Some(bytes: Array[Byte]) if bytes.nonEmpty =>
+          Some(n.stripPrefix(CmsPrefix) ->
+            Base64.getEncoder.encodeToString(bytes))
+        case _ => None // all-null string column in this delta
+      }
+    }
+    if (sketches.nonEmpty) {
+      val tmp = versionDir.resolve(CmsFileName + ".tmp")
+      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(
+        JObject(sketches.sortBy(_._1).map { case (k, v) =>
+          k -> JString(v) }.toList))))
+      Files.move(tmp, versionDir.resolve(CmsFileName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
   }
@@ -199,19 +279,123 @@ object NdvStats {
     } catch { case NonFatal(_) => Map.empty }
   }
 
-  /** The chain's histograms: reported ONLY when exactly one data-carrying
-    * link exists (a self-contained commit or a compact) — equi-height
-    * histograms don't union losslessly across links, and a misleading
-    * histogram is worse for CBO than none. Appends drop them; the next
-    * compact restores them. */
+  /** Per-column non-null row weights recorded with a version's histogram
+    * (`__weights__` in `_hist.json`); empty for pre-r19 sidecars. */
+  def readHistWeights(versionDir: Path): Map[String, Long] = {
+    val f = versionDir.resolve(HistFileName)
+    if (!Files.exists(f)) Map.empty
+    else try JsonMethods.parse(Files.readString(f)) match {
+      case JObject(fields) => fields.collectFirst {
+        case (WeightsKey, JObject(ws)) => ws.collect {
+          case (k, JLong(n)) => k -> n
+          case (k, JInt(n)) => k -> n.toLong
+        }.toMap
+      }.getOrElse(Map.empty)
+      case _ => Map.empty
+    } catch { case NonFatal(_) => Map.empty }
+  }
+
+  /** Merge per-link equi-height histograms into one: each link's bounds
+    * + non-null row weight describe a piecewise-uniform distribution
+    * (point bins — lo == hi, a hot value — are point MASSES); the union
+    * CDF is their weighted mix, re-inverted at k equi-height targets.
+    * Jump-aware inversion: a target landing inside a point mass returns
+    * the point itself, so a hot value that dominates the union keeps its
+    * SINGLETON bins — the property the skewed-equality estimate rides
+    * (equiHeightHistogram gives lo==hi bins NDV 1). An approximation of
+    * an approximation, in the same spirit as t-digest merging — strictly
+    * better than the 1/NDV fallback it replaces on append chains. */
+  def mergeEquiHeight(links: Seq[(Array[Double], Long)], bins: Int)
+      : Option[Array[Double]] = {
+    val ls = links.filter { case (b, w) => b.length >= 2 && w > 0L }
+    if (ls.isEmpty) return None
+    if (ls.length == 1) return Some(ls.head._1)
+    val total = ls.map(_._2.toDouble).sum
+    val xs = ls.flatMap(_._1).distinct.sorted.toArray
+    // mass strictly below x / at-or-below x for one link
+    def mass(b: Array[Double], w: Double, x: Double, inclusive: Boolean)
+        : Double = {
+      val n = b.length - 1; val per = w / n
+      var m = 0.0; var i = 0
+      while (i < n) {
+        val lo = b(i); val hi = b(i + 1)
+        if (hi == lo) { // point mass
+          if (if (inclusive) x >= lo else x > lo) m += per
+        } else if (x >= hi) m += per
+        else if (x > lo) m += per * (x - lo) / (hi - lo)
+        i += 1
+      }
+      m
+    }
+    val below = xs.map(x => ls.map { case (b, w) =>
+      mass(b, w.toDouble, x, inclusive = false) }.sum)
+    val at = xs.map(x => ls.map { case (b, w) =>
+      mass(b, w.toDouble, x, inclusive = true) }.sum)
+    val out = new Array[Double](bins + 1)
+    out(0) = xs.head; out(bins) = xs.last
+    var j = 1
+    while (j < bins) {
+      val target = total * j / bins
+      var i = 0
+      while (i < xs.length && at(i) < target) i += 1
+      out(j) =
+        if (i >= xs.length) xs.last
+        else if (target > below(i) || i == 0) xs(i) // inside the jump at xs(i)
+        else {
+          // continuous span (xs(i-1), xs(i)): interpolate between the
+          // previous point's at-mass and this point's below-mass
+          val m0 = at(i - 1); val m1 = below(i)
+          if (m1 <= m0) xs(i)
+          else xs(i - 1) + (xs(i) - xs(i - 1)) *
+            math.min(1.0, math.max(0.0, (target - m0) / (m1 - m0)))
+        }
+      j += 1
+    }
+    Some(out)
+  }
+
+  /** The chain's histograms. One data-carrying link: its boundaries
+    * verbatim (a self-contained commit or a compact — exact, no weight
+    * needed). SEVERAL data links: the weighted-CDF merge
+    * ([[mergeEquiHeight]]) over the links' boundaries and `__weights__`,
+    * so append chains keep bin-resolution estimates (r18 withheld them
+    * until compact). Gating mirrors [[chainNdv]]: a data link with NO
+    * `_hist.json` at all predates the sidecar (or crashed its write) —
+    * unknown rows, so it gates every column; a link WITH the sidecar but
+    * missing a column wrote it absent/all-null — zero weight, skipped.
+    * A multi-link chain whose links lack weights (pre-r19 sidecars)
+    * cannot merge and reports nothing until compact, the old behavior. */
   def chainHist(dirs: Seq[Path], linkHasData: Path => Boolean,
       resolve: Path => Map[String, String] = _ => Map.empty)
       : Map[String, Array[Double]] = {
     val dataDirs = dirs.filter(linkHasData)
-    if (dataDirs.length != 1) return Map.empty
-    val d = dataDirs.head
-    val physToLogical = resolve(d).map(_.swap)
-    readHist(d).map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+    if (dataDirs.isEmpty) return Map.empty
+    if (dataDirs.length == 1) {
+      val d = dataDirs.head
+      val physToLogical = resolve(d).map(_.swap)
+      return readHist(d).map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+    }
+    // rename-aware per-link (bounds, weights), keyed by head-logical name
+    val perLink = dataDirs.map { d =>
+      val physToLogical = resolve(d).map(_.swap)
+      val bounds = readHist(d).map { case (k, v) =>
+        physToLogical.getOrElse(k, k) -> v }
+      val weights = readHistWeights(d).map { case (k, v) =>
+        physToLogical.getOrElse(k, k) -> v }
+      (bounds, weights)
+    }
+    if (perLink.exists(_._1.isEmpty)) return Map.empty // a blind link gates
+    val cols = perLink.map(_._1.keySet).reduce(_ union _)
+    cols.iterator.flatMap { c =>
+      // links carrying the column need bounds AND a weight; links without
+      // it contribute nothing (absent/all-null there)
+      val entries = perLink.flatMap { case (bounds, weights) =>
+        bounds.get(c).map(b => (b, weights.get(c)))
+      }
+      if (entries.exists(_._2.isEmpty)) None // pre-weight link: can't merge
+      else mergeEquiHeight(entries.map { case (b, w) => (b, w.get) }, HistBins)
+        .map(c -> _)
+    }.toMap
   }
 
   /** One version directory's sketches (column → serialized HLL), empty
@@ -260,6 +444,48 @@ object NdvStats {
           u.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))))
         Some(c -> math.max(1L, math.round(u.getResult.getEstimate)))
       } catch { case NonFatal(_) => None } // corrupt sketch: no estimate
+    }.toMap
+  }
+
+  /** One version directory's count-min sketches (string column →
+    * serialized CMS), empty when absent/unreadable. */
+  def readCms(versionDir: Path): Map[String, Array[Byte]] = {
+    val f = versionDir.resolve(CmsFileName)
+    if (!Files.exists(f)) Map.empty
+    else try JsonMethods.parse(Files.readString(f)) match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> Base64.getDecoder.decode(v)
+      }.toMap
+      case _ => Map.empty
+    } catch { case NonFatal(_) => Map.empty }
+  }
+
+  /** Union the chain's per-link count-min sketches per column — CMS
+    * merges are EXACT counter sums, so the chain estimate carries each
+    * link's rows once. Same gating as [[chainNdv]]: a data link with NO
+    * `_cms.json` gates every column (it may predate the sidecar — a
+    * partial union would UNDERSTATE the hot value's frequency, which is
+    * the dangerous direction for build-side sizing); a link WITH the
+    * sidecar but missing a column wrote it absent/all-null there. DV'd
+    * rows stay counted until compact — over-counted frequency
+    * under-broadcasts, the safe direction. */
+  def chainCms(dirs: Seq[Path], linkHasData: Path => Boolean,
+      resolve: Path => Map[String, String] = _ => Map.empty)
+      : Map[String, org.apache.spark.util.sketch.CountMinSketch] = {
+    val dataDirs = dirs.filter(linkHasData)
+    if (dataDirs.isEmpty) return Map.empty
+    val perLink: Seq[Map[String, Array[Byte]]] = dataDirs.map { d =>
+      val physToLogical = resolve(d).map(_.swap)
+      readCms(d).map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
+    }
+    if (perLink.exists(_.isEmpty)) return Map.empty // a blind link gates all
+    val cols = perLink.map(_.keySet).reduce(_ union _)
+    cols.iterator.flatMap { c =>
+      try {
+        val parts = perLink.flatMap(_.get(c)).map(
+          org.apache.spark.util.sketch.CountMinSketch.readFrom)
+        parts.reduceOption((a, b) => a.mergeInPlace(b)).map(c -> _)
+      } catch { case NonFatal(_) => None } // corrupt/incompatible: none
     }.toMap
   }
 }

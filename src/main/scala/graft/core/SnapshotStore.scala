@@ -546,6 +546,32 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       r
     }
 
+  /** The snapshot's per-string-column count-min sketches — the chain
+    * union of the links' `_cms.json` sidecars ([[NdvStats.chainCms]];
+    * CMS merges are exact counter sums). Point-frequency answers at
+    * ±eps·rows for hot-categorical-key selectivity (the join-sizing
+    * rule in [[graft.GraftExtensions]]). Memoized per immutable version
+    * with [[chainNdv]]'s caching discipline. */
+  def chainCms(table: String, version: Long)
+      : Map[String, org.apache.spark.util.sketch.CountMinSketch] =
+    SnapshotStore.cmsCache.get((root, table, version)).getOrElse {
+      val (_, dirs) = resolveVersionPaths(table, Some(version))
+      val physNames = physicalNamesByVersion(table, version)
+      val r = NdvStats.chainCms(dirs, d => {
+        val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
+        fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
+          val s = Files.list(d)
+          try s.iterator().asScala.exists(p =>
+            p.getFileName.toString.endsWith(".parquet") &&
+              Files.isRegularFile(p))
+          finally s.close()
+        }
+      }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
+      if (r.nonEmpty || latestVersion(table).exists(version <= _))
+        SnapshotStore.cmsCache.putIfAbsent((root, table, version), r)
+      r
+    }
+
   /** [[commitProps]] with CHAIN INHERITANCE: a chain-link version (append)
     * inherits its base's properties, later links overriding earlier keys —
     * so metadata pinned at a rewrite (e.g. AnnIndex's centroids pairing)
@@ -2062,6 +2088,8 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         case ((r, t, _), _) => !(r == root && t == table) }
       SnapshotStore.histCache.filterInPlace {
         case ((r, t, _), _) => !(r == root && t == table) }
+      SnapshotStore.cmsCache.filterInPlace {
+        case ((r, t, _), _) => !(r == root && t == table) }
       true
     }
   }
@@ -2173,6 +2201,28 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       s"one bucket count per column: ${bucketBy.length} columns vs " +
         s"${dims.length} dims")
     validateBucketArgs(rows.columns.toSeq, bucketBy, dims)
+    // AUTO-FOLD on sorted-run fan-in — the missing twin of the DV chain
+    // backstop (DvMaxChainRows): each bucket's per-file sorted runs are
+    // k-way merged at read time, capped at MaxSortedRunsPerBucket open
+    // readers, past which the scan silently drops the sortless-SMJ claim
+    // until someone compacts by hand (the r18 gap). The fold runs INSIDE
+    // the over-cap append, before its delta lands: an append that would
+    // cross the cap first collapses the chain (the layout-preserving
+    // compact — one sorted file per bucket), so the claim never lapses
+    // and a SUSTAINED appender cannot starve the fold — every over-cap
+    // appender is itself a folder, and a compact lost to a sibling's
+    // fold re-checks a now-collapsed chain and just proceeds.
+    latestVersion(table).foreach { v =>
+      if (bucketSortedOf(table, v)) {
+        var tries = 3
+        while (tries > 0 && latestVersion(table).exists(h =>
+            maxRunsPerBucket(table, h, dims.product)
+              .exists(_ >= sortedRunFoldCap))) {
+          try { compact(table); tries = 0 }
+          catch { case _: IllegalStateException => tries -= 1 }
+        }
+      }
+    }
     latestVersion(table).foreach { v =>
       val layout = bucketLayoutOf(table, v)
       require(layout.exists { case (head, headDims) =>
@@ -2283,6 +2333,46 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     bucketLayoutOf(table, v).fold(Map.empty[String, String]) {
       case (cols, dims) => SnapshotStore.bucketLayoutProps(cols, dims)
     }
+
+  /** The ops seam for the sorted-run auto-fold threshold — defaults to
+    * the scan's merge fan-in cap ([[SnapshotStore.MaxSortedRunsPerBucket]]);
+    * specs lower it to trigger the fold cheaply or raise it to pin the
+    * claim-drop behavior the cap guards. */
+  private[graft] var sortedRunFoldCap: Int = SnapshotStore.MaxSortedRunsPerBucket
+
+  /** The chain's maximum per-bucket sorted-RUN count at `v` — the number
+    * of live part-named files landing in the fullest bucket, i.e. the
+    * fan-in the read-side k-way merge would need. None when any link is
+    * manifest-less or carries a non-part-named file (the sorted claim is
+    * broken there anyway, so there is nothing to fold for). */
+  private def maxRunsPerBucket(table: String, v: Long, total: Int)
+      : Option[Int] = {
+    val (_, dirs) = resolveVersionPaths(table, Some(v))
+    val removed = removedInChain(table, v)
+    val counts = new Array[Int](total)
+    var max = 0
+    val ok = dirs.forall { d =>
+      val dirName = d.getFileName.toString
+      val dirVersion = dirName.stripPrefix("v=").toLong
+      fileStats(table, dirVersion) match {
+        case Some(manifest) => manifest.keys.forall { f =>
+          removed.contains(s"$dirName/$f") || {
+            if (!org.apache.spark.sql.graftbridge.KeyGroupedParquetScan
+                .isPartNamed(f)) false
+            else {
+              val b = org.apache.spark.sql.graftbridge.KeyGroupedParquetScan
+                .bucketOf(f, total)
+              counts(b) += 1
+              if (counts(b) > max) max = counts(b)
+              true
+            }
+          }
+        }
+        case None => false
+      }
+    }
+    if (ok) Some(max) else None
+  }
 
   /** The spec's String is the [[SnapshotStore.BucketColProp]] encoding —
     * comma-joined for composite keys (split with
@@ -4512,6 +4602,16 @@ object SnapshotStore {
     * pay more than (chain cap + one mutation cap) of vector broadcast. */
   val DvMaxChainRows: Long = 1L << 22
 
+  /** Merge fan-in cap for the sorted-bucket ordering claim: each run of
+    * a k-way merge holds an open parquet reader (row-group buffers, ~MBs
+    * per column chunk), so a chain appended hundreds of times would
+    * trade the per-query sort it saves for executor memory. 32 bounds
+    * the per-partition reader footprint at tens of MBs. The scan drops
+    * the claim past it; since r19 `appendBucketed` folds the chain
+    * BEFORE crossing it (the auto-compact backstop), so the lapse only
+    * ever happens through non-bucketed write paths. */
+  val MaxSortedRunsPerBucket: Int = 32
+
   /** Commit-props keys of the BUCKET layout (`commitBucketed`): the hash
     * column(s) and bucket count under which every file of the version was
     * written. A chain is storage-partitioned-join eligible iff every link
@@ -4646,6 +4746,12 @@ object SnapshotStore {
     scala.collection.concurrent.TrieMap.empty[(String, String, Long),
       Map[String, Array[Double]]]
 
+  /** Memoized chain count-min sketches ([[SnapshotStore.chainCms]]) —
+    * the join-sizing rule may consult them once per planned join. */
+  private[core] val cmsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long),
+      Map[String, org.apache.spark.util.sketch.CountMinSketch]]
+
   /** Test seam: runs between a row-mutation's candidate write and its
     * pointer CAS, so a spec can force the exact candidate-written /
     * sibling-committed interleaving deterministically (the rebase and
@@ -4675,7 +4781,7 @@ object SnapshotStore {
     * committed version directories to simulate legacy or corrupted stores,
     * which violates the immutability assumption the caches rest on. */
   private[graft] def dropCachesForTests(): Unit = {
-    schemaCache.clear(); statsCache.clear(); ndvCache.clear(); histCache.clear()
+    schemaCache.clear(); statsCache.clear(); ndvCache.clear(); histCache.clear(); cmsCache.clear()
   }
 
   /** One monitor per PHYSICAL root (symlinks resolved): serializes pointer

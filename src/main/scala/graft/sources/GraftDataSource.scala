@@ -366,14 +366,12 @@ private[sources] final class GraftWriteBuilder(root: String, table: String)
 }
 
 object GraftTable {
-  /** Merge fan-in cap for the sorted-bucket ordering claim: each run of
-    * a k-way merge holds an open parquet reader (row-group buffers, ~MBs
-    * per column chunk), so a chain appended hundreds of times would
-    * trade the per-query sort it saves for executor memory. 32 bounds
-    * the per-partition reader footprint at tens of MBs; beyond it the
-    * claim drops (SMJ sorts — strictly cheaper than an OOM) until a
-    * compact collapses the runs. */
-  val MaxSortedRunsPerBucket: Int = 32
+  /** Merge fan-in cap for the sorted-bucket ordering claim — canonical
+    * value lives on the store ([[SnapshotStore.MaxSortedRunsPerBucket]]),
+    * which since r19 also auto-folds bucketed appends BEFORE they cross
+    * it; the scan-side drop below stays as the safety net for chains
+    * grown through non-bucketed writers. */
+  val MaxSortedRunsPerBucket: Int = SnapshotStore.MaxSortedRunsPerBucket
 
   /** Resolve (pointer → immutable chain) and expand each chain directory
     * to file-grained scan units where its commit wrote a `_stats.json`

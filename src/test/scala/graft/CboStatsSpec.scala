@@ -117,14 +117,15 @@ class CboStatsSpec extends SparkSpec {
       s"b's NDV must union the pre-rename link's 1000 keys: $ndv")
   }
 
-  test("equi-height histograms: skewed-equality estimates become bin counts; append drops, compact restores") {
+  test("equi-height histograms: skewed-equality estimates become bin counts and SURVIVE append chains") {
     val r = java.nio.file.Files.createTempDirectory("graft-hist").toString
     val st = new SnapshotStore(spark, r)
     // 90% of rows carry c = 0; the rest are distinct — the shape where
     // the 1/ndv uniform guess is off by three orders of magnitude
-    st.commit("skew", spark.range(0, 20000)
+    def skewed(lo: Long, hi: Long) = spark.range(lo, hi)
       .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("c"),
-        col("id").as("payload")))
+        col("id").as("payload"))
+    st.commit("skew", skewed(0, 20000))
     spark.conf.set("spark.sql.catalog.hist", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.hist.root", r)
     withSQLConf(
@@ -137,19 +138,142 @@ class CboStatsSpec extends SparkSpec {
       val withHist = estimate()
       assert(withHist.exists(_ >= BigInt(10000)),
         s"histogram must estimate the hot key near its true 18000 rows: $withHist")
-      // an append makes the chain multi-link: the histogram is withheld
-      // (it doesn't union losslessly) and the estimate falls back to
-      // the uniform 1/ndv guess
-      st.append("skew", spark.range(1)
-        .select(lit(7L).as("c"), lit(99999L).as("payload")))
-      val without = estimate()
-      assert(without.exists(_ < BigInt(2000)),
-        s"without a histogram the uniform guess is ~rows/ndv: $without")
-      // compact collapses to one data link: histogram restored
+      // r19: appends no longer drop the histogram — each link's sidecar
+      // carries its non-null row weight, and the chain reports the
+      // weighted-CDF merge of the links' boundaries. Build a 5-link
+      // chain (the r18 gap: the append-heavy steady state fell back to
+      // 1/ndv exactly when tables were hottest) with NO compact.
+      (1 to 4).foreach { i =>
+        st.append("skew", skewed(20000L * i, 20000L * (i + 1)))
+      }
+      val merged = estimate()
+      assert(merged.exists(_ >= BigInt(50000)),
+        s"the 5-link merged histogram must keep the hot key near its true " +
+          s"90000 rows, not fall back to 1/ndv: $merged")
+      // compact still works and stays bin-resolution
       st.compact("skew")
       val restored = estimate()
-      assert(restored.exists(_ >= BigInt(10000)),
-        s"compact re-observes and restores the histogram: $restored")
+      assert(restored.exists(_ >= BigInt(50000)),
+        s"compact re-observes a single exact histogram: $restored")
+    }
+  }
+
+  test("merged histograms keep POINT MASSES: the weighted-CDF inversion lands hot values on singleton bins") {
+    import graft.core.NdvStats
+    // two links, both dominated by the value 5.0 (a point bin in each):
+    // the merge must keep 5.0 as repeated boundaries (singleton bins →
+    // FilterEstimation bin-NDV 1), not smear it across a span
+    val a = Array.fill(33)(5.0); a(0) = 0.0; a(32) = 100.0 // ~94% mass at 5
+    val b = Array.fill(33)(5.0); b(0) = -10.0; b(32) = 50.0
+    val merged = NdvStats.mergeEquiHeight(Seq((a, 10000L), (b, 30000L)), 32)
+    assert(merged.isDefined)
+    val m = merged.get
+    assert(m.length == 33)
+    assert(m.head == -10.0 && m.last == 100.0, s"range is the union: ${m.toSeq}")
+    assert(m.count(_ == 5.0) >= 28,
+      s"~94% of union mass sits AT 5.0 — most boundaries must equal it: ${m.toSeq}")
+    assert(m.toSeq == m.toSeq.sorted, "boundaries ascend")
+    // and a uniform+uniform merge stays roughly uniform over the union
+    val u1 = (0 to 32).map(i => i * 1.0).toArray        // U[0, 32]
+    val u2 = (0 to 32).map(i => 32.0 + i * 1.0).toArray // U[32, 64]
+    val mu = NdvStats.mergeEquiHeight(Seq((u1, 5000L), (u2, 5000L)), 32).get
+    assert(math.abs(mu(16) - 32.0) < 2.0,
+      s"equal-weight disjoint uniforms: the median boundary is ~32: ${mu(16)}")
+  }
+
+  test("chain CMS: string frequencies union exactly across appends") {
+    val r = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val st = new SnapshotStore(spark, r)
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(when(col("id") % 10 < 7, lit("supports"))
+        .when(col("id") % 10 < 9, lit("contradicts"))
+        .otherwise(concat(lit("rare_"), col("id"))).as("rel_type"),
+        col("id").as("payload"))
+    st.commit("edges", batch(0, 10000))
+    st.append("edges", batch(10000, 20000))
+    st.append("edges", batch(20000, 30000))
+    val cms = st.chainCms("edges", st.latestVersion("edges").get)
+    assert(cms.contains("rel_type"), s"string column sketched: ${cms.keySet}")
+    val s = cms("rel_type")
+    assert(s.totalCount() == 30000L, s"chain total: ${s.totalCount()}")
+    val hot = s.estimateCount("supports".getBytes("UTF-8"))
+    // CMS over-counts by ≤ eps·n one-sided: true 21000, eps 0.5% of 30k
+    assert(hot >= 21000L && hot <= 21600L,
+      s"hot value frequency ~21000 across the chain: $hot")
+    val absent = s.estimateCount("never_seen".getBytes("UTF-8"))
+    assert(absent <= 300L, s"absent value estimates ~0 (+eps·n): $absent")
+  }
+
+  test("CMS join sizing picks the right build side for hot AND absent string filters") {
+    graft.GraftExtensions.register(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft-cms-join").toString
+    val st = new SnapshotStore(spark, r)
+    // 95% of edges are 'supports'; ndv(rel_type) ≈ 1000 — the uniform
+    // guess says a rel_type filter keeps ~0.1% when the hot value keeps
+    // 95% and an absent value keeps 0%: both directions wrong
+    st.commit("edgesj", spark.range(0, 40000)
+      .select(when(col("id") % 20 =!= 0, lit("supports"))
+        .otherwise(concat(lit("rare_"), col("id") % 2000)).as("rel_type"),
+        (col("id") % 100).as("jk"),
+        lpad(col("id").cast("string"), 48, "x").as("payload")))
+    st.commit("dimj", spark.range(0, 100)
+      .select(col("id").as("jk"), (col("id") * 2).as("mv")))
+    spark.conf.set("spark.sql.catalog.cj", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cj.root", r)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(all)
+    }
+    def broadcastCols(q: org.apache.spark.sql.DataFrame): Set[String] = {
+      q.collect()
+      all(q.queryExecution.executedPlan).collectFirst {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.output.map(_.name).toSet
+      }.getOrElse(Set.empty)
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin,
+      BROADCAST, NO_BROADCAST_HASH}
+    def factHint(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan.collectFirst {
+        case j: LJoin => j.hint.leftHint
+      }.flatten.flatMap(_.strategy)
+    // HOT value: naive rows/ndv ≈ 400 rows × 56 B ≈ 22 KB (≤ threshold)
+    // looks broadcastable; CMS says 38000 rows ≈ 2.1 MB ≫ 4×threshold →
+    // the rule pins NO_BROADCAST_HASH on the fact; dim broadcasts.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "65536") {
+      val hot = spark.table("cj.edgesj").where(col("rel_type") === "supports")
+        .join(spark.table("cj.dimj"), "jk")
+      assert(factHint(hot).contains(NO_BROADCAST_HASH),
+        s"the rule must pin NO_BROADCAST_HASH on the hot-filtered fact: " +
+          s"${factHint(hot)}\n${hot.queryExecution.optimizedPlan}")
+      val cols = broadcastCols(hot)
+      assert(cols.contains("mv") && !cols.contains("payload"),
+        s"CMS says the hot-filtered fact is BIG — dim must broadcast: $cols")
+    }
+    // ABSENT value: naive ≈ 22 KB over a 2 KB threshold refuses
+    // broadcast; CMS says ~0 rows → the rule pins BROADCAST on the
+    // filtered fact.
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "2048") {
+      val cold = spark.table("cj.edgesj").where(col("rel_type") === "nosuch")
+        .join(spark.table("cj.dimj"), "jk")
+      assert(factHint(cold).contains(BROADCAST),
+        s"the rule must pin BROADCAST on the absent-value fact: ${factHint(cold)}")
+      // executed: the hinted broadcast never degrades to a sort-merge
+      // join (AQE may go further and propagate the empty build side into
+      // an empty relation — also shuffle-free, also correct)
+      cold.collect()
+      val smj = all(cold.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+      assert(!smj,
+        s"an absent-value probe must never pay a sort-merge join:\n" +
+          s"${cold.queryExecution.executedPlan}")
+      assert(cold.count() == 0L)
     }
   }
 

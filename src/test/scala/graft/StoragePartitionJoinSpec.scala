@@ -732,9 +732,13 @@ class StoragePartitionJoinSpec extends SparkSpec {
   test("merge fan-in cap: a chain past MaxSortedRunsPerBucket drops the claim, stays exact") {
     // an unbounded append chain would hold one open reader per run in
     // the merge — past the cap the ordering claim yields to a plain
-    // sort (cheaper than executor memory), the LAYOUT claim stays
+    // sort (cheaper than executor memory), the LAYOUT claim stays.
+    // The AUTO-FOLD (r19) would normally collapse the chain before the
+    // cap is ever crossed — raise its seam so this test can still pin
+    // the scan-side safety net the cap provides.
     val r = java.nio.file.Files.createTempDirectory("graft-spj-cap").toString
     val st = new SnapshotStore(spark, r)
+    st.sortedRunFoldCap = Int.MaxValue // pin the claim-drop path itself
     st.commitBucketed("ca2", spark.range(0, 800)
       .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 2)
     st.commitBucketed("cb2", spark.range(0, 800)
@@ -767,6 +771,76 @@ class StoragePartitionJoinSpec extends SparkSpec {
         "compact restores the sortless SMJ")
       assert(j2.count() == base)
     }
+  }
+
+  test("AUTO-FOLD on run fan-in: the over-cap append compacts first, the claim never lapses, appenders can't starve it") {
+    // r19: appendBucketed folds the chain BEFORE its delta would cross
+    // MaxSortedRunsPerBucket — the fold is IN the append path, so the
+    // sortless claim needs no manual graft_compact and a sustained
+    // appender cannot starve it (every over-cap appender is a folder).
+    val r = java.nio.file.Files.createTempDirectory("graft-spj-afold").toString
+    val st = new SnapshotStore(spark, r)
+    st.sortedRunFoldCap = 4 // cheap trigger; semantics identical at 32
+    st.commitBucketed("fa", spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") * 2).as("va")), "k", 2)
+    st.commitBucketed("fb", spark.range(0, 400)
+      .select(col("id").as("k"), (col("id") + 7).as("vb")), "k", 2)
+    // appends 1..3 bring the fullest bucket to the cap of 4 runs; the
+    // 4th append must fold first (history gains a compact link) and the
+    // chain stays at ≤ 2 runs after it
+    (1 to 3).foreach { i =>
+      st.appendBucketed("fa", spark.range(400L + i * 10, 410L + i * 10)
+        .select(col("id").as("k"), (col("id") * 3).as("va")), "k", 2)
+    }
+    val histBefore = st.history("fa").size
+    st.appendBucketed("fa", spark.range(900L, 910L)
+      .select(col("id").as("k"), (col("id") * 3).as("va")), "k", 2)
+    assert(st.history("fa").size >= histBefore + 2,
+      "the over-cap append must land a fold link AND its delta link")
+    spark.conf.set("spark.sql.catalog.spjaf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjaf.root", r)
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = "SELECT a.k AS k, va, vb FROM spjaf.fa a JOIN spjaf.fb b ON a.k = b.k"
+      val j = spark.sql(q)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"), s"layout claim intact:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"auto-fold keeps the chain under the cap — SMJ stays sortless:\n$plan")
+      val base = withSQLConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        spark.sql(q).count()
+      }
+      assert(j.count() == base && base == 400L)
+    }
+    // RACING appenders: two threads append past the cap repeatedly; the
+    // fold happens inside whoever crosses it, nobody throws, every row
+    // lands exactly once, and the final chain is back under the cap
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (0 until 2).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            val mine = new SnapshotStore(spark, r)
+            mine.sortedRunFoldCap = 4
+            (1 to 6).foreach { i =>
+              val lo = 10000L + w * 1000L + i * 10L
+              mine.appendBucketed("fa", spark.range(lo, lo + 5)
+                .select(col("id").as("k"), (col("id") * 3).as("va")), "k", 2)
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(failures.isEmpty, s"racing bucketed appenders must never fail " +
+      s"on the fold: ${Option(failures.peek())}")
+    assert(st.read("fa").count() == 400L + 4 * 10L + 2 * 6 * 5L,
+      "every append landed exactly once through the folds")
+    val head = st.latestVersion("fa").get
+    assert(st.bucketLayoutOf("fa", head).contains((Seq("k"), Seq(2))),
+      "the layout claim survived the racing folds")
   }
 
   test("q115 shape: edge-store Adamic-Adar keeps ONE exchange (the pair aggregate)") {
