@@ -253,10 +253,16 @@ object Bench {
       case c    => c.toString
     } + "\""
 
-  /** {"total":…,"queries":{…},"failed":{…},"canary":{…}} for one suite. */
+  /** {"total":…,"queries":{…},"failed":{…},"canary":{…},"build_sec":{…}}
+    * for one suite. `build_sec` reports each store-twin's ONE-TIME layout
+    * build cost (graft.queries.FixtureBuild — persisted next to the
+    * fixture, so pre-built fixtures still report what their original
+    * build paid): the twin-vs-raw comparisons amortize this buy-in, and
+    * the artifact now carries it visibly instead of implicitly. */
   private def suiteJson(results: Seq[(String, Double)],
                         failures: Seq[(String, String)],
-                        canaryJson: String): String = {
+                        canaryJson: String,
+                        buildSec: Map[String, Double]): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A failed query must never IMPROVE the headline number: any -1
@@ -268,8 +274,11 @@ object Bench {
     val failedJson = failures
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(300)) }
       .mkString("{", ",", "}")
+    val buildJson = buildSec.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     s""""total":$total,"queries":$qs,"failed":$failedJson,""" +
-      s""""canary":$canaryJson"""
+      s""""canary":$canaryJson,"build_sec":$buildJson"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -330,6 +339,10 @@ object Bench {
     }
 
     val (results, failures, canaryJson) = adjudicatedSuite(spark, sfDir)
+    // store-twin layout build costs, captured per scale (the tracked
+    // fixture roots are per-testdata-fingerprint, so the sf10 block
+    // re-captures its own after its suite runs)
+    val buildSec = graft.queries.FixtureBuild.report()
 
     // Standing sf10 gate: only when the primary run IS the per-round sf0.1
     // (local sf0.01 iterations stay fast), not opted out, and the suite is
@@ -357,7 +370,8 @@ object Bench {
           else if (r1.exists(_._2 < 0)) -1.0
           else r1.map(_._2).sum,
           c1.contains("\"valid\":true")))
-        Some(s"""{${suiteJson(r1, f1, c1)},"dir":${jsonStr(sf10Dir)}}""")
+        Some(s"""{${suiteJson(r1, f1, c1,
+          graft.queries.FixtureBuild.report())},"dir":${jsonStr(sf10Dir)}}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf10 gate failed: ${e.getMessage}")
         Some(s"""{"error":${jsonStr(
@@ -370,7 +384,7 @@ object Bench {
       else results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        suiteJson(results, failures, canaryJson) +
+        suiteJson(results, failures, canaryJson, buildSec) +
         sf10Json.map(j => s""","sf10":$j""").getOrElse("") +
         s""","sf":"$sfDir"}"""
     println(json)

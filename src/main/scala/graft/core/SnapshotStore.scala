@@ -2242,6 +2242,70 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         (SnapshotStore.BucketSortedProp -> "true"))
   }
 
+  /** CONDITIONAL bucketed REWRITE — [[commitBucketed]] with
+    * [[commitIfHead]]'s contract: the snapshot replaces the table ONLY
+    * if the head still equals `expectedHead` (None = table must still be
+    * absent); a lost race discards the candidate and returns None. The
+    * full-rebuild path of incrementally-maintained bucketed views
+    * ([[graft.graph.AdjacencyStore]]): the layout claim and the view's
+    * horizon pin (`extraProps`) land atomically with the content. */
+  def commitIfHeadBucketed(table: String, df: DataFrame,
+      bucketBy: Seq[String], dims: Seq[Int], expectedHead: Option[Long],
+      extraProps: Map[String, String] = Map.empty): Option[Long] = {
+    require(bucketBy.length == dims.length,
+      s"one bucket count per column: ${bucketBy.length} columns vs " +
+        s"${dims.length} dims")
+    validateBucketArgs(df.columns.toSeq, bucketBy, dims)
+    val cols = bucketBy.map(org.apache.spark.sql.functions.col)
+    val routed = bucketRoute(df, bucketBy, dims).sortWithinPartitions(cols: _*)
+    val cand = commitWith(table, Some(routed), None, base = None,
+      snapshot = rewriteSnapshotSchema(table, routed), advance = false,
+      props = SnapshotStore.bucketLayoutProps(bucketBy, dims) +
+        (SnapshotStore.BucketSortedProp -> "true") ++ extraProps)
+    if (casAdvance(table, cand, expectedHead)) Some(cand)
+    else { discardCandidate(table, cand); None }
+  }
+
+  /** CONDITIONAL bucketed append — [[appendBucketed]] with
+    * [[commitIfHead]]'s contract: the delta lands ONLY if the table's
+    * head still equals `expectedHead` at the CAS; a lost race discards
+    * the candidate and returns None instead of relinking. The primitive
+    * an INCREMENTALLY-MAINTAINED bucketed view needs (e.g. the adjacency
+    * layout behind q117, [[graft.graph.AdjacencyStore]]): a blind relink
+    * would land the same source delta twice when two maintainers race —
+    * the loser must re-read the view horizon and re-derive, exactly like
+    * [[MaterializedView]]'s refresh. `extraProps` (the view's horizon
+    * pin) commit atomically with the link. */
+  def appendBucketedIfHead(table: String, rows: DataFrame,
+      bucketBy: Seq[String], dims: Seq[Int], expectedHead: Option[Long],
+      extraProps: Map[String, String] = Map.empty): Option[Long] = {
+    require(bucketBy.length == dims.length,
+      s"one bucket count per column: ${bucketBy.length} columns vs " +
+        s"${dims.length} dims")
+    validateBucketArgs(rows.columns.toSeq, bucketBy, dims)
+    expectedHead.foreach { v =>
+      val layout = bucketLayoutOf(table, v)
+      require(layout.exists { case (head, headDims) =>
+        headDims == dims && head.length == bucketBy.length &&
+          head.lazyZip(bucketBy).forall(_.equalsIgnoreCase(_))
+      },
+        s"appendBucketedIfHead(${bucketBy.mkString(",")}, " +
+          s"${dims.mkString("x")}) onto $table whose head is " +
+          s"${layout.fold("unbucketed")(l =>
+            s"bucketed ${l._1.mkString(",")}/${l._2.mkString("x")}")} " +
+          "— mixed layouts would silently break co-partitioned joins")
+    }
+    val cols = bucketBy.map(org.apache.spark.sql.functions.col)
+    val routed = bucketRoute(rows, bucketBy, dims).sortWithinPartitions(cols: _*)
+    val merged = mergedAppendSchema(table, expectedHead, routed.schema)
+    val v = commitWith(table, Some(routed), Some(routed),
+      base = expectedHead, snapshot = merged, advance = false,
+      props = SnapshotStore.bucketLayoutProps(bucketBy, dims) +
+        (SnapshotStore.BucketSortedProp -> "true") ++ extraProps)
+    if (casAdvance(table, v, expectedHead)) Some(v)
+    else { discardCandidate(table, v); None }
+  }
+
   private def validateBucketArgs(frameCols: Seq[String], bucketBy: Seq[String],
       dims: Seq[Int]): Unit = {
     require(dims.forall(_ > 0), "bucketed writes require numBuckets > 0")

@@ -200,8 +200,11 @@ object GraphQueries {
         Tables.fingerprint(dir, "lineitem")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("edges_aa")
+      FixtureBuild.track("q115_adamic_adar_store", root)
       if (store.latestVersion("edges_aa").isEmpty)
-        store.commitBucketed("edges_aa", edges(s, dir), "dst", 32)
+        FixtureBuild.timed("q115_adamic_adar_store", root) {
+          store.commitBucketed("edges_aa", edges(s, dir), "dst", 32)
+        }
       val cat = s"q115_${Tables.fingerprint(dir, "lineitem")}"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
@@ -224,14 +227,16 @@ object GraphQueries {
         Tables.fingerprint(dir, "lineitem")
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("adj_aa")
-      if (store.latestVersion("adj_aa").isEmpty) {
-        val e = edges(s, dir)
-        store.commitBucketed("adj_aa",
-          e.select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
-            .unionByName(e.select(col("dst").as("node"), lit(0L).as("o"),
-              lit(1L).as("i"))),
-          "node", 32)
-      }
+      FixtureBuild.track("q117_degree_store", root)
+      if (store.latestVersion("adj_aa").isEmpty)
+        FixtureBuild.timed("q117_degree_store", root) {
+          val e = edges(s, dir)
+          store.commitBucketed("adj_aa",
+            e.select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
+              .unionByName(e.select(col("dst").as("node"), lit(0L).as("o"),
+                lit(1L).as("i"))),
+            "node", 32)
+        }
       val cat = s"q117_${Tables.fingerprint(dir, "lineitem")}"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)

@@ -562,15 +562,17 @@ object RelationalQueries {
       // build (between the two commits, or before the mutations) then
       // re-runs the WHOLE block — every commit is an overwrite, so a
       // torn fixture self-heals instead of wedging until tmp is wiped.
-      if (store.latestVersion("lineitem_s").isEmpty) {
-        store.commitBucketed("orders_s", Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
-          "o_orderkey", 32)
-        store.commitBucketed("lineitem_s", Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_suppkey"),
-            col("l_extendedprice"), col("l_discount")),
-          "l_orderkey", 32)
-      }
+      FixtureBuild.track("q113_star_join_spj", root)
+      if (store.latestVersion("lineitem_s").isEmpty)
+        FixtureBuild.timed("q113_star_join_spj", root) {
+          store.commitBucketed("orders_s", Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+            "o_orderkey", 32)
+          store.commitBucketed("lineitem_s", Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_suppkey"),
+              col("l_extendedprice"), col("l_discount")),
+            "l_orderkey", 32)
+        }
       val cat = s"q113_${Tables.fingerprint(dir, "orders")}"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
@@ -616,18 +618,20 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("li_ps")
       store.migrateLegacyTable("ps_agg")
-      if (store.latestVersion("ps_agg").isEmpty) {
-        store.commitBucketed("li_ps", Tables.lineitem(s, dir)
-          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
-            col("l_extendedprice")),
-          Seq("l_partkey", "l_suppkey"), 8)
-        store.commitBucketed("ps_agg", Tables.lineitem(s, dir)
-          .groupBy(col("l_partkey").as("ps_partkey"),
-            col("l_suppkey").as("ps_suppkey"))
-          .agg(count(lit(1)).as("ps_lines"),
-            dsum(col("l_quantity")).as("ps_qty")),
-          Seq("ps_partkey", "ps_suppkey"), 8)
-      }
+      FixtureBuild.track("q116_composite_spj", root)
+      if (store.latestVersion("ps_agg").isEmpty)
+        FixtureBuild.timed("q116_composite_spj", root) {
+          store.commitBucketed("li_ps", Tables.lineitem(s, dir)
+            .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+              col("l_extendedprice")),
+            Seq("l_partkey", "l_suppkey"), 8)
+          store.commitBucketed("ps_agg", Tables.lineitem(s, dir)
+            .groupBy(col("l_partkey").as("ps_partkey"),
+              col("l_suppkey").as("ps_suppkey"))
+            .agg(count(lit(1)).as("ps_lines"),
+              dsum(col("l_quantity")).as("ps_qty")),
+            Seq("ps_partkey", "ps_suppkey"), 8)
+        }
       val cat = s"q116_${Tables.fingerprint(dir, "lineitem")}"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
@@ -663,17 +667,19 @@ object RelationalQueries {
       val store = new graft.core.SnapshotStore(s, root)
       store.migrateLegacyTable("li_ln")
       store.migrateLegacyTable("li_tax")
-      if (store.latestVersion("li_tax").isEmpty) {
-        store.commitBucketed("li_ln", Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_extendedprice")),
-          Seq("l_orderkey", "l_linenumber"), Seq(16, 4), None)
-        store.commitBucketed("li_tax", Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("t_orderkey"),
-            col("l_linenumber").as("t_linenumber"),
-            col("l_tax"), col("l_discount")),
-          Seq("t_orderkey", "t_linenumber"), Seq(16, 4), None)
-      }
+      FixtureBuild.track("q118_composite_dims", root)
+      if (store.latestVersion("li_tax").isEmpty)
+        FixtureBuild.timed("q118_composite_dims", root) {
+          store.commitBucketed("li_ln", Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice")),
+            Seq("l_orderkey", "l_linenumber"), Seq(16, 4), None)
+          store.commitBucketed("li_tax", Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("t_orderkey"),
+              col("l_linenumber").as("t_linenumber"),
+              col("l_tax"), col("l_discount")),
+            Seq("t_orderkey", "t_linenumber"), Seq(16, 4), None)
+        }
       val cat = s"q118_${Tables.fingerprint(dir, "lineitem")}"
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
