@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
     // Deferred-side-effect TVFs (maintenance: vacuum/compact/adopt).
     ext.injectPlannerStrategy(_ => graft.plans.GraftDeferredActionStrategy)
+    // Band-join runtime file pruning (AQE stage-optimizer rule — the
+    // non-equi sibling of DPP; see GraftBandJoinPruning). Extension-only:
+    // AQE's rule holders are sealed at session build, so `register` on an
+    // already-built session cannot add this one — sessions wanting band
+    // pruning must be built with spark.sql.extensions=graft.GraftExtensions
+    // (all graft mains and the test harness are).
+    ext.injectQueryStageOptimizerRule(s =>
+      org.apache.spark.sql.graftbridge.GraftBandJoinPruning(s))
   }
 }
 

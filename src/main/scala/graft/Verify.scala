@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // full extension surface (TVFs, optimizer rules, strategies, AQE
+      // stage rules — band pruning is extension-only; see GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // INT96 is deprecated and carries no parquet stats; micros keeps
       // snapshot-store writes zone-map-prunable (FileStats) and smaller.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -697,6 +697,53 @@ object RelationalQueries {
         .orderBy(col("ln"))
     }),
 
+    // BAND-JOIN runtime pruning (r19, GraftBandJoinPruning end to end at
+    // the query level): "all lineitems shipped inside the 60-day windows
+    // after the 3 biggest orders" — the reference's interval shape
+    // (recency/lifetime windows over the event stream, queries.py
+    // temporal filters) as a genuine NON-EQUI join. The fact chain is
+    // clustered by l_shipdate, so its zone maps are selective on the
+    // band column; Catalyst plans a BroadcastNestedLoopJoin (no equi
+    // key exists), and the AQE stage rule reads the MATERIALIZED
+    // broadcast's 3 windows and hands the graft scan ONE BAND PER
+    // WINDOW (an OR-of-bands predicate Spark's own runtime filtering
+    // never emits) — the fact scan reads only the files under each
+    // window, not the multi-year hull spanning them (these 3 windows
+    // sit in 1995, 2000 and 2001). At 100 TB this is the interval-query
+    // difference
+    // between scanning a time-ordered fact's whole history and the few
+    // files under the requested windows. Values oracle-exact vs
+    // DuckDB's plain interval join. Build idempotent like q114.
+    "q119_band_window" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q119_" +
+        Tables.fingerprint(dir, "lineitem")
+      val store = new graft.core.SnapshotStore(s, root)
+      store.migrateLegacyTable("lineitem_t")
+      FixtureBuild.track("q119_band_window", root)
+      if (store.latestVersion("lineitem_t").isEmpty)
+        FixtureBuild.timed("q119_band_window", root) {
+          store.commitClustered("lineitem_t", Tables.lineitem(s, dir)
+            .select(col("l_shipdate"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount")),
+            clusterBy = Seq("l_shipdate"), targetPartitions = 64)
+        }
+      val li = s.read.format("graft").option("root", root)
+        .option("table", "lineitem_t").load()
+      val w = Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(3)
+        .select(col("o_orderkey").as("w_key"),
+          col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("w_end"))
+      li.join(w, col("l_shipdate") >= col("w_start") &&
+          col("l_shipdate") < col("w_end"))
+        .groupBy(col("w_key"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("w_key"))
+    }),
+
     // RUNTIME-pruned hydration (the r17 SupportsRuntimeV2Filtering layer,
     // end to end at the query level): "fetch every lineitem of customer
     // 37's orders" — the reference's batch-hydration-by-id-list shape
@@ -1550,6 +1597,22 @@ object RelationalQueries {
         |JOIN lineitem t
         |  ON l.l_orderkey = t.l_orderkey AND l.l_linenumber = t.l_linenumber
         |GROUP BY 1 ORDER BY ln""".stripMargin,
+
+    // the time-clustered layout and the band-join runtime pruning must
+    // be value-invisible: a plain interval join over the raw parquet
+    "q119_band_window" ->
+      """WITH w AS (
+        |  SELECT o_orderkey AS w_key, o_orderdate AS w_start,
+        |    o_orderdate + INTERVAL 60 DAY AS w_end
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3)
+        |SELECT w_key,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |        AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN w
+        |  ON l_shipdate >= w_start AND l_shipdate < w_end
+        |GROUP BY 1 ORDER BY w_key""".stripMargin,
 
     // The clustered layouts and the runtime pruning must be
     // value-invisible: a plain join over the original parquet.

@@ -423,6 +423,7 @@ trait GraftRuntimeFiltering
   // call sound).
   @volatile private var rfKept: Set[String] = null
   @volatile private var rfComp: Array[Set[Int]] = null
+  private val rfIgnoredCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private lazy val rfAll: Set[String] = rfIndex.allManifestKeys
 
   override def filterAttributes(): Array[NamedReference] =
@@ -487,12 +488,87 @@ trait GraftRuntimeFiltering
     }
   }
 
+  /** `p` as a DISJUNCTION of range-conjunct bands (the band-join rule's
+    * per-window predicate: `OR(AND(lo₁≤k<hi₁), AND(lo₂≤k<hi₂), …)`).
+    * AND-side laxity is sound the usual way (dropping a conjunct only
+    * WIDENS a branch), but OR-side laxity is NOT — dropping a branch
+    * would prune files the dropped window needs — so any unrecognizable
+    * DISJUNCT poisons the whole parse to None (ignored, no pruning). */
+  private def parseOrBands(p: Predicate)
+      : Option[Seq[Seq[(String, LiteralValue[_], Boolean, Boolean)]]] = {
+    def disjuncts(q: Predicate): Option[Seq[Predicate]] = q.name() match {
+      case "OR" =>
+        val kids = q.children().toSeq.map {
+          case c: Predicate => disjuncts(c)
+          case _ => None
+        }
+        if (kids.exists(_.isEmpty)) None else Some(kids.flatMap(_.get))
+      case _ => Some(Seq(q))
+    }
+    if (p.name() != "OR") None
+    else disjuncts(p).map(_.map(b => conjunctsOf(b).flatMap(parseRange(_))))
+  }
+
+  /** Files a single band (conjunction of range bounds) may still match —
+    * the zone-map intersect over its provable conjuncts; an unprovable
+    * conjunct (unknown column, null bound, cross-domain literal) widens
+    * the band, never narrows it. */
+  private def bandKeys(
+      conjs: Seq[(String, LiteralValue[_], Boolean, Boolean)]): Set[String] =
+    conjs.foldLeft(rfAll) { case (acc, (colName, lit, isLower, inclusive)) =>
+      val field = rfFields.find(_.name.equalsIgnoreCase(colName))
+      if (field.isEmpty || lit.value == null) acc
+      else graft.sources.DataSkipping.statValOf(lit.value, lit.dataType) match {
+        case Some(bound) =>
+          val colLower = colName.toLowerCase(java.util.Locale.ROOT)
+          val keys =
+            if (isLower) rfIndex.runtimeRangeKeys(colLower,
+              Some((bound, inclusive)), None)
+            else rfIndex.runtimeRangeKeys(colLower, None,
+              Some((bound, inclusive)))
+          acc.intersect(keys)
+        case None => acc
+      }
+    }
+
   override def filter(predicates: Array[Predicate]): Unit =
     predicates.flatMap(conjunctsOf).foreach { p =>
+      val range = parseRange(p)
+      val in = parseIn(p)
+      val orBands =
+        if (range.isEmpty && in.isEmpty) parseOrBands(p) else None
+      // Any OTHER predicate shape is recognized-and-ignored, BY DESIGN,
+      // and counted for observability. The named case is a BLOOM-FILTER
+      // membership predicate (Spark's InjectRuntimeFilter can synthesize
+      // one for large joins): a bloom answers "might this VALUE be in the
+      // set", which proves nothing about a file's [min, max] interval —
+      // testing every point of the interval is unbounded for non-integral
+      // domains and gratuitous for the rest, so no zone-map pruning
+      // decision can ever be derived from it. Ignoring is sound because
+      // SupportsRuntimeV2Filtering filters are best-effort row-superset
+      // reductions: the join re-applies the real predicate to every
+      // surviving row.
+      if (range.isEmpty && in.isEmpty && orBands.isEmpty && p.name() != "AND")
+        rfIgnoredCount.incrementAndGet()
+      // DISJUNCTIONS of bands (per-window band-join pruning): a file
+      // survives if ANY window may reach it — union of per-band
+      // intersects. Scattered narrow windows then prune to their union
+      // instead of the single hull interval the conjunct path would keep.
+      orBands.foreach { branches =>
+        if (branches.nonEmpty) {
+          val kept = branches.map(bandKeys).reduce(_ union _)
+          // an entirely unprovable disjunction keeps every file — skip
+          // the write so the report stays None (same convention as a
+          // null bound on the conjunct path)
+          if (kept.size != rfAll.size) synchronized {
+            rfKept = if (rfKept == null) kept else rfKept.intersect(kept)
+          }
+        }
+      }
       // RANGE conjuncts (band-join dynamic filters): each bound prunes
       // independently against the zone maps — `lo <= col` drops files
       // whose max provably misses it, `col <= hi` files whose min does.
-      parseRange(p).foreach { case (colName, lit, isLower, inclusive) =>
+      range.foreach { case (colName, lit, isLower, inclusive) =>
         val field = rfFields.find(_.name.equalsIgnoreCase(colName))
         // a NULL bound never compares true: the predicate matches no row,
         // but proving that here is gratuitous — skip (best-effort)
@@ -513,7 +589,7 @@ trait GraftRuntimeFiltering
             }
         }
       }
-      parseIn(p).foreach { case (colName, lits) =>
+      in.foreach { case (colName, lits) =>
         // unknown column: nothing provable (and an absent-column lookup
         // would wrongly read as all-null and prune everything)
         val field = rfFields.find(_.name.equalsIgnoreCase(colName))
@@ -584,6 +660,11 @@ trait GraftRuntimeFiltering
     * arrived; None before — the spec/audit observability hook. */
   def runtimeFilterReport: Option[(Int, Int)] =
     Option(rfKept).map(k => (rfAll.size, k.size))
+
+  /** Runtime predicates RECOGNIZED-AND-IGNORED (bloom membership and any
+    * other shape no zone-map decision derives from) — pins that ignoring
+    * is a counted decision, not a silent drop. */
+  def runtimeIgnoredPredicateCount: Int = rfIgnoredCount.get()
 
   /** Bucket (partition) ids surviving runtime bucket pruning — on
     * composite layouts, the indices whose every constrained component

@@ -34,7 +34,12 @@ class PlanShapeSpec extends SparkSpec {
     "q78_kmeans_step", "q84_semantic_dedup",
     // q95: consolidation-candidate pairing over the SAME ≤32-row vocab
     // slice as q46 — bounded by the vocabulary, not the corpus
-    "q95_merge_recs")
+    "q95_merge_recs",
+    // q119: GENUINE non-equi band join — the broadcast side is a
+    // LIMIT 3 window table, and GraftBandJoinPruning turns the
+    // nested-loop's probe scan into a per-window file-pruned read
+    // (RuntimeFilteringSpec pins the pruning; here we pin boundedness)
+    "q119_band_window")
 
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString

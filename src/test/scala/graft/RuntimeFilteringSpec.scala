@@ -206,4 +206,122 @@ class RuntimeFilteringSpec extends SparkSpec {
       vlit(null, LongType)))))
     assert(rf3.runtimeFilterReport.isEmpty, "null bound must not prune")
   }
+
+  test("CATALYST-PLANNED band join injects runtime range bounds; fact files prune; values exact") {
+    // End-to-end: `fact.k >= dim.lo AND fact.k < dim.hi` plans a
+    // BroadcastNestedLoopJoin; GraftBandJoinPruning (AQE stage-optimizer
+    // rule, extension-built session) reads the MATERIALIZED broadcast's
+    // rows, folds them to [min(lo), max(hi)), and delivers the two range
+    // predicates to the graft scan through the same filter() entry point
+    // DPP uses — no spec-fed predicates anywhere in this test.
+    root
+    import spark.implicits._
+    val dim = Seq((10000L, 12000L), (12000L, 13500L), (14000L, 15000L))
+      .toDF("lo", "hi")
+    dim.createOrReplaceTempView("band_dim")
+    val q = """SELECT f.k, f.v FROM rf.fact f JOIN band_dim d
+              |ON f.k >= d.lo AND f.k < d.hi""".stripMargin
+    val expected = withSQLConf(
+      org.apache.spark.sql.graftbridge.GraftBandJoinPruning.EnabledKey -> "false") {
+      val off = spark.sql(q)
+      val scans = graftScans(off)
+      assert(scans.nonEmpty && scans.forall(_.runtimeFilterReport.isEmpty),
+        "disabled band pruning must deliver nothing")
+      (off.count(), off.agg(sum("v")).head().getLong(0))
+    }
+    val on = spark.sql(q)
+    val scans = graftScans(on) // collect()s, then walks the final plan
+    assert(scans.nonEmpty, "the probe side must still be a graft scan")
+    val (total, kept) = scans.head.runtimeFilterReport.getOrElse(
+      fail("a Catalyst-planned band join must inject the runtime filter"))
+    // [10000, 15000) spans at most 2 of the 8 disjoint ~5000-key files
+    assert(total == 8 && kept <= 2,
+      s"band bounds must prune the fact scan: kept $kept/$total")
+    assert(on.count() == expected._1 && expected._1 > 0,
+      "pruned band join loses no rows")
+    assert(on.agg(sum("v")).head().getLong(0) == expected._2,
+      "pruned band join values match the unpruned run")
+  }
+
+  test("SCATTERED windows prune per-window (OR-of-bands), not to the hull") {
+    // Two narrow windows at opposite ends of the key domain: the hull
+    // [2000, 34500) keeps ~7 of 8 files, the per-window disjunction the
+    // rule ships for a small build side keeps only the file under each
+    // window. This is the decisive interval-join case at 100 TB — a
+    // year of scattered 1-day windows over a time-clustered fact must
+    // not read the whole year.
+    root
+    import spark.implicits._
+    Seq((2000L, 2500L), (34000L, 34500L)).toDF("lo", "hi")
+      .createOrReplaceTempView("band_dim_scattered")
+    val q = """SELECT f.k, f.v FROM rf.fact f JOIN band_dim_scattered d
+              |ON f.k >= d.lo AND f.k < d.hi""".stripMargin
+    val expected = withSQLConf(
+      org.apache.spark.sql.graftbridge.GraftBandJoinPruning.EnabledKey -> "false") {
+      val off = spark.sql(q)
+      (off.count(), off.agg(sum("v")).head().getLong(0))
+    }
+    val on = spark.sql(q)
+    val scans = graftScans(on)
+    assert(scans.nonEmpty)
+    val (total, kept) = scans.head.runtimeFilterReport.getOrElse(
+      fail("scattered band join must inject the runtime filter"))
+    assert(total == 8 && kept <= 2,
+      s"per-window bands must beat the hull: kept $kept/$total (hull would keep 7)")
+    assert(on.count() == expected._1 && expected._1 == 1000L,
+      "per-window pruning loses no rows")
+    assert(on.agg(sum("v")).head().getLong(0) == expected._2)
+  }
+
+  test("band pruning join-type guard: LEFT ANTI keeps every fact file") {
+    // Anti join OUTPUTS exactly the probe rows with NO band match —
+    // pruning 'can't-match' files would delete the answer. The rule must
+    // refuse; values must equal the pruning-disabled run.
+    root
+    import spark.implicits._
+    Seq((10000L, 15000L)).toDF("lo", "hi")
+      .createOrReplaceTempView("band_dim_anti")
+    val q = """SELECT f.k FROM rf.fact f LEFT ANTI JOIN band_dim_anti d
+              |ON f.k >= d.lo AND f.k < d.hi""".stripMargin
+    val on = spark.sql(q)
+    val scans = graftScans(on)
+    assert(scans.nonEmpty && scans.forall(_.runtimeFilterReport.isEmpty),
+      "LEFT ANTI band join must not prune the probe side")
+    val expected = withSQLConf(
+      org.apache.spark.sql.graftbridge.GraftBandJoinPruning.EnabledKey -> "false") {
+      spark.sql(q).count()
+    }
+    assert(on.count() == expected && expected == 35000L,
+      "anti-join semantics intact under the rule")
+  }
+
+  test("bloom-style runtime predicates are counted-and-ignored, never mis-pruned") {
+    // Spark's InjectRuntimeFilter can synthesize bloom MEMBERSHIP
+    // predicates for large joins; membership of individual values proves
+    // nothing about a file's [min, max] interval, so the scan's explicit
+    // decision is ignore-and-count (sound: runtime filters are row-
+    // superset reductions the join re-checks). Pinned so the ignoring
+    // stays a decision, not an accident of the parser.
+    root
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.graftbridge.Bridge.{v2Literal => vlit}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val st = new SnapshotStore(spark, root)
+    val t = graft.sources.GraftTable.forSnapshot(spark, st, "fact", None)
+    val scan = t.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val rf = scan.asInstanceOf[GraftRuntimeFiltering]
+    rf.filter(Array(
+      new VPredicate("BLOOM_FILTER_MIGHT_CONTAIN",
+        Array(vlit(Array[Byte](1, 2, 3), BinaryType),
+          Expressions.column("k"))),
+      new VPredicate(">=", Array(Expressions.column("k"),
+        vlit(20000L, LongType)))))
+    assert(rf.runtimeIgnoredPredicateCount == 1,
+      "the bloom predicate is counted as recognized-and-ignored")
+    val (total, kept) = rf.runtimeFilterReport.get
+    assert(total == 8 && kept <= 4,
+      s"the RANGE conjunct beside it still prunes: $kept/$total")
+  }
 }

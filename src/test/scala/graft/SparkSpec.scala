@@ -42,6 +42,9 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // extension-built like the mains: AQE stage rules (band pruning)
+      // can only be injected at session build, never post-hoc
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // INT96 is deprecated and carries no parquet stats; micros keeps
       // snapshot-store writes zone-map-prunable (FileStats) and smaller.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
