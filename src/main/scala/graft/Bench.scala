@@ -275,7 +275,9 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v.take(300)) }
       .mkString("{", ",", "}")
     val buildJson = buildSec.toSeq.sortBy(_._1)
-      .map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }
+      .map { case (k, v) => jsonStr(k) + ":" + // Locale.ROOT: a comma
+        // decimal from a non-POSIX default locale is invalid JSON
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     s""""total":$total,"queries":$qs,"failed":$failedJson,""" +
       s""""canary":$canaryJson,"build_sec":$buildJson"""

@@ -200,10 +200,16 @@ object CmsJoinSizing
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, _, _, hint)
         if hint.leftHint.isEmpty || hint.rightHint.isEmpty =>
-      val lh = hint.leftHint.orElse(sizeHint(left))
-      val rh = hint.rightHint.orElse(sizeHint(right))
-      if (lh == hint.leftHint && rh == hint.rightHint) j
-      else j.copy(hint = JoinHint(lh, rh))
+      // Strictly best-effort, like every sizing heuristic: the sketch
+      // read does filesystem I/O (chain sidecars of a possibly-vacuumed
+      // or externally-cleaned snapshot), and a failed HINT must never
+      // fail the QUERY at planning time.
+      try {
+        val lh = hint.leftHint.orElse(sizeHint(left))
+        val rh = hint.rightHint.orElse(sizeHint(right))
+        if (lh == hint.leftHint && rh == hint.rightHint) j
+        else j.copy(hint = JoinHint(lh, rh))
+      } catch { case scala.util.control.NonFatal(_) => j }
   }
 }
 

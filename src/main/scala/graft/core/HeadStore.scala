@@ -82,6 +82,18 @@ trait HeadStore {
     * directory-tree delete and would otherwise keep reporting a head
     * for a dropped table. */
   def delete(root: String, table: String): Unit
+
+  /** Remove the head VALUE while PRESERVING lease/fence state —
+    * dropTable's mid-flight step. [[delete]] would retire the lease
+    * with the entry, and dropTable's exclusion on a conditional backend
+    * IS that lease: deleting it first would let a racing lock-free
+    * committer recreate the head while the tree is still being torn
+    * down. clearHead makes the pointer stop resolving (a crash mid-drop
+    * leaves no ghost head — only an unreferenced tree) without opening
+    * the window; [[delete]] runs as the drop's LAST step. POSIX default
+    * delegates to [[delete]]: the file is the whole value and the
+    * pointer file lock is the exclusion there. */
+  def clearHead(root: String, table: String): Unit = delete(root, table)
 }
 
 object HeadStore {
@@ -203,6 +215,11 @@ final class MockObjectHeadStore extends HeadStore {
 
   override def delete(root: String, table: String): Unit = {
     objects.remove((root, table)); ()
+  }
+
+  override def clearHead(root: String, table: String): Unit = {
+    objects.computeIfPresent((root, table), (_, cur) => cur.copy(head = None))
+    ()
   }
 }
 

@@ -167,20 +167,25 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   private def underTableLeases[T](tables: Seq[String])(body: => T): T = {
     val owner = java.util.UUID.randomUUID().toString
     val sorted = tables.sorted
-    sorted.foreach { t =>
-      var backoff = 1L
-      while (!heads.tryLease(root, t, owner, SnapshotStore.LeaseTtlMs)) {
-        Thread.sleep(backoff)
-        backoff = math.min(backoff * 2, 16L)
+    // acquisition INSIDE the release scope: an interrupt in the backoff
+    // sleep (job cancellation) must release the leases already taken,
+    // not park them until TTL expiry while every single-table committer
+    // on those tables spins out the window
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      sorted.foreach { t =>
+        var backoff = 1L
+        while (!heads.tryLease(root, t, owner, SnapshotStore.LeaseTtlMs)) {
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 16L)
+        }
+        acquired += t
       }
-    }
-    val prev = leaseOwner.get()
-    leaseOwner.set(Some(owner))
-    try body
-    finally {
-      leaseOwner.set(prev)
-      sorted.foreach(t => heads.unlease(root, t, owner))
-    }
+      val prev = leaseOwner.get()
+      leaseOwner.set(Some(owner))
+      try body
+      finally leaseOwner.set(prev)
+    } finally acquired.foreach(t => heads.unlease(root, t, owner))
   }
 
   /** Commit `df` as the next version of `table`; returns the new version.
@@ -502,22 +507,29 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     * lands after `_SUCCESS`, before the pointer move). Empty when any
     * data-carrying link predates NDV sketching — a partial union would
     * UNDERSTATE NDV and overstate join selectivity. */
+  /** Does a chain-link version directory CARRY DATA — the shared
+    * predicate of every chain-stat union (NDV / histograms / CMS): the
+    * manifest answers when present, else one directory listing. A
+    * data-less link (pure-DV commit, constraint link) contributes no
+    * sidecar and must not veto the union. */
+  private def linkHasData(table: String)(d: Path): Boolean = {
+    val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
+    fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
+      val s = Files.list(d)
+      try s.iterator().asScala.exists(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          Files.isRegularFile(p))
+      finally s.close()
+    }
+  }
+
   def chainNdv(table: String, version: Long): Map[String, Long] =
     SnapshotStore.ndvCache.get((root, table, version)).getOrElse {
       val (_, dirs) = resolveVersionPaths(table, Some(version))
       // rename-aware: pre-rename links' sidecars key the OLD name, the
       // same logical→physical maps the zone-map pruner follows
       val physNames = physicalNamesByVersion(table, version)
-      val r = NdvStats.chainNdv(dirs, d => {
-        val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
-        fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
-          val s = Files.list(d)
-          try s.iterator().asScala.exists(p =>
-            p.getFileName.toString.endsWith(".parquet") &&
-              Files.isRegularFile(p))
-          finally s.close()
-        }
-      }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
+      val r = NdvStats.chainNdv(dirs, linkHasData(table), d => physNames.getOrElse(d.getFileName.toString, Map.empty))
       if (r.nonEmpty || latestVersion(table).exists(version <= _))
         SnapshotStore.ndvCache.putIfAbsent((root, table, version), r)
       r
@@ -530,16 +542,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     SnapshotStore.histCache.get((root, table, version)).getOrElse {
       val (_, dirs) = resolveVersionPaths(table, Some(version))
       val physNames = physicalNamesByVersion(table, version)
-      val r = NdvStats.chainHist(dirs, d => {
-        val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
-        fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
-          val s = Files.list(d)
-          try s.iterator().asScala.exists(p =>
-            p.getFileName.toString.endsWith(".parquet") &&
-              Files.isRegularFile(p))
-          finally s.close()
-        }
-      }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
+      val r = NdvStats.chainHist(dirs, linkHasData(table), d => physNames.getOrElse(d.getFileName.toString, Map.empty))
       // cache committed-version results only (same rule as chainNdv)
       if (r.nonEmpty || latestVersion(table).exists(version <= _))
         SnapshotStore.histCache.putIfAbsent((root, table, version), r)
@@ -557,16 +560,7 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
     SnapshotStore.cmsCache.get((root, table, version)).getOrElse {
       val (_, dirs) = resolveVersionPaths(table, Some(version))
       val physNames = physicalNamesByVersion(table, version)
-      val r = NdvStats.chainCms(dirs, d => {
-        val dirVersion = d.getFileName.toString.stripPrefix("v=").toLong
-        fileStats(table, dirVersion).map(_.nonEmpty).getOrElse {
-          val s = Files.list(d)
-          try s.iterator().asScala.exists(p =>
-            p.getFileName.toString.endsWith(".parquet") &&
-              Files.isRegularFile(p))
-          finally s.close()
-        }
-      }, d => physNames.getOrElse(d.getFileName.toString, Map.empty))
+      val r = NdvStats.chainCms(dirs, linkHasData(table), d => physNames.getOrElse(d.getFileName.toString, Map.empty))
       if (r.nonEmpty || latestVersion(table).exists(version <= _))
         SnapshotStore.cmsCache.putIfAbsent((root, table, version), r)
       r
@@ -2070,13 +2064,17 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
   def dropTable(table: String): Boolean = {
     if (!Files.isDirectory(tableDir(table))) false
     else underPointerLocks(Seq(table)) {
-      // Head entry FIRST: on a conditional backend the pointer object
+      // Head VALUE first: on a conditional backend the pointer object
       // lives OUTSIDE the directory tree and would survive its deletion
       // — latestVersion would keep reporting a version, listTables would
       // list the ghost, createTable would refuse, reads would crash on
-      // missing version dirs. Head-then-tree also makes the crash
-      // residue benign (an unreferenced tree, not a dangling pointer).
-      heads.delete(root, table)
+      // missing version dirs. clearHead (NOT delete) so the crash
+      // residue stays benign (an unreferenced tree, not a dangling
+      // pointer) WITHOUT surrendering the publish lease that is this
+      // drop's mutual exclusion on a conditional backend — a full
+      // delete here would retire the lease with the entry and let a
+      // racing lock-free committer recreate the head mid-teardown.
+      heads.clearHead(root, table)
       val w = Files.walk(tableDir(table))
       try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally w.close()
@@ -2090,6 +2088,10 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
         case ((r, t, _), _) => !(r == root && t == table) }
       SnapshotStore.cmsCache.filterInPlace {
         case ((r, t, _), _) => !(r == root && t == table) }
+      // the whole entry (lease included) retires only now, with the
+      // teardown complete — a post-drop committer recreating the table
+      // starts from a genuinely clean slate
+      heads.delete(root, table)
       true
     }
   }
@@ -2201,28 +2203,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       s"one bucket count per column: ${bucketBy.length} columns vs " +
         s"${dims.length} dims")
     validateBucketArgs(rows.columns.toSeq, bucketBy, dims)
-    // AUTO-FOLD on sorted-run fan-in — the missing twin of the DV chain
-    // backstop (DvMaxChainRows): each bucket's per-file sorted runs are
-    // k-way merged at read time, capped at MaxSortedRunsPerBucket open
-    // readers, past which the scan silently drops the sortless-SMJ claim
-    // until someone compacts by hand (the r18 gap). The fold runs INSIDE
-    // the over-cap append, before its delta lands: an append that would
-    // cross the cap first collapses the chain (the layout-preserving
-    // compact — one sorted file per bucket), so the claim never lapses
-    // and a SUSTAINED appender cannot starve the fold — every over-cap
-    // appender is itself a folder, and a compact lost to a sibling's
-    // fold re-checks a now-collapsed chain and just proceeds.
-    latestVersion(table).foreach { v =>
-      if (bucketSortedOf(table, v)) {
-        var tries = 3
-        while (tries > 0 && latestVersion(table).exists(h =>
-            maxRunsPerBucket(table, h, dims.product)
-              .exists(_ >= sortedRunFoldCap))) {
-          try { compact(table); tries = 0 }
-          catch { case _: IllegalStateException => tries -= 1 }
-        }
-      }
-    }
+    // Layout validation BEFORE the auto-fold: the fold counts runs with
+    // the caller's dims product, so a mismatched-dims append would
+    // mis-attribute files to buckets, possibly trip the cap and pay an
+    // O(table) compact — for an append the require below was always
+    // going to refuse anyway.
     latestVersion(table).foreach { v =>
       val layout = bucketLayoutOf(table, v)
       require(layout.exists { case (head, headDims) =>
@@ -2234,6 +2219,11 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
             s"bucketed ${l._1.mkString(",")}/${l._2.mkString("x")}")} " +
           "— mixed layouts would silently break co-partitioned joins")
     }
+    // The fold runs INSIDE the over-cap append, before its delta lands:
+    // an append that would cross the cap first collapses the chain, so
+    // the claim never lapses and a SUSTAINED appender cannot starve the
+    // fold — every over-cap appender is itself a folder.
+    autoFoldSortedRuns(table, dims.product)
     val cols = bucketBy.map(org.apache.spark.sql.functions.col)
     appendFrom(table,
       bucketRoute(rows, bucketBy, dims).sortWithinPartitions(cols: _*),
@@ -2302,9 +2292,37 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       base = expectedHead, snapshot = merged, advance = false,
       props = SnapshotStore.bucketLayoutProps(bucketBy, dims) +
         (SnapshotStore.BucketSortedProp -> "true") ++ extraProps)
-    if (casAdvance(table, v, expectedHead)) Some(v)
-    else { discardCandidate(table, v); None }
+    if (casAdvance(table, v, expectedHead)) {
+      // Auto-fold AFTER the landed delta (appendBucketed folds before;
+      // here a pre-fold would advance the head and fail this very CAS):
+      // an incrementally-maintained view's chain stays under the merge
+      // fan-in cap without its maintainers ever compacting by hand. The
+      // fold link inherits the view's props (horizon included), so
+      // maintenance and folding compose.
+      autoFoldSortedRuns(table, dims.product)
+      Some(v)
+    } else { discardCandidate(table, v); None }
   }
+
+  /** AUTO-FOLD on sorted-run fan-in — the missing twin of the DV chain
+    * backstop (DvMaxChainRows): each bucket's per-file sorted runs are
+    * k-way merged at read time, capped at MaxSortedRunsPerBucket open
+    * readers, past which the scan silently drops the sortless-SMJ claim
+    * until someone compacts by hand (the r18 gap). The layout-preserving
+    * compact collapses the chain to one sorted file per bucket; a
+    * compact lost to a sibling's fold re-checks a now-collapsed chain
+    * and just proceeds. */
+  private def autoFoldSortedRuns(table: String, total: Int): Unit =
+    latestVersion(table).foreach { v =>
+      if (bucketSortedOf(table, v)) {
+        var tries = 3
+        while (tries > 0 && latestVersion(table).exists(h =>
+            maxRunsPerBucket(table, h, total).exists(_ >= sortedRunFoldCap))) {
+          try { compact(table); tries = 0 }
+          catch { case _: IllegalStateException => tries -= 1 }
+        }
+      }
+    }
 
   private def validateBucketArgs(frameCols: Seq[String], bucketBy: Seq[String],
       dims: Seq[Int]): Unit = {
@@ -2347,17 +2365,22 @@ final class SnapshotStore(spark: SparkSession, val root: String) {
       }
       val idx = comps.tail.zip(dims.tail)
         .foldLeft(comps.head) { case (acc, (b, n)) => acc * n + b }
-      val tokens = org.apache.spark.sql.graftbridge.GraftBucketRouting
-        .tokens(total)
       // Small layouts inline the token table as a codegen'd array
       // literal; large ones would bloat every composite write plan
       // (2^20 buckets = a 4 MB literal serialized into plan AND
       // closures), so past 4096 the lookup rides a broadcast — the
-      // executors fetch the array once, the plan carries a handle.
+      // executors fetch the array once, the plan carries a handle. The
+      // broadcast is CACHED per (application, total): re-broadcasting
+      // the same immutable array on every write of a frequently-
+      // appended layout would leak driver/BlockManager memory for the
+      // application lifetime.
       val tokenAt =
-        if (total <= 4096) element_at(lit(tokens), idx + 1)
+        if (total <= 4096) element_at(lit(
+          org.apache.spark.sql.graftbridge.GraftBucketRouting.tokens(total)),
+          idx + 1)
         else {
-          val bc = df.sparkSession.sparkContext.broadcast(tokens)
+          val bc = org.apache.spark.sql.graftbridge.GraftBucketRouting
+            .tokensBroadcast(df.sparkSession.sparkContext, total)
           udf((i: Int) => bc.value(i)).apply(idx)
         }
       df.withColumn(route, tokenAt)

@@ -29,8 +29,11 @@ object FixtureBuild {
     val t0 = System.nanoTime()
     val r = build
     val sec = (System.nanoTime() - t0) / 1e9
+    // Locale.ROOT: a comma-decimal default locale would write "1,234",
+    // fail report()'s toDouble round-trip and silently drop the cost
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, "_build_sec"), f"$sec%.3f")
+      java.nio.file.Paths.get(root, "_build_sec"),
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec)))
     catch { case scala.util.control.NonFatal(_) => () }
     r
   }

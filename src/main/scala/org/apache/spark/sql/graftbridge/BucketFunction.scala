@@ -149,4 +149,17 @@ object GraftBucketRouting {
       }
       out
     })
+
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), org.apache.spark.broadcast.Broadcast[Array[Int]]]()
+
+  /** The token table as a REUSED broadcast — large layouts route through
+    * a broadcast lookup instead of a multi-MB plan literal, and a
+    * maintained view appending every ingest batch must not leak one new
+    * broadcast per write for the same immutable array. Keyed by
+    * application id so a restarted context never serves a dead handle. */
+  def tokensBroadcast(sc: org.apache.spark.SparkContext, total: Int)
+      : org.apache.spark.broadcast.Broadcast[Array[Int]] =
+    bcCache.computeIfAbsent((sc.applicationId, total),
+      _ => sc.broadcast(tokens(total)))
 }

@@ -120,4 +120,38 @@ class AdjacencyStoreSpec extends SparkSpec {
       == sortedRows(rawDegrees(store)),
       "a non-append source mutation rebuilds the view exactly")
   }
+
+  test("view maintenance auto-folds its own chain: incremental refreshes never outgrow the merge fan-in cap") {
+    // The view's ONLY append path is the conditional appendBucketedIfHead
+    // — if IT bypassed the sorted-run auto-fold, a maintained view would
+    // cross MaxSortedRunsPerBucket after enough refreshes and silently
+    // lose the sortless-SMJ claim forever (nothing else ever compacts a
+    // view). Cheap trigger via the fold-cap seam; semantics identical
+    // at the real cap of 32.
+    val r = java.nio.file.Files.createTempDirectory("graft-adjfold").toString
+    val store = new SnapshotStore(spark, r)
+    store.sortedRunFoldCap = 3
+    store.commit("edges", Seq(("a", "b", "rel", 0.9))
+      .toDF("src", "dst", "rel_type", "confidence"))
+    AdjacencyStore.refresh(store, "edges", "adj", buckets = 2)
+    (1 to 6).foreach { i =>
+      store.append("edges", Seq((s"n$i", s"m$i", "rel", 0.5))
+        .toDF("src", "dst", "rel_type", "confidence"))
+      AdjacencyStore.refresh(store, "edges", "adj", buckets = 2)
+    }
+    val head = store.latestVersion("adj").get
+    val files = store.read("adj").inputFiles
+    val runsPerBucket = files.groupBy(f =>
+      org.apache.spark.sql.graftbridge.KeyGroupedParquetScan.bucketOf(
+        f.substring(f.lastIndexOf('/') + 1), 2)).values.map(_.length)
+    assert(runsPerBucket.forall(_ <= 3),
+      s"auto-fold must keep every bucket under the cap: $runsPerBucket")
+    assert(store.bucketLayoutOf("adj", head).contains((Seq("node"), Seq(2))),
+      "folds preserve the layout claim")
+    assert(store.resolvedProps("adj", head).contains(AdjacencyStore.HorizonProp),
+      "folds inherit the view horizon")
+    assert(sortedRows(degreesVia(store.read("adj")))
+      == sortedRows(rawDegrees(store)),
+      "folded view stays exact vs the recompute")
+  }
 }
