@@ -16,16 +16,11 @@ import graft.core.SnapshotStore
   *
   * Mechanics: the view table holds one (node, o, i) row per edge
   * endpoint, bucketed on `node` — so degree-class aggregations plan
-  * ZERO-exchange (partial sums per bucket). Each [[refresh]] reads the
-  * edges chain's CHANGES past the view's recorded horizon
-  * (`graft.adjview.horizon`, committed atomically with each view link),
-  * transforms the delta, and lands it with
-  * [[SnapshotStore.appendBucketedIfHead]] — a CONDITIONAL append, so two
-  * racing maintainers can never fold the same source delta twice: the
-  * loser re-reads the advanced horizon and re-derives (MaterializedView's
-  * OCC contract, on a bucketed chain). The store's sorted-run auto-fold
-  * keeps the chain under the merge fan-in cap, and the layout-preserving
-  * compact INHERITS the horizon prop, so maintenance and folding compose.
+  * ZERO-exchange (partial sums per bucket). The refresh protocol
+  * (horizon pinned in the view's own props, conditional bucketed
+  * appends, metadata-detected rebuilds) is [[BucketedView]]'s — this
+  * object is its adjacency INSTANCE, with the per-endpoint explode as
+  * the row transform.
   *
   * APPEND-ONLY contract, stated loudly: the maintenance consumes the
   * batch feed (appended edges). A delete/rewrite on the edges chain
@@ -38,6 +33,8 @@ object AdjacencyStore {
     * has folded up to (inclusive). Chain-inherited like every prop. */
   val HorizonProp = "graft.adjview.horizon"
 
+  // distributes over union (projection + unionByName of projections) —
+  // the [[BucketedView]] rowTransform contract
   private def adjRows(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame =
     edges.select(col(srcCol).as("node"), lit(1L).as("o"), lit(0L).as("i"))
@@ -50,75 +47,8 @@ object AdjacencyStore {
     * builds the view whole. */
   def refresh(store: SnapshotStore, edgesTable: String, viewTable: String,
       srcCol: String = "src", dstCol: String = "dst",
-      buckets: Int = 32, maxRetries: Int = 8): Long = {
-    val srcHead = store.latestVersion(edgesTable).getOrElse(
-      throw new IllegalArgumentException(s"no committed version of $edgesTable"))
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      store.latestVersion(viewTable) match {
-        case None =>
-          // initial build: the full snapshot's adjacency, layout claim
-          // and horizon pinned ATOMICALLY with the content (conditioned
-          // on the table still being absent — a racing initializer loses
-          // the CAS and loops into the incremental branch)
-          store.commitIfHeadBucketed(viewTable,
-            adjRows(store.readAt(edgesTable, srcHead), srcCol, dstCol),
-            Seq("node"), Seq(buckets), None,
-            Map(HorizonProp -> srcHead.toString)) match {
-            case Some(v) => return v
-            case None => () // a sibling initialized first: loop re-reads
-          }
-        case Some(v) =>
-          val from = store.resolvedProps(viewTable, v).get(HorizonProp)
-            .map(_.toLong).getOrElse(
-              throw new IllegalStateException(
-                s"$viewTable carries no $HorizonProp — not an adjacency view"))
-          if (from >= srcHead) return v
-          else {
-            // The incremental path folds the INSERT-ONLY feed — valid
-            // only when every source version past the horizon is an
-            // append. A delete/update version doesn't break feed REACH
-            // (its removed rows live in `_changes_removed`, which
-            // changesSince rightly omits), it breaks feed SUFFICIENCY:
-            // folding just the inserts would leave phantom endpoints in
-            // the view. Detected from version metadata alone — no scan.
-            val appendOnly =
-              store.nonFeedMutationsSince(edgesTable, from).isEmpty &&
-                !store.history(edgesTable).filter(_ > from)
-                  .exists(w => store.hasRemovedRows(edgesTable, w))
-            val delta =
-              if (!appendOnly) None // non-append mutation: rebuild
-              else try Some(store.changesSince(edgesTable, from)
-                .where(col("_version") <= srcHead)
-                .drop("_version"))
-              catch { case _: Exception => None } // feed unreachable: rebuild
-            delta match {
-              case Some(d) =>
-                store.appendBucketedIfHead(viewTable,
-                  adjRows(d, srcCol, dstCol),
-                  Seq("node"), Seq(buckets), Some(v),
-                  Map(HorizonProp -> srcHead.toString)) match {
-                  case Some(nv) => return nv
-                  case None => () // lost to a sibling maintainer: re-derive
-                }
-              case None =>
-                // the edges chain was rewritten/compacted past feed reach:
-                // rebuild whole, conditioned on the view head we read
-                store.commitIfHeadBucketed(viewTable,
-                  adjRows(store.readAt(edgesTable, srcHead), srcCol, dstCol),
-                  Seq("node"), Seq(buckets), Some(v),
-                  Map(HorizonProp -> srcHead.toString)) match {
-                  case Some(nv) => return nv
-                  case None => ()
-                }
-            }
-          }
-      }
-      if (attempt >= maxRetries) throw new IllegalStateException(
-        s"AdjacencyStore.refresh($viewTable) lost the view-head race " +
-          s"$maxRetries times — maintainers are hot; retry later")
-    }
-    throw new IllegalStateException("unreachable")
-  }
+      buckets: Int = 32, maxRetries: Int = 8): Long =
+    BucketedView.refresh(store, edgesTable, viewTable,
+      adjRows(_, srcCol, dstCol), Seq("node"), Seq(buckets),
+      horizonProp = HorizonProp, maxRetries = maxRetries)
 }
