@@ -1167,11 +1167,39 @@ object GraftExtensions {
     }
   }
 
+  // Incrementally-maintained ADJACENCY layout refresh (r19,
+  // graft.graph.AdjacencyStore over BucketedView): fold the edges
+  // chain's delta past the view horizon into the node-bucketed view;
+  // returns (version, horizon). DEFERRED like the maintenance TVFs —
+  // unlike graft_refresh_view (which predates GraftDeferredAction and
+  // is idempotent-at-analysis by design), a refresh COMMITS a view
+  // version, and EXPLAIN must not move a table head.
+  private val refreshAdjacencyTvf: Seq[Expression] => LogicalPlan = { children =>
+    require(children.size == 3 || children.size == 4,
+      "graft_refresh_adjacency(root, edges_table, view_table[, buckets])")
+    val root = constString(children.head, "root")
+    val edges = constString(children(1), "edges_table")
+    val view = constString(children(2), "view_table")
+    val buckets =
+      if (children.size == 4) constInt(children(3), "buckets") else 32
+    deferredTvf("graft_refresh_adjacency", Seq(
+      "version" -> org.apache.spark.sql.types.LongType,
+      "horizon" -> org.apache.spark.sql.types.LongType)) { () =>
+      val store = new graft.core.SnapshotStore(
+        org.apache.spark.sql.SparkSession.active, root)
+      val v = graft.graph.AdjacencyStore.refresh(store, edges, view,
+        buckets = buckets)
+      Seq(Seq(v, store.resolvedProps(view, v)(
+        graft.graph.AdjacencyStore.HorizonProp).toLong))
+    }
+  }
+
   val tableBuilders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_snapshot" -> snapshotTvf,
     "graft_snapshot_all" -> snapshotAllTvf,
     "graft_refresh_view" -> refreshViewTvf,
     "graft_refresh_join_view" -> refreshJoinViewTvf,
+    "graft_refresh_adjacency" -> refreshAdjacencyTvf,
     "graft_vacuum" -> vacuumTvf,
     "graft_vacuum_older_than" -> vacuumOlderThanTvf,
     "graft_compact" -> compactTvf,

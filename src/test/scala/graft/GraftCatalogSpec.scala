@@ -859,4 +859,41 @@ class GraftCatalogSpec extends SparkSpec {
     assert(row.getLong(0) == 2L && row.getLong(1) == 1L,
       s"horizon/retained from the executed action: $row")
   }
+
+  test("graft_refresh_adjacency: SQL-first view maintenance, deferred to execution") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val r = java.nio.file.Files.createTempDirectory("graft-adjtvf").toString
+    val st = new graft.core.SnapshotStore(spark, r)
+    st.commit("edges", Seq(("a", "b"), ("b", "c")).toDF("src", "dst"))
+
+    // EXPLAIN resolves + plans — the view commit must NOT fire
+    spark.sql(
+      s"EXPLAIN SELECT * FROM graft_refresh_adjacency('$r', 'edges', 'adj', 4)")
+      .collect()
+    assert(st.latestVersion("adj").isEmpty,
+      "EXPLAIN on graft_refresh_adjacency must not commit the view")
+
+    // execution builds the view and reports (version, horizon)
+    val row1 = spark.sql(
+      s"SELECT * FROM graft_refresh_adjacency('$r', 'edges', 'adj', 4)").head()
+    assert(row1.getLong(1) == st.latestVersion("edges").get,
+      "horizon reports the folded edges head")
+    assert(st.bucketLayoutOf("adj", row1.getLong(0))
+      .contains((Seq("node"), Seq(4))))
+
+    // an appended batch advances the view incrementally through SQL
+    st.append("edges", Seq(("c", "d")).toDF("src", "dst"))
+    val row2 = spark.sql(
+      s"SELECT * FROM graft_refresh_adjacency('$r', 'edges', 'adj', 4)").head()
+    assert(row2.getLong(0) != row1.getLong(0) &&
+      row2.getLong(1) == st.latestVersion("edges").get)
+    val degrees = st.read("adj").groupBy(col("node"))
+      .agg(org.apache.spark.sql.functions.sum(col("o")).as("o"),
+        org.apache.spark.sql.functions.sum(col("i")).as("i"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(degrees == Set(("a", 1L, 0L), ("b", 1L, 1L), ("c", 1L, 1L),
+      ("d", 0L, 1L)), s"SQL-maintained view is exact: $degrees")
+  }
 }
