@@ -1066,4 +1066,77 @@ class ConcurrentStoreFuzzSpec extends SparkSpec {
       assert(hs.read(root, "t").isEmpty)
     } finally graft.core.MockObjectHeadStore.clear(root)
   }
+
+  test("conditional-put head: racing VIEW MAINTAINERS vs source appenders — every delta folds exactly once") {
+    // The r19 maintained-view contract on the OBJECT-STORE protocol:
+    // refreshers land deltas through appendBucketedIfHead (a lock-free
+    // conditional append), source appenders advance the edges chain
+    // concurrently, and the view must end EXACTLY equal to the
+    // transform of the final source snapshot — no delta folded twice
+    // (a blind relink would double-count), none dropped (a lost CAS
+    // must re-derive, not give up), horizons strictly ascending.
+    val prior = SnapshotStore.headStoreFactory
+    SnapshotStore.headStoreFactory = () => new graft.core.MockObjectHeadStore
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-viewfuzz").toString
+      val store = new SnapshotStore(spark, root)
+      store.commit("edges", Seq(("s0", "d0")).toDF("src", "dst"))
+      val appenders = 3
+      val batches = 4
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(appenders + 2)
+      try {
+        val writerTasks = (0 until appenders).map { w =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                val st = new SnapshotStore(spark, root)
+                (1 to batches).foreach { i =>
+                  st.append("edges",
+                    Seq((s"s$w-$i", s"d$w-$i")).toDF("src", "dst"))
+                  graft.graph.AdjacencyStore.refresh(st, "edges", "adj",
+                    buckets = 4, maxRetries = 64)
+                }
+              } catch { case t: Throwable => failures.add(t) }
+          })
+        }
+        val maintainerTasks = (0 until 2).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                val st = new SnapshotStore(spark, root)
+                (1 to batches).foreach { _ =>
+                  graft.graph.AdjacencyStore.refresh(st, "edges", "adj",
+                    buckets = 4, maxRetries = 64)
+                }
+              } catch { case t: Throwable => failures.add(t) }
+          })
+        }
+        (writerTasks ++ maintainerTasks).foreach(_.get())
+      } finally pool.shutdown()
+      if (!failures.isEmpty) {
+        val f = failures.peek(); f.printStackTrace()
+        fail(s"maintainer/appender failed under the conditional head: $f")
+      }
+      // one final catch-up fold, then exact equality with the recompute
+      graft.graph.AdjacencyStore.refresh(store, "edges", "adj", buckets = 4)
+      val e = store.read("edges")
+      val expected = e.select(col("src").as("node")).unionByName(
+        e.select(col("dst").as("node")))
+        .groupBy("node").count().as[(String, Long)].collect().toSet
+      val got = store.read("adj").groupBy("node")
+        .agg((sum("o") + sum("i")).as("count")).as[(String, Long)]
+        .collect().toSet
+      assert(got == expected,
+        s"racing maintainers must fold every delta exactly once")
+      // horizons strictly ascend along the view history
+      val horizons = store.history("adj").map(v =>
+        store.resolvedProps("adj", v).get(graft.graph.AdjacencyStore.HorizonProp)
+          .map(_.toLong))
+      assert(horizons.forall(_.isDefined))
+      val hs = horizons.flatten
+      assert(hs == hs.sorted && hs.distinct == hs,
+        s"view horizons must strictly ascend: $hs")
+    } finally SnapshotStore.headStoreFactory = prior
+  }
 }
