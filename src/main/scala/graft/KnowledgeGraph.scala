@@ -325,7 +325,7 @@ final case class KnowledgeGraph(
       case "umap" => graft.analysis.Projection.umap(embedded, "id", "v", dims = 3,
         maxSamples = maxSamples)
       case _      => graft.analysis.Projection.pca(embedded, "id", "v", k = 3)
-    }).localCheckpoint(false)
+    }).localCheckpoint(true)
     val dims = Seq("p0", "p1", "p2")
     // Reference auto-tune (40th-pct k-NN distance) is an O(n²) driver-side
     // heuristic, so on the distributed PCA path it sees a bounded

@@ -48,7 +48,7 @@ object Annealing {
   def scoreAll(ontologies: DataFrame, membership: DataFrame,
       sources: DataFrame, concepts: DataFrame, edges: DataFrame,
       currentEpoch: Long): DataFrame = {
-    val m = membership.dropDuplicates().localCheckpoint(false)
+    val m = membership.dropDuplicates().localCheckpoint(true)
     val nConcepts = m.groupBy(col("ontology"))
       .agg(count(lit(1)).as("n_concepts"))
     val nSources = sources.dropDuplicates().groupBy(col("ontology"))
@@ -215,7 +215,7 @@ object Annealing {
     val spark = ontologies.sparkSession
     import spark.implicits._
     val scores = scoreAll(ontologies, membership, sources, concepts, edges,
-      currentEpoch).localCheckpoint(false)
+      currentEpoch).localCheckpoint(true)
 
     // idempotency guard (annealing_manager.py:188-205): skip targets with
     // an open (non-terminal) proposal so the graph-driven cycle doesn't

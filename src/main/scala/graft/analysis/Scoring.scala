@@ -198,7 +198,7 @@ object Scoring {
           .withColumn("__onts",
             expr("filter(__dom, (x, i) -> (shiftright(__mask, i) & 1) = 1)"))
           .select(col("concept_id"), col("__onts"), col("__unknown"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         val bad = cp.agg(max(col("__unknown"))).head()
         if (!bad.isNullAt(0) && bad.getInt(0) > 0)
           throw new IllegalArgumentException(
@@ -211,7 +211,7 @@ object Scoring {
         membership
           .groupBy(col("concept_id"))
           .agg(sort_array(collect_set(col("ontology"))).as("__onts"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
     }
     val totals = perConcept.select(explode(col("__onts")).as("ont_b"))
       .groupBy("ont_b").agg(count(lit(1)).as("target_total"))

@@ -95,7 +95,7 @@ final class IncrementalCatalog(spark: SparkSession, store: SnapshotStore,
 
     // ---- infra deltas: the three filtered views of the edge delta,
     // deduped against the maintained infra state (replays fold to zero)
-    val oldInfra = stateOr(infraTable, infraSchema).localCheckpoint(false)
+    val oldInfra = stateOr(infraTable, infraSchema).localCheckpoint(true)
     val edgeDelta = delta(srcEdges)
     def infraOf(rel: String, kind: String, srcIsMember: Boolean) = {
       val raw = edgeDelta.where(col("rel_type") === rel)
@@ -152,7 +152,7 @@ final class IncrementalCatalog(spark: SparkSession, store: SnapshotStore,
       .select(lit("document").as("parent_kind"),
         col("document_id").as("parent_id"),
         lit("concept").as("child_kind"), col("concept_id").as("child_id"))
-    val oldEdges = stateOr(edgesTable, edgeSchema).localCheckpoint(false)
+    val oldEdges = stateOr(edgesTable, edgeSchema).localCheckpoint(true)
     val newEdges = dDocOnt.unionByName(dDocCon).distinct()
       .join(oldEdges, Seq("parent_kind", "parent_id", "child_kind", "child_id"),
         "left_anti")
@@ -161,7 +161,7 @@ final class IncrementalCatalog(spark: SparkSession, store: SnapshotStore,
 
     // ---- node deltas: new dim rows (names resolved at fold time, the
     // reference's name-or-id fallback) anti-joined against known nodes
-    val oldNodes = stateOr(nodesTable, nodeSchema).localCheckpoint(false)
+    val oldNodes = stateOr(nodesTable, nodeSchema).localCheckpoint(true)
     def dimDelta(src: String, kind: String, idCol: String, nameCol: String) =
       delta(src).select(lit(kind).as("kind"),
           col(idCol).cast("string").as("node_id"),

@@ -111,14 +111,19 @@ object Dedup {
     // Materialized ONCE (same discipline as the affinity membership table):
     // the shingle table feeds the signature aggregation AND both sides of
     // the verification join — without the checkpoint the shingling (regex +
-    // distinct over every document) re-executes three times. LAZY
-    // localCheckpoint: materializes on the first action against the
-    // returned DataFrame, so merely building the plan (explain, plan-shape
-    // tests) runs no jobs; data stays on executor-local storage.
+    // distinct over every document) re-executes three times. EAGER
+    // localCheckpoint (here and at every other checkpoint in a query path):
+    // a LAZY checkpoint can be first materialized by a broadcast-exchange
+    // thread, and RDDCheckpointData.checkpoint() then takes the companion
+    // lock before the RDD's monitor while the DAG event loop submitting a
+    // concurrent job over the same RDD takes them in the OPPOSITE order —
+    // an observed JVM deadlock (r19, this exact function under DedupSpec).
+    // Eager materialization happens on the constructing thread before any
+    // other job can reference the RDD, which closes the inversion window.
     val withShingles = df.select(
       col(idCol).as("id"),
       charShingles(col(textCol), shingleK).as("sh"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val sigs =
       if (portable) portableMinhashSignatures(withShingles, numHashes)
       else withShingles.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
@@ -132,7 +137,7 @@ object Dedup {
     val allBandRows = sigs
       .withColumn("bk", explode(lshBandKeys(col("sig"), bands, numHashes / bands, portable)))
       .select(col("id"), col("bk"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val bandRows = maxBucketSize match {
       case Some(cap) =>
         // one partial-aggregated count per bucket, then a semi-join that
@@ -201,7 +206,7 @@ object Dedup {
       minScore: Double): DataFrame = {
     val d = df.select(col(idCol).as("id"),
         charShingles(col(textCol), shingleK).as("sh"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val sizes = d.select(col("id"), size(col("sh")).as("n"))
     val postings = d.select(col("id"), explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(array_sort(collect_list(col("id"))).as("ids"))
@@ -364,14 +369,14 @@ object Dedup {
   def decontaminationHits(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, n: Int): DataFrame = {
     val tk = graft.functions.Text.tokens(col(textCol))
-    // Shared by the eval and training branches: materialize once (lazily,
-    // so plan-building runs no jobs).
+    // Shared by the eval and training branches: materialize once (eagerly —
+    // see the lazy-checkpoint deadlock note in minhashNearDups).
     val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"), tk.as("tk"))
       .where(size(col("tk")) >= n)
       .select(col("id"), col("is_eval"),
         array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
           i => xxhash64((0 until n).map(j => element_at(col("tk"), i + lit(j))): _*))).as("g"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val evalGrams = grams.where(col("is_eval"))
       .select(explode(col("g")).as("gram"), col("id").as("eval_id"))
       .groupBy(col("gram")).agg(min(col("eval_id")).as("first_eval_id"))

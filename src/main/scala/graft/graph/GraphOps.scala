@@ -574,12 +574,12 @@ object GraphOps {
     // path (which drops both at load) must agree with this loop exactly.
     val e = edges.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(false) // reused every iteration + outdeg + node set
+      .localCheckpoint(true) // reused every iteration + outdeg + node set
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint(false) // referenced by every iteration's join
+      .localCheckpoint(true) // referenced by every iteration's join
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("r", lit(1.0))
     for (i <- 1 to iterations) {
       val contribs = e
@@ -603,7 +603,7 @@ object GraphOps {
       // (This reverses r16's untested "short runs shouldn't pay the job
       // overhead" guess — exactly the q68 regression VERDICT r16 flagged.)
       if (i % math.max(checkpointEvery, 1) == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(false)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -626,7 +626,7 @@ object GraphOps {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"), col("w").cast("double"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(false) // scanned once per relaxation round
+      .localCheckpoint(true) // scanned once per relaxation round
     var dist = Seq((source, 0.0)).toDF("node", "dist")
     for (i <- 1 to maxHops) {
       val relaxed = e
@@ -634,7 +634,7 @@ object GraphOps {
         .select(col("dst").as("node"), (col("sd") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (i % 2 == 0 && i < maxHops) dist = dist.localCheckpoint(false)
+      if (i % 2 == 0 && i < maxHops) dist = dist.localCheckpoint(true)
     }
     dist
   }

@@ -327,7 +327,7 @@ object InMemoryGraph {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
-      .localCheckpoint(false) // read 3×: both joins + the names collect
+      .localCheckpoint(true) // read 3×: both joins + the names collect
     // Ship COMPACT per-partition arrays, not rows: collect() of 8.5M
     // two-int Rows costs as much as the string interning it replaces
     // (measured ~12 s either way at sf10) — per-row deserialization is
@@ -490,7 +490,7 @@ object WeightedGraph {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // Compact per-partition array shipping — see InMemoryGraph.
     val edgeParts: Array[(Array[Int], Array[Int], Array[Double])] = e
       .join(dictDF.toDF("src", "__sid"), "src")

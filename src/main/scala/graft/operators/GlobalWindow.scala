@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * per-partition prefix offsets. The offsets come from a window over the
   * per-partition STATS — numPartitions rows, a post-aggregation bound —
   * so the only single-partition window in the plan sees ~32 rows whatever
-  * the input size. The input is materialized once (lazy localCheckpoint)
+  * the input size. The input is materialized once (eager localCheckpoint —
+  * lazy checkpoints deadlock under broadcast threads, see Dedup's note)
   * because it feeds both the ranked pass and the offsets aggregation.
   *
   * Used by the vocabulary-coverage cutoff (q59) and sequence packing
@@ -37,7 +38,7 @@ object GlobalWindow {
       .withColumn("__v", value)
       .repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val byPid = Window.orderBy(col("__pid"))
     val before = byPid.rowsBetween(Window.unboundedPreceding, -1)
     val whole = byPid.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

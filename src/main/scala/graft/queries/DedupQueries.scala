@@ -56,7 +56,7 @@ object DedupQueries {
       val fp = Dedup.simhash64(
         Tables.documents(s, dir).where(col("doc_id") < 200), "doc_id", "text",
         portable = true)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val a = fp.toDF("a_id", "a_fp")
       val b = fp.toDF("b_id", "b_fp")
       a.join(b, col("a_id") < col("b_id"))
@@ -148,7 +148,7 @@ object DedupQueries {
         .select(col("doc_id"), array_distinct(
           transform(sequence(lit(1), size(col("tk")) - (win - 1)),
             i => xxhash64((0 until win).map(j => element_at(col("tk"), i + lit(j))): _*))).as("ws"))
-        .localCheckpoint(false) // feeds the explode AND the per-doc sizes
+        .localCheckpoint(true) // feeds the explode AND the per-doc sizes
       // min(doc_id) is well-defined as "the owner" only when n_docs = 1.
       val uniq = docs.select(col("doc_id"), explode(col("ws")).as("w"))
         .groupBy(col("w"))
@@ -192,7 +192,7 @@ object DedupQueries {
           transform(sequence(lit(1), size(col("tk")) - (win - 1)),
             i => struct(i.as("pos"),
               xxhash64((0 until win).map(j => element_at(col("tk"), i + lit(j))): _*).as("g"))).as("gs"))
-        .localCheckpoint(false) // feeds gram explode AND the final join
+        .localCheckpoint(true) // feeds gram explode AND the final join
       val grams = docs.select(col("doc_id"), explode(col("gs")).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.g").as("g"))
       val rep = grams.groupBy(col("g"))

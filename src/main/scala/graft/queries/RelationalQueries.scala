@@ -1195,17 +1195,17 @@ object RelationalQueries {
     "q70_funnel" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_type"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       def stageAfter(eventType: String, prev: DataFrame,
           prevTs: String, outTs: String): DataFrame =
         e.where(col("event_type") === eventType)
           .join(prev.select(col("user_id"), col(prevTs)), "user_id")
           .where(col("ts") > col(prevTs))
           .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
       val s1 = e.where(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val s2 = stageAfter("view", s1, "t1", "t2")
       val s3 = stageAfter("click", s2, "t2", "t3")
       val s4 = stageAfter("purchase", s3, "t3", "t4")

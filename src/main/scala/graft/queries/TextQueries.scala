@@ -49,7 +49,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("text"),
         graft.dedup.Dedup.fingerprint(col("text")).as("fp"),
         tokens(col("text")).as("tk"))
-      .localCheckpoint(false) // feeds the doc-grain AND vocab rollups
+      .localCheckpoint(true) // feeds the doc-grain AND vocab rollups
     val stats = d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(col("tk")).cast("long")).as("n_tokens"),
@@ -294,7 +294,7 @@ object TextQueries {
       val dt = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // feeds the model AND the scoring join
+        .localCheckpoint(true) // feeds the model AND the scoring join
       val freq = dt.groupBy(col("tok")).agg(sum(col("c")).as("n"))
       val total = freq.agg(sum(col("n")).as("total"))
       dt.join(freq, "tok")
@@ -326,7 +326,7 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .where(size(col("tk")) >= 2)
-        .localCheckpoint(false) // feeds unigrams + bigrams: tokenize once
+        .localCheckpoint(true) // feeds unigrams + bigrams: tokenize once
       val bi = docs.select(col("doc_id"), explode(zip_with(
           slice(col("tk"), lit(1), size(col("tk")) - 1),
           slice(col("tk"), lit(2), size(col("tk")) - 1),
@@ -444,7 +444,7 @@ object TextQueries {
       val d = Tables.documents(s, dir).where(col("doc_id") < 150)
       val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // feeds df-counts, norms, AND the pair join
+        .localCheckpoint(true) // feeds df-counts, norms, AND the pair join
       val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
       val wtab = tf
         .join(tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq")), "term")
@@ -452,7 +452,7 @@ object TextQueries {
         .select(col("doc_id"), col("term"),
           round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6)
             .as("w"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val norms = wtab.groupBy(col("doc_id"))
         .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
           .as("norm"))

@@ -184,7 +184,7 @@ object VectorQueries {
       // so small-SF results are unchanged.
       val n = Tables.embeddings(s, dir).count()
       val withV = kmeansAssign(s, dir, k = math.max(8L, n / 250L).toInt)
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val a = withV.select(col("vec_id").as("a_id"), col("v").as("a_v"), col("cluster"))
       val b = withV.select(col("vec_id").as("b_id"), col("v").as("b_v"),
         col("cluster").as("b_cluster"))
