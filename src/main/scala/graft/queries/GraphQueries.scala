@@ -166,7 +166,7 @@ object GraphQueries {
             .where(col("l_linenumber") === 1)
             .select((col("l_suppkey") % 100).as("src"),
               (col("l_partkey") % 100).as("dst")))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val deg = e0.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val tri = graft.graph.GraphOps.triangleCountsCanonical(e0)
@@ -181,12 +181,21 @@ object GraphQueries {
         .limit(50)
     }),
 
-    "q87_adamic_adar" -> ((s, dir) => adamicAdarPipeline(edges(s, dir))),
+    // q87 feeds the pipeline the RAW (pre-distinct) edge stream: the
+    // postings aggregate dedups inside its set buffer (CapSet), so the
+    // former standalone `.distinct()` — a full extra exchange of the edge
+    // stream on (src, dst), a key the query never groups by — is folded
+    // into the one dst-keyed exchange the aggregation needs anyway.
+    "q87_adamic_adar" -> ((s, dir) => adamicAdarPipeline(
+      Tables.lineitem(s, dir)
+        .where(col("l_linenumber") === 1)
+        .select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")))),
 
     // q87's Adamic-Adar with the postings side routed through the STORE:
     // the deduped edge table lives bucketed on dst — the shared-neighbor
-    // key — so the three edge-stream shuffles q87 pays every run (degree
-    // aggregation, degree join, postings collect, all keyed on dst) run
+    // key — so the dst-keyed postings aggregation q87 shuffles for runs
     // ZERO-EXCHANGE over the storage layout; only the supplier-pair
     // aggregate (a different key by nature) still shuffles, and it
     // shuffles pair rows, not the edge stream. Reference analog: the
@@ -255,14 +264,25 @@ object GraphQueries {
     * shared by q87 (raw parquet edges) and q115 (dst-bucketed store
     * edges, where every dst-keyed stage below plans zero-exchange). */
   private def adamicAdarPipeline(e: DataFrame): DataFrame = {
-      val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      // SINGLE-PASS postings (r19 optimization, guide §2.4): the former
+      // shape deduped the edge stream (one exchange on (src, dst)),
+      // aggregated degrees (a second exchange, on dst), joined them back
+      // onto the edges (a third exchange + sort legs when not broadcast),
+      // and only then collected postings (a fourth exchange, on dst
+      // again). Dedup, degree, and member list now ride ONE set aggregate
+      // keyed on dst — one exchange of the edge stream, no join, no extra
+      // scan of lineitem (the old plan scanned it twice). Before/after
+      // plans in plans/r19/q87_adamic_adar_{before,after}.txt; bench delta
+      // in OPTIMIZATION_r19.md.
       // Hub ceiling: a power-law hub with 10M in-neighbors would become one
-      // multi-hundred-MB collect_list row in one task. Neighbors above the
-      // ceiling are dropped BEFORE the collect — at 1/ln(deg) a hub that
-      // large contributes ~0.07 per pair while emitting C(deg,2) pairs, so
-      // the feature loses almost nothing and the skew bound becomes
-      // C(ceiling,2) pairs per neighbor row. The oracle applies the same
-      // predicate.
+      // multi-hundred-MB collect_set row in one task. The capped set
+      // aggregator (CapSet, cap = ceiling + 1) stops growing past the
+      // ceiling, so a hub costs ≤ ~80 KB of buffer in any task — a group
+      // that survives the degree filter (size ≤ ceiling < cap) can never
+      // have been truncated, so its set and size are exact; at 1/ln(deg) a
+      // dropped hub contributes ~0.07 per pair while emitting C(deg,2)
+      // pairs, so the feature loses almost nothing. The oracle applies the
+      // same degree predicate.
       // The C(k,2) pair stream is the query's bulk (~96M rows at sf10);
       // it travels on LONG supplier keys and re-prefixes to "s<num>" only
       // AFTER the aggregate — the pair shuffle carries 16 B of keys
@@ -276,15 +296,7 @@ object GraphQueries {
       // Spark's cast-to-long yields NULL where DuckDB's CAST errors, and a
       // silent NULL would collapse all malformed rows into one pair key —
       // a latent divergence if the id format ever changes.
-      val rawSk = expr("substring(src, 2)").cast("long")
-      val postings = e.join(deg, "dst")
-        .where(col("deg") >= 2 && col("deg") <= AdamicAdarDegreeCeiling)
-        .select(col("dst"), col("deg"),
-          when(rawSk.isNotNull, rawSk)
-            .otherwise(raise_error(concat(lit("q87: non-numeric supplier id "),
-              col("src")))).as("sk"))
-        .groupBy(col("dst"), col("deg"))
-        .agg(array_sort(collect_list(col("sk"))).as("ids"))
+      val postings = aaPostings(e)
       // The 6dp weight rides the ~96M-row pair aggregate as LONG
       // MICRO-UNITS, not DECIMAL(18,6): w is the double nearest a 6dp
       // decimal, so round(w*1e6) recovers that decimal's integer micros
@@ -309,6 +321,33 @@ object GraphQueries {
         .orderBy(col("aa_score").desc, col("a_id").asc, col("b_id").asc)
         .limit(100)
   }
+
+  /** The fused postings aggregate: (dst, deg, sorted distinct numeric
+    * supplier keys) for every shared neighbor within the degree band —
+    * from a possibly-duplicated (src, dst) stream, in one exchange. */
+  private def aaPostings(e: DataFrame): DataFrame = {
+    val rawSk = expr("substring(src, 2)").cast("long")
+    val capSet = graft.functions.CapList.capSet(AdamicAdarDegreeCeiling + 1)
+    e.select(col("dst"),
+        when(rawSk.isNotNull, rawSk)
+          .otherwise(raise_error(concat(lit("q87: non-numeric supplier id "),
+            col("src")))).as("sk"))
+      .groupBy(col("dst"))
+      .agg(capSet(col("sk")).as("ids0"))
+      .select(col("dst"), size(col("ids0")).cast("long").as("deg"),
+        col("ids0"))
+      .where(col("deg") >= 2 && col("deg") <= AdamicAdarDegreeCeiling)
+      .select(col("dst"), col("deg"), array_sort(col("ids0")).as("ids"))
+  }
+
+  /** Test hook (CapSetSpec): the fused q87 postings over the raw edge
+    * stream, for differential comparison against the multi-pass replay. */
+  private[graft] def postingsForTest(s: SparkSession, dir: String): DataFrame =
+    aaPostings(Tables.lineitem(s, dir)
+      .where(col("l_linenumber") === 1)
+      .select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")))
 
   /** SQL replay of GraphOps.weightedShortestPaths' Bellman-Ford rounds:
     * the same weighted undirected view, the same per-round
