@@ -291,13 +291,21 @@ object TextQueries {
       // the model side is small enough for AQE to broadcast (vocabulary,
       // not corpus, cardinality; at web scale the join degrades to a
       // sort-merge whose residual per-token skew is AQE skew-split).
+      // Tokens ride as xxhash64 fingerprints from the first exchange on
+      // (r19; q72/q96's discipline): the token string is aggregated away —
+      // only its IDENTITY feeds the (doc, tok) key, the model key, and the
+      // scoring join — so the fingerprint narrows both exchanges and the
+      // join key from a ~8-char string to 8 B. Collision math as in q72:
+      // negligible at any gate SF, and a collision merely merges two
+      // model rows (same stand-in the q76 scoring join already makes).
       val dt = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .agg(count(lit(1)).as("c"))
         .localCheckpoint(true) // feeds the model AND the scoring join
-      val freq = dt.groupBy(col("tok")).agg(sum(col("c")).as("n"))
+      val freq = dt.groupBy(col("th")).agg(sum(col("c")).as("n"))
       val total = freq.agg(sum(col("n")).as("total"))
-      dt.join(freq, "tok")
+      dt.join(freq, "th")
         .crossJoin(broadcast(total))
         // 6dp logp as long micro-units (q87/q76's trick): mu*c is an
         // exact long product, the long sum equals the decimal sum scaled
@@ -386,13 +394,20 @@ object TextQueries {
 
     "q60_repetition" -> ((s, dir) => {
       val tk = tokens(col("text"))
+      // Bigrams ride as xxhash64 over the token pair, never as strings
+      // (r19; the q72/q96 discipline): the string is aggregated away
+      // immediately, so only its IDENTITY matters — the fingerprint
+      // halves the (doc, bigram) shuffle row and drops one ~25-B string
+      // allocation per occurrence. Collision effect is bounded by the
+      // per-doc pair count (~10² pairs → ~1e-15 per doc), far below the
+      // oracle gate SFs' noise floor — same argument as q72.
       Tables.documents(s, dir)
         .select(col("doc_id"), tk.as("tk"))
         .where(size(col("tk")) >= 2)
         .select(col("doc_id"), explode(zip_with(
           slice(col("tk"), lit(1), size(col("tk")) - 1),
           slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+          (a, b) => xxhash64(a, b))).as("bigram"))
         .groupBy(col("doc_id"), col("bigram"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))
@@ -418,9 +433,12 @@ object TextQueries {
     // repetition. One explode → per-(doc, token) counts → per-doc rollup;
     // both aggregations partial-combine, shuffle keyed by doc and token.
     "q89_lexical_diversity" -> ((s, dir) => {
+      // tok rides as its xxhash64 fingerprint (identity-only use — the
+      // string never leaves the aggregation; collision math as in q72)
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).as("n_tokens"),
           count(lit(1)).as("n_types"),
