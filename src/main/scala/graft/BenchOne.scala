@@ -17,13 +17,19 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Mirror Bench's per-run litter sweep so persisted/cached blocks never
+    // carry between timed runs — each timing computes from the parquet.
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     args.foreach { q =>
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()
       println(f"[benchone] $q first  ${(System.nanoTime()-t0)/1e9}%.2f s")
+      sweep()
       val t1 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()
       println(f"[benchone] $q second ${(System.nanoTime()-t1)/1e9}%.2f s")
+      sweep()
     }
     spark.stop()
   }
