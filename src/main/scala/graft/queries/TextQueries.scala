@@ -470,6 +470,7 @@ object TextQueries {
         // persist() for the same reason as q75's dt: narrow rows, chained
         // reuse — an eager-checkpoint CHAIN serializes one blocking job
         // per link where the cache lets the final action pipeline them
+        // (no-materialization recompute measured WORSE at both scales)
         .persist() // feeds df-counts, norms, AND the pair join
       val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
       val wtab = tf
@@ -478,7 +479,7 @@ object TextQueries {
         .select(col("doc_id"), col("term"),
           round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6)
             .as("w"))
-        .persist()
+        .persist() // three consumers: norms + both sides of the pair join
       val norms = wtab.groupBy(col("doc_id"))
         .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
           .as("norm"))
