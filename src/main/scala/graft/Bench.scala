@@ -104,8 +104,17 @@ object Bench {
     // JVM). Unpersisting after each timed run keeps every measurement a
     // measurement of the QUERY. Driver-side caches (graph accel,
     // over-threshold verdicts) are not RDDs and survive, as they should.
-    def sweep(): Unit =
+    // clearCache() first: unpersisting a cached query's blocks WITHOUT
+    // dropping its CacheManager entry leaves a stale entry whose storage
+    // level was cleared — the query's next run then recomputes through the
+    // dead InMemoryRelation WITHOUT re-caching (every consumer recomputes
+    // the subtree), so min-of-2 never sees a warm run. Dropping the entry
+    // makes the second run re-persist properly while blocks still never
+    // carry between timed runs.
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     def timeOnceClean(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = { val t = timeOnce(fn); sweep(); t }
     SparkEntry.queries.toSeq.sortBy(_._1).grouped(10).foreach { block =>

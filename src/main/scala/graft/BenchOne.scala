@@ -19,8 +19,10 @@ object BenchOne {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Mirror Bench's per-run litter sweep so persisted/cached blocks never
     // carry between timed runs — each timing computes from the parquet.
-    def sweep(): Unit =
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache() // see Bench.sweep
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     args.foreach { q =>
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).count()

@@ -198,12 +198,7 @@ object Scoring {
           .withColumn("__onts",
             expr("filter(__dom, (x, i) -> (shiftright(__mask, i) & 1) = 1)"))
           .select(col("concept_id"), col("__onts"), col("__unknown"))
-          // persist(), not localCheckpoint: the per-concept view is one
-          // aggregated row per entity, and the cache lets the domain
-          // check + pairs + totals pipeline instead of paying a blocking
-          // checkpoint job (measured on q43 at sf10: 2.3-3.0 s vs 4.0-4.5;
-          // no RDDCheckpointData locks — see the deadlock note in Dedup)
-          .persist()
+          .localCheckpoint(true)
         val bad = cp.agg(max(col("__unknown"))).head()
         if (!bad.isNullAt(0) && bad.getInt(0) > 0)
           throw new IllegalArgumentException(
@@ -216,7 +211,7 @@ object Scoring {
         membership
           .groupBy(col("concept_id"))
           .agg(sort_array(collect_set(col("ontology"))).as("__onts"))
-          .persist()
+          .localCheckpoint(true)
     }
     val totals = perConcept.select(explode(col("__onts")).as("ont_b"))
       .groupBy("ont_b").agg(count(lit(1)).as("target_total"))

@@ -302,12 +302,7 @@ object TextQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), xxhash64(col("tok")).as("th"))
         .agg(count(lit(1)).as("c"))
-        // persist(), not localCheckpoint: narrow aggregated longs cache
-        // columnar and the consumers pipeline in one job (measured at
-        // sf10: 3.3-3.5 s vs 3.9-4.3 s checkpointed, same window; the
-        // cache path has no RDDCheckpointData locks, so the r19 deadlock
-        // note in Dedup.scala does not apply)
-        .persist() // feeds the model AND the scoring join
+        .localCheckpoint(true) // feeds the model AND the scoring join
       val freq = dt.groupBy(col("th")).agg(sum(col("c")).as("n"))
       val total = freq.agg(sum(col("n")).as("total"))
       dt.join(freq, "th")
@@ -467,11 +462,7 @@ object TextQueries {
       val d = Tables.documents(s, dir).where(col("doc_id") < 150)
       val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        // persist() for the same reason as q75's dt: narrow rows, chained
-        // reuse — an eager-checkpoint CHAIN serializes one blocking job
-        // per link where the cache lets the final action pipeline them
-        // (no-materialization recompute measured WORSE at both scales)
-        .persist() // feeds df-counts, norms, AND the pair join
+        .localCheckpoint(true) // feeds df-counts, norms, AND the pair join
       val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
       val wtab = tf
         .join(tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq")), "term")
@@ -479,7 +470,7 @@ object TextQueries {
         .select(col("doc_id"), col("term"),
           round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6)
             .as("w"))
-        .persist() // three consumers: norms + both sides of the pair join
+        .localCheckpoint(true) // three consumers: norms + both pair-join sides
       val norms = wtab.groupBy(col("doc_id"))
         .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
           .as("norm"))
