@@ -692,8 +692,17 @@ object RelationalQueries {
         .groupBy(col("l_linenumber").as("ln"))
         .agg(count(lit(1)).as("n_lines"),
           dsum(col("l_quantity")).as("qty"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax"))).as("charged"))
+          // 3-factor product: each factor cast to decimal BEFORE the
+          // multiply, no intermediate rounding. A double product cast to
+          // DECIMAL(18,4) has <=6 true decimals and lands on exact .XXXX5
+          // ties where Spark (HALF_UP) and DuckDB (double->decimal is
+          // nearest-even) disagree; the all-decimal product is exact
+          // (scale 6), so both engines sum the identical rational and
+          // only the final double conversion remains.
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) *
+            (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")))
+            .cast("double").as("charged"))
         .orderBy(col("ln"))
     }),
 
@@ -1596,8 +1605,10 @@ object RelationalQueries {
       """SELECT l.l_linenumber AS ln,
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
-        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - t.l_discount) * (1.0 + t.l_tax)
-        |        AS DECIMAL(18,4))) AS DOUBLE) AS charged
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(3,2)) - CAST(t.l_discount AS DECIMAL(3,2)))
+        |        * (CAST(1 AS DECIMAL(3,2)) + CAST(t.l_tax AS DECIMAL(3,2))))
+        |      AS DOUBLE) AS charged
         |FROM lineitem l
         |JOIN lineitem t
         |  ON l.l_orderkey = t.l_orderkey AND l.l_linenumber = t.l_linenumber

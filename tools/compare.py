@@ -41,7 +41,10 @@ for name in sorted(oracles):
             out = []
             for v in row:
                 if isinstance(v, float):
-                    out.append(f"{v:.9g}" if not math.isnan(v) else "nan")
+                    # .17g round-trips every double exactly; the old .9g was
+                    # too coarse to see last-decimal divergences the driver's
+                    # exact hash catches (r19's q118).
+                    out.append(f"{v:.17g}" if not math.isnan(v) else "nan")
                 elif hasattr(v, "tolist"):  # numpy arrays / lists
                     out.append(str(v.tolist() if hasattr(v, "tolist") else v))
                 else:
