@@ -1,19 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.session.timeZone", "UTC")
-      // INT96 is deprecated and carries no parquet stats; micros keeps
-      // snapshot-store writes zone-map-prunable (FileStats) and smaller.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      // mirror Bench's AQE shuffled-hash rewrite so single-query timings
-      // measure the same session the bench runs
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // Same single-sourced session as Bench/Verify (GraftSession) — BenchOne
+    // previously lacked the extensions, so its timings missed the band-
+    // pruning and optimizer-rule surface the bench runs.
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

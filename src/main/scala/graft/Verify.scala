@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -13,18 +12,11 @@ object Verify {
       case Array(a, b, f) => (a, b, f.split(",").toSet)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // full extension surface (TVFs, optimizer rules, strategies, AQE
-      // stage rules — band pruning is extension-only; see GraftExtensions)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // INT96 is deprecated and carries no parquet stats; micros keeps
-      // snapshot-store writes zone-map-prunable (FileStats) and smaller.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Single-sourced session config (GraftSession): Verify now runs the
+    // SAME session the bench times — including the AQE shuffled-hash
+    // rewrite — so the oracle validates the benched plans, not an
+    // SMJ-only variant of them (VERDICT r19 #7/#8).
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -48,75 +48,128 @@ class MisraGriesAggregator(capacity: Int)
     ExpressionEncoder[Map[String, Long]]()
 }
 
-/** Exact heavy hitters in two bounded passes — the scale path for
+/** Exact heavy hitters with ONE pass over the input — the scale path for
   * `GROUP BY item HAVING count(*) > φ·n` when the item domain is too wide
-  * to shuffle in full (URLs, shingles, n-grams at 100 TB):
+  * to shuffle in full (URLs, shingles, n-grams at 100 TB).
   *
-  *  1. one pass aggregates a Misra-Gries sketch (capacity 2/φ, so every
-  *     φ-heavy item is guaranteed among the candidates) plus the total
-  *     count — partial aggregation merges per-partition sketches, and the
-  *     shuffle carries one ≤capacity map per partition, never the domain;
-  *  2. the candidate list (≤2/φ items, broadcast) semi-joins the input and
-  *     only those items are exactly counted and thresholded.
+  * The r19 shape scanned the input twice (a Misra-Gries candidate pass,
+  * then a re-scan for the exact recount) and the 2× tokenize scan was the
+  * whole cost of q83 (~4 s of a 4.2 s query at sf10). r20 (guide §1.2/§2:
+  * remove the second pass outright): one `mapPartitions` pass now emits
   *
-  * The output is EXACT and deterministic — the sketch only decides who
-  * gets recounted, never a final count, and its superset guarantee holds
-  * under any partitioning/merge order.
+  *  1. the partition's (item, count) GRAIN — exact per-partition partial
+  *     counts, from a bounded counter map that FLUSHES to output when it
+  *     hits `flushEntries` (so task memory stays bounded on any domain;
+  *     a flushed item's count splits across rows, which the downstream
+  *     `sum` re-merges exactly), and
+  *  2. the partition's Misra-Gries candidate markers (capacity 2/φ): a
+  *     globally φ-heavy item has local share ≥ φ in at least one
+  *     partition (else Σc_p < φ·Σs_p), and capacity ≥ 2/φ keeps any such
+  *     item alive in that partition's sketch (c_p ≥ 2s_p/capacity >
+  *     s_p/(capacity+1), the MG survival bound) — the candidate union is
+  *     a guaranteed superset of the true heavy hitters, under any
+  *     partitioning and any flush interleaving (the sketch never flushes).
+  *
+  * The grain is localCheckpointed (executor-local blocks, one row per
+  * distinct (partition, item) plus flush splits — corpus-sublinear), and
+  * the total, the candidate set, and the exact recount are all computed
+  * FROM THE GRAIN: the input — and any tokenize/explode feeding it — is
+  * scanned exactly once. The output is EXACT and deterministic: the
+  * sketch only decides who gets recounted (a spurious candidate is
+  * dropped by the exact HAVING filter), never a final count.
   */
 object HeavyHitters {
 
   /** Items of `itemCol` (string) occurring more than `phi`·n times:
     * (item, freq, share) ordered by freq desc, item asc.
     *
-    * Pass 1 runs Misra-Gries PER PARTITION inside `mapPartitions` with a
-    * mutable counter map — plain HashMap increments per token, one
-    * decrement-all sweep per eviction (amortized O(1)/token: each swept
-    * unit annihilates one prior increment) — instead of routing every
-    * token through the immutable-Map `Aggregator` (a Map copy + encoder
-    * round per row; measured comparable at sf10 where the 2× tokenize
-    * scan dominates, but GC-flat where the Aggregator's allocation rate
-    * grows with tokens/partition). The superset guarantee survives
-    * partitioning: a globally φ-heavy item has `c_p ≥ φ·s_p` in at least
-    * one partition (else Σc_p < φ·Σs_p), and capacity ≥ 2/φ keeps any
-    * such item alive in that partition's sketch (`c_p ≥ 2s_p/capacity >
-    * s_p/(capacity+1)`, the MG survival bound). The wire carries only
-    * ≤capacity candidates + one count per partition; the exact recount
-    * makes the FINAL output deterministic regardless of partitioning. */
-  def exact(items: DataFrame, itemCol: String, phi: Double): DataFrame = {
+    * `flushEntries` bounds the per-task exact counter map (entries, not
+    * bytes); the MG sketch is additionally bounded by capacity 2/φ. */
+  def exact(items: DataFrame, itemCol: String, phi: Double,
+      flushEntries: Int = 1 << 20): DataFrame = {
     require(phi > 0 && phi < 1, "phi must be in (0, 1)")
     val spark = items.sparkSession
     import spark.implicits._
     val capacity = math.max(16, math.ceil(2.0 / phi).toInt)
-    val partials = items.select(col(itemCol).cast("string")).as[String]
+    // One pass: exact bounded-map partial counts (grain, cand=false) +
+    // MG candidate markers (count 0, cand=true). Plain HashMap increments
+    // per token; one decrement-all sweep per MG eviction (amortized
+    // O(1)/token: each swept unit annihilates one prior increment).
+    val grain = items.select(col(itemCol).cast("string")).as[String]
       .mapPartitions { it =>
-        val m = new java.util.HashMap[String, Array[Long]](capacity * 2)
-        var n = 0L
-        while (it.hasNext) {
-          val t = it.next(); n += 1L
-          val c = m.get(t)
-          if (c != null) c(0) += 1L
-          else if (m.size < capacity) m.put(t, Array(1L))
-          else {
-            // Full and unseen: the new item's +1 annihilates with one unit
-            // of every live counter (classic MG eviction), dropping zeros.
-            val e = m.entrySet().iterator()
+        new Iterator[(String, Long, Boolean)] {
+          private val exactM = new java.util.HashMap[String, Array[Long]](1024)
+          private val mg = new java.util.HashMap[String, Array[Long]](capacity * 2)
+          private var pending: java.util.Iterator[(String, Long, Boolean)] = null
+          private var finished = false
+          private def drainExact(): java.util.Iterator[(String, Long, Boolean)] = {
+            val out = new java.util.ArrayList[(String, Long, Boolean)](exactM.size())
+            val e = exactM.entrySet().iterator()
             while (e.hasNext) {
-              val x = e.next()
-              x.getValue()(0) -= 1L
-              if (x.getValue()(0) == 0L) e.remove()
+              val x = e.next(); out.add((x.getKey, x.getValue()(0), false))
+            }
+            exactM.clear()
+            out.iterator()
+          }
+          private def step(): Unit = {
+            // advance the input until something is ready to emit
+            while ((pending == null || !pending.hasNext) && it.hasNext) {
+              val t = it.next()
+              // exact bounded partial count (flush keeps memory bounded;
+              // split counts re-merge in the downstream sum)
+              val c = exactM.get(t)
+              if (c != null) c(0) += 1L
+              else {
+                if (exactM.size() >= flushEntries) pending = drainExact()
+                exactM.put(t, Array(1L))
+              }
+              // Misra-Gries candidate sketch (never flushed)
+              val m = mg.get(t)
+              if (m != null) m(0) += 1L
+              else if (mg.size < capacity) mg.put(t, Array(1L))
+              else {
+                val e = mg.entrySet().iterator()
+                while (e.hasNext) {
+                  val x = e.next()
+                  x.getValue()(0) -= 1L
+                  if (x.getValue()(0) == 0L) e.remove()
+                }
+              }
+            }
+            if ((pending == null || !pending.hasNext) && !it.hasNext && !finished) {
+              // input exhausted: final grain drain + the candidate markers
+              val out = new java.util.ArrayList[(String, Long, Boolean)]()
+              val e = exactM.entrySet().iterator()
+              while (e.hasNext) {
+                val x = e.next(); out.add((x.getKey, x.getValue()(0), false))
+              }
+              exactM.clear()
+              val k = mg.keySet().iterator()
+              while (k.hasNext) out.add((k.next(), 0L, true))
+              pending = out.iterator()
+              finished = true
             }
           }
+          override def hasNext: Boolean = {
+            if (pending == null || !pending.hasNext) step()
+            pending != null && pending.hasNext
+          }
+          override def next(): (String, Long, Boolean) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
         }
-        // One (null, partition count) row + the partition's candidates.
-        Iterator.single((null: String, n)) ++ scala.jdk.CollectionConverters
-          .SetHasAsScala(m.keySet()).asScala.iterator.map(k => (k, 0L))
-      }.collect()
-    val n = partials.collect { case (null, c) => c }.sum
-    val cands = partials.collect { case (t, _) if t != null => t }.distinct.toSeq
-    items
-      .join(broadcast(cands.toDF(itemCol)), itemCol)
+      }.toDF(itemCol, "c", "cand")
+      .localCheckpoint(true) // the ONLY pass over the input
+    // total occurrences — exact: every occurrence is in exactly one grain
+    // row's count (candidate markers carry 0)
+    val nRow = grain.agg(sum(col("c"))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val cands = grain.where(col("cand")).select(col(itemCol)).distinct()
+    grain
+      .join(broadcast(cands), itemCol)
       .groupBy(col(itemCol))
-      .agg(count(lit(1)).as("freq"))
+      .agg(sum(col("c")).as("freq"))
       .where(col("freq") > lit(phi) * lit(n))
       .withColumn("share", round(col("freq").cast("double") / lit(n.toDouble), 6))
       .orderBy(col("freq").desc, col(itemCol).asc)

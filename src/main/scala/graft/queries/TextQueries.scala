@@ -335,16 +335,48 @@ object TextQueries {
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .where(size(col("tk")) >= 2)
         .localCheckpoint(true) // feeds unigrams + bigrams: tokenize once
-      val bi = docs.select(col("doc_id"), explode(zip_with(
+        // (r20 A/B at sf10: without it, 3.16 s vs 2.56 s — the three
+        // consumers' repeated tokenize costs more than the block write)
+      // r20 (guide §4, expressions/codegen): the bigram stream never
+      // builds a string and never runs an interpreted lambda. The old
+      // shape ran `zip_with(..., (a, b) => concat_ws(" ", a, b))` — a
+      // HOF whose lambda evaluates INTERPRETED per element, allocating a
+      // ~25 B string per occurrence — in BOTH consumers, then re-hashed
+      // the string at each use site (xxhash64 at the join, substring_index
+      // for w1 on the model side). arrays_zip is codegen'd, and the two
+      // fingerprints (pair hash for the bigram's identity, first-token
+      // hash for the model's conditional key) are plain codegen
+      // projections AFTER the explode. Same identities as before —
+      // xxhash64(a, b) over the token pair is the q60/q72 fingerprint
+      // discipline (tuple ↔ joined-string bijective, tokens carry no
+      // whitespace; collision math as in q72) — so the model rows, join
+      // matches and counts are unchanged.
+      val bi = docs.select(col("doc_id"), explode(arrays_zip(
           slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("p"))
+        .select(col("doc_id"),
+          xxhash64(col("p.0"), col("p.1")).as("bgh"),
+          xxhash64(col("p.0")).as("w1h"))
+      // unigram counts keyed on the token fingerprint (the q75/q89
+      // discipline): the string is aggregated away — only its identity
+      // feeds the model join.
       val uni = docs.select(explode(col("tk")).as("w1"))
-        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .groupBy(xxhash64(col("w1")).as("w1h")).agg(count(lit(1)).as("c1"))
       val vocab = uni.agg(count(lit(1)).as("v"))
-      val model = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-        .withColumn("w1", substring_index(col("bigram"), " ", 1))
-        .join(uni, "w1")
+      // Grouped by (bgh, w1h) — w1h is functionally determined by bgh
+      // (same first token), so the groups are the per-bigram groups and
+      // c12 is unchanged. The COMPOSITE key is also load-bearing for the
+      // plan: grouping by bgh alone leaves the model side partitioned by
+      // the scoring join's key, so no exchange (hence no AQE runtime
+      // stat) separates them and the join plans STATICALLY — measured at
+      // sf10 as a ShuffledHashJoin that built the 26.5M-row SCORING side
+      // (128 MB LongHashedRelation per task → memory failure). With the
+      // exchange present both join inputs are materialized stages and
+      // AQE picks the strategy from real sizes (the tiny model side
+      // broadcasts).
+      val model = bi.groupBy(col("bgh"), col("w1h"))
+        .agg(count(lit(1)).as("c12"))
+        .join(uni, "w1h")
         .crossJoin(broadcast(vocab))
         // The 6dp logp rides the scoring stream as LONG MICRO-UNITS
         // (computed HERE, on the small model table — the e9-row stream
@@ -353,16 +385,15 @@ object TextQueries {
         // decimal sum scaled 1e6, and sum/1e6 through double rounds once
         // from the same rational — bit-identical avg_logp with the hot
         // aggregate on primitive longs (same trick as q87's pair stage).
-        .select(xxhash64(col("bigram")).as("bgh"),
+        .select(col("bgh"),
           round(round(log((col("c12") + kSmooth) / (col("c1") + col("v") * kSmooth)), 6)
             * lit(1e6)).cast("long").as("logp_mu"))
-      // The 10^9-row scoring join keys on the bigram's 64-bit fingerprint,
-      // not the ~25-byte string: the sort-merge sorts fixed-width longs
-      // (measured materially faster at sf10) and the wire shrinks. The
-      // stop-word-class mega-key (~25% of all bigrams start with the
-      // corpus's hottest token) is AQE skew-split at runtime; collision
-      // math as in q72 — negligible at any gate SF.
-      bi.select(col("doc_id"), xxhash64(col("bigram")).as("bgh"))
+      // The scoring join keys on the bigram's 64-bit fingerprint, not the
+      // ~25-byte string: the wire is fixed-width longs. The
+      // stop-word-class mega-key is AQE skew-split at runtime where the
+      // model outgrows broadcast; collision math as in q72 — negligible
+      // at any gate SF.
+      bi.select(col("doc_id"), col("bgh"))
         .join(model, "bgh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),

@@ -70,6 +70,33 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("AQE rewrites sort-merge to shuffled-hash under the bench session's threshold") {
+    // GraftSession sets spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
+    // (default 64m) for Bench/BenchOne/Verify alike (VERDICT r19 #7/#8) —
+    // this pins that the rewrite actually FIRES on the q03/q18 fact-join
+    // shape: with broadcast disabled (as it effectively is for a fact-fact
+    // join at scale) and every post-shuffle partition under the bound, the
+    // final adaptive plan must carry ShuffledHashJoin, not SortMergeJoin.
+    // Same confs as GraftSession.configured, applied at runtime because the
+    // shared test session is built once per JVM.
+    withSQLConf(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("q03_join_chain")(spark, sf0001)
+      df.collect() // AQE decides from runtime sizes; only the final plan shows it
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(finalPlan.contains("ShuffledHashJoin"),
+        s"q03's fact joins must convert to shuffled-hash under the bench " +
+          s"threshold:\n$finalPlan")
+      assert(!finalPlan.contains("SortMergeJoin"),
+        s"no sort-merge legs may survive at this size:\n$finalPlan")
+    }
+  }
+
   test("top-k queries compile to TakeOrderedAndProject, never a global sort") {
     Seq("q09_topk", "q25_cosine_topk", "q52_bigrams").foreach { name =>
       assert(planOf(name).contains("TakeOrderedAndProject"), name)

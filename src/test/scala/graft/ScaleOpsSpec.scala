@@ -231,6 +231,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("heavy hitters stay exact when the grain map flushes mid-partition") {
+    // r20 single-pass shape: the bounded exact-count map flushes to the
+    // grain when it hits flushEntries, splitting a token's per-partition
+    // count across grain rows — the downstream sum must re-merge them
+    // exactly. flushEntries = 16 << 403 distinct forces many flushes per
+    // partition; the result must be identical to the unflushed run.
+    val heavy = Seq.fill(300)("alpha") ++ Seq.fill(250)("beta") ++ Seq.fill(200)("gamma")
+    val tail = (0 until 400).flatMap(i => Seq.fill(8)(s"rare$i"))
+    val df = new scala.util.Random(11L).shuffle(heavy ++ tail).toDF("token")
+      .repartition(5)
+    val n = heavy.size + tail.size
+    val flushed = graft.operators.HeavyHitters
+      .exact(df, "token", phi = 0.02, flushEntries = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expected = Map("alpha" -> 300L, "beta" -> 250L, "gamma" -> 200L)
+      .filter { case (_, c) => c > 0.02 * n }
+    assert(flushed === expected)
+  }
+
   test("misra-gries merge keeps every phi-heavy item across any split") {
     val agg = new graft.operators.MisraGriesAggregator(4)
     // 40% of the stream is "hot": with capacity 4 (ε = 1/5 = 20% < 40%)
