@@ -369,19 +369,40 @@ object Dedup {
   def decontaminationHits(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, n: Int): DataFrame = {
     val tk = graft.functions.Text.tokens(col(textCol))
-    // Shared by the eval and training branches: materialize once (eagerly —
-    // see the lazy-checkpoint deadlock note in minhashNearDups).
-    val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"), tk.as("tk"))
-      .where(size(col("tk")) >= n)
-      .select(col("id"), col("is_eval"),
-        array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-          i => xxhash64((0 until n).map(j => element_at(col("tk"), i + lit(j))): _*))).as("g"))
-      .localCheckpoint(true)
-    val evalGrams = grams.where(col("is_eval"))
-      .select(explode(col("g")).as("gram"), col("id").as("eval_id"))
+    // r20 (guide §1.2): the eval and training branches PARTITION the
+    // corpus, so filtering each branch BEFORE the tokenize+gram kernel
+    // does exactly one corpus's worth of gram work in total — the former
+    // shared localCheckpoint also computed grams once but additionally
+    // materialized every document's gram ARRAY to executor-local blocks
+    // (the corpus-sized write this operator's 100 TB story cannot
+    // afford). The isEval/!isEval predicates push into both scans; the
+    // double column-pruned parquet scan is cheap next to the regex.
+    //
+    // The gram kernel is INLINED into the explode, never projected as a
+    // named column first: InferFiltersFromGenerate turns an exploded
+    // COLUMN into a pushed-down `size(col) > 0` filter whose pushdown
+    // substitutes the column's full defining expression — the whole
+    // tokenize+transform kernel then re-evaluates per row inside the
+    // Filter (measured: 78 s vs 1.5 s at sf10). With the expression as
+    // the generator child the rule does not fire and the kernel runs
+    // once per row, in the Generate.
+    // The <n-token guard lives INSIDE the expression (explode of an empty
+    // array drops the row exactly like the old filter): a
+    // `.where(size(tk) >= n)` would push below the tk projection and
+    // re-evaluate the tokenizer per row in the Filter — tokenize ran 2×
+    // per document that way (measured +10% at sf10).
+    def explodedGrams(side: Column, asId: String): DataFrame = docs
+      .where(side)
+      .select(col(idCol).as(asId), tk.as("tk"))
+      .select(col(asId),
+        explode(when(size(col("tk")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => xxhash64((0 until n).map(j => element_at(col("tk"), i + lit(j))): _*))))
+          .otherwise(array().cast("array<long>")))
+          .as("gram"))
+    val evalGrams = explodedGrams(isEval, "eval_id")
       .groupBy(col("gram")).agg(min(col("eval_id")).as("first_eval_id"))
-    val trainGrams = grams.where(!col("is_eval"))
-      .select(col("id").as("doc_id"), explode(col("g")).as("gram"))
+    val trainGrams = explodedGrams(!isEval, "doc_id")
     // g is array_distinct per doc and evalGrams is distinct per gram, so
     // count(*) below counts DISTINCT shared n-grams without an expensive
     // distinct aggregate.

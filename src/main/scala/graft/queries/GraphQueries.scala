@@ -43,8 +43,33 @@ object GraphQueries {
 
   val queries: Map[String, Q] = Map(
     // T4: degree centrality top-50 (graph_facade.py:768-812).
+    // r20 (guide §2.3 — shuffle narrower types): GraphOps.degrees over
+    // edges() pushed the per-edge `concat('s', suppkey)` strings through
+    // BOTH exchanges (the edge distinct and the node aggregate). The key
+    // domains are disjoint (suppliers only ever src, parts only ever
+    // dst), so the longs ride through both shuffles tagged with one
+    // bit, and the node string is built once per NODE after the final
+    // aggregate — entities-scale, not per-edge-occurrence. Same rows:
+    // out_degree/in_degree split exactly on the tag (a supplier node has
+    // only out-edges, a part node only in-edges, as in the directed
+    // view), total_degree = the tag-group count, and the output string /
+    // ordering are unchanged.
     "q21_degree" -> ((s, dir) => {
-      GraphOps.degrees(edges(s, dir))
+      Tables.lineitem(s, dir)
+        .where(col("l_linenumber") === 1)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .select(explode(array(
+          struct(lit(0L).as("t"), col("sk").as("k")),
+          struct(lit(1L).as("t"), col("pk").as("k")))).as("e"))
+        .groupBy(col("e.t").as("t"), col("e.k").as("k"))
+        .agg(count(lit(1)).as("d"))
+        .select(
+          concat(when(col("t") === 0, lit("s")).otherwise(lit("p")),
+            col("k")).as("node"),
+          when(col("t") === 0, col("d")).otherwise(lit(0L)).as("out_degree"),
+          when(col("t") === 1, col("d")).otherwise(lit(0L)).as("in_degree"),
+          col("d").as("total_degree"))
         .orderBy(col("total_degree").desc, col("node").asc)
         .limit(50)
     }),
